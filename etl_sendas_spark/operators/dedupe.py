@@ -1,0 +1,370 @@
+"""Deduplication operators for corpus-scale (100 TB) pipelines.
+
+Five flavors, cheapest-first — the standard LLM-training-data ladder:
+
+- :func:`exact_dedup` — hash-groupBy on a content fingerprint. One
+  shuffle on the hash; at 100 TB this is the map-side-combinable
+  baseline every corpus pass starts with.
+- :func:`ngram_jaccard_pairs` — exact n-gram (shingle) Jaccard via an
+  inverted shingle index: explode → self-join on shingle → count
+  intersections. Quadratic only within a shingle's posting list, so
+  frequent-shingle skew is the scale risk — posting lists above
+  ``max_posting`` are dropped (standard df-cut), which both bounds
+  skew and removes uninformative shingles.
+- :func:`minhash_signatures` / :func:`minhash_lsh_candidates` —
+  MinHash + banded LSH: the sub-quadratic near-dup path. k hash
+  functions → per-band bucket join; only bucket-mates ever meet.
+- :func:`simhash_fingerprints` — 64-bit SimHash; near-dups differ in
+  few bits; bucketing on bit-slices gives the Hamming-LSH variant.
+- :func:`embedding_near_dup_pairs` — cosine-threshold pairs over an
+  embedding column (semantic dedup), brute force within LSH buckets.
+
+Everything is built-in-function DataFrame code (JVM, codegen) — no
+Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import normalized_text, doc_fingerprint
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact normalized-text fingerprint.
+
+    groupBy(fingerprint) → min(id) → semi-join back. Two narrow
+    shuffles (fingerprint, then id); the first combines map-side so
+    the reduce sees one row per distinct document, not per row.
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# n-gram shingles
+# --------------------------------------------------------------------------
+
+def _shingles(text_col: str, n: int) -> Column:
+    """Distinct word n-grams of the normalized text (array<string>)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = 10_000,
+) -> DataFrame:
+    """All pairs (a,b), a<b, with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index plan: (id, shingle) exploded → self-join on shingle
+    → count co-occurrences = |A∩B|; |A∪B| = |A|+|B|-|A∩B|. The join
+    key is the shingle, so common shingles dominate cost —
+    ``max_posting`` drops shingles whose posting list exceeds the cap
+    (at 100 TB this is mandatory; a stopword shingle would otherwise
+    produce a quadratic bucket).
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = docs.select("doc", F.size("sh").alias("sz"))
+    posting = docs.select("doc", F.explode("sh").alias("shingle"))
+
+    if max_posting is not None:
+        from pyspark.sql import Window
+
+        cnt = Window.partitionBy("shingle")
+        posting = posting.withColumn("__df", F.count("*").over(cnt)).filter(
+            F.col("__df") <= max_posting
+        ).drop("__df")
+
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) — min over seeded xxhash64.
+
+    One explode + one groupBy(id) with ``num_hashes`` min-aggregates:
+    a single shuffle, map-side combinable, no Python. Seeded family:
+    ``xxhash64(seed_i, shingle)`` (xxhash64 mixes all args, so each
+    literal seed yields an independent hash function).
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc"), _shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    exploded = docs.select("doc", F.explode("sh").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy("doc").agg(*aggs)
+    return sig.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, optionally
+    verified with exact shingle Jaccard.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; a pair collides if
+    any band's slice hashes equal. Bucket join = shuffle on
+    (band, band_hash); only bucket-mates are compared — the
+    sub-quadratic property that makes this the 100 TB path. With
+    ``verify_threshold`` set, candidates are confirmed against the
+    exact Jaccard of their shingle sets (join back to the posting
+    lists), eliminating LSH false positives.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, n=shingle_n, threshold=0.0, max_posting=None
+    ).select("id_a", "id_b", "jaccard")
+    return (
+        cand.join(exact, ["id_a", "id_b"], "left")
+        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document, all JVM-side.
+
+    Each token hashes once (xxhash64); per bit position the ±1 votes
+    sum in a single groupBy(id) with ``bits`` sum-aggregates; the sign
+    vector folds back into one BIGINT fingerprint. Near-dups are then
+    pairs within small Hamming distance — bucket on bit-slices of the
+    fingerprint for the LSH variant.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = h.groupBy("doc").agg(*votes)
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return agg.select(F.col("doc").alias(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 16
+) -> DataFrame:
+    """Hamming-LSH over SimHash: bucket on 16-bit slices (a pair within
+    Hamming ≤ 3 of 64 bits must agree on ≥1 of 4 slices), verify with
+    exact popcount distance."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = fp.select(
+        F.col(id_col).alias("doc"), F.col("simhash"), F.explode(slices).alias("s")
+    ).select("doc", "simhash", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_planes: int = 0,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold over an embedding column.
+
+    ``bucket_planes`` = 0 → exact all-pairs (correctness baseline;
+    quadratic — fine at verification SFs). > 0 → random-hyperplane
+    sign buckets (deterministic seeded planes): only same-signature
+    vectors are compared, the scale path (near-dups almost surely
+    share all signs; recall degrades gracefully as planes grow).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).filter(F.size("v") > 0)
+    vecs = vecs.withColumn("nrm", _norm(F.col("v"))).filter(F.col("nrm") > 0)
+
+    if bucket_planes > 0:
+        dim = len(vecs.select("v").first()["v"])
+        import random
+
+        rng = random.Random(42)
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bucket_planes)]
+        sig = None
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(x) for x in p])
+            bit = (_dot(F.col("v"), plane) > 0).cast("long")
+            term = F.shiftleft(bit, i)
+            sig = term if sig is None else sig.bitwiseXOR(term)
+        vecs = vecs.withColumn("__bucket", sig)
+        join_cond = (F.col("a.__bucket") == F.col("b.__bucket")) & (
+            F.col("a.doc") < F.col("b.doc")
+        )
+    else:
+        join_cond = F.col("a.doc") < F.col("b.doc")
+
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,152 @@
+"""Group-marking operators — the reference's rule-engine primitives.
+
+Two genuinely interesting operators live here:
+
+- :func:`capped_group_mark` — reference rule R1 "Quirófano"
+  (capital_sendas.py:326-380): inside each (invoice, service-date)
+  group, walking rows in priority order, mark at most ``per_run_cap``
+  rows per consecutive run of equal ``run_col`` values and at most
+  ``total_cap`` rows overall. The reference does this with a Python
+  loop per group; here it is TWO window functions and zero UDFs —
+  eligibility (position within the run ≤ per-run cap) is independent
+  of the marks, and the marks are just the first ``total_cap``
+  eligible rows in walk order. Equivalence argued in SURVEY.md §2.5.
+
+- :func:`gap_anchor_mark` — reference rule R7 "Consultorio urgencias"
+  (capital_sendas.py:484-543): within each (patient, diagnosis) group
+  ordered by service date, mark the first row, then mark a row only
+  when it is more than ``gap_days`` after the LAST MARKED row (which
+  resets the anchor). The anchor depends on prior marks — a stateful
+  fold no window frame can express — so this is the engine's one
+  grouped-map pandas operator (Arrow-batched ``applyInPandas``; each
+  group is small, the shuffle key is the group key).
+
+- :func:`sessionize` — the window-expressible cousin (gap measured to
+  the PREVIOUS row, not the last marked row): lag + cumulative sum.
+  This is batch `session_window` semantics and is SQL-expressible,
+  so it gets a DuckDB oracle; it is also the building block the
+  streaming module reuses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..sources.readers import ROW_ID
+
+
+def _cols(cs: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cs]
+
+
+def capped_group_mark(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    run_col: str,
+    walk_order: Sequence[Column | str] | None = None,
+    per_run_cap: int = 2,
+    total_cap: int = 3,
+    flag_col: str = "validacion",
+) -> DataFrame:
+    """Mark ≤ ``per_run_cap`` rows per equal-``run_col`` run, ≤ ``total_cap`` per group.
+
+    ``walk_order`` is the within-group walk (default: ``run_col`` desc
+    then row id, the reference's sort at capital_sendas.py:335). Runs
+    must be contiguous under the walk order — true whenever the walk
+    sorts by ``run_col``, as the reference does.
+
+    Physical shape: every window below shares ONE partitioning
+    (``group_keys``) and ONE ordering (the walk), so Catalyst plans a
+    single shuffle + single sort and evaluates all four expressions in
+    one Window node — the run position is derived from a lag-based
+    run-start marker instead of a second (group, run) partitioning.
+    """
+    walk = (
+        _cols(walk_order)
+        if walk_order
+        else [F.col(run_col).desc(), F.col(ROW_ID)]
+    )
+    w = Window.partitionBy(*_cols(group_keys)).orderBy(*walk)
+    w_run_sum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    rn = F.row_number().over(w)
+    # null-safe change detection so null run values don't restart runs spuriously
+    run_changed = (
+        (rn == 1) | ~F.col(run_col).eqNullSafe(F.lag(F.col(run_col)).over(w))
+    ).cast("int")
+    # rn of the first row of this row's run (runs are contiguous under the walk)
+    run_start = F.max(F.when(run_changed == 1, rn)).over(w_run_sum)
+    eligible = ((rn - run_start) < per_run_cap).cast("int")
+    elig_so_far = F.sum(eligible).over(w_run_sum)
+    mark = (eligible == 1) & (elig_so_far <= total_cap)
+    return df.withColumn(flag_col, mark.cast("int"))
+
+
+def gap_anchor_mark(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    ts_col: str,
+    order_by: Sequence[str],
+    gap_days: int = 3,
+    flag_col: str = "validacion",
+) -> DataFrame:
+    """Anchor-reset gap marking (reference R7): stateful fold per group.
+
+    Mark row 1; thereafter mark a row iff ``(ts - last_marked_ts).days
+    > gap_days`` (strictly greater — capital_sendas.py:532), and move
+    the anchor to it. Implemented as ``groupBy(keys).applyInPandas`` —
+    Arrow-batched, group-parallel; state never leaves the group.
+    """
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates in place, which would
+    # corrupt the input DataFrame's cached schema
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(flag_col, T.IntegerType())]
+    )
+    order_cols = list(order_by)
+    gap = int(gap_days)
+
+    def mark_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").copy()
+        ts = pd.to_datetime(pdf[ts_col], errors="coerce")
+        flags = []
+        anchor = None
+        for t in ts:
+            if anchor is None:
+                flags.append(1)
+                anchor = t
+            elif pd.notna(t) and pd.notna(anchor) and (t - anchor).days > gap:
+                flags.append(1)
+                anchor = t
+            else:
+                flags.append(0)
+        pdf[flag_col] = pd.array(flags, dtype="int32")
+        return pdf
+
+    return df.groupBy(*group_keys).applyInPandas(mark_group, schema=out_schema)
+
+
+def sessionize(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    ts_col: str,
+    gap: str = "INTERVAL 30 MINUTES",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: new session when the gap to the PREVIOUS
+    event exceeds ``gap``. lag + running sum — one shuffle, window-only,
+    SQL-expressible (the DuckDB oracle uses the same formulation).
+    """
+    w = Window.partitionBy(*_cols(group_keys)).orderBy(F.col(ts_col), F.col(ROW_ID) if ROW_ID in df.columns else F.col(ts_col))
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + F.expr(gap))
+    ).cast("long")
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

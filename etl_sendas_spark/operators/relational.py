@@ -1,0 +1,125 @@
+"""Relational core operators (SURVEY.md §2.3-§2.7), Spark-first.
+
+The reference leans on four pandas idioms with no direct Spark
+analog; each gets one composable operator here:
+
+- ``drop_duplicates(subset=K, keep='first')`` (capital_sendas.py:179,
+  191,270,405,406,423,499) → :func:`keep_first` — a ``row_number()``
+  window with an EXPLICIT deterministic tiebreak (the reference relies
+  on silent file/row order; we require an order column, normally the
+  engine row id).
+- ``~duplicated(...)`` first-row flag (:556) → :func:`first_flag`.
+- index-aligned ``df.update(sub)`` / ``df.loc[idx, col] = v`` (:380,
+  409,429,543,559) → :func:`update_by_row_id` — left join on the
+  synthetic row id + ``coalesce``.
+- all-column anti-join dedup across files (:117-123) →
+  :func:`anti_join_all_columns`.
+
+All operators are lazy DataFrame→DataFrame; shuffles happen only on
+the declared keys and Catalyst/AQE pick physical strategies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..sources.readers import ROW_ID
+
+
+def _cols(cs: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cs]
+
+
+def keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Keyed dedup keeping the first row per key in ``order_by`` order.
+
+    One shuffle on ``keys``; at scale this is the canonical
+    window-dedup (AQE handles skewed keys). Nulls group together,
+    matching pandas' default treatment in the reference's dedups.
+    """
+    order = _cols(order_by) if order_by else [F.col(ROW_ID)]
+    w = Window.partitionBy(*_cols(keys)).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def first_flag(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column] | None = None,
+    flag_col: str = "validacion",
+) -> DataFrame:
+    """1 for the first row per key, 0 for the rest (reference A4, :556)."""
+    order = _cols(order_by) if order_by else [F.col(ROW_ID)]
+    w = Window.partitionBy(*_cols(keys)).orderBy(*order)
+    return df.withColumn(
+        flag_col, F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def update_by_row_id(
+    base: DataFrame,
+    updates: DataFrame,
+    value_col: str,
+    row_id: str = ROW_ID,
+) -> DataFrame:
+    """Re-expression of pandas index-aligned ``df.update(sub)``.
+
+    ``updates`` carries (row_id, value_col); rows present there
+    overwrite ``base``'s column, others keep their value. The join is
+    on a unique synthetic key, so Catalyst can broadcast small update
+    sets; with AQE the plan adapts when an update set is large.
+    """
+    upd = updates.select(
+        F.col(row_id), F.col(value_col).alias("__upd_value")
+    )
+    return (
+        base.join(upd, on=row_id, how="left")
+        .withColumn(value_col, F.coalesce(F.col("__upd_value"), F.col(value_col)))
+        .drop("__upd_value")
+    )
+
+
+def anti_join_all_columns(df_new: DataFrame, df_seen: DataFrame) -> DataFrame:
+    """Rows of ``df_new`` whose full column tuple never appears in ``df_seen``.
+
+    Null-safe on every column (pandas merge treats NaN==NaN as a match
+    on join keys), which plain ``left_anti`` equality would not —
+    hence the ``eqNullSafe`` condition.
+    """
+    # rename the probe side so column resolution is unambiguous even when
+    # df_seen derives from df_new (self-referential lineage)
+    seen = df_seen.select(
+        *[F.col(c).alias(f"__seen_{i}") for i, c in enumerate(df_new.columns)]
+    )
+    cond = None
+    for i, c in enumerate(df_new.columns):
+        clause = df_new[c].eqNullSafe(F.col(f"__seen_{i}"))
+        cond = clause if cond is None else (cond & clause)
+    return df_new.join(seen, on=cond, how="left_anti")
+
+
+def invoices_containing(
+    df: DataFrame, invoice_col: str, service_col: str, service_value: str
+) -> Column:
+    """Window-based membership flag: does this row's invoice contain
+    ``service_value`` anywhere? (reference J8, :445,455).
+
+    Preferred over the collect-to-driver ``unique()`` + ``isin`` of the
+    reference and over a self-join: a single ``max(when(...))`` window
+    on the invoice key — one shuffle, no driver round-trip, no
+    broadcast of an unbounded value list.
+    """
+    w = Window.partitionBy(invoice_col)
+    return (
+        F.max(F.when(F.col(service_col) == service_value, 1).otherwise(0)).over(w) == 1
+    )

@@ -1,0 +1,395 @@
+"""The capital-sendas pipeline, re-expressed as one lazy Spark plan.
+
+Semantics derive from /root/reference/capital_sendas.py (cited per
+stage below); architecture does not — the reference is an eager
+pandas script that mutates one in-memory table by row identity, while
+this is a composable chain of DataFrame transforms threaded on a
+synthetic row id (SURVEY.md §1.4), with all dimension joins broadcast
+and every order-sensitive dedup given an explicit tiebreak.
+
+Faithfully reproduced code-vs-spec deviations (SURVEY.md §7):
+- the H1–H5 override join uses the UNFILTERED typology dim
+  (capital_sendas.py:191, despite :186 building a filtered one);
+- the invoice prefix filter is ``'SN'`` (code, :111), not the
+  comment's "NS";
+- the month filter matches month-of-year only, not year+month (:142).
+
+Scale notes: the fact table is the only big input — every dim join is
+a broadcast; the rule engine shuffles only on its group keys
+(invoice, patient); nothing collects to the driver; the one Python
+stage is the R7 grouped-map fold and the comprobar name splitter, both
+Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.dates import parse_js_timestamp, edad_valor, edad_unidad, date_to_text
+from ..functions.strings import split_full_name
+from ..operators.marking import capped_group_mark, gap_anchor_mark
+from ..operators.relational import (
+    first_flag,
+    invoices_containing,
+    keep_first,
+    update_by_row_id,
+)
+from ..sources.readers import ROW_ID, with_row_id
+
+H1_H5 = ["H1", "H2", "H3", "H4", "H5"]
+
+FACT_COLUMNS = [
+    "SEDE_NOMBRE", "FACTURA", "FECHA_FACT", "INGRESO", "DOC_PACIENTE",
+    "NOMBRE_PACIENTE", "FEC_NACIMIENTO", "GENERO", "EDAD", "SERVICIO",
+    "NOM_SERVICIO_PRODUCTO", "FEC_SERVICIO", "CANT_SERVICIO", "VALOR_TOTAL",
+    "COD_PLAN", "NOM_PLAN", "NOM_CENTROCOS", "COD_ENTIDAD1", "NOM_ENTIDAD1",
+    "AMBITO", "DX_PRINCIPAL.0", "DX_PRINCIPAL.1",
+]
+
+# final published projection (capital_sendas.py:588-596)
+OUTPUT_COLUMNS = [
+    "SEDE_NOMBRE", "FACTURA", "FECHA_FACT", "INGRESO", "GENERO", "SERVICIO",
+    "NOM_SERVICIO_PRODUCTO", "FEC_SERVICIO", "CANT_SERVICIO", "COD_PLAN",
+    "NOM_PLAN", "COD_ENTIDAD1", "NOM_ENTIDAD1", "AMBITO", "DX_PRINCIPAL.0",
+    "DX_PRINCIPAL.1", "CONCEPTO", "GRUPO QX", "EDAD 1", "EDAD 2", "tipologia",
+    "TIPOLOGIA NOMBRE", "ips", "validacion",
+]
+
+
+def _nz(col: str) -> Column:
+    """Null-as-empty-string, the reference's ``fillna('')`` predicate idiom."""
+    return F.coalesce(F.col(col), F.lit(""))
+
+
+def ingest_filters(fact: DataFrame) -> DataFrame:
+    """Per-file ingest predicates (capital_sendas.py:109-111): keep
+    PGP plans, drop 'SN'-prefixed invoices. Applied before any join so
+    Catalyst pushes them into the scan."""
+    return fact.filter(
+        _nz("NOM_PLAN").contains("PGP") & ~_nz("FACTURA").startswith("SN")
+    )
+
+
+def parse_and_filter_month(fact: DataFrame, mes: int, parse_dates: bool = True) -> DataFrame:
+    """Date parsing + month filter + numeric casts (capital_sendas.py:136-152)."""
+    if parse_dates:
+        for c in ("FEC_NACIMIENTO", "FEC_SERVICIO", "FECHA_FACT"):
+            fact = fact.withColumn(c, parse_js_timestamp(F.col(c)))
+    fact = fact.filter(F.month("FECHA_FACT") == F.lit(mes))
+    for c in ("FEC_NACIMIENTO", "FEC_SERVICIO", "FECHA_FACT"):
+        fact = fact.withColumn(c, F.to_date(c))
+    fact = fact.withColumn("EDAD", F.col("EDAD").cast("int"))
+    for c in ("CANT_SERVICIO", "VALOR_TOTAL"):
+        fact = fact.withColumn(
+            c, F.coalesce(F.col(c).cast("double").cast("int"), F.lit(0))
+        )
+    return fact
+
+
+def enrich(
+    fact: DataFrame,
+    codigos: DataFrame,
+    tipologia: DataFrame,
+    anexos: DataFrame,
+    bases: DataFrame,
+) -> DataFrame:
+    """The J2→J7 enrichment chain (capital_sendas.py:154-271).
+
+    Every dimension is deduplicated exactly as the reference does (on
+    full rows or keep-first with the dim's own row order as tiebreak)
+    and broadcast — the fact side never shuffles here.
+    """
+    if ROW_ID not in fact.columns:
+        fact = with_row_id(fact)
+
+    # J2 — service codes dim (:157-160): full-row distinct, left join.
+    dim_codes = codigos.select("SERVICIO", "CONCEPTO", "GRUPO QX").dropDuplicates()
+    fact = fact.join(F.broadcast(dim_codes), on="SERVICIO", how="left")
+
+    # EDAD 1 / EDAD 2 derived ages (:165-168) — pure CASE chains.
+    fact = fact.withColumn("EDAD 1", edad_valor("FEC_SERVICIO", "FEC_NACIMIENTO"))
+    fact = fact.withColumn("EDAD 2", edad_unidad("FEC_SERVICIO", "FEC_NACIMIENTO"))
+
+    # J3 — general typology (:174-180): exclude H1–H5, keep-first per
+    # SERVICIO in dim order (explicit row-id tiebreak replaces pandas'
+    # silent positional keep='first').
+    tip = with_row_id(tipologia, order_by=None).withColumnRenamed(ROW_ID, "__dim_id")
+    tip_general = keep_first(
+        tip.filter(~F.col("tipologia").isin(H1_H5)).select(
+            "SERVICIO", "tipologia", "__dim_id"
+        ),
+        keys=["SERVICIO"],
+        order_by=["__dim_id"],
+    ).drop("__dim_id")
+    fact = fact.join(F.broadcast(tip_general), on="SERVICIO", how="left")
+
+    # J4 — composite-key override (:186-198). NOTE: the reference
+    # builds an H1–H5-filtered frame but then joins the UNFILTERED dim
+    # (:191) — we reproduce the code, not the comment.
+    tip_override = keep_first(
+        tip.select("SERVICIO", "NOM_CENTROCOS", "tipologia", "__dim_id"),
+        keys=["SERVICIO", "NOM_CENTROCOS"],
+        order_by=["__dim_id"],
+    ).drop("__dim_id").withColumnRenamed("tipologia", "tipologia_temp")
+    fact = fact.join(
+        F.broadcast(tip_override), on=["SERVICIO", "NOM_CENTROCOS"], how="left"
+    )
+    fact = fact.withColumn(
+        "tipologia", F.coalesce("tipologia_temp", "tipologia")
+    ).drop("tipologia_temp")
+
+    # J5/F1/D2/J6 — typology-name priority pick (:203-263).
+    combos = fact.select("GENERO", "EDAD", "SERVICIO").dropDuplicates()
+    dim_anexos = anexos.select("CUPS", "TIPOLOGIA NOMBRE").dropDuplicates()
+    tmp = combos.join(
+        F.broadcast(dim_anexos), combos["SERVICIO"] == dim_anexos["CUPS"], "left"
+    ).drop("CUPS")
+    tmp = tmp.withColumn("TIPOLOGIA NOMBRE", _nz("TIPOLOGIA NOMBRE"))
+    tn_upper = F.upper(F.col("TIPOLOGIA NOMBRE"))
+    tmp = tmp.withColumn(
+        "Contiene",
+        F.when(tn_upper.rlike("PEDIATRIA|GINECOLOGIA"), F.lit(1)).otherwise(F.lit(2)),
+    )
+    # asignar_tipologia (:224-250) as a CASE chain — note the reference
+    # matches PEDIATRIA/GINECOLOGIA case-SENSITIVELY here (Python `in`),
+    # unlike the Contiene flag above (case=False), so we mirror both.
+    tn = F.col("TIPOLOGIA NOMBRE")
+    valida = (
+        F.when(tn.contains("PEDIATRIA") & (F.col("EDAD") < 14), tn)
+        .when(tn.contains("GINECOLOGIA") & (F.col("GENERO") == "F"), tn)
+        .when(~tn.contains("PEDIATRIA") & ~tn.contains("GINECOLOGIA"), tn)
+        .otherwise(F.lit(""))
+    )
+    tmp = tmp.withColumn("Valida", valida).filter(F.col("Valida") != "")
+    # groupby(...).first() on the (SERVICIO, GENERO, EDAD, Contiene)
+    # sort (:215,:257) → keep-first with (Contiene, name) tiebreak; the
+    # name tiebreak makes ties deterministic where pandas' unstable
+    # sort is not.
+    tmp = keep_first(
+        tmp,
+        keys=["GENERO", "EDAD", "SERVICIO"],
+        order_by=[F.col("Contiene"), F.col("TIPOLOGIA NOMBRE")],
+    ).select("GENERO", "EDAD", "SERVICIO", "TIPOLOGIA NOMBRE")
+    fact = fact.join(F.broadcast(tmp), on=["GENERO", "EDAD", "SERVICIO"], how="left")
+
+    # J7 — affiliation dim (:268-271): keep-first per documento.
+    base_dim = with_row_id(bases.select("documento", "ips")).withColumnRenamed(
+        ROW_ID, "__dim_id"
+    )
+    base_dim = keep_first(base_dim, keys=["documento"], order_by=["__dim_id"]).drop(
+        "__dim_id"
+    )
+    fact = fact.join(
+        F.broadcast(base_dim),
+        fact["DOC_PACIENTE"] == base_dim["documento"],
+        "left",
+    ).drop("documento")
+
+    return fact.withColumn("validacion", F.lit(0))
+
+
+# --------------------------------------------------------------------------
+# rule engine — ordered fold, later rules override earlier marks
+# --------------------------------------------------------------------------
+
+def rule_qx(fact: DataFrame) -> DataFrame:
+    """R1 Quirófano (:326-380): within (FACTURA, FEC_SERVICIO), walking
+    tipologia descending, mark ≤2 per tipologia run and ≤3 total."""
+    scope = fact.filter(
+        _nz("tipologia").startswith("Qx") & (F.col("VALOR_TOTAL") > 0)
+    ).select(ROW_ID, "FACTURA", "FEC_SERVICIO", "tipologia")
+    marks = capped_group_mark(
+        scope,
+        group_keys=["FACTURA", "FEC_SERVICIO"],
+        run_col="tipologia",
+        walk_order=[F.col("tipologia").desc(), F.col(ROW_ID)],
+        per_run_cap=2,
+        total_cap=3,
+    )
+    return update_by_row_id(fact, marks, "validacion")
+
+
+def rule_egreso(fact: DataFrame) -> DataFrame:
+    """R2 Egreso (:383-410): first row per key → 1; H1–H5 key includes
+    NOM_CENTROCOS, other H* does not. Only kept rows are written."""
+    scope = fact.filter(_nz("tipologia").startswith("H")).select(
+        ROW_ID, "FACTURA", "SERVICIO", "NOM_CENTROCOS", "tipologia"
+    )
+    h15 = keep_first(
+        scope.filter(F.col("tipologia").isin(H1_H5)),
+        keys=["FACTURA", "SERVICIO", "NOM_CENTROCOS"],
+    )
+    rest = keep_first(
+        scope.filter(~F.col("tipologia").isin(H1_H5)),
+        keys=["FACTURA", "SERVICIO"],
+    )
+    marks = h15.unionByName(rest).select(ROW_ID, F.lit(1).alias("validacion"))
+    return update_by_row_id(fact, marks, "validacion")
+
+
+def rule_c1(fact: DataFrame) -> DataFrame:
+    """R3 Ambulatorio C1 (:415-429): first service per patient-day → 1."""
+    scope = fact.filter(
+        (F.col("tipologia") == "C1") & _nz("COD_PLAN").startswith("PGP")
+    ).select(ROW_ID, "DOC_PACIENTE", "FEC_SERVICIO")
+    marks = keep_first(scope, keys=["DOC_PACIENTE", "FEC_SERVICIO"]).select(
+        ROW_ID, F.lit(1).alias("validacion")
+    )
+    return update_by_row_id(fact, marks, "validacion")
+
+
+def rule_c4(fact: DataFrame) -> DataFrame:
+    """R4 Ambulatorio C4 (:431-456): CASE chain + invoice-membership
+    zeroing; the 132P01 flag is a window over FACTURA (no self-join,
+    no driver round-trip — replaces the reference's unique()+isin)."""
+    has_132 = invoices_containing(fact, "FACTURA", "SERVICIO", "132P01")
+    base = (F.col("AMBITO") == "CONSULTA EXTERNA") & (F.col("tipologia") == "C4")
+    servicios_a_invalidar = ["890285", "890385", "890384", "890284", "890502"]
+    return fact.withColumn(
+        "validacion",
+        F.when(base & has_132 & F.col("SERVICIO").isin(servicios_a_invalidar), F.lit(0))
+        .when(base & (F.col("SERVICIO") == "890502"), F.col("CANT_SERVICIO"))
+        .when(base & (F.col("SERVICIO") != "890502"), F.lit(1))
+        .otherwise(F.col("validacion")),
+    )
+
+
+def rule_c7_c8(fact: DataFrame) -> DataFrame:
+    """R5 (:458-467): C7 → CANT_SERVICIO; C8 in consulta externa → CANT_SERVICIO."""
+    return fact.withColumn(
+        "validacion",
+        F.when(F.col("tipologia") == "C7", F.col("CANT_SERVICIO"))
+        .when(
+            (F.col("tipologia") == "C8") & (F.col("AMBITO") == "CONSULTA EXTERNA"),
+            F.col("CANT_SERVICIO"),
+        )
+        .otherwise(F.col("validacion")),
+    )
+
+
+def rule_hd_ari(fact: DataFrame) -> DataFrame:
+    """R6 (:470-481): HD → 1, ARI → 1."""
+    return fact.withColumn(
+        "validacion",
+        F.when(F.col("tipologia").isin("HD", "ARI"), F.lit(1)).otherwise(
+            F.col("validacion")
+        ),
+    )
+
+
+def rule_c5(fact: DataFrame) -> DataFrame:
+    """R7 Consultorio urgencias (:484-543): zero all C5, dedup on
+    INGRESO in (patient, dx, date) order, then the anchor-reset >3-day
+    gap fold per (patient, dx) — the engine's one grouped-map stage."""
+    fact = fact.withColumn(
+        "validacion",
+        F.when(F.col("tipologia") == "C5", F.lit(0)).otherwise(F.col("validacion")),
+    )
+    scope = fact.filter(F.col("tipologia") == "C5").select(
+        ROW_ID,
+        "INGRESO",
+        "DOC_PACIENTE",
+        F.col("`DX_PRINCIPAL.1`").alias("__dx"),
+        "FEC_SERVICIO",
+    )
+    scope = keep_first(
+        scope,
+        keys=["INGRESO"],
+        order_by=["DOC_PACIENTE", "__dx", "FEC_SERVICIO", ROW_ID],
+    )
+    marks = gap_anchor_mark(
+        scope,
+        group_keys=["DOC_PACIENTE", "__dx"],
+        ts_col="FEC_SERVICIO",
+        order_by=["FEC_SERVICIO", ROW_ID],
+        gap_days=3,
+    )
+    return update_by_row_id(fact, marks, "validacion")
+
+
+def rule_qx1(fact: DataFrame) -> DataFrame:
+    """R8 Parto/cesárea (:546-559): first (FACTURA, SERVICIO) row → 1,
+    the REST of the Qx1 scope → 0 (this rule overwrites R1 marks)."""
+    scope = fact.filter(F.col("tipologia") == "Qx1").select(
+        ROW_ID, "FACTURA", "SERVICIO"
+    )
+    marks = first_flag(scope, keys=["FACTURA", "SERVICIO"]).select(
+        ROW_ID, "validacion"
+    )
+    return update_by_row_id(fact, marks, "validacion")
+
+
+def rule_rm(fact: DataFrame) -> DataFrame:
+    """R9 Resonancia (:562-568): RM → CANT_SERVICIO."""
+    return fact.withColumn(
+        "validacion",
+        F.when(F.col("tipologia") == "RM", F.col("CANT_SERVICIO")).otherwise(
+            F.col("validacion")
+        ),
+    )
+
+
+RULES = [
+    rule_qx,
+    rule_egreso,
+    rule_c1,
+    rule_c4,
+    rule_c7_c8,
+    rule_hd_ari,
+    rule_c5,
+    rule_qx1,
+    rule_rm,
+]
+
+
+def apply_rules(fact: DataFrame) -> DataFrame:
+    """Ordered fold — rule precedence is load-bearing (SURVEY.md §2.5)."""
+    for rule in RULES:
+        fact = rule(fact)
+    return fact
+
+
+def comprobar(fact: DataFrame) -> DataFrame:
+    """The unmatched-patients side output (:274-318): patients with no
+    affiliation, name split into 4 parts by the F2 pandas UDF."""
+    base = (
+        fact.filter(F.col("ips").isNull())
+        .select("DOC_PACIENTE", "NOMBRE_PACIENTE")
+        .dropDuplicates()
+    )
+    parts = base.withColumn("__p", split_full_name("NOMBRE_PACIENTE"))
+    return parts.select(
+        "DOC_PACIENTE",
+        F.col("__p.nombre1").alias("nombre1"),
+        F.col("__p.nombre2").alias("nombre2"),
+        F.col("__p.apellido1").alias("apellido1"),
+        F.col("__p.apellido2").alias("apellido2"),
+    )
+
+
+def finalize(fact: DataFrame) -> DataFrame:
+    """Stringify dates and project the published schema (:575-596)."""
+    fact = fact.withColumn("FECHA_FACT", date_to_text("FECHA_FACT"))
+    fact = fact.withColumn("FEC_SERVICIO", date_to_text("FEC_SERVICIO"))
+    # backtick-quote so dotted names (DX_PRINCIPAL.0/.1 — pandas' dedup
+    # suffixing in the reference, SURVEY.md §1.1) resolve as flat columns
+    return fact.select(*[F.col(f"`{c}`") for c in OUTPUT_COLUMNS])
+
+
+def run_pipeline(
+    fact: DataFrame,
+    codigos: DataFrame,
+    tipologia: DataFrame,
+    anexos: DataFrame,
+    bases: DataFrame,
+    mes: int,
+    parse_dates: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Full DAG: ingest filters → parse/cast → enrich → rules → project.
+    Returns (capital_sendas, comprobar)."""
+    fact = ingest_filters(fact)
+    fact = parse_and_filter_month(fact, mes, parse_dates=parse_dates)
+    fact = with_row_id(fact)
+    fact = enrich(fact, codigos, tipologia, anexos, bases)
+    fact = apply_rules(fact)
+    return finalize(fact), comprobar(fact)

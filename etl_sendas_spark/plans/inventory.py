@@ -1,0 +1,820 @@
+"""Operator inventory: named queries over the driver testdata tables.
+
+Each entry maps one operator family from SURVEY.md §2 onto the
+TPC-H-ish synthetic tables and pairs the Spark implementation with an
+ANSI-SQL DuckDB oracle (see ``__spark_entry__.py``). Numeric outputs
+follow one discipline so the order-insensitive value hash matches:
+
+- exact where possible: sums of prices go through DECIMAL(18,6) so
+  accumulation order cannot perturb low-order bits; counts stay BIGINT;
+- otherwise both engines compute the identical double expression and
+  round to a fixed scale (6 for ratios/cosines, 4 for averages);
+- timestamps are emitted as formatted strings, never raw timestamps.
+
+Every Spark query aliases its computed columns to the same names the
+oracle uses (driver compares columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.dates import edad_unidad, edad_valor, parse_js_timestamp
+from ..functions.strings import split_full_name
+from ..functions.text import (
+    doc_fingerprint,
+    lang_id,
+    normalized_text,
+    quality_features,
+    token_count,
+)
+from ..operators.dedupe import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from ..operators.marking import capped_group_mark, gap_anchor_mark, sessionize
+from ..operators.multimodal import extract_features
+from ..operators.relational import first_flag, keep_first
+from ..operators.similarity import cosine_topk, lsh_cosine_topk
+from ..sources.readers import ROW_ID, load_fact_files
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _dec_sum(col, scale: int = 6):
+    """Order-insensitive exact sum: cast each term to DECIMAL, sum, back
+    to double. DuckDB mirror: SUM(CAST(x AS DECIMAL(18,6)))::DOUBLE."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+# ===========================================================================
+# relational core
+# ===========================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape): scan → filter → groupBy → 6 aggregates.
+
+    Exercises A-family aggregation + predicate pushdown (the shipdate
+    filter reaches the parquet scan).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.round(
+                _dec_sum(F.col("l_quantity")) / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.round(
+                _dec_sum(F.col("l_extendedprice")) / F.count("*"), 4
+            ).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-family predicates: contains / NOT-startswith / rlike / IN /
+    numeric compare, then projection (reference :109-111,212,448)."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").contains("r")
+        & ~F.col("p_brand").startswith("Brand#1")
+        & F.upper(F.col("p_type")).rlike("ECONOMY|SMALL")
+        & F.col("p_size").isin(5, 11, 23, 28, 36, 42)
+        & (F.col("p_retailprice") > 901.0)
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+P_FILTER_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE p_name LIKE '%r%'
+  AND p_brand NOT LIKE 'Brand#1%'
+  AND regexp_matches(UPPER(p_type), 'ECONOMY|SMALL')
+  AND p_size IN (5, 11, 23, 28, 36, 42)
+  AND p_retailprice > 901.0
+"""
+
+
+def j_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-shape: fact left-joins two broadcast dims, revenue by brand ×
+    nation (the reference's dim-enrichment chain at scale: the fact
+    never shuffles for the joins, only for the final groupBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left")
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"], "left")
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"], "left")
+        .groupBy("p_brand", "n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+J_BROADCAST_SQL = """
+SELECT p_brand, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+LEFT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
+"""
+
+
+def j_anti_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-shape: null-safe anti-join on ALL columns (cross-file dedup
+    primitive, reference :117-123)."""
+    from ..operators.relational import anti_join_all_columns
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    seen = orders.filter(F.col("o_orderkey") % 3 == 0)
+    return anti_join_all_columns(orders, seen)
+
+
+J_ANTI_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders s
+  WHERE s.o_orderkey % 3 = 0
+    AND s.o_orderkey IS NOT DISTINCT FROM o.o_orderkey
+    AND s.o_custkey IS NOT DISTINCT FROM o.o_custkey
+    AND s.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
+    AND s.o_orderpriority IS NOT DISTINCT FROM o.o_orderpriority
+)
+"""
+
+
+def j_semi_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8-shape: rows of invoices (orders) that contain a marker item —
+    window-flag formulation, one shuffle, no self-join collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.relational import invoices_containing
+
+    flag = invoices_containing(li, "l_orderkey", "l_returnflag", "R")
+    return (
+        li.withColumn("__has", flag)
+        .filter(F.col("__has"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+J_SEMI_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem
+WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+"""
+
+
+def d1_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: keyed dedup keep-first with explicit tiebreak (reference
+    keep='first' ×8; here: first lineitem per (order, part) by line#)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    return keep_first(
+        li, keys=["l_orderkey", "l_partkey"], order_by=["l_linenumber"]
+    )
+
+
+D1_SQL = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1
+"""
+
+
+def a4_first_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/R8: 1 for the first row per key, 0 for the rest (:556)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linenumber"
+    )
+    return first_flag(
+        li, keys=["l_orderkey", "l_returnflag"], order_by=["l_linenumber"]
+    )
+
+
+A4_SQL = """
+SELECT l_orderkey, l_returnflag, l_linenumber,
+       CASE WHEN ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_returnflag ORDER BY l_linenumber) = 1
+            THEN 1 ELSE 0 END AS validacion
+FROM lineitem
+"""
+
+
+def u_union_dedup_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/U1/U2: multi-file union where later files drop rows already
+    seen (all-column match) but keep genuinely new/changed rows."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    file0 = orders.filter(F.col("o_orderkey") % 3 < 2)
+    file1 = orders.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 1, F.lit("X")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return load_fact_files(spark, [file0, file1])
+
+
+U_UNION_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % 3 < 2
+UNION ALL
+SELECT o_orderkey, o_orderstatus, 'X' AS o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 1
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 2
+"""
+
+
+def o_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family: top-3 items by price per order (sort-as-window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+O_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+FROM lineitem
+QUALIFY rank <= 3
+"""
+
+
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: running quantity per supplier in ship order."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+W_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+FROM lineitem
+"""
+
+
+# ===========================================================================
+# scalar library
+# ===========================================================================
+
+def scalar_dates_ages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date family: JS-text timestamp roundtrip (+5h, coerce) and
+    the EDAD1/EDAD2 CASE chains over (orderdate → shipdate) spans."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    df = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+    js_text = F.date_format("l_shipdate", "EEE MMM dd yyyy HH:mm:ss")
+    parsed = parse_js_timestamp(js_text, add_hours=5)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_plus5"),
+        edad_valor("l_shipdate", "o_orderdate").alias("edad_1"),
+        edad_unidad("l_shipdate", "o_orderdate").alias("edad_2"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "span_days"
+        ),
+    )
+
+
+SCALAR_DATES_SQL = """
+SELECT l_orderkey, l_linenumber,
+       strftime(strptime(substr(strftime(l_shipdate, '%a %b %d %Y %H:%M:%S'), 1, 24),
+                         '%a %b %d %Y %H:%M:%S') + INTERVAL 5 HOURS,
+                '%Y-%m-%d %H:%M:%S') AS parsed_plus5,
+       CASE WHEN dd >= 365 THEN dd // 365
+            WHEN dd >= 30 THEN dd // 30
+            ELSE dd END AS edad_1,
+       CASE WHEN dd >= 365 THEN 'Años'
+            WHEN dd >= 30 THEN 'Meses'
+            ELSE 'Días' END AS edad_2,
+       dd AS span_days
+FROM (
+  SELECT l_orderkey, l_linenumber, l_shipdate,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS dd
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+"""
+
+
+def scalar_name_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 name splitter end-to-end: synthesize 2- and 4-unit names (with
+    a glued 'DE LOS' particle) from customer keys, split via the
+    Arrow-vectorized UDF; oracle states the expected positions."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    name = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(F.lit("ANA MARIA DE LOS RIOS GOMEZ")),
+    ).otherwise(F.lit("CARLOS RUIZ"))
+    df = cust.withColumn("full_name", name)
+    parts = df.withColumn("__p", split_full_name("full_name"))
+    return parts.select(
+        "c_custkey",
+        F.col("__p.nombre1").alias("nombre1"),
+        F.col("__p.nombre2").alias("nombre2"),
+        F.col("__p.apellido1").alias("apellido1"),
+        F.col("__p.apellido2").alias("apellido2"),
+    )
+
+
+SCALAR_NAME_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 2 = 0 THEN 'ANA' ELSE 'CARLOS' END AS nombre1,
+       CASE WHEN c_custkey % 2 = 0 THEN 'MARIA' ELSE '' END AS nombre2,
+       CASE WHEN c_custkey % 2 = 0 THEN 'DE LOS RIOS' ELSE 'RUIZ' END AS apellido1,
+       CASE WHEN c_custkey % 2 = 0 THEN 'GOMEZ' ELSE '' END AS apellido2
+FROM customer
+"""
+
+
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar path (events.props): extract k, aggregate per type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n"),
+            F.round(F.sum("k") / F.count("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+SCALAR_JSON_SQL = """
+SELECT event_type,
+       SUM(k) AS sum_k, COUNT(k) AS n, ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# rule-engine formulations (R1 / R7 analogs on driver tables)
+# ===========================================================================
+
+def r1_capped_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 two-window cap on lineitem: per order, walking returnflag
+    descending, ≤2 marks per flag run and ≤3 total (reference :326-380)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linenumber"
+    )
+    return capped_group_mark(
+        li,
+        group_keys=["l_orderkey"],
+        run_col="l_returnflag",
+        walk_order=[F.col("l_returnflag").desc(), F.col("l_linenumber")],
+        per_run_cap=2,
+        total_cap=3,
+    )
+
+
+R1_SQL = """
+WITH s AS (
+  SELECT l_orderkey, l_returnflag, l_linenumber,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN LAG(l_returnflag) OVER w IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS chg
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_returnflag DESC, l_linenumber)
+), s2 AS (
+  -- order later stages by rn (unique) so tie rows keep the SAME walk
+  -- order rn was assigned under — re-sorting ties would desync stages
+  SELECT *, MAX(CASE WHEN chg = 1 THEN rn END) OVER
+           (PARTITION BY l_orderkey ORDER BY rn
+            ROWS UNBOUNDED PRECEDING) AS run_start
+  FROM s
+), s3 AS (
+  SELECT *, CASE WHEN rn - run_start < 2 THEN 1 ELSE 0 END AS eligible FROM s2
+), s4 AS (
+  SELECT *, SUM(eligible) OVER
+           (PARTITION BY l_orderkey ORDER BY rn
+            ROWS UNBOUNDED PRECEDING) AS elig_so_far
+  FROM s3
+)
+SELECT l_orderkey, l_returnflag, l_linenumber,
+       CASE WHEN eligible = 1 AND elig_so_far <= 3 THEN 1 ELSE 0 END AS validacion
+FROM s4
+"""
+
+
+def r7_gap_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 anchor-reset gap fold on events: per (user, type) in ts order,
+    mark first, then only >3 days after the last marked (reference
+    :484-543). The one applyInPandas operator; oracle is a recursive CTE."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    marked = gap_anchor_mark(
+        ev,
+        group_keys=["user_id", "event_type"],
+        ts_col="ts",
+        order_by=["ts", "event_id"],
+        gap_days=3,
+    )
+    return marked.select("event_id", "user_id", "event_type", "validacion")
+
+
+R7_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, event_type, event_id, ts, rn, 1 AS validacion, ts AS anchor
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_type, o.event_id, o.ts, o.rn,
+         CASE WHEN epoch(o.ts) - epoch(w.anchor) >= 4 * 86400 THEN 1 ELSE 0 END,
+         CASE WHEN epoch(o.ts) - epoch(w.anchor) >= 4 * 86400 THEN o.ts ELSE w.anchor END
+  FROM walk w
+  JOIN ordered o ON o.user_id = w.user_id AND o.event_type = w.event_type AND o.rn = w.rn + 1
+)
+SELECT event_id, user_id, event_type, validacion FROM walk
+"""
+
+
+def r4_invoice_zeroing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 shape (:431-456): CASE-chain marking with an invoice-membership
+    override — orders containing a qty-50 item zero out their small-qty
+    C-like rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_linestatus"
+    )
+    from ..operators.relational import invoices_containing
+
+    w = Window.partitionBy("l_orderkey")
+    has50 = (
+        F.max(F.when(F.col("l_quantity") == 50.0, 1).otherwise(0)).over(w) == 1
+    )
+    base = F.col("l_linestatus") == "O"
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(base & has50 & F.col("l_quantity").isin(1.0, 2.0, 3.0), F.lit(0))
+        .when(base & (F.col("l_quantity") == 25.0), F.col("l_quantity").cast("int"))
+        .when(base & (F.col("l_quantity") != 25.0), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("validacion"),
+    )
+
+
+R4_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linestatus = 'O'
+                 AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50.0)
+                 AND l_quantity IN (1.0, 2.0, 3.0) THEN 0
+            WHEN l_linestatus = 'O' AND l_quantity = 25.0 THEN CAST(l_quantity AS INT)
+            WHEN l_linestatus = 'O' AND l_quantity <> 25.0 THEN 1
+            ELSE -1 END AS validacion
+FROM lineitem
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap to PREVIOUS event > 30 min starts a new
+    session) — the window-expressible cousin of R7 and the batch mirror
+    of streaming session_window."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(
+        ev, group_keys=["user_id"], ts_col="ts", gap="INTERVAL 30 MINUTES"
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+SESSIONIZE_SQL = """
+SELECT event_id, user_id,
+       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          + INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+"""
+
+
+# ===========================================================================
+# text analysis / dedup / similarity (documents, embeddings)
+# ===========================================================================
+
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language id + quality heuristics + token count + fingerprint —
+    the per-document pass of a corpus pipeline, all Column exprs."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["mean_word_len"].alias("mean_word_len"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_EN = "['the','and','of','to','in','is','that','for','with','on']"
+_ES = "['el','la','de','que','y','en','los','del','se','por']"
+
+TEXT_FEATURES_SQL = f"""
+SELECT doc_id,
+       n_tokens,
+       ROUND(COALESCE(n_punct / NULLIF(n_chars, 0), 0.0), 6) AS punct_ratio,
+       ROUND(COALESCE(stop_hits / NULLIF(CAST(n_tokens AS DOUBLE), 0), 0.0), 6) AS stopword_ratio,
+       ROUND(COALESCE(alpha_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0), 0.0), 6) AS mean_word_len,
+       CASE WHEN en_hits = 0 AND es_hits = 0 THEN 'unknown'
+            WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang_pred,
+       md5({_NORM_SQL}) AS fingerprint
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t) OR list_contains({_ES}, t))) AS DOUBLE) AS stop_hits,
+         CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE) AS alpha_chars,
+         len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t))) AS en_hits,
+         len(list_filter({_TOKS_SQL}, t -> list_contains({_ES}, t))) AS es_hits
+  FROM documents
+)
+"""
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: lowest doc_id per normalized-content fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, text_col="text", id_col="doc_id")
+    return kept.select("doc_id", "source", "n_chars")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id IN (
+  SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM_SQL})
+)
+"""
+
+
+def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard pairs ≥ 0.5 via inverted shingle index."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5, max_posting=None
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE {_NORM_SQL} <> ''
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS sz FROM sh WHERE len(shingles) > 0
+), posting AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sized
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sized sa ON sa.doc_id = id_a
+JOIN sized sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+"""
+
+
+def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidates, verified at Jaccard ≥ 0.5.
+    No SQL oracle (seeded xxhash64 family is Spark-side); exactness is
+    pytest-verified against brute-force Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=16,
+        shingle_n=3,
+        verify_threshold=0.5,
+    )
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only check; bit-level semantics
+    pytest-verified against a pure-Python reference)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, id_col="doc_id", text_col="text")
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.95
+    )
+
+
+EMB_NEAR_DUP_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+  WHERE len(embedding) > 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.95
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+ANN_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings WHERE len(embedding) > 0
+), q AS (SELECT * FROM v WHERE vec_id < 10)
+SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       ROUND(list_dot_product(v.e, q.e) / (v.nrm * q.nrm), 6) AS cosine,
+       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                          ORDER BY ROUND(list_dot_product(v.e, q.e) / (v.nrm * q.nrm), 6) DESC,
+                                   v.vec_id) AS rank
+FROM v CROSS JOIN q
+WHERE v.vec_id <> q.vec_id AND v.nrm > 0 AND q.nrm > 0
+QUALIFY rank <= 5
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only; recall pytest-checked)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, planes=8
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes as opaque binary
+    payloads → mapInPandas feature extraction (deterministic fake
+    decoder; rows-only check, byte-level semantics pytest-verified)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(docs, payload_col="payload")
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 7), 6).alias("mean_byte"),
+        F.element_at("features", 1).alias("n_bytes"),
+    )
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "p_filter_project": p_filter_project,
+    "j_broadcast_enrich": j_broadcast_enrich,
+    "j_anti_all_columns": j_anti_all_columns,
+    "j_semi_membership": j_semi_membership,
+    "d1_keep_first": d1_keep_first,
+    "a4_first_flag": a4_first_flag,
+    "u_union_dedup_files": u_union_dedup_files,
+    "o_topk_per_group": o_topk_per_group,
+    "w_running_sum": w_running_sum,
+    "scalar_dates_ages": scalar_dates_ages,
+    "scalar_name_split": scalar_name_split,
+    "scalar_json_extract": scalar_json_extract,
+    "r1_capped_mark": r1_capped_mark,
+    "r7_gap_mark": r7_gap_mark,
+    "r4_invoice_zeroing": r4_invoice_zeroing,
+    "sessionize_events": sessionize_events,
+    "text_features": text_features,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+    "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "embedding_near_dup": embedding_near_dup,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "p_filter_project": P_FILTER_SQL,
+    "j_broadcast_enrich": J_BROADCAST_SQL,
+    "j_anti_all_columns": J_ANTI_SQL,
+    "j_semi_membership": J_SEMI_SQL,
+    "d1_keep_first": D1_SQL,
+    "a4_first_flag": A4_SQL,
+    "u_union_dedup_files": U_UNION_SQL,
+    "o_topk_per_group": O_TOPK_SQL,
+    "w_running_sum": W_RUNNING_SQL,
+    "scalar_dates_ages": SCALAR_DATES_SQL,
+    "scalar_name_split": SCALAR_NAME_SQL,
+    "scalar_json_extract": SCALAR_JSON_SQL,
+    "r1_capped_mark": R1_SQL,
+    "r7_gap_mark": R7_SQL,
+    "r4_invoice_zeroing": R4_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "text_features": TEXT_FEATURES_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
+    "embedding_near_dup": EMB_NEAR_DUP_SQL,
+    "ann_cosine_topk": ANN_TOPK_SQL,
+    # no SQL oracle (non-SQL-expressible / Spark-side hashing):
+    # dedup_minhash_lsh_docs, dedup_simhash_docs, ann_lsh_topk,
+    # multimodal_features
+}

@@ -1,0 +1,206 @@
+"""Sources: scans S1–S4 and S7 of the reference, Spark-first.
+
+Reference behavior (cited into /root/reference/capital_sendas.py):
+
+- S1 HTTP Excel source (:30-61): OneDrive URL rewritten to
+  ``?download=1``, fetched, staged, read via DuckDB ``st_read``.
+  Spark-first: dims are tiny → fetch driver-side, parse with pandas,
+  ``createDataFrame`` over Arrow; facts should live as Parquet.
+- S2 directory glob (:80) + S3 filename-derived partition column
+  (:82-90): ``produccion_YYYYMMDD_*.xlsx`` → ``AnoMes = name.split('_')
+  [1][:6]``; keep only max-AnoMes files (manual partition pruning).
+- S4 multi-file loop with header promotion + all-column anti-join
+  dedup + concat (:96-125). Spark-first: one ``unionByName`` chain
+  with a cumulative ``left_anti`` on all columns; at scale this is a
+  date-partitioned Parquet table and the anti-join disappears into
+  partition pruning (later files of the same month win).
+
+Nothing here copies reference code — semantics only.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+ROW_ID = "__row_id"
+
+
+def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFrame:
+    """Attach the stable synthetic row id (SURVEY.md §1.4).
+
+    The reference's rule engine mutates by pandas row identity
+    (``df.update`` / ``df.loc[idx]`` — capital_sendas.py:380,409,429,
+    543,559). Spark rows have no identity, so every keep-first dedup
+    and write-back in this engine threads this column instead.
+
+    With ``order_by`` the id is a global ``row_number`` (fully
+    deterministic, needs one pass); without, it is
+    ``monotonically_increasing_id`` (deterministic per partition
+    layout — fine when upstream is a deterministic file scan, and it
+    avoids the single-partition window a global row_number implies).
+    """
+    if order_by:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(ROW_ID, F.row_number().over(w).cast("long"))
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (Parquet — the engine's native rest
+    format). Parquet TIMESTAMP(NANOS) columns (which Spark reads as
+    nanosecond longs under ``nanosAsLong``) are normalized to
+    microsecond timestamps, matching how DuckDB reads the same file."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, **options
+) -> DataFrame:
+    """CSV scan with an explicit schema (never inferSchema in the engine path)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.csv(path)
+
+
+def _pandas_read_excel(path_or_bytes, sheet: str | int = 0, header_row: int | None = 0):
+    """Driver-side Excel parse (dims are KB-sized; facts belong in Parquet)."""
+    import pandas as pd
+
+    return pd.read_excel(path_or_bytes, sheet_name=sheet, header=header_row, dtype=str)
+
+
+def read_excel_dim(
+    spark: SparkSession,
+    source: str,
+    sheet: str | int = 0,
+    header_row: int | None = 0,
+    promote_first_row: bool = False,
+) -> DataFrame:
+    """Dimension-table Excel reader (reference S1, capital_sendas.py:30-61).
+
+    ``source`` may be a local path or an ``http(s)://`` URL; OneDrive
+    share links are rewritten to direct-download form exactly as the
+    reference does (``url.split('?')[0] + '?download=1'``,
+    capital_sendas.py:42). ``promote_first_row`` reproduces the
+    header-promotion of the production reports (:100-102).
+
+    Requires ``openpyxl`` at runtime; gated so environments without it
+    (like this container) fail with a clear message instead of an
+    import error at module load.
+    """
+    try:
+        import pandas as pd  # noqa: F401
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Excel ingest needs openpyxl (not installed in this container). "
+            "Engine-native ingestion is Parquet/CSV; convert dims offline."
+        ) from exc
+
+    if re.match(r"^https?://", source):
+        import urllib.request
+
+        url = source.split("?")[0] + "?download=1"
+        with urllib.request.urlopen(url) as resp:  # pragma: no cover - network
+            if resp.status != 200:
+                raise IOError(f"download failed: HTTP {resp.status}")
+            payload = io.BytesIO(resp.read())
+        pdf = _pandas_read_excel(payload, sheet, header_row)
+    else:
+        pdf = _pandas_read_excel(source, sheet, header_row)
+
+    if promote_first_row:
+        pdf.columns = [str(c) for c in pdf.iloc[0]]
+        pdf = pdf.iloc[1:].reset_index(drop=True)
+    pdf.columns = [str(c) for c in pdf.columns]
+    return spark.createDataFrame(pdf.astype("string").where(pdf.notna(), None))
+
+
+def filename_partition(df: DataFrame) -> DataFrame:
+    """S3: derive ``AnoMes`` from the input file name.
+
+    Reference: ``Archivo.split('_')[1][:6]`` (capital_sendas.py:84).
+    Spark-first: ``input_file_name()`` keeps this fully distributed —
+    no driver-side listing needed once files are already being read.
+    """
+    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return df.withColumn(
+        "AnoMes", F.substring(F.element_at(F.split(base, "_"), 2), 1, 6)
+    )
+
+
+def latest_partition_files(files: Sequence[str]) -> tuple[list[str], int]:
+    """S2+S3 driver-side pruning: keep only max-``AnoMes`` files.
+
+    Mirrors capital_sendas.py:80-90: parse ``AnoMes`` from each name,
+    keep the max month's files sorted descending by name, and return
+    the month number. This is manual partition pruning — on a
+    date-partitioned Parquet layout, Catalyst's PartitionPruning does
+    it for free and this helper is only needed for raw file drops.
+    """
+    parsed = []
+    for f in files:
+        name = os.path.basename(f)
+        parts = name.split("_")
+        if len(parts) < 2:
+            continue
+        parsed.append((f, parts[1][:6]))
+    if not parsed:
+        return [], 0
+    top = max(am for _, am in parsed)
+    keep = sorted((f for f, am in parsed if am == top), reverse=True)
+    return keep, int(top[-2:])
+
+
+def load_fact_files(
+    spark: SparkSession,
+    frames: Sequence[DataFrame],
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """S4: union per-file frames with cross-file all-column dedup.
+
+    Reference semantics (capital_sendas.py:112-125): each later file is
+    anti-joined against the accumulated union on ALL columns before
+    concat — i.e. exact-duplicate rows across files are dropped, but
+    duplicates *within* one file survive.
+
+    Spark-first: rather than a serial chain of anti-joins (N shuffles),
+    tag each row with its file ordinal, then keep, per
+    all-columns group, only rows from the *first* file ordinal that
+    contains the group. One shuffle on a hash of all columns, same
+    result, and each file's internal duplicates are preserved.
+    """
+    if not frames:
+        raise ValueError("no input frames")
+    tagged = []
+    for i, fr in enumerate(frames):
+        if columns:
+            fr = fr.select(*columns)
+        tagged.append(fr.withColumn("__file_ord", F.lit(i)))
+    unioned = tagged[0]
+    for fr in tagged[1:]:
+        unioned = unioned.unionByName(fr)
+    data_cols = [c for c in unioned.columns if c != "__file_ord"]
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in data_cols])
+    return (
+        unioned.withColumn("__min_ord", F.min("__file_ord").over(w))
+        .filter(F.col("__file_ord") == F.col("__min_ord"))
+        .drop("__file_ord", "__min_ord")
+    )

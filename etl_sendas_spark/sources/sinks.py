@@ -1,0 +1,39 @@
+"""Sinks S5–S6 of the reference, Spark-first.
+
+Reference: DuckDB ``COPY ... TO 'capital_sendas.xlsx' (FORMAT GDAL)``
+and ``COPY ... TO 'comprobar.csv'`` (capital_sendas.py:600,603).
+
+Engine-native sinks are Parquet (analytics) and CSV (interchange);
+Excel is an audit-report convenience for driver-sized results only and
+is gated on openpyxl availability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """CSV sink (reference S6). ``single_file`` coalesces to one part —
+    only for audit-report-sized outputs; never at scale."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_excel(df: DataFrame, path: str) -> None:
+    """Excel sink (reference S5) — driver-side, audit-sized output only."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Excel export needs openpyxl (not installed in this container); "
+            "use write_csv/write_parquet instead."
+        ) from exc
+    df.toPandas().to_excel(path, index=False)  # pragma: no cover

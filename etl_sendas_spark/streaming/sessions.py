@@ -1,0 +1,153 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is a batch month-end job; its streaming extension points
+are exactly the shapes below:
+
+- tumbling/sliding windowed aggregation with watermark-driven late-data
+  handling (the reference's analog: unparseable dates silently fall out
+  of the month filter — here, late rows beyond the watermark drop out
+  of their window);
+- ``session_window`` with a gap — rule R7's "3-day gap" IS a session
+  window when the mark-anchor resets on every event (batch cousin:
+  :func:`..operators.marking.sessionize`);
+- the exact R7 anchor-reset semantics (anchor = last MARKED event, not
+  last event) as a stateful ``applyInPandasWithState`` operator.
+
+All operators take and return (streaming) DataFrames — the same lazy
+composition style as the batch engine; sources/sinks stay at the edge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Iterable[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregation — R7's 3-day-gap shape on a stream:
+    ``session_window(ts, '3 days')`` groups exactly the rows the batch
+    sessionizer assigns one session id."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *[F.col(c) for c in key_cols])
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+_GAP_STATE_SCHEMA = T.StructType([T.StructField("anchor_ms", T.LongType())])
+
+
+def gap_anchor_mark_stream(
+    events: DataFrame,
+    group_keys: list[str],
+    ts_col: str = "ts",
+    gap_days: int = 3,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming R7: per group, emit (id, ts, validacion) where a row is
+    marked iff it is the group's first event or > ``gap_days`` after the
+    last MARKED event; the anchor persists in GroupState across
+    micro-batches.
+
+    Caveat shared with any per-event stateful op: correctness needs
+    in-order events per group within a batch (we sort each batch) and
+    monotone batches for cross-batch order — acceptable for the audit
+    use-case this models; exact out-of-order handling would buffer in
+    state behind a watermark.
+    """
+    out_schema = T.StructType(
+        [T.StructField(k, events.schema[k].dataType) for k in group_keys]
+        + [
+            T.StructField(id_col, events.schema[id_col].dataType),
+            T.StructField(ts_col, events.schema[ts_col].dataType),
+            T.StructField("validacion", T.IntegerType()),
+        ]
+    )
+    gap_ms = gap_days * 86_400_000
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        anchor = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, r in pdf.iterrows():
+                t_ms = int(pd.Timestamp(r[ts_col]).value // 1_000_000)
+                if anchor is None or (t_ms - anchor) > gap_ms:
+                    mark = 1
+                    anchor = t_ms
+                else:
+                    mark = 0
+                rows.append(
+                    tuple(key) + (r[id_col], r[ts_col], mark)
+                )
+        state.update((anchor,))
+        yield pd.DataFrame(
+            rows, columns=list(group_keys) + [id_col, ts_col, "validacion"]
+        )
+
+    return events.groupBy(*group_keys).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Drive a streaming plan to completion over a static file source —
+    the local test harness (processAllAvailable → stop)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,58 @@
+"""Local replica of the driver's t2 gate: every query with a DuckDB
+oracle must match on row count, sorted-column schema, and values
+(order-insensitive)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from etl_sendas_spark.plans.inventory import ORACLES, QUERIES
+
+from conftest import SF_ORACLE
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_matches_oracle(name, spark, duck):
+    ours = _canon(QUERIES[name](spark, SF_ORACLE).toPandas())
+    theirs = _canon(duck.execute(ORACLES[name]).df())
+    assert len(ours) == len(theirs), f"{name}: row count {len(ours)} vs {len(theirs)}"
+    assert list(ours.columns) == list(theirs.columns), f"{name}: columns differ"
+    for c in ours.columns:
+        a, b = ours[c], theirs[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            a = pd.to_numeric(a, errors="coerce")
+            b = pd.to_numeric(b, errors="coerce")
+            bad = ~(
+                (a.isna() & b.isna())
+                | (abs(a - b) <= 1e-9 + 1e-9 * abs(b))
+            )
+            assert not bad.any(), (
+                f"{name}.{c}: {int(bad.sum())} mismatches, first: "
+                f"{a[bad].head(3).tolist()} vs {b[bad].head(3).tolist()}"
+            )
+        else:
+            same = (a == b) | (a.isna() & b.isna())
+            assert same.all(), (
+                f"{name}.{c}: first diff {a[~same].head(3).tolist()} vs "
+                f"{b[~same].head(3).tolist()}"
+            )
+
+
+def test_every_query_runs(spark):
+    """Queries without an oracle still must run and return a schema."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_ORACLE)
+        assert df.columns, name
+        df.limit(5).collect()
