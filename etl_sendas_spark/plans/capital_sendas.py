@@ -78,10 +78,12 @@ def parse_and_filter_month(fact: DataFrame, mes: int, parse_dates: bool = True) 
     fact = fact.filter(F.month("FECHA_FACT") == F.lit(mes))
     for c in ("FEC_NACIMIENTO", "FEC_SERVICIO", "FECHA_FACT"):
         fact = fact.withColumn(c, F.to_date(c))
-    fact = fact.withColumn("EDAD", F.col("EDAD").cast("int"))
+    # try_cast = pandas to_numeric(errors='coerce'): malformed → null
+    # (plain cast would THROW under ANSI mode, Spark 4's default)
+    fact = fact.withColumn("EDAD", F.col("EDAD").try_cast("int"))
     for c in ("CANT_SERVICIO", "VALOR_TOTAL"):
         fact = fact.withColumn(
-            c, F.coalesce(F.col(c).cast("double").cast("int"), F.lit(0))
+            c, F.coalesce(F.col(c).try_cast("double").try_cast("int"), F.lit(0))
         )
     return fact
 
