@@ -1,21 +1,35 @@
-"""Approximate-nearest-neighbor search over an embedding column.
+"""Similarity search over an embedding column (`array<float>`).
+
+Three plans, exact-first — the standard ANN ladder for corpus-scale
+retrieval:
 
 - :func:`cosine_topk` — brute-force cosine top-k: broadcast the query
   set, score every corpus vector, window top-k per query. Exact; the
   correctness baseline and the right plan whenever |queries| is small
   (the broadcast side) even at 100 TB corpus scale — the scan is one
   pass, no shuffle except the final per-query top-k.
-- :func:`lsh_cosine_topk` — random-hyperplane LSH variant: corpus and
-  queries hash to sign-buckets over ``planes`` seeded hyperplanes with
-  ``probe_bits`` multi-probe (flip each single bit) so near neighbors
-  in adjacent buckets are still found; only bucket-mates are scored.
-  Sub-linear per query at scale; recall tunable via planes/probes.
+- :func:`ivf_cosine_topk` — IVF (inverted-file) variant: the corpus is
+  clustered once against a deterministic centroid sample; a query
+  scores only the ``n_probe`` clusters nearest to it. Per-query work
+  drops to ~``n_probe / n_centroids`` of the corpus. This is the scale
+  path for *general* top-k (mid-range cosine), where sign-LSH's
+  per-bit collision probability (1 - θ/π) is too close to ½ to bucket
+  usefully.
+- :func:`lsh_cosine_topk` — multi-table random-hyperplane LSH:
+  ``tables`` independent tables of ``bits`` sign-bits; candidates are
+  bucket-mates in ANY table. Sub-linear per query, but effective only
+  in the near-duplicate range (cosine ≳ 0.9, where per-bit collision
+  ≥ 0.85 ⇒ per-table ≥ 0.27 ⇒ 16 tables ≥ 99% recall). Use for
+  dedup-style "find my almost-exact copy" lookups; use IVF or brute
+  force for mid-cosine top-k.
 
 Vector math is `zip_with`/`aggregate` Column expressions — JVM-side,
 codegen'd, no Python per row.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -73,21 +87,114 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
-    import random
+# ---------------------------------------------------------------------------
+# IVF — inverted file over a deterministic centroid sample
+# ---------------------------------------------------------------------------
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index.
+
+    Centroids are a deterministic sample of the corpus itself (the
+    ``n_centroids`` lowest ``xxhash64(id)`` values — reproducible, no
+    RNG, no k-means iterations; at 100 TB one would run a few Lloyd
+    rounds with the same DataFrame ops). Every corpus vector is
+    assigned to its nearest centroid by cosine (one broadcast pass);
+    each query scores only its ``n_probe`` nearest clusters. Scanned
+    fraction ≈ n_probe / n_centroids, recall degrades smoothly as
+    n_probe shrinks.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
+
+    cents = (
+        c.withColumn("__h", F.xxhash64("neighbor_id"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select(
+            F.col("neighbor_id").alias("centroid_id"),
+            F.col("cv").alias("ce"),
+            F.col("cn").alias("ce_n"),
+        )
+    )
+
+    # nearest centroid per corpus vector (broadcast the centroid table,
+    # keep the argmax row) — this is the index build; at rest it would
+    # be written as a `cluster_id`-partitioned table so probes prune
+    # whole partitions.
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("sim", _dot(F.col("cv"), F.col("ce")) / (F.col("cn") * F.col("ce_n")))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "cv", "cn", F.col("centroid_id").alias("cluster"))
+    )
+
+    # n_probe nearest clusters per query
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", _dot(F.col("qv"), F.col("ce")) / (F.col("qn") * F.col("ce_n")))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("cluster"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# multi-table sign-LSH — the near-duplicate fast path
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, tables: int, bits: int, seed: int = 7) -> list[list[list[float]]]:
     rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(tables)
+    ]
 
 
-def _bucket_sig(vec: Column, planes: list[list[float]]) -> Column:
-    sig = None
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = (_dot(vec, plane) > 0).cast("long")
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return sig
+def _table_sigs(vec: Column, planes: list[list[list[float]]]) -> list[Column]:
+    """One signature Column per table: ``bits`` sign bits packed into a long."""
+    sigs = []
+    for table in planes:
+        sig = None
+        for i, p in enumerate(table):
+            plane = F.array(*[F.lit(x) for x in p])
+            bit = (_dot(vec, plane) > 0).cast("long")
+            term = F.shiftleft(bit, i)
+            sig = term if sig is None else sig.bitwiseXOR(term)
+        sigs.append(sig)
+    return sigs
 
 
 def lsh_cosine_topk(
@@ -96,47 +203,51 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    planes: int = 8,
-    probe_bits: int = 1,
+    tables: int = 16,
+    bits: int = 8,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane buckets with multi-probe.
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    Queries land in their own bucket plus every bucket within
-    ``probe_bits`` flipped sign bits (probe_bits=1 → planes+1 probes).
-    The corpus is bucketed once; scoring joins on the bucket id, so
-    per-query work is ~corpus/2^planes per probe instead of the full
-    scan.
+    A candidate is any corpus vector sharing a bucket with the query in
+    at least one of ``tables`` independent tables (OR-of-ANDs, the same
+    amplification as MinHash banding). For cosine s, per-table collision
+    is (1 - arccos(s)/π)^bits — at s=0.95 with 8 bits that is ≈ 0.52
+    per table, so 16 tables find the pair with P ≈ 1 - (0.48)^16 >
+    0.999; at s=0.3 it is ≈ 0.02, so noise stays out. Effective for
+    near-duplicate retrieval; for mid-cosine top-k use
+    :func:`ivf_cosine_topk`.
     """
     dim = len(corpus.select(vec_col).first()[0])
-    hp = _hyperplanes(dim, planes, seed)
+    hp = _hyperplanes(dim, tables, bits, seed)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
-    c = c.withColumn("bucket", _bucket_sig(F.col("cv"), hp))
+    def bucketize(df: DataFrame, id_out: str, v_out: str, n_out: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(id_out), _as_double(F.col(vec_col)).alias(v_out)
+        ).withColumn(n_out, _norm(F.col(v_out))).filter(F.col(n_out) > 0)
+        sigs = _table_sigs(F.col(v_out), hp)
+        tagged = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), s.alias("b"))
+                for t, s in enumerate(sigs)
+            ]
+        )
+        return base.withColumn("__tb", F.explode(tagged)).select(
+            id_out, v_out, n_out, F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b")
+        )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
-    q = q.withColumn("__sig", _bucket_sig(F.col("qv"), hp))
-
-    probes = [F.col("__sig")]
-    if probe_bits >= 1:
-        probes += [
-            F.col("__sig").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
-        ]
-    q = q.withColumn("bucket", F.explode(F.array(*probes))).drop("__sig")
+    c = bucketize(corpus, "neighbor_id", "cv", "cn")
+    q = bucketize(queries, "query_id", "qv", "qn")
 
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -40,7 +40,7 @@ from ..operators.dedupe import (
 from ..operators.marking import capped_group_mark, gap_anchor_mark, sessionize
 from ..operators.multimodal import extract_features
 from ..operators.relational import first_flag, keep_first
-from ..operators.similarity import cosine_topk, lsh_cosine_topk
+from ..operators.similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from ..sources.readers import ROW_ID, load_fact_files
 
 
@@ -734,11 +734,23 @@ QUALIFY rank <= 5
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only; recall pytest-checked)."""
+    """Multi-table sign-LSH approximate top-5 (rows-only; near-dup
+    recall pytest-verified on planted duplicates)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_cosine_topk(
-        emb, queries, id_col="vec_id", vec_col="embedding", k=5, planes=8
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, tables=16, bits=8
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (rows-only; recall-vs-probe pytest-verified
+    against the brute-force baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5,
+        n_centroids=32, n_probe=8,
     )
 
 
@@ -788,6 +800,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "multimodal_features": multimodal_features,
 }
 
@@ -816,5 +829,5 @@ ORACLES = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     # no SQL oracle (non-SQL-expressible / Spark-side hashing):
     # dedup_minhash_lsh_docs, dedup_simhash_docs, ann_lsh_topk,
-    # multimodal_features
+    # ann_ivf_topk, multimodal_features
 }

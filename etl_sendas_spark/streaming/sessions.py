@@ -106,16 +106,19 @@ def gap_anchor_mark_stream(
             T.StructField("validacion", T.IntegerType()),
         ]
     )
-    gap_ms = gap_days * 86_400_000
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         anchor = state.get[0] if state.exists else None
         rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+            # same tiebreak as the batch fold (ts, then id) so ties
+            # within a timestamp mark identically in both engines
+            pdf = pdf.sort_values([ts_col, id_col])
             for _, r in pdf.iterrows():
                 t_ms = int(pd.Timestamp(r[ts_col]).value // 1_000_000)
-                if anchor is None or (t_ms - anchor) > gap_ms:
+                # floor-days comparison, matching the batch fold's
+                # Timedelta.days semantics (3 days + 1 hour → 3 → no mark)
+                if anchor is None or (t_ms - anchor) // 86_400_000 > gap_days:
                     mark = 1
                     anchor = t_ms
                 else:

@@ -1,0 +1,334 @@
+"""Property tests for the dedup / similarity / multimodal / marking
+operators — the non-SQL-expressible half of the inventory.
+
+Each test backs a specific claim made in the operator docstrings:
+minhash-LSH finds exactly the brute-force Jaccard pairs, simhash bits
+match an independent Python vote fold, sign-LSH and IVF recall their
+planted/true neighbors, multimodal features equal the reference
+decoder byte-for-byte, and the R7 gap fold agrees with a direct
+Python re-implementation on randomized inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from conftest import SF_ORACLE
+from etl_sendas_spark.functions.strings import split_name_py
+from etl_sendas_spark.operators.dedupe import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from etl_sendas_spark.operators.marking import gap_anchor_mark
+from etl_sendas_spark.operators.multimodal import extract_features, fake_decode
+from etl_sendas_spark.operators.relational import anti_join_all_columns
+from etl_sendas_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
+from etl_sendas_spark.sources.readers import load_fact_files
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# minhash-LSH vs brute-force Jaccard
+# ---------------------------------------------------------------------------
+
+def test_minhash_lsh_matches_bruteforce(spark):
+    """With verification on, LSH output ⊆ exact pairs by construction;
+    at the corpus's near-dup Jaccard levels (≥0.9) the 16-band scheme
+    misses a pair with P < 1e-7, so the sets must be equal."""
+    docs = _docs(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, max_posting=None
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
+            verify_threshold=0.5,
+        ).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    assert lsh == exact
+
+
+# ---------------------------------------------------------------------------
+# simhash vs an independent Python vote fold
+# ---------------------------------------------------------------------------
+
+def test_simhash_matches_python_vote_fold(spark):
+    docs = _docs(spark).limit(30)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs, "doc_id", "text").collect()
+    }
+    # independent fold: reuse Spark only for the per-token hash values
+    # (xxhash64 is JVM-side), then vote/fold in plain Python
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")
+                        ),
+                        " ",
+                    )
+                )
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.xxhash64("tok"))
+        .collect()
+    )
+    votes: dict[int, list[int]] = {}
+    for r in toks:
+        v = votes.setdefault(r["doc_id"], [0] * 64)
+        for i in range(64):
+            v[i] += 1 if (r["h"] >> i) & 1 else -1
+    for doc_id, v in votes.items():
+        expect = 0
+        for i in range(64):
+            if v[i] > 0:
+                expect |= 1 << i
+        # Python ints are unbounded; Spark longs wrap — compare as two's complement
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert got[doc_id] == expect, doc_id
+
+
+def test_simhash_near_pairs_on_planted_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronomers catalog distant galaxies every winter evening"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # tiny edit → small Hamming distance
+        (3, "completely different text about cooking pasta with garlic "
+            "tomatoes basil and olive oil in a large copper pan"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(k == (1, 2) for k in pairs)
+
+
+# ---------------------------------------------------------------------------
+# ANN: LSH on planted near-dups; IVF recall vs brute force
+# ---------------------------------------------------------------------------
+
+def _planted_vectors(spark, n=200, dim=32, n_dups=10, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+    # planted near-dups: ids n..n+n_dups-1 are tiny perturbations of 0..n_dups-1
+    for j in range(n_dups):
+        base = rows[j][1]
+        rows.append((n + j, [x + rng.gauss(0.0, 0.01) for x in base]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema), n, n_dups
+
+
+def test_lsh_topk_finds_planted_near_dups(spark):
+    """Multi-table sign-LSH: a cosine≈0.9995 twin collides in ≥1 of 16
+    tables with near-certainty; rank-1 neighbor must be the twin."""
+    vecs, n, n_dups = _planted_vectors(spark)
+    queries = vecs.filter(F.col("vec_id") >= n)
+    top = lsh_cosine_topk(
+        vecs, queries, "vec_id", "embedding", k=1, tables=16, bits=8
+    ).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in top}
+    hits = sum(1 for j in range(n_dups) if got.get(n + j) == j)
+    assert hits == n_dups, f"only {hits}/{n_dups} planted twins found: {got}"
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    """IVF with n_probe=8 of 16 clusters scans ~half the corpus; top-5
+    recall vs the exact baseline should clear 0.5 comfortably and the
+    planted twin (an easy, same-cluster case) must always surface."""
+    vecs, n, n_dups = _planted_vectors(spark)
+    queries = vecs.filter(F.col("vec_id") >= n)
+    exact = cosine_topk(vecs, queries, "vec_id", "embedding", k=5).collect()
+    approx = ivf_cosine_topk(
+        vecs, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=8
+    ).collect()
+    from collections import defaultdict
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r["query_id"]].add(r["neighbor_id"])
+    for r in approx:
+        ap[r["query_id"]].add(r["neighbor_id"])
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    for j in range(n_dups):
+        assert top1.get(n + j) == j
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: features equal the decoder, run batch-wise
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features_match_decoder(spark):
+    payloads = [
+        (1, b"hello world"),
+        (2, b"\x00\x01\x02\xff"),
+        (3, b""),
+        (4, None),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(payloads, schema)
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_features(df, payload_col="payload").collect()
+    }
+    assert got[1] == fake_decode(b"hello world")
+    assert got[2] == fake_decode(b"\x00\x01\x02\xff")
+    assert got[3] == [0.0] * 8
+    assert got[4] == [0.0] * 8
+
+
+# ---------------------------------------------------------------------------
+# R7 gap fold vs a direct Python reference on randomized inputs
+# ---------------------------------------------------------------------------
+
+def _python_gap_fold(rows, gap_days):
+    """Independent re-statement of the reference loop semantics
+    (capital_sendas.py:506-536): anchor = last MARKED row."""
+    out = {}
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault((r[1], r[2]), []).append(r)
+    for grp in by_group.values():
+        grp.sort(key=lambda r: (r[3], r[0]))
+        anchor = None
+        for r in grp:
+            if anchor is None or (r[3] - anchor).days > gap_days:
+                out[r[0]] = 1
+                anchor = r[3]
+            else:
+                out[r[0]] = 0
+    return out
+
+
+def test_gap_anchor_mark_randomized(spark):
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                rng.randrange(12),                     # user
+                ["a", "b"][rng.randrange(2)],          # type
+                base + dt.timedelta(hours=rng.randrange(0, 24 * 40)),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["event_id"]: r["validacion"]
+        for r in gap_anchor_mark(
+            df,
+            group_keys=["user_id", "event_type"],
+            ts_col="ts",
+            order_by=["ts", "event_id"],
+            gap_days=3,
+        ).collect()
+    }
+    assert got == _python_gap_fold(rows, 3)
+
+
+# ---------------------------------------------------------------------------
+# sources: cross-file dedup + null-safe anti-join
+# ---------------------------------------------------------------------------
+
+def test_load_fact_files_cross_file_dedup(spark):
+    cols = ["k", "v"]
+    f0 = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], cols)
+    f1 = spark.createDataFrame([(1, "a"), (3, "c"), (3, "c")], cols)
+    out = sorted(tuple(r) for r in load_fact_files(spark, [f0, f1]).collect())
+    # (1,a): file0's BOTH copies kept (within-file dups survive), file1's dropped.
+    # (3,c): new in file1 → both its copies kept.
+    assert out == [(1, "a"), (1, "a"), (2, "b"), (3, "c"), (3, "c")]
+
+
+def test_anti_join_all_columns_null_safe(spark):
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    new = spark.createDataFrame([(1, None), (2, "x"), (3, "y")], schema)
+    seen = spark.createDataFrame([(1, None), (3, "y")], schema)
+    out = sorted((r["a"], r["b"]) for r in anti_join_all_columns(new, seen).collect())
+    # (1, NULL) must match (1, NULL) in seen — pandas merge semantics —
+    # so only (2, 'x') survives
+    assert out == [(2, "x")]
+
+
+# ---------------------------------------------------------------------------
+# F2 name splitter: every token-count branch + particle glue
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        ("CARLOS", ("CARLOS", "", "", "")),
+        ("CARLOS RUIZ", ("CARLOS", "", "RUIZ", "")),
+        ("CARLOS RUIZ GOMEZ", ("CARLOS", "", "RUIZ", "GOMEZ")),
+        ("ANA MARIA RUIZ GOMEZ", ("ANA", "MARIA", "RUIZ", "GOMEZ")),
+        (
+            "ANA MARIA JOSE RUIZ GOMEZ",
+            ("ANA", "MARIA JOSE", "RUIZ", "GOMEZ"),
+        ),
+        # particles glue to the FOLLOWING token
+        ("ANA DE LA CRUZ", ("ANA", "", "DE LA CRUZ", "")),
+        (
+            "ANA MARIA DE LOS RIOS GOMEZ",
+            ("ANA", "MARIA", "DE LOS RIOS", "GOMEZ"),
+        ),
+        # trailing particle with nothing after it is dropped (reference
+        # never flushes its pending `parte`)
+        ("CARLOS RUIZ DE", ("CARLOS", "", "RUIZ", "")),
+        ("", ("", "", "", "")),
+    ],
+)
+def test_split_name_py_branches(name, expect):
+    assert split_name_py(name) == expect

@@ -1,0 +1,112 @@
+"""Structured Streaming surface tests: each streaming operator must
+agree with its batch equivalent when the whole input arrives as one
+micro-batch from a file source (processAllAvailable drains it)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_ORACLE
+from etl_sendas_spark.operators.marking import gap_anchor_mark
+from etl_sendas_spark.streaming.sessions import (
+    gap_anchor_mark_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Small deterministic slice of the events table staged as a file
+    source (streaming reads need a directory + explicit schema)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .filter(F.col("user_id") < 20)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _read_stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    df = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(df.dtypes).get("ts") == "bigint":  # nanosAsLong normalization
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _batch(spark, events_dir):
+    df = spark.read.parquet(events_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def test_tumbling_counts_match_batch(spark, events_dir):
+    stream = tumbling_counts(_read_stream(spark, events_dir), window="1 hour")
+    run_stream_to_memory(stream, "t_tumbling", output_mode="complete")
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("t_tumbling").collect()
+    }
+    expect = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in _batch(spark, events_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_session_window_matches_batch(spark, events_dir):
+    stream = session_window_agg(
+        _read_stream(spark, events_dir), gap="30 minutes", watermark="1 hour"
+    )
+    run_stream_to_memory(stream, "t_sessions", output_mode="complete")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.table("t_sessions").collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in _batch(spark, events_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_gap_anchor_stream_matches_batch(spark, events_dir):
+    stream = gap_anchor_mark_stream(
+        _read_stream(spark, events_dir).select("event_id", "user_id", "ts"),
+        group_keys=["user_id"],
+        ts_col="ts",
+        gap_days=3,
+    )
+    run_stream_to_memory(stream, "t_gap", output_mode="append")
+    got = {
+        r["event_id"]: r["validacion"] for r in spark.table("t_gap").collect()
+    }
+    expect = {
+        r["event_id"]: r["validacion"]
+        for r in gap_anchor_mark(
+            _batch(spark, events_dir).select("event_id", "user_id", "ts"),
+            group_keys=["user_id"],
+            ts_col="ts",
+            order_by=["ts", "event_id"],
+            gap_days=3,
+        ).collect()
+    }
+    assert len(got) == len(expect) > 0
+    assert got == expect
