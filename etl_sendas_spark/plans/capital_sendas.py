@@ -114,8 +114,13 @@ def enrich(
 
     # J3 — general typology (:174-180): exclude H1–H5, keep-first per
     # SERVICIO in dim order (explicit row-id tiebreak replaces pandas'
-    # silent positional keep='first').
-    tip = with_row_id(tipologia, order_by=None).withColumnRenamed(ROW_ID, "__dim_id")
+    # silent positional keep='first'). A caller that needs fully
+    # deterministic keep-first across runs should pre-assign ROW_ID on
+    # the dim (file/row order); otherwise we take the scan order.
+    if ROW_ID in tipologia.columns:
+        tip = tipologia.withColumnRenamed(ROW_ID, "__dim_id")
+    else:
+        tip = with_row_id(tipologia, order_by=None).withColumnRenamed(ROW_ID, "__dim_id")
     tip_general = keep_first(
         tip.filter(~F.col("tipologia").isin(H1_H5)).select(
             "SERVICIO", "tipologia", "__dim_id"
@@ -175,9 +180,14 @@ def enrich(
     fact = fact.join(F.broadcast(tmp), on=["GENERO", "EDAD", "SERVICIO"], how="left")
 
     # J7 — affiliation dim (:268-271): keep-first per documento.
-    base_dim = with_row_id(bases.select("documento", "ips")).withColumnRenamed(
-        ROW_ID, "__dim_id"
-    )
+    if ROW_ID in bases.columns:
+        base_dim = bases.select("documento", "ips", ROW_ID).withColumnRenamed(
+            ROW_ID, "__dim_id"
+        )
+    else:
+        base_dim = with_row_id(bases.select("documento", "ips")).withColumnRenamed(
+            ROW_ID, "__dim_id"
+        )
     base_dim = keep_first(base_dim, keys=["documento"], order_by=["__dim_id"]).drop(
         "__dim_id"
     )
@@ -391,7 +401,8 @@ def run_pipeline(
     Returns (capital_sendas, comprobar)."""
     fact = ingest_filters(fact)
     fact = parse_and_filter_month(fact, mes, parse_dates=parse_dates)
-    fact = with_row_id(fact)
+    if ROW_ID not in fact.columns:
+        fact = with_row_id(fact)
     fact = enrich(fact, codigos, tipologia, anexos, bases)
     fact = apply_rules(fact)
     return finalize(fact), comprobar(fact)

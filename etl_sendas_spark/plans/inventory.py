@@ -42,6 +42,7 @@ from ..operators.multimodal import extract_features
 from ..operators.relational import first_flag, keep_first
 from ..operators.similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from ..sources.readers import ROW_ID, load_fact_files
+from .sendas_driver_query import SENDAS_FULL_SQL, sendas_full_pipeline
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -316,6 +317,121 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
 FROM lineitem
+"""
+
+
+def a1_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O2/P6-shape: scalar MAX drives a partition-style filter — keep
+    only orders from the latest (year, month) present, the reference's
+    manual max-AnoMes pruning (:82-90,142). The max computes as a
+    scalar subquery so Catalyst folds it into the scan filter."""
+    orders = _t(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyyMM")
+    latest = orders.agg(F.max(ym).alias("m"))
+    return (
+        orders.withColumn("anomes", ym)
+        .join(F.broadcast(latest), F.col("anomes") == F.col("m"))
+        .select("o_orderkey", "o_custkey", "anomes")
+    )
+
+
+A1_SQL = """
+SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y%m') AS anomes
+FROM orders
+WHERE strftime(o_orderdate, '%Y%m') = (SELECT MAX(strftime(o_orderdate, '%Y%m')) FROM orders)
+"""
+
+
+def s3_filename_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: filename-derived partition column via input_file_name() —
+    fully distributed, no driver-side listing (reference :82-90 parses
+    AnoMes out of produccion_YYYYMMDD filenames on the driver)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    src = F.element_at(F.split(base, "\\."), 1)
+    return (
+        li.withColumn("src_table", src)
+        .groupBy("src_table")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+S3_SQL = """
+SELECT 'lineitem' AS src_table, COUNT(*) AS n_rows FROM lineitem
+"""
+
+
+def f1_priority_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/D2/T4-shape: priority-ranked keep-first. Per part size-class,
+    rank candidate types by a CASE priority then name, keep the top row
+    — the reference's asignar_tipologia + sort + groupwise-first
+    (:212-257) re-expressed as one window."""
+    part = _t(spark, sf_dir, "part")
+    prio = (
+        F.when(F.upper("p_type").contains("PROMO"), F.lit(1))
+        .when(F.upper("p_type").contains("ECONOMY"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    ranked = part.select(
+        "p_size", F.col("p_type"), prio.alias("prio"), "p_partkey"
+    )
+    return keep_first(
+        ranked, keys=["p_size"], order_by=[F.col("prio"), F.col("p_type"), F.col("p_partkey")]
+    ).select("p_size", "p_type", "prio")
+
+
+F1_SQL = """
+SELECT p_size, p_type, prio
+FROM (
+  SELECT p_size, p_type, p_partkey,
+         CASE WHEN UPPER(p_type) LIKE '%PROMO%' THEN 1
+              WHEN UPPER(p_type) LIKE '%ECONOMY%' THEN 2
+              ELSE 3 END AS prio
+  FROM part
+)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY p_size ORDER BY prio, p_type, p_partkey) = 1
+"""
+
+
+def r2_dual_key_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2-shape (:383-410): scope split into two branches deduped on
+    DIFFERENT keys (R-flag rows key on (order, part, linestatus); other
+    flags on (order, part)), first rows of both branches marked 1."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linestatus", "l_returnflag", "l_linenumber"
+    )
+    strict = keep_first(
+        li.filter(F.col("l_returnflag") == "R"),
+        keys=["l_orderkey", "l_partkey", "l_linestatus"],
+        order_by=["l_linenumber"],
+    )
+    loose = keep_first(
+        li.filter(F.col("l_returnflag") != "R"),
+        keys=["l_orderkey", "l_partkey"],
+        order_by=["l_linenumber"],
+    )
+    marks = strict.unionByName(loose).select(
+        "l_orderkey", "l_partkey", "l_linenumber", F.lit(1).alias("validacion")
+    )
+    return (
+        li.join(marks, ["l_orderkey", "l_partkey", "l_linenumber"], "left")
+        .withColumn("validacion", F.coalesce("validacion", F.lit(0)))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "validacion")
+    )
+
+
+R2_SQL = """
+WITH marks AS (
+  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey, l_linestatus ORDER BY l_linenumber) = 1
+  UNION ALL
+  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_returnflag <> 'R'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1
+)
+SELECT li.l_orderkey, li.l_partkey, li.l_linenumber,
+       CASE WHEN m.l_orderkey IS NULL THEN 0 ELSE 1 END AS validacion
+FROM lineitem li
+LEFT JOIN marks m USING (l_orderkey, l_partkey, l_linenumber)
 """
 
 
@@ -784,6 +900,10 @@ QUERIES = {
     "a4_first_flag": a4_first_flag,
     "u_union_dedup_files": u_union_dedup_files,
     "o_topk_per_group": o_topk_per_group,
+    "a1_latest_partition": a1_latest_partition,
+    "s3_filename_partition": s3_filename_partition,
+    "f1_priority_pick": f1_priority_pick,
+    "r2_dual_key_mark": r2_dual_key_mark,
     "w_running_sum": w_running_sum,
     "scalar_dates_ages": scalar_dates_ages,
     "scalar_name_split": scalar_name_split,
@@ -791,6 +911,7 @@ QUERIES = {
     "r1_capped_mark": r1_capped_mark,
     "r7_gap_mark": r7_gap_mark,
     "r4_invoice_zeroing": r4_invoice_zeroing,
+    "sendas_full_pipeline": sendas_full_pipeline,
     "sessionize_events": sessionize_events,
     "text_features": text_features,
     "dedup_exact_docs": dedup_exact_docs,
@@ -814,6 +935,10 @@ ORACLES = {
     "a4_first_flag": A4_SQL,
     "u_union_dedup_files": U_UNION_SQL,
     "o_topk_per_group": O_TOPK_SQL,
+    "a1_latest_partition": A1_SQL,
+    "s3_filename_partition": S3_SQL,
+    "f1_priority_pick": F1_SQL,
+    "r2_dual_key_mark": R2_SQL,
     "w_running_sum": W_RUNNING_SQL,
     "scalar_dates_ages": SCALAR_DATES_SQL,
     "scalar_name_split": SCALAR_NAME_SQL,
@@ -821,6 +946,7 @@ ORACLES = {
     "r1_capped_mark": R1_SQL,
     "r7_gap_mark": R7_SQL,
     "r4_invoice_zeroing": R4_SQL,
+    "sendas_full_pipeline": SENDAS_FULL_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "text_features": TEXT_FEATURES_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
