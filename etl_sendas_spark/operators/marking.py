@@ -97,9 +97,19 @@ def gap_anchor_mark(
 
     Mark row 1; thereafter mark a row iff ``(ts - last_marked_ts).days
     > gap_days`` (strictly greater — capital_sendas.py:532), and move
-    the anchor to it. Implemented as ``groupBy(keys).applyInPandas`` —
-    Arrow-batched, group-parallel; state never leaves the group.
+    the anchor to it.
+
+    Physical shape: ONE shuffle (repartition on the group keys), sort
+    within partitions, then a ``mapInPandas`` fold that carries
+    (current-group, anchor) state across Arrow batches. This processes
+    a whole partition's groups in one Python call — the earlier
+    ``applyInPandas`` formulation paid a per-group invocation cost that
+    dominated wall time on datasets with many small groups (the common
+    case: one group per patient/diagnosis).
     """
+    from collections.abc import Iterator
+
+    import numpy as np
     from pyspark.sql import types as T
 
     # fresh StructType — StructType.add mutates in place, which would
@@ -107,27 +117,47 @@ def gap_anchor_mark(
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(flag_col, T.IntegerType())]
     )
-    order_cols = list(order_by)
+    keys = list(group_keys)
+    order_cols = [c for c in order_by if c not in keys]
     gap = int(gap_days)
+    day_ns = 86_400_000_000_000
 
-    def mark_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort").copy()
-        ts = pd.to_datetime(pdf[ts_col], errors="coerce")
-        flags = []
-        anchor = None
-        for t in ts:
-            if anchor is None:
-                flags.append(1)
-                anchor = t
-            elif pd.notna(t) and pd.notna(anchor) and (t - anchor).days > gap:
-                flags.append(1)
-                anchor = t
-            else:
-                flags.append(0)
-        pdf[flag_col] = pd.array(flags, dtype="int32")
-        return pdf
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        anchor = None  # int64 ns of the last MARKED ts; NaT sentinel = minint
+        anchor_set = False
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ts = pd.to_datetime(pdf[ts_col], errors="coerce").values.astype("int64")
+            nat = np.iinfo("int64").min
+            key_rows = list(map(tuple, pdf[keys].astype(object).values))
+            flags = np.zeros(n, dtype="int32")
+            for i in range(n):
+                k = key_rows[i]
+                if k != cur_key:
+                    cur_key = k
+                    anchor_set = False
+                t = ts[i]
+                if not anchor_set:
+                    flags[i] = 1
+                    anchor = t
+                    anchor_set = True
+                elif t != nat and anchor != nat and (t - anchor) // day_ns > gap:
+                    flags[i] = 1
+                    anchor = t
+            pdf = pdf.copy()
+            pdf[flag_col] = flags
+            yield pdf
 
-    return df.groupBy(*group_keys).applyInPandas(mark_group, schema=out_schema)
+    # nulls LAST in the walk order — pandas sort_values semantics (the
+    # reference's sort), not Spark's default nulls-first
+    arranged = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(k) for k in keys],
+        *[F.col(c).asc_nulls_last() for c in order_cols],
+    )
+    return arranged.mapInPandas(fold, schema=out_schema)
 
 
 def sessionize(

@@ -213,15 +213,19 @@ def d1_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
+    # l_quantity in the tiebreak: the synthetic data has duplicate
+    # (orderkey, partkey, linenumber) rows, and a value-deterministic
+    # order is the only thing both engines can agree on without a
+    # shared physical row order
     return keep_first(
-        li, keys=["l_orderkey", "l_partkey"], order_by=["l_linenumber"]
+        li, keys=["l_orderkey", "l_partkey"], order_by=["l_linenumber", "l_quantity"]
     )
 
 
 D1_SQL = """
 SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
 FROM lineitem
-QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_quantity) = 1
 """
 
 
@@ -346,11 +350,19 @@ def s3_filename_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: filename-derived partition column via input_file_name() —
     fully distributed, no driver-side listing (reference :82-90 parses
     AnoMes out of produccion_YYYYMMDD filenames on the driver)."""
-    li = _t(spark, sf_dir, "lineitem")
+    import os
+
+    from etl_sendas_spark.sources.readers import widen_to_parallelism
+
+    # input_file_name() is only defined at the scan — an exchange above
+    # it (e.g. the fact-table widening) erases it — so attach the
+    # filename-derived column FIRST, then widen
+    raw = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     base = F.element_at(F.split(F.input_file_name(), "/"), -1)
     src = F.element_at(F.split(base, "\\."), 1)
+    li = widen_to_parallelism(raw.withColumn("src_table", src))
     return (
-        li.withColumn("src_table", src)
+        li
         .groupBy("src_table")
         .agg(F.count("*").alias("n_rows"))
     )

@@ -53,6 +53,25 @@ def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFra
     return df.withColumn(ROW_ID, F.monotonically_increasing_id())
 
 
+# Tables that play the FACT role: a real deployment stores these as
+# many date-partitioned files, so every scan has ≥cluster-parallelism
+# splits for free. The driver testdata is one single-row-group parquet
+# file per table, which Spark cannot split — without widening, every
+# fact scan (and everything narrow above it) runs on ONE core.
+FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+
+def widen_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism
+    when the scan produced fewer splits. Catalyst still pushes filters
+    and projections through the exchange into the scan; on inputs that
+    already have enough splits this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (Parquet — the engine's native rest
     format). Parquet TIMESTAMP(NANOS) columns (which Spark reads as
@@ -61,6 +80,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name in FACT_TABLES:
+        df = widen_to_parallelism(df)
     return df
 
 
