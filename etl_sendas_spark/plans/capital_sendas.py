@@ -204,26 +204,23 @@ def enrich(
 # rule engine — ordered fold, later rules override earlier marks
 # --------------------------------------------------------------------------
 
-def rule_qx(fact: DataFrame) -> DataFrame:
-    """R1 Quirófano (:326-380): within (FACTURA, FEC_SERVICIO), walking
-    tipologia descending, mark ≤2 per tipologia run and ≤3 total."""
+def _qx_marks(fact: DataFrame) -> DataFrame:
+    """R1 mark set: every scope row with its 0/1 flag."""
     scope = fact.filter(
         _nz("tipologia").startswith("Qx") & (F.col("VALOR_TOTAL") > 0)
     ).select(ROW_ID, "FACTURA", "FEC_SERVICIO", "tipologia")
-    marks = capped_group_mark(
+    return capped_group_mark(
         scope,
         group_keys=["FACTURA", "FEC_SERVICIO"],
         run_col="tipologia",
         walk_order=[F.col("tipologia").desc(), F.col(ROW_ID)],
         per_run_cap=2,
         total_cap=3,
-    )
-    return update_by_row_id(fact, marks, "validacion")
+    ).select(ROW_ID, "validacion")
 
 
-def rule_egreso(fact: DataFrame) -> DataFrame:
-    """R2 Egreso (:383-410): first row per key → 1; H1–H5 key includes
-    NOM_CENTROCOS, other H* does not. Only kept rows are written."""
+def _egreso_marks(fact: DataFrame) -> DataFrame:
+    """R2 mark set: kept first-rows only, flag 1."""
     scope = fact.filter(_nz("tipologia").startswith("H")).select(
         ROW_ID, "FACTURA", "SERVICIO", "NOM_CENTROCOS", "tipologia"
     )
@@ -235,19 +232,34 @@ def rule_egreso(fact: DataFrame) -> DataFrame:
         scope.filter(~F.col("tipologia").isin(H1_H5)),
         keys=["FACTURA", "SERVICIO"],
     )
-    marks = h15.unionByName(rest).select(ROW_ID, F.lit(1).alias("validacion"))
-    return update_by_row_id(fact, marks, "validacion")
+    return h15.unionByName(rest).select(ROW_ID, F.lit(1).alias("validacion"))
+
+
+def _c1_marks(fact: DataFrame) -> DataFrame:
+    """R3 mark set: first service per patient-day, flag 1."""
+    scope = fact.filter(
+        (F.col("tipologia") == "C1") & _nz("COD_PLAN").startswith("PGP")
+    ).select(ROW_ID, "DOC_PACIENTE", "FEC_SERVICIO")
+    return keep_first(scope, keys=["DOC_PACIENTE", "FEC_SERVICIO"]).select(
+        ROW_ID, F.lit(1).alias("validacion")
+    )
+
+
+def rule_qx(fact: DataFrame) -> DataFrame:
+    """R1 Quirófano (:326-380): within (FACTURA, FEC_SERVICIO), walking
+    tipologia descending, mark ≤2 per tipologia run and ≤3 total."""
+    return update_by_row_id(fact, _qx_marks(fact), "validacion")
+
+
+def rule_egreso(fact: DataFrame) -> DataFrame:
+    """R2 Egreso (:383-410): first row per key → 1; H1–H5 key includes
+    NOM_CENTROCOS, other H* does not. Only kept rows are written."""
+    return update_by_row_id(fact, _egreso_marks(fact), "validacion")
 
 
 def rule_c1(fact: DataFrame) -> DataFrame:
     """R3 Ambulatorio C1 (:415-429): first service per patient-day → 1."""
-    scope = fact.filter(
-        (F.col("tipologia") == "C1") & _nz("COD_PLAN").startswith("PGP")
-    ).select(ROW_ID, "DOC_PACIENTE", "FEC_SERVICIO")
-    marks = keep_first(scope, keys=["DOC_PACIENTE", "FEC_SERVICIO"]).select(
-        ROW_ID, F.lit(1).alias("validacion")
-    )
-    return update_by_row_id(fact, marks, "validacion")
+    return update_by_row_id(fact, _c1_marks(fact), "validacion")
 
 
 def rule_c4(fact: DataFrame) -> DataFrame:
@@ -289,14 +301,8 @@ def rule_hd_ari(fact: DataFrame) -> DataFrame:
     )
 
 
-def rule_c5(fact: DataFrame) -> DataFrame:
-    """R7 Consultorio urgencias (:484-543): zero all C5, dedup on
-    INGRESO in (patient, dx, date) order, then the anchor-reset >3-day
-    gap fold per (patient, dx) — the engine's one grouped-map stage."""
-    fact = fact.withColumn(
-        "validacion",
-        F.when(F.col("tipologia") == "C5", F.lit(0)).otherwise(F.col("validacion")),
-    )
+def _c5_marks(fact: DataFrame) -> DataFrame:
+    """R7 mark set: INGRESO-deduped C5 rows with the gap-fold 0/1 flag."""
     scope = fact.filter(F.col("tipologia") == "C5").select(
         ROW_ID,
         "INGRESO",
@@ -309,12 +315,34 @@ def rule_c5(fact: DataFrame) -> DataFrame:
         keys=["INGRESO"],
         order_by=["DOC_PACIENTE", "__dx", "FEC_SERVICIO", ROW_ID],
     )
-    marks = gap_anchor_mark(
+    return gap_anchor_mark(
         scope,
         group_keys=["DOC_PACIENTE", "__dx"],
         ts_col="FEC_SERVICIO",
         order_by=["FEC_SERVICIO", ROW_ID],
         gap_days=3,
+    ).select(ROW_ID, "validacion")
+
+
+def _qx1_marks(fact: DataFrame) -> DataFrame:
+    """R8 mark set: every Qx1 scope row, 1 for the first per
+    (FACTURA, SERVICIO), 0 for the rest."""
+    scope = fact.filter(F.col("tipologia") == "Qx1").select(
+        ROW_ID, "FACTURA", "SERVICIO"
+    )
+    return first_flag(scope, keys=["FACTURA", "SERVICIO"]).select(
+        ROW_ID, "validacion"
+    )
+
+
+def rule_c5(fact: DataFrame) -> DataFrame:
+    """R7 Consultorio urgencias (:484-543): zero all C5, dedup on
+    INGRESO in (patient, dx, date) order, then the anchor-reset >3-day
+    gap fold per (patient, dx) — the engine's one grouped-map stage."""
+    marks = _c5_marks(fact)
+    fact = fact.withColumn(
+        "validacion",
+        F.when(F.col("tipologia") == "C5", F.lit(0)).otherwise(F.col("validacion")),
     )
     return update_by_row_id(fact, marks, "validacion")
 
@@ -322,13 +350,7 @@ def rule_c5(fact: DataFrame) -> DataFrame:
 def rule_qx1(fact: DataFrame) -> DataFrame:
     """R8 Parto/cesárea (:546-559): first (FACTURA, SERVICIO) row → 1,
     the REST of the Qx1 scope → 0 (this rule overwrites R1 marks)."""
-    scope = fact.filter(F.col("tipologia") == "Qx1").select(
-        ROW_ID, "FACTURA", "SERVICIO"
-    )
-    marks = first_flag(scope, keys=["FACTURA", "SERVICIO"]).select(
-        ROW_ID, "validacion"
-    )
-    return update_by_row_id(fact, marks, "validacion")
+    return update_by_row_id(fact, _qx1_marks(fact), "validacion")
 
 
 def rule_rm(fact: DataFrame) -> DataFrame:
@@ -354,11 +376,93 @@ RULES = [
 ]
 
 
-def apply_rules(fact: DataFrame) -> DataFrame:
-    """Ordered fold — rule precedence is load-bearing (SURVEY.md §2.5)."""
+def apply_rules_sequential(fact: DataFrame) -> DataFrame:
+    """The literal ordered fold — each rule overwrites its scope in
+    turn. Reference semantics made explicit, and what the unit tests
+    exercise per-rule; but every ``update_by_row_id`` embeds ``fact``'s
+    lineage twice, so the composed plan grows exponentially with the
+    number of join-based rules. Use :func:`apply_rules` in pipelines.
+    """
     for rule in RULES:
         fact = rule(fact)
     return fact
+
+
+# fold position of each join-based rule's mark set — later overwrites
+# earlier, so precedence is "highest rank wins", resolved together
+# with the pure-expression rules in one CASE below
+_RANKED_MARKS = [
+    (1, _qx_marks),  # R1
+    (2, _egreso_marks),  # R2
+    (3, _c1_marks),  # R3
+    (7, _c5_marks),  # R7
+    (8, _qx1_marks),  # R8
+]
+
+
+def apply_rules(fact: DataFrame) -> DataFrame:
+    """Single-pass rule engine, same semantics as the sequential fold.
+
+    Every join-based rule's mark set is computed independently from the
+    SAME enriched frame (no rule reads another's ``validacion`` — they
+    only overwrite by fold position), unioned with its fold rank, and
+    reduced to the highest-ranked mark per row; the pure-expression
+    rules (R4/R5/R6/R9) interleave at their fold positions inside one
+    CASE. Physical shape: one shuffle for the (small, scoped) mark
+    union, ONE row-id join against the fact, and the FACTURA window for
+    the R4 invoice flag — versus the sequential fold's five full-fact
+    joins and 2^5 lineage copies.
+    """
+    marks = None
+    for rank, mk in _RANKED_MARKS:
+        m = mk(fact).select(
+            F.col(ROW_ID),
+            F.lit(rank).alias("__mark_rank"),
+            F.col("validacion").cast("int").alias("__mark_v"),
+        )
+        marks = m if marks is None else marks.unionByName(m)
+    # each rule emits ≤1 mark per row id, ranks are distinct → max_by
+    # is deterministic
+    best = marks.groupBy(ROW_ID).agg(
+        F.max_by("__mark_v", "__mark_rank").alias("__mark_v"),
+        F.max("__mark_rank").alias("__mark_rank"),
+    )
+    out = fact.join(best, on=ROW_ID, how="left")
+
+    has_132 = invoices_containing(out, "FACTURA", "SERVICIO", "132P01")
+    base4 = (F.col("AMBITO") == "CONSULTA EXTERNA") & (F.col("tipologia") == "C4")
+    servicios_a_invalidar = ["890285", "890385", "890384", "890284", "890502"]
+    cant = F.col("CANT_SERVICIO")
+    rank = F.col("__mark_rank")
+    v = (
+        # R9 Resonancia
+        F.when(F.col("tipologia") == "RM", cant)
+        # R8 parto/cesárea — covers ALL Qx1 rows, overwriting R1
+        .when(rank == 8, F.col("__mark_v"))
+        # R7 gap-fold marks on INGRESO-kept rows …
+        .when(rank == 7, F.col("__mark_v"))
+        # … and the zeroing of every other C5 row
+        .when(F.col("tipologia") == "C5", F.lit(0))
+        # R6 HD / ARI
+        .when(F.col("tipologia").isin("HD", "ARI"), F.lit(1))
+        # R5 C7 / C8
+        .when(F.col("tipologia") == "C7", cant)
+        .when(
+            (F.col("tipologia") == "C8") & (F.col("AMBITO") == "CONSULTA EXTERNA"),
+            cant,
+        )
+        # R4 C4 chain (132P01-invoice zeroing first — it wins within R4)
+        .when(base4 & has_132 & F.col("SERVICIO").isin(servicios_a_invalidar), F.lit(0))
+        .when(base4 & (F.col("SERVICIO") == "890502"), cant)
+        .when(base4 & (F.col("SERVICIO") != "890502"), F.lit(1))
+        # R3 / R2 membership marks (always 1)
+        .when(rank == 3, F.lit(1))
+        .when(rank == 2, F.lit(1))
+        # R1 capped marks (0 or 1 — scope rows are written either way)
+        .when(rank == 1, F.col("__mark_v"))
+        .otherwise(F.col("validacion"))
+    )
+    return out.withColumn("validacion", v).drop("__mark_rank", "__mark_v")
 
 
 def comprobar(fact: DataFrame) -> DataFrame:
