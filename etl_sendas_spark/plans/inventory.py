@@ -813,10 +813,15 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline).
+
+    Threshold 0.42, not a production-ish 0.9+: the synthetic embeddings
+    are uniform random (max pairwise cosine ~0.51), so a high threshold
+    returns zero rows and the oracle comparison would be vacuous. 0.42
+    yields a small nonzero pair set at every driver SF."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.95
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.42
     )
 
 
@@ -831,7 +836,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE a.nrm > 0 AND b.nrm > 0
-  AND ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.95
+  AND ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.42
 """
 
 
@@ -898,6 +903,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: ``readStream`` over the events
+    parquet → watermark → 1-hour tumbling window agg → memory sink,
+    driven to completion, returning the materialized result.
+
+    Complete output mode on purpose: in append mode the final window
+    (beyond ``max(ts) - watermark``) is never finalized on a bounded
+    input, so the batch oracle could not match. Exact-sum discipline:
+    values accumulate as DECIMAL so the hash is order-insensitive.
+    """
+    from ..streaming.sessions import run_stream_to_memory, tumbling_counts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    static = _t(spark, sf_dir, "events")
+    # FileStreamSource requires a DIRECTORY source; the testdata is one
+    # parquet file per table, so stage a symlink dir (testdata itself is
+    # read-only)
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_events_{abs(hash(path))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(stage)
+    if dict(static.dtypes).get("ts") == "timestamp" and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    # pre-cast so the streaming agg ACCUMULATES in decimal (exact,
+    # order-insensitive) — casting after the sum would not be
+    stream = stream.withColumn("value", F.col("value").cast("decimal(18,6)"))
+    agg = tumbling_counts(
+        stream, ts_col="ts", key_col="event_type",
+        window="1 hour", watermark="10 minutes",
+    )
+    run_stream_to_memory(agg, "tumbling_counts_result", output_mode="complete")
+    res = spark.table("tumbling_counts_result")
+    return res.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        F.col("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+STREAM_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -935,6 +1002,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "multimodal_features": multimodal_features,
+    "streaming_tumbling_counts": streaming_tumbling_counts,
 }
 
 ORACLES = {
@@ -965,6 +1033,7 @@ ORACLES = {
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
+    "streaming_tumbling_counts": STREAM_TUMBLING_SQL,
     # no SQL oracle (non-SQL-expressible / Spark-side hashing):
     # dedup_minhash_lsh_docs, dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, multimodal_features
