@@ -412,6 +412,12 @@ def apply_rules(fact: DataFrame) -> DataFrame:
     union, ONE row-id join against the fact, and the FACTURA window for
     the R4 invoice flag — versus the sequential fold's five full-fact
     joins and 2^5 lineage copies.
+
+    The enriched input is deliberately NOT persisted: each mark set
+    prunes to 3-5 columns, so recomputing the (broadcast-join-only)
+    enrichment per mark under full column pruning measures faster than
+    one wide materialization — and at cluster scale it avoids caching
+    the entire fact table.
     """
     marks = None
     for rank, mk in _RANKED_MARKS:

@@ -99,50 +99,45 @@ def sendas_inputs(
         F.concat(F.lit("DX"), (sk % 20).cast("string")).alias("DX_PRINCIPAL.1"),
     )
 
-    keys = part.select((F.col("p_partkey") % 200).alias("k")).distinct()
-    codigos = keys.select(
-        F.col("k").cast("string").alias("SERVICIO"),
-        F.concat(F.lit("CON-"), (F.col("k") % 7).cast("string")).alias("CONCEPTO"),
-        (F.col("k") % 5).cast("string").alias("GRUPO QX"),
+    # Dimensions are built DRIVER-SIDE (one tiny collect for the key
+    # universe, then local rows → createDataFrame): mirrors the
+    # reference, whose dims arrive as driver-downloaded Excel files
+    # (capital_sendas.py:65-77), and removes four scan+distinct+
+    # broadcast job chains that dominated wall time at bench SFs. The
+    # expressions are the same arithmetic the SQL oracle's `keys` CTE
+    # applies.
+    keys = sorted(
+        r["k"]
+        for r in part.select((F.col("p_partkey") % 200).alias("k")).distinct().collect()
+    )
+    codigos = spark.createDataFrame(
+        [(str(k), f"CON-{k % 7}", str(k % 5)) for k in keys],
+        ["SERVICIO", "CONCEPTO", "GRUPO QX"],
     )
 
-    tips_arr = F.array(*[F.lit(t) for t in TIPS])
-    cc_df = spark.createDataFrame([("F",), ("O",)], ["cc"])
-    trows = keys.crossJoin(cc_df).filter(
-        ~((F.col("cc") == "F") & (F.col("k") % 3 == 0))
-    )
-    off = F.when(F.col("cc") == "O", F.lit(0)).otherwise(F.lit(1))
-    tip_dim = trows.select(
-        F.col("k").cast("string").alias("SERVICIO"),
-        F.col("cc").alias("NOM_CENTROCOS"),
-        F.element_at(tips_arr, ((F.col("k") + off) % 14 + 1).cast("int")).alias("tipologia"),
+    tip_rows = [
         # dim "file order": cc='F' rows precede cc='O' rows, the
         # keep-first tiebreak for J3 (unique within each SERVICIO group)
-        F.when(F.col("cc") == "F", F.lit(0)).otherwise(F.lit(1)).cast("long").alias(ROW_ID),
-    )
+        (str(k), cc, TIPS[(k + (0 if cc == "O" else 1)) % 14], 0 if cc == "F" else 1)
+        for k in keys
+        for cc in ("F", "O")
+        if not (cc == "F" and k % 3 == 0)
+    ]
     spec_rows = [
         (s, cc, ("C5" if s == "132P01" else "C4"), (0 if cc == "F" else 1))
         for s in SPECIAL
         for cc in ("F", "O")
     ]
-    spec_dim = spark.createDataFrame(
-        spec_rows, ["SERVICIO", "NOM_CENTROCOS", "tipologia", ROW_ID]
+    tipologia = spark.createDataFrame(
+        tip_rows + spec_rows, ["SERVICIO", "NOM_CENTROCOS", "tipologia", ROW_ID]
     )
-    tipologia = tip_dim.unionByName(spec_dim)
 
-    names_arr = F.array(*[F.lit(n) for n in NAMES])
-    a1 = keys.select(
-        F.col("k").cast("string").alias("CUPS"),
-        F.element_at(names_arr, (F.col("k") % 6 + 1).cast("int")).alias("TIPOLOGIA NOMBRE"),
+    anexos = spark.createDataFrame(
+        [(str(k), NAMES[k % 6]) for k in keys]
+        + [(str(k), NAMES[(k + 2) % 6]) for k in keys]
+        + [(s, "MEDICINA GENERAL") for s in SPECIAL],
+        ["CUPS", "TIPOLOGIA NOMBRE"],
     )
-    a2 = keys.select(
-        F.col("k").cast("string").alias("CUPS"),
-        F.element_at(names_arr, ((F.col("k") + 2) % 6 + 1).cast("int")).alias("TIPOLOGIA NOMBRE"),
-    )
-    spec_anx = spark.createDataFrame(
-        [(s, "MEDICINA GENERAL") for s in SPECIAL], ["CUPS", "TIPOLOGIA NOMBRE"]
-    )
-    anexos = a1.unionByName(a2).unionByName(spec_anx)
 
     bases = cust.filter(F.col("c_custkey") % 4 != 0).select(
         F.col("c_custkey").cast("string").alias("documento"),
