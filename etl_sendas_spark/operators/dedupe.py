@@ -55,14 +55,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # n-gram shingles
 # --------------------------------------------------------------------------
 
-def _shingles(text_col: str, n: int) -> Column:
-    """Distinct word n-grams of the normalized text (array<string>)."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
+def _shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str | None = None
+) -> DataFrame:
+    """(id, sh: array<string>) — distinct word n-grams of the
+    normalized text, for docs with ≥ n tokens.
+
+    DataFrame-level on purpose. A single-Column formulation filtered on
+    ``size(shingles) > 0`` lets Catalyst push that filter below the
+    projection, where it re-inlines the ENTIRE shingle expression — the
+    per-element lambda then re-evaluates the regex normalization once
+    per token (~50× per row; measured 4.3s of a 4.4s stage at sf0.1).
+    Here tokens materialize in their own projection and the emptiness
+    test is the equivalent-but-cheap ``size(tokens) >= n``.
+    """
+    out = out_id or id_col
+    toks_df = df.select(
+        F.col(id_col).alias(out),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
+    ).filter(F.size("__toks") >= n)
+    toks = F.col("__toks")
     if n == 1:
-        return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+        sh = F.array_distinct(toks)
+    else:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        sh = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        )
+    return toks_df.select(F.col(out), sh.alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -82,9 +102,7 @@ def ngram_jaccard_pairs(
     (at 100 TB this is mandatory; a stopword shingle would otherwise
     produce a quadratic bucket).
     """
-    docs = df.select(
-        F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    docs = _shingle_docs(df, id_col, text_col, n, out_id="doc")
     sizes = docs.select("doc", F.size("sh").alias("sz"))
     posting = docs.select("doc", F.explode("sh").alias("shingle"))
 
@@ -143,9 +161,7 @@ def minhash_signatures(
     (xxhash64 mixes all args, so each literal seed is an independent
     hash function).
     """
-    docs = df.select(
-        F.col(id_col).alias(id_col), _shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    docs = _shingle_docs(df, id_col, text_col, shingle_n)
     # hash each shingle STRING once, then derive the family from the
     # 64-bit value (xxhash64 over longs) — ~num_hashes× fewer string
     # hashes and a much smaller codegen unit than hashing text per seed
@@ -220,9 +236,7 @@ def minhash_lsh_candidates(
     # intersect per pair (array_intersect on two row-local arrays) —
     # O(|candidates|), vs the full inverted-index pair table which is
     # quadratic in posting-list length and was the dominant cost here
-    sh = df.select(
-        F.col(id_col).alias("doc"), _shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = _shingle_docs(df, id_col, text_col, shingle_n, out_id="doc")
     sa = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sa"))
     sb = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("__sb"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))

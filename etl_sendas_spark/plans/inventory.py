@@ -903,6 +903,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events table. FileStreamSource requires a
+    DIRECTORY source and the testdata is one parquet file per table, so
+    stage a symlink dir (testdata itself is read-only)."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_events_{abs(hash(path))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: ``readStream`` over the events
     parquet → watermark → 1-hour tumbling window agg → memory sink,
@@ -915,30 +939,11 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.sessions import run_stream_to_memory, tumbling_counts
 
-    path = os.path.join(sf_dir, "events.parquet")
-    static = _t(spark, sf_dir, "events")
-    # FileStreamSource requires a DIRECTORY source; the testdata is one
-    # parquet file per table, so stage a symlink dir (testdata itself is
-    # read-only)
-    import tempfile
-
-    stage = os.path.join(
-        tempfile.gettempdir(), f"stream_events_{abs(hash(path))}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = spark.readStream.schema(
-        spark.read.parquet(path).schema
-    ).parquet(stage)
-    if dict(static.dtypes).get("ts") == "timestamp" and dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
     # pre-cast so the streaming agg ACCUMULATES in decimal (exact,
     # order-insensitive) — casting after the sum would not be
-    stream = stream.withColumn("value", F.col("value").cast("decimal(18,6)"))
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
     agg = tumbling_counts(
         stream, ts_col="ts", key_col="event_type",
         window="1 hour", watermark="10 minutes",
@@ -963,6 +968,108 @@ SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window
 FROM events
 GROUP BY 1, 2
 """
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming agg (1 h window / 30 min slide): every
+    event lands in exactly window/slide = 2 windows; oracle replays that
+    window assignment with generate_series."""
+    from ..streaming.sessions import run_stream_to_memory, sliding_counts
+
+    stream = _stream_events(spark, sf_dir)
+    agg = sliding_counts(
+        stream, ts_col="ts", key_col="event_type",
+        window="1 hour", slide="30 minutes", watermark="10 minutes",
+    )
+    run_stream_to_memory(agg, "sliding_counts_result", output_mode="complete")
+    res = spark.table("sliding_counts_result")
+    return res.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+    )
+
+
+STREAM_SLIDING_SQL = """
+SELECT strftime(time_bucket(INTERVAL 30 MINUTES, ts) - i * INTERVAL 30 MINUTES,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n
+FROM events, (SELECT UNNEST(generate_series(0, 1)) AS i)
+GROUP BY 1, 2
+"""
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based ``session_window`` streaming agg (30 min gap per user)
+    — R7's gap shape on a stream. Oracle rebuilds the sessions with the
+    lag-gap prefix-sum formulation (a new session starts when the gap to
+    the previous event exceeds 30 min)."""
+    from ..streaming.sessions import run_stream_to_memory, session_window_agg
+
+    stream = _stream_events(spark, sf_dir)
+    agg = session_window_agg(
+        stream, ts_col="ts", key_cols=("user_id",),
+        gap="30 minutes", watermark="1 hour",
+    )
+    run_stream_to_memory(agg, "session_windows_result", output_mode="complete")
+    res = spark.table("session_windows_result")
+    return res.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+STREAM_SESSION_SQL = """
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            + INTERVAL 30 MINUTES
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+"""
+
+
+def streaming_gap_anchor_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 on a stream: the anchor-reset gap fold as a STATEFUL streaming
+    operator (``applyInPandasWithState``; anchor = last MARKED event,
+    persisted in GroupState across micro-batches). Same recursive-CTE
+    oracle as the batch ``r7_gap_mark`` — batch and stream agree."""
+    from ..streaming.sessions import gap_anchor_mark_stream, run_stream_to_memory
+
+    stream = _stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    marked = gap_anchor_mark_stream(
+        stream,
+        group_keys=["user_id", "event_type"],
+        ts_col="ts",
+        gap_days=3,
+        id_col="event_id",
+    )
+    run_stream_to_memory(marked, "gap_anchor_stream_result", output_mode="append")
+    res = spark.table("gap_anchor_stream_result")
+    return res.select("event_id", "user_id", "event_type", "validacion")
 
 
 # ===========================================================================
@@ -1003,6 +1110,9 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "multimodal_features": multimodal_features,
     "streaming_tumbling_counts": streaming_tumbling_counts,
+    "streaming_sliding_counts": streaming_sliding_counts,
+    "streaming_session_windows": streaming_session_windows,
+    "streaming_gap_anchor_mark": streaming_gap_anchor_mark,
 }
 
 ORACLES = {
@@ -1034,6 +1144,9 @@ ORACLES = {
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "streaming_tumbling_counts": STREAM_TUMBLING_SQL,
+    "streaming_sliding_counts": STREAM_SLIDING_SQL,
+    "streaming_session_windows": STREAM_SESSION_SQL,
+    "streaming_gap_anchor_mark": R7_SQL,
     # no SQL oracle (non-SQL-expressible / Spark-side hashing):
     # dedup_minhash_lsh_docs, dedup_simhash_docs, ann_lsh_topk,
     # ann_ivf_topk, multimodal_features
