@@ -108,6 +108,94 @@ def anti_join_all_columns(df_new: DataFrame, df_seen: DataFrame) -> DataFrame:
     return df_new.join(seen, on=cond, how="left_anti")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    right_ts_alias: str | None = None,
+) -> DataFrame:
+    """Left as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` key (nulls when no
+    prior right row exists).
+
+    Spark-first formulation: tag and UNION both sides, then carry the
+    most recent right payload forward with ``last(..., ignoreNulls)``
+    over one (key, ts) window — a single shuffle on the equi-key, no
+    per-row range probe and no skew-prone range join. At equal
+    timestamps the right row sorts first (ties are as-of matches,
+    mirroring SQL ASOF's ``>=``).
+    """
+    keys = list(on)
+    lpay = [c for c in left.columns if c not in keys and c != ts_col]
+    l_side = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+    )
+    r_side = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        F.col(ts_col).alias("__r_ts"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_side.unionByName(r_side).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in payload_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"__asof_ts"),
+    )
+    out_alias = right_ts_alias or f"{ts_col}_right"
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *keys,
+            F.col(ts_col),
+            *[F.col(c) for c in lpay],
+            *[F.col(f"__asof_{c}").alias(f"right_{c}") for c in payload_cols],
+            F.col("__asof_ts").alias(out_alias),
+        )
+    )
+
+
+def keep_first_salted(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    n_salt: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """:func:`keep_first` for HOT keys: two-phase window dedup.
+
+    A plain ``row_number()`` window over a low-cardinality key funnels
+    every row of a key into one task (5 event types × 20 GB/type at
+    100 TB = 5 straggler tasks). Phase 1 deduplicates within
+    ``(key, salt)`` — ``n_salt``× more, proportionally smaller
+    partitions; phase 2 reduces the ≤ ``n_salt`` survivors per key.
+    Exact for keep-first semantics because min-by-order is associative.
+    ``salt_on`` (default: the first order column) must be deterministic
+    — never ``rand()``, which breaks retry/replay exactness at scale.
+    """
+    basis = salt_on if salt_on is not None else order_by[0]
+    basis_col = F.col(basis) if isinstance(basis, str) else basis
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(basis_col), F.lit(n_salt)))
+    phase1 = keep_first(salted, [*keys, "__salt"], order_by)
+    return keep_first(phase1, keys, order_by).drop("__salt")
+
+
 def invoices_containing(
     df: DataFrame, invoice_col: str, service_col: str, service_value: str
 ) -> Column:

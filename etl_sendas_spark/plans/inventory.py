@@ -373,6 +373,41 @@ SELECT 'lineitem' AS src_table, COUNT(*) AS n_rows FROM lineitem
 """
 
 
+def s5_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 sink family, scale layout: write orders as parquet
+    PARTITIONED BY order status (hive-style directories — the layout
+    that gives partition pruning for free at 100 TB), read it back,
+    aggregate per partition. Oracle aggregates the source directly, so
+    the write→read roundtrip must be lossless."""
+    import tempfile
+
+    from ..sources.sinks import write_parquet
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"sink_orders_{abs(hash(sf_dir))}"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+S5_SINK_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       MAX(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def f1_priority_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/D2/T4-shape: priority-ranked keep-first. Per part size-class,
     rank candidate types by a CASE priority then name, keep the top row
@@ -444,6 +479,103 @@ SELECT li.l_orderkey, li.l_partkey, li.l_linenumber,
        CASE WHEN m.l_orderkey IS NULL THEN 0 ELSE 1 END AS validacion
 FROM lineitem li
 LEFT JOIN marks m USING (l_orderkey, l_partkey, l_linenumber)
+"""
+
+
+def j_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's latest purchase at
+    or before it (union + last-carry window — one shuffle on user_id,
+    no range probe). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "value"],
+        right_ts_alias="purchase_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("right_event_id").alias("purchase_event_id"),
+        F.round("right_value", 6).alias("purchase_value"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+J_ASOF_SQL = """
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       r.event_id AS purchase_event_id,
+       ROUND(r.value, 6) AS purchase_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def d_keep_first_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key dedup: first event per event_type (5 distinct values —
+    the skew case where a plain window funnels everything into 5
+    tasks). Two-phase salted keep-first; same answer as the plain
+    QUALIFY oracle."""
+    from ..operators.relational import keep_first_salted
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    first = keep_first_salted(
+        ev,
+        keys=["event_type"],
+        order_by=["ts", "event_id"],
+        n_salt=16,
+        salt_on="event_id",
+    )
+    return first.select(
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+D_SALTED_SQL = """
+SELECT event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       ROUND(value, 6) AS value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) = 1
+"""
+
+
+def o_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT with a total-order tiebreak. Spark
+    executes this as TakeOrderedAndProject — per-partition heap + merge
+    on the driver, never a full sort/shuffle of the table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+O_GLOBAL_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
 """
 
 
@@ -1088,9 +1220,13 @@ QUERIES = {
     "o_topk_per_group": o_topk_per_group,
     "a1_latest_partition": a1_latest_partition,
     "s3_filename_partition": s3_filename_partition,
+    "s5_partitioned_sink_roundtrip": s5_partitioned_sink_roundtrip,
     "f1_priority_pick": f1_priority_pick,
     "r2_dual_key_mark": r2_dual_key_mark,
     "w_running_sum": w_running_sum,
+    "j_asof_events": j_asof_events,
+    "d_keep_first_salted": d_keep_first_salted,
+    "o_global_topk": o_global_topk,
     "scalar_dates_ages": scalar_dates_ages,
     "scalar_name_split": scalar_name_split,
     "scalar_json_extract": scalar_json_extract,
@@ -1127,9 +1263,13 @@ ORACLES = {
     "o_topk_per_group": O_TOPK_SQL,
     "a1_latest_partition": A1_SQL,
     "s3_filename_partition": S3_SQL,
+    "s5_partitioned_sink_roundtrip": S5_SINK_SQL,
     "f1_priority_pick": F1_SQL,
     "r2_dual_key_mark": R2_SQL,
     "w_running_sum": W_RUNNING_SQL,
+    "j_asof_events": J_ASOF_SQL,
+    "d_keep_first_salted": D_SALTED_SQL,
+    "o_global_topk": O_GLOBAL_TOPK_SQL,
     "scalar_dates_ages": SCALAR_DATES_SQL,
     "scalar_name_split": SCALAR_NAME_SQL,
     "scalar_json_extract": SCALAR_JSON_SQL,

@@ -34,27 +34,27 @@ MES = 3
 def sendas_inputs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
-    li = read_table(spark, sf_dir, "lineitem")
+    # widen=False: global_row_number range-repartitions immediately, so
+    # the fact-scan widening exchange would be pure waste
+    li = read_table(spark, sf_dir, "lineitem", widen=False)
     orders = read_table(spark, sf_dir, "orders")
     part = read_table(spark, sf_dir, "part")
     cust = read_table(spark, sf_dir, "customer")
 
     # the driver's synthetic lineitem is NOT keyed by (orderkey,
-    # linenumber) — duplicates exist — so the row id is a row_number
+    # linenumber) — duplicates exist — so the row id is a row number
     # over the FULL column order: unique, and deterministic up to the
     # interchange of fully-identical rows (which cannot affect any
-    # downstream multiset). Global window is fine at oracle SFs; a real
-    # ingest assigns ids per file instead (sources.readers.with_row_id).
-    from pyspark.sql import Window
+    # downstream multiset). Assigned via the range-partitioned two-phase
+    # numbering — no single-partition global window.
+    from ..sources.readers import global_row_number
 
     li_cols = [
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
         "l_linestatus", "l_shipdate",
     ]
-    li = li.withColumn(
-        "__rid", F.row_number().over(Window.orderBy(*[F.col(c) for c in li_cols]))
-    )
+    li = global_row_number(li, li_cols, "__rid")
     j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
     ok, ck = F.col("l_orderkey"), F.col("o_custkey")
     pk, sk = F.col("l_partkey"), F.col("l_suppkey")

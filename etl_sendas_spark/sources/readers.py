@@ -31,6 +31,39 @@ from pyspark.sql import types as T
 ROW_ID = "__row_id"
 
 
+def global_row_number(
+    df: DataFrame, order_by: Sequence[str], out_col: str = ROW_ID
+) -> DataFrame:
+    """Unique id, strictly increasing in ``order_by`` order, WITHOUT the
+    single-partition global window (which serializes the whole table
+    through one task — the one plan shape that cannot survive 100 TB).
+
+    Range-repartition on the sort key, then ``pid << 40 | local
+    row_number``: range partitioning makes partition id itself ordered
+    by the key, so the composite is ordered like a global row number —
+    just not contiguous, which nothing that consumes a row id (ORDER BY
+    tiebreaks, mark-join keys) can observe. One shuffle + local sort; no
+    count pass, no offset join. Ties across a range boundary get
+    arbitrary relative ids, so the sort key should be unique (or
+    duplicates interchangeable).
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_by]
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    return ranged.withColumn(
+        out_col,
+        (
+            F.col("__pid").cast("long") * F.lit(1 << 40).cast("long")
+            + F.row_number().over(w_local)
+        ),
+    ).drop("__pid")
+
+
 def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFrame:
     """Attach the stable synthetic row id (SURVEY.md §1.4).
 
@@ -39,17 +72,14 @@ def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFra
     543,559). Spark rows have no identity, so every keep-first dedup
     and write-back in this engine threads this column instead.
 
-    With ``order_by`` the id is a global ``row_number`` (fully
-    deterministic, needs one pass); without, it is
-    ``monotonically_increasing_id`` (deterministic per partition
-    layout — fine when upstream is a deterministic file scan, and it
-    avoids the single-partition window a global row_number implies).
+    With ``order_by`` the id is a deterministic global row number
+    (via :func:`global_row_number` — scale-safe, no single-partition
+    window); without, it is ``monotonically_increasing_id``
+    (deterministic per partition layout — fine when upstream is a
+    deterministic file scan, and needs no shuffle at all).
     """
     if order_by:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(ROW_ID, F.row_number().over(w).cast("long"))
+        return global_row_number(df, order_by, ROW_ID)
     return df.withColumn(ROW_ID, F.monotonically_increasing_id())
 
 
@@ -72,15 +102,20 @@ def widen_to_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = True
+) -> DataFrame:
     """Read one driver testdata table (Parquet — the engine's native rest
     format). Parquet TIMESTAMP(NANOS) columns (which Spark reads as
     nanosecond longs under ``nanosAsLong``) are normalized to
-    microsecond timestamps, matching how DuckDB reads the same file."""
+    microsecond timestamps, matching how DuckDB reads the same file.
+    Pass ``widen=False`` when the caller immediately repartitions anyway
+    (e.g. a range repartition for row numbering) — the widening exchange
+    would be thrown away."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    if name in FACT_TABLES:
+    if widen and name in FACT_TABLES:
         df = widen_to_parallelism(df)
     return df
 
