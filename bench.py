@@ -29,7 +29,10 @@ HEADLINE = [
     "o_topk_per_group",
     "r1_capped_mark",
     "r7_gap_mark",
+    "j_asof_events",
+    "d_keep_first_salted",
     "sessionize_events",
+    "streaming_session_windows",
     "text_features",
     "dedup_minhash_lsh_docs",
     "embedding_near_dup",

@@ -102,6 +102,52 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate: revenue by (returnflag, linestatus) with
+    ROLLUP subtotals and grand total — one shuffle, Catalyst expands the
+    grouping sets; null grouping cells mark the subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+A_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of quantity per
+    returnflag. Both engines use linear interpolation (Spark
+    ``percentile``, DuckDB ``quantile_cont``); the approximate scale
+    path is ``percentile_approx`` with the same call shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+    )
+
+
+A_PCTL_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P-family predicates: contains / NOT-startswith / rlike / IN /
     numeric compare, then projection (reference :109-111,212,448)."""
@@ -1210,6 +1256,8 @@ def streaming_gap_anchor_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "a_rollup_revenue": a_rollup_revenue,
+    "a_exact_percentiles": a_exact_percentiles,
     "p_filter_project": p_filter_project,
     "j_broadcast_enrich": j_broadcast_enrich,
     "j_anti_all_columns": j_anti_all_columns,
@@ -1253,6 +1301,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "a_rollup_revenue": A_ROLLUP_SQL,
+    "a_exact_percentiles": A_PCTL_SQL,
     "p_filter_project": P_FILTER_SQL,
     "j_broadcast_enrich": J_BROADCAST_SQL,
     "j_anti_all_columns": J_ANTI_SQL,

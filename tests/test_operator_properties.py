@@ -278,6 +278,84 @@ def test_gap_anchor_mark_randomized(spark):
 
 
 # ---------------------------------------------------------------------------
+# as-of join vs pandas merge_asof on randomized inputs
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from etl_sendas_spark.operators.relational import asof_join
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, rng.randrange(8), base + dt.timedelta(minutes=rng.randrange(10_000)))
+        for i in range(300)
+    ]
+    rrows = [
+        (1000 + i, rng.randrange(8),
+         base + dt.timedelta(minutes=rng.randrange(10_000)), float(i))
+        for i in range(120)
+    ]
+    lschema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rschema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    left = spark.createDataFrame(lrows, lschema)
+    right = spark.createDataFrame(rrows, rschema)
+    got = {
+        r["event_id"]: (r["right_event_id"], r["right_value"])
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            payload_cols=["event_id", "value"],
+        ).collect()
+    }
+    lpd = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(
+        rrows, columns=["r_event_id", "user_id", "ts", "r_value"]
+    ).sort_values("ts")
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="user_id", direction="backward"
+    )
+    assert len(got) == len(lrows)
+    for _, m in merged.iterrows():
+        want = (
+            None if pd.isna(m["r_event_id"]) else int(m["r_event_id"]),
+            None if pd.isna(m["r_value"]) else m["r_value"],
+        )
+        assert got[m["event_id"]] == want, m["event_id"]
+
+
+# ---------------------------------------------------------------------------
+# salted keep-first equals plain keep-first
+# ---------------------------------------------------------------------------
+
+def test_keep_first_salted_equals_plain(spark):
+    from etl_sendas_spark.operators.relational import keep_first, keep_first_salted
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(3), i, rng.randrange(1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "uid", "v"])
+    plain = sorted(
+        tuple(r) for r in keep_first(df, ["k"], order_by=["v", "uid"]).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in keep_first_salted(
+            df, ["k"], order_by=["v", "uid"], n_salt=8, salt_on="uid"
+        ).collect()
+    )
+    assert plain == salted
+
+
+# ---------------------------------------------------------------------------
 # sources: cross-file dedup + null-safe anti-join
 # ---------------------------------------------------------------------------
 
