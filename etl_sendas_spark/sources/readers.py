@@ -254,7 +254,8 @@ def load_fact_files(
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*[F.col(c) for c in data_cols])
+    # backtick-quote: fact columns include dotted names (DX_PRINCIPAL.0)
+    w = Window.partitionBy(*[F.col(f"`{c}`") for c in data_cols])
     return (
         unioned.withColumn("__min_ord", F.min("__file_ord").over(w))
         .filter(F.col("__file_ord") == F.col("__min_ord"))

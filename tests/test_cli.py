@@ -1,0 +1,106 @@
+"""End-to-end test of the ``python -m etl_sendas_spark`` entry point:
+multi-file produccion ingest with filename month pruning, the full
+pipeline, and both sinks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pandas as pd
+
+from etl_sendas_spark.__main__ import main
+
+
+def _fact_rows(month: int, n: int) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "SEDE_NOMBRE": "SEDE A",
+                "FACTURA": f"FA{i:05d}" if i % 5 else f"SN{i:05d}",
+                "FECHA_FACT": dt.date(2024, month, 1 + i % 27),
+                "INGRESO": f"ING-{i % 4}",
+                "DOC_PACIENTE": str(100 + i % 7),
+                "NOMBRE_PACIENTE": "ANA MARIA DE LOS RIOS GOMEZ",
+                "FEC_NACIMIENTO": dt.date(1990, 1, 1 + i % 27),
+                "GENERO": "F" if i % 2 == 0 else "M",
+                "EDAD": str(30 + i % 40),
+                "SERVICIO": str(i % 6),
+                "NOM_SERVICIO_PRODUCTO": "SVC",
+                "FEC_SERVICIO": dt.date(2024, month, 1 + i % 27),
+                "CANT_SERVICIO": str(1 + i % 3),
+                "VALOR_TOTAL": str(1000 * (i % 4)),
+                "COD_PLAN": "PGP01" if i % 3 else "OTRO",
+                "NOM_PLAN": "PLAN PGP CAPITADO" if i % 7 else "PARTICULAR",
+                "NOM_CENTROCOS": "F" if i % 2 else "O",
+                "COD_ENTIDAD1": "E1",
+                "NOM_ENTIDAD1": "ENT",
+                "AMBITO": ["CONSULTA EXTERNA", "URGENCIAS", "HOSPITALIZACION"][i % 3],
+                "DX_PRINCIPAL.0": f"A{i % 3}",
+                "DX_PRINCIPAL.1": f"DX{i % 3}",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    # two months of produccion files: only 202409 must be ingested
+    _fact_rows(9, 40).to_parquet(tmp_path / "produccion_20240901_20240930.parquet")
+    _fact_rows(8, 25).to_parquet(tmp_path / "produccion_20240801_20240831.parquet")
+
+    tips = ["C1", "C4", "C5", "C7", "H1", "HD"]
+    pd.DataFrame(
+        {"SERVICIO": [str(k) for k in range(6)],
+         "CONCEPTO": [f"CON-{k}" for k in range(6)],
+         "GRUPO QX": [str(k % 3) for k in range(6)]}
+    ).to_parquet(tmp_path / "codigos.parquet")
+    pd.DataFrame(
+        {"SERVICIO": [str(k) for k in range(6)],
+         "NOM_CENTROCOS": ["F", "O"] * 3,
+         "tipologia": tips}
+    ).to_parquet(tmp_path / "tipologia.parquet")
+    pd.DataFrame(
+        {"CUPS": [str(k) for k in range(6)],
+         "TIPOLOGIA NOMBRE": ["CONSULTA PEDIATRIA", "CONSULTA GINECOLOGIA",
+                              "MEDICINA GENERAL"] * 2}
+    ).to_parquet(tmp_path / "anexos.parquet")
+    pd.DataFrame(
+        {"documento": [str(100 + k) for k in range(5)],
+         "ips": [f"IPS-{k}" for k in range(5)]}
+    ).to_parquet(tmp_path / "bases.parquet")
+
+    out_dir = tmp_path / "out"
+    rc = main([
+        "--produccion", str(tmp_path / "produccion_*.parquet"),
+        "--codigos", str(tmp_path / "codigos.parquet"),
+        "--tipologia", str(tmp_path / "tipologia.parquet"),
+        "--anexos", str(tmp_path / "anexos.parquet"),
+        "--bases", str(tmp_path / "bases.parquet"),
+        "--out-dir", str(out_dir),
+        "--format", "csv",
+    ])
+    assert rc == 0
+
+    [main_csv] = glob.glob(str(out_dir / "capital_sendas" / "*.csv"))
+    got = pd.read_csv(main_csv)
+    # month pruning + ingest filters: only Sept rows with PGP plan and
+    # non-SN invoice survive (i%5 != 0 and i%7 != 0 of 40)
+    src = _fact_rows(9, 40)
+    expect = src[
+        src["NOM_PLAN"].str.contains("PGP")
+        & ~src["FACTURA"].str.startswith("SN")
+    ]
+    assert len(got) == len(expect)
+    assert list(got.columns)[:4] == ["SEDE_NOMBRE", "FACTURA", "FECHA_FACT", "INGRESO"]
+    assert "validacion" in got.columns
+    assert (got["FECHA_FACT"].str[:7] == "2024/09").all()
+
+    [check_csv] = glob.glob(str(out_dir / "comprobar" / "*.csv"))
+    check = pd.read_csv(check_csv)
+    # docs 105, 106 have no affiliation row → exactly those two patients
+    assert sorted(check["DOC_PACIENTE"]) == [105, 106]
+    assert set(check.columns) == {
+        "DOC_PACIENTE", "nombre1", "nombre2", "apellido1", "apellido2"
+    }
