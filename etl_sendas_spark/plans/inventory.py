@@ -253,6 +253,54 @@ WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
 """
 
 
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides written bucketed+sorted
+    on the join key, then join + same-key aggregation. The physical plan
+    has NO shuffle exchange — at 100 TB this is the difference between
+    re-shuffling the fact table per join and a purely local merge join
+    (pytest asserts the exchange-free plan; the oracle checks values)."""
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"buckets_{abs(hash(sf_dir))}")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", os.path.join(base, "li"))
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable("orders_bucketed")
+    )
+    a = spark.table("li_bucketed")
+    b = spark.table("orders_bucketed")
+    return (
+        a.join(b, a["l_orderkey"] == b["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+J_BUCKETED_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_orderpriority
+"""
+
+
 def d1_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: keyed dedup keep-first with explicit tiebreak (reference
     keep='first' ×8; here: first lineitem per (order, part) by line#)."""
@@ -1262,6 +1310,7 @@ QUERIES = {
     "j_broadcast_enrich": j_broadcast_enrich,
     "j_anti_all_columns": j_anti_all_columns,
     "j_semi_membership": j_semi_membership,
+    "j_bucketed_colocated": j_bucketed_colocated,
     "d1_keep_first": d1_keep_first,
     "a4_first_flag": a4_first_flag,
     "u_union_dedup_files": u_union_dedup_files,
@@ -1307,6 +1356,7 @@ ORACLES = {
     "j_broadcast_enrich": J_BROADCAST_SQL,
     "j_anti_all_columns": J_ANTI_SQL,
     "j_semi_membership": J_SEMI_SQL,
+    "j_bucketed_colocated": J_BUCKETED_SQL,
     "d1_keep_first": D1_SQL,
     "a4_first_flag": A4_SQL,
     "u_union_dedup_files": U_UNION_SQL,

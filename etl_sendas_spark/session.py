@@ -57,6 +57,13 @@ def get_spark(
         # --- parquet TIMESTAMP(NANOS) (driver testdata) → long ------
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- local-mode niceties -----------------------------------
+        # keep catalog metadata (bucketed-table registrations) out of cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                __import__("tempfile").gettempdir(), "etl_sendas_warehouse"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -356,6 +356,24 @@ def test_keep_first_salted_equals_plain(spark):
 
 
 # ---------------------------------------------------------------------------
+# bucketed join: the plan must be exchange-free
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_plan_has_no_shuffle(spark):
+    """No SHUFFLE exchange anywhere: the bucketed layout satisfies both
+    the join and the same-key aggregation distribution. (A
+    BroadcastExchange may appear — at tiny SFs Catalyst rightly prefers
+    broadcasting the small side; at scale it falls back to the bucketed
+    sort-merge join, still shuffle-free.)"""
+    from etl_sendas_spark.plans.inventory import j_bucketed_colocated
+
+    df = j_bucketed_colocated(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
 # sources: cross-file dedup + null-safe anti-join
 # ---------------------------------------------------------------------------
 
