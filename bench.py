@@ -34,6 +34,7 @@ HEADLINE = [
     "sessionize_events",
     "streaming_session_windows",
     "text_features",
+    "corpus_prep_pipeline",
     "dedup_minhash_lsh_docs",
     "embedding_near_dup",
     "ann_cosine_topk",

@@ -766,7 +766,8 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCALAR_JSON_SQL = """
 SELECT event_type,
-       SUM(k) AS sum_k, COUNT(k) AS n, ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
+       CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
 GROUP BY event_type
 """
@@ -904,8 +905,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_SQL = """
 SELECT event_id, user_id,
-       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -962,6 +963,63 @@ FROM (
          len(list_filter({_TOKS_SQL}, t -> list_contains({_ES}, t))) AS es_hits
   FROM documents
 )
+"""
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus prep flow as ONE lazy plan: quality-filter (token
+    floor + stopword ratio) → exact dedup (min doc_id per content
+    fingerprint) → per-(source, language) stats. Everything is Column
+    exprs + one dedup shuffle + one agg shuffle; at 100 TB the quality
+    filter prunes before any shuffle, and the fingerprint groupBy is
+    the only pass over full text."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.col("text"),
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        lang_id(F.col("text")).alias("lang"),
+    ).filter((F.col("n_tokens") >= 10) & (F.col("stopword_ratio") >= 0.05))
+    kept = exact_dedup(scored, text_col="text", id_col="doc_id")
+    return (
+        kept.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.count("*"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+CORPUS_PREP_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+         ROUND(COALESCE(
+           CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t) OR list_contains({_ES}, t))) AS DOUBLE)
+             / NULLIF(CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS DOUBLE), 0),
+           0.0), 6) AS stopword_ratio,
+         len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t))) AS en_hits,
+         len(list_filter({_TOKS_SQL}, t -> list_contains({_ES}, t))) AS es_hits
+  FROM documents
+), filtered AS (
+  SELECT doc_id, source, text, n_tokens,
+         CASE WHEN en_hits = 0 AND es_hits = 0 THEN 'unknown'
+              WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang
+  FROM scored
+  WHERE n_tokens >= 10 AND stopword_ratio >= 0.05
+), kept AS (
+  SELECT * FROM filtered
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY md5({_NORM_SQL}))
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+FROM kept
+GROUP BY source, lang
 """
 
 
@@ -1333,6 +1391,7 @@ QUERIES = {
     "sendas_full_pipeline": sendas_full_pipeline,
     "sessionize_events": sessionize_events,
     "text_features": text_features,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
@@ -1379,6 +1438,7 @@ ORACLES = {
     "sendas_full_pipeline": SENDAS_FULL_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "text_features": TEXT_FEATURES_SQL,
+    "corpus_prep_pipeline": CORPUS_PREP_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
