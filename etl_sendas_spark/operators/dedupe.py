@@ -102,7 +102,13 @@ def ngram_jaccard_pairs(
     (at 100 TB this is mandatory; a stopword shingle would otherwise
     produce a quadratic bucket).
     """
-    docs = _shingle_docs(df, id_col, text_col, n, out_id="doc")
+    # three consumers (sizes ×2 join sides + posting) — persist so the
+    # corpus normalizes+shingles once (spill-safe; see minhash note)
+    from pyspark import StorageLevel
+
+    docs = _shingle_docs(df, id_col, text_col, n, out_id="doc").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = docs.select("doc", F.size("sh").alias("sz"))
     posting = docs.select("doc", F.explode("sh").alias("shingle"))
 
@@ -162,10 +168,19 @@ def minhash_signatures(
     hash function).
     """
     docs = _shingle_docs(df, id_col, text_col, shingle_n)
-    # hash each shingle STRING once, then derive the family from the
-    # 64-bit value (xxhash64 over longs) — ~num_hashes× fewer string
-    # hashes and a much smaller codegen unit than hashing text per seed
-    hs = docs.select(
+    return _signatures_from_shingles(docs, id_col, num_hashes)
+
+
+def _signatures_from_shingles(
+    sh_df: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, signature) from a (id, sh) shingle frame.
+
+    Hash each shingle STRING once, then derive the family from the
+    64-bit value (xxhash64 over longs) — ~num_hashes× fewer string
+    hashes and a much smaller codegen unit than hashing text per seed.
+    """
+    hs = sh_df.select(
         F.col(id_col),
         F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs"),
     )
@@ -200,7 +215,19 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # shingle ONCE; signatures and the verification arrays both read
+    # this frame. With verification on it persists (memory-and-disk —
+    # spill-safe at scale) so the corpus is normalized+shingled a
+    # single time instead of once per consumer; the equivalent cluster
+    # pattern is materializing the shingle/signature table.
+    sh = _shingle_docs(df, id_col, text_col, shingle_n, out_id="doc")
+    if verify_threshold is not None:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_shingles(sh, "doc", num_hashes).withColumnRenamed(
+        "doc", id_col
+    )
 
     band_structs = F.array(
         *[
@@ -236,7 +263,6 @@ def minhash_lsh_candidates(
     # intersect per pair (array_intersect on two row-local arrays) —
     # O(|candidates|), vs the full inverted-index pair table which is
     # quadratic in posting-list length and was the dominant cost here
-    sh = _shingle_docs(df, id_col, text_col, shingle_n, out_id="doc")
     sa = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sa"))
     sb = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("__sb"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
