@@ -154,3 +154,40 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    output_mode: str = "append",
+    run_to_completion: bool = True,
+):
+    """Production-shaped streaming sink: ``foreachBatch`` → partitioned
+    parquet with exactly-once per-batch semantics via the checkpoint.
+
+    ``foreachBatch`` instead of the plain file sink so each micro-batch
+    can (a) write hive-partitioned (the 100 TB layout partition pruning
+    needs) and (b) run in COMPLETE/UPDATE modes too — the file sink
+    only supports append. Batch id keys idempotent overwrite on replay.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode(
+            "overwrite" if output_mode == "complete" else "append"
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    if run_to_completion:
+        q.processAllAvailable()
+        q.stop()
+    return q

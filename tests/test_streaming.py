@@ -110,3 +110,28 @@ def test_gap_anchor_stream_matches_batch(spark, events_dir):
     }
     assert len(got) == len(expect) > 0
     assert got == expect
+
+
+def test_stream_to_partitioned_parquet_sink(spark, events_dir, tmp_path):
+    """foreachBatch parquet sink: streamed rows land hive-partitioned
+    and equal the batch input exactly."""
+    from etl_sendas_spark.streaming.sessions import stream_to_partitioned_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = _read_stream(spark, events_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    stream_to_partitioned_parquet(
+        stream, out, ckpt, partition_by=["event_type"], output_mode="append"
+    )
+    import os
+
+    parts = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert len(parts) == 5, parts
+    got = spark.read.parquet(out)
+    src = _batch(spark, events_dir)
+    assert got.count() == src.count()
+    assert (
+        got.agg(F.sum("event_id")).first()[0] == src.agg(F.sum("event_id")).first()[0]
+    )
