@@ -148,6 +148,61 @@ GROUP BY l_returnflag
 """
 
 
+def a_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue by returnflag spread across linestatus columns —
+    one shuffle (Catalyst rewrites pivot into conditional aggregates,
+    exactly the formulation the oracle states)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_dec_sum(F.col("l_extendedprice")))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce("F", F.lit(0.0)).alias("sum_f"),
+        F.coalesce("O", F.lit(0.0)).alias("sum_o"),
+    )
+
+
+A_PIVOT_SQL = """
+SELECT l_returnflag,
+       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS sum_f,
+       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS sum_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def j9_update_by_row_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 directly: the pandas index-aligned ``df.update(sub)`` as a
+    row-id join + coalesce (reference :380,409,429,543,559) — orders
+    with priority re-marked for a filtered update set, others keeping
+    their value."""
+    from ..operators.relational import update_by_row_id
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    updates = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("0-RECLASSIFIED").alias("o_orderpriority")
+    )
+    out = update_by_row_id(
+        orders, updates, value_col="o_orderpriority", row_id="o_orderkey"
+    )
+    return out.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+J9_UPDATE_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+"""
+
+
 def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P-family predicates: contains / NOT-startswith / rlike / IN /
     numeric compare, then projection (reference :109-111,212,448)."""
@@ -1364,6 +1419,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "a_rollup_revenue": a_rollup_revenue,
     "a_exact_percentiles": a_exact_percentiles,
+    "a_pivot_revenue": a_pivot_revenue,
+    "j9_update_by_row_id": j9_update_by_row_id,
     "p_filter_project": p_filter_project,
     "j_broadcast_enrich": j_broadcast_enrich,
     "j_anti_all_columns": j_anti_all_columns,
@@ -1411,6 +1468,8 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "a_rollup_revenue": A_ROLLUP_SQL,
     "a_exact_percentiles": A_PCTL_SQL,
+    "a_pivot_revenue": A_PIVOT_SQL,
+    "j9_update_by_row_id": J9_UPDATE_SQL,
     "p_filter_project": P_FILTER_SQL,
     "j_broadcast_enrich": J_BROADCAST_SQL,
     "j_anti_all_columns": J_ANTI_SQL,
