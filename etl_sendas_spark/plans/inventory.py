@@ -448,9 +448,16 @@ QUALIFY rank <= 3
 def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-spec window: running quantity per supplier in ship order."""
     li = _t(spark, sf_dir, "lineitem")
+    # l_quantity in the order: (shipdate, orderkey, linenumber) is NOT
+    # unique in the synthetic data (dup rows differ in quantity), and a
+    # ROWS running sum under a non-total order is engine-dependent —
+    # surfaced by the sf0.1 strict audit, invisible at sf0.01
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"))
+        .orderBy(
+            F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
+            F.col("l_quantity"),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return li.select(
@@ -467,7 +474,7 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 W_RUNNING_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
-         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
 FROM lineitem
 """

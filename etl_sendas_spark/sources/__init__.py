@@ -1,5 +1,6 @@
 from .readers import (
     read_table,
+    global_row_number,
     read_excel_dim,
     read_csv,
     with_row_id,
@@ -11,6 +12,7 @@ from .sinks import write_csv, write_excel, write_parquet
 
 __all__ = [
     "read_table",
+    "global_row_number",
     "read_excel_dim",
     "read_csv",
     "with_row_id",

@@ -4,6 +4,7 @@ from .sessions import (
     session_window_agg,
     gap_anchor_mark_stream,
     run_stream_to_memory,
+    stream_to_partitioned_parquet,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "session_window_agg",
     "gap_anchor_mark_stream",
     "run_stream_to_memory",
+    "stream_to_partitioned_parquet",
 ]
