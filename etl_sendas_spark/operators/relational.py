@@ -21,6 +21,7 @@ the declared keys and Catalyst/AQE pick physical strategies.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -169,6 +170,49 @@ def asof_join(
             F.col("__asof_ts").alias(out_alias),
         )
     )
+
+
+def bounded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_left: str,
+    ts_right: str,
+    lower_s: int,
+    upper_s: int,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Inner join on ``right.ts ∈ (left.ts + lower_s, left.ts + upper_s]``
+    (seconds), with optional extra equi-keys — WITHOUT the
+    BroadcastNestedLoopJoin a bare inequality predicate compiles to.
+
+    Both sides bucket time by ``width = upper_s - lower_s``; the left
+    row explodes to the ≤ 2 buckets its window can touch, so the range
+    condition becomes a hash-equi join on (bucket, *on) plus an exact
+    row-local filter. Cost is one shuffle per side and each pair is
+    examined at most once — the standard interval-join layout of
+    stream processors, usable in batch and Structured Streaming alike.
+    """
+    width = int(upper_s - lower_s)
+    if width <= 0:
+        raise ValueError("upper_s must exceed lower_s")
+    # fractional-second epoch for bucketing (unix_timestamp truncates —
+    # a sub-second event at a bucket edge would land one bucket short);
+    # the exact filter below uses native timestamp + INTERVAL arithmetic
+    l_epoch = F.col(ts_left).cast("double")
+    r_epoch = F.col(ts_right).cast("double")
+    lo = F.floor((l_epoch + lower_s) / width).cast("long")
+    hi = F.floor((l_epoch + upper_s) / width).cast("long")
+    lhs = left.withColumn("__bucket", F.explode(F.sequence(lo, hi)))
+    rhs = right.withColumn("__bucket", F.floor(r_epoch / width).cast("long"))
+    cond = [lhs["__bucket"] == rhs["__bucket"]] + [
+        lhs[k] == rhs[k] for k in on
+    ]
+    joined = lhs.join(rhs, functools.reduce(lambda a, b: a & b, cond), "inner")
+    l_ts, r_ts = lhs[ts_left], rhs[ts_right]
+    in_range = (
+        r_ts > l_ts + F.expr(f"INTERVAL {lower_s} SECONDS")
+    ) & (r_ts <= l_ts + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    return joined.filter(in_range).drop(lhs["__bucket"]).drop(rhs["__bucket"])
 
 
 def keep_first_salted(

@@ -681,6 +681,45 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type
 """
 
 
+def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join WITHOUT an equi-key: every purchase within 10
+    minutes after any signup, across all users. A bare inequality join
+    compiles to BroadcastNestedLoopJoin (quadratic); time-bucketing
+    turns it into a hash join on the bucket — the interval-join layout
+    (pytest asserts no nested-loop in the plan)."""
+    from ..operators.relational import bounded_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("signup_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    pairs = bounded_range_join(
+        signups, purchases, ts_left="signup_ts", ts_right="purchase_ts",
+        lower_s=0, upper_s=600,
+    )
+    # integer microseconds: a double epoch difference at ~1.7e9 s sits
+    # at the mantissa edge and the two engines round differently
+    return pairs.select(
+        "signup_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias(
+            "delay_us"
+        ),
+    )
+
+
+J_RANGE_SQL = """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.ts > s.ts AND p.ts <= s.ts + INTERVAL 10 MINUTES
+"""
+
+
 def d_keep_first_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key dedup: first event per event_type (5 distinct values —
     the skew case where a plain window funnels everything into 5
@@ -1268,7 +1307,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(stage)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return stream
 
@@ -1444,6 +1483,7 @@ QUERIES = {
     "r2_dual_key_mark": r2_dual_key_mark,
     "w_running_sum": w_running_sum,
     "j_asof_events": j_asof_events,
+    "j_range_bucketed": j_range_bucketed,
     "d_keep_first_salted": d_keep_first_salted,
     "o_global_topk": o_global_topk,
     "scalar_dates_ages": scalar_dates_ages,
@@ -1493,6 +1533,7 @@ ORACLES = {
     "r2_dual_key_mark": R2_SQL,
     "w_running_sum": W_RUNNING_SQL,
     "j_asof_events": J_ASOF_SQL,
+    "j_range_bucketed": J_RANGE_SQL,
     "d_keep_first_salted": D_SALTED_SQL,
     "o_global_topk": O_GLOBAL_TOPK_SQL,
     "scalar_dates_ages": SCALAR_DATES_SQL,

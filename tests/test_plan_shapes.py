@@ -71,6 +71,17 @@ def test_keep_first_is_single_shuffle(spark):
     assert _shuffles(plan) == 1, plan
 
 
+def test_range_join_is_hash_not_nested_loop(spark):
+    """The bucketed range join must compile to a hash-equi join on the
+    bucket — never the quadratic BroadcastNestedLoopJoin a raw
+    inequality predicate produces."""
+    from etl_sendas_spark.plans.inventory import j_range_bucketed
+
+    plan = _plan(j_range_bucketed(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_asof_join_is_single_shuffle(spark):
     """The union+last-carry as-of join must cost exactly one hash
     shuffle (the per-key window) — no range-join explosion, no

@@ -36,14 +36,14 @@ def _read_stream(spark, events_dir):
     schema = spark.read.parquet(events_dir).schema
     df = spark.readStream.schema(schema).parquet(events_dir)
     if dict(df.dtypes).get("ts") == "bigint":  # nanosAsLong normalization
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
 def _batch(spark, events_dir):
     df = spark.read.parquet(events_dir)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
