@@ -30,6 +30,7 @@ HEADLINE = [
     "r1_capped_mark",
     "r7_gap_mark",
     "j_asof_events",
+    "j_range_bucketed",
     "d_keep_first_salted",
     "sessionize_events",
     "streaming_session_windows",
