@@ -1292,11 +1292,18 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table. FileStreamSource requires a
     DIRECTORY source and the testdata is one parquet file per table, so
     stage a symlink dir (testdata itself is read-only)."""
+    import hashlib
     import tempfile
 
+    from ..sources.readers import ensure_nanos_readable
+
+    ensure_nanos_readable(spark)
     path = os.path.join(sf_dir, "events.parquet")
+    # md5 of the path, NOT Python hash(): hash() is seed-randomized per
+    # process, so it would mint a fresh /tmp staging dir on every run.
     stage = os.path.join(
-        tempfile.gettempdir(), f"stream_events_{abs(hash(path))}"
+        tempfile.gettempdir(),
+        f"stream_events_{hashlib.md5(path.encode()).hexdigest()[:12]}",
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")

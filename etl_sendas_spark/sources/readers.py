@@ -102,6 +102,24 @@ def widen_to_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make Parquet TIMESTAMP(NANOS) columns readable on ANY session.
+
+    The driver testdata's ``events.parquet`` stores ``ts`` as
+    ``timestamp[ns]``; vanilla Spark refuses to read it
+    (``PARQUET_TYPE_ILLEGAL``) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case the
+    column arrives as a nanosecond ``bigint``. The conf is a runtime
+    SQL conf, so set it at read time rather than relying on session
+    construction — every reader in this module is then self-contained
+    and works under a harness-built SparkSession, not just
+    :func:`etl_sendas_spark.session.get_spark`."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf locked (never on OSS Spark)
+        pass
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, widen: bool = True
 ) -> DataFrame:
@@ -112,6 +130,7 @@ def read_table(
     Pass ``widen=False`` when the caller immediately repartitions anyway
     (e.g. a range repartition for row numbering) — the widening exchange
     would be thrown away."""
+    ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

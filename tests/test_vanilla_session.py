@@ -1,0 +1,61 @@
+"""Session-config decoupling: every reader must work on a SparkSession
+the ENGINE did not build.
+
+Round-1 regression: the driver's harness constructs its own vanilla
+``SparkSession`` (no ``spark.sql.legacy.parquet.nanosAsLong``), and the
+testdata's ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS) — a bare
+``spark.read.parquet`` throws ``PARQUET_TYPE_ILLEGAL``, which took down
+all 10 events-backed driver queries. ``read_table`` /
+``_stream_events`` now set the conf at read time; these tests pin that.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+SF = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Runs in a FRESH interpreter + JVM with a session built exactly the way
+# the driver harness builds one: bare builder, no engine confs at all.
+_BARE_SESSION_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("vanilla")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+
+from etl_sendas_spark.sources.readers import read_table
+from __spark_entry__ import queries
+
+ev = read_table(spark, {sf!r}, "events")
+assert dict(ev.dtypes)["ts"] == "timestamp", dict(ev.dtypes)
+assert ev.count() > 0
+
+# one full events-backed driver query end-to-end on the vanilla session
+res = queries()["j_asof_events"](spark, {sf!r})
+n = res.count()
+assert n > 0, n
+print("VANILLA_OK", n)
+"""
+
+
+def test_events_reads_on_vanilla_session():
+    script = _BARE_SESSION_SCRIPT.format(repo=REPO, sf=SF)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "VANILLA_OK" in proc.stdout
