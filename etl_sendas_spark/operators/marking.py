@@ -166,12 +166,29 @@ def sessionize(
     ts_col: str,
     gap: str = "INTERVAL 30 MINUTES",
     session_col: str = "session_id",
+    order_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Batch sessionization: new session when the gap to the PREVIOUS
     event exceeds ``gap``. lag + running sum — one shuffle, window-only,
     SQL-expressible (the DuckDB oracle uses the same formulation).
+
+    ``order_by`` is the REQUIRED-in-spirit tiebreak after ``ts_col``:
+    without a total order, two same-timestamp events in one group can
+    land in different sessions per engine run (and diverge from the
+    oracle, which tiebreaks on the event id). Defaults to ``__row_id``
+    when present; raises if no tiebreak column can be found rather than
+    silently ordering by ``(ts, ts)``.
     """
-    w = Window.partitionBy(*_cols(group_keys)).orderBy(F.col(ts_col), F.col(ROW_ID) if ROW_ID in df.columns else F.col(ts_col))
+    if order_by:
+        tiebreaks = _cols(order_by)
+    elif ROW_ID in df.columns:
+        tiebreaks = [F.col(ROW_ID)]
+    else:
+        raise ValueError(
+            "sessionize needs a total order: pass order_by=[<unique id col>] "
+            f"or attach {ROW_ID} (with_row_id) before sessionizing"
+        )
+    w = Window.partitionBy(*_cols(group_keys)).orderBy(F.col(ts_col), *tiebreaks)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = (
         prev_ts.isNull() | (F.col(ts_col) > prev_ts + F.expr(gap))

@@ -33,6 +33,19 @@ def _cols(cs: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cs]
 
 
+def _order_nulls_last(cs: Sequence[str | Column]) -> list[Column]:
+    """Order columns with NULLS LAST for plain-name ascending sorts.
+
+    Spark's default ascending sort is NULLS FIRST; both the pandas
+    reference (``sort_values`` puts NaN last) and the DuckDB oracles
+    (ASC is NULLS LAST) sort nulls last — a null in an order column
+    would otherwise pick a different surviving row than reference and
+    oracle. Explicit Column objects pass through untouched (the
+    caller's asc/desc/nulls choice wins).
+    """
+    return [F.col(c).asc_nulls_last() if isinstance(c, str) else c for c in cs]
+
+
 def keep_first(
     df: DataFrame,
     keys: Sequence[str],
@@ -42,9 +55,10 @@ def keep_first(
 
     One shuffle on ``keys``; at scale this is the canonical
     window-dedup (AQE handles skewed keys). Nulls group together,
-    matching pandas' default treatment in the reference's dedups.
+    matching pandas' default treatment in the reference's dedups;
+    null ORDER values sort last (pandas/DuckDB semantics).
     """
-    order = _cols(order_by) if order_by else [F.col(ROW_ID)]
+    order = _order_nulls_last(order_by) if order_by else [F.col(ROW_ID)]
     w = Window.partitionBy(*_cols(keys)).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -59,8 +73,10 @@ def first_flag(
     order_by: Sequence[str | Column] | None = None,
     flag_col: str = "validacion",
 ) -> DataFrame:
-    """1 for the first row per key, 0 for the rest (reference A4, :556)."""
-    order = _cols(order_by) if order_by else [F.col(ROW_ID)]
+    """1 for the first row per key, 0 for the rest (reference A4, :556).
+
+    Null order values sort last, mirroring :func:`keep_first`."""
+    order = _order_nulls_last(order_by) if order_by else [F.col(ROW_ID)]
     w = Window.partitionBy(*_cols(keys)).orderBy(*order)
     return df.withColumn(
         flag_col, F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(F.lit(0))

@@ -999,7 +999,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     of streaming session_window."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     out = sessionize(
-        ev, group_keys=["user_id"], ts_col="ts", gap="INTERVAL 30 MINUTES"
+        ev, group_keys=["user_id"], ts_col="ts", gap="INTERVAL 30 MINUTES",
+        order_by=["event_id"],  # total order — matches SESSIONIZE_SQL's tiebreak
     )
     return out.select("event_id", "user_id", "session_id")
 

@@ -428,3 +428,64 @@ def test_anti_join_all_columns_null_safe(spark):
 )
 def test_split_name_py_branches(name, expect):
     assert split_name_py(name) == expect
+
+
+# ---------------------------------------------------------------------------
+# null ordering: keep_first/first_flag sort nulls LAST (pandas/DuckDB)
+# ---------------------------------------------------------------------------
+
+def test_keep_first_nulls_last(spark, duck):
+    from etl_sendas_spark.operators.relational import first_flag, keep_first
+
+    rows = [
+        (1, None, "null-row"),
+        (1, "b", "b-row"),
+        (1, "a", "a-row"),
+        (2, None, "only-null"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ord", "payload"])
+    got = {r["k"]: r["payload"] for r in keep_first(df, ["k"], order_by=["ord"]).collect()}
+    # DuckDB ASC = NULLS LAST, same data
+    duck.execute("CREATE OR REPLACE TABLE t_nl(k INT, ord VARCHAR, payload VARCHAR)")
+    duck.executemany("INSERT INTO t_nl VALUES (?,?,?)", rows)
+    want = dict(duck.execute(
+        "SELECT k, payload FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY ord) rn FROM t_nl) WHERE rn=1"
+    ).fetchall())
+    assert got == want == {1: "a-row", 2: "only-null"}
+
+    flags = {
+        (r["k"], r["payload"]): r["validacion"]
+        for r in first_flag(df, ["k"], order_by=["ord"]).collect()
+    }
+    assert flags[(1, "a-row")] == 1 and flags[(1, "null-row")] == 0
+
+
+# ---------------------------------------------------------------------------
+# sessionize: explicit tiebreak required; same-ts events deterministic
+# ---------------------------------------------------------------------------
+
+def test_sessionize_tiebreak_total_order(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from etl_sendas_spark.operators.marking import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # two same-ts events, then one past the gap
+        (2, 100, t0),
+        (1, 100, t0),
+        (3, 100, t0 + datetime.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = sessionize(
+        df, ["user_id"], "ts", gap="INTERVAL 30 MINUTES", order_by=["event_id"]
+    )
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+    # no tiebreak and no row id → refuse rather than (ts, ts) order
+    with _pytest.raises(ValueError):
+        sessionize(df, ["user_id"], "ts")
