@@ -284,16 +284,35 @@ def minhash_lsh_candidates(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
-) -> DataFrame:
-    """64-bit SimHash per document, all JVM-side.
+def portable_hash60(col: Column) -> Column:
+    """60-bit engine-portable hash: first 15 hex chars of md5.
 
-    Each token hashes once (xxhash64); per bit position the ±1 votes
-    sum in a single groupBy(id) with ``bits`` sum-aggregates; the sign
-    vector folds back into one BIGINT fingerprint. Near-dups are then
-    pairs within small Hamming distance — bucket on bit-slices of the
+    Always positive in a signed 64-bit long, and computable identically
+    in DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — which is
+    what makes SimHash fingerprints and IVF centroid selection
+    oracle-verifiable end-to-end. Use xxhash64 when portability is not
+    needed (≈3× cheaper per token)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document (``bits`` wide, ≤64), all JVM-side.
+
+    Each token hashes once; per bit position the ±1 votes sum in a
+    single groupBy(id) with ``bits`` sum-aggregates; the sign vector
+    folds back into one BIGINT fingerprint. Near-dups are then pairs
+    within small Hamming distance — bucket on bit-slices of the
     fingerprint for the LSH variant.
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest) or ``"md5_60"`` —
+    the portable 60-bit md5 prefix (:func:`portable_hash60`), which a
+    SQL oracle can recompute exactly; pair it with ``bits=60``.
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -301,7 +320,10 @@ def simhash_fingerprints(
             F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = toks.withColumn("h", F.xxhash64("tok"))
+    if hash_fn == "md5_60":
+        h = toks.withColumn("h", portable_hash60(F.col("tok")))
+    else:
+        h = toks.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -378,12 +400,27 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def sign_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random-hyperplane set for sign-LSH bucketing.
+
+    Shared by the Spark operator AND the DuckDB oracle-SQL builder
+    (plans/inventory.py embeds these exact float literals), so the
+    bucketing is verifiable end-to-end: same seed → same planes → same
+    signatures → same pair set.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
     bucket_planes: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold over an embedding column.
 
@@ -410,11 +447,9 @@ def embedding_near_dup_pairs(
     vecs = vecs.withColumn("nrm", _norm(F.col("v"))).filter(F.col("nrm") > 0)
 
     if bucket_planes > 0:
-        dim = len(vecs.select("v").first()["v"])
-        import random
-
-        rng = random.Random(42)
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bucket_planes)]
+        if dim is None:
+            dim = len(vecs.select("v").first()["v"])
+        planes = sign_planes(dim, bucket_planes)
         sig = None
         for i, p in enumerate(planes):
             plane = F.array(*[F.lit(x) for x in p])
@@ -451,10 +486,13 @@ def embedding_near_dup_pairs(
     b_mat = spark.sparkContext.broadcast(mat)
     thr = float(threshold)
 
+    # pair-id dtype follows the input id column (string ids work too),
+    # not a hardcoded LongType
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
@@ -475,8 +513,8 @@ def embedding_near_dup_pairs(
             keep = ia < ib  # emit each unordered pair once, no self-pairs
             yield pd.DataFrame(
                 {
-                    "id_a": ia[keep].astype("int64"),
-                    "id_b": ib[keep].astype("int64"),
+                    "id_a": ia[keep],
+                    "id_b": ib[keep],
                     "cosine": sims[qi, ci][keep],
                 }
             )

@@ -103,14 +103,16 @@ def ivf_cosine_topk(
     """Approximate top-k via an inverted-file (IVF) index.
 
     Centroids are a deterministic sample of the corpus itself (the
-    ``n_centroids`` lowest ``xxhash64(id)`` values — reproducible, no
-    RNG, no k-means iterations; at 100 TB one would run a few Lloyd
-    rounds with the same DataFrame ops). Every corpus vector is
-    assigned to its nearest centroid by cosine (one broadcast pass);
-    each query scores only its ``n_probe`` nearest clusters. Scanned
-    fraction ≈ n_probe / n_centroids, recall degrades smoothly as
-    n_probe shrinks.
+    ``n_centroids`` lowest *portable* hash values of the id — md5-60,
+    reproducible across engines so the DuckDB oracle rebuilds the
+    identical index; no RNG, no k-means iterations — at 100 TB one
+    would run a few Lloyd rounds with the same DataFrame ops). Every
+    corpus vector is assigned to its nearest centroid by cosine (one
+    broadcast pass); each query scores only its ``n_probe`` nearest
+    clusters. Scanned fraction ≈ n_probe / n_centroids, recall degrades
+    smoothly as n_probe shrinks.
     """
+    from .dedupe import portable_hash60
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
@@ -119,7 +121,7 @@ def ivf_cosine_topk(
     ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
 
     cents = (
-        c.withColumn("__h", F.xxhash64("neighbor_id"))
+        c.withColumn("__h", portable_hash60(F.col("neighbor_id").cast("string")))
         .orderBy("__h")
         .limit(n_centroids)
         .select(

@@ -158,6 +158,35 @@ def _pandas_read_excel(path_or_bytes, sheet: str | int = 0, header_row: int | No
     return pd.read_excel(path_or_bytes, sheet_name=sheet, header=header_row, dtype=str)
 
 
+def onedrive_download_url(url: str) -> str:
+    """Rewrite a OneDrive share link to direct-download form, exactly as
+    the reference does (``url.split('?')[0] + '?download=1'``,
+    capital_sendas.py:42)."""
+    return url.split("?")[0] + "?download=1"
+
+
+def dim_frame_to_spark(
+    spark: SparkSession, pdf, promote_first_row: bool = False
+) -> DataFrame:
+    """The S1 normalization applied to a parsed Excel sheet, factored out
+    of :func:`read_excel_dim` so the semantics stay testable (and
+    oracle-checkable) in environments without openpyxl:
+
+    - ``promote_first_row``: the production reports carry their header
+      in the first data row (capital_sendas.py:100-102) — promote it
+      and drop that row;
+    - every column to string (the reference reads with ``dtype=str``);
+    - NaN/NA → SQL NULL.
+    """
+    pdf = pdf.copy()
+    if promote_first_row:
+        pdf.columns = [str(c) for c in pdf.iloc[0]]
+        pdf = pdf.iloc[1:].reset_index(drop=True)
+    pdf.columns = [str(c) for c in pdf.columns]
+    pdf = pdf.astype("string")
+    return spark.createDataFrame(pdf.where(pdf.notna(), None))
+
+
 def read_excel_dim(
     spark: SparkSession,
     source: str,
@@ -189,7 +218,7 @@ def read_excel_dim(
     if re.match(r"^https?://", source):
         import urllib.request
 
-        url = source.split("?")[0] + "?download=1"
+        url = onedrive_download_url(source)
         with urllib.request.urlopen(url) as resp:  # pragma: no cover - network
             if resp.status != 200:
                 raise IOError(f"download failed: HTTP {resp.status}")
@@ -198,11 +227,7 @@ def read_excel_dim(
     else:
         pdf = _pandas_read_excel(source, sheet, header_row)
 
-    if promote_first_row:
-        pdf.columns = [str(c) for c in pdf.iloc[0]]
-        pdf = pdf.iloc[1:].reset_index(drop=True)
-    pdf.columns = [str(c) for c in pdf.columns]
-    return spark.createDataFrame(pdf.astype("string").where(pdf.notna(), None))
+    return dim_frame_to_spark(spark, pdf, promote_first_row)
 
 
 def filename_partition(df: DataFrame) -> DataFrame:

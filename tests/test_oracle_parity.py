@@ -56,3 +56,19 @@ def test_every_query_runs(spark):
         df = fn(spark, SF_ORACLE)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_embedding_near_dup_bucketed_parity(spark, duck):
+    """The scale path (sign-LSH buckets, no driver collect) must match
+    its DuckDB mirror, which embeds the same plane constants."""
+    from etl_sendas_spark.plans.inventory import (
+        EMB_NEAR_DUP_BUCKETED_SQL,
+        embedding_near_dup_bucketed,
+    )
+
+    srows = sorted(
+        tuple(r) for r in embedding_near_dup_bucketed(spark, SF_ORACLE).collect()
+    )
+    orows = sorted(tuple(r) for r in duck.execute(EMB_NEAR_DUP_BUCKETED_SQL).fetchall())
+    assert srows == orows
+    assert len(srows) > 0
