@@ -34,10 +34,12 @@ HEADLINE = [
     "d_keep_first_salted",
     "sessionize_events",
     "streaming_session_windows",
+    "streaming_gap_anchor_mark",
     "text_features",
     "corpus_prep_pipeline",
     "dedup_minhash_lsh_docs",
     "embedding_near_dup",
+    "embedding_near_dup_bucketed",
     "ann_cosine_topk",
     "sendas_full_pipeline",
 ]

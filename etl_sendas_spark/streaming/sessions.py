@@ -107,29 +107,47 @@ def gap_anchor_mark_stream(
         ]
     )
 
+    out_cols = list(group_keys) + [id_col, ts_col, "validacion"]
+    day_ms = 86_400_000
+    gap = int(gap_days)
+
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        # same numpy formulation as the batch fold (operators/marking.py)
+        # — one datetime conversion per chunk and plain int64 compares in
+        # the loop, no per-row pandas Series construction (iterrows)
         anchor = state.get[0] if state.exists else None
-        rows = []
+        has = anchor is not None
+        a = anchor if has else 0
+        chunks = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             # same tiebreak as the batch fold (ts, then id) so ties
             # within a timestamp mark identically in both engines
             pdf = pdf.sort_values([ts_col, id_col])
-            for _, r in pdf.iterrows():
-                t_ms = int(pd.Timestamp(r[ts_col]).value // 1_000_000)
+            ts_ms = (
+                pd.to_datetime(pdf[ts_col], errors="coerce").values.astype("int64")
+                // 1_000_000
+            )
+            flags = np.zeros(len(pdf), dtype="int32")
+            for i in range(len(pdf)):
+                t = int(ts_ms[i])
                 # floor-days comparison, matching the batch fold's
                 # Timedelta.days semantics (3 days + 1 hour → 3 → no mark)
-                if anchor is None or (t_ms - anchor) // 86_400_000 > gap_days:
-                    mark = 1
-                    anchor = t_ms
-                else:
-                    mark = 0
-                rows.append(
-                    tuple(key) + (r[id_col], r[ts_col], mark)
-                )
-        state.update((anchor,))
-        yield pd.DataFrame(
-            rows, columns=list(group_keys) + [id_col, ts_col, "validacion"]
-        )
+                if not has or (t - a) // day_ms > gap:
+                    flags[i] = 1
+                    a = t
+                    has = True
+            res = pdf[[id_col, ts_col]].copy()
+            for k_name, k_val in zip(group_keys, key):
+                res[k_name] = k_val
+            res["validacion"] = flags
+            chunks.append(res[out_cols])
+        state.update((a if has else None,))
+        if chunks:
+            yield pd.concat(chunks, ignore_index=True)
 
     return events.groupBy(*group_keys).applyInPandasWithState(
         fold,
@@ -165,21 +183,35 @@ def stream_to_partitioned_parquet(
     run_to_completion: bool = True,
 ):
     """Production-shaped streaming sink: ``foreachBatch`` → partitioned
-    parquet with exactly-once per-batch semantics via the checkpoint.
+    parquet, idempotent under micro-batch replay.
 
     ``foreachBatch`` instead of the plain file sink so each micro-batch
     can (a) write hive-partitioned (the 100 TB layout partition pruning
     needs) and (b) run in COMPLETE/UPDATE modes too — the file sink
-    only supports append. Batch id keys idempotent overwrite on replay.
+    only supports append.
+
+    ``foreachBatch`` is at-least-once: a batch replayed after a crash
+    before the checkpoint commit runs ``write_batch`` again. In append
+    mode each batch therefore overwrites its OWN ``batch_id=<n>``
+    partition directory — the replay rewrites identical data instead of
+    appending a duplicate, making the sink effectively exactly-once.
+    Readers discover ``batch_id`` as a partition column (read with
+    ``spark.read.parquet(path)`` and drop it, or prune on it for
+    incremental downstream loads). Complete mode overwrites the whole
+    output per batch, which is already idempotent.
     """
+    import os
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        writer = batch_df.write.mode(
-            "overwrite" if output_mode == "complete" else "append"
-        )
+        if output_mode == "complete":
+            writer = batch_df.write.mode("overwrite")
+            target = path
+        else:
+            writer = batch_df.write.mode("overwrite")
+            target = os.path.join(path, f"batch_id={batch_id}")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        writer.parquet(target)
 
     q = (
         stream_df.writeStream.outputMode(output_mode)

@@ -114,7 +114,8 @@ def test_gap_anchor_stream_matches_batch(spark, events_dir):
 
 def test_stream_to_partitioned_parquet_sink(spark, events_dir, tmp_path):
     """foreachBatch parquet sink: streamed rows land hive-partitioned
-    and equal the batch input exactly."""
+    under a batch_id idempotence key and equal the batch input exactly;
+    a replayed batch rewrites its directory instead of duplicating."""
     from etl_sendas_spark.streaming.sessions import stream_to_partitioned_parquet
 
     out = str(tmp_path / "out")
@@ -127,7 +128,14 @@ def test_stream_to_partitioned_parquet_sink(spark, events_dir, tmp_path):
     )
     import os
 
-    parts = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    batches = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert batches, os.listdir(out)
+    parts = {
+        d
+        for b in batches
+        for d in os.listdir(os.path.join(out, b))
+        if d.startswith("event_type=")
+    }
     assert len(parts) == 5, parts
     got = spark.read.parquet(out)
     src = _batch(spark, events_dir)
@@ -135,3 +143,11 @@ def test_stream_to_partitioned_parquet_sink(spark, events_dir, tmp_path):
     assert (
         got.agg(F.sum("event_id")).first()[0] == src.agg(F.sum("event_id")).first()[0]
     )
+
+    # replay idempotence: restart from a FRESH checkpoint (the previous
+    # run's batches replay with the same ids) — row count must not grow
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream_to_partitioned_parquet(
+        stream, out, ckpt2, partition_by=["event_type"], output_mode="append"
+    )
+    assert spark.read.parquet(out).count() == src.count()
