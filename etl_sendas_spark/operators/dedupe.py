@@ -100,7 +100,12 @@ def ngram_jaccard_pairs(
     key is the shingle, so common shingles dominate cost —
     ``max_posting`` drops shingles whose posting list exceeds the cap
     (at 100 TB this is mandatory; a stopword shingle would otherwise
-    produce a quadratic bucket).
+    produce a quadratic bucket). When the cap fires, Jaccard is
+    computed over the capped shingle universe on BOTH sides of the
+    ratio (sizes come from the filtered posting table), so the score
+    stays an unbiased Jaccard of the reduced sets rather than a
+    numerator/denominator mismatch that silently pushes true pairs
+    below threshold.
     """
     # three consumers (sizes ×2 join sides + posting) — persist so the
     # corpus normalizes+shingles once (spill-safe; see minhash note)
@@ -109,7 +114,6 @@ def ngram_jaccard_pairs(
     docs = _shingle_docs(df, id_col, text_col, n, out_id="doc").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = docs.select("doc", F.size("sh").alias("sz"))
     posting = docs.select("doc", F.explode("sh").alias("shingle"))
 
     if max_posting is not None:
@@ -119,6 +123,15 @@ def ngram_jaccard_pairs(
         posting = posting.withColumn("__df", F.count("*").over(cnt)).filter(
             F.col("__df") <= max_posting
         ).drop("__df")
+        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # sizes from the SAME (possibly capped) posting universe as the
+    # intersections: if high-df shingles are dropped from n_common they
+    # must drop from |A|/|B| too, or the Jaccard denominator is
+    # inconsistent with the numerator and true pairs get biased BELOW
+    # threshold (silent false negatives, not just candidate pruning).
+    # With no cap hit this is exactly size(sh).
+    sizes = posting.groupBy("doc").agg(F.count("*").alias("sz"))
 
     a = posting.alias("a")
     b = posting.alias("b")

@@ -489,3 +489,26 @@ def test_sessionize_tiebreak_total_order(spark):
     # no tiebreak and no row id → refuse rather than (ts, ts) order
     with _pytest.raises(ValueError):
         sessionize(df, ["user_id"], "ts")
+
+
+# ---------------------------------------------------------------------------
+# capped-posting Jaccard: numerator and denominator share one universe
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_capped_universe_consistent(spark):
+    from etl_sendas_spark.operators.dedupe import ngram_jaccard_pairs
+
+    rows = [
+        (1, "x y z q w"),
+        (2, "x y z q e"),
+        (3, "x y z r t"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # "x y z" appears in all 3 docs -> dropped at max_posting=2; the
+    # surviving universe gives J(1,2) = 1/(2+2-1) = 0.333333 (a biased
+    # denominator over the FULL sets would give 1/5 = 0.2 and miss it)
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.3, max_posting=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert got == {(1, 2): 0.333333}
