@@ -508,11 +508,30 @@ def run_pipeline(
     parse_dates: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full DAG: ingest filters → parse/cast → enrich → rules → project.
-    Returns (capital_sendas, comprobar)."""
-    fact = ingest_filters(fact)
-    fact = parse_and_filter_month(fact, mes, parse_dates=parse_dates)
-    if ROW_ID not in fact.columns:
-        fact = with_row_id(fact)
-    fact = enrich(fact, codigos, tipologia, anexos, bases)
-    fact = apply_rules(fact)
-    return finalize(fact), comprobar(fact)
+    Returns (capital_sendas, comprobar).
+
+    Execution is driven by :data:`.lineage.STAGES` — the importable
+    mirror of the reference's own metadata graph
+    (``grafo_sendas.html:586``), so every named stage here traces to
+    the graph nodes it realizes (tables, Condicion_*, Regla_*,
+    Calculo_*). See :mod:`etl_sendas_spark.plans.lineage`.
+    """
+    from .lineage import STAGES
+
+    impls = {
+        "ingest_filters": ingest_filters,
+        "parse_and_filter_month": lambda df: parse_and_filter_month(
+            df, mes, parse_dates=parse_dates
+        ),
+        "enrich": lambda df: enrich(df, codigos, tipologia, anexos, bases),
+        "apply_rules": apply_rules,
+        "finalize": finalize,
+    }
+    for stage in STAGES:
+        if stage.name == "enrich" and ROW_ID not in fact.columns:
+            # the rule engine threads row identity from here on
+            fact = with_row_id(fact)
+        if stage.name == "finalize":
+            return impls[stage.name](fact), comprobar(fact)
+        fact = impls[stage.name](fact)
+    raise RuntimeError("lineage.STAGES must end with the finalize stage")
