@@ -102,6 +102,39 @@ def widen_to_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _parse_bytes(v: str) -> int:
+    m = re.match(r"^(\d+)\s*([kmgt]?)b?$", v.strip().lower())
+    if not m:
+        return 128 * 1024 * 1024
+    return int(m.group(1)) * (1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)])
+
+
+def estimated_scan_splits(spark: SparkSession, path: str) -> int | None:
+    """Estimate how many input splits a parquet scan of ``path`` plans,
+    WITHOUT materializing the query's RDD lineage (``df.rdd
+    .getNumPartitions()`` costs a full plan conversion per call — a
+    measurable slice of small-query latency). Mirrors Spark's file-split
+    planning: ceil(total bytes / maxPartitionBytes). Returns None for
+    paths the driver cannot stat locally (remote filesystems) — callers
+    then fall back to the exact RDD check."""
+    if not os.path.exists(path):
+        return None
+    max_bytes = _parse_bytes(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    )
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+    else:
+        total = os.path.getsize(path)
+    return max(1, -(-total // max_bytes))
+
+
 def ensure_nanos_readable(spark: SparkSession) -> None:
     """Make Parquet TIMESTAMP(NANOS) columns readable on ANY session.
 
@@ -131,11 +164,16 @@ def read_table(
     (e.g. a range repartition for row numbering) — the widening exchange
     would be thrown away."""
     ensure_nanos_readable(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if widen and name in FACT_TABLES:
-        df = widen_to_parallelism(df)
+        est = estimated_scan_splits(spark, path)
+        if est is None:
+            df = widen_to_parallelism(df)
+        elif est < spark.sparkContext.defaultParallelism:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
