@@ -6,8 +6,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall time of the headline set; per-query
-timings are the fully-executed (count()-driven) latencies including
-Python planning, after one warmup of the session.
+timings drive the full plan through the ``noop`` sink — every output
+column is materialized JVM-side and discarded (a bare ``count()``
+would let Catalyst prune computed columns out of scan-shaped
+queries) — including Python planning, after one warmup of the session.
 """
 
 from __future__ import annotations
@@ -61,7 +63,7 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

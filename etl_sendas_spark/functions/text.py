@@ -81,6 +81,68 @@ def lang_id(col: Column | str) -> Column:
     )
 
 
+# PII patterns deliberately restricted to syntax with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, \b — no lookaround, no backreferences. Order matters only
+# for overlapping shapes; these three are mutually exclusive.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace email / SSN-shaped / phone-shaped spans with typed tags.
+
+    One chained ``regexp_replace`` per pattern — pure JVM expressions,
+    so redaction runs at scan speed over a 100 TB corpus with no Python
+    and no shuffle. Spark's regexp_replace is global by default (the
+    DuckDB mirror needs the explicit ``'g'`` flag).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document hit count for each PII pattern (audit columns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat, _tag in PII_PATTERNS
+    }
+
+
+def repeated_ngram_ratio(col: Column | str, n: int) -> Column:
+    """Fraction of duplicated word n-grams in a document (0.0 if fewer
+    than ``n`` tokens) — the Gopher-style repetition quality signal.
+
+    1 - distinct_ngrams/total_ngrams over normalized tokens, built from
+    array expressions (sequence → transform → array_distinct) so the
+    whole computation is codegen'd per-row with no explode and no
+    shuffle. Rounded to 6 places to pin cross-engine float equality.
+    """
+    toks = F.split(normalized_text(col), " ")
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("double")
+    return F.round(
+        F.when(
+            total > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic 128-bit content fingerprint of normalized text.
 

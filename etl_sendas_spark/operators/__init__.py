@@ -18,6 +18,7 @@ from .dedupe import (
     embedding_near_dup_pairs,
 )
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
+from .sampling import hash_bucket, stratified_sample
 from .multimodal import extract_features
 
 __all__ = [
@@ -41,5 +42,7 @@ __all__ = [
     "cosine_topk",
     "ivf_cosine_topk",
     "lsh_cosine_topk",
+    "hash_bucket",
+    "stratified_sample",
     "extract_features",
 ]

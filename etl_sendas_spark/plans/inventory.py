@@ -24,10 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.dates import edad_unidad, edad_valor, parse_js_timestamp
 from ..functions.strings import split_full_name
 from ..functions.text import (
+    PII_PATTERNS,
     doc_fingerprint,
     lang_id,
     normalized_text,
+    pii_counts,
+    pii_redact,
     quality_features,
+    repeated_ngram_ratio,
     token_count,
 )
 from ..operators.dedupe import (
@@ -40,6 +44,7 @@ from ..operators.dedupe import (
 from ..operators.marking import capped_group_mark, gap_anchor_mark, sessionize
 from ..operators.multimodal import extract_features
 from ..operators.relational import first_flag, keep_first
+from ..operators.sampling import stratified_sample
 from ..operators.similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from ..sources.readers import ROW_ID, load_fact_files
 from .sendas_driver_query import SENDAS_FULL_SQL, sendas_full_pipeline
@@ -173,6 +178,45 @@ SELECT l_returnflag,
                  THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS sum_o
 FROM lineitem
 GROUP BY l_returnflag
+"""
+
+
+def a_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity event rollup in ONE shuffle: GROUPING SETS over
+    (event_type, day), (event_type), (day), () — Catalyst expands the
+    sets map-side, so the four granularities cost one pass over the fact
+    table instead of four separate jobs (the way a report layer would
+    otherwise issue them). ``lvl`` is the grouping_id bitmask that
+    distinguishes a subtotal row from a genuine null key."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select("event_type", F.to_date("ts").alias("day"), "value")
+    agg = g.groupingSets(
+        [["event_type", "day"], ["event_type"], ["day"], []],
+        "event_type",
+        "day",
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value")).alias("sum_value"),
+        F.grouping_id().cast("long").alias("lvl"),
+    )
+    # date → ISO string so the oracle compare is dtype-stable (DuckDB
+    # DATE surfaces as datetime64 in pandas, Spark as date objects).
+    return agg.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        "sum_value",
+        "lvl",
+    )
+
+
+A_GROUPING_SETS_SQL = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS lvl
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)), ())
 """
 
 
@@ -1185,6 +1229,98 @@ GROUP BY source, lang
 """
 
 
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample: per-language quotas keyed
+    on a portable 60-bit hash of doc_id — reproducible across engines
+    and runs, pure scan-local filter (no shuffle, no RNG), so at 100 TB
+    the sample costs one pushdown-friendly pass."""
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        id_col="doc_id",
+        stratum_col="lang",
+        rates={"en": 0.3, "es": 0.6},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
+      CASE lang WHEN 'en' THEN 300 WHEN 'es' THEN 600 ELSE 100 END
+"""
+
+
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: tag-replace emails / SSN-shapes / phone-shapes
+    and emit per-pattern hit counts plus an md5 of the redacted text (the
+    oracle-checkable witness that the *content* matches, not just the
+    counts). All chained regexp expressions — scan-speed at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = pii_counts(F.col("text"))
+    red = pii_redact(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cnt["email"].alias("n_emails"),
+        cnt["ssn"].alias("n_ssns"),
+        cnt["phone"].alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+_PII_EMAIL, _PII_SSN, _PII_PHONE = (p[1] for p in PII_PATTERNS)
+PII_REDACT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssns,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(length(red) AS BIGINT) AS redacted_len,
+       md5(red) AS redacted_md5
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_SSN}', '<SSN>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS red
+  FROM documents
+)
+"""
+
+
+def quality_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicated word 2- and
+    3-grams per document, entirely as codegen'd array expressions (no
+    explode → no shuffle; the whole feature is one narrow scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        repeated_ngram_ratio(F.col("text"), 2).alias("dup_2gram_ratio"),
+        repeated_ngram_ratio(F.col("text"), 3).alias("dup_3gram_ratio"),
+    )
+
+
+REPEATED_NGRAM_SQL = f"""
+SELECT doc_id,
+       ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             END, 6) AS dup_2gram_ratio,
+       ROUND(CASE WHEN len(tg) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+             END, 6) AS dup_3gram_ratio
+FROM (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+)
+"""
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: lowest doc_id per normalized-content fingerprint."""
     docs = _t(spark, sf_dir, "documents")
@@ -1750,6 +1886,7 @@ QUERIES = {
     "a_rollup_revenue": a_rollup_revenue,
     "a_exact_percentiles": a_exact_percentiles,
     "a_pivot_revenue": a_pivot_revenue,
+    "a_grouping_sets_events": a_grouping_sets_events,
     "j9_update_by_row_id": j9_update_by_row_id,
     "p_filter_project": p_filter_project,
     "j_broadcast_enrich": j_broadcast_enrich,
@@ -1781,6 +1918,9 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "text_features": text_features,
     "corpus_prep_pipeline": corpus_prep_pipeline,
+    "sample_stratified_docs": sample_stratified_docs,
+    "pii_redact_docs": pii_redact_docs,
+    "quality_repeated_ngrams": quality_repeated_ngrams,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
@@ -1802,6 +1942,7 @@ ORACLES = {
     "a_rollup_revenue": A_ROLLUP_SQL,
     "a_exact_percentiles": A_PCTL_SQL,
     "a_pivot_revenue": A_PIVOT_SQL,
+    "a_grouping_sets_events": A_GROUPING_SETS_SQL,
     "j9_update_by_row_id": J9_UPDATE_SQL,
     "p_filter_project": P_FILTER_SQL,
     "j_broadcast_enrich": J_BROADCAST_SQL,
@@ -1833,6 +1974,9 @@ ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "text_features": TEXT_FEATURES_SQL,
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
+    "sample_stratified_docs": SAMPLE_STRATIFIED_SQL,
+    "pii_redact_docs": PII_REDACT_SQL,
+    "quality_repeated_ngrams": REPEATED_NGRAM_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,

@@ -1,0 +1,85 @@
+"""Targeted tests for the corpus-pipeline scalar operators added in
+round 2: deterministic stratified sampling, PII redaction, and the
+repeated-n-gram repetition ratio. The oracle-parity suite already
+cross-checks each against DuckDB; these tests pin the *semantics* on
+hand-built rows where the expected answer is computed by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sendas_spark.functions.text import (
+    pii_counts,
+    pii_redact,
+    repeated_ngram_ratio,
+)
+from etl_sendas_spark.operators.sampling import stratified_sample
+
+
+def test_stratified_sample_deterministic_and_pushdown(spark):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("es").alias("lang"),
+    )
+    out = stratified_sample(
+        df, id_col="doc_id", stratum_col="lang", rates={"en": 0.25, "es": 0.5}
+    )
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in out.collect()}
+    assert a == b  # rerun-stable: no RNG anywhere
+    rows = out.groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in rows}
+    # Bernoulli(p) over ~6.7k/13.3k rows: allow 5 sigma.
+    assert abs(got["en"] / (20000 / 3) - 0.25) < 0.03
+    assert abs(got["es"] / (40000 / 3) - 0.5) < 0.03
+    # Superset-stability: sampling a subset never flips a kept decision.
+    sub = stratified_sample(
+        df.filter(F.col("doc_id") < 1000),
+        id_col="doc_id", stratum_col="lang", rates={"en": 0.25, "es": 0.5},
+    )
+    assert {r.doc_id for r in sub.collect()} == {x for x in a if x < 1000}
+    # The filter is scan-local: no exchange in the plan.
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_redact_semantics(spark):
+    rows = [
+        (1, "mail me at a.b-c_1@ex-ample.org today"),
+        (2, "ssn 123-45-6789 phone 555-123-4567 and 555 987 6543"),
+        (3, "no pii here, just 12345 and v1.2.3"),
+        (4, "two mails: x@y.io, z@w.co.uk."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_redact(F.col("text")).alias("red"),
+            *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+        ).collect()
+    }
+    assert got[1].red == "mail me at <EMAIL> today"
+    assert got[1].email == 1 and got[1].ssn == 0 and got[1].phone == 0
+    assert got[2].red == "ssn <SSN> phone <PHONE> and <PHONE>"
+    assert got[2].ssn == 1 and got[2].phone == 2
+    assert got[3].red == rows[2][1]  # untouched
+    assert got[4].email == 2
+    assert got[4].red.startswith("two mails: <EMAIL>, <EMAIL>")
+
+
+@pytest.mark.parametrize(
+    ("text", "n", "expected"),
+    [
+        ("a b a b a", 2, 0.5),        # bigrams: ab ba ab ba -> 2/4 dup
+        ("a b c d", 2, 0.0),          # all distinct
+        ("x x x x", 2, 2 / 3),        # xx xx xx -> 1 distinct of 3
+        ("one", 2, 0.0),              # fewer tokens than n
+        ("", 2, 0.0),                 # empty doc
+        ("a b c a b c a b c", 3, 4 / 7),
+    ],
+)
+def test_repeated_ngram_ratio(spark, text, n, expected):
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = df.select(repeated_ngram_ratio(F.col("text"), n).alias("r")).head().r
+    assert got == pytest.approx(expected, abs=1e-6)

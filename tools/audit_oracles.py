@@ -40,6 +40,7 @@ def main() -> int:
     from etl_sendas_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter
     spark = get_spark(app_name="oracle_audit")
     con = duckdb.connect()
     for t in TABLES:
@@ -48,7 +49,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     bad = 0
-    for name in sorted(ORACLES):
+    names = [n for n in sorted(ORACLES) if not only or n in only]
+    for name in names:
         try:
             a = canon(QUERIES[name](spark, sf_dir).toPandas())
             b = canon(con.execute(ORACLES[name]).df())
@@ -72,7 +74,7 @@ def main() -> int:
                 f"cols {list(a.columns)} vs {list(b.columns)}",
                 flush=True,
             )
-    print(f"\n{len(ORACLES)} oracles, {bad} bad")
+    print(f"\n{len(names)} oracles, {bad} bad")
     spark.stop()
     return 1 if bad else 0
 

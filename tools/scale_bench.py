@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Scaling experiment: engine vs the DuckDB single-node mirror on
+replicated data — the evidence behind BASELINE.md's claim that the
+sub-second ratios are a constant scheduling floor, not a plan defect.
+
+    python tools/scale_bench.py [factor] [sf_dir] [query ...]
+
+Builds ``/tmp/sendas_scale_x{factor}`` by replicating each fact table
+``factor`` times with primary ids shifted per replica (each replica is a
+disjoint population shard: per-key group sizes stay constant, total data
+grows linearly — the way real corpora grow). Dimension tables copy 1×,
+so broadcast-join sides stay small, as they do at cluster scale. Then
+runs each query through BOTH engines (min of 2 runs after a warmup) on
+the identical replicated parquet and prints one JSON line:
+``{"factor": N, "queries": {name: {"spark": s, "duckdb": s, "ratio": r}}}``.
+
+Content-dedup queries (minhash/simhash/ngram/embedding near-dup) are
+excluded by default: replicating identical text/vectors inflates
+duplicate-cluster sizes quadratically in pair count, which benchmarks
+the data generator, not the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# fact table -> primary id columns shifted per replica (disjoint shards)
+SHIFT: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+STRIDE = 10_000_000_000  # beyond any generated id at any driver SF
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "j_broadcast_enrich",
+    "d1_keep_first",
+    "o_topk_per_group",
+    "j_asof_events",
+    "d_keep_first_salted",
+    "sessionize_events",
+    "r1_capped_mark",
+    "r7_gap_mark",
+    "text_features",
+    "corpus_prep_pipeline",
+    "ann_cosine_topk",
+    "sendas_full_pipeline",
+]
+
+
+def build_scaled(src_dir: str, factor: int, out_dir: str) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(src) or os.path.exists(dst):
+            continue
+        if t not in SHIFT:
+            shutil.copyfile(src, dst)
+            continue
+        repl = ", ".join(
+            f"{c} + r.i * {STRIDE} AS {c}" for c in SHIFT[t]
+        )
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE ({repl})
+              FROM read_parquet('{src}') CROSS JOIN range({factor}) AS r(i)
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        )
+
+
+def timed(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    import duckdb
+
+    from etl_sendas_spark.plans.inventory import ORACLES, QUERIES
+    from etl_sendas_spark.session import get_spark
+
+    args = sys.argv[1:]
+    factor = int(args[0]) if args else 10
+    src_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    names = args[2:] or DEFAULT_QUERIES
+
+    out_dir = f"/tmp/sendas_scale_x{factor}"
+    build_scaled(src_dir, factor, out_dir)
+
+    spark = get_spark(app_name=f"scale_bench_x{factor}")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    results: dict[str, dict] = {}
+    for name in names:
+        entry: dict = {}
+        try:
+            def run_spark(n=name):
+                # noop sink: materialize every output column, discard rows
+                # JVM-side (count() would prune computed columns).
+                QUERIES[n](spark, out_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            run_spark()  # warmup (plan + IO cache)
+            entry["spark"] = timed(run_spark)
+        except Exception as exc:  # noqa: BLE001 - experiment, report and move on
+            entry["spark_err"] = f"{type(exc).__name__}: {exc}"[:200]
+        if name in ORACLES:
+            sql = ORACLES[name]
+            try:
+                con.execute(sql).fetchall()  # warmup
+                entry["duckdb"] = timed(lambda: con.execute(sql).fetchall())
+            except Exception as exc:  # noqa: BLE001
+                entry["duckdb_err"] = f"{type(exc).__name__}: {exc}"[:200]
+        if "spark" in entry and "duckdb" in entry and entry["duckdb"] > 0:
+            entry["ratio"] = round(entry["spark"] / entry["duckdb"], 2)
+        results[name] = entry
+        print(f"# {name}: {entry}", file=sys.stderr, flush=True)
+
+    print(json.dumps({"factor": factor, "src": src_dir, "queries": results}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
