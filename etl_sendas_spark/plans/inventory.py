@@ -544,6 +544,40 @@ FROM lineitem
 """
 
 
+def w_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing 1-hour event sum/count —
+    the rolling-feature shape of behavioral feature engineering. The
+    frame is value-based (all peers within 3.6e9 µs), so same-timestamp
+    events land in the same frame in any engine — no tiebreak needed.
+    Ordering on integer microseconds, not double seconds: the epoch in
+    double loses the µs digit at the float64 mantissa edge."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+        F.count("*").over(w).cast("long").alias("n_1h"),
+    )
+
+
+W_TRAILING_RANGE_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def a1_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/O2/P6-shape: scalar MAX drives a partition-style filter — keep
     only orders from the latest (year, month) present, the reference's
@@ -1321,6 +1355,82 @@ FROM (
 """
 
 
+# Simplified byte-pair pre-tokenizer (GPT-2 family without the
+# RE2-unsupported lookahead): letter runs, digit runs, punctuation runs,
+# each with an optional leading space. Counts approximate BPE token
+# budgets ~2× tighter than whitespace splitting on prose.
+_BPE_PRETOK = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def scalar_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens vs BPE-ish pre-tokenizer
+    matches per document plus the chars-per-token ratio — the numbers a
+    training pipeline needs to pack sequences. Pure regexp_count: one
+    codegen'd scan, identical RE2/Java-regex semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PRETOK)).cast("long")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.coalesce(
+                F.length("text").cast("double")
+                / F.when(bpe > 0, bpe.cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+SCALAR_BPE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PRETOK}')) AS BIGINT) AS n_bpe_tokens,
+       ROUND(COALESCE(CAST(length(text) AS DOUBLE)
+             / NULLIF(CAST(len(regexp_extract_all(text, '{_BPE_PRETOK}')) AS DOUBLE), 0), 0.0), 6)
+         AS chars_per_bpe_token
+FROM documents
+"""
+
+_CHUNK, _STRIDE = 64, 48  # tokens per chunk / chunk stride (16 overlap)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: split each document into {chunk}-token chunks on
+    a {stride}-token stride (overlap keeps context at boundaries) — the
+    explode that turns a document corpus into training sequences. All
+    array expressions + one posexplode: no shuffle, no Python; output
+    scales with total tokens, which is exactly the 100 TB shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(_STRIDE))
+    ex = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("s")
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK)
+    return ex.select(
+        "doc_id",
+        (F.col("s") / _STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+CHUNK_DOCS_SQL = f"""
+SELECT doc_id,
+       CAST(s / {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, s + 1, s + {_CHUNK})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, s + 1, s + {_CHUNK}), ' ')) AS chunk_md5
+FROM (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS s
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+)
+"""
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: lowest doc_id per normalized-content fingerprint."""
     docs = _t(spark, sf_dir, "documents")
@@ -1904,6 +2014,7 @@ QUERIES = {
     "f1_priority_pick": f1_priority_pick,
     "r2_dual_key_mark": r2_dual_key_mark,
     "w_running_sum": w_running_sum,
+    "w_trailing_range_sum": w_trailing_range_sum,
     "j_asof_events": j_asof_events,
     "j_range_bucketed": j_range_bucketed,
     "d_keep_first_salted": d_keep_first_salted,
@@ -1921,6 +2032,8 @@ QUERIES = {
     "sample_stratified_docs": sample_stratified_docs,
     "pii_redact_docs": pii_redact_docs,
     "quality_repeated_ngrams": quality_repeated_ngrams,
+    "scalar_bpe_tokens": scalar_bpe_tokens,
+    "chunk_documents": chunk_documents,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
@@ -1960,6 +2073,7 @@ ORACLES = {
     "f1_priority_pick": F1_SQL,
     "r2_dual_key_mark": R2_SQL,
     "w_running_sum": W_RUNNING_SQL,
+    "w_trailing_range_sum": W_TRAILING_RANGE_SQL,
     "j_asof_events": J_ASOF_SQL,
     "j_range_bucketed": J_RANGE_SQL,
     "d_keep_first_salted": D_SALTED_SQL,
@@ -1977,6 +2091,8 @@ ORACLES = {
     "sample_stratified_docs": SAMPLE_STRATIFIED_SQL,
     "pii_redact_docs": PII_REDACT_SQL,
     "quality_repeated_ngrams": REPEATED_NGRAM_SQL,
+    "scalar_bpe_tokens": SCALAR_BPE_SQL,
+    "chunk_documents": CHUNK_DOCS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,

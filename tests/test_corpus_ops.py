@@ -68,6 +68,77 @@ def test_pii_redact_semantics(spark):
     assert got[4].red.startswith("two mails: <EMAIL>, <EMAIL>")
 
 
+def test_bpe_pretokenizer_counts(spark):
+    from etl_sendas_spark.plans.inventory import _BPE_PRETOK
+
+    df = spark.createDataFrame(
+        [("Hello world, 42 éléphants!",), ("",), ("a+b=c",)], ["text"]
+    )
+    got = [
+        r.n for r in df.select(
+            F.regexp_count(F.col("text"), F.lit(_BPE_PRETOK)).alias("n")
+        ).collect()
+    ]
+    # [Hello][ world][,][ 42][ éléphants][!] / none / [a][+][b][=][c]
+    assert got == [6, 0, 5]
+
+
+def test_chunk_documents_covers_all_tokens(spark, tmp_path):
+    # 100 tokens, chunk=64 stride=48 -> starts 0,48,96: sizes 64,52,4
+    text = " ".join(f"t{i}" for i in range(100))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": [text], "lang": ["en"],
+                  "source": ["s"], "n_chars": [len(text)]}),
+        tmp_path / "documents.parquet",
+    )
+    from etl_sendas_spark.plans.inventory import chunk_documents
+
+    rows = sorted(
+        chunk_documents(spark, str(tmp_path)).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.n_tokens) for r in rows] == [(0, 64), (1, 52), (2, 4)]
+
+
+def test_trailing_range_window_peers(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 10, base, 1.0),
+        (2, 10, base + dt.timedelta(minutes=30), 2.0),
+        (3, 10, base + dt.timedelta(minutes=90), 4.0),   # drops event 1
+        (4, 10, base + dt.timedelta(minutes=90), 8.0),   # same-ts peer
+        (5, 11, base, 16.0),                             # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    df.createOrReplaceTempView("ev_range_test")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = {
+        r.event_id: (r.s, r.n)
+        for r in df.select(
+            "event_id",
+            F.sum("value").over(w).alias("s"),
+            F.count("*").over(w).alias("n"),
+        ).collect()
+    }
+    assert got[1] == (1.0, 1)
+    assert got[2] == (3.0, 2)
+    # events 3 and 4 share a timestamp: RANGE frame includes both peers,
+    # and event 1 (90 min earlier) is outside the hour
+    assert got[3] == (14.0, 3) and got[4] == (14.0, 3)
+    assert got[5] == (16.0, 1)
+
+
 @pytest.mark.parametrize(
     ("text", "n", "expected"),
     [
