@@ -256,6 +256,53 @@ def keep_first_salted(
     return keep_first(phase1, keys, order_by).drop("__salt")
 
 
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """CDC merge (MERGE INTO semantics): apply an insert/update/delete
+    change feed onto a base table — the incremental-maintenance shape
+    the reference approximates by re-running its whole month batch
+    (capital_sendas.py re-derives every output from scratch each run).
+
+    ``changes`` carries the base's columns plus ``op_col`` in
+    {'I','U','D'}. If ``seq_col`` is given, last-writer-wins per key is
+    resolved first (one window shuffle); then ONE full-outer join on
+    ``keys`` applies the net change: unmatched base rows survive, 'D'
+    drops, 'I'/'U' take the change row's values. At 100 TB the change
+    feed is normally orders of magnitude smaller than the base, so the
+    join is shuffle-on-base/broadcast-or-shuffle-on-changes — never a
+    rewrite of unchanged partitions' *content*, and AQE picks the
+    physical join by actual feed size.
+    """
+    if seq_col is not None:
+        changes = keep_first(
+            changes, keys=list(keys), order_by=[F.col(seq_col).desc()]
+        )
+    value_cols = [c for c in base.columns if c not in keys]
+    b = base.alias("b")
+    c = changes.alias("c")
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys],
+    )
+    joined = b.join(c, cond, "full_outer")
+    has_change = F.col(f"c.{op_col}").isNotNull()
+    out_keys = [
+        F.coalesce(F.col(f"c.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        F.when(has_change, F.col(f"c.{v}")).otherwise(F.col(f"b.{v}")).alias(v)
+        for v in value_cols
+    ]
+    return joined.filter(
+        ~has_change | (F.col(f"c.{op_col}") != "D")
+    ).select(*out_keys, *out_vals)
+
+
 def invoices_containing(
     df: DataFrame, invoice_col: str, service_col: str, service_value: str
 ) -> Column:

@@ -107,6 +107,57 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape on the synthetic schema: 3-way join (filtered fact
+    ⋈ filtered orders ⋈ broadcast customer segment) → group → top-10 by
+    revenue. The segment filter prunes customers before the broadcast;
+    both date filters push into the parquet scans; the only shuffles are
+    the li⋈orders join and the final aggregation. ``l_orderkey`` breaks
+    revenue ties so the top-10 is engine-independent."""
+    cutoff = "1998-06-01"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregate: revenue by (returnflag, linestatus) with
     ROLLUP subtotals and grand total — one shuffle, Catalyst expands the
@@ -244,6 +295,54 @@ SELECT o_orderkey, o_orderstatus,
        CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
             ELSE o_orderpriority END AS o_orderpriority
 FROM orders
+"""
+
+
+def j_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: a deterministic change feed (delete every key ≡0 mod
+    10, reprice keys ≡1,2, insert shifted copies of keys ≡3) applied
+    onto orders in ONE full-outer join — the incremental-maintenance
+    primitive the reference lacks (it recomputes whole months). The
+    +1000.0 reprice is an exactly-representable double so the oracle
+    needs no rounding."""
+    from ..operators.relational import merge_changes
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    deletes = base.filter(k % 10 == 0).withColumn("op", F.lit("D"))
+    updates = (
+        base.filter((k % 10).isin(1, 2))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        base.filter(k % 10 == 3)
+        .withColumn("o_orderkey", k + F.lit(100_000_000))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return merge_changes(base, changes, keys=["o_orderkey"])
+
+
+J_MERGE_SQL = """
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 'U'
+  FROM base WHERE o_orderkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I'
+  FROM base WHERE o_orderkey % 10 = 3
+)
+SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+       CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE c.op IS NULL OR c.op <> 'D'
 """
 
 
@@ -1987,17 +2086,38 @@ def streaming_gap_anchor_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_id", "user_id", "event_type", "validacion")
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first arrival per (user, event_type)
+    wins; watermark bounds state (keys older than the horizon evict) —
+    ingestion-time exactly-once for an event feed. Projected to the key
+    columns before dedup so the result is deterministic and the batch
+    oracle is a plain DISTINCT."""
+    from ..streaming.sessions import dedup_stream, run_stream_to_memory
+
+    stream = _stream_events(spark, sf_dir)
+    ded = dedup_stream(stream, keys=["user_id", "event_type"], ts_col="ts")
+    run_stream_to_memory(ded, "dedup_events_result", output_mode="append")
+    return spark.table("dedup_events_result").select("user_id", "event_type")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
     "a_rollup_revenue": a_rollup_revenue,
     "a_exact_percentiles": a_exact_percentiles,
     "a_pivot_revenue": a_pivot_revenue,
     "a_grouping_sets_events": a_grouping_sets_events,
     "j9_update_by_row_id": j9_update_by_row_id,
+    "j_merge_upsert": j_merge_upsert,
     "p_filter_project": p_filter_project,
     "j_broadcast_enrich": j_broadcast_enrich,
     "j_anti_all_columns": j_anti_all_columns,
@@ -2048,15 +2168,18 @@ QUERIES = {
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_gap_anchor_mark": streaming_gap_anchor_mark,
+    "streaming_dedup_events": streaming_dedup_events,
 }
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
     "a_rollup_revenue": A_ROLLUP_SQL,
     "a_exact_percentiles": A_PCTL_SQL,
     "a_pivot_revenue": A_PIVOT_SQL,
     "a_grouping_sets_events": A_GROUPING_SETS_SQL,
     "j9_update_by_row_id": J9_UPDATE_SQL,
+    "j_merge_upsert": J_MERGE_SQL,
     "p_filter_project": P_FILTER_SQL,
     "j_broadcast_enrich": J_BROADCAST_SQL,
     "j_anti_all_columns": J_ANTI_SQL,
@@ -2102,6 +2225,7 @@ ORACLES = {
     "streaming_sliding_counts": STREAM_SLIDING_SQL,
     "streaming_session_windows": STREAM_SESSION_SQL,
     "streaming_gap_anchor_mark": R7_SQL,
+    "streaming_dedup_events": STREAM_DEDUP_SQL,
     "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
     "dedup_simhash_docs": SIMHASH_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,

@@ -56,6 +56,27 @@ def sliding_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming deduplication: first arrival per key wins;
+    keys older than the watermark are evicted from state, which is what
+    keeps state bounded on an unbounded stream (exactly-once event
+    feeds at pipeline ingestion). Project to the key columns BEFORE
+    ``dropDuplicates`` so the kept row is deterministic — with full
+    rows, which duplicate survives depends on arrival order.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(*keys, ts_col)
+        .dropDuplicates(keys)
+        .select(*keys)
+    )
+
+
 def session_window_agg(
     events: DataFrame,
     ts_col: str = "ts",

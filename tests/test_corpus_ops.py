@@ -139,6 +139,26 @@ def test_trailing_range_window_peers(spark):
     assert got[5] == (16.0, 1)
 
 
+def test_merge_changes_last_writer_wins(spark):
+    from etl_sendas_spark.operators.relational import merge_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),
+            (2, "b3", "U", 2),   # later seq wins
+            (3, None, "D", 1),   # delete
+            (4, "d", "I", 1),    # insert
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    out = merge_changes(base, changes, keys=["k"], seq_col="seq")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a", 2: "b3", 4: "d"}
+
+
 @pytest.mark.parametrize(
     ("text", "n", "expected"),
     [
