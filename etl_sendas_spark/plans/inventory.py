@@ -1934,11 +1934,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         spark.read.parquet(path).schema
     ).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    from ..sources.readers import normalize_event_time
+
+    return normalize_event_time(stream, "ts")
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -153,21 +153,43 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
         pass
 
 
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType (LTZ) whatever
+    parquet flavor it arrived in:
+
+    - ``bigint`` — TIMESTAMP(NANOS) read under ``nanosAsLong``;
+      integer-divide to µs (``/1000`` in double loses the µs digit at
+      the 1.7e18 mantissa edge).
+    - ``timestamp_ntz`` — plain µs/ms parquet with isAdjustedToUTC=false
+      (what DuckDB/pyarrow write by default), which Spark 4 infers as
+      NTZ; NTZ breaks epoch casts and stream watermarks, so cast to LTZ
+      (identical instant under the engine's UTC session).
+    """
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if dt == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, widen: bool = True
 ) -> DataFrame:
     """Read one driver testdata table (Parquet — the engine's native rest
-    format). Parquet TIMESTAMP(NANOS) columns (which Spark reads as
-    nanosecond longs under ``nanosAsLong``) are normalized to
-    microsecond timestamps, matching how DuckDB reads the same file.
-    Pass ``widen=False`` when the caller immediately repartitions anyway
-    (e.g. a range repartition for row numbering) — the widening exchange
-    would be thrown away."""
+    format). The events ``ts`` column is normalized to a microsecond
+    LTZ timestamp whatever flavor the file stores
+    (:func:`normalize_event_time`), matching how DuckDB reads the same
+    file. Pass ``widen=False`` when the caller immediately repartitions
+    anyway (e.g. a range repartition for row numbering) — the widening
+    exchange would be thrown away."""
     ensure_nanos_readable(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_time(df, "ts")
     if widen and name in FACT_TABLES:
         est = estimated_scan_splits(spark, path)
         if est is None:

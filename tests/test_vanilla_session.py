@@ -59,3 +59,22 @@ def test_events_reads_on_vanilla_session():
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "VANILLA_OK" in proc.stdout
+
+
+def test_events_reads_microsecond_ntz_parquet(spark, tmp_path):
+    """Timestamp-flavor robustness: a user's ordinary µs parquet (what
+    DuckDB/pyarrow write: isAdjustedToUTC=false) infers as TIMESTAMP_NTZ
+    on Spark 4, which breaks epoch casts and stream watermarks.
+    ``read_table`` must normalize it to TimestampType just like the
+    driver testdata's nanos flavor."""
+    import duckdb
+
+    from etl_sendas_spark.sources.readers import read_table
+
+    src = os.path.join(SF, "events.parquet")
+    dst = str(tmp_path / "events.parquet")
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)")
+    ev = read_table(spark, str(tmp_path), "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp", dict(ev.dtypes)
+    # epoch cast (what bounded_range_join does) must resolve
+    assert ev.selectExpr("unix_micros(ts)").count() > 0

@@ -78,8 +78,8 @@ def build_scaled(src_dir: str, factor: int, out_dir: str) -> None:
         con.execute(
             f"""
             COPY (
-              SELECT * REPLACE ({repl})
-              FROM read_parquet('{src}') CROSS JOIN range({factor}) AS r(i)
+              SELECT t.* REPLACE ({repl})
+              FROM read_parquet('{src}') t CROSS JOIN range({factor}) AS r(i)
             ) TO '{dst}' (FORMAT PARQUET)
             """
         )
