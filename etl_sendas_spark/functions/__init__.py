@@ -6,6 +6,9 @@ from .text import (
     lang_id,
     doc_fingerprint,
     normalized_text,
+    pii_redact,
+    pii_counts,
+    repeated_ngram_ratio,
 )
 
 __all__ = [
@@ -20,4 +23,7 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "normalized_text",
+    "pii_redact",
+    "pii_counts",
+    "repeated_ngram_ratio",
 ]

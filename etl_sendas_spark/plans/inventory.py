@@ -2103,6 +2103,52 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the unbounded event stream enriched against a
+    small static dimension (broadcast — the static side never
+    re-shuffles per micro-batch), then aggregated per enriched category.
+    This is the ingestion-enrichment shape of a production feed: dim
+    lookup at stream speed, state only in the final agg."""
+    from ..streaming.sessions import run_stream_to_memory
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "acquisition"),
+            ("error", "ops"),
+        ],
+        ["event_type", "category"],
+    )
+    stream = _stream_events(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    run_stream_to_memory(agg, "enriched_counts_result", output_mode="complete")
+    res = spark.table("enriched_counts_result")
+    return res.select(
+        "category", "n", F.col("total_value").cast("double").alias("total_value")
+    )
+
+
+STREAM_ENRICHED_SQL = """
+SELECT CASE event_type WHEN 'purchase' THEN 'revenue'
+                       WHEN 'signup' THEN 'acquisition'
+                       WHEN 'error' THEN 'ops'
+                       ELSE 'engagement' END AS category,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+GROUP BY 1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2167,6 +2213,7 @@ QUERIES = {
     "streaming_session_windows": streaming_session_windows,
     "streaming_gap_anchor_mark": streaming_gap_anchor_mark,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_enriched_counts": streaming_enriched_counts,
 }
 
 ORACLES = {
@@ -2224,6 +2271,7 @@ ORACLES = {
     "streaming_session_windows": STREAM_SESSION_SQL,
     "streaming_gap_anchor_mark": R7_SQL,
     "streaming_dedup_events": STREAM_DEDUP_SQL,
+    "streaming_enriched_counts": STREAM_ENRICHED_SQL,
     "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
     "dedup_simhash_docs": SIMHASH_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
