@@ -801,6 +801,44 @@ GROUP BY o_orderstatus
 """
 
 
+def s6_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction roundtrip: fragment documents into 16 tiny
+    parquet files (the streaming-sink pathology), compact them to a
+    byte-sized file count, read back and aggregate. Content must survive
+    both rewrites — the oracle aggregates the source directly. At scale
+    this runs per partition directory so only appended partitions
+    rewrite."""
+    import hashlib
+    import tempfile
+
+    from ..sources.sinks import compact_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    frag = os.path.join(tempfile.gettempdir(), f"compact_src_{tag}")
+    compacted = os.path.join(tempfile.gettempdir(), f"compact_dst_{tag}")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs.repartition(16).write.mode("overwrite").parquet(frag)
+    n_files = compact_parquet(spark, frag, compacted, target_file_mb=128)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.lit(n_files).cast("long").alias("n_compacted_files"),
+    )
+
+
+S6_COMPACT_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       MAX(doc_id) AS max_doc_id,
+       CAST(1 AS BIGINT) AS n_compacted_files
+FROM documents
+GROUP BY source
+"""
+
+
 def f1_priority_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/D2/T4-shape: priority-ranked keep-first. Per part size-class,
     rank candidate types by a CASE priority then name, keep the top row
@@ -2175,6 +2213,7 @@ QUERIES = {
     "s1_excel_dim": s1_excel_dim,
     "s3_filename_partition": s3_filename_partition,
     "s5_partitioned_sink_roundtrip": s5_partitioned_sink_roundtrip,
+    "s6_compact_roundtrip": s6_compact_roundtrip,
     "f1_priority_pick": f1_priority_pick,
     "r2_dual_key_mark": r2_dual_key_mark,
     "w_running_sum": w_running_sum,
@@ -2238,6 +2277,7 @@ ORACLES = {
     "s1_excel_dim": S1_EXCEL_SQL,
     "s3_filename_partition": S3_SQL,
     "s5_partitioned_sink_roundtrip": S5_SINK_SQL,
+    "s6_compact_roundtrip": S6_COMPACT_SQL,
     "f1_priority_pick": F1_SQL,
     "r2_dual_key_mark": R2_SQL,
     "w_running_sum": W_RUNNING_SQL,

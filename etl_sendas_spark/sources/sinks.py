@@ -10,7 +10,9 @@ is gated on openpyxl availability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
@@ -25,6 +27,39 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bo
     only for audit-report-sized outputs; never at scale."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", "true").csv(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) evenly-sized files. Returns the target
+    file count.
+
+    The chronic 100 TB ops problem: streaming sinks and fine-grained
+    partition appends accumulate thousands of KB-sized files, and scan
+    planning + NameNode/object-store metadata dominate query time. One
+    ``repartition(n)`` round-robin exchange is the standard fix; sizing
+    n from the actual on-disk bytes (not row counts) keeps output files
+    near the target regardless of schema width. Run per partition
+    directory when compacting a partitioned layout, so only the
+    appended partitions rewrite.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src_dir).repartition(n).write.mode(
+        "overwrite"
+    ).parquet(dst_dir)
+    return n
 
 
 def write_excel(df: DataFrame, path: str) -> None:
