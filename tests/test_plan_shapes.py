@@ -88,3 +88,51 @@ def test_asof_join_is_single_shuffle(spark):
     broadcast of an unbounded side."""
     plan = _plan(j_asof_events(spark, SF_ORACLE))
     assert _shuffles(plan) == 1, plan
+
+
+def test_q3_broadcasts_segment_and_pushes_dates(spark):
+    """Q3: the filtered customer segment must broadcast (never a
+    shuffle of the fact for the dim join) and both date filters must
+    reach their parquet scans."""
+    from etl_sendas_spark.plans.inventory import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "GreaterThan(l_shipdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    # shuffles: fact-widening + li⋈orders join (2 sides) + groupBy; the
+    # top-10 must compile to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_merge_upsert_is_one_join_no_extra_shuffles(spark):
+    """The CDC merge must stay ONE join of base vs net changes — a
+    naive delete-then-update-then-insert would rescan/reshuffle the
+    base three times."""
+    from etl_sendas_spark.plans.inventory import j_merge_upsert
+
+    plan = _plan(j_merge_upsert(spark, SF_ORACLE))
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+    assert n_joins == 1, plan
+
+
+def test_grouping_sets_is_single_shuffle(spark):
+    """Four granularities must cost one expand + one shuffle, not four
+    separate aggregation jobs."""
+    from etl_sendas_spark.plans.inventory import a_grouping_sets_events
+
+    plan = _plan(a_grouping_sets_events(spark, SF_ORACLE))
+    assert "Expand" in plan, plan
+    assert _shuffles(plan) == 1, plan
+
+
+def test_chunking_and_sampling_stay_scan_local(spark):
+    """Sequence chunking and stratified sampling are pure per-row
+    transforms: no exchange anywhere in either plan."""
+    from etl_sendas_spark.plans.inventory import (
+        chunk_documents,
+        sample_stratified_docs,
+    )
+
+    assert _shuffles(_plan(chunk_documents(spark, SF_ORACLE))) == 0
+    assert _shuffles(_plan(sample_stratified_docs(spark, SF_ORACLE))) == 0

@@ -104,6 +104,11 @@ def main() -> int:
     factor = int(args[0]) if args else 10
     src_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     names = args[2:] or DEFAULT_QUERIES
+    # SCALE_BENCH_SPARK_ONLY=1 skips the DuckDB side (its single-thread
+    # shapes get prohibitively slow at large factors); SCALE_BENCH_RUNS
+    # overrides min-of-N (default 2).
+    spark_only = os.environ.get("SCALE_BENCH_SPARK_ONLY", "") == "1"
+    runs = int(os.environ.get("SCALE_BENCH_RUNS", "2"))
 
     out_dir = f"/tmp/sendas_scale_x{factor}"
     build_scaled(src_dir, factor, out_dir)
@@ -127,14 +132,16 @@ def main() -> int:
                 ).save()
 
             run_spark()  # warmup (plan + IO cache)
-            entry["spark"] = timed(run_spark)
+            entry["spark"] = timed(run_spark, runs=runs)
         except Exception as exc:  # noqa: BLE001 - experiment, report and move on
             entry["spark_err"] = f"{type(exc).__name__}: {exc}"[:200]
-        if name in ORACLES:
+        if name in ORACLES and not spark_only:
             sql = ORACLES[name]
             try:
                 con.execute(sql).fetchall()  # warmup
-                entry["duckdb"] = timed(lambda: con.execute(sql).fetchall())
+                entry["duckdb"] = timed(
+                    lambda: con.execute(sql).fetchall(), runs=runs
+                )
             except Exception as exc:  # noqa: BLE001
                 entry["duckdb_err"] = f"{type(exc).__name__}: {exc}"[:200]
         if "spark" in entry and "duckdb" in entry and entry["duckdb"] > 0:
