@@ -238,13 +238,26 @@ def dim_frame_to_spark(
     - every column to string (the reference reads with ``dtype=str``);
     - NaN/NA → SQL NULL.
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     pdf = pdf.copy()
     if promote_first_row:
         pdf.columns = [str(c) for c in pdf.iloc[0]]
         pdf = pdf.iloc[1:].reset_index(drop=True)
     pdf.columns = [str(c) for c in pdf.columns]
-    pdf = pdf.astype("string")
-    return spark.createDataFrame(pdf.where(pdf.notna(), None))
+    # Explicit all-string schema + driver-side row materialization: type
+    # inference over pandas StringDtype/pd.NA cells is session-dependent
+    # (a non-Arrow session mis-infers NA as a struct → CANNOT_MERGE_TYPE)
+    # and dim frames are driver-sized by definition.
+    rows = [
+        tuple(None if pd.isna(v) else str(v) for v in rec)
+        for rec in pdf.itertuples(index=False, name=None)
+    ]
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in pdf.columns]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def read_excel_dim(

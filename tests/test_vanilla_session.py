@@ -44,6 +44,11 @@ assert ev.count() > 0
 res = queries()["j_asof_events"](spark, {sf!r})
 n = res.count()
 assert n > 0, n
+
+# the Excel-dim ingest must not depend on Arrow-assisted type inference
+# (a bare non-Arrow session mis-infers pandas NA cells -> CANNOT_MERGE_TYPE)
+n_dim = queries()["s1_excel_dim"](spark, {sf!r}).count()
+assert n_dim > 0, n_dim
 print("VANILLA_OK", n)
 """
 
