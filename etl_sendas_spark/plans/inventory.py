@@ -1568,6 +1568,121 @@ FROM (
 """
 
 
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data ladder as ONE lazy Catalyst plan:
+    quality gate (token floor, stopword ratio, 2-gram repetition) →
+    PII redaction → exact dedup on redacted content → deterministic
+    per-language stratified sample → 64/48 sequence chunking →
+    per-(lang, source) manifest. Everything before the dedup groupBy is
+    a scan-local Column expression, so at 100 TB the only full-text
+    shuffle is the fingerprint dedup and the quality gate prunes before
+    it; the sample is a pushdown-friendly hash filter; chunk explosion
+    happens after BOTH prunes. This is the composition the individual
+    queries exist to serve."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        repeated_ngram_ratio(F.col("text"), 2).alias("dup2"),
+    ).filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("dup2") <= 0.5)
+    )
+    red = scored.select(
+        "doc_id", "lang", "source", pii_redact(F.col("text")).alias("red")
+    )
+    w = Window.partitionBy(F.md5(normalized_text(F.col("red"))))
+    deduped = red.withColumn(
+        "keep", F.min("doc_id").over(w) == F.col("doc_id")
+    ).filter("keep")
+    sampled = stratified_sample(
+        deduped,
+        id_col="doc_id",
+        stratum_col="lang",
+        rates={"en": 0.5, "es": 0.5},
+        default_rate=0.2,
+    )
+    toks = F.split(normalized_text(F.col("red")), " ")
+    n = F.size(toks)
+    ex = sampled.select(
+        "doc_id", "lang", "source", toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_STRIDE))).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK)
+    chunks = ex.select(
+        "doc_id", "lang", "source", F.size(chunk).alias("chunk_toks")
+    )
+    return chunks.groupBy("lang", "source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_toks").alias("total_tokens"),
+    )
+
+
+def _norm_of(e: str) -> str:
+    return f"trim(regexp_replace(lower({e}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+CORPUS_MANIFEST_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+         ROUND(COALESCE(
+           CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t) OR list_contains({_ES}, t))) AS DOUBLE)
+             / NULLIF(CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS DOUBLE), 0),
+           0.0), 6) AS stopword_ratio,
+         ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+               END, 6) AS dup2
+  FROM (
+    SELECT *, list_transform(range(1, len({_TOKS_SQL})),
+                             i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]) AS bg
+    FROM documents
+  )
+), redacted AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{{email}}', '<EMAIL>', 'g'),
+             '{{ssn}}', '<SSN>', 'g'),
+           '{{phone}}', '<PHONE>', 'g') AS red
+  FROM scored
+  WHERE n_tokens >= 10 AND stopword_ratio >= 0.05 AND dup2 <= 0.5
+), deduped AS (
+  SELECT * FROM redacted
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM redacted GROUP BY md5({_norm_of('red')}))
+), sampled AS (
+  SELECT * FROM deduped
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
+        CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 500 ELSE 200 END
+), chunks AS (
+  SELECT doc_id, lang, source,
+         len(list_slice(toks, s + 1, s + {_CHUNK})) AS chunk_toks
+  FROM (
+    SELECT doc_id, lang, source, toks,
+           unnest(range(0, len(toks), {_STRIDE})) AS s
+    FROM (SELECT doc_id, lang, source, {_norm_of('red')} AS norm_red,
+                 string_split({_norm_of('red')}, ' ') AS toks
+          FROM sampled)
+  )
+)
+SELECT lang, source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(chunk_toks) AS BIGINT) AS total_tokens
+FROM chunks
+GROUP BY lang, source
+""".replace("{email}", PII_PATTERNS[0][1]).replace(
+    "{ssn}", PII_PATTERNS[1][1]
+).replace("{phone}", PII_PATTERNS[2][1])
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: lowest doc_id per normalized-content fingerprint."""
     docs = _t(spark, sf_dir, "documents")
@@ -2233,6 +2348,7 @@ QUERIES = {
     "text_features": text_features,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "sample_stratified_docs": sample_stratified_docs,
+    "corpus_training_manifest": corpus_training_manifest,
     "pii_redact_docs": pii_redact_docs,
     "quality_repeated_ngrams": quality_repeated_ngrams,
     "scalar_bpe_tokens": scalar_bpe_tokens,
@@ -2297,6 +2413,7 @@ ORACLES = {
     "text_features": TEXT_FEATURES_SQL,
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
     "sample_stratified_docs": SAMPLE_STRATIFIED_SQL,
+    "corpus_training_manifest": CORPUS_MANIFEST_SQL,
     "pii_redact_docs": PII_REDACT_SQL,
     "quality_repeated_ngrams": REPEATED_NGRAM_SQL,
     "scalar_bpe_tokens": SCALAR_BPE_SQL,

@@ -126,6 +126,18 @@ def test_grouping_sets_is_single_shuffle(spark):
     assert _shuffles(plan) == 1, plan
 
 
+def test_training_manifest_shuffles_text_exactly_once(spark):
+    """The composed corpus pipeline may shuffle full text ONLY for the
+    dedup window; the quality gate, redaction, sampling, and chunking
+    are scan-local, and the final agg shuffles only the manifest rows.
+    Budget: widen + dedup window + agg (partial agg under the explode
+    keeps the exploded rows node-local)."""
+    from etl_sendas_spark.plans.inventory import corpus_training_manifest
+
+    plan = _plan(corpus_training_manifest(spark, SF_ORACLE))
+    assert _shuffles(plan) <= 3, plan
+
+
 def test_chunking_and_sampling_stay_scan_local(spark):
     """Sequence chunking and stratified sampling are pure per-row
     transforms: no exchange anywhere in either plan."""
