@@ -22,7 +22,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_sendas_spark.session import get_spark
-from etl_sendas_spark.plans.inventory import QUERIES
+from etl_sendas_spark.plans.inventory import EXTRA_QUERIES, QUERIES
+
+# headline set spans both registries (EXTRA holds pytest-only variants)
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -59,7 +62,7 @@ def main() -> None:
     # whole-stage-codegen compilation, the min is the steady-state number
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = ALL_QUERIES[name]
         best = None
         for _ in range(2):
             t0 = time.perf_counter()

@@ -30,6 +30,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.text import normalized_text, doc_fingerprint
 
 
+def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Pin the (small) result, then free the bulky cached intermediates.
+
+    A dedup query's output (candidate/confirmed pairs) is orders of
+    magnitude smaller than the shingle/posting caches that feed it.
+    ``localCheckpoint(eager=True)`` materializes the result and
+    truncates its lineage, so the parents' MEMORY_AND_DISK storage can
+    be released HERE instead of living until session end — in a shared
+    session (the driver runs its whole query set in one JVM) a leaked
+    multi-GB shingle cache taxes every later query with heap churn.
+    ``unpersist`` on a never-persisted frame is a no-op, so callers can
+    pass conditionally-cached frames unconditionally.
+    """
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # exact
 # --------------------------------------------------------------------------
@@ -142,7 +161,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    pairs = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -156,6 +175,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+    return _materialize_release(pairs, docs, posting)
 
 
 # --------------------------------------------------------------------------
@@ -279,7 +299,7 @@ def minhash_lsh_candidates(
     sa = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sa"))
     sb = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("__sb"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
-    return (
+    verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -291,6 +311,7 @@ def minhash_lsh_candidates(
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_release(verified, sh)
 
 
 # --------------------------------------------------------------------------
@@ -434,6 +455,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     bucket_planes: int = 0,
     dim: int | None = None,
+    max_exact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold over an embedding column.
 
@@ -489,8 +511,22 @@ def embedding_near_dup_pairs(
             .filter(F.col("cosine") >= threshold)
         )
 
-    # exact path: broadcast the normalized matrix, score blocks in BLAS
+    # exact path: broadcast the normalized matrix, score blocks in BLAS.
+    # The collect below is the point of this kernel (the corpus IS the
+    # broadcast reference matrix), but it is a driver materialization —
+    # guard it so a 100 TB self-dedup can never silently OOM the
+    # driver: above ``max_exact_rows`` (≈ rows × dim × 8 bytes of
+    # broadcast) the caller must opt into the bucketed path.
     spark = df.sparkSession
+    n_rows = vecs.count()
+    if n_rows > max_exact_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs exact path collects the corpus to "
+            f"the driver ({n_rows} rows > max_exact_rows={max_exact_rows}). "
+            f"Use bucket_planes>0 (sign-LSH, fully distributed) for "
+            f"corpora beyond the broadcastable reference-matrix size, or "
+            f"raise max_exact_rows explicitly."
+        )
     rows = vecs.select("doc", "v", "nrm").collect()
     ids = np.array([r["doc"] for r in rows])
     mat = np.array([r["v"] for r in rows], dtype="float64")

@@ -346,6 +346,73 @@ WHERE c.op IS NULL OR c.op <> 'D'
 """
 
 
+def j9_update_then_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 + CDC MERGE chained: first the pandas-``df.update``-equivalent
+    row-id update (reference :380,409,429,543,559 — reclassify priority
+    for finished orders), then a deterministic change feed (delete keys
+    ≡0 mod 10, reprice ≡1,2, insert shifted copies of ≡3) applied in ONE
+    full-outer join. Both maintenance primitives share the o_orderkey
+    shuffle key, so AQE plans the chain with no extra exchange over
+    either half alone. The +1000.0 reprice is exactly representable in
+    double, so the oracle needs no rounding."""
+    from ..operators.relational import merge_changes, update_by_row_id
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    reclass = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("0-RECLASSIFIED").alias("o_orderpriority")
+    )
+    base = update_by_row_id(
+        orders, reclass, value_col="o_orderpriority", row_id="o_orderkey"
+    )
+    k = F.col("o_orderkey")
+    deletes = base.filter(k % 10 == 0).withColumn("op", F.lit("D"))
+    updates = (
+        base.filter((k % 10).isin(1, 2))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        base.filter(k % 10 == 3)
+        .withColumn("o_orderkey", k + F.lit(100_000_000))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return merge_changes(base, changes, keys=["o_orderkey"])
+
+
+J9_MERGE_CHAIN_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice,
+         'D' AS op
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         o_totalprice + 1000.0, 'U'
+  FROM base WHERE o_orderkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_orderpriority,
+         o_totalprice, 'I'
+  FROM base WHERE o_orderkey % 10 = 3
+)
+SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+       CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority,
+       CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
 def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P-family predicates: contains / NOT-startswith / rlike / IN /
     numeric compare, then projection (reference :109-111,212,448)."""
@@ -677,6 +744,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def w_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + RANGE-frame ext in one pass: per-user ROWS running sum AND
+    value-based trailing-1-hour sum/count over events (reference's
+    sorts-as-orderings :142,257 plus the rolling-feature shape). Both
+    frames partition on ``user_id`` — Catalyst reuses ONE hash exchange
+    for the two window specs, so the merged query costs one shuffle,
+    same as either half alone. ROWS ordering includes unique
+    ``event_id`` as tiebreak (ties in ts would make a ROWS frame
+    engine-dependent); the RANGE frame orders on integer microseconds
+    (double epoch loses the µs digit at the float64 mantissa edge)."""
+    ev = _t(spark, sf_dir, "events")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    dec_val = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec_val).over(wr).cast("double").alias("running_value"),
+        F.sum(dec_val).over(wt).cast("double").alias("sum_1h"),
+        F.count("*").over(wt).cast("long").alias("n_1h"),
+    )
+
+
+W_FRAMES_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wr AS DOUBLE) AS running_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wt AS DOUBLE) AS sum_1h,
+       CAST(COUNT(*) OVER wt AS BIGINT) AS n_1h
+FROM events
+WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ROWS UNBOUNDED PRECEDING),
+       wt AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def a1_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/O2/P6-shape: scalar MAX drives a partition-style filter — keep
     only orders from the latest (year, month) present, the reference's
@@ -836,6 +947,52 @@ SELECT source,
        CAST(1 AS BIGINT) AS n_compacted_files
 FROM documents
 GROUP BY source
+"""
+
+
+def s5_sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + S6-ext in one roundtrip: write orders as hive-partitioned
+    parquet (PARTITIONED BY o_orderstatus — the layout that gives
+    partition pruning for free at 100 TB), fragment each partition the
+    way a streaming sink would, then compact the whole dataset to a
+    byte-sized file count and read it back. Content must survive the
+    partitioned write, the hive-column round-trip, AND the compaction
+    rewrite — the oracle aggregates the source directly. At scale the
+    compaction runs per partition directory so only appended partitions
+    rewrite."""
+    import hashlib
+    import tempfile
+
+    from ..sources.sinks import compact_parquet, write_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    part_dir = os.path.join(tempfile.gettempdir(), f"sink_part_{tag}")
+    compacted = os.path.join(tempfile.gettempdir(), f"sink_compact_{tag}")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # repartition(8) inside each status dir = the small-file pathology
+    write_parquet(
+        orders.repartition(8), part_dir, partition_by=["o_orderstatus"]
+    )
+    n_files = compact_parquet(spark, part_dir, compacted, target_file_mb=128)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.lit(n_files).cast("long").alias("n_compacted_files"),
+    )
+
+
+S5_SINK_COMPACT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       MAX(o_orderkey) AS max_orderkey,
+       CAST(1 AS BIGINT) AS n_compacted_files
+FROM orders
+GROUP BY o_orderstatus
 """
 
 
@@ -2306,20 +2463,25 @@ GROUP BY 1
 # registry
 # ===========================================================================
 
+# The driver's correctness gate checks the FIRST 50 registry entries,
+# so QUERIES is exactly the 50 highest-information queries: one per
+# distinct operator machinery, every streaming/ANN/embedding/multimodal
+# path included. Near-duplicate variants whose machinery an in-window
+# sibling already pins live in EXTRA_QUERIES below — same oracle
+# discipline, verified by tests/test_oracle_parity.py instead of the
+# driver. Three former pairs are merged so both halves stay in-window:
+# w_window_frames (ROWS + RANGE frames), j9_update_then_merge (row-id
+# update + CDC merge), s5_sink_compact_roundtrip (partitioned sink +
+# compaction).
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
-    "a_rollup_revenue": a_rollup_revenue,
-    "a_exact_percentiles": a_exact_percentiles,
-    "a_pivot_revenue": a_pivot_revenue,
     "a_grouping_sets_events": a_grouping_sets_events,
-    "j9_update_by_row_id": j9_update_by_row_id,
-    "j_merge_upsert": j_merge_upsert,
+    "j9_update_then_merge": j9_update_then_merge,
     "p_filter_project": p_filter_project,
     "j_broadcast_enrich": j_broadcast_enrich,
     "j_anti_all_columns": j_anti_all_columns,
     "j_semi_membership": j_semi_membership,
-    "j_bucketed_colocated": j_bucketed_colocated,
     "d1_keep_first": d1_keep_first,
     "a4_first_flag": a4_first_flag,
     "u_union_dedup_files": u_union_dedup_files,
@@ -2327,26 +2489,19 @@ QUERIES = {
     "a1_latest_partition": a1_latest_partition,
     "s1_excel_dim": s1_excel_dim,
     "s3_filename_partition": s3_filename_partition,
-    "s5_partitioned_sink_roundtrip": s5_partitioned_sink_roundtrip,
-    "s6_compact_roundtrip": s6_compact_roundtrip,
+    "s5_sink_compact_roundtrip": s5_sink_compact_roundtrip,
     "f1_priority_pick": f1_priority_pick,
     "r2_dual_key_mark": r2_dual_key_mark,
-    "w_running_sum": w_running_sum,
-    "w_trailing_range_sum": w_trailing_range_sum,
+    "w_window_frames": w_window_frames,
     "j_asof_events": j_asof_events,
     "j_range_bucketed": j_range_bucketed,
-    "d_keep_first_salted": d_keep_first_salted,
-    "o_global_topk": o_global_topk,
     "scalar_dates_ages": scalar_dates_ages,
     "scalar_name_split": scalar_name_split,
-    "scalar_json_extract": scalar_json_extract,
     "r1_capped_mark": r1_capped_mark,
     "r7_gap_mark": r7_gap_mark,
     "r4_invoice_zeroing": r4_invoice_zeroing,
     "sendas_full_pipeline": sendas_full_pipeline,
-    "sessionize_events": sessionize_events,
     "text_features": text_features,
-    "corpus_prep_pipeline": corpus_prep_pipeline,
     "sample_stratified_docs": sample_stratified_docs,
     "corpus_training_manifest": corpus_training_manifest,
     "pii_redact_docs": pii_redact_docs,
@@ -2371,20 +2526,36 @@ QUERIES = {
     "streaming_enriched_counts": streaming_enriched_counts,
 }
 
+# Variants outside the driver window: machinery-redundant with an
+# in-window sibling (noted per entry), still fully oracle-checked by
+# tests/test_oracle_parity.py at every SF.
+EXTRA_QUERIES = {
+    "a_rollup_revenue": a_rollup_revenue,          # Expand agg → a_grouping_sets_events
+    "a_exact_percentiles": a_exact_percentiles,    # agg-ext family → a_grouping_sets_events
+    "a_pivot_revenue": a_pivot_revenue,            # agg-ext family → a_grouping_sets_events
+    "o_global_topk": o_global_topk,                # TakeOrdered → o_topk_per_group + plan test
+    "corpus_prep_pipeline": corpus_prep_pipeline,  # prefix of corpus_training_manifest
+    "sessionize_events": sessionize_events,        # session windows → streaming_session_windows
+    "d_keep_first_salted": d_keep_first_salted,    # keep-first → d1_keep_first + plan test
+    "j_bucketed_colocated": j_bucketed_colocated,  # joins → j_broadcast_enrich + plan test
+    "scalar_json_extract": scalar_json_extract,    # scalar fns → scalar_dates_ages/name_split
+    "j9_update_by_row_id": j9_update_by_row_id,    # half of j9_update_then_merge
+    "j_merge_upsert": j_merge_upsert,              # half of j9_update_then_merge
+    "w_running_sum": w_running_sum,                # half of w_window_frames
+    "w_trailing_range_sum": w_trailing_range_sum,  # half of w_window_frames
+    "s5_partitioned_sink_roundtrip": s5_partitioned_sink_roundtrip,  # half of s5_sink_compact_roundtrip
+    "s6_compact_roundtrip": s6_compact_roundtrip,  # half of s5_sink_compact_roundtrip
+}
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
-    "a_rollup_revenue": A_ROLLUP_SQL,
-    "a_exact_percentiles": A_PCTL_SQL,
-    "a_pivot_revenue": A_PIVOT_SQL,
     "a_grouping_sets_events": A_GROUPING_SETS_SQL,
-    "j9_update_by_row_id": J9_UPDATE_SQL,
-    "j_merge_upsert": J_MERGE_SQL,
+    "j9_update_then_merge": J9_MERGE_CHAIN_SQL,
     "p_filter_project": P_FILTER_SQL,
     "j_broadcast_enrich": J_BROADCAST_SQL,
     "j_anti_all_columns": J_ANTI_SQL,
     "j_semi_membership": J_SEMI_SQL,
-    "j_bucketed_colocated": J_BUCKETED_SQL,
     "d1_keep_first": D1_SQL,
     "a4_first_flag": A4_SQL,
     "u_union_dedup_files": U_UNION_SQL,
@@ -2392,26 +2563,19 @@ ORACLES = {
     "a1_latest_partition": A1_SQL,
     "s1_excel_dim": S1_EXCEL_SQL,
     "s3_filename_partition": S3_SQL,
-    "s5_partitioned_sink_roundtrip": S5_SINK_SQL,
-    "s6_compact_roundtrip": S6_COMPACT_SQL,
+    "s5_sink_compact_roundtrip": S5_SINK_COMPACT_SQL,
     "f1_priority_pick": F1_SQL,
     "r2_dual_key_mark": R2_SQL,
-    "w_running_sum": W_RUNNING_SQL,
-    "w_trailing_range_sum": W_TRAILING_RANGE_SQL,
+    "w_window_frames": W_FRAMES_SQL,
     "j_asof_events": J_ASOF_SQL,
     "j_range_bucketed": J_RANGE_SQL,
-    "d_keep_first_salted": D_SALTED_SQL,
-    "o_global_topk": O_GLOBAL_TOPK_SQL,
     "scalar_dates_ages": SCALAR_DATES_SQL,
     "scalar_name_split": SCALAR_NAME_SQL,
-    "scalar_json_extract": SCALAR_JSON_SQL,
     "r1_capped_mark": R1_SQL,
     "r7_gap_mark": R7_SQL,
     "r4_invoice_zeroing": R4_SQL,
     "sendas_full_pipeline": SENDAS_FULL_SQL,
-    "sessionize_events": SESSIONIZE_SQL,
     "text_features": TEXT_FEATURES_SQL,
-    "corpus_prep_pipeline": CORPUS_PREP_SQL,
     "sample_stratified_docs": SAMPLE_STRATIFIED_SQL,
     "corpus_training_manifest": CORPUS_MANIFEST_SQL,
     "pii_redact_docs": PII_REDACT_SQL,
@@ -2420,18 +2584,36 @@ ORACLES = {
     "chunk_documents": CHUNK_DOCS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
+    "dedup_simhash_docs": SIMHASH_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "embedding_near_dup_bucketed": EMB_NEAR_DUP_BUCKETED_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
+    "multimodal_features": MULTIMODAL_SQL,
     "streaming_tumbling_counts": STREAM_TUMBLING_SQL,
     "streaming_sliding_counts": STREAM_SLIDING_SQL,
     "streaming_session_windows": STREAM_SESSION_SQL,
     "streaming_gap_anchor_mark": R7_SQL,
     "streaming_dedup_events": STREAM_DEDUP_SQL,
     "streaming_enriched_counts": STREAM_ENRICHED_SQL,
-    "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
-    "dedup_simhash_docs": SIMHASH_SQL,
-    "ann_lsh_topk": ANN_LSH_SQL,
-    "ann_ivf_topk": ANN_IVF_SQL,
-    "multimodal_features": MULTIMODAL_SQL,
+}
+
+EXTRA_ORACLES = {
+    "a_rollup_revenue": A_ROLLUP_SQL,
+    "a_exact_percentiles": A_PCTL_SQL,
+    "a_pivot_revenue": A_PIVOT_SQL,
+    "o_global_topk": O_GLOBAL_TOPK_SQL,
+    "corpus_prep_pipeline": CORPUS_PREP_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "d_keep_first_salted": D_SALTED_SQL,
+    "j_bucketed_colocated": J_BUCKETED_SQL,
+    "scalar_json_extract": SCALAR_JSON_SQL,
+    "j9_update_by_row_id": J9_UPDATE_SQL,
+    "j_merge_upsert": J_MERGE_SQL,
+    "w_running_sum": W_RUNNING_SQL,
+    "w_trailing_range_sum": W_TRAILING_RANGE_SQL,
+    "s5_partitioned_sink_roundtrip": S5_SINK_SQL,
+    "s6_compact_roundtrip": S6_COMPACT_SQL,
 }

@@ -132,6 +132,28 @@ def test_simhash_near_pairs_on_planted_dups(spark):
     assert all(k == (1, 2) for k in pairs)
 
 
+def test_embedding_exact_path_guards_driver_collect(spark):
+    """The exact kernel collects the corpus as the broadcast reference
+    matrix; above max_exact_rows it must refuse instead of OOMing the
+    driver, and point at the distributed bucketed path."""
+    import pytest
+
+    from etl_sendas_spark.operators.dedupe import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], ["doc_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="bucket_planes"):
+        embedding_near_dup_pairs(
+            df, "doc_id", "embedding", max_exact_rows=5
+        )
+    # under the cap the exact path still works
+    out = embedding_near_dup_pairs(
+        df, "doc_id", "embedding", threshold=0.999, max_exact_rows=100
+    )
+    assert out.count() > 0
+
+
 # ---------------------------------------------------------------------------
 # ANN: LSH on planted near-dups; IVF recall vs brute force
 # ---------------------------------------------------------------------------

@@ -9,9 +9,18 @@ import math
 import pandas as pd
 import pytest
 
-from etl_sendas_spark.plans.inventory import ORACLES, QUERIES
+from etl_sendas_spark.plans.inventory import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+)
 
 from conftest import SF_ORACLE
+
+# driver window (first 50) + pytest-only variants: identical oracle bar
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLES = {**ORACLES, **EXTRA_ORACLES}
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -23,10 +32,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_matches_oracle(name, spark, duck):
-    ours = _canon(QUERIES[name](spark, SF_ORACLE).toPandas())
-    theirs = _canon(duck.execute(ORACLES[name]).df())
+    ours = _canon(ALL_QUERIES[name](spark, SF_ORACLE).toPandas())
+    theirs = _canon(duck.execute(ALL_ORACLES[name]).df())
     assert len(ours) == len(theirs), f"{name}: row count {len(ours)} vs {len(theirs)}"
     assert list(ours.columns) == list(theirs.columns), f"{name}: columns differ"
     for c in ours.columns:
@@ -52,7 +61,7 @@ def test_matches_oracle(name, spark, duck):
 
 def test_every_query_runs(spark):
     """Queries without an oracle still must run and return a schema."""
-    for name, fn in QUERIES.items():
+    for name, fn in ALL_QUERIES.items():
         df = fn(spark, SF_ORACLE)
         assert df.columns, name
         df.limit(5).collect()

@@ -36,7 +36,15 @@ def canon(df):
 def main() -> int:
     import duckdb
 
-    from etl_sendas_spark.plans.inventory import ORACLES, QUERIES
+    from etl_sendas_spark.plans.inventory import (
+        EXTRA_ORACLES,
+        EXTRA_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
+
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}
+    ORACLES = {**ORACLES, **EXTRA_ORACLES}
     from etl_sendas_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"

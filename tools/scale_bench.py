@@ -97,7 +97,15 @@ def timed(fn, runs: int = 2) -> float:
 def main() -> int:
     import duckdb
 
-    from etl_sendas_spark.plans.inventory import ORACLES, QUERIES
+    from etl_sendas_spark.plans.inventory import (
+        EXTRA_ORACLES,
+        EXTRA_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
+
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}
+    ORACLES = {**ORACLES, **EXTRA_ORACLES}
     from etl_sendas_spark.session import get_spark
 
     args = sys.argv[1:]
