@@ -3,9 +3,13 @@
 Design: media payloads are opaque ``binary`` columns with a typed
 metadata struct alongside (mime, width/height/duration, source URI).
 Everything Spark-side — schema, partitioning, Arrow batch shape,
-``mapInPandas`` signatures — is real and tested; the codec step itself
-is STUBBED (Pillow/librosa/ffmpeg are not in this container) behind
-``decode_fn`` hooks with a deterministic fake for tests.
+``mapInPandas`` signatures — is real and tested. The codec layer is
+real too for the two formats a container with only numpy can decode
+bit-exactly: binary PPM (P6) images and PCM RIFF/WAV audio —
+:func:`decode_media` sniffs the magic bytes and parses headers +
+samples with no imaging/audio library. Formats that genuinely need
+Pillow/pyav (JPEG, MP4 frame sampling) stay behind explicit
+``NotImplementedError`` hooks with the plumbing pattern documented.
 
 At 100 TB the pattern is: media in Parquet binary columns (or file
 pointers for >RowGroup payloads), decode in ``mapInPandas`` (Arrow
@@ -16,6 +20,7 @@ shuffle).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -92,18 +97,216 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — STUB. Real implementation: Pillow inside
-    ``mapInPandas`` with the same narrow batch shape as
-    :func:`extract_features`. Raises until an imaging lib exists."""
-    raise NotImplementedError(
-        "image resize requires Pillow (not in this container); "
-        "plumbing pattern: mapInPandas over binary payload batches"
+# ---------------------------------------------------------------------------
+# real dependency-free codecs: P6 PPM (image) and PCM RIFF/WAV (audio)
+# ---------------------------------------------------------------------------
+
+PPM_MIME = "image/x-portable-pixmap"
+WAV_MIME = "audio/wav"
+OPAQUE_MIME = "application/octet-stream"
+
+
+def synth_ppm(seed: int) -> bytes:
+    """Deterministic P6 test image: dims and fill from ``seed``."""
+    w, h, v = 4 + seed % 13, 3 + seed % 7, seed % 251
+    return f"P6\n{w} {h}\n255\n".encode() + bytes([v]) * (w * h * 3)
+
+
+def synth_wav(seed: int, rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono test clip: length and level from seed."""
+    n = 500 + (seed % 100) * 37
+    amp = seed % 997
+    data = struct.pack("<h", amp) * n
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
     )
+    return hdr + data
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header → (width, height, maxval, pixel_offset).
+
+    Real tokenizer per the netpbm spec: ints separated by arbitrary
+    whitespace, ``#`` comments run to end-of-line, exactly ONE
+    whitespace byte after maxval before the pixel block."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    vals, i, n = [], 2, len(payload)
+    while len(vals) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i] == 0x23:  # '#' comment
+            while i < n and payload[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    return vals[0], vals[1], vals[2], i + 1  # +1: single whitespace
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Decode a binary PPM: dimensions from the header, mean pixel
+    level from the raster (numpy view over the byte block)."""
+    import numpy as np
+
+    w, h, maxval, off = _ppm_header(payload)
+    npix = w * h * 3
+    if maxval > 255 or off + npix > len(payload):
+        raise ValueError("truncated or >8-bit PPM")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=npix, offset=off)
+    return {
+        "mime": PPM_MIME,
+        "width": w,
+        "height": h,
+        "duration_s": 0.0,
+        "mean_level": float(raster.mean()) if npix else 0.0,
+        "n_bytes": len(payload),
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode PCM RIFF/WAV: walk the chunk list (fmt → sample layout,
+    data → samples), duration from frame count / rate, mean absolute
+    amplitude over int16 samples."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    rate = channels = bits = None
+    data = b""
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            _fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or bits != 16:
+        raise ValueError("unsupported WAV (need PCM16 fmt chunk)")
+    samples = np.frombuffer(data, dtype="<i2")
+    frames = len(samples) // channels if channels else 0
+    return {
+        "mime": WAV_MIME,
+        "width": 0,
+        "height": 0,
+        "duration_s": frames / rate if rate else 0.0,
+        "mean_level": float(np.abs(samples.astype("int32")).mean()) if len(samples) else 0.0,
+        "n_bytes": len(payload),
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Sniff magic bytes and decode; unknown formats fall back to
+    opaque byte statistics (never raises on foreign payloads — a
+    corpus pass must not die on one corrupt blob)."""
+    try:
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)
+    except (ValueError, struct.error):
+        pass
+    n = len(payload)
+    return {
+        "mime": OPAQUE_MIME,
+        "width": 0,
+        "height": 0,
+        "duration_s": 0.0,
+        "mean_level": float(sum(payload) / n) if n else 0.0,
+        "n_bytes": n,
+    }
+
+
+_MEDIA_FIELDS = [
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("mean_level", T.DoubleType()),
+    T.StructField("n_bytes", T.LongType()),
+]
+
+
+def media_features(
+    df: DataFrame, payload_col: str = "payload", prefix: str = "m_"
+) -> DataFrame:
+    """Append real decoded media metadata per row via ``mapInPandas``.
+
+    Narrow (no shuffle): Arrow moves the binary column into the Python
+    worker zero-copy; :func:`decode_media` parses each payload (PPM /
+    WAV / opaque fallback) and six typed columns are appended
+    batch-wise. Partitioning is preserved — at 100 TB this runs as a
+    scan-fused stage with no exchange."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(prefix + f.name, f.dataType) for f in _MEDIA_FIELDS]
+    )
+    names = [f.name for f in _MEDIA_FIELDS]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                decode_media(bytes(b)) if b is not None else decode_media(b"")
+                for b in pdf[payload_col]
+            ]
+            for name in names:
+                pdf[prefix + name] = [m[name] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a P6 PPM, re-encoded as P6 — numpy
+    fancy-indexing, no imaging library."""
+    import numpy as np
+
+    w, h, _maxval, off = _ppm_header(payload)
+    img = np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * 3, offset=off
+    ).reshape(h, w, 3)
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    out = img[ys][:, xs]
+    return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Batch image resize inside ``mapInPandas`` (same narrow shape as
+    :func:`media_features`). PPM payloads are resized for real; other
+    formats pass through untouched (a JPEG path would slot in here
+    behind a Pillow import)."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[payload_col] = [
+                resize_ppm(bytes(b), width, height)
+                if b is not None and bytes(b)[:2] == b"P6"
+                else b
+                for b in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def frame_sample_stub(df: DataFrame, every_s: float) -> DataFrame:
-    """Video frame sampling — STUB (needs ffmpeg/pyav)."""
+    """Video frame sampling — STUB (needs ffmpeg/pyav; a video
+    container parser is out of dependency-free reach)."""
     raise NotImplementedError(
         "frame sampling requires pyav/ffmpeg (not in this container); "
         "plumbing pattern: mapInPandas yielding one row per sampled frame"

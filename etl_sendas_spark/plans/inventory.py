@@ -2187,36 +2187,69 @@ QUALIFY rank <= 5
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents' text bytes as opaque binary
-    payloads → mapInPandas feature extraction (deterministic fake
-    decoder standing in for the codec libs this container lacks).
+    """Multimodal decode, REAL codecs: each document row synthesizes a
+    deterministic media payload from its id (even ids → binary P6 PPM
+    image, odd ids → PCM16 RIFF/WAV clip — dims, fill level, sample
+    count, amplitude all arithmetic functions of doc_id), then
+    :func:`media_features` parses the actual bytes back inside one
+    narrow ``mapInPandas`` stage — header tokenizer, chunk walk,
+    numpy raster/sample statistics, no imaging/audio library.
 
-    ORACLE: ``MULTIMODAL_SQL`` recomputes the exposed byte statistics
-    (mean byte value, byte count) from the same payloads in DuckDB.
-    Payloads here are UTF-8 text bytes and the corpus is pure ASCII
-    (verified: octet_length(encode(text)) = length(text) for every row
-    at every SF), so per-character codepoints ARE the payload bytes."""
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
+    ORACLE: ``MULTIMODAL_SQL`` recomputes width/height/duration/mean
+    level/byte count from the same doc_id arithmetic, so the driver
+    hash verifies the encode→decode INVERSION: a header off by one
+    byte, a wrong chunk offset, or a bad sample stride all break the
+    match."""
+    from ..operators.multimodal import media_features, synth_ppm, synth_wav
+
+    # no type hints: postponed annotations (PEP 563) stringify them and
+    # pyspark can't resolve the function-local 'pd' alias
+    synth = F.pandas_udf(
+        lambda ids: ids.map(
+            lambda i: synth_ppm(int(i)) if int(i) % 2 == 0 else synth_wav(int(i))
+        ),
+        "binary",
     )
-    feats = extract_features(docs, payload_col="payload")
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = docs.withColumn("payload", synth(F.col("media_id")))
+    feats = media_features(media, payload_col="payload")
     return feats.select(
         "media_id",
-        F.round(F.element_at("features", 7), 6).alias("mean_byte"),
-        F.element_at("features", 1).alias("n_bytes"),
+        F.col("m_mime").alias("mime"),
+        F.col("m_width").alias("width"),
+        F.col("m_height").alias("height"),
+        F.round("m_duration_s", 6).alias("duration_s"),
+        F.round("m_mean_level", 6).alias("mean_level"),
+        F.col("m_n_bytes").alias("n_bytes"),
     )
 
 
 MULTIMODAL_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 = 0 AS is_img,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         doc_id % 251 AS v,
+         500 + (doc_id % 100) * 37 AS ns,
+         doc_id % 997 AS amp
+  FROM documents
+)
 SELECT doc_id AS media_id,
-       CASE WHEN length(text) = 0 THEN 0.0
-            ELSE ROUND(CAST(list_aggregate(list_transform(string_split(text, ''),
-                                                          c -> unicode(c)),
-                            'sum') AS DOUBLE) / length(text), 6)
-       END AS mean_byte,
-       CAST(length(text) AS DOUBLE) AS n_bytes
-FROM documents
+       CASE WHEN is_img THEN 'image/x-portable-pixmap'
+            ELSE 'audio/wav' END AS mime,
+       CAST(CASE WHEN is_img THEN w ELSE 0 END AS INTEGER) AS width,
+       CAST(CASE WHEN is_img THEN h ELSE 0 END AS INTEGER) AS height,
+       ROUND(CASE WHEN is_img THEN 0.0
+                  ELSE CAST(ns AS DOUBLE) / 8000 END, 6) AS duration_s,
+       ROUND(CAST(CASE WHEN is_img THEN v ELSE amp END AS DOUBLE), 6) AS mean_level,
+       CAST(CASE WHEN is_img
+                 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+                 ELSE 44 + 2 * ns END AS BIGINT) AS n_bytes
+FROM p
 """
 
 

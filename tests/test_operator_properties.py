@@ -241,6 +241,68 @@ def test_multimodal_features_match_decoder(spark):
     assert got[4] == [0.0] * 8
 
 
+def test_real_codecs_roundtrip():
+    """Driver-side codec contract: synth → decode inverts exactly for
+    PPM and WAV; comments parse; corrupt payloads fall back opaque."""
+    from etl_sendas_spark.operators.multimodal import (
+        _ppm_header,
+        decode_media,
+        decode_ppm,
+        resize_ppm,
+        synth_ppm,
+        synth_wav,
+    )
+
+    for seed in range(0, 300, 7):
+        img = decode_media(synth_ppm(seed))
+        assert img["mime"] == "image/x-portable-pixmap"
+        assert (img["width"], img["height"]) == (4 + seed % 13, 3 + seed % 7)
+        assert abs(img["mean_level"] - seed % 251) < 1e-9
+        wav = decode_media(synth_wav(seed))
+        n = 500 + (seed % 100) * 37
+        assert abs(wav["duration_s"] - n / 8000) < 1e-12
+        assert abs(wav["mean_level"] - seed % 997) < 1e-9
+        assert wav["n_bytes"] == 44 + 2 * n
+    # netpbm comment lines are part of the header grammar
+    hdr = b"P6\n# a comment\n10 5\n255\n" + bytes(150 * 3)
+    assert _ppm_header(hdr)[:2] == (10, 5)
+    # corrupt/foreign payloads never raise — a corpus pass must survive
+    for junk in [b"", b"P6", b"P6\n10 9999\n255\n\x00", b"RIFFxxxx", b"\x89PNG"]:
+        assert decode_media(junk)["mime"] == "application/octet-stream"
+    # nearest-neighbor resize: dims change, constant fill preserved
+    r = decode_ppm(resize_ppm(synth_ppm(8), 3, 2))
+    assert (r["width"], r["height"]) == (3, 2)
+    assert abs(r["mean_level"] - 8 % 251) < 1e-9
+
+
+def test_resize_images_batch(spark):
+    """resize_images: PPMs resized in-batch, foreign payloads pass
+    through untouched, schema preserved."""
+    from etl_sendas_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+        synth_ppm,
+        synth_wav,
+    )
+
+    rows = [(1, synth_ppm(5)), (2, synth_ppm(40)), (3, synth_wav(7))]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(df, 6, 4).collect()
+    }
+    for mid in (1, 2):
+        meta = decode_ppm(out[mid])
+        assert (meta["width"], meta["height"]) == (6, 4)
+    assert out[3] == synth_wav(7)
+
+
 # ---------------------------------------------------------------------------
 # R7 gap fold vs a direct Python reference on randomized inputs
 # ---------------------------------------------------------------------------
