@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from conftest import SF_ORACLE
 from etl_sendas_spark.operators.marking import gap_anchor_mark
+from etl_sendas_spark.sources.readers import normalize_event_time
 from etl_sendas_spark.streaming.sessions import (
     gap_anchor_mark_stream,
     run_stream_to_memory,
@@ -35,16 +36,14 @@ def events_dir(spark, tmp_path_factory):
 def _read_stream(spark, events_dir):
     schema = spark.read.parquet(events_dir).schema
     df = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(df.dtypes).get("ts") == "bigint":  # nanosAsLong normalization
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # nanosAsLong bigint OR µs-NTZ parquet — both → LTZ timestamp
+    # (watermarks require TIMESTAMP, and the testdata's flavor has
+    # changed across driver regenerations)
+    return normalize_event_time(df, "ts")
 
 
 def _batch(spark, events_dir):
-    df = spark.read.parquet(events_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_time(spark.read.parquet(events_dir), "ts")
 
 
 def test_tumbling_counts_match_batch(spark, events_dir):
