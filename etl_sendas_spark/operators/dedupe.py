@@ -515,19 +515,20 @@ def embedding_near_dup_pairs(
     # The collect below is the point of this kernel (the corpus IS the
     # broadcast reference matrix), but it is a driver materialization —
     # guard it so a 100 TB self-dedup can never silently OOM the
-    # driver: above ``max_exact_rows`` (≈ rows × dim × 8 bytes of
-    # broadcast) the caller must opt into the bucketed path.
+    # driver. The guard is fused into the collect itself (limit cap+1,
+    # then check the length): one job, and driver memory stays bounded
+    # by the cap even when the input is over it. Under the cap,
+    # limit(cap+1) returns every row, so the kernel stays exact.
     spark = df.sparkSession
-    n_rows = vecs.count()
-    if n_rows > max_exact_rows:
+    rows = vecs.select("doc", "v", "nrm").limit(max_exact_rows + 1).collect()
+    if len(rows) > max_exact_rows:
         raise ValueError(
             f"embedding_near_dup_pairs exact path collects the corpus to "
-            f"the driver ({n_rows} rows > max_exact_rows={max_exact_rows}). "
+            f"the driver (> max_exact_rows={max_exact_rows} rows). "
             f"Use bucket_planes>0 (sign-LSH, fully distributed) for "
             f"corpora beyond the broadcastable reference-matrix size, or "
             f"raise max_exact_rows explicitly."
         )
-    rows = vecs.select("doc", "v", "nrm").collect()
     ids = np.array([r["doc"] for r in rows])
     mat = np.array([r["v"] for r in rows], dtype="float64")
     mat /= np.array([r["nrm"] for r in rows], dtype="float64")[:, None]

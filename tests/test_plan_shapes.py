@@ -148,3 +148,32 @@ def test_chunking_and_sampling_stay_scan_local(spark):
 
     assert _shuffles(_plan(chunk_documents(spark, SF_ORACLE))) == 0
     assert _shuffles(_plan(sample_stratified_docs(spark, SF_ORACLE))) == 0
+
+
+def test_window_frames_share_one_exchange(spark):
+    """The merged ROWS + RANGE query claims both window specs reuse ONE
+    hash exchange on user_id (they differ only in ordering/frame) — the
+    merge must not double the shuffle cost of either half."""
+    from etl_sendas_spark.plans.inventory import w_window_frames
+
+    plan = _plan(w_window_frames(spark, SF_ORACLE))
+    # exactly one exchange beyond the (optional) scan-widening round-robin
+    hash_parts = len(re.findall(r"Arguments: hashpartitioning\(user_id", plan))
+    assert hash_parts == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_update_then_merge_shuffles_one_join_only(spark):
+    """The chained maintenance query: exactly ONE shuffle join (the CDC
+    full-outer merge); every copy of the row-id update join — the
+    updated base is re-derived per change branch, and AQE dedupes the
+    identical broadcast at runtime — must stay broadcast, never a
+    second shuffle join."""
+    from etl_sendas_spark.plans.inventory import j9_update_then_merge
+
+    plan = _plan(j9_update_then_merge(spark, SF_ORACLE))
+    smj = re.findall(r"\(\d+\) SortMergeJoin", plan)
+    shj = re.findall(r"\(\d+\) ShuffledHashJoin", plan)
+    bhj = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert len(smj) + len(shj) == 1, plan
+    assert len(bhj) >= 1, plan
