@@ -2492,6 +2492,55 @@ GROUP BY 1
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the same user's
+    views within the following hour, both sides unbounded streams —
+    the funnel/attribution shape. Append mode works because the time
+    bounds let Spark expire join state (see
+    :func:`..streaming.sessions.interval_join_streams`).
+
+    ORACLE: the identical interval self-join in batch SQL. Timestamps
+    stringified, gap emitted in integer seconds — hash-stable."""
+    from ..streaming.sessions import interval_join_streams, run_stream_to_memory
+
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+    )
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = interval_join_streams(
+        clicks, views, key_col="user_id", left_ts="ts", right_ts="r_ts",
+        within="1 hour", watermark="2 hours",
+    )
+    run_stream_to_memory(joined, "interval_join_result", output_mode="append")
+    res = spark.table("interval_join_result")
+    return res.select(
+        "user_id",
+        "click_id",
+        "view_id",
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       epoch_us(v.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2578,6 +2627,7 @@ EXTRA_QUERIES = {
     "w_trailing_range_sum": w_trailing_range_sum,  # half of w_window_frames
     "s5_partitioned_sink_roundtrip": s5_partitioned_sink_roundtrip,  # half of s5_sink_compact_roundtrip
     "s6_compact_roundtrip": s6_compact_roundtrip,  # half of s5_sink_compact_roundtrip
+    "streaming_interval_join": streaming_interval_join,  # §2.10 ext beyond the driver window
 }
 
 ORACLES = {
@@ -2649,4 +2699,5 @@ EXTRA_ORACLES = {
     "w_trailing_range_sum": W_TRAILING_RANGE_SQL,
     "s5_partitioned_sink_roundtrip": S5_SINK_SQL,
     "s6_compact_roundtrip": S6_COMPACT_SQL,
+    "streaming_interval_join": STREAM_INTERVAL_JOIN_SQL,
 }

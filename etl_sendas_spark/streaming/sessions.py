@@ -98,6 +98,41 @@ def session_window_agg(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each left event paired with the
+    right-stream events of the same key that occur in
+    ``[left_ts, left_ts + within]`` — the attribution/funnel shape
+    (click → purchase within the hour) joined at stream speed.
+
+    Both sides carry a watermark and the join condition bounds
+    ``right_ts`` relative to ``left_ts`` on BOTH ends; that pair of
+    constraints is what lets Spark expire buffered state (each side
+    holds only ``watermark + within`` of history per key) and emit in
+    append mode. Without the time bounds a stream-stream join would
+    need unbounded state — the planner rejects it.
+
+    State is hash-partitioned on the join key; at 100 TB feed rates the
+    bound on per-key buffered history, not the feed size, dictates
+    state-store memory — the same sizing rule as a windowed agg.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key_col])
+
+
 _GAP_STATE_SCHEMA = T.StructType([T.StructField("anchor_ms", T.LongType())])
 
 

@@ -150,3 +150,48 @@ def test_stream_to_partitioned_parquet_sink(spark, events_dir, tmp_path):
         stream, out, ckpt2, partition_by=["event_type"], output_mode="append"
     )
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join must equal the batch interval join
+    over the same bounded input (clicks → views within 1 hour)."""
+    from etl_sendas_spark.streaming.sessions import (
+        interval_join_streams,
+        run_stream_to_memory,
+    )
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return clicks, views
+
+    sc, sv = sides(_read_stream(spark, events_dir))
+    joined = interval_join_streams(
+        sc, sv, key_col="user_id", left_ts="ts", right_ts="r_ts",
+        within="1 hour", watermark="2 hours",
+    )
+    run_stream_to_memory(joined, "ij_test", output_mode="append")
+    got = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in spark.table("ij_test").collect()
+    }
+
+    bc, bv = sides(_batch(spark, events_dir))
+    expected = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in bc.join(
+            bv,
+            (bc["user_id"] == bv["user_id"])
+            & (bv["r_ts"] >= bc["ts"])
+            & (bv["r_ts"] <= bc["ts"] + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0
