@@ -315,6 +315,79 @@ def minhash_lsh_candidates(
 
 
 # --------------------------------------------------------------------------
+# pair → cluster: connected components (the last rung of the ladder)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "node",
+    out_label: str = "cluster",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Assign every node touched by ``pairs`` its connected component,
+    labeled by the component's minimum node id.
+
+    Near-dup PAIRS aren't actionable until they become CLUSTERS (keep
+    one canonical doc per component, drop the rest) — pair output alone
+    over-deletes when A~B and B~C but the pipeline drops both B and C.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round every node takes the min label among itself and its
+    neighbors; fixpoint after ≤ component-diameter rounds (near-dup
+    clusters are shallow — transitive chains of a few hops — so this
+    converges in single-digit rounds in practice; ``max_iter`` bounds
+    pathological chains). Each round is one join + one groupBy — both
+    hash-partitioned on node id, no broadcast of anything unbounded.
+    Results are ``localCheckpoint``-ed per round: iterative plans
+    otherwise accumulate lineage exponentially (the classic iterative-
+    Spark trap); on a cluster, a checkpoint dir serves the same role.
+    The fixpoint test is a ``limit(1).count()`` on changed labels — an
+    early-exit probe, not a full materialization.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned every round — pin once
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(out_id), F.col("label").alias(out_label)
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -2492,6 +2492,54 @@ GROUP BY 1
 """
 
 
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair → cluster: MinHash-LSH verified pairs (same parameters as
+    ``dedup_minhash_lsh_docs``) fed through distributed connected
+    components; every document gets a cluster id (singletons cluster
+    with themselves) and a canonical flag (the cluster's min doc_id —
+    the row a dedup pass KEEPS).
+
+    ORACLE: the full minhash pair SQL embedded as a subquery, closed
+    transitively with a recursive CTE, min label per component — so the
+    driver hash verifies pairs, closure, AND canonical choice."""
+    from ..operators.dedupe import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=64, bands=16, shingle_n=3, verify_threshold=0.5,
+    )
+    cc = connected_components(pairs, out_id="doc_id", out_label="cluster_id")
+    out = docs.select("doc_id").join(cc, "doc_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({DEDUP_MINHASH_SQL})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.label, d.doc_id) AS cluster_id,
+       COALESCE(cc.label, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: clicks joined to the same user's
     views within the following hour, both sides unbounded streams —
@@ -2628,6 +2676,7 @@ EXTRA_QUERIES = {
     "s5_partitioned_sink_roundtrip": s5_partitioned_sink_roundtrip,  # half of s5_sink_compact_roundtrip
     "s6_compact_roundtrip": s6_compact_roundtrip,  # half of s5_sink_compact_roundtrip
     "streaming_interval_join": streaming_interval_join,  # §2.10 ext beyond the driver window
+    "dedup_cluster_docs": dedup_cluster_docs,  # pair→cluster ext beyond the driver window
 }
 
 ORACLES = {
@@ -2700,4 +2749,5 @@ EXTRA_ORACLES = {
     "s5_partitioned_sink_roundtrip": S5_SINK_SQL,
     "s6_compact_roundtrip": S6_COMPACT_SQL,
     "streaming_interval_join": STREAM_INTERVAL_JOIN_SQL,
+    "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
 }

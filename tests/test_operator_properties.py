@@ -596,3 +596,35 @@ def test_ngram_jaccard_capped_universe_consistent(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
     assert got == {(1, 2): 0.333333}
+
+
+def test_connected_components_chains_and_islands(spark):
+    """Transitive chains collapse to one component labeled by the min
+    node; disjoint pairs stay separate; convergence under max_iter."""
+    from etl_sendas_spark.operators.dedupe import connected_components
+
+    # chain 1-2-3-4 (never directly 1-4), island 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 30-hop chain needs ~log-to-diameter rounds — must still reach
+    the fixpoint inside max_iter and label everything with the min."""
+    from etl_sendas_spark.operators.dedupe import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pairs).collect()
+    }
+    assert set(got) == set(range(31))
+    assert set(got.values()) == {0}
