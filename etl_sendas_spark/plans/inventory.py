@@ -2492,6 +2492,55 @@ GROUP BY 1
 """
 
 
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: documents stream into
+    fixed-budget training sequences in deterministic (source, doc_id)
+    order; each document is assigned the sequence where its first token
+    lands plus its offset inside it — the GPT-style packing manifest
+    (reader concatenates in order and cuts every ``_PACK_BUDGET``
+    tokens).
+
+    One window over (source) — a single shuffle on the pack-stream key.
+    At 100 TB the unit of packing parallelism is the stream key: a
+    giant source is pre-split into k salted streams (seq ids then
+    namespace per salt), the same hot-key treatment as
+    ``keep_first_salted``. Token counts come from the shared BPE-ish
+    pre-tokenizer regex, so the oracle replays them exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.regexp_count(F.col("text"), F.lit(_BPE_PRETOK)).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum(tok).over(w) - tok
+    return docs.select(
+        "doc_id",
+        "source",
+        tok.alias("n_tokens"),
+        F.floor(start / _PACK_BUDGET).cast("long").alias("seq_id"),
+        (start % _PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '{_BPE_PRETOK}')) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(regexp_extract_all(text, '{_BPE_PRETOK}')) AS BIGINT))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+"""
+
+
 def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair → cluster: MinHash-LSH verified pairs (same parameters as
     ``dedup_minhash_lsh_docs``) fed through distributed connected
@@ -2677,6 +2726,7 @@ EXTRA_QUERIES = {
     "s6_compact_roundtrip": s6_compact_roundtrip,  # half of s5_sink_compact_roundtrip
     "streaming_interval_join": streaming_interval_join,  # §2.10 ext beyond the driver window
     "dedup_cluster_docs": dedup_cluster_docs,  # pair→cluster ext beyond the driver window
+    "pack_training_sequences": pack_training_sequences,  # packing ext beyond the driver window
 }
 
 ORACLES = {
@@ -2750,4 +2800,5 @@ EXTRA_ORACLES = {
     "s6_compact_roundtrip": S6_COMPACT_SQL,
     "streaming_interval_join": STREAM_INTERVAL_JOIN_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
+    "pack_training_sequences": PACK_SEQUENCES_SQL,
 }

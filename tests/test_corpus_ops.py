@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_ORACLE
 from etl_sendas_spark.functions.text import (
     pii_counts,
     pii_redact,
@@ -174,3 +175,30 @@ def test_repeated_ngram_ratio(spark, text, n, expected):
     df = spark.createDataFrame([(text,)], ["text"])
     got = df.select(repeated_ngram_ratio(F.col("text"), n).alias("r")).head().r
     assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_pack_training_sequences_invariants(spark):
+    """Packing manifest invariants: offsets stay inside the budget,
+    consecutive docs per source abut exactly (offset advances by the
+    previous doc's tokens, modulo sequence cuts), seq ids never
+    decrease in pack order."""
+    from etl_sendas_spark.plans.inventory import (
+        _PACK_BUDGET,
+        pack_training_sequences,
+    )
+
+    rows = pack_training_sequences(spark, SF_ORACLE).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        last_seq = 0
+        for r in docs:
+            assert 0 <= r["seq_offset"] < _PACK_BUDGET, r
+            assert r["seq_id"] * _PACK_BUDGET + r["seq_offset"] == cum, r
+            assert r["seq_id"] >= last_seq, r
+            last_seq = r["seq_id"]
+            cum += r["n_tokens"]
