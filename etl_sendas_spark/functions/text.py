@@ -74,8 +74,12 @@ def lang_id(col: Column | str) -> Column:
     toks = F.split(normalized_text(col), " ")
     en = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
     es = F.size(F.filter(toks, lambda t: t.isin(*_ES_STOP)))
+    c = F.col(col) if isinstance(col, str) else col
     return (
-        F.when((en == 0) & (es == 0), F.lit("unknown"))
+        # NULL text first: size(NULL array) is -1 under legacy sizeOfNull,
+        # which would otherwise fall through the en/es comparisons
+        F.when(c.isNull(), F.lit("unknown"))
+        .when((en == 0) & (es == 0), F.lit("unknown"))
         .when(en >= es, F.lit("en"))
         .otherwise(F.lit("es"))
     )

@@ -202,3 +202,54 @@ def test_pack_training_sequences_invariants(spark):
             assert r["seq_id"] >= last_seq, r
             last_seq = r["seq_id"]
             cum += r["n_tokens"]
+
+
+def test_text_ops_survive_null_and_empty_docs(spark):
+    """Real corpora carry null/empty/whitespace documents; every text
+    operator must handle them without crashing and without
+    misclassifying (a NULL doc is 'unknown' language, not 'es')."""
+    from etl_sendas_spark.functions.text import (
+        doc_fingerprint,
+        lang_id,
+        token_count,
+    )
+    from etl_sendas_spark.operators.dedupe import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "real text here with words"),
+            (5, "real text here with words"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            lang_id("text").alias("lang"),
+            doc_fingerprint("text").alias("fp"),
+            token_count("text").alias("tok"),
+        ).collect()
+    }
+    assert rows[1]["lang"] == "unknown" and rows[1]["fp"] is None
+    assert rows[2]["lang"] == "unknown"
+    # whitespace-only normalizes to the empty doc — same fingerprint
+    assert rows[3]["fp"] == rows[2]["fp"]
+    assert rows[4]["lang"] == "en"
+
+    # dedup ladder: no crashes; the only true near-dup pair is (4, 5),
+    # empty and whitespace-only dedup together, NULL survives alone
+    assert sorted(
+        r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect()
+    ) == [1, 2, 4]
+    jacc = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jacc} == {(4, 5)}
+    mh = minhash_lsh_candidates(df, "doc_id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(4, 5)}
