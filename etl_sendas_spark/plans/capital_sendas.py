@@ -506,6 +506,7 @@ def run_pipeline(
     bases: DataFrame,
     mes: int,
     parse_dates: bool = True,
+    materialize_fact: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full DAG: ingest filters → parse/cast → enrich → rules → project.
     Returns (capital_sendas, comprobar).
@@ -515,6 +516,18 @@ def run_pipeline(
     (``grafo_sendas.html:586``), so every named stage here traces to
     the graph nodes it realizes (tables, Condicion_*, Regla_*,
     Calculo_*). See :mod:`etl_sendas_spark.plans.lineage`.
+
+    ``materialize_fact`` pins the month-scoped, row-id'd fact with an
+    eager ``localCheckpoint`` before enrichment. The rule engine reads
+    the fact from 5 mark sets + the main pass + comprobar; without the
+    pin each consumer re-executes the scan → row-number range shuffle →
+    source joins (measured 8.96 s vs 6.62 s at sf0.1). The month filter
+    keeps a small fraction of the input (7.8 % on the driver fact), so
+    what materializes is the scoped batch — the stage table the
+    reference itself writes between phases — not the raw input. Set
+    False to keep the plan fully lazy (e.g. when a caller embeds this
+    DAG inside a larger optimized plan, or when the scoped batch is too
+    large to pin under executor storage and recompute is preferred).
     """
     from .lineage import STAGES
 
@@ -528,9 +541,12 @@ def run_pipeline(
         "finalize": finalize,
     }
     for stage in STAGES:
-        if stage.name == "enrich" and ROW_ID not in fact.columns:
-            # the rule engine threads row identity from here on
-            fact = with_row_id(fact)
+        if stage.name == "enrich":
+            if ROW_ID not in fact.columns:
+                # the rule engine threads row identity from here on
+                fact = with_row_id(fact)
+            if materialize_fact:
+                fact = fact.localCheckpoint(eager=True)
         if stage.name == "finalize":
             return impls[stage.name](fact), comprobar(fact)
         fact = impls[stage.name](fact)
