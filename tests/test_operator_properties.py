@@ -628,3 +628,44 @@ def test_connected_components_long_chain(spark):
     }
     assert set(got) == set(range(31))
     assert set(got.values()) == {0}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized cross-check: component labels must equal a plain
+    union-find over the same edges (labels = min node per component)."""
+    from etl_sendas_spark.operators.dedupe import connected_components
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expected = {}
+        for x in touched:
+            root = find(x)
+            expected[x] = min(
+                y for y in touched if find(y) == root
+            )
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["node"]: r["cluster"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"seed={seed}"

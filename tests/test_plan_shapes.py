@@ -177,3 +177,18 @@ def test_update_then_merge_shuffles_one_join_only(spark):
     bhj = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
     assert len(smj) + len(shj) == 1, plan
     assert len(bhj) >= 1, plan
+
+
+def test_flagship_reads_fact_from_stage_table_not_rescans(spark):
+    """After the materialize_fact pin, the flagship's executed plan must
+    contain NO fact-table parquet scans: the 7 fact consumers (5 mark
+    sets, main pass, comprobar) all read the checkpointed stage table.
+    The only parquet scan allowed is the tiny ``bases`` dim (customer,
+    key-column-pruned, broadcast). A lineitem/orders scan reappearing
+    here means some consumer silently re-derives from the source."""
+    from etl_sendas_spark.plans.inventory import sendas_full_pipeline
+
+    out = sendas_full_pipeline(spark, SF_ORACLE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan, plan[:2000]
+    assert "orders.parquet" not in plan, plan[:2000]
