@@ -15,7 +15,24 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    sort_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` gives hive directories (partition
+    pruning); ``sort_by`` sorts WITHIN each output task before writing,
+    which makes every row group's min/max statistics on those columns
+    tight and non-overlapping — the layout that lets any reader (Spark,
+    DuckDB, Trino) skip whole row groups on a pushed-down range filter.
+    At 100 TB this is the difference between scanning a day's row
+    groups and scanning the table; it costs one in-memory sort per
+    task, no extra shuffle (pair with ``repartition(range)`` upstream
+    when global clustering is wanted)."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

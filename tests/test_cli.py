@@ -9,6 +9,7 @@ import glob
 import os
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from etl_sendas_spark.__main__ import main
 
@@ -104,3 +105,54 @@ def test_cli_end_to_end(spark, tmp_path):
     assert set(check.columns) == {
         "DOC_PACIENTE", "nombre1", "nombre2", "apellido1", "apellido2"
     }
+
+
+def test_sorted_write_produces_skippable_row_groups(spark, tmp_path):
+    """write_parquet(sort_by=...): every row group's min/max statistics
+    on the sort column must be tight and non-overlapping within each
+    file — the property range-filter row-group skipping depends on.
+    Small row groups forced so a single file holds several."""
+    import pyarrow.parquet as pq
+
+    from etl_sendas_spark.sources.sinks import write_parquet
+
+    out = str(tmp_path / "sorted")
+    df = (
+        spark.range(0, 200_000)
+        .select(
+            F.col("id").alias("k"),
+            # write order deliberately scrambled: sort_by must fix it
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("scrambled"),
+        )
+        .repartition(2)
+    )
+    # runtime SQL conf doesn't reach the parquet writer — set the
+    # hadoop conf directly so each file gets several small row groups
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        write_parquet(df, out, sort_by=["scrambled"])
+    finally:
+        hconf.unset("parquet.block.size")
+
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    multi = 0
+    for f in files:
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "scrambled"
+        )
+        ranges = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            ranges.append((st.min, st.max))
+        if len(ranges) > 1:
+            multi += 1
+        for (lo, hi), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert lo <= hi <= lo2 <= hi2, ranges
+    assert multi > 0, "need at least one multi-row-group file to prove skipping"
