@@ -256,6 +256,62 @@ def keep_first_salted(
     return keep_first(phase1, keys, order_by).drop("__salt")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Generate the I/U/D change feed that turns ``old`` into ``new`` —
+    the other half of :func:`merge_changes`, so
+    ``merge_changes(old, snapshot_diff(old, new, keys), keys)`` equals
+    ``new`` (the round-trip property ``tests`` pin).
+
+    ONE null-safe full-outer join on ``keys``; each side's presence is
+    detected with a literal flag column (never by key-null checks, which
+    would misclassify legitimately-null key values). Value comparison is
+    null-safe per column. At 100 TB both snapshots shuffle once on the
+    key — the standard reconciliation shape; when one side is known
+    small (an incremental batch), AQE picks the broadcast plan by size.
+    Unchanged rows produce NO feed row, so the output is change-sized,
+    not snapshot-sized.
+    """
+    value_cols = [c for c in old.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshot_diff requires identical schemas")
+    o = old.withColumn("__in_old", F.lit(1)).alias("o")
+    n = new.withColumn("__in_new", F.lit(1)).alias("n")
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+    )
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col("o.__in_old").isNotNull()
+    in_new = F.col("n.__in_new").isNotNull()
+    changed = functools.reduce(
+        lambda x, y: x | y,
+        [~F.col(f"o.{v}").eqNullSafe(F.col(f"n.{v}")) for v in value_cols],
+        F.lit(False),
+    )
+    op = (
+        F.when(in_old & ~in_new, F.lit("D"))
+        .when(~in_old & in_new, F.lit("I"))
+        .when(changed, F.lit("U"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    # D rows carry the old values (the merge only needs the key), I/U the new
+    out_vals = [
+        F.when(in_new, F.col(f"n.{v}")).otherwise(F.col(f"o.{v}")).alias(v)
+        for v in value_cols
+    ]
+    return (
+        j.select(*out_keys, *out_vals, op.alias(op_col))
+        .filter(F.col(op_col).isNotNull())
+    )
+
+
 def merge_changes(
     base: DataFrame,
     changes: DataFrame,

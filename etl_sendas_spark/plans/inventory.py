@@ -2492,6 +2492,50 @@ GROUP BY 1
 """
 
 
+def j_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC *generation*: reconcile two order snapshots into the minimal
+    I/U/D feed (deletes keys ≡0 mod 10, reprices ≡1,2, inserts shifted
+    ≡3 — the same deterministic mutation the merge queries apply, so
+    the diff must recover it exactly). One null-safe full-outer join;
+    unchanged rows emit nothing. Round-trip law
+    ``merge_changes(old, snapshot_diff(old, new)) == new`` is pinned in
+    tests/test_corpus_ops.py."""
+    from ..operators.relational import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    kept = old.filter(k % 10 != 0)
+    new = (
+        kept.withColumn(
+            "o_totalprice",
+            F.when(
+                (k % 10).isin(1, 2), F.col("o_totalprice") + F.lit(1000.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(k % 10 == 3).withColumn(
+                "o_orderkey", k + F.lit(100_000_000)
+            )
+        )
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+J_SNAPSHOT_DIFF_SQL = """
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
+FROM base WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 'U'
+FROM base WHERE o_orderkey % 10 IN (1, 2)
+UNION ALL
+SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I'
+FROM base WHERE o_orderkey % 10 = 3
+"""
+
+
 _PACK_BUDGET = 512  # tokens per packed training sequence
 
 
@@ -2727,6 +2771,7 @@ EXTRA_QUERIES = {
     "streaming_interval_join": streaming_interval_join,  # §2.10 ext beyond the driver window
     "dedup_cluster_docs": dedup_cluster_docs,  # pair→cluster ext beyond the driver window
     "pack_training_sequences": pack_training_sequences,  # packing ext beyond the driver window
+    "j_snapshot_diff": j_snapshot_diff,  # CDC-generation ext beyond the driver window
 }
 
 ORACLES = {
@@ -2801,4 +2846,5 @@ EXTRA_ORACLES = {
     "streaming_interval_join": STREAM_INTERVAL_JOIN_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
     "pack_training_sequences": PACK_SEQUENCES_SQL,
+    "j_snapshot_diff": J_SNAPSHOT_DIFF_SQL,
 }
