@@ -28,22 +28,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import normalized_text, doc_fingerprint
+from ..materialize import materialize as _pin, release as _release
 
 
-def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+def _materialize_release(
+    out: DataFrame, *cached: DataFrame, name: str = "dedup_pairs"
+) -> DataFrame:
     """Pin the (small) result, then free the bulky cached intermediates.
 
     A dedup query's output (candidate/confirmed pairs) is orders of
     magnitude smaller than the shingle/posting caches that feed it.
-    ``localCheckpoint(eager=True)`` materializes the result and
-    truncates its lineage, so the parents' MEMORY_AND_DISK storage can
-    be released HERE instead of living until session end — in a shared
-    session (the driver runs its whole query set in one JVM) a leaked
-    multi-GB shingle cache taxes every later query with heap churn.
-    ``unpersist`` on a never-persisted frame is a no-op, so callers can
-    pass conditionally-cached frames unconditionally.
+    Pinning via :func:`..materialize.materialize` (strategy from the
+    ``spark.etl_sendas.materialize`` conf: localCheckpoint locally,
+    reliable checkpoint / stage parquet on a cluster) materializes the
+    result and truncates its lineage, so the parents' MEMORY_AND_DISK
+    storage can be released HERE instead of living until session end —
+    in a shared session (the driver runs its whole query set in one
+    JVM) a leaked multi-GB shingle cache taxes every later query with
+    heap churn. ``unpersist`` on a never-persisted frame is a no-op, so
+    callers can pass conditionally-cached frames unconditionally.
     """
-    out = out.localCheckpoint(eager=True)
+    out = _pin(out, name=name)
     for df in cached:
         df.unpersist()
     return out
@@ -111,6 +116,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_posting: int | None = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """All pairs (a,b), a<b, with shingle-set Jaccard ≥ threshold.
 
@@ -125,14 +131,23 @@ def ngram_jaccard_pairs(
     stays an unbiased Jaccard of the reduced sets rather than a
     numerator/denominator mismatch that silently pushes true pairs
     below threshold.
+
+    ``materialize=True`` (default) eagerly pins the pair output via
+    :mod:`..materialize` and releases the shingle/posting caches —
+    right when the pairs will be consumed in full. Pass False to keep
+    the plan fully lazy (no persist, no eager work at call time): a
+    ``limit(n)`` probe then pays only what it reads, at the cost of
+    re-shingling per consumer. On a cluster, set
+    ``spark.etl_sendas.materialize=reliable`` (or ``parquet``) so the
+    pin survives executor loss.
     """
     # three consumers (sizes ×2 join sides + posting) — persist so the
     # corpus normalizes+shingles once (spill-safe; see minhash note)
     from pyspark import StorageLevel
 
-    docs = _shingle_docs(df, id_col, text_col, n, out_id="doc").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    docs = _shingle_docs(df, id_col, text_col, n, out_id="doc")
+    if materialize:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     posting = docs.select("doc", F.explode("sh").alias("shingle"))
 
     if max_posting is not None:
@@ -142,7 +157,8 @@ def ngram_jaccard_pairs(
         posting = posting.withColumn("__df", F.count("*").over(cnt)).filter(
             F.col("__df") <= max_posting
         ).drop("__df")
-        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+        if materialize:
+            posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
 
     # sizes from the SAME (possibly capped) posting universe as the
     # intersections: if high-df shingles are dropped from n_common they
@@ -175,7 +191,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
-    return _materialize_release(pairs, docs, posting)
+    if not materialize:
+        return pairs
+    return _materialize_release(pairs, docs, posting, name="ngram_jaccard_pairs")
 
 
 # --------------------------------------------------------------------------
@@ -234,6 +252,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     verify_threshold: float | None = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, optionally
     verified with exact shingle Jaccard.
@@ -245,6 +264,12 @@ def minhash_lsh_candidates(
     ``verify_threshold`` set, candidates are confirmed against the
     exact Jaccard of their shingle sets (join back to the posting
     lists), eliminating LSH false positives.
+
+    ``materialize=True`` (default) eagerly pins the verified pairs via
+    :mod:`..materialize` (strategy conf-selectable; use ``reliable``/
+    ``parquet`` on a cluster) and releases the shingle cache. Pass
+    False for a fully lazy plan builder — nothing persists, nothing
+    executes at call time.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -254,7 +279,7 @@ def minhash_lsh_candidates(
     # single time instead of once per consumer; the equivalent cluster
     # pattern is materializing the shingle/signature table.
     sh = _shingle_docs(df, id_col, text_col, shingle_n, out_id="doc")
-    if verify_threshold is not None:
+    if verify_threshold is not None and materialize:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -311,7 +336,9 @@ def minhash_lsh_candidates(
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_release(verified, sh)
+    if not materialize:
+        return verified
+    return _materialize_release(verified, sh, name="minhash_lsh_pairs")
 
 
 # --------------------------------------------------------------------------
@@ -340,35 +367,40 @@ def connected_components(
     converges in single-digit rounds in practice; ``max_iter`` bounds
     pathological chains). Each round is one join + one groupBy — both
     hash-partitioned on node id, no broadcast of anything unbounded.
-    Results are ``localCheckpoint``-ed per round: iterative plans
-    otherwise accumulate lineage exponentially (the classic iterative-
-    Spark trap); on a cluster, a checkpoint dir serves the same role.
+    Results are pinned per round via :mod:`..materialize`: iterative
+    plans otherwise accumulate lineage exponentially (the classic
+    iterative-Spark trap). Locally the pin is ``localCheckpoint``; on
+    a cluster set ``spark.etl_sendas.materialize=reliable`` (or
+    ``parquet``) so a lost executor mid-iteration doesn't kill the
+    job — lineage is truncated, recompute is impossible by design.
+    Prior rounds' storage is released eagerly at the RDD/stage level
+    (``DataFrame.unpersist`` cannot reach checkpoint blocks), so round
+    N holds two rounds of labels, not N.
     The fixpoint test is a ``limit(1).count()`` on changed labels — an
     early-exit probe, not a full materialization.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
+    edges = _pin(
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # scanned every round — pin once
+        ).distinct(),
+        name="cc_edges",  # scanned every round — pin once
     )
-    labels = (
+    labels = _pin(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        name="cc_labels_0",
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
+        new_labels = _pin(
             labels.unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            name=f"cc_labels_{i + 1}",
         )
         changed = (
             new_labels.alias("n")
@@ -377,11 +409,11 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        _release(labels)
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    _release(edges)
     return labels.select(
         F.col("node").alias(out_id), F.col("label").alias(out_label)
     )

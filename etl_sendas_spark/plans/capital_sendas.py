@@ -506,7 +506,7 @@ def run_pipeline(
     bases: DataFrame,
     mes: int,
     parse_dates: bool = True,
-    materialize_fact: bool = True,
+    materialize_fact: bool | str = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full DAG: ingest filters → parse/cast → enrich → rules → project.
     Returns (capital_sendas, comprobar).
@@ -517,18 +517,26 @@ def run_pipeline(
     the graph nodes it realizes (tables, Condicion_*, Regla_*,
     Calculo_*). See :mod:`etl_sendas_spark.plans.lineage`.
 
-    ``materialize_fact`` pins the month-scoped, row-id'd fact with an
-    eager ``localCheckpoint`` before enrichment. The rule engine reads
-    the fact from 5 mark sets + the main pass + comprobar; without the
-    pin each consumer re-executes the scan → row-number range shuffle →
-    source joins (measured 8.96 s vs 6.62 s at sf0.1). The month filter
-    keeps a small fraction of the input (7.8 % on the driver fact), so
-    what materializes is the scoped batch — the stage table the
-    reference itself writes between phases — not the raw input. Set
+    ``materialize_fact`` pins the month-scoped, row-id'd fact as a
+    stage table before enrichment. The rule engine reads the fact from
+    5 mark sets + the main pass + comprobar; without the pin each
+    consumer re-executes the scan → row-number range shuffle → source
+    joins (measured 8.96 s vs 6.62 s at sf0.1). The month filter keeps
+    a small fraction of the input (7.8 % on the driver fact), so what
+    materializes is the scoped batch — the stage table the reference
+    itself writes between phases (``capital_sendas.py:600``) — not the
+    raw input.
+
+    The pin mechanism is pluggable (:mod:`..materialize`): ``True``
+    resolves the strategy from the ``spark.etl_sendas.materialize``
+    conf (default ``local`` = ``localCheckpoint``, fastest but not
+    fault-tolerant); pass ``"reliable"`` or ``"parquet"`` — or set the
+    conf — on a cluster so a lost executor can't kill the run. Set
     False to keep the plan fully lazy (e.g. when a caller embeds this
     DAG inside a larger optimized plan, or when the scoped batch is too
     large to pin under executor storage and recompute is preferred).
     """
+    from ..materialize import materialize as _pin
     from .lineage import STAGES
 
     impls = {
@@ -546,7 +554,15 @@ def run_pipeline(
                 # the rule engine threads row identity from here on
                 fact = with_row_id(fact)
             if materialize_fact:
-                fact = fact.localCheckpoint(eager=True)
+                fact = _pin(
+                    fact,
+                    name="fact_stage",
+                    strategy=(
+                        materialize_fact
+                        if isinstance(materialize_fact, str)
+                        else None
+                    ),
+                )
         if stage.name == "finalize":
             return impls[stage.name](fact), comprobar(fact)
         fact = impls[stage.name](fact)
