@@ -142,17 +142,33 @@ def gap_anchor_mark_stream(
     ts_col: str = "ts",
     gap_days: int = 3,
     id_col: str = "event_id",
+    watermark: str = "1 day",
 ) -> DataFrame:
     """Streaming R7: per group, emit (id, ts, validacion) where a row is
     marked iff it is the group's first event or > ``gap_days`` after the
     last MARKED event; the anchor persists in GroupState across
     micro-batches.
 
+    State is BOUNDED by an event-time timeout: an anchor at time ``a``
+    can only change a future mark decision for events with
+    ``ts < a + (gap_days + 1) days`` (anything later is guaranteed
+    ``(ts - a) // 1d > gap_days`` → marked, which is exactly the
+    no-state outcome). So once the watermark passes
+    ``a + gap_days + 1 days`` the state is provably closed and Spark
+    evicts it — per-group state lives ``gap_days + 1 + watermark``
+    of event time, not forever; an unbounded production stream holds a
+    sliding window of active groups instead of every group ever seen.
+    A group that re-appears after eviction restarts with a marked first
+    event — identical output to the kept-state path.
+
     Caveat shared with any per-event stateful op: correctness needs
     in-order events per group within a batch (we sort each batch) and
     monotone batches for cross-batch order — acceptable for the audit
     use-case this models; exact out-of-order handling would buffer in
-    state behind a watermark.
+    state behind the watermark. Rows later than ``watermark`` behind
+    the stream's max event time are dropped (standard late-data
+    policy; the batch cousin's analog is the month filter dropping
+    unparseable dates).
     """
     out_schema = T.StructType(
         [T.StructField(k, events.schema[k].dataType) for k in group_keys]
@@ -169,6 +185,12 @@ def gap_anchor_mark_stream(
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         import numpy as np
+
+        if state.hasTimedOut:
+            # watermark passed anchor + gap + 1d: no future event can be
+            # influenced by this anchor — drop it and emit nothing
+            state.remove()
+            return
 
         # same numpy formulation as the batch fold (operators/marking.py)
         # — one datetime conversion per chunk and plain int64 compares in
@@ -202,15 +224,24 @@ def gap_anchor_mark_stream(
             res["validacion"] = flags
             chunks.append(res[out_cols])
         state.update((a if has else None,))
+        if has:
+            # evict once provably closed; must stay ahead of the current
+            # watermark or Spark rejects the (already-due) timestamp
+            closed_at = a + (gap + 1) * day_ms
+            state.setTimeoutTimestamp(
+                max(closed_at, state.getCurrentWatermarkMs() + 1)
+            )
         if chunks:
             yield pd.concat(chunks, ignore_index=True)
 
-    return events.groupBy(*group_keys).applyInPandasWithState(
+    return events.withWatermark(ts_col, watermark).groupBy(
+        *group_keys
+    ).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=_GAP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

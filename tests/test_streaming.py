@@ -195,3 +195,59 @@ def test_interval_join_matches_batch(spark, events_dir):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_gap_anchor_state_is_evicted_after_watermark(spark, tmp_path):
+    """The event-time timeout bound: groups whose anchor + gap + 1d has
+    fallen behind the watermark must be dropped from the state store —
+    an unbounded stream holds a sliding window of active groups, not
+    every group ever seen. Three files arrive as three micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered); by the last batch the
+    watermark is ~day 100, so the day-0 groups (timeout day 4) are
+    evicted while the recent groups survive."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(n, rows, mtime):
+        path = os.path.join(src, f"f{n}.parquet")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    import datetime as dt
+
+    day = lambda d, h=0: dt.datetime(2024, 1, 1) + dt.timedelta(days=d, hours=h)
+    # batch 1: users 1 and 2 anchor at day 0
+    write_file(1, [(1, 1, day(0)), (2, 2, day(0, 1))], 1_000)
+    # batch 2: user 3 at day 100 — watermark jumps past day 4 timeouts
+    write_file(2, [(3, 3, day(100))], 2_000)
+    # batch 3: user 4 at day 101 — triggers eviction sweep for 1 and 2
+    write_file(3, [(4, 4, day(101))], 3_000)
+
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*.parquet"))
+    )
+    marked = gap_anchor_mark_stream(
+        stream, group_keys=["user_id"], ts_col="ts", gap_days=3,
+        watermark="1 day",
+    )
+    q = run_stream_to_memory(marked, "t_gap_evict", output_mode="append")
+
+    # every on-time event came out marked (all are group-firsts or >3d gaps)
+    got = {
+        r["event_id"]: r["validacion"]
+        for r in spark.table("t_gap_evict").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert state_rows == 2, q.lastProgress["stateOperators"]
