@@ -2695,7 +2695,12 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'
 # driver. Three former pairs are merged so both halves stay in-window:
 # w_window_frames (ROWS + RANGE frames), j9_update_then_merge (row-id
 # update + CDC merge), s5_sink_compact_roundtrip (partitioned sink +
-# compaction).
+# compaction). Round-4 rotation (VERDICT r3 item 3): the last dedup
+# rung (pair→cluster CC) and sequence packing enter the window;
+# ann_lsh_topk (scoring kernel pinned by ann_cosine_topk, bucket join
+# by embedding_near_dup_bucketed) and streaming_sliding_counts
+# (windowed-agg machinery pinned by streaming_tumbling_counts) step
+# out to EXTRA.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2735,14 +2740,14 @@ QUERIES = {
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_cluster_docs": dedup_cluster_docs,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_bucketed": embedding_near_dup_bucketed,
     "ann_cosine_topk": ann_cosine_topk,
-    "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "pack_training_sequences": pack_training_sequences,
     "multimodal_features": multimodal_features,
     "streaming_tumbling_counts": streaming_tumbling_counts,
-    "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_gap_anchor_mark": streaming_gap_anchor_mark,
     "streaming_dedup_events": streaming_dedup_events,
@@ -2769,9 +2774,9 @@ EXTRA_QUERIES = {
     "s5_partitioned_sink_roundtrip": s5_partitioned_sink_roundtrip,  # half of s5_sink_compact_roundtrip
     "s6_compact_roundtrip": s6_compact_roundtrip,  # half of s5_sink_compact_roundtrip
     "streaming_interval_join": streaming_interval_join,  # §2.10 ext beyond the driver window
-    "dedup_cluster_docs": dedup_cluster_docs,  # pair→cluster ext beyond the driver window
-    "pack_training_sequences": pack_training_sequences,  # packing ext beyond the driver window
     "j_snapshot_diff": j_snapshot_diff,  # CDC-generation ext beyond the driver window
+    "ann_lsh_topk": ann_lsh_topk,  # scoring kernel → ann_cosine_topk; bucket join → embedding_near_dup_bucketed
+    "streaming_sliding_counts": streaming_sliding_counts,  # windowed agg → streaming_tumbling_counts
 }
 
 ORACLES = {
@@ -2813,14 +2818,14 @@ ORACLES = {
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
     "dedup_simhash_docs": SIMHASH_SQL,
+    "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "embedding_near_dup_bucketed": EMB_NEAR_DUP_BUCKETED_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
-    "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "pack_training_sequences": PACK_SEQUENCES_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "streaming_tumbling_counts": STREAM_TUMBLING_SQL,
-    "streaming_sliding_counts": STREAM_SLIDING_SQL,
     "streaming_session_windows": STREAM_SESSION_SQL,
     "streaming_gap_anchor_mark": R7_SQL,
     "streaming_dedup_events": STREAM_DEDUP_SQL,
@@ -2844,7 +2849,7 @@ EXTRA_ORACLES = {
     "s5_partitioned_sink_roundtrip": S5_SINK_SQL,
     "s6_compact_roundtrip": S6_COMPACT_SQL,
     "streaming_interval_join": STREAM_INTERVAL_JOIN_SQL,
-    "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
-    "pack_training_sequences": PACK_SEQUENCES_SQL,
     "j_snapshot_diff": J_SNAPSHOT_DIFF_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "streaming_sliding_counts": STREAM_SLIDING_SQL,
 }
