@@ -838,31 +838,71 @@ SELECT 'lineitem' AS src_table, COUNT(*) AS n_rows FROM lineitem
 
 
 def s1_excel_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 Excel-dimension ingest semantics, oracle-checked without the
-    Excel codec (openpyxl is absent in this container).
+    """S1 Excel-dimension ingest through a REAL ``.xlsx`` byte stream.
 
     The reference's primary ingest is an HTTP-fetched Excel workbook
     whose production sheets carry the real header in the first DATA row
-    (capital_sendas.py:30-61,100-102). The parse result is simulated
-    here by a deterministic in-memory frame with exactly that shape —
-    an unnamed header row, mixed numeric/string cells, and blanks — and
-    the normalization under test is the REAL ingest code
-    (sources/readers.py dim_frame_to_spark, the same function
-    read_excel_dim calls): header promotion, dtype=str, NaN → NULL.
-    ``S1_EXCEL_SQL`` mirrors the expected post-ingest table literally.
+    (capital_sendas.py:30-61,100-102). This builds exactly that
+    workbook shape — a blank header row (→ ``Unnamed: N`` columns),
+    mixed numeric/string cells, and blanks — as an actual xlsx zip
+    (``sources/xlsx.py`` stdlib codec), then ingests it with the REAL
+    production path, ``read_excel_dim``: xlsx parse → dtype=str →
+    header promotion → NaN → NULL. ``S1_EXCEL_SQL`` mirrors the
+    expected post-ingest table literally.
     """
-    import pandas as pd
+    import os
+    import tempfile
+    import zipfile
 
-    from ..sources.readers import dim_frame_to_spark
+    from ..sources.readers import read_excel_dim
 
-    raw = pd.DataFrame(
-        {
-            "Unnamed: 0": ["CODIGO", "890201", "890301", None],
-            "Unnamed: 1": ["DESCRIPCION", "Consulta", "Control", "Sin dato"],
-            "Unnamed: 2": ["VALOR", 125000, 98000.5, None],
-        }
+    path = os.path.join(
+        tempfile.gettempdir(), "etl_sendas_s1_dim_fixture.xlsx"
     )
-    return dim_frame_to_spark(spark, raw, promote_first_row=True)
+    # worksheet with a title-only first row (→ columns 'REPORTE',
+    # 'Unnamed: 1', 'Unnamed: 2' — the production-report shape) then the
+    # real header in the first DATA row; numeric cells stored as numbers
+    # so the dtype=str contract is exercised, not just string passthrough
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>REPORTE</t></is></c></row>'
+        '<row r="2">'
+        '<c r="A2" t="inlineStr"><is><t>CODIGO</t></is></c>'
+        '<c r="B2" t="inlineStr"><is><t>DESCRIPCION</t></is></c>'
+        '<c r="C2" t="inlineStr"><is><t>VALOR</t></is></c>'
+        "</row>"
+        '<row r="3">'
+        '<c r="A3" t="inlineStr"><is><t>890201</t></is></c>'
+        '<c r="B3" t="inlineStr"><is><t>Consulta</t></is></c>'
+        '<c r="C3"><v>125000</v></c>'
+        "</row>"
+        '<row r="4">'
+        '<c r="A4" t="inlineStr"><is><t>890301</t></is></c>'
+        '<c r="B4" t="inlineStr"><is><t>Control</t></is></c>'
+        '<c r="C4"><v>98000.5</v></c>'
+        "</row>"
+        '<row r="5">'
+        '<c r="B5" t="inlineStr"><is><t>Sin dato</t></is></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    from ..sources.xlsx import (
+        _XLSX_CONTENT_TYPES,
+        _XLSX_ROOT_RELS,
+        _XLSX_WB_RELS,
+        _wb_xml,
+    )
+
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _XLSX_ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _wb_xml("Hoja1"))
+        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    return read_excel_dim(spark, path, promote_first_row=True)
 
 
 S1_EXCEL_SQL = """

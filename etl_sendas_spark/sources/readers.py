@@ -212,10 +212,23 @@ def read_csv(
 
 
 def _pandas_read_excel(path_or_bytes, sheet: str | int = 0, header_row: int | None = 0):
-    """Driver-side Excel parse (dims are KB-sized; facts belong in Parquet)."""
-    import pandas as pd
+    """Driver-side Excel parse (dims are KB-sized; facts belong in Parquet).
 
-    return pd.read_excel(path_or_bytes, sheet_name=sheet, header=header_row, dtype=str)
+    Uses pandas+openpyxl when installed (full xlsx feature coverage);
+    otherwise the stdlib codec (:mod:`.xlsx`, zipfile+ElementTree) reads
+    the same byte stream — the ``dtype=str`` contract is identical.
+    """
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+
+        return pd.read_excel(
+            path_or_bytes, sheet_name=sheet, header=header_row, dtype=str
+        )
+    except ImportError:
+        from .xlsx import read_xlsx
+
+        return read_xlsx(path_or_bytes, sheet=sheet, header_row=header_row)
 
 
 def onedrive_download_url(url: str) -> str:
@@ -275,19 +288,10 @@ def read_excel_dim(
     capital_sendas.py:42). ``promote_first_row`` reproduces the
     header-promotion of the production reports (:100-102).
 
-    Requires ``openpyxl`` at runtime; gated so environments without it
-    (like this container) fail with a clear message instead of an
-    import error at module load.
+    Parses via pandas+openpyxl when installed, else via the
+    dependency-free stdlib codec (:mod:`.xlsx`) — real ``.xlsx`` byte
+    streams are readable either way.
     """
-    try:
-        import pandas as pd  # noqa: F401
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel ingest needs openpyxl (not installed in this container). "
-            "Engine-native ingestion is Parquet/CSV; convert dims offline."
-        ) from exc
-
     if re.match(r"^https?://", source):
         import urllib.request
 

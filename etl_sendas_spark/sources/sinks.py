@@ -4,8 +4,9 @@ Reference: DuckDB ``COPY ... TO 'capital_sendas.xlsx' (FORMAT GDAL)``
 and ``COPY ... TO 'comprobar.csv'`` (capital_sendas.py:600,603).
 
 Engine-native sinks are Parquet (analytics) and CSV (interchange);
-Excel is an audit-report convenience for driver-sized results only and
-is gated on openpyxl availability.
+Excel is an audit-report convenience for driver-sized results only —
+written via openpyxl when installed, else via the dependency-free
+stdlib codec in :mod:`.xlsx`.
 """
 
 from __future__ import annotations
@@ -80,12 +81,17 @@ def compact_parquet(
 
 
 def write_excel(df: DataFrame, path: str) -> None:
-    """Excel sink (reference S5) — driver-side, audit-sized output only."""
+    """Excel sink (reference S5, capital_sendas.py:600) — driver-side,
+    audit-sized output only. Uses openpyxl when installed; otherwise the
+    stdlib xlsx codec writes the same byte-stream format (all cells as
+    inline strings — the reference reads its own exports ``dtype=str``).
+    """
+    pdf = df.toPandas()
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel export needs openpyxl (not installed in this container); "
-            "use write_csv/write_parquet instead."
-        ) from exc
-    df.toPandas().to_excel(path, index=False)  # pragma: no cover
+
+        pdf.to_excel(path, index=False)  # pragma: no cover - env-dependent
+    except ImportError:
+        from .xlsx import write_xlsx
+
+        write_xlsx(pdf, path)
