@@ -261,11 +261,20 @@ def snapshot_diff(
     new: DataFrame,
     keys: Sequence[str],
     op_col: str = "op",
+    assert_unique_keys: bool = False,
 ) -> DataFrame:
     """Generate the I/U/D change feed that turns ``old`` into ``new`` —
     the other half of :func:`merge_changes`, so
     ``merge_changes(old, snapshot_diff(old, new, keys), keys)`` equals
     ``new`` (the round-trip property ``tests`` pin).
+
+    PRECONDITION (shared with :func:`merge_changes`): ``keys`` is
+    unique within EACH snapshot. Duplicate keys turn the full-outer
+    join into a per-key cross product — spurious 'U' rows, and the
+    round-trip law no longer holds. The default trusts the caller
+    (snapshots normally come from a keyed sink); pass
+    ``assert_unique_keys=True`` to pay one counting pass per side and
+    fail fast with the offending side named instead.
 
     ONE null-safe full-outer join on ``keys``; each side's presence is
     detected with a literal flag column (never by key-null checks, which
@@ -279,6 +288,16 @@ def snapshot_diff(
     value_cols = [c for c in old.columns if c not in keys]
     if set(old.columns) != set(new.columns):
         raise ValueError("snapshot_diff requires identical schemas")
+    if assert_unique_keys:
+        for side, df in (("old", old), ("new", new)):
+            n_dup = (
+                df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if n_dup:
+                raise ValueError(
+                    f"snapshot_diff: duplicate key(s) in '{side}' snapshot on "
+                    f"{list(keys)}; the diff would cross-product those rows"
+                )
     o = old.withColumn("__in_old", F.lit(1)).alias("o")
     n = new.withColumn("__in_new", F.lit(1)).alias("n")
     cond = functools.reduce(
@@ -325,7 +344,10 @@ def merge_changes(
     (capital_sendas.py re-derives every output from scratch each run).
 
     ``changes`` carries the base's columns plus ``op_col`` in
-    {'I','U','D'}. If ``seq_col`` is given, last-writer-wins per key is
+    {'I','U','D'}. PRECONDITION (shared with :func:`snapshot_diff`):
+    ``keys`` is unique in ``base``, and in ``changes`` after the
+    optional ``seq_col`` resolution — duplicates cross-product the
+    join. If ``seq_col`` is given, last-writer-wins per key is
     resolved first (one window shuffle); then ONE full-outer join on
     ``keys`` applies the net change: unmatched base rows survive, 'D'
     drops, 'I'/'U' take the change row's values. At 100 TB the change

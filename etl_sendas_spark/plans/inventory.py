@@ -969,13 +969,16 @@ def s6_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = os.path.join(tempfile.gettempdir(), f"compact_dst_{tag}")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     docs.repartition(16).write.mode("overwrite").parquet(frag)
-    n_files = compact_parquet(spark, frag, compacted, target_file_mb=128)
+    # the returned file count is ceil(bytes / target) — SF-dependent, so
+    # it is pinned by tests/test_cli.py, NOT hashed here (a literal in
+    # the oracle would break the moment the table outgrows one target
+    # file); the parity columns are the content-roundtrip invariants
+    compact_parquet(spark, frag, compacted, target_file_mb=128)
     back = spark.read.parquet(compacted)
     return back.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
         F.max("doc_id").alias("max_doc_id"),
-        F.lit(n_files).cast("long").alias("n_compacted_files"),
     )
 
 
@@ -983,8 +986,7 @@ S6_COMPACT_SQL = """
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       MAX(doc_id) AS max_doc_id,
-       CAST(1 AS BIGINT) AS n_compacted_files
+       MAX(doc_id) AS max_doc_id
 FROM documents
 GROUP BY source
 """
@@ -1015,13 +1017,15 @@ def s5_sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(
         orders.repartition(8), part_dir, partition_by=["o_orderstatus"]
     )
-    n_files = compact_parquet(spark, part_dir, compacted, target_file_mb=128)
+    # file count = ceil(bytes / target): SF-dependent, pinned by
+    # tests/test_cli.py rather than hashed into the parity columns (a
+    # literal here breaks as soon as orders exceeds one target file)
+    compact_parquet(spark, part_dir, compacted, target_file_mb=128)
     back = spark.read.parquet(compacted)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         _dec_sum(F.col("o_totalprice")).alias("sum_price"),
         F.max("o_orderkey").alias("max_orderkey"),
-        F.lit(n_files).cast("long").alias("n_compacted_files"),
     )
 
 
@@ -1029,8 +1033,7 @@ S5_SINK_COMPACT_SQL = """
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-       MAX(o_orderkey) AS max_orderkey,
-       CAST(1 AS BIGINT) AS n_compacted_files
+       MAX(o_orderkey) AS max_orderkey
 FROM orders
 GROUP BY o_orderstatus
 """

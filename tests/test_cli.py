@@ -156,3 +156,32 @@ def test_sorted_write_produces_skippable_row_groups(spark, tmp_path):
         for (lo, hi), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert lo <= hi <= lo2 <= hi2, ranges
     assert multi > 0, "need at least one multi-row-group file to prove skipping"
+
+
+def test_compact_parquet_file_count_contract(spark, tmp_path):
+    """compact_parquet returns ceil(bytes / target): with a target far
+    below the dataset size the output must split into multiple files
+    (the SF-dependent count the parity queries deliberately do NOT
+    hash), and each compacted file must stay near the target."""
+    import os
+
+    from etl_sendas_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 8) AS pad"
+    ).repartition(16).write.parquet(src)
+
+    n = compact_parquet(spark, src, dst, target_file_mb=1)
+    files = [
+        f for f in os.listdir(dst) if f.endswith(".parquet")
+    ]
+    assert n >= 2, "a >1MB dataset must compact into multiple 1MB-target files"
+    assert len(files) == n
+    # content survives
+    assert spark.read.parquet(dst).count() == 200_000
+
+    # a big target folds everything into one file
+    dst2 = str(tmp_path / "one")
+    assert compact_parquet(spark, src, dst2, target_file_mb=4096) == 1

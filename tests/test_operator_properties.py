@@ -669,3 +669,23 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_snapshot_diff_duplicate_key_guard(spark):
+    """snapshot_diff assumes per-snapshot key uniqueness (duplicates
+    cross-product the full-outer join); the opt-in assertion names the
+    offending side, and unique inputs pass it untouched."""
+    import pytest
+
+    from etl_sendas_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    new = spark.createDataFrame([(1, "a2"), (2, "b"), (2, "dup")], ["k", "v"])
+
+    with pytest.raises(ValueError, match="duplicate key.*'new'"):
+        snapshot_diff(old, new, ["k"], assert_unique_keys=True).collect()
+
+    ok_new = spark.createDataFrame([(1, "a2"), (3, "c")], ["k", "v"])
+    feed = snapshot_diff(old, ok_new, ["k"], assert_unique_keys=True)
+    got = {(r["k"], r["op"]) for r in feed.collect()}
+    assert got == {(1, "U"), (2, "D"), (3, "I")}
