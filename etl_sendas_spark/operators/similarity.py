@@ -91,6 +91,22 @@ def cosine_topk(
 # IVF — inverted file over a deterministic centroid sample
 # ---------------------------------------------------------------------------
 
+def _assign_nearest_centroid(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """(neighbor_id, cv, cn, cluster): each corpus vector labeled with
+    its nearest centroid by cosine (broadcast pass, argmax row kept,
+    ties broken by centroid_id for determinism)."""
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("sim", _dot(F.col("cv"), F.col("ce")) / (F.col("cn") * F.col("ce_n")))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "cv", "cn", F.col("centroid_id").alias("cluster"))
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,18 +115,27 @@ def ivf_cosine_topk(
     k: int = 5,
     n_centroids: int = 32,
     n_probe: int = 8,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) index.
 
-    Centroids are a deterministic sample of the corpus itself (the
+    Centroids start as a deterministic sample of the corpus itself (the
     ``n_centroids`` lowest *portable* hash values of the id — md5-60,
     reproducible across engines so the DuckDB oracle rebuilds the
-    identical index; no RNG, no k-means iterations — at 100 TB one
-    would run a few Lloyd rounds with the same DataFrame ops). Every
-    corpus vector is assigned to its nearest centroid by cosine (one
-    broadcast pass); each query scores only its ``n_probe`` nearest
-    clusters. Scanned fraction ≈ n_probe / n_centroids, recall degrades
-    smoothly as n_probe shrinks.
+    identical index; no RNG). ``lloyd_iters`` k-means rounds then
+    refine them DataFrame-side: assign (broadcast argmax pass) →
+    update (per-cluster element-wise mean = ``dim`` map-side-combinable
+    ``avg`` aggregates, one shuffle on cluster id). Cluster labels stay
+    the seed ids, so tie-breaks remain deterministic; recall at fixed
+    ``n_probe`` is measured against :func:`cosine_topk` in
+    ``tests/test_corpus_ops.py``. Every corpus vector is assigned to
+    its nearest (refined) centroid; each query scores only its
+    ``n_probe`` nearest clusters. Scanned fraction ≈
+    n_probe / n_centroids, recall degrades smoothly as n_probe shrinks.
+
+    The default ``lloyd_iters=0`` keeps the index byte-replayable by
+    the cross-engine SQL oracle; production indexes should use 2-3
+    rounds (diminishing returns after — standard IVF practice).
     """
     from .dedupe import portable_hash60
     c = corpus.select(
@@ -131,20 +156,34 @@ def ivf_cosine_topk(
         )
     )
 
-    # nearest centroid per corpus vector (broadcast the centroid table,
-    # keep the argmax row) — this is the index build; at rest it would
-    # be written as a `cluster_id`-partitioned table so probes prune
-    # whole partitions.
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("sim").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("sim", _dot(F.col("cv"), F.col("ce")) / (F.col("cn") * F.col("ce_n")))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "cv", "cn", F.col("centroid_id").alias("cluster"))
-    )
+    if lloyd_iters > 0:
+        # k-means refinement. The element-wise mean is expressed as dim
+        # scalar avg() aggregates (JVM, map-side combined) — no
+        # posexplode of |corpus|·dim rows. Empty clusters drop out;
+        # labels keep the seed centroid ids.
+        dim = len(corpus.select(vec_col).first()[0])
+        for _ in range(lloyd_iters):
+            members = _assign_nearest_centroid(c, cents)
+            cents = (
+                members.groupBy("cluster")
+                .agg(*[F.avg(F.col("cv")[i]).alias(f"__m{i}") for i in range(dim)])
+                .select(
+                    F.col("cluster").alias("centroid_id"),
+                    F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("ce"),
+                )
+                .withColumn("ce_n", _norm(F.col("ce")))
+                .filter(F.col("ce_n") > 0)
+            )
+        # centroid table is tiny — pin it (strategy-pluggable) so the
+        # assign pass below and the probe pass don't each recompute
+        # lloyd_iters rounds
+        from ..materialize import materialize as _pin
+
+        cents = F.broadcast(_pin(cents, name="ivf_centroids"))
+
+    # the index build; at rest `assigned` would be written as a
+    # `cluster_id`-partitioned table so probes prune whole partitions.
+    assigned = _assign_nearest_centroid(c, cents)
 
     # n_probe nearest clusters per query
     w_probe = Window.partitionBy("query_id").orderBy(
