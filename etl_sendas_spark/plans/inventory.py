@@ -2296,6 +2296,75 @@ FROM p
 """
 
 
+def multimodal_pointer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-based multimodal decode: payloads too large to inline in
+    a parquet row group live in append-only blob-store files; the table
+    carries only (uri, offset, length) structs. This builds that layout
+    for real — every document's deterministic media payload (same
+    doc_id arithmetic as :func:`multimodal_features`) is concatenated
+    into two store files (images / audio), then the pipeline resolves
+    pointers (per-task handle cache, seek + exact-length read) and
+    decodes the fetched bytes in narrow ``mapInPandas`` stages.
+
+    ORACLE: ``MULTIMODAL_SQL`` verbatim — pointer resolution must be
+    byte-exact for the decode inversion to hash-match, so one wrong
+    offset/length anywhere breaks the row."""
+    import hashlib
+    import tempfile
+
+    from ..operators.multimodal import (
+        media_features,
+        resolve_pointers,
+        synth_ppm,
+        synth_wav,
+        write_blob_store,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    img_store = os.path.join(tempfile.gettempdir(), f"blobs_img_{tag}.bin")
+    wav_store = os.path.join(tempfile.gettempdir(), f"blobs_wav_{tag}.bin")
+
+    ids = sorted(
+        r[0] for r in _t(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+    img_ids = [i for i in ids if i % 2 == 0]
+    wav_ids = [i for i in ids if i % 2 == 1]
+    img_spans = write_blob_store([synth_ppm(int(i)) for i in img_ids], img_store)
+    wav_spans = write_blob_store([synth_wav(int(i)) for i in wav_ids], wav_store)
+
+    rows = [
+        (int(i), (img_store, off, ln))
+        for i, (off, ln) in zip(img_ids, img_spans)
+    ] + [
+        (int(i), (wav_store, off, ln))
+        for i, (off, ln) in zip(wav_ids, wav_spans)
+    ]
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import MEDIA_POINTER
+
+    ptr_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("pointer", MEDIA_POINTER),
+        ]
+    )
+    pointers = spark.createDataFrame(rows, ptr_schema)
+
+    feats = media_features(
+        resolve_pointers(pointers, "pointer", "payload"), payload_col="payload"
+    )
+    return feats.select(
+        "media_id",
+        F.col("m_mime").alias("mime"),
+        F.col("m_width").alias("width"),
+        F.col("m_height").alias("height"),
+        F.round("m_duration_s", 6).alias("duration_s"),
+        F.round("m_mean_level", 6).alias("mean_level"),
+        F.col("m_n_bytes").alias("n_bytes"),
+    )
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table. FileStreamSource requires a
     DIRECTORY source and the testdata is one parquet file per table, so
@@ -2820,6 +2889,7 @@ EXTRA_QUERIES = {
     "j_snapshot_diff": j_snapshot_diff,  # CDC-generation ext beyond the driver window
     "ann_lsh_topk": ann_lsh_topk,  # scoring kernel → ann_cosine_topk; bucket join → embedding_near_dup_bucketed
     "streaming_sliding_counts": streaming_sliding_counts,  # windowed agg → streaming_tumbling_counts
+    "multimodal_pointer_features": multimodal_pointer_features,  # blob-store pointer resolution ext
 }
 
 ORACLES = {
@@ -2895,4 +2965,5 @@ EXTRA_ORACLES = {
     "j_snapshot_diff": J_SNAPSHOT_DIFF_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "streaming_sliding_counts": STREAM_SLIDING_SQL,
+    "multimodal_pointer_features": MULTIMODAL_SQL,
 }

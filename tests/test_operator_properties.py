@@ -744,3 +744,70 @@ def test_ivf_lloyd_refinement_recall(spark):
     )
     assert refined >= 0.9, f"refined recall {refined}"
     assert refined >= unrefined, (refined, unrefined)
+
+
+def test_resolve_pointers_durability_and_exactness(spark, tmp_path):
+    """Pointer resolution: byte-exact spans resolve; a missing store
+    file or truncated span yields NULL payload (corpus-pass rule), not
+    a task failure."""
+    from etl_sendas_spark.operators.multimodal import (
+        MEDIA_POINTER,
+        resolve_pointers,
+        write_blob_store,
+    )
+
+    store = str(tmp_path / "store.bin")
+    payloads = [b"alpha", b"", b"gamma-longer"]
+    spans = write_blob_store(payloads, store)
+    assert spans == [(0, 5), (5, 0), (5, 12)]
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("pointer", MEDIA_POINTER),
+        ]
+    )
+    rows = [
+        (0, (store, 0, 5)),
+        (1, (store, 5, 0)),
+        (2, (store, 5, 12)),
+        (3, (store, 10, 99)),               # truncated span → NULL
+        (4, (str(tmp_path / "gone.bin"), 0, 3)),  # missing store → NULL
+        (5, None),                           # NULL pointer → NULL
+    ]
+    out = resolve_pointers(
+        spark.createDataFrame(rows, schema), "pointer", "payload"
+    )
+    got = {r["media_id"]: r["payload"] for r in out.collect()}
+    assert bytes(got[0]) == b"alpha"
+    assert bytes(got[1]) == b""
+    assert bytes(got[2]) == b"gamma-longer"
+    assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_resize_images_survives_corrupt_p6(spark):
+    """A truncated P6 blob must pass through resize unchanged instead
+    of failing the job (decode_media's durability rule applies to every
+    corpus pass)."""
+    from etl_sendas_spark.operators.multimodal import resize_images, synth_ppm
+
+    good = synth_ppm(6)
+    corrupt = good[:20]          # valid magic + header, truncated raster
+    garbage = b"P6 not a real header"
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, corrupt), (3, garbage), (4, None)], schema
+    )
+    got = {
+        r["media_id"]: r["payload"]
+        for r in resize_images(df, 2, 2).collect()
+    }
+    assert bytes(got[1]).startswith(b"P6\n2 2\n255\n")  # really resized
+    assert bytes(got[2]) == corrupt                      # passed through
+    assert bytes(got[3]) == garbage
+    assert got[4] is None
