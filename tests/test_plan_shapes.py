@@ -192,3 +192,45 @@ def test_flagship_reads_fact_from_stage_table_not_rescans(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "lineitem.parquet" not in plan, plan[:2000]
     assert "orders.parquet" not in plan, plan[:2000]
+
+
+def test_minhash_signatures_are_fully_narrow(spark):
+    """Signature computation must involve NO exchange: each signature
+    element is a per-row array expression over the shingle array — the
+    plan property that makes minhash linear in the scan at 100 TB."""
+    from etl_sendas_spark.operators.dedupe import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(minhash_signatures(docs, "doc_id", "text"))
+    assert _shuffles(plan) == 0, plan
+
+
+def test_minhash_lsh_shuffle_budget(spark):
+    """The full LSH candidate plan (signatures → band buckets → bucket
+    join → exact-Jaccard verify) gets a hard shuffle budget: the bucket
+    join (≤2 sides) plus the two verify joins back to the shingle
+    table (≤2 more, broadcast at small SF). A refactor that explodes
+    signatures into a shuffle, or re-shingles per consumer with an
+    exchange each, busts the budget. Built with materialize=False so
+    the asserted plan is the real end-to-end lineage, not a checkpoint
+    scan."""
+    from etl_sendas_spark.operators.dedupe import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs, "doc_id", "text", materialize=False))
+    assert _shuffles(plan) <= 4, plan
+
+
+def test_flagship_exchange_budget(spark):
+    """Hard exchange budget for the flagship's EXECUTED plan (above the
+    fact stage pin): 52 measured — the 7 fact consumers' rule windows
+    and the broadcast-dim enrichment. A refactor that silently adds a
+    shuffle per consumer (+7) or degrades a broadcast join to a shuffle
+    join must turn this red; raise the budget only with a measured
+    reason."""
+    from etl_sendas_spark.plans.inventory import sendas_full_pipeline
+
+    out = sendas_full_pipeline(spark, SF_ORACLE)
+    pe = out._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange (?:hash|range)partitioning", pe))
+    assert n <= 52, f"flagship executed-plan exchanges grew to {n} (budget 52)"
