@@ -394,10 +394,178 @@ def resolve_pointers(
     return df.mapInPandas(run, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# video: uncompressed-RGB AVI decode + frame sampling (dependency-free);
+# compressed codecs (MJPEG/H.264) stay behind the pyav stub
+# ---------------------------------------------------------------------------
+
+AVI_MIME = "video/x-msvideo"
+
+
+def synth_avi(seed: int) -> bytes:
+    """Deterministic uncompressed-RGB24 AVI: dims, frame count, fps and
+    per-frame fill level are arithmetic functions of ``seed`` (frame i
+    is a solid level ``(seed + 7 * i) % 251``) — like :func:`synth_ppm`
+    /:func:`synth_wav`, built so an oracle can recompute every decoded
+    quantity from the seed."""
+    w, h = 4 + seed % 5, 2 + seed % 3
+    n_frames = 3 + seed % 6
+    fps = 5 + seed % 4
+    row_pad = (-(w * 3)) % 4  # BMP rows pad to 4-byte boundaries
+    frame_size = (w * 3 + row_pad) * h
+
+    frames = b""
+    for i in range(n_frames):
+        level = (seed + 7 * i) % 251
+        row = bytes([level]) * (w * 3) + b"\x00" * row_pad
+        frames += b"00db" + struct.pack("<I", frame_size) + row * h
+
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    # AVISTREAMHEADER: flags, priority, language, initialFrames,
+    # scale=1/rate=fps, start, length, bufsize, quality, sampleSize, rcFrame
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+                      frame_size, 0, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, 0, 0, 0, n_frames, 0, 1, frame_size,
+        w, h, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> Iterator[dict]:
+    """Walk an uncompressed-RGB AVI: headers from 'avih'/'strf', one
+    dict per '00db' frame (index, timestamp, dims, mean level over the
+    raster excluding row padding). Raises ValueError on non-AVI or
+    compressed payloads — callers apply the corpus durability rule."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    w = h = None
+    us_per_frame = 0
+    frame_idx = 0
+
+    def walk(lo: int, hi: int):
+        nonlocal w, h, us_per_frame, frame_idx
+        i = lo
+        while i + 8 <= hi:
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack_from("<I", payload, i + 4)
+            body_lo, body_hi = i + 8, i + 8 + size
+            if cid == b"LIST":
+                yield from walk(body_lo + 4, body_hi)  # skip list type tag
+            elif cid == b"avih":
+                (us_per_frame,) = struct.unpack_from("<I", payload, body_lo)
+            elif cid == b"strf" and w is None:
+                _sz, bw, bh, _planes, bits, compression = struct.unpack_from(
+                    "<IiiHHI", payload, body_lo
+                )
+                if bits != 24 or compression != 0:
+                    raise ValueError(
+                        "compressed/non-RGB24 AVI needs pyav (not installed)"
+                    )
+                w, h = bw, abs(bh)
+            elif cid == b"00db":
+                if w is None:
+                    raise ValueError("frame before format header")
+                stride = w * 3 + ((-(w * 3)) % 4)
+                raster = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * h, offset=body_lo
+                ).reshape(h, stride)[:, : w * 3]
+                yield {
+                    "frame_idx": frame_idx,
+                    # straight from the container's µs field — exactly
+                    # frame_idx * us_per_frame / 1e6, replayable by an
+                    # integer-arithmetic oracle (no reciprocal round-trip)
+                    "t_s": frame_idx * us_per_frame / 1_000_000,
+                    "width": w,
+                    "height": h,
+                    "mean_level": float(raster.mean()),
+                }
+                frame_idx += 1
+            elif cid == b"00dc":
+                raise ValueError("compressed AVI stream needs pyav")
+            i = body_hi + (size & 1)  # chunks word-align
+
+    yield from walk(12, len(payload))
+
+
+FRAME_FIELDS = T.StructType(
+    [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_s", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_level", T.DoubleType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_s: float,
+    payload_col: str = "payload",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sample video frames at ~``every_s`` intervals: one output row per
+    kept frame, carrying ``id_cols`` plus frame index/timestamp/dims/
+    mean level. The schedule keeps frame i when
+    ``floor(t_i / every_s) > floor(t_{i-1} / every_s)`` (plus frame 0) —
+    i.e. the first frame of each sampling window, robust to fps that
+    doesn't divide ``every_s``.
+
+    ``mapInPandas`` yielding a DIFFERENT row count than its input is
+    the row-explosion pattern (one media row → n frame rows) — still
+    narrow, no shuffle; partitioning follows the scan. Corrupt or
+    compressed payloads yield zero rows (corpus durability rule), they
+    never fail the task; route compressed corpora through a pyav build.
+    """
+    ids = id_cols or [c for c in df.columns if c != payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in ids] + list(FRAME_FIELDS.fields)
+    )
+    names = [f.name for f in FRAME_FIELDS.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = getattr(rec, payload_col)
+                if payload is None:
+                    continue
+                idv = tuple(getattr(rec, c) for c in ids)
+                last_window = -1
+                try:
+                    for fr in decode_avi_frames(bytes(payload)):
+                        window = int(fr["t_s"] / every_s) if every_s > 0 else fr["frame_idx"]
+                        if fr["frame_idx"] == 0 or window > last_window:
+                            last_window = window
+                            rows.append(idv + tuple(fr[n] for n in names))
+                except (ValueError, struct.error):
+                    continue  # corrupt/compressed payload → zero rows
+            yield pd.DataFrame(rows, columns=ids + names)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_stub(df: DataFrame, every_s: float) -> DataFrame:
-    """Video frame sampling — STUB (needs ffmpeg/pyav; a video
-    container parser is out of dependency-free reach)."""
+    """Frame sampling for COMPRESSED video (MJPEG/H.264/...) — still a
+    stub: entropy-coded bitstreams need pyav/ffmpeg. Uncompressed-RGB
+    AVI is fully supported by :func:`frame_sample` above (same
+    container walk as the WAV codec; the raster is plain bytes)."""
     raise NotImplementedError(
-        "frame sampling requires pyav/ffmpeg (not in this container); "
-        "plumbing pattern: mapInPandas yielding one row per sampled frame"
+        "compressed-video frame sampling requires pyav/ffmpeg (not in this "
+        "container); uncompressed RGB24 AVI decodes via frame_sample()"
     )

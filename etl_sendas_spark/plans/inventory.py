@@ -2365,6 +2365,67 @@ def multimodal_pointer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, REAL decode: each document synthesizes a
+    deterministic uncompressed-RGB24 AVI (dims, frame count, fps, and
+    per-frame fill level all arithmetic in doc_id), then
+    :func:`frame_sample` walks the actual RIFF container — header
+    chunks, '00db' rasters, row padding — and keeps the first frame of
+    each 0.5 s sampling window, one output row per kept frame (the
+    row-explosion mapInPandas shape: narrow, no shuffle).
+
+    ORACLE: ``VIDEO_FRAME_SQL`` regenerates the frame schedule from the
+    same doc_id arithmetic (t_s uses the container's integer µs/frame,
+    so both engines compute bit-identical timestamps) and applies the
+    same first-of-window rule via QUALIFY."""
+    from ..operators.multimodal import frame_sample, synth_avi
+
+    synth = F.pandas_udf(
+        lambda ids: ids.map(lambda i: synth_avi(int(i))), "binary"
+    )
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = docs.withColumn("payload", synth(F.col("media_id")))
+    return frame_sample(media, every_s=0.5, payload_col="payload").select(
+        "media_id",
+        "frame_idx",
+        F.round("t_s", 6).alias("t_s"),
+        "width",
+        "height",
+        F.round("mean_level", 6).alias("mean_level"),
+    )
+
+
+VIDEO_FRAME_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         3 + doc_id % 6 AS nf,
+         1000000 // (5 + doc_id % 4) AS us_per_frame,
+         4 + doc_id % 5 AS w,
+         2 + doc_id % 3 AS h
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, us_per_frame,
+         unnest(generate_series(0, nf - 1)) AS i
+  FROM p
+), f AS (
+  SELECT doc_id, w, h, i,
+         CAST(i * us_per_frame AS DOUBLE) / 1000000 AS t_s,
+         CAST((doc_id + 7 * i) % 251 AS DOUBLE) AS lvl
+  FROM fr
+)
+SELECT doc_id AS media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       ROUND(t_s, 6) AS t_s,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       ROUND(lvl, 6) AS mean_level
+FROM f
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY doc_id, CAST(floor(t_s / 0.5) AS BIGINT) ORDER BY i
+) = 1
+"""
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table. FileStreamSource requires a
     DIRECTORY source and the testdata is one parquet file per table, so
@@ -2890,6 +2951,7 @@ EXTRA_QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,  # scoring kernel → ann_cosine_topk; bucket join → embedding_near_dup_bucketed
     "streaming_sliding_counts": streaming_sliding_counts,  # windowed agg → streaming_tumbling_counts
     "multimodal_pointer_features": multimodal_pointer_features,  # blob-store pointer resolution ext
+    "video_frame_sample": video_frame_sample,  # uncompressed-AVI frame sampling ext
 }
 
 ORACLES = {
@@ -2966,4 +3028,5 @@ EXTRA_ORACLES = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "streaming_sliding_counts": STREAM_SLIDING_SQL,
     "multimodal_pointer_features": MULTIMODAL_SQL,
+    "video_frame_sample": VIDEO_FRAME_SQL,
 }

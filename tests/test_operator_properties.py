@@ -811,3 +811,46 @@ def test_resize_images_survives_corrupt_p6(spark):
     assert bytes(got[2]) == corrupt                      # passed through
     assert bytes(got[3]) == garbage
     assert got[4] is None
+
+
+def test_frame_sample_schedule_and_durability(spark):
+    """Frame sampling: first frame of each 0.5s window kept (frame 0
+    always); corrupt and compressed-marker payloads contribute ZERO
+    rows, never a task failure; id columns pass through."""
+    from etl_sendas_spark.operators.multimodal import frame_sample, synth_avi
+
+    good = synth_avi(3)  # w=7 h=2, 6 frames, fps=8 → t=0,.125,.25,...
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, b"garbage"), (3, None), (4, good[:40])], schema
+    )
+    rows = frame_sample(df, every_s=0.5).collect()
+    assert {r["media_id"] for r in rows} == {1}
+    # fps=8 → us=125000; 6 frames at t=0..0.625; windows 0 and 1 →
+    # frames 0 (t=0) and 4 (t=0.5)
+    got = [(r["frame_idx"], r["t_s"]) for r in sorted(rows, key=lambda r: r["frame_idx"])]
+    assert got == [(0, 0.0), (4, 0.5)], got
+    assert all(r["width"] == 7 and r["height"] == 2 for r in rows)
+
+
+def test_frame_sample_every_frame_when_interval_zero(spark):
+    """every_s=0 degenerates to every frame — the dense-decode mode."""
+    from etl_sendas_spark.operators.multimodal import frame_sample, synth_avi
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(9, synth_avi(9))], schema)
+    rows = frame_sample(df, every_s=0.0).collect()
+    assert len(rows) == 3 + 9 % 6  # all frames
+    assert [r["mean_level"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
+        float((9 + 7 * i) % 251) for i in range(3 + 9 % 6)
+    ]

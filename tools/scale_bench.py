@@ -4,6 +4,7 @@ replicated data — the evidence behind BASELINE.md's claim that the
 sub-second ratios are a constant scheduling floor, not a plan defect.
 
     python tools/scale_bench.py [factor] [sf_dir] [query ...]
+    python tools/scale_bench.py [factor] [sf_dir] --skew
 
 Builds ``/tmp/sendas_scale_x{factor}`` by replicating each fact table
 ``factor`` times with primary ids shifted per replica (each replica is a
@@ -13,6 +14,18 @@ so broadcast-join sides stay small, as they do at cluster scale. Then
 runs each query through BOTH engines (min of 2 runs after a warmup) on
 the identical replicated parquet and prints one JSON line:
 ``{"factor": N, "queries": {name: {"spark": s, "duckdb": s, "ratio": r}}}``.
+
+``--skew`` instead builds ``/tmp/sendas_skew_x{factor}``: real billing
+data has hot invoices/patients, so the replicas' group-key columns
+(lineitem.l_orderkey, events.user_id) are remapped to a zipf(α≈1)
+distribution over ``N_HOT`` keys — ``floor(N_HOT ** u)`` for a
+deterministic per-(row, replica) uniform ``u`` gives P(key=k) ∝ 1/k;
+the hottest key holds ~1/ln(N_HOT) ≈ 14 % of ALL rows. The skew run
+then measures (a) the flagship and d1 window shapes on hot groups,
+(b) plain vs salted keep-first on the SAME hot key — the salted
+two-phase path must win, and (c) that AQE's skew-join splits the hot
+partition of a forced sort-merge join (``SortMergeJoin(skew=true)``
+in the executed plan).
 
 Content-dedup queries (minhash/simhash/ngram/embedding near-dup) are
 excluded by default: replicating identical text/vectors inflates
@@ -42,6 +55,10 @@ SHIFT: dict[str, list[str]] = {
 }
 STRIDE = 10_000_000_000  # beyond any generated id at any driver SF
 
+# --skew: group-key columns remapped to zipf over N_HOT keys
+ZIPF_KEY = {"lineitem": "l_orderkey", "events": "user_id"}
+N_HOT = 1000
+
 DEFAULT_QUERIES = [
     "q1_pricing_summary",
     "j_broadcast_enrich",
@@ -59,7 +76,9 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_scaled(src_dir: str, factor: int, out_dir: str) -> None:
+def build_scaled(
+    src_dir: str, factor: int, out_dir: str, skew: bool = False
+) -> None:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
@@ -72,9 +91,24 @@ def build_scaled(src_dir: str, factor: int, out_dir: str) -> None:
         if t not in SHIFT:
             shutil.copyfile(src, dst)
             continue
-        repl = ", ".join(
-            f"{c} + r.i * {STRIDE} AS {c}" for c in SHIFT[t]
-        )
+        exprs = []
+        for c in SHIFT[t]:
+            if skew and ZIPF_KEY.get(t) == c:
+                # zipf(α≈1): u uniform per (row, replica) → floor(K^u),
+                # P(key=k) ∝ 1/k. Deterministic (hash, not random()).
+                exprs.append(
+                    f"CAST(pow({N_HOT}, (hash({c} * 1000003 + r.i) % 1000000)"
+                    f" / 1000000.0) AS BIGINT) AS {c}"
+                )
+            else:
+                exprs.append(f"{c} + r.i * {STRIDE} AS {c}")
+        if skew and t in ZIPF_KEY and ZIPF_KEY[t] not in SHIFT[t]:
+            c = ZIPF_KEY[t]
+            exprs.append(
+                f"CAST(pow({N_HOT}, (hash({c} * 1000003 + r.i) % 1000000)"
+                f" / 1000000.0) AS BIGINT) AS {c}"
+            )
+        repl = ", ".join(exprs)
         con.execute(
             f"""
             COPY (
@@ -94,6 +128,76 @@ def timed(fn, runs: int = 2) -> float:
     return round(best, 3)
 
 
+def run_skew_suite(spark, out_dir: str, runs: int) -> dict:
+    """The hot-key comparison set: plain vs salted keep-first on the
+    zipf user_id, plus a forced sort-merge join whose executed plan
+    must show AQE's skew split."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.relational import keep_first, keep_first_salted
+    from etl_sendas_spark.sources.readers import normalize_event_time
+
+    ev = normalize_event_time(
+        spark.read.parquet(os.path.join(out_dir, "events.parquet")), "ts"
+    ).select("user_id", "event_id", "ts", "value")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict = {}
+    plain = lambda: noop(  # noqa: E731
+        keep_first(ev, keys=["user_id"], order_by=["ts", "event_id"])
+    )
+    salted = lambda: noop(  # noqa: E731
+        keep_first_salted(
+            ev, keys=["user_id"], order_by=["ts", "event_id"],
+            n_salt=32, salt_on="event_id",
+        )
+    )
+    plain()
+    out["keep_first_plain"] = timed(plain, runs=runs)
+    salted()
+    out["keep_first_salted"] = timed(salted, runs=runs)
+    out["salted_speedup"] = round(
+        out["keep_first_plain"] / out["keep_first_salted"], 2
+    )
+
+    # AQE skew-join: hot-key fact ⋈ per-user dim, broadcast disabled so
+    # the join is sort-merge; production thresholds scaled to the local
+    # dataset (the 100 TB defaults are 256MB partitions).
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        dim = ev.groupBy("user_id").agg(F.min("event_id").alias("first_event"))
+        j = (
+            ev.join(dim, "user_id")
+            .select("user_id", "event_id", "first_event")
+            .filter(F.col("event_id") % 997 == 0)
+        )
+        t0 = time.perf_counter()
+        j.collect()  # same QueryExecution → final adaptive plan readable
+        out["skew_join_s"] = round(time.perf_counter() - t0, 3)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        out["skew_join_fired"] = "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out
+
+
 def main() -> int:
     import duckdb
 
@@ -109,17 +213,23 @@ def main() -> int:
     from etl_sendas_spark.session import get_spark
 
     args = sys.argv[1:]
+    skew = "--skew" in args
+    args = [a for a in args if a != "--skew"]
     factor = int(args[0]) if args else 10
     src_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    names = args[2:] or DEFAULT_QUERIES
+    names = args[2:] or (
+        ["d1_keep_first", "sendas_full_pipeline"] if skew else DEFAULT_QUERIES
+    )
     # SCALE_BENCH_SPARK_ONLY=1 skips the DuckDB side (its single-thread
     # shapes get prohibitively slow at large factors); SCALE_BENCH_RUNS
     # overrides min-of-N (default 2).
     spark_only = os.environ.get("SCALE_BENCH_SPARK_ONLY", "") == "1"
     runs = int(os.environ.get("SCALE_BENCH_RUNS", "2"))
 
-    out_dir = f"/tmp/sendas_scale_x{factor}"
-    build_scaled(src_dir, factor, out_dir)
+    out_dir = (
+        f"/tmp/sendas_skew_x{factor}" if skew else f"/tmp/sendas_scale_x{factor}"
+    )
+    build_scaled(src_dir, factor, out_dir, skew=skew)
 
     spark = get_spark(app_name=f"scale_bench_x{factor}")
     con = duckdb.connect()
@@ -157,7 +267,13 @@ def main() -> int:
         results[name] = entry
         print(f"# {name}: {entry}", file=sys.stderr, flush=True)
 
-    print(json.dumps({"factor": factor, "src": src_dir, "queries": results}))
+    payload = {"factor": factor, "src": src_dir, "queries": results}
+    if skew:
+        payload["mode"] = "skew"
+        payload["n_hot"] = N_HOT
+        payload["skew_suite"] = run_skew_suite(spark, out_dir, runs)
+        print(f"# skew_suite: {payload['skew_suite']}", file=sys.stderr, flush=True)
+    print(json.dumps(payload))
     spark.stop()
     return 0
 
