@@ -240,14 +240,21 @@ def keep_first_salted(
 ) -> DataFrame:
     """:func:`keep_first` for HOT keys: two-phase window dedup.
 
-    A plain ``row_number()`` window over a low-cardinality key funnels
-    every row of a key into one task (5 event types × 20 GB/type at
-    100 TB = 5 straggler tasks). Phase 1 deduplicates within
-    ``(key, salt)`` — ``n_salt``× more, proportionally smaller
-    partitions; phase 2 reduces the ≤ ``n_salt`` survivors per key.
-    Exact for keep-first semantics because min-by-order is associative.
-    ``salt_on`` (default: the first order column) must be deterministic
-    — never ``rand()``, which breaks retry/replay exactness at scale.
+    Phase 1 deduplicates within ``(key, salt)`` — ``n_salt``× more,
+    proportionally smaller partitions; phase 2 reduces the ≤ ``n_salt``
+    survivors per key. Exact for keep-first semantics because
+    min-by-order is associative. ``salt_on`` (default: the first order
+    column) must be deterministic — never ``rand()``, which breaks
+    retry/replay exactness at scale.
+
+    WHEN TO USE (measured, see BASELINE.md skew section): on Spark
+    ≥3.5 the plain :func:`keep_first` compiles to a map-side
+    ``WindowGroupLimit`` — top-1-per-key runs BEFORE the shuffle, so
+    even a key holding 50 % of all rows produces a uniform task
+    histogram and plain beats salted by the cost of the extra shuffle.
+    Reach for the salted form on engines without group-limit pushdown,
+    or for hot-key operations WindowGroupLimit cannot cover (full-group
+    window aggregates where every row survives to the reduce side).
     """
     basis = salt_on if salt_on is not None else order_by[0]
     basis_col = F.col(basis) if isinstance(basis, str) else basis

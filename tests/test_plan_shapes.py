@@ -234,3 +234,15 @@ def test_flagship_exchange_budget(spark):
     pe = out._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"Exchange (?:hash|range)partitioning", pe))
     assert n <= 52, f"flagship executed-plan exchanges grew to {n} (budget 52)"
+
+
+def test_keep_first_compiles_to_map_side_group_limit(spark):
+    """The scale property behind skew-immune keep-first: Spark >=3.5
+    compiles row_number()<=1 into WindowGroupLimit, with a PARTIAL pass
+    before the exchange — top-1-per-key happens map-side, so a hot key
+    (even 50% of all rows; BASELINE.md skew section) cannot funnel into
+    one reduce task. A refactor of keep_first that breaks this pattern
+    (e.g. ranking on a non-prefix expression) loses the pushdown and
+    reintroduces the straggler."""
+    plan = _plan(d1_keep_first(spark, SF_ORACLE))
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final

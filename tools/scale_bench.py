@@ -16,16 +16,17 @@ the identical replicated parquet and prints one JSON line:
 ``{"factor": N, "queries": {name: {"spark": s, "duckdb": s, "ratio": r}}}``.
 
 ``--skew`` instead builds ``/tmp/sendas_skew_x{factor}``: real billing
-data has hot invoices/patients, so the replicas' group-key columns
-(lineitem.l_orderkey, events.user_id) are remapped to a zipf(α≈1)
-distribution over ``N_HOT`` keys — ``floor(N_HOT ** u)`` for a
-deterministic per-(row, replica) uniform ``u`` gives P(key=k) ∝ 1/k;
-the hottest key holds ~1/ln(N_HOT) ≈ 14 % of ALL rows. The skew run
-then measures (a) the flagship and d1 window shapes on hot groups,
-(b) plain vs salted keep-first on the SAME hot key — the salted
-two-phase path must win, and (c) that AQE's skew-join splits the hot
-partition of a forced sort-merge join (``SortMergeJoin(skew=true)``
-in the executed plan).
+data has hot invoices/patients (one insurer/payer dominating a batch),
+so the replicas' group-key columns (lineitem.l_orderkey,
+events.user_id) are remapped to a zipf(α≈2) distribution over
+``N_HOT`` keys — ``ceil(1/u)`` (capped) for a deterministic
+per-(row, replica) uniform ``u`` gives P(key=k) ∝ 1/k²; the hottest
+key holds ~50 % of ALL rows. The skew run then measures (a) the
+flagship and d1 window shapes on hot groups, (b) plain vs salted
+keep-first on the SAME hot key — the salted two-phase path wins once
+per-task group work dominates the extra shuffle it buys, and (c) that
+AQE's skew-join splits the hot partition of a forced sort-merge join
+(``SortMergeJoin(skew=true)`` in the executed plan).
 
 Content-dedup queries (minhash/simhash/ngram/embedding near-dup) are
 excluded by default: replicating identical text/vectors inflates
@@ -91,23 +92,21 @@ def build_scaled(
         if t not in SHIFT:
             shutil.copyfile(src, dst)
             continue
+        # zipf(α≈2) via inverse CDF: u uniform in (0,1] per (row,
+        # replica) → ceil(1/u) capped at N_HOT, P(key=k) ∝ 1/k².
+        # Deterministic (hash, not random()) so replays are identical.
+        def zipf(c: str) -> str:
+            u = f"((hash({c} * 1000003 + r.i) % 1000000) + 1) / 1000000.0"
+            return f"LEAST(CAST(ceil(1.0 / ({u})) AS BIGINT), {N_HOT}) AS {c}"
+
         exprs = []
         for c in SHIFT[t]:
             if skew and ZIPF_KEY.get(t) == c:
-                # zipf(α≈1): u uniform per (row, replica) → floor(K^u),
-                # P(key=k) ∝ 1/k. Deterministic (hash, not random()).
-                exprs.append(
-                    f"CAST(pow({N_HOT}, (hash({c} * 1000003 + r.i) % 1000000)"
-                    f" / 1000000.0) AS BIGINT) AS {c}"
-                )
+                exprs.append(zipf(c))
             else:
                 exprs.append(f"{c} + r.i * {STRIDE} AS {c}")
         if skew and t in ZIPF_KEY and ZIPF_KEY[t] not in SHIFT[t]:
-            c = ZIPF_KEY[t]
-            exprs.append(
-                f"CAST(pow({N_HOT}, (hash({c} * 1000003 + r.i) % 1000000)"
-                f" / 1000000.0) AS BIGINT) AS {c}"
-            )
+            exprs.append(zipf(ZIPF_KEY[t]))
         repl = ", ".join(exprs)
         con.execute(
             f"""
@@ -129,38 +128,57 @@ def timed(fn, runs: int = 2) -> float:
 
 
 def run_skew_suite(spark, out_dir: str, runs: int) -> dict:
-    """The hot-key comparison set: plain vs salted keep-first on the
-    zipf user_id, plus a forced sort-merge join whose executed plan
-    must show AQE's skew split."""
+    """The hot-key comparison set: plain vs salted keep-first on (a)
+    the cardinality-5 event_type — the parallelism-starved case a plain
+    window reduces to 5 tasks on a 32-core box, where salting is the
+    designed win — and (b) the zipf user_id — the straggler case, where
+    the hottest key holds ~14 % of rows and salting trades an extra
+    full shuffle for splitting that task; plus a forced sort-merge join
+    whose executed plan must show AQE's skew split."""
     from pyspark.sql import functions as F
 
+    from etl_sendas_spark.materialize import materialize, release
     from etl_sendas_spark.operators.relational import keep_first, keep_first_salted
     from etl_sendas_spark.sources.readers import normalize_event_time
 
     ev = normalize_event_time(
         spark.read.parquet(os.path.join(out_dir, "events.parquet")), "ts"
-    ).select("user_id", "event_id", "ts", "value")
+    ).select("event_type", "user_id", "event_id", "ts", "value")
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
     out: dict = {}
-    plain = lambda: noop(  # noqa: E731
-        keep_first(ev, keys=["user_id"], order_by=["ts", "event_id"])
-    )
-    salted = lambda: noop(  # noqa: E731
-        keep_first_salted(
-            ev, keys=["user_id"], order_by=["ts", "event_id"],
-            n_salt=32, salt_on="event_id",
+    for label, key in (("event_type", "event_type"), ("zipf_user", "user_id")):
+        plain = lambda k=key: noop(  # noqa: E731
+            keep_first(ev, keys=[k], order_by=["ts", "event_id"])
         )
-    )
-    plain()
-    out["keep_first_plain"] = timed(plain, runs=runs)
-    salted()
-    out["keep_first_salted"] = timed(salted, runs=runs)
-    out["salted_speedup"] = round(
-        out["keep_first_plain"] / out["keep_first_salted"], 2
-    )
+        salted = lambda k=key: noop(  # noqa: E731
+            keep_first_salted(
+                ev, keys=[k], order_by=["ts", "event_id"],
+                n_salt=32, salt_on="event_id",
+            )
+        )
+        plain()
+        out[f"{label}_plain"] = timed(plain, runs=runs)
+        salted()
+        out[f"{label}_salted"] = timed(salted, runs=runs)
+        out[f"{label}_salted_speedup"] = round(
+            out[f"{label}_plain"] / out[f"{label}_salted"], 2
+        )
+
+    # the reason plain wins locally: Spark ≥3.5 compiles row_number<=k
+    # into map-side WindowGroupLimit — top-1-per-key happens BEFORE the
+    # shuffle, so a hot key never funnels into one reduce task
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        keep_first(ev, keys=["user_id"], order_by=["ts", "event_id"]).explain(
+            "formatted"
+        )
+    out["window_group_limit_in_plan"] = "WindowGroupLimit" in buf.getvalue()
 
     # AQE skew-join: hot-key fact ⋈ per-user dim, broadcast disabled so
     # the join is sort-merge; production thresholds scaled to the local
@@ -181,17 +199,27 @@ def run_skew_suite(spark, out_dir: str, runs: int) -> dict:
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-        dim = ev.groupBy("user_id").agg(F.min("event_id").alias("first_event"))
-        j = (
-            ev.join(dim, "user_id")
-            .select("user_id", "event_id", "first_event")
-            .filter(F.col("event_id") % 997 == 0)
+        # pin the dim first: OptimizeSkewedJoin only rewrites a join
+        # whose children are plain Sort(ShuffleRead) — an aggregate
+        # between sort and shuffle on the dim side makes the rule skip
+        dim = materialize(
+            ev.select("user_id", "event_id")
+            .groupBy("user_id")
+            .agg(F.min("event_id").alias("first_event")),
+            name="skew_dim",
+        )
+        # the shrink filter must reference BOTH sides: a single-side
+        # predicate gets pushed below the join and deletes the very
+        # skew being measured (hot partition drops to KBs)
+        j = ev.select("user_id", "event_id").join(dim, "user_id").filter(
+            (F.col("event_id") + F.col("first_event")) % 997 == 0
         )
         t0 = time.perf_counter()
         j.collect()  # same QueryExecution → final adaptive plan readable
         out["skew_join_s"] = round(time.perf_counter() - t0, 3)
         plan = j._jdf.queryExecution().executedPlan().toString()
         out["skew_join_fired"] = "skew=true" in plan
+        release(dim)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
