@@ -147,6 +147,49 @@ def repeated_ngram_ratio(col: Column | str, n: int) -> Column:
     )
 
 
+# Linear quality model over the heuristic features. The weights are a
+# stand-in for a trained classifier (fastText/logreg distilled to a
+# linear scorer) — the *engine* contract is the feature plumbing and the
+# IEEE-exact arithmetic, with the weight vector as plug-in data. Every
+# term uses only correctly-rounded IEEE ops (sqrt, *, +) in a fixed
+# left-to-right order, so a DuckDB oracle reproduces the logit
+# bit-for-bit — which is why the scorer is a logit + threshold rather
+# than a sigmoid (libm exp() is not cross-engine reproducible).
+QUALITY_MODEL_WEIGHTS: dict[str, float] = {
+    "bias": -2.0,
+    "sqrt_tokens": 0.35,       # longer docs are likelier keepers, concave
+    "punct_ratio": -6.0,       # symbol soup
+    "stopword_ratio": 8.0,     # natural prose has function words
+    "mean_word_len": 0.05,
+    "repeated_2gram_ratio": -5.0,  # boilerplate / spam repetition
+}
+
+
+def quality_logit(col: Column | str) -> Column:
+    """Model-based quality score (pre-sigmoid logit), rounded to 6
+    places; ``keep`` decision is ``logit >= 0``. One pure-Column pass —
+    at 100 TB this scores at scan speed and the filter pushes down."""
+    q = quality_features(col)
+    w = QUALITY_MODEL_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["sqrt_tokens"]) * F.sqrt(q["n_tokens"].cast("double"))
+        + F.lit(w["punct_ratio"]) * q["punct_ratio"]
+        + F.lit(w["stopword_ratio"]) * q["stopword_ratio"]
+        + F.lit(w["mean_word_len"]) * q["mean_word_len"]
+        + F.lit(w["repeated_2gram_ratio"]) * repeated_ngram_ratio(col, 2)
+    )
+    return F.round(z, 6)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Sigmoid of the logit — the [0,1] score a corpus pipeline
+    thresholds or samples against. Not oracle-hashed (exp() is libm-
+    dependent); parity checks pin :func:`quality_logit` instead."""
+    z = quality_logit(col)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic 128-bit content fingerprint of normalized text.
 

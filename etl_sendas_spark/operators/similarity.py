@@ -294,3 +294,51 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    ``scale = max|v| / 127``, ``q_i = round(v_i / scale)`` — the storage
+    form that shrinks an embedding table 4x (float32 -> int8 + one
+    float scale), which at 100 TB is the difference between embeddings
+    fitting executor page cache or not. Dot products on int8 arrays
+    stay JVM-side (multiply in int, one final float multiply by the two
+    scales), so ANN prefilters can run directly on the quantized form.
+
+    Pure Column expressions; the arithmetic is IEEE-exact ops only
+    (abs/max/divide/round), so a SQL oracle reproduces every quantized
+    byte. All-zero or null vectors get a null scale and null q8 (no
+    0/0), preserved through dequantize.
+
+    Output schema: input columns + ``q8`` (array<tinyint>) +
+    ``scale_col`` (double). Inverse: :func:`dequantize_embeddings`;
+    round-trip error is bounded by scale/2 per component, property-
+    tested in tests/test_operator_properties.py.
+    """
+    v = _as_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0))
+    q = F.when(
+        scale.isNotNull(),
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")),
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q8",
+    scale_col: str = "q8_scale",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Reconstruct float vectors from int8 + scale (lossy inverse)."""
+    deq = F.when(
+        F.col(scale_col).isNotNull(),
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )
+    return df.withColumn(out_col, deq)

@@ -1,0 +1,142 @@
+"""Mergeable cardinality sketches for partitioned rollups.
+
+The 100 TB counting problem: "distinct users per day, and for any ad-hoc
+span of days" cannot be answered by exact ``COUNT(DISTINCT)`` without
+re-shuffling the raw data per question. The standard fix is a *mergeable
+sketch* per (key, partition): build once in the daily pipeline, store as
+a column, and answer any rollup by merging sketches — never re-touching
+the raw rows.
+
+Two implementations, complementary by design:
+
+* **KMV (k-minimum-values)** — deterministic and *engine-portable*: the
+  sketch is the k smallest distinct 60-bit md5 hashes, so a DuckDB /
+  ANSI-SQL oracle reproduces the sketch AND the estimate bit-for-bit
+  (the repo-wide oracle discipline). Merge is exact set-algebra: the k
+  smallest of a union of per-part k-smallest equals the k smallest of
+  the union — an identity `tests` verify literally. Estimator is the
+  classic unbiased (k-1)/U(k) of Bar-Yossef et al. (relative sd ≈
+  1/sqrt(k-2)).
+* **HLL (Apache DataSketches, built into Spark)** — the production path
+  at scale: fixed 2^lgk registers per sketch regardless of cardinality
+  (KMV needs k×8 bytes *after* a distinct pass; HLL's partial
+  aggregation is register-max, so the map side never holds per-value
+  state). Not cross-engine-reproducible, so it is property-tested
+  (tolerance + merge law) rather than oracle-hashed.
+
+Reference analog: the reference computes driver-side ``nunique`` calls
+(pandas) per dimension; these operators are the scale-true restatement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedupe import portable_hash60
+
+# 2^60 — the hash space of portable_hash60 (15 hex chars).
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: sorted array of the k smallest distinct
+    portable hashes of ``value_col`` (nulls excluded).
+
+    Plan shape: one distinct aggregation on (group, hash) — map-side
+    partial combine collapses in-partition duplicates before the only
+    shuffle — then a per-group ordered top-k, which Spark 3.5+ executes
+    with WindowGroupLimit (each partition keeps only k rows per group
+    before the exchange). No collect, no per-group unbounded state.
+
+    Output: group_cols + ``kmv`` (array<long>, ascending) + ``n_exact``
+    (exact distinct count per group — free from the same distinct pass;
+    drop it when only the sketch is wanted at scale).
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = (
+        df.select(*group_cols, portable_hash60(c.cast("string")).alias("hv"))
+        .filter(F.col("hv").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_exact", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .groupBy(*group_cols, "n_exact")
+        .agg(F.sort_array(F.collect_list("hv")).alias("kmv"))
+        .select(*group_cols, "kmv", "n_exact")
+    )
+
+
+def kmv_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "kmv",
+    k: int = 256,
+) -> DataFrame:
+    """Merge per-part sketches to coarser groups (e.g. day → month, or
+    per-source → corpus): explode, distinct, keep the k smallest per new
+    group. Exact identity: equals :func:`kmv_sketch` run on the union of
+    the raw data, because each part retained *its* k smallest — any hash
+    in the true global k-minimum set survives in its part's sketch."""
+    exploded = (
+        df.select(*group_cols, F.explode(sketch_col).alias("hv")).distinct()
+    )
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    ranked = exploded.withColumn("rn", F.row_number().over(w.orderBy("hv")))
+    agg_cols = group_cols if group_cols else []
+    out = (
+        ranked.filter(F.col("rn") <= k)
+        .groupBy(*agg_cols)
+        .agg(F.sort_array(F.collect_list("hv")).alias(sketch_col))
+    )
+    return out
+
+
+def kmv_estimate(sketch_col: Column | str, k: int = 256) -> Column:
+    """Distinct-count estimate from a KMV sketch column.
+
+    If the sketch holds fewer than k hashes the count is exact (every
+    distinct value is present). Otherwise the unbiased estimator
+    ``(k-1) * 2^60 / kth_min``; ``floor`` + cast keeps the arithmetic in
+    IEEE-exact ops (one multiply, one divide, one floor) so DuckDB
+    reproduces the integer estimate bit-for-bit."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    kth = F.element_at(c, k).cast("double")
+    return F.when(F.size(c) < k, F.size(c).cast("long")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth).cast("long")
+    )
+
+
+def hll_rollup(
+    df: DataFrame,
+    part_cols: list[str],
+    rollup_cols: list[str],
+    value_col: Column | str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Production-path distinct rollup: build one HLL sketch per
+    (rollup, part) group, then merge per rollup group — the shape a
+    daily pipeline persists (sketch column in the partition's parquet)
+    so month/quarter rollups never rescan raw data.
+
+    Uses Spark's built-in Apache DataSketches HLL (``hll_sketch_agg`` /
+    ``hll_union_agg``): fixed 2^lgk byte state per sketch, register-max
+    merge, partial-aggregable map-side. Returns rollup_cols +
+    ``n_parts`` + ``distinct_est``.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_part = df.groupBy(*(rollup_cols + part_cols)).agg(
+        F.hll_sketch_agg(c.cast("string"), F.lit(lgk)).alias("hll")
+    )
+    return per_part.groupBy(*rollup_cols).agg(
+        F.count("*").alias("n_parts"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est"),
+    )

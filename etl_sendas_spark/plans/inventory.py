@@ -2856,6 +2856,230 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'
 
 
 # ===========================================================================
+# sketches / model scoring / quantization / JSONL interchange (round 4)
+# ===========================================================================
+
+def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality rollup via KMV sketches: one k=64 sketch
+    per (lang, source) part, merged per lang — the "distinct docs for
+    any span of parts without rescanning raw data" pattern. Every hash,
+    the merge, and the (k-1)/U(k) estimator are engine-portable md5 +
+    IEEE arithmetic, so the oracle reproduces the estimate exactly
+    (sketches built per part; merged-union < k ⇒ exact by construction,
+    since any capped part forces the union to ≥ k)."""
+    from ..operators.dedupe import portable_hash60
+    from ..operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    k = 64
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("lang", "source", normalized_text(F.col("text")).alias("nt"))
+    )
+    parts = kmv_sketch(docs, ["lang", "source"], "nt", k=k)
+    merged = kmv_merge(parts, ["lang"], "kmv", k=k)
+    exact = (
+        docs.select("lang", portable_hash60(F.col("nt")).alias("hv"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    n_parts = parts.groupBy("lang").agg(F.count("*").alias("n_sources"))
+    return (
+        merged.select("lang", kmv_estimate("kmv", k=k).alias("kmv_estimate"))
+        .join(exact, "lang")
+        .join(n_parts, "lang")
+        .select("lang", "n_sources", "exact_distinct", "kmv_estimate")
+    )
+
+
+_KMV_HASH = f"('0x' || substr(md5({_NORM_SQL}), 1, 15))::BIGINT"
+
+SKETCH_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT lang, source, {_KMV_HASH} AS hv
+  FROM documents WHERE text IS NOT NULL
+), part AS (
+  SELECT lang, source, hv,
+         row_number() OVER (PARTITION BY lang, source ORDER BY hv) AS rn
+  FROM h
+), sk AS (SELECT lang, source, hv FROM part WHERE rn <= 64),
+m AS (SELECT DISTINCT lang, hv FROM sk),
+mr AS (
+  SELECT lang, hv,
+         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS msize
+  FROM m
+)
+SELECT mr.lang,
+       (SELECT COUNT(DISTINCT source) FROM h WHERE h.lang = mr.lang) AS n_sources,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT hv FROM h WHERE h.lang = mr.lang)) AS exact_distinct,
+       CASE WHEN MAX(msize) < 64 THEN MAX(msize)
+            ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
+                            / MAX(CASE WHEN rn = 64 THEN hv END)) AS BIGINT)
+       END AS kmv_estimate
+FROM mr GROUP BY mr.lang
+"""
+
+
+def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over the
+    heuristic features (sqrt-tokens, punct/stopword ratios, mean word
+    length, 2-gram repetition) emitting a logit and a keep decision —
+    the learned-filter stage of a corpus pipeline, kept IEEE-exact
+    (sqrt/mul/add only, fixed order) so the score itself is
+    oracle-hashed, not just tested to tolerance."""
+    from ..functions.text import quality_logit
+
+    docs = _t(spark, sf_dir, "documents")
+    z = quality_logit(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        z.alias("q_logit"),
+        (z >= 0).cast("int").alias("keep"),
+    )
+
+
+QUALITY_MODEL_SQL = f"""
+SELECT doc_id, n_tokens,
+       ROUND(-2.0 + 0.35 * sqrt(CAST(n_tokens AS DOUBLE))
+                  + (-6.0) * punct_ratio
+                  + 8.0 * stopword_ratio
+                  + 0.05 * mean_word_len
+                  + (-5.0) * rep2, 6) AS q_logit,
+       CAST(ROUND(-2.0 + 0.35 * sqrt(CAST(n_tokens AS DOUBLE))
+                  + (-6.0) * punct_ratio
+                  + 8.0 * stopword_ratio
+                  + 0.05 * mean_word_len
+                  + (-5.0) * rep2, 6) >= 0 AS INT) AS keep
+FROM (
+  SELECT doc_id,
+         CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+         ROUND(COALESCE(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / NULLIF(CAST(length(text) AS DOUBLE), 0), 0.0), 6) AS punct_ratio,
+         ROUND(COALESCE(
+           CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t) OR list_contains({_ES}, t))) AS DOUBLE)
+             / NULLIF(CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS DOUBLE), 0),
+           0.0), 6) AS stopword_ratio,
+         ROUND(COALESCE(CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE)
+               / NULLIF(CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS DOUBLE), 0), 0.0), 6)
+           AS mean_word_len,
+         ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+               END, 6) AS rep2
+  FROM (
+    SELECT doc_id, text,
+           list_transform(range(1, len({_TOKS_SQL})),
+                          i -> ({_TOKS_SQL})[i] || ' ' || ({_TOKS_SQL})[i+1]) AS bg
+    FROM documents
+  )
+)
+"""
+
+
+def quantize_embeddings_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (4x storage cut for a 100 TB
+    embedding store): per-vector symmetric scale, round-to-int8, plus
+    reconstruction-error audit columns. Quantized bytes are hashed via
+    exact integer aggregates (sum / min / max of the int8 array) so the
+    oracle pins every byte, and max_abs_err is IEEE-exact arithmetic."""
+    from ..operators.similarity import dequantize_embeddings, quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # zero / null vectors quantize to null scale; both sides drop them
+    q = dequantize_embeddings(quantize_embeddings(emb)).filter(
+        F.col("q8_scale").isNotNull()
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.col("embedding_deq"),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    qi = F.transform(F.col("q8"), lambda x: x.cast("long"))
+    return q.select(
+        "vec_id",
+        F.round(F.col("q8_scale"), 6).alias("q8_scale_r"),
+        F.aggregate(qi, F.lit(0).cast("long"), lambda s, v: s + v).alias("q_sum"),
+        F.array_min("q8").cast("int").alias("q_min"),
+        F.array_max("q8").cast("int").alias("q_max"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+QUANTIZE_Q8_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vd,
+         list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, vd, scale,
+         list_transform(vd, x -> CAST(round(x / scale) AS BIGINT)) AS qi
+  FROM s WHERE scale > 0
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS q8_scale_r,
+       CAST(list_sum(qi) AS BIGINT) AS q_sum,
+       CAST(list_min(qi) AS INT) AS q_min,
+       CAST(list_max(qi) AS INT) AS q_max,
+       ROUND(list_max(list_transform(list_zip(vd, qi),
+                                     p -> abs(p[1] - p[2] * scale))), 6) AS max_abs_err
+FROM q
+"""
+
+
+def s8_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines interchange roundtrip: write the documents table as
+    JSONL (the LLM-corpus interchange format), read it back with an
+    explicit schema in PERMISSIVE + corrupt-record-capture mode, and
+    aggregate — content (unicode text, nulls, counts) must survive the
+    text encoding. The oracle aggregates the parquet source directly,
+    so any loss in the JSON path breaks the hash."""
+    import hashlib
+    import tempfile
+
+    from ..sources.readers import read_jsonl, write_jsonl
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"jsonl_docs_{tag}")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_jsonl(docs, out_dir)
+    back = read_jsonl(
+        spark,
+        out_dir,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return (
+        back.filter(F.col("_corrupt_record").isNull())
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+    )
+
+
+S8_JSONL_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+FROM documents
+GROUP BY source
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -2952,6 +3176,10 @@ EXTRA_QUERIES = {
     "streaming_sliding_counts": streaming_sliding_counts,  # windowed agg → streaming_tumbling_counts
     "multimodal_pointer_features": multimodal_pointer_features,  # blob-store pointer resolution ext
     "video_frame_sample": video_frame_sample,  # uncompressed-AVI frame sampling ext
+    "sketch_distinct_kmv": sketch_distinct_kmv,  # mergeable KMV cardinality rollup (round 4)
+    "quality_model_filter": quality_model_filter,  # linear quality classifier, IEEE-exact logit
+    "quantize_embeddings_q8": quantize_embeddings_q8,  # int8 embedding quantization
+    "s8_jsonl_roundtrip": s8_jsonl_roundtrip,  # JSONL interchange roundtrip
 }
 
 ORACLES = {
@@ -3029,4 +3257,8 @@ EXTRA_ORACLES = {
     "streaming_sliding_counts": STREAM_SLIDING_SQL,
     "multimodal_pointer_features": MULTIMODAL_SQL,
     "video_frame_sample": VIDEO_FRAME_SQL,
+    "sketch_distinct_kmv": SKETCH_KMV_SQL,
+    "quality_model_filter": QUALITY_MODEL_SQL,
+    "quantize_embeddings_q8": QUANTIZE_Q8_SQL,
+    "s8_jsonl_roundtrip": S8_JSONL_SQL,
 }

@@ -382,3 +382,45 @@ def load_fact_files(
         .filter(F.col("__file_ord") == F.col("__min_ord"))
         .drop("__file_ord", "__min_ord")
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: "StructType | str | None" = None,
+    corrupt_col: str = "_corrupt_record",
+):
+    """JSON-Lines source — the lingua franca of LLM corpus interchange
+    (one document object per line, unicode text, nested metadata).
+
+    Always pass an explicit ``schema`` in production: schema inference
+    is a full extra pass over the data (at 100 TB, a second 100 TB
+    scan before the first real one). PERMISSIVE mode with a corrupt-
+    record capture column keeps one malformed line from failing a
+    corpus-sized job — bad lines land in ``corrupt_col`` for a
+    quarantine sink instead of raising mid-scan, the same
+    don't-die-on-one-bad-record rule the multimodal decoders enforce.
+    """
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("encoding", "UTF-8")
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        # the corrupt column must exist in the schema to be populated
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink. One object per line per part file; ignoreNullFields
+    is disabled so a reader with the writer's schema round-trips nulls
+    instead of silently dropping keys (lossless interchange beats the
+    few bytes saved)."""
+    df.write.mode(mode).option("ignoreNullFields", "false").option(
+        "encoding", "UTF-8"
+    ).json(path)

@@ -854,3 +854,150 @@ def test_frame_sample_every_frame_when_interval_zero(spark):
     assert [r["mean_level"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
         float((9 + 7 * i) % 251) for i in range(3 + 9 % 6)
     ]
+
+
+# ---------------------------------------------------------------------------
+# sketches: KMV merge law, estimator accuracy, HLL rollup (round 4)
+# ---------------------------------------------------------------------------
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """The merge identity the sketch's scale story rests on: k smallest
+    of the union of per-part k-minimum sets == k smallest of the union.
+    Exact array equality, not tolerance."""
+    from etl_sendas_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    docs = _docs(spark).filter(F.col("text").isNotNull()).select(
+        "lang", "source", F.col("text").alias("v")
+    )
+    k = 16
+    per_part = kmv_sketch(docs, ["lang", "source"], "v", k=k)
+    merged = {
+        r["lang"]: r["kmv"]
+        for r in kmv_merge(per_part, ["lang"], "kmv", k=k).collect()
+    }
+    direct = {
+        r["lang"]: r["kmv"]
+        for r in kmv_sketch(docs, ["lang"], "v", k=k).collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_estimate_accuracy(spark):
+    """(k-1)/U(k) estimator: exact below k, and within 4 standard
+    errors (4/sqrt(k-2)) above it on real hash data."""
+    from etl_sendas_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    docs = _docs(spark).filter(F.col("text").isNotNull()).select(
+        F.lit(1).alias("g"), F.col("text").alias("v")
+    )
+    n_exact = docs.select("v").distinct().count()
+    for k in (8, 32, 1 << 20):
+        sk = kmv_sketch(docs, ["g"], "v", k=k)
+        est = sk.select(kmv_estimate("kmv", k=k).alias("e")).collect()[0]["e"]
+        if n_exact < k:
+            assert est == n_exact, f"k={k}: exact path must be exact"
+        else:
+            tol = 4.0 / (k - 2) ** 0.5
+            assert abs(est - n_exact) <= tol * n_exact, (
+                f"k={k}: {est} vs {n_exact}"
+            )
+
+
+def test_hll_rollup_tolerance_and_merge(spark):
+    """Production HLL path: per-part sketches merged per rollup group
+    estimate within the lgk=12 error envelope (~3*1.04/2^6 ≈ 5%), and
+    the two-level rollup equals the single-shot sketch estimate (both
+    are register-max over the same value set)."""
+    from etl_sendas_spark.operators.sketches import hll_rollup
+
+    docs = _docs(spark).filter(F.col("text").isNotNull())
+    two_level = {
+        r["lang"]: r["distinct_est"]
+        for r in hll_rollup(docs, ["source"], ["lang"], "text").collect()
+    }
+    single = {
+        r["lang"]: r["distinct_est"]
+        for r in docs.groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("text").cast("string"), F.lit(12))
+            ).alias("distinct_est")
+        )
+        .collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.select("lang", "text")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert two_level == single
+    for lang, n in exact.items():
+        assert abs(two_level[lang] - n) <= max(2, 0.05 * n), (
+            f"{lang}: {two_level[lang]} vs {n}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (round 4)
+# ---------------------------------------------------------------------------
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Symmetric int8: components in [-127, 127], reconstruction error
+    ≤ scale/2 per component, zero/null vectors map to null scale."""
+    from etl_sendas_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    zero = spark.createDataFrame(
+        [(int(-1), [0.0] * 8, int(0))], "vec_id long, embedding array<float>, label int"
+    )
+    q = dequantize_embeddings(quantize_embeddings(emb.unionByName(zero)))
+    rows = q.select(
+        "vec_id",
+        "q8_scale",
+        F.array_min("q8").alias("lo"),
+        F.array_max("q8").alias("hi"),
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "embedding_deq",
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("err"),
+    ).collect()
+    for r in rows:
+        if r["vec_id"] == -1:
+            assert r["q8_scale"] is None and r["err"] is None
+            continue
+        assert -127 <= r["lo"] and r["hi"] <= 127
+        assert r["err"] <= r["q8_scale"] / 2 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# JSONL source: corrupt-record quarantine (round 4)
+# ---------------------------------------------------------------------------
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """One malformed line must not fail the scan: it lands in the
+    corrupt-record column; good lines parse with full fidelity
+    (unicode, nulls)."""
+    from etl_sendas_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "part-0.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "caf\\u00e9 ✓ ok", "n": 3}\n'
+        "{this is not json}\n"
+        '{"doc_id": 2, "text": null, "n": 7}\n',
+        encoding="utf-8",
+    )
+    df = read_jsonl(spark, str(p), schema="doc_id bigint, text string, n bigint")
+    rows = df.collect()
+    good = {r["doc_id"]: r for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "{this is not json}" in bad[0]["_corrupt_record"]
+    assert good[1]["text"] == "café ✓ ok" and good[2]["text"] is None
