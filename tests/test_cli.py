@@ -185,3 +185,74 @@ def test_compact_parquet_file_count_contract(spark, tmp_path):
     # a big target folds everything into one file
     dst2 = str(tmp_path / "one")
     assert compact_parquet(spark, src, dst2, target_file_mb=4096) == 1
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """write_parquet(zorder_by=[x, y]): a 2-D box predicate must touch
+    far fewer files than the same predicate on a layout sorted by x
+    alone — the multi-dimension clustering claim. File-level min/max
+    stats (what any engine's scan pruning reads) are the judge."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_sendas_spark.sources.sinks import write_parquet
+
+    n, files = 200_000, 32
+    df = spark.range(0, n).select(
+        (F.col("id") % 1000).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("y"),
+    )
+
+    z_dir, s_dir = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    write_parquet(df, z_dir, zorder_by=["x", "y"], zorder_files=files)
+    write_parquet(
+        df.repartitionByRange(files, "x"), s_dir, sort_by=["x"]
+    )
+
+    def file_ranges(d):
+        out = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo, hi = {}, {}
+            for rg in range(md.num_row_groups):
+                for c in ("x", "y"):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    lo[c] = min(lo.get(c, st.min), st.min)
+                    hi[c] = max(hi.get(c, st.max), st.max)
+            out.append((lo["x"], hi["x"], lo["y"], hi["y"]))
+        return out
+
+    # 10%-wide predicates: x-only, y-only, and the combined box
+    lo, hi = 450, 550
+
+    def hits(ranges, on_x, on_y):
+        return sum(
+            1
+            for (xlo, xhi, ylo, yhi) in ranges
+            if (not on_x or (xhi >= lo and xlo <= hi))
+            and (not on_y or (yhi >= lo and ylo <= hi))
+        )
+
+    zr, sr = file_ranges(z_dir), file_ranges(s_dir)
+    assert len(zr) >= files // 2 and len(sr) >= files // 2
+    # x-sort is unbeatable on x-only but reads EVERY file for a y-only
+    # filter; z-order prunes usefully on x-only, y-only, and the box.
+    assert hits(sr, False, True) == len(sr), "x-sort can't prune on y"
+    # at 32 files the curve gives ~4 tiles per dim -> one-dim pruning
+    # is real but coarse; it refines as file count grows
+    assert hits(zr, False, True) <= 2 * len(zr) // 3, "z must prune y-only"
+    assert hits(zr, True, False) <= 2 * len(zr) // 3, "z must prune x-only"
+    assert hits(zr, True, True) <= len(zr) // 3, "z must prune the box"
+    # across the three query shapes, the balanced layout reads less
+    z_total = sum(hits(zr, *q) for q in [(True, False), (False, True), (True, True)])
+    s_total = sum(hits(sr, *q) for q in [(True, False), (False, True), (True, True)])
+    assert z_total < s_total, (z_total, s_total)
+
+    # layout must not change content
+    a = spark.read.parquet(z_dir).groupBy().sum("x", "y").collect()[0]
+    b = df.groupBy().sum("x", "y").collect()[0]
+    assert a == b

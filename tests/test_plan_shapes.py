@@ -246,3 +246,41 @@ def test_keep_first_compiles_to_map_side_group_limit(spark):
     reintroduces the straggler."""
     plan = _plan(d1_keep_first(spark, SF_ORACLE))
     assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Runtime-filter injection: a shuffle join whose build side carries
+    a selective filter must push a bloom filter into the probe-side scan
+    (Catalyst's InjectRuntimeFilter). At 100 TB this is the difference
+    between shuffling the whole fact and shuffling only rows whose key
+    can possibly match — the engine gets it for free as long as nothing
+    disables the rule, which is exactly what this test pins."""
+    from pyspark.sql import functions as F
+
+    to_restore = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local testdata is far below the 10GB production threshold
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force the shuffle-join shape (broadcast joins don't need it)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in to_restore}
+    try:
+        for k, v in to_restore.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
