@@ -198,3 +198,44 @@ def doc_fingerprint(col: Column | str) -> Column:
     content hash.
     """
     return F.md5(normalized_text(col))
+
+
+def vocab_top_k(df, text_col: str = "text", k: int = 100):
+    """Corpus vocabulary induction: the k most frequent normalized
+    tokens with rank and cumulative coverage — the first step of
+    training a tokenizer (seed vocab / coverage curve) run at corpus
+    scale.
+
+    Plan shape: explode(tokens) → groupBy(token) count — the explode is
+    scan-local and the count partial-aggregates map-side, so the only
+    full shuffle carries one row per DISTINCT token, not per token
+    occurrence. The top-k is a TakeOrdered over the distinct-token
+    aggregate; the cumulative-coverage window runs over k rows on one
+    partition (k is tiny by construction). Ties break on token text for
+    cross-engine determinism.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    toks = F.explode(
+        F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+    ).alias("token")
+    counts = df.select(toks).groupBy("token").agg(F.count("*").alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total"))
+    top = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("token"))
+        ))
+        .withColumn(
+            "cum_coverage",
+            F.round(
+                F.sum("freq").over(w).cast("double") / F.col("total").cast("double"),
+                6,
+            ),
+        )
+        .select("rank", "token", "freq", "cum_coverage")
+    )

@@ -675,3 +675,35 @@ def embedding_near_dup_pairs(
             )
 
     return vecs.select("doc", "v").mapInPandas(score, schema=out_schema)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    fingerprint_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dedup a NEW batch against the historical corpus without touching
+    the corpus: anti-join the batch's fingerprints against the stored
+    fingerprint index, then keep-first within the batch itself.
+
+    The operational shape of dedup at 100 TB: the corpus is never
+    rescanned — each ingest wave dedups against a fingerprint-only
+    index (one md5 per historical doc, ~2000x smaller than the text)
+    and appends its own fingerprints back to the index afterwards
+    (``select(fp_col)`` of the output). Within-batch first is min(id),
+    matching :func:`exact_dedup`'s canonical-survivor rule. Both joins
+    hash on the fingerprint: when the index lives bucketed-by-fp on
+    disk, the anti-join co-locates for free.
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    fresh = new_docs.withColumn(fp_col, fp).join(
+        fingerprint_index.select(fp_col).distinct(), on=fp_col, how="left_anti"
+    )
+    keep = (
+        fresh.groupBy(fp_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return fresh.join(keep, on=id_col, how="left_semi")

@@ -54,3 +54,102 @@ def stratified_sample(
             F.col(stratum_col) == F.lit(value), F.lit(int(round(rate * denom)))
         ).otherwise(quota)
     return df.filter(bucket < quota)
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights over strata (sources /
+    languages): ``weight_s ∝ share_s^alpha`` — the standard corpus
+    re-balancing rule (alpha=1 keeps natural proportions, alpha→0
+    flattens toward uniform; multilingual pipelines run ~0.3-0.7 so
+    head sources stop drowning the tail).
+
+    Returns one row per stratum: ``n_rows``, ``mix_weight`` (normalized
+    share^alpha) and, when ``target_rows`` is given, ``sample_rate`` =
+    min(1, weight * target / n_rows) — the per-stratum Bernoulli rate
+    that realizes the mixture in expectation. The output is a tiny
+    aggregate (one row per stratum) meant to be broadcast back against
+    the corpus via :func:`stratified_sample_rates`; the whole
+    computation is one groupBy + one scalar total, no driver loops.
+
+    alpha=0.5 keeps the power inside IEEE-exact sqrt so the weights are
+    engine-reproducible; other alphas go through pow() (libm) and are
+    fine operationally, just not hash-comparable cross-engine.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_rows"))
+    powed = counts.withColumn(
+        "__w_raw",
+        F.sqrt(F.col("n_rows").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_rows").cast("double"), F.lit(alpha)),
+    )
+    total = powed.agg(F.sum("__w_raw").alias("__w_total"))
+    out = powed.crossJoin(F.broadcast(total)).withColumn(
+        "mix_weight", F.col("__w_raw") / F.col("__w_total")
+    )
+    if target_rows is not None:
+        out = out.withColumn(
+            "sample_rate",
+            F.least(
+                F.lit(1.0),
+                F.col("mix_weight") * F.lit(float(target_rows)) / F.col("n_rows"),
+            ),
+        )
+    return out.drop("__w_raw", "__w_total")
+
+
+def stratified_sample_rates(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: DataFrame,
+    rate_col: str = "sample_rate",
+    denom: int = 100_000,
+) -> DataFrame:
+    """Deterministic stratified sample with DATA-driven rates (the
+    dynamic cousin of :func:`stratified_sample`, whose quota map is
+    code): broadcast-join the tiny per-stratum rate table and keep a
+    row iff its hash bucket clears its stratum's quota. Same portable
+    hash, so the kept set is reproducible across engines and stable
+    under repartitioning; the join adds no shuffle (rates is stratum-
+    sized, always broadcast)."""
+    quota = F.round(F.col(rate_col) * denom).cast("long")
+    bucket = hash_bucket(F.col(id_col), denom)
+    return (
+        df.join(
+            F.broadcast(rates.select(stratum_col, rate_col)), stratum_col
+        )
+        .filter(bucket < quota)
+        .drop(rate_col)
+    )
+
+
+def stratified_exact_k(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, deterministically:
+    rank rows within each stratum by the portable hash of their id and
+    keep the k smallest — a hash-ordered top-k, so the 'random' sample
+    is reproducible across engines/runs and stable under repartitioning
+    (Bernoulli quotas give the right rate but a binomial count; eval
+    sets and per-source caps need the exact count).
+
+    One shuffle on the stratum key; Spark compiles the rank filter to a
+    map-side WindowGroupLimit, so each map partition ships at most k
+    rows per stratum — hot strata never straggle."""
+    from pyspark.sql import Window
+
+    h = portable_hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

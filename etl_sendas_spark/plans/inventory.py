@@ -3033,6 +3033,145 @@ FROM q
 """
 
 
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus re-balancing (weight ∝ share^0.5) with
+    the realized per-stratum sample: the data-mixing stage of a training
+    pipeline, end-to-end — rates computed FROM the data (one tiny agg),
+    broadcast back, and applied as the deterministic hash quota. Both
+    the weights (sqrt/÷, IEEE-exact) and the exact kept set are
+    oracle-hashed."""
+    from ..operators.sampling import mixture_rates, stratified_sample_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = mixture_rates(docs, "lang", alpha=0.5, target_rows=150)
+    kept = (
+        stratified_sample_rates(docs, "doc_id", "lang", rates)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(F.broadcast(kept), "lang", "left")
+        .select(
+            "lang",
+            "n_rows",
+            F.round("mix_weight", 6).alias("mix_weight"),
+            F.round("sample_rate", 6).alias("sample_rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+SAMPLE_MIXTURE_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang),
+t AS (SELECT SUM(sqrt(CAST(n_rows AS DOUBLE))) AS w_total FROM c),
+r AS (
+  SELECT lang, n_rows,
+         sqrt(CAST(n_rows AS DOUBLE)) / w_total AS mw,
+         LEAST(1.0, sqrt(CAST(n_rows AS DOUBLE)) / w_total * 150.0 / n_rows) AS rate
+  FROM c, t
+), k AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN r ON d.lang = r.lang
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100000
+        < CAST(round(rate * 100000) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_rows,
+       ROUND(mw, 6) AS mix_weight,
+       ROUND(rate, 6) AS sample_rate,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM r LEFT JOIN k ON r.lang = k.lang
+"""
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-seed vocabulary induction: top-100 normalized tokens by
+    corpus frequency with rank and cumulative coverage. The explode is
+    scan-local and the count partial-aggregates map-side, so the only
+    full shuffle carries one row per DISTINCT token — at 100 TB that is
+    vocabulary-sized, not corpus-sized."""
+    from ..functions.text import vocab_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_top_k(docs, "text", k=100)
+
+
+VOCAB_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter({_TOKS_SQL}, t -> t <> '')) AS token FROM documents
+), c AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+t AS (SELECT SUM(freq) AS total FROM c),
+top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
+       token, freq,
+       ROUND(CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS cum_coverage
+FROM top, t
+"""
+
+
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (ingest-wave) dedup: the odd-id half of documents
+    arrives as a new batch and dedups against the even-id half's
+    fingerprint-only index — the corpus itself is never rescanned. The
+    operational dedup shape at 100 TB: the index is one md5 per
+    historical doc, the anti-join hashes on it, and within-batch
+    keep-first matches exact_dedup's canonical-survivor rule."""
+    from ..operators.dedupe import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    index = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(doc_fingerprint(F.col("text")).alias("fp"))
+    )
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text"
+    )
+    kept = incremental_dedup(new_batch, index)
+    return kept.select("doc_id", "fp")
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH idx AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id % 2 = 0
+), newb AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id % 2 = 1
+), fresh AS (
+  SELECT * FROM newb n WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = n.fp)
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+)
+SELECT doc_id, fp FROM fresh WHERE doc_id IN (SELECT doc_id FROM keep)
+"""
+
+
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample: exactly min(20, |lang|) docs per
+    language, chosen by hash order — reproducible eval-set carving
+    (Bernoulli quotas give a binomial count; eval sets need the exact
+    one). Map-side WindowGroupLimit keeps hot strata from straggling."""
+    from ..operators.sampling import stratified_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_exact_k(docs, "doc_id", "lang", k=20).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SAMPLE_EXACT_K_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def s8_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-Lines interchange roundtrip: write the documents table as
     JSONL (the LLM-corpus interchange format), read it back with an
@@ -3180,6 +3319,10 @@ EXTRA_QUERIES = {
     "quality_model_filter": quality_model_filter,  # linear quality classifier, IEEE-exact logit
     "quantize_embeddings_q8": quantize_embeddings_q8,  # int8 embedding quantization
     "s8_jsonl_roundtrip": s8_jsonl_roundtrip,  # JSONL interchange roundtrip
+    "sample_temperature_mixture": sample_temperature_mixture,  # share^alpha corpus re-balancing
+    "vocab_top_tokens": vocab_top_tokens,  # tokenizer-seed vocab induction
+    "dedup_incremental_docs": dedup_incremental_docs,  # ingest-wave dedup vs fingerprint index
+    "sample_stratified_exact_k": sample_stratified_exact_k,  # exact-k eval-set carving
 }
 
 ORACLES = {
@@ -3261,4 +3404,8 @@ EXTRA_ORACLES = {
     "quality_model_filter": QUALITY_MODEL_SQL,
     "quantize_embeddings_q8": QUANTIZE_Q8_SQL,
     "s8_jsonl_roundtrip": S8_JSONL_SQL,
+    "sample_temperature_mixture": SAMPLE_MIXTURE_SQL,
+    "vocab_top_tokens": VOCAB_TOPK_SQL,
+    "dedup_incremental_docs": DEDUP_INCREMENTAL_SQL,
+    "sample_stratified_exact_k": SAMPLE_EXACT_K_SQL,
 }

@@ -284,3 +284,18 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mixture_sample_broadcasts_rates_no_extra_shuffle(spark):
+    """stratified_sample_rates must broadcast the stratum-sized rate
+    table back onto the corpus — the corpus side of the join may not
+    shuffle (at 100 TB the re-balancing pass is scan + broadcast probe,
+    nothing else)."""
+    from etl_sendas_spark.plans.inventory import sample_temperature_mixture
+
+    plan = _plan(sample_temperature_mixture(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the documents-side probe of the rates join must not be preceded by
+    # an exchange on the corpus: every hashpartitioning in this plan
+    # belongs to the tiny per-stratum aggregates, none to full documents
+    assert "SortMergeJoin" not in plan
