@@ -140,3 +140,50 @@ def hll_rollup(
         F.count("*").alias("n_parts"),
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est"),
     )
+
+
+def kmv_jaccard(
+    sketch_a: Column | str,
+    sketch_b: Column | str,
+    k: int = 256,
+) -> dict[str, Column]:
+    """Set algebra on two KMV sketches — similarity between whole
+    CORPORA (day-over-day overlap, source-vs-source contamination)
+    computed from the k-hash summaries alone, never rescanning either
+    side.
+
+    The k smallest hashes of A ∪ B are recoverable exactly from the two
+    sketches (k smallest of the concatenation); the fraction of them
+    present in BOTH sketches is the classic unbiased Jaccard estimator
+    (the same uniform-sample-of-the-union argument MinHash uses, so the
+    error envelope is ~1/sqrt(k)). Combined with the union-size
+    estimator this also yields |A ∩ B|. All ops are integer set algebra
+    plus one IEEE divide — engine-reproducible bit-for-bit.
+
+    Returns Columns: ``union_sketch`` (merged KMV, reusable downstream),
+    ``union_est``, ``inter_hits`` (raw count in [0, k]),
+    ``jaccard_est`` (rounded 6), ``intersection_est`` (floor of
+    jaccard * union).
+    """
+    a = F.col(sketch_a) if isinstance(sketch_a, str) else sketch_a
+    b = F.col(sketch_b) if isinstance(sketch_b, str) else sketch_b
+    merged = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    m_size = F.size(merged)
+    union_est = F.when(m_size < k, m_size.cast("long")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+            / F.element_at(merged, k).cast("double")
+        ).cast("long")
+    )
+    inter_hits = F.size(F.array_intersect(F.array_intersect(merged, a), b))
+    denom = F.least(F.lit(k), m_size).cast("double")
+    jaccard = F.round(inter_hits.cast("double") / denom, 6)
+    return {
+        "union_sketch": merged,
+        "union_est": union_est,
+        "inter_hits": inter_hits.cast("long"),
+        "jaccard_est": jaccard,
+        "intersection_est": F.floor(
+            inter_hits.cast("double") / denom * union_est.cast("double")
+        ).cast("long"),
+    }

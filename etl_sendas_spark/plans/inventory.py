@@ -2922,6 +2922,82 @@ FROM mr GROUP BY mr.lang
 """
 
 
+def sketch_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus overlap from sketches alone (day-over-day
+    contamination check at 100 TB: neither side rescanned): KMV
+    sketches of the even-id and odd-id document halves, then union /
+    intersection / Jaccard estimated with exact integer set algebra on
+    the two k-hash summaries. Engine-reproducible bit-for-bit."""
+    from ..operators.sketches import kmv_jaccard, kmv_sketch
+
+    k = 128
+    halves = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") % 2).alias("half"),
+            normalized_text(F.col("text")).alias("nt"),
+        )
+    )
+    sk = kmv_sketch(halves, ["half"], "nt", k=k)
+    a = sk.filter(F.col("half") == 0).select(
+        F.col("kmv").alias("ka"), F.col("n_exact").alias("n_even")
+    )
+    b = sk.filter(F.col("half") == 1).select(
+        F.col("kmv").alias("kb"), F.col("n_exact").alias("n_odd")
+    )
+    c = kmv_jaccard("ka", "kb", k=k)
+    return (
+        a.crossJoin(b)
+        .select(
+            "n_even",
+            "n_odd",
+            c["union_est"].alias("union_est"),
+            c["inter_hits"].alias("inter_hits"),
+            c["jaccard_est"].alias("jaccard_est"),
+            c["intersection_est"].alias("intersection_est"),
+        )
+    )
+
+
+SKETCH_OVERLAP_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT doc_id % 2 AS half, {_KMV_HASH} AS hv
+  FROM documents WHERE text IS NOT NULL
+), r AS (
+  SELECT half, hv,
+         row_number() OVER (PARTITION BY half ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY half) AS cnt
+  FROM h
+), sk AS (
+  SELECT half, list_sort(list(hv)) AS kmv, MAX(cnt) AS n_exact
+  FROM r WHERE rn <= 128 GROUP BY half
+), ab AS (
+  SELECT (SELECT kmv FROM sk WHERE half = 0) AS ka,
+         (SELECT n_exact FROM sk WHERE half = 0) AS n_even,
+         (SELECT kmv FROM sk WHERE half = 1) AS kb,
+         (SELECT n_exact FROM sk WHERE half = 1) AS n_odd
+), m AS (
+  SELECT n_even, n_odd, ka, kb,
+         list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 128) AS merged
+  FROM ab
+), e AS (
+  SELECT n_even, n_odd,
+         CASE WHEN len(merged) < 128 THEN len(merged)
+              ELSE CAST(FLOOR(127.0 * 1152921504606846976.0 / merged[128]) AS BIGINT)
+         END AS union_est,
+         CAST(len(list_intersect(list_intersect(merged, ka), kb)) AS BIGINT) AS inter_hits,
+         LEAST(128, len(merged)) AS denom
+  FROM m
+)
+SELECT n_even, n_odd, union_est, inter_hits,
+       ROUND(CAST(inter_hits AS DOUBLE) / denom, 6) AS jaccard_est,
+       CAST(FLOOR(CAST(inter_hits AS DOUBLE) / denom * CAST(union_est AS DOUBLE)) AS BIGINT)
+         AS intersection_est
+FROM e
+"""
+
+
 def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring: a linear classifier over the
     heuristic features (sqrt-tokens, punct/stopword ratios, mean word
@@ -3323,6 +3399,7 @@ EXTRA_QUERIES = {
     "vocab_top_tokens": vocab_top_tokens,  # tokenizer-seed vocab induction
     "dedup_incremental_docs": dedup_incremental_docs,  # ingest-wave dedup vs fingerprint index
     "sample_stratified_exact_k": sample_stratified_exact_k,  # exact-k eval-set carving
+    "sketch_corpus_overlap": sketch_corpus_overlap,  # KMV set algebra: corpus-vs-corpus overlap
 }
 
 ORACLES = {
@@ -3408,4 +3485,5 @@ EXTRA_ORACLES = {
     "vocab_top_tokens": VOCAB_TOPK_SQL,
     "dedup_incremental_docs": DEDUP_INCREMENTAL_SQL,
     "sample_stratified_exact_k": SAMPLE_EXACT_K_SQL,
+    "sketch_corpus_overlap": SKETCH_OVERLAP_SQL,
 }

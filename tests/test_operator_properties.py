@@ -1001,3 +1001,33 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(bad) == 1 and "{this is not json}" in bad[0]["_corrupt_record"]
     assert good[1]["text"] == "café ✓ ok" and good[2]["text"] is None
+
+
+def test_kmv_jaccard_estimates_planted_overlap(spark):
+    """Two synthetic corpora with true Jaccard 1/3 (|A|=|B|=1000,
+    overlap 500): the sketch-only estimator must land within the
+    ~1/sqrt(k) envelope, and the union estimate within 4 standard
+    errors."""
+    from etl_sendas_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    k = 256
+    rows = [("a", str(i)) for i in range(1000)] + [
+        ("b", str(i)) for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "side string, v string")
+    sk = kmv_sketch(df, ["side"], "v", k=k)
+    a = sk.filter(F.col("side") == "a").select(F.col("kmv").alias("ka"))
+    b = sk.filter(F.col("side") == "b").select(F.col("kmv").alias("kb"))
+    c = kmv_jaccard("ka", "kb", k=k)
+    row = (
+        a.crossJoin(b)
+        .select(
+            c["jaccard_est"].alias("j"),
+            c["union_est"].alias("u"),
+            c["intersection_est"].alias("i"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["j"] - 1 / 3) <= 4 / (k ** 0.5), row
+    assert abs(row["u"] - 1500) <= 4 * 1500 / ((k - 2) ** 0.5), row
+    assert abs(row["i"] - 500) <= 250, row
