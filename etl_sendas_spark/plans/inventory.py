@@ -2855,6 +2855,38 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'
 """
 
 
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window EXACT distinct users via two CHAINED stateful
+    operators (stateful dedup on (window, user) → windowed count) —
+    the streaming COUNT(DISTINCT) restatement; both stages share the
+    watermark so closed-window state evicts end to end. Append mode:
+    the tail window (end past max-event-time − watermark) is withheld,
+    and the oracle applies the same cutoff."""
+    from ..streaming.sessions import run_stream_to_memory, windowed_distinct_users
+
+    stream = _stream_events(spark, sf_dir)
+    agg = windowed_distinct_users(
+        stream, ts_col="ts", user_col="user_id", window="1 day", watermark="1 hour"
+    )
+    run_stream_to_memory(agg, "windowed_distinct_users_result", output_mode="append")
+    res = spark.table("windowed_distinct_users_result")
+    return res.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_users",
+    )
+
+
+STREAM_DISTINCT_USERS_SQL = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+d AS (SELECT DISTINCT date_trunc('day', ts) AS ws, user_id FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_users
+FROM d, mx
+WHERE ws + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+GROUP BY ws
+"""
+
+
 # ===========================================================================
 # sketches / model scoring / quantization / JSONL interchange (round 4)
 # ===========================================================================
@@ -3400,6 +3432,7 @@ EXTRA_QUERIES = {
     "dedup_incremental_docs": dedup_incremental_docs,  # ingest-wave dedup vs fingerprint index
     "sample_stratified_exact_k": sample_stratified_exact_k,  # exact-k eval-set carving
     "sketch_corpus_overlap": sketch_corpus_overlap,  # KMV set algebra: corpus-vs-corpus overlap
+    "streaming_distinct_users": streaming_distinct_users,  # chained stateful dedup -> windowed count
 }
 
 ORACLES = {
@@ -3486,4 +3519,5 @@ EXTRA_ORACLES = {
     "dedup_incremental_docs": DEDUP_INCREMENTAL_SQL,
     "sample_stratified_exact_k": SAMPLE_EXACT_K_SQL,
     "sketch_corpus_overlap": SKETCH_OVERLAP_SQL,
+    "streaming_distinct_users": STREAM_DISTINCT_USERS_SQL,
 }

@@ -310,3 +310,34 @@ def stream_to_partitioned_parquet(
         q.processAllAvailable()
         q.stop()
     return q
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """EXACT distinct users per tumbling window as two CHAINED stateful
+    operators: stateful dedup on (window, user) feeding a windowed
+    count — the streaming restatement of ``COUNT(DISTINCT)`` that a
+    single pass cannot compute incrementally. Spark ≥3.4 allows the
+    chain (``statefulOperator.allowMultiple``); both stages share the
+    watermark, so dedup state for closed windows AND the window counts
+    evict together — state is one (window, user) pair per active
+    window, not per event.
+
+    Append-mode semantics: a window emits once the watermark passes its
+    end, so the stream's tail windows (end > max event time −
+    watermark) are withheld until later data closes them — batch
+    mirrors must apply the same cutoff. Use ``approx_count_distinct``
+    instead when a single stateful stage and fixed sketch-sized state
+    per window matter more than exactness.
+    """
+    bucketed = (
+        events.withWatermark(ts_col, watermark)
+        .select(F.window(ts_col, window).alias("w"), F.col(user_col))
+    )
+    deduped = bucketed.dropDuplicates(["w", user_col])
+    return deduped.groupBy("w").agg(F.count("*").alias("n_users"))

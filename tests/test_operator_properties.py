@@ -1031,3 +1031,64 @@ def test_kmv_jaccard_estimates_planted_overlap(spark):
     assert abs(row["j"] - 1 / 3) <= 4 / (k ** 0.5), row
     assert abs(row["u"] - 1500) <= 4 * 1500 / ((k - 2) ** 0.5), row
     assert abs(row["i"] - 500) <= 250, row
+
+
+def test_approx_percentile_within_accuracy_envelope(spark):
+    """Spark's mergeable percentile sketch (approx_percentile /
+    Greenwald-Khanna): at accuracy a, the returned value's RANK must be
+    within n/a of the target rank — the property that makes per-
+    partition sketches safe to merge at 100 TB. Checked on a skewed
+    column (order totals) at three quantiles."""
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    n = orders.count()
+    acc = 1000
+    got = orders.select(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.99], acc).alias("p")
+    ).collect()[0]["p"]
+    exact_sorted = [r["o_totalprice"] for r in orders.select("o_totalprice").orderBy("o_totalprice").collect()]
+    for q, v in zip([0.25, 0.5, 0.99], got):
+        import bisect
+
+        rank = bisect.bisect_left(exact_sorted, v)
+        assert abs(rank - q * n) <= n / acc + 1, (q, v, rank, q * n)
+
+
+def test_mixture_rates_edges(spark):
+    """alpha=1 keeps natural proportions; a target above the stratum
+    size caps its rate at 1.0; weights always sum to 1."""
+    from etl_sendas_spark.operators.sampling import mixture_rates
+
+    df = spark.createDataFrame(
+        [("a",)] * 90 + [("b",)] * 10, "s string"
+    )
+    nat = {r["s"]: r for r in mixture_rates(df, "s", alpha=1.0, target_rows=1000).collect()}
+    assert abs(nat["a"]["mix_weight"] - 0.9) < 1e-12
+    # target 1000 over 100 rows: every stratum saturates at rate 1.0
+    assert nat["a"]["sample_rate"] == 1.0 and nat["b"]["sample_rate"] == 1.0
+    half = mixture_rates(df, "s", alpha=0.5).collect()
+    assert abs(sum(r["mix_weight"] for r in half) - 1.0) < 1e-12
+    # alpha=0.5 flattens toward uniform: tail stratum gains share
+    w = {r["s"]: r["mix_weight"] for r in half}
+    assert 0.1 < w["b"] < 0.5
+
+
+def test_stratified_exact_k_counts_and_determinism(spark):
+    """Exactly min(k, n) per stratum, and the kept set is identical
+    across repartitionings."""
+    from etl_sendas_spark.operators.sampling import stratified_exact_k
+
+    docs = _docs(spark)
+    k = 7
+    out1 = stratified_exact_k(docs, "doc_id", "lang", k=k)
+    sizes = {r["lang"]: r["n"] for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strata = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in strata.items():
+        assert sizes[lang] == min(k, n)
+    ids1 = {r["doc_id"] for r in out1.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_exact_k(docs.repartition(17), "doc_id", "lang", k=k)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
