@@ -480,29 +480,35 @@ def simhash_fingerprints(
     return agg.select(F.col("doc").alias(id_col), fingerprint.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 16
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    bits: int = 64,
 ) -> DataFrame:
-    """Hamming-LSH over SimHash: bucket on 16-bit slices (a pair within
-    Hamming ≤ 3 of 64 bits must agree on ≥1 of 4 slices), verify with
-    exact popcount distance."""
-    fp = simhash_fingerprints(df, id_col, text_col)
-    n_bands = 64 // band_bits
+    """Hamming-LSH over ANY 64-bit fingerprint column: bucket on
+    ``band_bits``-bit slices (pigeonhole: a pair within Hamming ≤
+    bands−1 must agree on ≥1 slice), verify with exact popcount.
+    Shared by text SimHash and image perceptual hashes — the bucketing
+    argument only cares that near-dups differ in few bits."""
+    n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     slices = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * band_bits)
+                F.shiftright(F.col(hash_col), b * band_bits)
                 .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
             for b in range(n_bands)
         ]
     )
-    buckets = fp.select(
-        F.col(id_col).alias("doc"), F.col("simhash"), F.explode(slices).alias("s")
-    ).select("doc", "simhash", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+    buckets = df.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("__h"), F.explode(slices).alias("s")
+    ).select("doc", "__h", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -514,13 +520,25 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias(
                 "hamming"
             ),
         )
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 16
+) -> DataFrame:
+    """Hamming-LSH over SimHash: bucket on 16-bit slices (a pair within
+    Hamming ≤ 3 of 64 bits must agree on ≥1 of 4 slices), verify with
+    exact popcount distance."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    return hamming_near_pairs(
+        fp, id_col, "simhash", max_hamming=max_hamming, band_bits=band_bits
+    )
 
 
 # --------------------------------------------------------------------------

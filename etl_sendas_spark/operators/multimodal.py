@@ -569,3 +569,89 @@ def frame_sample_stub(df: DataFrame, every_s: float) -> DataFrame:
         "compressed-video frame sampling requires pyav/ffmpeg (not in this "
         "container); uncompressed RGB24 AVI decodes via frame_sample()"
     )
+
+
+# ---------------------------------------------------------------------------
+# image near-dup: perceptual (average) hash over decoded rasters
+# ---------------------------------------------------------------------------
+
+def phash_ppm(payload: bytes, grid: int = 8) -> int:
+    """64-bit perceptual (average) hash of a P6 image: grayscale, sample
+    a ``grid``×``grid`` lattice (nearest pixel — valid for any image
+    ≥1×1), bit = cell above the lattice mean. Near-identical images
+    (re-encodes, small edits, brightness-preserving noise) differ in
+    few bits; unrelated images differ in ~32. Returned as a SIGNED
+    64-bit value so it stores in a Spark ``long`` column."""
+    import numpy as np
+
+    w, h, maxval, off = _ppm_header(payload)
+    npix = w * h * 3
+    if maxval > 255 or off + npix > len(payload) or npix == 0:
+        raise ValueError("truncated, empty, or >8-bit PPM")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=npix, offset=off)
+    gray = raster.reshape(h, w, 3).astype(np.float64).mean(axis=2)
+    ys = (np.arange(grid) * h) // grid
+    xs = (np.arange(grid) * w) // grid
+    cells = gray[np.ix_(ys, xs)]
+    bits = (cells > cells.mean()).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_phash(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "phash"
+) -> DataFrame:
+    """Append the perceptual hash per row (``long``; null for non-P6 or
+    corrupt payloads — one bad blob must not fail a corpus pass).
+    Narrow ``mapInPandas``, same contract as :func:`media_features`."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def safe(b) -> int | None:
+        if b is None:
+            return None
+        raw = bytes(b)
+        if raw[:2] != b"P6":
+            return None
+        try:
+            return phash_ppm(raw)
+        except (ValueError, struct.error):
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pd.array(
+                [safe(b) for b in pdf[payload_col]], dtype="Int64"
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash (one narrow decode
+    pass) → the same Hamming-LSH bucketing the text SimHash uses
+    (``dedupe.hamming_near_pairs``) — sub-quadratic, no all-pairs scan.
+    The multimodal rung of the dedup ladder: at 100 TB the decode is
+    scan-fused and only 64-bit hashes ever shuffle."""
+    from .dedupe import hamming_near_pairs
+
+    hashed = image_phash(df, payload_col=payload_col).filter(
+        F.col("phash").isNotNull()
+    )
+    return hamming_near_pairs(
+        hashed.select(id_col, "phash"),
+        id_col,
+        "phash",
+        max_hamming=max_hamming,
+        band_bits=band_bits,
+    )

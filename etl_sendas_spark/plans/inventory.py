@@ -2855,6 +2855,54 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'
 """
 
 
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: a six-table join tree (fact ⨝ fact ⨝ four dims)
+    with a region filter and a date range — the broad join-reordering
+    case. The only shuffle-worthy join is lineitem ⨝ orders; customer,
+    supplier, nation, region all broadcast, and Catalyst pushes the
+    date filter into the orders scan and the region filter down the
+    dim chain (plan-test pinned)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dec_sum(rev).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window EXACT distinct users via two CHAINED stateful
     operators (stateful dedup on (window, user) → windowed count) —
@@ -3433,6 +3481,7 @@ EXTRA_QUERIES = {
     "sample_stratified_exact_k": sample_stratified_exact_k,  # exact-k eval-set carving
     "sketch_corpus_overlap": sketch_corpus_overlap,  # KMV set algebra: corpus-vs-corpus overlap
     "streaming_distinct_users": streaming_distinct_users,  # chained stateful dedup -> windowed count
+    "q5_local_supplier_revenue": q5_local_supplier_revenue,  # six-table join tree (TPC-H Q5 shape)
 }
 
 ORACLES = {
@@ -3520,4 +3569,5 @@ EXTRA_ORACLES = {
     "sample_stratified_exact_k": SAMPLE_EXACT_K_SQL,
     "sketch_corpus_overlap": SKETCH_OVERLAP_SQL,
     "streaming_distinct_users": STREAM_DISTINCT_USERS_SQL,
+    "q5_local_supplier_revenue": Q5_SQL,
 }

@@ -1092,3 +1092,59 @@ def test_stratified_exact_k_counts_and_determinism(spark):
         .collect()
     }
     assert ids1 == ids2
+
+
+# ---------------------------------------------------------------------------
+# image near-dup via perceptual hash (round 4)
+# ---------------------------------------------------------------------------
+
+def _gradient_ppm(seed: int, w: int = 32, h: int = 24, noise: int = 0) -> bytes:
+    """Structured deterministic image: per-seed diagonal gradient with
+    optional ±noise perturbation (a 're-encode' of the same picture)."""
+    rnd = random.Random(seed * 7919 + noise)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            base = (x * 255 // w + y * 255 // h + seed * 37) % 256
+            for _c in range(3):
+                v = base + (rnd.randint(-noise, noise) if noise else 0)
+                px.append(max(0, min(255, v)))
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+
+
+def test_image_near_dup_finds_planted_pairs_only(spark):
+    """Perturbed copies of the same image pair up within the Hamming
+    budget; different gradients do not; corrupt/non-image payloads are
+    null-hashed, never fatal."""
+    from etl_sendas_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        image_phash,
+        phash_ppm,
+    )
+
+    rows = []
+    for seed in range(6):
+        rows.append((seed * 10, _gradient_ppm(seed)))
+        rows.append((seed * 10 + 1, _gradient_ppm(seed, noise=2)))  # near-dup
+    rows.append((900, b"P6\n99 99\n255\nshort"))  # truncated
+    rows.append((901, b"not an image"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashed = {r["doc_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert hashed[900] is None and hashed[901] is None
+    for seed in range(6):
+        a, b = hashed[seed * 10], hashed[seed * 10 + 1]
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 6, (seed, a, b)
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    for seed in range(6):
+        assert (seed * 10, seed * 10 + 1) in pairs, (seed, pairs)
+    # no cross-seed pair sneaks in
+    for (ia, ib) in pairs:
+        assert ia // 10 == ib // 10, (ia, ib)
+
+    # pure-python determinism
+    assert phash_ppm(_gradient_ppm(3)) == hashed[30]

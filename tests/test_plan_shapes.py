@@ -299,3 +299,19 @@ def test_mixture_sample_broadcasts_rates_no_extra_shuffle(spark):
     # an exchange on the corpus: every hashpartitioning in this plan
     # belongs to the tiny per-stratum aggregates, none to full documents
     assert "SortMergeJoin" not in plan
+
+
+def test_q5_join_tree_broadcasts_dims_and_pushes_dates(spark):
+    """Six-table join tree (TPC-H Q5 shape): every dimension join must
+    compile to a broadcast (the only shuffle-worthy join is fact-fact),
+    the date range must reach the orders parquet scan, and the whole
+    tree plus aggregate may cost at most 3 exchanges (fact join x2 at
+    larger SFs + final agg; small SFs broadcast the lot and use 1)."""
+    from etl_sendas_spark.plans.inventory import q5_local_supplier_revenue
+
+    plan = _plan(q5_local_supplier_revenue(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert _shuffles(plan) <= 3, _shuffles(plan)
+    pushed = [seg for seg in plan.split("PushedFilters: ")[1:] if "o_orderdate" in seg.split("]")[0]]
+    assert pushed, "o_orderdate range must push into the orders scan"
