@@ -655,3 +655,100 @@ def image_near_dup_pairs(
         max_hamming=max_hamming,
         band_bits=band_bits,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup: energy-envelope fingerprint over PCM samples
+# ---------------------------------------------------------------------------
+
+def afp_wav(payload: bytes, frames: int = 64) -> int:
+    """64-bit audio fingerprint of a PCM16 WAV: mean |amplitude| over
+    ``frames`` equal time slices, bit = slice louder than the clip's
+    median slice energy. The loudness ENVELOPE survives re-encoding,
+    small trims, and low-level noise, so near-identical clips differ in
+    few bits — the audio analog of the image average-hash (a production
+    system swaps in a chroma/spectral fingerprint; the engine contract
+    — one narrow decode pass, 64-bit Hamming space — is identical).
+    Signed 64-bit for a Spark ``long`` column."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    meta = decode_wav(payload)
+    if meta["duration_s"] <= 0:
+        raise ValueError("empty clip")
+    i, n = 12, len(payload)
+    data = b""
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        if cid == b"data":
+            data = payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    samples = np.abs(np.frombuffer(data, dtype="<i2").astype(np.int64))
+    edges = (np.arange(frames + 1) * len(samples)) // frames
+    energy = np.array(
+        [samples[edges[k]:edges[k + 1]].mean() if edges[k + 1] > edges[k] else 0.0
+         for k in range(frames)]
+    )
+    bits = energy > np.median(energy)
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def audio_fingerprint(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "afp"
+) -> DataFrame:
+    """Append the audio fingerprint per row (null for non-WAV/corrupt
+    payloads). Narrow mapInPandas, same contract as image_phash."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def safe(b) -> int | None:
+        if b is None:
+            return None
+        raw = bytes(b)
+        if raw[:4] != b"RIFF":
+            return None
+        try:
+            return afp_wav(raw)
+        except (ValueError, struct.error):
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pd.array(
+                [safe(b) for b in pdf[payload_col]], dtype="Int64"
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Audio near-duplicate pairs: envelope fingerprint → the shared
+    Hamming-LSH (``dedupe.hamming_near_pairs``). Completes the
+    multimodal dedup ladder: text (SimHash/MinHash), image (phash),
+    audio (envelope), embeddings (sign-LSH) all reduce to the same
+    sub-quadratic bucket-join shape."""
+    from .dedupe import hamming_near_pairs
+
+    hashed = audio_fingerprint(df, payload_col=payload_col).filter(
+        F.col("afp").isNotNull()
+    )
+    return hamming_near_pairs(
+        hashed.select(id_col, "afp"),
+        id_col,
+        "afp",
+        max_hamming=max_hamming,
+        band_bits=band_bits,
+    )

@@ -1148,3 +1148,62 @@ def test_image_near_dup_finds_planted_pairs_only(spark):
 
     # pure-python determinism
     assert phash_ppm(_gradient_ppm(3)) == hashed[30]
+
+
+def _tone_wav(seed: int, noise: int = 0, rate: int = 8000, secs: float = 1.0) -> bytes:
+    """Deterministic synthetic clip: seed-dependent loudness envelope
+    (beat pattern) with optional small-amplitude noise re-encode."""
+    import math
+    import struct as _struct
+
+    rnd = random.Random(seed * 104729 + noise)
+    n = int(rate * secs)
+    frames = bytearray()
+    for i in range(n):
+        env = 0.2 + 0.8 * abs(math.sin(2 * math.pi * (i / n) * (2 + seed % 5)))
+        v = int(12000 * env * math.sin(2 * math.pi * 440 * i / rate))
+        if noise:
+            v += rnd.randint(-noise, noise)
+        frames += _struct.pack("<h", max(-32768, min(32767, v)))
+    hdr = (
+        b"RIFF" + _struct.pack("<I", 36 + len(frames)) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + _struct.pack("<I", len(frames))
+    )
+    return bytes(hdr + frames)
+
+
+def test_audio_near_dup_finds_planted_pairs_only(spark):
+    """Noise re-encodes of the same clip pair up within the Hamming
+    budget; clips with different envelopes do not; corrupt payloads are
+    null-hashed."""
+    from etl_sendas_spark.operators.multimodal import (
+        afp_wav,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    rows = []
+    for seed in range(4):
+        rows.append((seed * 10, _tone_wav(seed)))
+        rows.append((seed * 10 + 1, _tone_wav(seed, noise=300)))
+    rows.append((900, b"RIFF----WAVEbroken"))
+    rows.append((901, b"not audio"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashed = {r["doc_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert hashed[900] is None and hashed[901] is None
+    for seed in range(4):
+        a, b = hashed[seed * 10], hashed[seed * 10 + 1]
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 6, (seed, a, b)
+
+    pairs = set(
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dup_pairs(df, max_hamming=6).collect()
+    )
+    for seed in range(4):
+        assert (seed * 10, seed * 10 + 1) in pairs
+    for (ia, ib) in pairs:
+        assert ia // 10 == ib // 10, (ia, ib)
+
+    assert afp_wav(_tone_wav(2)) == hashed[20]
