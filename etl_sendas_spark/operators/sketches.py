@@ -43,19 +43,26 @@ def kmv_sketch(
     group_cols: list[str],
     value_col: Column | str,
     k: int = 256,
+    with_exact: bool = True,
 ) -> DataFrame:
     """Per-group KMV sketch: sorted array of the k smallest distinct
     portable hashes of ``value_col`` (nulls excluded).
 
     Plan shape: one distinct aggregation on (group, hash) — map-side
     partial combine collapses in-partition duplicates before the only
-    shuffle — then a per-group ordered top-k, which Spark 3.5+ executes
-    with WindowGroupLimit (each partition keeps only k rows per group
-    before the exchange). No collect, no per-group unbounded state.
+    shuffle — then a per-group ordered top-k.
 
-    Output: group_cols + ``kmv`` (array<long>, ascending) + ``n_exact``
-    (exact distinct count per group — free from the same distinct pass;
-    drop it when only the sketch is wanted at scale).
+    ``with_exact`` (default) also emits ``n_exact``, the exact distinct
+    count per group, from the same distinct pass — the audit/parity
+    mode. It costs a full-partition count window, which BLOCKS Spark's
+    WindowGroupLimit pushdown: every distinct hash of a group crosses
+    the rank window. Pass ``with_exact=False`` at corpus scale — the
+    rank filter then compiles to a map-side group limit (plan-test
+    pinned), so each map partition ships at most k hashes per group and
+    a billion-distinct group costs the same shuffle as a small one
+    (if you wanted the exact count you would not be sketching).
+
+    Output: group_cols + ``kmv`` (array<long>, ascending) [+ ``n_exact``].
     """
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     hashed = (
@@ -64,14 +71,21 @@ def kmv_sketch(
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy("hv")
-    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n_exact", F.count("*").over(Window.partitionBy(*group_cols))
-    )
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    if with_exact:
+        ranked = ranked.withColumn(
+            "n_exact", F.count("*").over(Window.partitionBy(*group_cols))
+        )
+        return (
+            ranked.filter(F.col("rn") <= k)
+            .groupBy(*group_cols, "n_exact")
+            .agg(F.sort_array(F.collect_list("hv")).alias("kmv"))
+            .select(*group_cols, "kmv", "n_exact")
+        )
     return (
         ranked.filter(F.col("rn") <= k)
-        .groupBy(*group_cols, "n_exact")
+        .groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list("hv")).alias("kmv"))
-        .select(*group_cols, "kmv", "n_exact")
     )
 
 

@@ -315,3 +315,22 @@ def test_q5_join_tree_broadcasts_dims_and_pushes_dates(spark):
     assert _shuffles(plan) <= 3, _shuffles(plan)
     pushed = [seg for seg in plan.split("PushedFilters: ")[1:] if "o_orderdate" in seg.split("]")[0]]
     assert pushed, "o_orderdate range must push into the orders scan"
+
+
+def test_kmv_sketch_scale_mode_gets_group_limit_pushdown(spark):
+    """kmv_sketch(with_exact=False) must compile its rank filter to a
+    map-side WindowGroupLimit — at corpus scale each map partition then
+    ships at most k hashes per group. The audit mode (with_exact=True)
+    pays a full count window by design; this test pins that the scale
+    mode does NOT."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.sketches import kmv_sketch
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "lang", F.col("text").alias("v")
+    )
+    scale_plan = _plan(kmv_sketch(docs, ["lang"], "v", k=64, with_exact=False))
+    assert "WindowGroupLimit" in scale_plan
+    audit_plan = _plan(kmv_sketch(docs, ["lang"], "v", k=64, with_exact=True))
+    assert "WindowGroupLimit" not in audit_plan  # the documented trade
