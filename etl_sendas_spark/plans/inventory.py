@@ -2903,6 +2903,50 @@ GROUP BY n_name
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from
+    line items below 20% of their part's average quantity, for one
+    brand. DECORRELATED as a window average over l_partkey — one
+    shuffle on the part key instead of the naive per-row subquery
+    (which Catalyst would rewrite into a self-join + re-aggregate;
+    the window form reads the fact once). Oracle states the same
+    window formulation, so the decorrelation itself is hash-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select(
+        "p_partkey"
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    )
+    return flagged.agg(
+        F.count("*").alias("n_small"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.lit(7.0),
+            4,
+        ).alias("avg_yearly"),
+    )
+
+
+Q17_SQL = """
+WITH flagged AS (
+  SELECT l_extendedprice, l_quantity,
+         AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2') p
+    ON l_partkey = p_partkey
+)
+SELECT COUNT(*) AS n_small,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly
+FROM flagged
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
 def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window EXACT distinct users via two CHAINED stateful
     operators (stateful dedup on (window, user) → windowed count) —
@@ -3482,6 +3526,7 @@ EXTRA_QUERIES = {
     "sketch_corpus_overlap": sketch_corpus_overlap,  # KMV set algebra: corpus-vs-corpus overlap
     "streaming_distinct_users": streaming_distinct_users,  # chained stateful dedup -> windowed count
     "q5_local_supplier_revenue": q5_local_supplier_revenue,  # six-table join tree (TPC-H Q5 shape)
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,  # correlated subquery -> window decorrelation
 }
 
 ORACLES = {
@@ -3570,4 +3615,5 @@ EXTRA_ORACLES = {
     "sketch_corpus_overlap": SKETCH_OVERLAP_SQL,
     "streaming_distinct_users": STREAM_DISTINCT_USERS_SQL,
     "q5_local_supplier_revenue": Q5_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
 }

@@ -334,3 +334,18 @@ def test_kmv_sketch_scale_mode_gets_group_limit_pushdown(spark):
     assert "WindowGroupLimit" in scale_plan
     audit_plan = _plan(kmv_sketch(docs, ["lang"], "v", k=64, with_exact=True))
     assert "WindowGroupLimit" not in audit_plan  # the documented trade
+
+
+def test_q17_decorrelates_to_single_fact_pass(spark):
+    """The correlated-subquery shape must decorrelate to ONE pass over
+    the fact: one lineitem scan (no self-join re-read), the part filter
+    broadcast, and at most 2 exchanges (partkey window + final agg)."""
+    from etl_sendas_spark.plans.inventory import q17_small_quantity_revenue
+
+    plan = _plan(q17_small_quantity_revenue(spark, SF_ORACLE))
+    # detail-section markers "(n) Scan parquet" count each scan once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, (
+        "exactly lineitem + part scans"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert _shuffles(plan) <= 2, _shuffles(plan)
