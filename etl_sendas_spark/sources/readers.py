@@ -296,7 +296,7 @@ def read_excel_dim(
         import urllib.request
 
         url = onedrive_download_url(source)
-        with urllib.request.urlopen(url) as resp:  # pragma: no cover - network
+        with urllib.request.urlopen(url) as resp:  # loopback-tested (test_xlsx_codec)
             if resp.status != 200:
                 raise IOError(f"download failed: HTTP {resp.status}")
             payload = io.BytesIO(resp.read())

@@ -147,3 +147,52 @@ def test_write_excel_sink_roundtrip(spark, tmp_path):
     got = read_xlsx(path)
     assert list(got.columns) == ["codigo", "valor"]
     assert got.values.tolist() == [["890201", "125000.0"], ["890301", None]]
+
+
+def test_http_excel_source_end_to_end(spark, tmp_path):
+    """S1's network hop (reference capital_sendas.py:30-61), exercised
+    offline against a loopback HTTP server: the share-URL rewrite
+    (query dropped, ?download=1 appended), the byte-stream download,
+    the xlsx parse, and the dim normalization — the full
+    read_excel_dim path with a real HTTP round-trip."""
+    import http.server
+    import threading
+
+    import pandas as pd
+
+    from etl_sendas_spark.sources.readers import read_excel_dim
+    from etl_sendas_spark.sources.xlsx import write_xlsx
+
+    pdf = pd.DataFrame(
+        {"SERVICIO": ["1", "2", "3"], "CONCEPTO": ["a", None, "c"]}
+    )
+    path = tmp_path / "dim.xlsx"
+    write_xlsx(pdf, str(path))
+    blob = path.read_bytes()
+
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen["path"] = self.path
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/dim.xlsx?e=abc&share=1"
+        df = read_excel_dim(spark, url)
+        rows = {r["SERVICIO"]: r["CONCEPTO"] for r in df.collect()}
+        assert rows == {"1": "a", "2": None, "3": "c"}
+        # the reference's rewrite: query params dropped, ?download=1 added
+        assert seen["path"] == "/dim.xlsx?download=1"
+    finally:
+        srv.shutdown()
+        srv.server_close()
