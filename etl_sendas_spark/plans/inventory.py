@@ -48,6 +48,7 @@ from ..operators.sampling import stratified_sample
 from ..operators.similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from ..sources.readers import ROW_ID, load_fact_files
 from .sendas_driver_query import SENDAS_FULL_SQL, sendas_full_pipeline
+from .tpch import TPCH_ORACLES, TPCH_QUERIES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3617,3 +3618,9 @@ EXTRA_ORACLES = {
     "q5_local_supplier_revenue": Q5_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
 }
+
+# TPC-H completion (plans/tpch.py): with q1/q3/q5/q17 above, all 22
+# TPC-H shapes are implemented and oracle-paired — adapted to the
+# testdata schema (no partsupp; see the module docstring).
+EXTRA_QUERIES.update(TPCH_QUERIES)
+EXTRA_ORACLES.update(TPCH_ORACLES)

@@ -1,0 +1,1003 @@
+"""The remaining TPC-H query shapes (Q2–Q22), adapted to the driver
+testdata schema.
+
+Together with ``inventory.py``'s q1/q3/q5/q17 this completes all 22
+TPC-H shapes.  The synthetic tables carry no ``partsupp`` and drop a
+few columns (``l_commitdate``/``l_receiptdate``, ``l_shipmode``,
+``p_container``, ``c_phone``, comments), so the queries here keep each
+original's STRUCTURAL challenge — the decorrelation pattern, the
+EXISTS/NOT-EXISTS pair, the OR-of-ANDs join predicate, the double
+aggregation — and substitute available columns for the missing ones
+(noted per query).  That structure, not the literal TPC-H predicate
+text, is what exercises the engine.
+
+Spark-first plan notes (shared):
+- every dim join (region/nation/supplier/customer/part) is an explicit
+  ``F.broadcast`` — the fact table never shuffles for a dim lookup;
+- correlated scalar subqueries are decorrelated to window functions or
+  to a grouped aggregate + broadcast join back (never a per-row
+  rewrite);
+- global scalars (Q11's total, Q15's max, Q22's avg) become a 1-row
+  broadcast cross join, the Spark analog of an uncorrelated scalar
+  subquery;
+- numeric discipline follows inventory.py: price sums through
+  DECIMAL(18,6) so accumulation order cannot perturb bits, ratios and
+  averages rounded to a fixed scale, counts BIGINT, dates emitted as
+  formatted strings.
+
+Oracles live next to each query (``*_SQL``) and are registered in
+``inventory.EXTRA_ORACLES``; ``tests/test_oracle_parity.py`` holds
+every one to the driver's rows + schema + values bar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _dec_sum(col, scale: int = 6):
+    """Order-insensitive exact sum (see inventory._dec_sum)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+def _rev():
+    """Line revenue expression (built lazily — F.col needs a live
+    session under Spark Connect-less pyspark)."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+_REV_SQL = "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated MIN subquery over a join tree)
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) whose
+    offer price equals the minimum over suppliers in one region — the
+    correlated-MIN-subquery pattern.  No partsupp table exists, so the
+    (part, supplier) offer relation is derived from lineitem: offer =
+    avg extendedprice over that supplier's lines for the part (exact
+    decimal sum / count, rounded — both engines bit-identical).
+
+    Decorrelation: the per-part minimum is a window MIN over
+    ``p_partkey`` AFTER the region filter — one shuffle on the part
+    key; the naive form re-joins the offer relation against itself.
+    Dims all broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            _dec_sum(F.col("l_extendedprice")) / F.count("*"), 6
+        ).alias("offer_price")
+    )
+    eu = (
+        offers.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eu.withColumn("min_price", F.min("offer_price").over(w))
+        .filter(F.col("offer_price") == F.col("min_price"))
+        .select("p_partkey", "s_name", "n_name", "offer_price")
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS offer_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT p.p_partkey, s.s_name, n.n_name, o.offer_price,
+         MIN(o.offer_price) OVER (PARTITION BY p.p_partkey) AS min_price
+  FROM offers o
+  JOIN (SELECT p_partkey FROM part WHERE p_size <= 10 AND p_type = 'STANDARD') p
+    ON o.l_partkey = p.p_partkey
+  JOIN supplier s ON o.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT p_partkey, s_name, n_name, offer_price
+FROM eu WHERE offer_price = min_price
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS with a non-equi condition)
+# ---------------------------------------------------------------------------
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter that have at least one
+    line item satisfying an inequality — the EXISTS-decorrelated-to-
+    left-semi-join pattern.  No l_commitdate/l_receiptdate, so "late"
+    is l_shipdate > o_orderdate + 30 days.  The semi join keeps the
+    order row at most once however many lines qualify; the date bound
+    rides the join condition so Spark evaluates it during the hash
+    probe, not as a post-filter."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change (pure scan-filter-aggregate)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the simplest shape — scan, three range predicates, one
+    scalar aggregate.  All three predicates push to the parquet scan
+    (row-group stats skip on shipdate when the sink sorted by it);
+    the projection prunes to 3 columns.  Discount bounds sit strictly
+    between the generator's 0.01 steps so float representation cannot
+    flip membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") > 0.045)
+            & (F.col("l_discount") < 0.085)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount > 0.045 AND l_discount < 0.085
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (two dim roles, OR of pairs)
+# ---------------------------------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same nation dim joined in TWO roles
+    (supplier side and customer side) with a disjunction over the
+    (supp_nation, cust_nation) pair, grouped by year.  Both nation
+    copies broadcast; the only shuffles are lineitem⨝orders and the
+    final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    a = ["NATION_3", "NATION_19"]
+    b = ["NATION_8", "NATION_20"]
+    pair = (
+        F.col("supp_nation").isin(a) & F.col("cust_nation").isin(b)
+    ) | (F.col("supp_nation").isin(b) & F.col("cust_nation").isin(a))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dec_sum(_rev()).alias("revenue"))
+        .withColumn("l_year", F.col("l_year").cast("int"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND ((n1.n_name IN ('NATION_3', 'NATION_19')
+          AND n2.n_name IN ('NATION_8', 'NATION_20'))
+    OR (n1.n_name IN ('NATION_8', 'NATION_20')
+          AND n2.n_name IN ('NATION_3', 'NATION_19')))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (conditional-sum ratio per group)
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of revenue within a region's
+    market for one part type, per year — the conditional-sum /
+    total-sum ratio computed in a single grouped pass (no second scan,
+    no self-join).  Both sums go through decimal; the ratio divides
+    the two exact doubles and rounds to 6."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat_rev = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(r), F.col("cr_key") == F.col("r_regionkey")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(_dec_sum(nat_rev) / _dec_sum(_rev()), 6).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       ROUND(
+         CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_5'
+                            THEN l_extendedprice * (1.0 - l_discount)
+                            ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product type profit (LIKE filter, profit expression, 2-key group)
+# ---------------------------------------------------------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over
+    parts matching a name LIKE.  No partsupp/ps_supplycost, so unit
+    cost is proxied as 10% of p_retailprice (fixed, documented); the
+    amount expression — revenue minus cost·quantity — and the
+    nation×year rollup keep Q9's structure."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _rev() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_dec_sum(amount).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (top-k by aggregate, deterministic)
+# ---------------------------------------------------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue per customer from returned items
+    in one quarter, top 20.  Revenue is an exact decimal sum so the
+    ordering is identical in both engines; c_custkey tiebreaks make
+    the LIMIT deterministic.  The top-k itself is a TakeOrdered on the
+    grouped result (no global sort of the full aggregate)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(_rev()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (group vs global scalar)
+# ---------------------------------------------------------------------------
+
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value restricted to one region's
+    suppliers, keeping parts whose value exceeds a fraction of the
+    GLOBAL total — the grouped-aggregate-vs-global-scalar pattern.
+    The global total is a 1-row aggregate broadcast-cross-joined onto
+    the per-part frame (the uncorrelated-scalar-subquery plan); the
+    per-(part,supplier) value relation derives from lineitem in place
+    of partsupp."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    scoped = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    per_part = scoped.groupBy("l_partkey").agg(_dec_sum(val).alias("part_value"))
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count("*").alias("n_parts"),
+    )
+    # threshold = 2x the mean share, TPC-H's SF-scaled FRACTION without
+    # baking a scale factor into the query text
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.lit(2.0) * F.col("total_value") / F.col("n_parts")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part, (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+         COUNT(*) AS n_parts
+  FROM per_part
+)
+WHERE part_value > 2.0 * total_value / n_parts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-priority classification (join + conditional counts)
+# ---------------------------------------------------------------------------
+
+def q12_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late lines bucketed by a category column with
+    conditional counts of high- vs low-priority orders.  l_shipmode
+    does not exist, so the bucket is l_linestatus and "late" is
+    l_shipdate > o_orderdate + 60 days; the CASE-sum pair keeps Q12's
+    single-pass conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double agg)
+# ---------------------------------------------------------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the distribution of per-customer order counts,
+    INCLUDING zero-order customers — hence the left outer join (an
+    inner join silently drops the c_count=0 bucket) followed by a
+    second aggregation over the counts.  The o_comment NOT LIKE filter
+    becomes an o_orderpriority exclusion (same role: thin the right
+    side BEFORE the join, not after)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderpriority <> '4-NOT SPECIFIED'
+  ) o ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect (single-row conditional ratio)
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — conditional sum
+    over total sum in one grouped pass, times 100.  p_type here is a
+    single word, so the PROMO% LIKE collapses to equality."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * _dec_sum(promo) / _dec_sum(_rev()), 6
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 *
+         CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1.0 - l_discount)
+                            ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (grouped aggregate vs its own max)
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    maximum — the view-then-scalar-max pattern.  The max is a 1-row
+    aggregate broadcast back onto the per-supplier frame; revenue is
+    an exact decimal sum so the equality test cannot be perturbed by
+    accumulation order (the reason Q15's equality join is safe here
+    at all)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(_dec_sum(_rev()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_REV_SQL} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity (NOT-IN anti-join + COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, excluding a derived bad-supplier set — NOT IN decorrelated
+    to a left anti join, then COUNT(DISTINCT).  The supplier-of-part
+    relation comes from lineitem (no partsupp); the complaints filter
+    becomes s_acctbal < 0."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(10, 20, 30, 40))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("bad_key"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (10, 20, 30, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING threshold, join back to detail)
+# ---------------------------------------------------------------------------
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (GROUP BY + HAVING), rejoined to order and customer detail.  The
+    qualifying-key set is aggregated FIRST and the detail joins hang
+    off it — the fact scans once for the agg and the qualifying join
+    is key-sized."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180.0)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty > 180.0
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (OR-of-ANDs join predicate)
+# ---------------------------------------------------------------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under a disjunction of conjunct groups mixing
+    part and lineitem attributes.  The equi key (l_partkey=p_partkey)
+    is kept OUT of the disjunction so Catalyst plans a hash join with
+    the OR-of-ANDs as the join filter — a nested-loop plan here would
+    be the classic Q19 trap.  p_container/l_shipinstruct don't exist;
+    brand × size-range × quantity-range keep the structure."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    g1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#4")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(g1 | g2 | g3)
+        .agg(_dec_sum(_rev()).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+Q19_SQL = f"""
+SELECT {_REV_SQL} AS revenue, COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+def q20_supplier_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified through a CHAIN of nested
+    IN subqueries — parts matching a name LIKE, (part, supplier) pairs
+    whose shipped volume in a year clears a threshold, suppliers in
+    one region.  Each IN becomes a left-semi join off a grouped
+    aggregate; nothing materializes the full pair relation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    qual = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 50.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA' AND s_acctbal > 0
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+      AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 50.0
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose line was the ONLY late one in a
+    multi-supplier order — the EXISTS (another supplier) + NOT EXISTS
+    (another late supplier) pair.  Decorrelated to ONE aggregation
+    over (order, supplier) with per-order counts joined back: n_supp
+    ≥ 2 supplies the EXISTS, n_late = 1 the NOT EXISTS — the fact
+    scans once instead of the naive triple self-join.  "Late" adapts
+    to l_shipdate > o_orderdate + 45 days (no receipt/commit dates);
+    the F-orderstatus filter keeps Q21's order-side predicate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+    per_os = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        per_os.filter(F.col("is_late") == 1)
+        .join(per_o, F.col("l_orderkey") == F.col("agg_okey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_o AS (
+  SELECT l_orderkey AS agg_okey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_os
+JOIN per_o ON l_orderkey = agg_okey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti-join + uncorrelated scalar avg)
+# ---------------------------------------------------------------------------
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers per nation — an
+    uncorrelated scalar AVG threshold plus a NOT EXISTS anti-join,
+    grouped by nation.  c_phone's country-code substring becomes an
+    n_name membership list, and "no orders at all" becomes "no order
+    since 2000-07-01" (the synthetic generator gives every customer
+    ~10 orders, so literal inactivity selects nothing — dormancy keeps
+    Q22's anti-join against a filtered orders side).  The average is
+    computed over positive balances in the same scope, broadcast as a
+    1-row frame."""
+    nations = ["NATION_1", "NATION_3", "NATION_5", "NATION_7"]
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01")
+    ).select("o_custkey")
+    scoped = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).filter(F.col("n_name").isin(nations))
+    avg_bal = scoped.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(
+            _dec_sum(F.col("c_acctbal")) / F.count("*"), 6
+        ).alias("avg_bal")
+    )
+    return (
+        scoped.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH scoped AS (
+  SELECT c_custkey, c_acctbal, n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7')
+)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM scoped
+WHERE c_acctbal > (
+    SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6)
+    FROM scoped WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-07-01'
+  )
+GROUP BY n_name
+"""
+
+
+TPCH_QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_priority_exists": q4_priority_exists,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_value": q11_important_value,
+    "q12_late_shipping_priority": q12_late_shipping_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_diversity": q16_supplier_diversity,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_supplier_semi_chain": q20_supplier_semi_chain,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_inactive_customers": q22_inactive_customers,
+}
+
+TPCH_ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q4_priority_exists": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q11_important_value": Q11_SQL,
+    "q12_late_shipping_priority": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_diversity": Q16_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q20_supplier_semi_chain": Q20_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_inactive_customers": Q22_SQL,
+}
