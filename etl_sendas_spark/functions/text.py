@@ -239,3 +239,60 @@ def vocab_top_k(df, text_col: str = "text", k: int = 100):
         )
         .select("rank", "token", "freq", "cum_coverage")
     )
+
+
+# Gopher-style quality rule panel (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 — public paper). Word-level rules
+# only: the line-based rules (bullet/ellipsis line fractions) need
+# newline structure this corpus doesn't carry; segment-level boilerplate
+# is handled by operators.decontam.segment_dedup instead.
+GOPHER_BOUNDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,    # '#' or '...' per word
+    "min_alpha_frac": 0.80,     # words containing >= 1 alphabetic char
+    "min_stop_hits": 2,         # docs with no function words are junk
+}
+
+
+def gopher_quality_flags(col: Column | str) -> dict[str, Column]:
+    """The Gopher rule panel as int flag columns plus the conjunction.
+
+    Each rule is a pure Column expression over normalized tokens —
+    codegen'd, scan-speed, filter-pushdown-friendly; ``gopher_keep``
+    is the AND of all rules (1 = document survives the panel).
+    Thresholds live in :data:`GOPHER_BOUNDS`, plug-in data like the
+    quality-model weights.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    b = GOPHER_BOUNDS
+    toks = F.split(normalized_text(c), " ")
+    n_words = token_count(c).cast("double")
+    safe_words = F.when(n_words > 0, n_words).otherwise(F.lit(None))
+    mean_wl = F.coalesce(
+        F.length(F.replace(normalized_text(c), F.lit(" "), F.lit(""))) / safe_words,
+        F.lit(0.0),
+    )
+    symbols = F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("double")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_EN_STOP) | t.isin(*_ES_STOP))
+    )
+    flags = {
+        "f_word_count": (n_words >= b["min_words"]) & (n_words <= b["max_words"]),
+        "f_mean_word_len": (mean_wl >= b["min_mean_word_len"])
+        & (mean_wl <= b["max_mean_word_len"]),
+        "f_symbol_ratio": F.coalesce(symbols / safe_words, F.lit(0.0))
+        < b["max_symbol_ratio"],
+        "f_alpha_frac": F.coalesce(alpha / safe_words, F.lit(0.0))
+        > b["min_alpha_frac"],
+        "f_stopwords": stop_hits >= b["min_stop_hits"],
+    }
+    out = {k: v.cast("int") for k, v in flags.items()}
+    keep = None
+    for v in flags.values():
+        keep = v if keep is None else (keep & v)
+    out["gopher_keep"] = keep.cast("int")
+    return out

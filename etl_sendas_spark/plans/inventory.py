@@ -3624,3 +3624,10 @@ EXTRA_ORACLES = {
 # testdata schema (no partsupp; see the module docstring).
 EXTRA_QUERIES.update(TPCH_QUERIES)
 EXTRA_ORACLES.update(TPCH_ORACLES)
+
+# Corpus-hygiene ladder (plans/corpus_quality.py): eval-set
+# decontamination, segment-level boilerplate dedup, Gopher rule panel.
+from .corpus_quality import CORPUS_QUALITY_ORACLES, CORPUS_QUALITY_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(CORPUS_QUALITY_QUERIES)
+EXTRA_ORACLES.update(CORPUS_QUALITY_ORACLES)

@@ -296,3 +296,75 @@ def test_snapshot_diff_merge_round_trip(spark):
     assert sorted(map(tuple, merged.collect()), key=repr) == sorted(
         map(tuple, new.collect()), key=repr
     )
+
+
+def test_ngram_contamination_planted(spark):
+    """A train doc that copies an eval doc scores contamination 1.0;
+    an unrelated doc scores 0 and is unflagged."""
+    from etl_sendas_spark.operators.decontam import ngram_contamination
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine ten"
+    train = spark.createDataFrame(
+        [(1, eval_text), (2, other), (3, "alpha beta gamma delta epsilon x y z")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in ngram_contamination(
+            train, ev, n=5, threshold=0.1
+        ).collect()
+    }
+    assert got[1].contamination == 1.0 and got[1].contaminated == 1
+    assert got[2].n_overlap == 0 and got[2].contaminated == 0
+    # doc 3 shares exactly the one leading 5-gram out of its 4
+    assert got[3].n_overlap == 1 and got[3].n_grams == 4
+    assert got[3].contaminated == 1  # 0.25 >= 0.1
+
+
+def test_segment_dedup_strips_boilerplate_keeps_order(spark):
+    """Cross-doc repeated segments vanish; unique segments survive in
+    position order; counts reconcile."""
+    from etl_sendas_spark.operators.decontam import segment_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))          # shared 10-token run
+    u1 = " ".join(f"u{i}" for i in range(10))
+    u2 = " ".join(f"v{i}" for i in range(7))               # short tail segment
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {u1} {u2}"),
+            (2, f"{boiler} {u1.replace('u', 'w')}"),
+            (3, boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in segment_dedup(docs, seg_tokens=10, max_df=1).collect()
+    }
+    assert got[1].clean_text == f"{u1} {u2}"
+    assert got[1].n_segments == 3 and got[1].n_removed == 1
+    assert got[2].n_removed == 1 and got[2].clean_text.startswith("w0 ")
+    assert got[3].clean_text == "" and got[3].n_removed == 1
+
+
+def test_gopher_flags_semantics(spark):
+    from etl_sendas_spark.functions.text import gopher_quality_flags
+
+    long_good = " ".join(
+        ["the yellow cat sleeps on the woven mat with a spotted dog for fun and"] * 5
+    )
+    short = "tiny doc"
+    symbols = " ".join(["the # and # of # to #"] * 16)
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols)], ["doc_id", "text"]
+    )
+    flags = gopher_quality_flags("text")
+    got = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in flags.items()]).collect()
+    }
+    assert got[1].gopher_keep == 1
+    assert got[2].f_word_count == 0 and got[2].gopher_keep == 0
+    assert got[3].f_symbol_ratio == 0 and got[3].gopher_keep == 0
