@@ -3631,3 +3631,43 @@ from .corpus_quality import CORPUS_QUALITY_ORACLES, CORPUS_QUALITY_QUERIES  # no
 
 EXTRA_QUERIES.update(CORPUS_QUALITY_QUERIES)
 EXTRA_ORACLES.update(CORPUS_QUALITY_ORACLES)
+
+
+def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE-by-key sink: the event stream upserts a keyed
+    latest-state table (key = user_id, last-writer-wins on event_id)
+    through versioned idempotent snapshots — the dimension-maintenance
+    sink the plain append file sink cannot express. The readback is the
+    final snapshot; the oracle is per-key argmax(event_id)."""
+    import tempfile
+
+    from ..streaming.sessions import read_upsert_table, stream_upsert_to_parquet
+
+    stream = _stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+    stream_upsert_to_parquet(
+        stream,
+        f"{tmp}/table",
+        f"{tmp}/ckpt",
+        keys=["user_id"],
+        seq_col="event_id",
+    )
+    return read_upsert_table(spark, f"{tmp}/table").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+STREAM_UPSERT_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+EXTRA_QUERIES["streaming_upsert_events"] = streaming_upsert_events
+EXTRA_ORACLES["streaming_upsert_events"] = STREAM_UPSERT_SQL

@@ -251,3 +251,64 @@ def test_gap_anchor_state_is_evicted_after_watermark(spark, tmp_path):
 
     state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
     assert state_rows == 2, q.lastProgress["stateOperators"]
+
+
+def test_stream_upsert_sink_keyed_merge(spark, tmp_path):
+    """Streaming MERGE-by-key sink: three files arrive as three
+    micro-batches; the final snapshot holds exactly the latest value
+    per key (within-batch last-writer-wins on ts, later batches
+    overwrite earlier ones), and intermediate versions are committed
+    snapshots a replay can rebase on."""
+    import datetime as dt
+    import os
+
+    from etl_sendas_spark.streaming.sessions import (
+        read_upsert_table,
+        stream_upsert_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(n, rows, mtime):
+        path = os.path.join(src, f"f{n}.parquet")
+        spark.createDataFrame(
+            rows, "k long, v string, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    # batch 1: keys 1, 2; within-batch duplicate for key 1 — ts wins
+    write_file(1, [(1, "a0", t(0)), (1, "a1", t(5)), (2, "b0", t(1))], 1_000)
+    # batch 2: update key 2, insert key 3
+    write_file(2, [(2, "b1", t(10)), (3, "c0", t(11))], 2_000)
+    # batch 3: update key 1 with an OLDER ts — batch order still wins
+    write_file(3, [(1, "a2", t(2))], 3_000)
+
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*.parquet"))
+    )
+    table = str(tmp_path / "table")
+    stream_upsert_to_parquet(
+        stream, table, str(tmp_path / "ckpt"), keys=["k"], seq_col="ts"
+    )
+
+    got = {r.k: r.v for r in read_upsert_table(spark, table).collect()}
+    assert got == {1: "a2", 2: "b1", 3: "c0"}
+
+    # three committed snapshots, monotone content
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(table) if d.startswith("v=")
+    )
+    assert len(versions) == 3
+    first = {
+        r.k: r.v
+        for r in spark.read.parquet(os.path.join(table, f"v={versions[0]}")).collect()
+    }
+    assert first == {1: "a1", 2: "b0"}
