@@ -3671,3 +3671,48 @@ WHERE rn = 1
 
 EXTRA_QUERIES["streaming_upsert_events"] = streaming_upsert_events
 EXTRA_ORACLES["streaming_upsert_events"] = STREAM_UPSERT_SQL
+
+
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-(user, event_type) COUNT/SUM
+    aggregate built over the first half of January is maintained to
+    month-end by a CDC feed alone — inserts for the new events plus
+    deletes retracting every event_id % 10 == 0 base row — without
+    rescanning the base. The oracle recomputes the final state from
+    scratch; equality IS the IVM law. MIN/MAX stay out by design (not
+    self-maintainable under deletes; see operators/ivm.py)."""
+    from ..operators.ivm import aggregate_state, incremental_agg_update
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16")
+    base = ev.filter(F.col("ts") < split)
+    state = aggregate_state(base, keys=["user_id", "event_type"], sum_cols=["value"])
+    inserts = ev.filter(F.col("ts") >= split).withColumn("op", F.lit("I"))
+    deletes = base.filter(F.col("event_id") % 10 == 0).withColumn("op", F.lit("D"))
+    changes = inserts.unionByName(deletes)
+    new_state = incremental_agg_update(
+        state, changes, keys=["user_id", "event_type"], sum_cols=["value"]
+    )
+    return new_state.select(
+        "user_id",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
+IVM_SQL = """
+WITH eff AS (
+  SELECT user_id, event_type, value FROM events WHERE ts >= '2024-01-16'
+  UNION ALL
+  SELECT user_id, event_type, value FROM events
+  WHERE ts < '2024-01-16' AND event_id % 10 <> 0
+)
+SELECT user_id, event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+FROM eff
+GROUP BY user_id, event_type
+"""
+
+EXTRA_QUERIES["ivm_incremental_agg"] = ivm_incremental_agg
+EXTRA_ORACLES["ivm_incremental_agg"] = IVM_SQL

@@ -537,15 +537,25 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner join silently drops the c_count=0 bucket) followed by a
     second aggregation over the counts.  The o_comment NOT LIKE filter
     becomes an o_orderpriority exclusion (same role: thin the right
-    side BEFORE the join, not after)."""
+    side BEFORE the join, not after).
+
+    EAGER AGGREGATION, by hand: the naive form joins the full orders
+    table onto customers and counts after — a fact-sized shuffle AND a
+    fact-sized outer join.  Counting per o_custkey FIRST collapses the
+    join's right side to at most one row per customer (the measured
+    difference at ×100 replication: 6.3 s → fact-agg-only; DuckDB's
+    optimizer does this rewrite itself, Catalyst does not, so the
+    DataFrame states it explicitly)."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "4-NOT SPECIFIED"
-    ).select("o_orderkey", "o_custkey")
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(counts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
     )
@@ -845,11 +855,19 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers whose line was the ONLY late one in a
     multi-supplier order — the EXISTS (another supplier) + NOT EXISTS
     (another late supplier) pair.  Decorrelated to ONE aggregation
-    over (order, supplier) with per-order counts joined back: n_supp
-    ≥ 2 supplies the EXISTS, n_late = 1 the NOT EXISTS — the fact
-    scans once instead of the naive triple self-join.  "Late" adapts
-    to l_shipdate > o_orderdate + 45 days (no receipt/commit dates);
-    the F-orderstatus filter keeps Q21's order-side predicate."""
+    over (order, supplier) plus per-order WINDOW counts: n_supp ≥ 2
+    supplies the EXISTS, n_late = 1 the NOT EXISTS — the fact scans
+    once instead of the naive triple self-join.  "Late" adapts to
+    l_shipdate > o_orderdate + 45 days (no receipt/commit dates); the
+    F-orderstatus filter keeps Q21's order-side predicate.
+
+    EAGER AGGREGATION, by hand: ``any line late`` ≡ ``the LATEST line
+    late``, so the fact collapses to max(l_shipdate) per (order,
+    supplier) BEFORE touching orders — the big join then carries one
+    row per pair, not per line, and orders broadcasts against it.
+    The per-order EXISTS counts come from a window over the already-
+    pair-sized frame (no groupBy + join-back).  Measured at ×100
+    replication: 15.6 s naive-order → one fact-sized shuffle total."""
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -857,19 +875,28 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
-    per_os = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
     )
-    per_o = per_os.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
-        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            (
+                F.col("last_ship")
+                > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+            ).cast("int"),
+        )
+        .withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
     )
     return (
-        per_os.filter(F.col("is_late") == 1)
-        .join(per_o, F.col("l_orderkey") == F.col("agg_okey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        flagged.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

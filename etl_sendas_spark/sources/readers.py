@@ -424,3 +424,24 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("ignoreNullFields", "false").option(
         "encoding", "UTF-8"
     ).json(path)
+
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose every testdata table as a temp view so ``spark.sql(...)``
+    is a first-class entry point next to the DataFrame API — the same
+    Catalyst plans either way, and the same normalization path
+    (:func:`read_table`, e.g. the events timestamp widening) as the
+    DataFrame queries, so SQL and DataFrame results agree bit-for-bit.
+    Missing files are skipped; returns the view names registered."""
+    registered = []
+    for name in ALL_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered

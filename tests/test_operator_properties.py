@@ -1207,3 +1207,44 @@ def test_audio_near_dup_finds_planted_pairs_only(spark):
         assert ia // 10 == ib // 10, (ia, ib)
 
     assert afp_wav(_tone_wav(2)) == hashed[20]
+
+
+def test_ivm_deletes_to_zero_drop_group_and_negative_counts_surface(spark):
+    """IVM algebra edges: a group fully retracted disappears; deleting
+    a never-inserted row leaves a visible negative count (contract
+    violation is not masked); an I+D pair for the same key nets out."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.ivm import (
+        aggregate_state,
+        incremental_agg_update,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], ["k", "v"]
+    )
+    state = aggregate_state(base, keys=["k"], sum_cols=["v"])
+    changes = spark.createDataFrame(
+        [
+            ("a", 1.0, "D"), ("a", 2.0, "D"),      # retract all of 'a'
+            ("c", 7.0, "I"), ("c", 7.0, "D"),      # net zero for 'c'
+            ("x", 3.0, "D"),                        # never inserted
+        ],
+        ["k", "v", "op"],
+    )
+    out = incremental_agg_update(state, changes, keys=["k"], sum_cols=["v"])
+    got = {r.k: (r.n, float(r.sum_v)) for r in out.collect()}
+    assert "a" not in got and "c" not in got
+    assert got["b"] == (1, 5.0)
+    assert got["x"] == (-1, -3.0)
+
+    # the IVM law on a random-ish replay: state + feed == recompute
+    ins = spark.createDataFrame([("b", 1.5), ("d", 4.0)], ["k", "v"])
+    feed = ins.withColumn("op", F.lit("I"))
+    maintained = incremental_agg_update(
+        aggregate_state(base, ["k"], ["v"]), feed, ["k"], ["v"]
+    )
+    full = aggregate_state(base.unionByName(ins), ["k"], ["v"])
+    a = sorted((r.k, r.n, float(r.sum_v)) for r in maintained.collect())
+    b = sorted((r.k, r.n, float(r.sum_v)) for r in full.collect())
+    assert a == b

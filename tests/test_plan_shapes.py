@@ -349,3 +349,24 @@ def test_q17_decorrelates_to_single_fact_pass(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert _shuffles(plan) <= 2, _shuffles(plan)
+
+
+def test_tpch_suite_join_strategies(spark):
+    """The full TPC-H completion (plans/tpch.py): no query may plan a
+    CartesianProduct; Q19's OR-of-ANDs must stay a HASH join (the equi
+    key lives outside the disjunction — a nested-loop here is the
+    classic Q19 trap); the only BroadcastNestedLoopJoins allowed are
+    the 1-row scalar cross joins in Q11/Q22."""
+    from etl_sendas_spark.plans.tpch import TPCH_QUERIES
+
+    for name, fn in TPCH_QUERIES.items():
+        plan = _plan(fn(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+        # count plan NODES (the formatted dump repeats each node in the
+        # details section as "(n) BroadcastNestedLoopJoin")
+        n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+        allowed = 1 if name in ("q11_important_value", "q22_inactive_customers") else 0
+        assert n_bnlj <= allowed, f"{name}: {n_bnlj} nested-loop joins"
+
+    q19 = _plan(TPCH_QUERIES["q19_disjunctive_revenue"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in q19 or "SortMergeJoin" in q19

@@ -83,3 +83,34 @@ def test_events_reads_microsecond_ntz_parquet(spark, tmp_path):
     assert dict(ev.dtypes)["ts"] == "timestamp", dict(ev.dtypes)
     # epoch cast (what bounded_range_join does) must resolve
     assert ev.selectExpr("unix_micros(ts)").count() > 0
+
+
+def test_sql_entry_point_matches_dataframe_api(spark):
+    """register_views makes spark.sql a first-class surface: an ANSI
+    query over the views returns exactly what the DataFrame API plan
+    returns (same Catalyst plans underneath)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_ORACLE
+    from etl_sendas_spark.sources.readers import read_table, register_views
+
+    names = register_views(spark, SF_ORACLE)
+    assert {"lineitem", "orders", "events"} <= set(names)
+
+    via_sql = spark.sql("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_shipdate >= '1997-01-01'
+        GROUP BY l_returnflag
+    """).collect()
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    via_df = (
+        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
