@@ -81,22 +81,35 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
 
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(
-            _dec_sum(F.col("l_extendedprice")) / F.count("*"), 6
-        ).alias("offer_price")
+    # the part filter sits BELOW the offers aggregation (broadcast
+    # semi-reduction of the fact): aggregating all of lineitem first
+    # is a fact-sized shuffle with near-zero map-side compression
+    # (measured 6.5 s at ×100); filtering to qualifying parts first
+    # cuts the aggregated rows to the qualifying fraction
+    offers = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                _dec_sum(F.col("l_extendedprice")) / F.count("*"), 6
+            ).alias("offer_price")
+        )
     )
     eu = (
-        offers.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        offers.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    w = Window.partitionBy("p_partkey")
+    w = Window.partitionBy("l_partkey")
     return (
         eu.withColumn("min_price", F.min("offer_price").over(w))
         .filter(F.col("offer_price") == F.col("min_price"))
-        .select("p_partkey", "s_name", "n_name", "offer_price")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            "offer_price",
+        )
     )
 
 
@@ -222,19 +235,36 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ["NATION_3", "NATION_19"]
     b = ["NATION_8", "NATION_20"]
+    # the pair disjunction spans two tables, so Catalyst cannot push it
+    # down either side — but its NECESSARY condition (each side's
+    # nation ∈ a ∪ b) pushes by hand into the supplier/customer dims:
+    # the fact joins the filtered supplier dim FIRST and shrinks to
+    # the qualifying-supplier fraction before the orders shuffle join
+    s_dim = s.join(
+        F.broadcast(n1.filter(F.col("supp_nation").isin(a + b))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    c_dim = c.join(
+        F.broadcast(n2.filter(F.col("cust_nation").isin(a + b))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
     pair = (
         F.col("supp_nation").isin(a) & F.col("cust_nation").isin(b)
     ) | (F.col("supp_nation").isin(b) & F.col("cust_nation").isin(a))
+    # orders enrich-and-filter against the broadcast customer dim
+    # BEFORE the fact join: the orders shuffle side drops to the
+    # qualifying-customer fraction (measured: the unfiltered 15 M-row
+    # orders exchange dominated the ×100 wall otherwise)
+    o_dim = o.join(
+        F.broadcast(c_dim), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1998-01-01"))
         )
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o_dim, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
@@ -274,7 +304,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     no self-join).  Both sums go through decimal; the ratio divides
     the two exact doubles and rounds to 6."""
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    # TPC-H Q8's two-year order window: besides fidelity, the date
+    # filter shrinks the orders build side of the fact join and feeds
+    # the runtime bloom filter that prunes the lineitem probe
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     p = (
@@ -290,14 +326,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nat_rev = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(F.lit(0.0))
+    # the market dim chain (customer → nation → ASIA region) folds into
+    # orders BEFORE the fact join: with the 2-year date window this
+    # drops the orders shuffle side to date-fraction × region-fraction
+    # of the table instead of shuffling all orders against the fact
+    c_asia = (
+        c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o_dim = o.join(
+        F.broadcast(c_asia), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
-        .join(
-            F.broadcast(r), F.col("cr_key") == F.col("r_regionkey")
-        )
+        .join(o_dim, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
@@ -324,6 +367,7 @@ JOIN region   ON n1.n_regionkey = r_regionkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation n2 ON s_nationkey = n2.n_nationkey
 WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
 GROUP BY year(o_orderdate)
 """
 
@@ -344,20 +388,29 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # Q9 has no date predicate, so the lineitem⨝orders shuffle is
+    # inherent (at rest, bucketing both by orderkey removes it — see
+    # j_bucketed_colocated); what the query controls is the exchange
+    # PAYLOAD: the profit amount folds to one column map-side after
+    # the broadcast part join, and orders ships as (key, year) only
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     amount = _rev() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
-    return (
+    slim = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("int").alias("o_year"),
+        .select(
+            "l_orderkey", F.col("n_name").alias("nation"), amount.alias("amount")
         )
-        .agg(_dec_sum(amount).alias("sum_profit"))
+    )
+    return (
+        slim.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(_dec_sum(F.col("amount")).alias("sum_profit"))
     )
 
 
