@@ -3716,3 +3716,40 @@ GROUP BY user_id, event_type
 
 EXTRA_QUERIES["ivm_incremental_agg"] = ivm_incremental_agg
 EXTRA_ORACLES["ivm_incremental_agg"] = IVM_SQL
+
+
+def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view: per-(event_type) running COUNT/SUM
+    maintained incrementally per micro-batch (foreachBatch + IVM over
+    versioned snapshots — state at rest in parquet, never re-aggregated
+    from history). Oracle: the one-shot batch aggregate."""
+    import tempfile
+
+    from ..streaming.sessions import read_upsert_table, stream_maintain_agg_view
+
+    stream = _stream_events(spark, sf_dir).select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_matview_")
+    stream_maintain_agg_view(
+        stream,
+        f"{tmp}/view",
+        f"{tmp}/ckpt",
+        keys=["event_type"],
+        sum_cols=["value"],
+    )
+    res = read_upsert_table(spark, f"{tmp}/view")
+    return res.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
+STREAM_MATVIEW_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+EXTRA_QUERIES["streaming_matview_counts"] = streaming_matview_counts
+EXTRA_ORACLES["streaming_matview_counts"] = STREAM_MATVIEW_SQL

@@ -443,3 +443,64 @@ def stream_upsert_to_parquet(
         q.processAllAvailable()
         q.stop()
     return q
+
+
+def stream_maintain_agg_view(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    sum_cols: list[str],
+    run_to_completion: bool = True,
+):
+    """Streaming MATERIALIZED VIEW: a grouped COUNT/SUM aggregate kept
+    current by incremental maintenance per micro-batch — the
+    composition of the upsert sink's versioned-snapshot protocol with
+    :mod:`..operators.ivm`.
+
+    Each batch aggregates ITS OWN rows (delta is batch-sized, map-side
+    combinable) and merges the delta into the previous snapshot with
+    ``incremental_agg_update`` — the base is never re-aggregated, so
+    per-batch cost is O(batch + |state|), independent of stream
+    history length.  Versioning and replay idempotency are exactly the
+    upsert sink's: ``v=<batch_id>`` rebases on the latest committed
+    version strictly below itself, so a crash-replayed batch rewrites
+    rather than double-counts.  Readers use :func:`read_upsert_table`.
+
+    Contrast with a built-in streaming aggregation in complete mode:
+    that holds every group in the state store and rewrites the whole
+    output each batch; this sink keeps state AT REST in parquet
+    (arbitrarily large, queryable mid-stream by any engine) and
+    carries only the merge join per batch.  The stream side needs no
+    watermark because nothing is windowed — it is the "running totals
+    per key forever" shape.
+    """
+    import os
+
+    from ..operators.ivm import aggregate_state, incremental_agg_update
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta_src = batch_df.withColumn("op", F.lit("I"))
+        prev = _latest_upsert_version(spark, path, below=int(batch_id))
+        if prev is None:
+            new_state = aggregate_state(batch_df, keys=keys, sum_cols=sum_cols)
+        else:
+            base = spark.read.parquet(os.path.join(path, f"v={prev}"))
+            new_state = incremental_agg_update(
+                base, delta_src, keys=keys, sum_cols=sum_cols
+            )
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(path, f"v={int(batch_id)}")
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(apply_batch)
+        .start()
+    )
+    if run_to_completion:
+        q.processAllAvailable()
+        q.stop()
+    return q

@@ -312,3 +312,58 @@ def test_stream_upsert_sink_keyed_merge(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(table, f"v={versions[0]}")).collect()
     }
     assert first == {1: "a1", 2: "b0"}
+
+
+def test_stream_maintained_agg_view_equals_batch_aggregate(spark, tmp_path):
+    """The streaming materialized view (per-batch IVM over versioned
+    snapshots) must equal the one-shot batch aggregate of everything
+    streamed, whatever the batch boundaries."""
+    import os
+
+    from etl_sendas_spark.operators.ivm import aggregate_state
+    from etl_sendas_spark.streaming.sessions import (
+        read_upsert_table,
+        stream_maintain_agg_view,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [("a", 1.0), ("b", 2.0), ("a", 3.0)]
+    rows2 = [("b", 4.0), ("c", 5.0)]
+    rows3 = [("a", 6.0), ("c", 7.0), ("c", 8.0)]
+
+    def write_file(n, rows, mtime):
+        path = os.path.join(src, f"f{n}.parquet")
+        spark.createDataFrame(rows, "k string, v double").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    for i, rows in enumerate([rows1, rows2, rows3], start=1):
+        write_file(i, rows, i * 1000)
+
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*.parquet"))
+    )
+    view = str(tmp_path / "view")
+    stream_maintain_agg_view(
+        stream, view, str(tmp_path / "ckpt"), keys=["k"], sum_cols=["v"]
+    )
+
+    got = sorted(
+        (r.k, r.n, float(r.sum_v))
+        for r in read_upsert_table(spark, view).collect()
+    )
+    full = spark.createDataFrame(rows1 + rows2 + rows3, "k string, v double")
+    want = sorted(
+        (r.k, r.n, float(r.sum_v))
+        for r in aggregate_state(full, ["k"], ["v"]).collect()
+    )
+    assert got == want
+    assert len([d for d in os.listdir(view) if d.startswith("v=")]) == 3
