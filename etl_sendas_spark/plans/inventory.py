@@ -3753,3 +3753,49 @@ GROUP BY event_type
 
 EXTRA_QUERIES["streaming_matview_counts"] = streaming_matview_counts
 EXTRA_ORACLES["streaming_matview_counts"] = STREAM_MATVIEW_SQL
+
+
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: part names matched against a corrupted
+    copy (one char substituted at a length-derived position) within
+    Levenshtein distance 2 — q-gram blocking with the count-filtering
+    recall bound + JVM levenshtein verify (operators/linkage.py). The
+    oracle brute-forces ALL pairs, so parity proves the blocking lost
+    nothing."""
+    from ..operators.linkage import fuzzy_join
+
+    perturb = (
+        "concat(substr(p_name, 1, (length(p_name) % 5) + 1), 'x', "
+        "substr(p_name, (length(p_name) % 5) + 3))"
+    )
+    p = _t(spark, sf_dir, "part")
+    left = p.select(F.col("p_name")).distinct().select(
+        F.col("p_name").alias("lkey"), F.col("p_name").alias("l_name")
+    )
+    right = p.select(F.expr(perturb).alias("r_name")).distinct().select(
+        F.col("r_name").alias("rkey"), F.col("r_name")
+    )
+    out = fuzzy_join(
+        left, right,
+        left_id="lkey", left_col="l_name",
+        right_id="rkey", right_col="r_name",
+        max_dist=2, q=2,
+    )
+    return out.select("l_name", "r_name", "dist")
+
+
+FUZZY_MATCH_SQL = """
+WITH l AS (SELECT DISTINCT p_name FROM part),
+r AS (
+  SELECT DISTINCT concat(substr(p_name, 1, (length(p_name) % 5) + 1), 'x',
+                         substr(p_name, (length(p_name) % 5) + 3)) AS r_name
+  FROM part
+)
+SELECT l.p_name AS l_name, r.r_name,
+       CAST(levenshtein(l.p_name, r.r_name) AS INTEGER) AS dist
+FROM l, r
+WHERE levenshtein(l.p_name, r.r_name) <= 2
+"""
+
+EXTRA_QUERIES["fuzzy_match_part_names"] = fuzzy_match_part_names
+EXTRA_ORACLES["fuzzy_match_part_names"] = FUZZY_MATCH_SQL

@@ -1248,3 +1248,36 @@ def test_ivm_deletes_to_zero_drop_group_and_negative_counts_surface(spark):
     a = sorted((r.k, r.n, float(r.sum_v)) for r in maintained.collect())
     b = sorted((r.k, r.n, float(r.sum_v)) for r in full.collect())
     assert a == b
+
+
+def test_fuzzy_join_exact_recall_and_short_string_guard(spark):
+    """Planted matches at known distances all surface (blocking loses
+    nothing); the short-string precondition fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "blue widget"), (2, "hot gear"), (3, "cold anvil")], ["id", "name"]
+    )
+    right = spark.createDataFrame(
+        [(10, "blxe widget"), (11, "hot gearsx"), (12, "redwood")], ["rid", "rname"]
+    )
+    out = fuzzy_join(
+        left, right, left_id="id", left_col="name",
+        right_id="rid", right_col="rname", max_dist=2, q=2,
+    )
+    got = {(r.id, r.rid): r.dist for r in out.collect()}
+    assert got[(1, 10)] == 1      # one substitution
+    assert got[(2, 11)] == 2      # two appended chars
+    assert (3, 12) not in got     # far apart
+    assert set(got) == {(1, 10), (2, 11)}
+
+    short = spark.createDataFrame([(1, "abc")], ["id", "name"])
+    bad = fuzzy_join(
+        short, right, left_id="id", left_col="name",
+        right_id="rid", right_col="rname", max_dist=2, q=2,
+    )
+    with pytest.raises(Exception, match="recall bound"):
+        bad.collect()
