@@ -3799,3 +3799,126 @@ WHERE levenshtein(l.p_name, r.r_name) <= 2
 
 EXTRA_QUERIES["fuzzy_match_part_names"] = fuzzy_match_part_names
 EXTRA_ORACLES["fuzzy_match_part_names"] = FUZZY_MATCH_SQL
+
+
+def a_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly flags: z-score of value within event_type via
+    window mean/stddev — one shuffle on the group key, no self-join
+    (the naive form joins per-group stats back). Both engines compute
+    sample stddev; the z is rounded to 6 to pin float parity."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+A_OUTLIER_SQL = """
+SELECT event_id, event_type, value, z
+FROM (
+  SELECT event_id, event_type, value,
+         ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+               / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS z
+  FROM events
+)
+WHERE ABS(z) > 2.5
+"""
+
+
+def a_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling WITH gap filling: daily per-type counts
+    over the full calendar span, EMPTY days materialized as zero rows
+    (the buckets a plain groupBy silently omits). The calendar is a
+    1-row sequence exploded and cross-joined against the distinct key
+    set — both broadcast-sized — then the real aggregate left-joins
+    on. No fact-sized shuffle beyond the one aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    calendar = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    keys = ev.select("event_type").distinct()
+    grid = calendar.crossJoin(F.broadcast(keys))
+    return (
+        grid.join(agg, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+A_RESAMPLE_SQL = """
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+), calendar AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span
+), keys AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(c.day, '%Y-%m-%d') AS day, k.event_type,
+       COALESCE(a.n, 0) AS n
+FROM calendar c CROSS JOIN keys k
+LEFT JOIN agg a ON a.day = c.day AND a.event_type = k.event_type
+"""
+
+
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    again at each day offset they return — the two-level aggregate
+    (first-touch window, then (cohort, offset) rollup) every product
+    analytics stack runs. One window shuffle on user_id + one
+    distinct-sized aggregation; no self-join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort", F.min("day").over(w)).withColumn(
+        "offset_days", F.datediff("day", F.col("cohort"))
+    )
+    return (
+        cohorted.select("user_id", "cohort", "offset_days")
+        .distinct()
+        .groupBy("cohort", "offset_days")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("offset_days").isin(0, 1, 7, 14))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "offset_days",
+            "n_users",
+        )
+    )
+
+
+A_COHORT_SQL = """
+WITH cohorted AS (
+  SELECT DISTINCT user_id,
+         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort,
+         date_diff('day', MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
+                   CAST(ts AS DATE)) AS offset_days
+  FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, offset_days,
+       COUNT(*) AS n_users
+FROM cohorted
+WHERE offset_days IN (0, 1, 7, 14)
+GROUP BY cohort, offset_days
+"""
+
+EXTRA_QUERIES["a_outlier_zscore"] = a_outlier_zscore
+EXTRA_ORACLES["a_outlier_zscore"] = A_OUTLIER_SQL
+EXTRA_QUERIES["a_resample_gapfill"] = a_resample_gapfill
+EXTRA_ORACLES["a_resample_gapfill"] = A_RESAMPLE_SQL
+EXTRA_QUERIES["a_cohort_retention"] = a_cohort_retention
+EXTRA_ORACLES["a_cohort_retention"] = A_COHORT_SQL
