@@ -403,3 +403,60 @@ def invoices_containing(
     return (
         F.max(F.when(F.col(service_col) == service_value, 1).otherwise(0)).over(w) == 1
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse an
+    ordered change feed into validity intervals per key.
+
+    Classic gaps-and-islands: a null-safe lag-compare marks state
+    changes, its running sum numbers the segments, and one aggregate
+    per (key, segment) yields ``valid_from`` / ``n_events``;
+    ``valid_to`` is the next segment's start (open interval,
+    ``NULL`` = current). This is how a warehouse derives a versioned
+    dimension (with effective-dating) from an event/CDC stream —
+    the inverse of :func:`asof_join`, which reads such a history
+    back at a point in time.
+
+    Scale: both the windows and the aggregate are keyed by ``key``
+    alone (segment is a refinement computed within each key's
+    partition), so the whole build costs ONE hash exchange on the key
+    at any corpus size; no self-join, no driver state. Ties in the
+    event order must be broken by a unique column in ``order_cols``
+    for a deterministic history.
+    """
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(key).orderBy(*order)
+    chg = F.when(
+        ~F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), 1
+    ).otherwise(0)
+    seg = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_order = order_cols[0]
+    grouped = (
+        df.withColumn("__seg", seg)
+        .groupBy(key, "__seg", state_col)
+        .agg(
+            F.min(first_order).alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from")
+    return (
+        grouped.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            key,
+            F.col(state_col).alias("state"),
+            "valid_from",
+            "valid_to",
+            "n_events",
+            "is_current",
+        )
+    )

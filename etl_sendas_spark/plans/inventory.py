@@ -3960,3 +3960,260 @@ for _k in QUERIES:
         _q[_k] = QUERIES[_k]
         _o[_k] = ORACLES[_k]
 QUERIES, ORACLES = _q, _o
+
+
+# ===========================================================================
+# round-4 third session: retrieval, warehouse history, reshaping, web URLs
+# ===========================================================================
+
+_BM25_QUERIES = [
+    (1, "spark hash join"),
+    (2, "table scan fast"),
+    (3, "window sort merge"),
+    (4, "batch value row"),
+    (5, "key part line slow"),
+]
+
+
+def search_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: Okapi BM25 top-10 per query over the corpus.
+
+    Inverted-index plan shape (operators/search.py): dl is computed in
+    the scan projection, the postings explode is filtered to the
+    broadcast query vocabulary BEFORE the one corpus-keyed shuffle, and
+    IDF derives from the already-filtered tf frame. Scores round to 6
+    BEFORE ranking so float summation order cannot reorder the top-k
+    across engines."""
+    from ..operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
+_BM25_QS_VALUES = ", ".join(
+    f"({i}, '{q}')" for i, q in _BM25_QUERIES
+)
+
+SEARCH_BM25_SQL = f"""
+WITH qs(query_id, qtext) AS (VALUES {_BM25_QS_VALUES}),
+qterm AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split(trim(regexp_replace(lower(qtext),
+                '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS token
+  FROM qs
+),
+docs AS (
+  SELECT doc_id, list_filter({_TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+  WHERE token IN (SELECT DISTINCT token FROM qterm)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         ROUND(SUM(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM qterm q
+  JOIN tf t USING (token)
+  JOIN dfreq d USING (token)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: each user's event_type change feed
+    collapsed into validity intervals (valid_from/valid_to/is_current)
+    — the versioned-dimension derivation every warehouse runs on a CDC
+    stream, and the inverse of the as-of join that reads it back. One
+    hash exchange on user_id total (gaps-and-islands windows + the
+    segment aggregate share the key)."""
+    from ..operators.relational import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = scd2_history(ev, "user_id", ["ts", "event_id"], "event_type")
+    return hist.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+        "is_current",
+    )
+
+
+SCD2_HISTORY_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seg
+  FROM o
+), g AS (
+  SELECT user_id, seg, event_type AS state,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT user_id, state,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(valid_from) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events,
+       (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+FROM g
+WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
+"""
+
+
+def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape: three lineitem measures unpivoted to
+    (metric, value) rows — the melt every metrics store and feature
+    pipeline needs. Narrow per-row transform: no shuffle at all (the
+    explode-free relational unpivot keeps it scan-local), output is
+    3x the scan rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    ).withColumn("value", F.round("value", 6))
+
+
+A_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, metric, ROUND(value, 6) AS value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber,
+                  CAST(l_quantity AS DOUBLE) AS quantity,
+                  CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                  CAST(l_discount AS DOUBLE) AS discount
+           FROM lineitem)
+  ON quantity, extendedprice, discount INTO NAME metric VALUE value
+)
+"""
+
+
+def scalar_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): scheme/case/port/www/
+    fragment/utm normalization with pure JVM regex chains — the scalar
+    prerequisite of web-corpus URL dedup and per-domain statistics.
+    The messy raw URLs are synthesized deterministically per doc (case
+    soup, optional www/port/trailing-slash, utm-polluted queries,
+    fragments) so both engines canonicalize the identical byte
+    strings; the oracle replays the same RE2-safe regexes."""
+    from ..functions.urls import (
+        canonical_url,
+        url_host,
+        url_path,
+        url_query_clean,
+    )
+
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        d.cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0, F.lit("?utm_source=feed&ref=a&utm_campaign=x")
+        )
+        .when(d % 7 == 0, F.lit("?utm_only=1"))
+        .otherwise(F.lit("?ref=b")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("url", raw)
+    u = F.col("url")
+    return docs.select(
+        "doc_id",
+        "url",
+        url_host(u).alias("host"),
+        url_path(u).alias("path"),
+        url_query_clean(u).alias("query_clean"),
+        canonical_url(u).alias("canonical_url"),
+    )
+
+
+_URL_RAW_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN UPPER(source) ELSE source END)
+    || '.Example.COM'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=a&utm_campaign=x'
+             WHEN doc_id % 7 = 0 THEN '?utm_only=1'
+             ELSE '?ref=b' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+"""
+
+SCALAR_URL_SQL = f"""
+WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+      '^www\\.', ''), ':(80|443)$', '') AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+      AS path0,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(url, '\\?([^#]*)', 1),
+      '(^|&)utm_[^&]*', '\\1', 'g'), '&&+', '&', 'g'), '^&|&$', '', 'g')
+      AS q0
+  FROM u
+),
+norm AS (
+  SELECT doc_id, url, host,
+    CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+         ELSE regexp_replace(path0, '/$', '') END AS path,
+    CASE WHEN q0 = '' THEN NULL ELSE q0 END AS query_clean
+  FROM parts
+)
+SELECT doc_id, url, host, path, query_clean,
+       'https://' || host || path
+       || (CASE WHEN query_clean IS NULL THEN '' ELSE '?' || query_clean END)
+         AS canonical_url
+FROM norm
+"""
+
+EXTRA_QUERIES["search_bm25_docs"] = search_bm25_docs
+EXTRA_ORACLES["search_bm25_docs"] = SEARCH_BM25_SQL
+EXTRA_QUERIES["scd2_user_state_history"] = scd2_user_state_history
+EXTRA_ORACLES["scd2_user_state_history"] = SCD2_HISTORY_SQL
+EXTRA_QUERIES["a_unpivot_metrics"] = a_unpivot_metrics
+EXTRA_ORACLES["a_unpivot_metrics"] = A_UNPIVOT_SQL
+EXTRA_QUERIES["scalar_url_canonicalize"] = scalar_url_canonicalize
+EXTRA_ORACLES["scalar_url_canonicalize"] = SCALAR_URL_SQL

@@ -1,0 +1,137 @@
+"""Unit semantics for the retrieval / SCD2 / URL additions — the oracle
+parity sweep (test_oracle_parity) covers the full-table runs; these pin
+the hand-checkable edge behavior."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_sendas_spark.functions.urls import (
+    canonical_url,
+    url_host,
+    url_path,
+    url_query_clean,
+)
+from etl_sendas_spark.operators.relational import scd2_history
+from etl_sendas_spark.operators.search import bm25_topk
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus, 1 query: scores match the Okapi formula computed
+    by hand (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1))."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join"),        # dl=3, tf(join)=2
+            (2, "spark scan"),             # dl=2
+            (3, "sort merge window"),      # dl=3, no match
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, [(1, "join")], k=10).collect()
+    }
+    # N=3, avgdl=8/3; df(join)=1 -> idf=ln(2.5/1.5+1)
+    idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    dl = 3
+    tf = 2
+    denom = tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8 / 3))
+    expected = round(idf * tf * 2.2 / denom, 6)
+    assert set(out) == {1}  # only doc 1 matches
+    assert abs(out[1] - expected) < 1e-6
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    """A term appearing in fewer docs outranks a common term at equal
+    tf/dl — the IDF property that makes BM25 a retrieval function and
+    not a word count."""
+    docs = spark.createDataFrame(
+        [(i, "common rare" if i == 0 else "common filler") for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    rows = bm25_topk(docs, [(1, "common rare")], k=1).collect()
+    assert rows[0]["doc_id"] == 0
+
+
+def test_scd2_history_segments(spark):
+    """Consecutive-run collapse, interval chaining, is_current, and a
+    state that REVISITS an earlier value must open a new interval."""
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"),
+            (2, 1, "x"),
+        ],
+        "k LONG, seq LONG, st STRING",
+    )
+    hist = scd2_history(ev, "k", ["seq"], "st").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    k1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+    assert [(r["state"], r["valid_from"], r["valid_to"], r["n_events"]) for r in k1] == [
+        ("a", 1, 3, 2), ("b", 3, 4, 1), ("a", 4, None, 1)
+    ]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    assert by_key[2][0]["state"] == "x" and by_key[2][0]["is_current"]
+
+
+def test_scd2_null_state_is_a_segment(spark):
+    """NULL state forms its own interval (null-safe change compare),
+    not a crash or a merge with its neighbors."""
+    ev = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, None), (1, 3, None), (1, 4, "a")],
+        "k LONG, seq LONG, st STRING",
+    )
+    hist = sorted(
+        scd2_history(ev, "k", ["seq"], "st").collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["state"], r["n_events"]) for r in hist] == [
+        ("a", 1), (None, 2), ("a", 1)
+    ]
+
+
+def test_url_edge_cases(spark):
+    cases = [
+        # (raw, host, path, query_clean, canonical)
+        ("http://WWW.Ex.COM:80/a/b/?utm_x=1#f",
+         "ex.com", "/a/b", None, "https://ex.com/a/b"),
+        ("https://ex.com:8080/a",            # non-default port KEPT
+         "ex.com:8080", "/a", None, "https://ex.com:8080/a"),
+        ("https://ex.com",                   # empty path -> '/'
+         "ex.com", "/", None, "https://ex.com/"),
+        ("https://ex.com/?a=1&utm_b=2&c=3",  # utm mid-query
+         "ex.com", "/", "a=1&c=3", "https://ex.com/?a=1&c=3"),
+        ("https://ex.com/p?utm_a=1&utm_b=2", # utm-only -> NULL query
+         "ex.com", "/p", None, "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url STRING")
+    u = F.col("url")
+    rows = df.select(
+        "url",
+        url_host(u).alias("h"),
+        url_path(u).alias("p"),
+        url_query_clean(u).alias("q"),
+        canonical_url(u).alias("c"),
+    ).collect()
+    got = {r["url"]: (r["h"], r["p"], r["q"], r["c"]) for r in rows}
+    for raw, h, p, q, c in cases:
+        assert got[raw] == (h, p, q, c), (raw, got[raw])
+
+
+def test_bm25_postings_filtered_before_shuffle(spark):
+    """Plan shape: the explode's output is filtered by the query
+    vocabulary IN-list before any Exchange — the corpus-sized shuffle
+    carries only matching postings."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    plan = bm25_topk(docs, [(1, "alpha")], k=3)._jdf.queryExecution().executedPlan().toString()
+    gen, exch = plan.find("Generate explode"), plan.find("Exchange")
+    assert gen != -1 and exch != -1
+    # the token IN-filter appears BELOW the first Exchange in the printed
+    # tree (i.e. earlier in execution): the shuffle input is pre-filtered
+    assert plan.find("alpha", exch) != -1
