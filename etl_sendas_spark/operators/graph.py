@@ -1,0 +1,100 @@
+"""Link-graph analytics: PageRank by iterated sparse matrix-vector
+joins.
+
+The second rung of the graph ladder after
+:func:`..operators.dedupe.connected_components` (which labels
+components by min-label propagation): PageRank weights nodes by link
+structure — the classic quality prior a web-corpus pipeline feeds into
+document filtering/sampling alongside the Gopher rules and the quality
+model.
+
+Plan shape per iteration: ONE join of the edge list against the current
+rank vector on ``src`` plus ONE aggregation on ``dst`` — the
+distributed sparse y = A^T x. The edge list (joined once up front with
+out-degrees) is pinned via :mod:`..materialize` so every iteration
+rescans the materialized edges rather than recomputing their lineage,
+and each new rank vector is pinned and its predecessor released, so
+lineage stays O(1) in the iteration count and storage stays O(nodes).
+At 100 TB-graph scale the edge pin is the dominant store (one row per
+edge); both per-iteration shuffles are keyed by node id, and a skewed
+hub node skews only the ``dst`` aggregate, which AQE's skew handling
+splits (the map-side partial aggregation absorbs most of it first).
+
+No dangling-node handling is needed when callers symmetrize the edge
+list (every node then has out-degree >= 1); ``pagerank`` asserts the
+precondition cheaply instead of silently mis-normalizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..materialize import materialize, release
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view of a directed edge list: both orientations,
+    deduplicated. (PageRank on the symmetrized graph is the standard
+    formulation for affinity graphs like customer<->supplier.)"""
+    return (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list
+    ``(src, dst)`` where every node has out-degree >= 1 (symmetrize
+    first for affinity graphs).
+
+    r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u) / outdeg(u),
+    r_0 = 1/N uniform. Returns ``(node, pagerank)`` unrounded; callers
+    hash-comparing across engines should round (the per-node
+    contribution SUM is float-order-dependent at the last ulp).
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        name="pagerank_nodes",
+        strategy=strategy,
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = materialize(e.join(deg, "src"), name="pagerank_edges", strategy=strategy)
+
+    n_nodes = nodes.count()  # driver scalar (a count, not a data collect)
+    base = (1.0 - damping) / n_nodes
+    ranks = materialize(
+        nodes.withColumn("r", F.lit(1.0 / n_nodes)),
+        name="pagerank_r0",
+        strategy=strategy,
+    )
+    for i in range(iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("c"))
+        )
+        new = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("r"),
+        )
+        new = materialize(new, name=f"pagerank_r{i + 1}", strategy=strategy)
+        release(ranks)
+        ranks = new
+    release(ed)
+    out = ranks.select("node", F.col("r").alias("pagerank"))
+    # nodes stays pinned until the caller is done with `out` (it is not
+    # in out's lineage — the final frame reads only the last rank pin).
+    release(nodes)
+    return out

@@ -4217,3 +4217,63 @@ EXTRA_QUERIES["a_unpivot_metrics"] = a_unpivot_metrics
 EXTRA_ORACLES["a_unpivot_metrics"] = A_UNPIVOT_SQL
 EXTRA_QUERIES["scalar_url_canonicalize"] = scalar_url_canonicalize
 EXTRA_ORACLES["scalar_url_canonicalize"] = SCALAR_URL_SQL
+
+
+def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer<->supplier affinity graph (an edge
+    per distinct trading pair from orders x lineitem, symmetrized), 5
+    iterations, d=0.85 — the link-structure quality prior of a web
+    pipeline, exercised on the graph this schema actually contains.
+    Each iteration is one edge-vs-rank join + one dst aggregation
+    (operators/graph.py pins edges/ranks via the pluggable
+    materializer, so lineage is O(1) in iterations). The oracle unrolls
+    the same five iterations as chained CTEs; both engines round only
+    the final vector."""
+    from ..operators.graph import pagerank, symmetrize
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(symmetrize(e0), iterations=5, damping=0.85)
+    return pr.select("node", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    head = """WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (SELECT node, 1.0 / n_nodes AS r FROM nodes, n)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.r / d.outdeg) AS c
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / n.n_nodes + 0.85 * COALESCE(c{i}.c, 0.0) AS r
+  FROM nodes nd CROSS JOIN n LEFT JOIN c{i} ON c{i}.node = nd.node
+)""")
+    tail = f"\nSELECT node, ROUND(r, 6) AS pagerank FROM r{iterations}"
+    return head + "".join(steps) + tail
+
+
+GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(5)
+
+EXTRA_QUERIES["graph_pagerank_entities"] = graph_pagerank_entities
+EXTRA_ORACLES["graph_pagerank_entities"] = GRAPH_PAGERANK_SQL

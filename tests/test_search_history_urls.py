@@ -135,3 +135,29 @@ def test_bm25_postings_filtered_before_shuffle(spark):
     # the token IN-filter appears BELOW the first Exchange in the printed
     # tree (i.e. earlier in execution): the shuffle input is pre-filtered
     assert plan.find("alpha", exch) != -1
+
+
+def test_pagerank_star_graph(spark):
+    """4-leaf star, symmetrized: the hub must outrank every leaf, the
+    leaves tie exactly, and total mass stays 1 (no dangling leakage)."""
+    from etl_sendas_spark.operators.graph import pagerank, symmetrize
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(4)], "src STRING, dst STRING"
+    )
+    rows = pagerank(symmetrize(edges), iterations=10).collect()
+    r = {row["node"]: row["pagerank"] for row in rows}
+    leaves = [r[f"leaf{i}"] for i in range(4)]
+    assert all(r["hub"] > lv for lv in leaves)
+    assert max(leaves) - min(leaves) < 1e-12  # identical by symmetry
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_two_node_fixpoint(spark):
+    """K2: uniform 1/2 is the exact fixpoint at every iteration count."""
+    from etl_sendas_spark.operators.graph import pagerank, symmetrize
+
+    edges = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
+    rows = pagerank(symmetrize(edges), iterations=3).collect()
+    for row in rows:
+        assert abs(row["pagerank"] - 0.5) < 1e-12
