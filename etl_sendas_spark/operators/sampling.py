@@ -153,3 +153,37 @@ def stratified_exact_k(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis-Spirakis exponential-clocks scheme with the randomness
+    replaced by the portable 60-bit content hash.
+
+    Each row gets ``key = -ln(u) / w`` where ``u = (hash60(id)+1)/2^60``
+    is its deterministic uniform in (0, 1] and ``w`` its weight; the k
+    SMALLEST keys are exactly a weighted sample without replacement
+    (P(row first) = w_i / sum w). Selection is a global top-k on the
+    key — ``TakeOrderedAndProject``, no full sort, no shuffle beyond
+    the per-partition heads — and, like every sampler here, the draw
+    is reproducible across runs, engines, and repartitioning because
+    the only "randomness" is md5 of the row id.
+
+    Keys are rounded to 12 decimals BEFORE the top-k (ties then break
+    on id) so rank order cannot depend on last-ulp differences between
+    engines' ``ln``/division. Weights must be > 0.
+    """
+    u = (portable_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(2**60))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 12)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key"), F.col(id_col))
+        .limit(k)
+    )

@@ -119,3 +119,53 @@ def _py_tokens(text: str) -> list[str]:
     import re
 
     return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase_tokens: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via a positional inverted index.
+
+    The distributed phrase-match plan: posexplode to ``(doc, pos,
+    token)`` postings, filter to the phrase's tokens (broadcast-sized
+    list — the filter runs scan-side, so the one corpus-keyed shuffle
+    carries only phrase-token postings), then the classic
+    anchor-alignment trick: a posting for phrase offset ``j`` at
+    position ``p`` votes for anchor ``p - j``, and an anchor with all
+    ``len(phrase)`` distinct offsets voting is an exact occurrence.
+    Repeated tokens in the phrase are handled by letting one posting
+    vote once per offset at which its token appears.
+
+    Returns ``(doc_id, first_pos, n_occurrences)`` with ``first_pos``
+    1-based in token coordinates. The oracle cross-check is a genuinely
+    different algorithm (per-doc array scan over candidate anchors), so
+    agreement validates the index construction, not just a shared
+    formula.
+    """
+    spark = docs.sparkSession
+    k = len(phrase_tokens)
+    offsets = spark.createDataFrame(
+        [(t, j) for j, t in enumerate(phrase_tokens)],
+        schema="token STRING, off INT",
+    )
+    post = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("token").isin(list(set(phrase_tokens))))
+    votes = post.join(F.broadcast(offsets), "token").select(
+        "doc_id", (F.col("pos") - F.col("off")).alias("anchor"), "off"
+    )
+    occurrences = (
+        votes.filter(F.col("anchor") >= 0)
+        .groupBy("doc_id", "anchor")
+        .agg(F.count_distinct("off").alias("n_off"))
+        .filter(F.col("n_off") == k)
+    )
+    return occurrences.groupBy("doc_id").agg(
+        (F.min("anchor") + 1).alias("first_pos"),
+        F.count("*").alias("n_occurrences"),
+    )

@@ -4277,3 +4277,74 @@ GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(5)
 
 EXTRA_QUERIES["graph_pagerank_entities"] = graph_pagerank_entities
 EXTRA_ORACLES["graph_pagerank_entities"] = GRAPH_PAGERANK_SQL
+
+
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential clocks, hash-derandomized): 50 docs drawn with
+    probability proportional to length. The selection is a global
+    top-k on the per-row key — TakeOrderedAndProject, reproducible
+    across engines because the only randomness is md5(doc_id); the
+    oracle replays the identical key formula."""
+    from ..operators.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_k(docs, "doc_id", "n_chars", k=50)
+
+
+SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, n_chars, sample_key FROM (
+  SELECT doc_id, n_chars,
+         ROUND(
+           -ln(CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     + 1) AS DOUBLE) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE), 12) AS sample_key
+  FROM documents
+)
+ORDER BY sample_key, doc_id
+LIMIT 50
+"""
+
+
+_PHRASE = ["value", "fast", "spark"]
+
+
+def search_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a positional inverted index
+    (operators/search.py): postings filtered to the phrase tokens
+    scan-side, anchor-alignment vote, all-offsets-present = match.
+    The oracle is a genuinely different algorithm (per-doc array scan
+    over candidate anchors), so agreement validates the distributed
+    index construction itself."""
+    from ..operators.search import phrase_match
+
+    docs = _t(spark, sf_dir, "documents")
+    out = phrase_match(docs, _PHRASE)
+    return out.select(
+        "doc_id",
+        F.col("first_pos").cast("long").alias("first_pos"),
+        "n_occurrences",
+    )
+
+
+SEARCH_PHRASE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, list_filter({_TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+cand AS (
+  SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS a FROM docs
+),
+m AS (
+  SELECT doc_id, a FROM cand
+  WHERE toks[a] = '{_PHRASE[0]}'
+    AND toks[a + 1] = '{_PHRASE[1]}'
+    AND toks[a + 2] = '{_PHRASE[2]}'
+)
+SELECT doc_id, MIN(a) AS first_pos, COUNT(*) AS n_occurrences
+FROM m GROUP BY doc_id
+"""
+
+EXTRA_QUERIES["sample_weighted_docs"] = sample_weighted_docs
+EXTRA_ORACLES["sample_weighted_docs"] = SAMPLE_WEIGHTED_SQL
+EXTRA_QUERIES["search_phrase_docs"] = search_phrase_docs
+EXTRA_ORACLES["search_phrase_docs"] = SEARCH_PHRASE_SQL

@@ -161,3 +161,37 @@ def test_pagerank_two_node_fixpoint(spark):
     rows = pagerank(symmetrize(edges), iterations=3).collect()
     for row in rows:
         assert abs(row["pagerank"] - 0.5) < 1e-12
+
+
+def test_phrase_match_repeated_tokens(spark):
+    """A phrase with a repeated token must not double-count a single
+    posting: 'a a' matches 'x a a b' once at pos 2, 'a a a' twice
+    (overlapping anchors), and 'a b a' never."""
+    from etl_sendas_spark.operators.search import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "x a a b"), (2, "a a a"), (3, "a b a")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["first_pos"], r["n_occurrences"])
+        for r in phrase_match(docs, ["a", "a"]).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 2)}
+
+
+def test_weighted_sample_is_deterministic_and_biased(spark):
+    """Same input -> same sample (hash-derandomized), and a sample
+    weighted by a 100x weight column must over-represent heavy rows
+    relative to their population share (deterministic fixture, so this
+    either always holds or the sampler is wrong)."""
+    from etl_sendas_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 1000 if i % 10 == 0 else 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "id LONG, w LONG")
+    s1 = sorted(r["id"] for r in weighted_sample_k(df, "id", "w", 40).collect())
+    s2 = sorted(r["id"] for r in weighted_sample_k(df, "id", "w", 40).collect())
+    assert s1 == s2 and len(s1) == 40
+    heavy = sum(1 for i in s1 if i % 10 == 0)
+    # heavy rows are 10% of the population but carry ~91% of the mass
+    assert heavy > 20
