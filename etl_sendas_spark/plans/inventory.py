@@ -4348,3 +4348,72 @@ EXTRA_QUERIES["sample_weighted_docs"] = sample_weighted_docs
 EXTRA_ORACLES["sample_weighted_docs"] = SAMPLE_WEIGHTED_SQL
 EXTRA_QUERIES["search_phrase_docs"] = search_phrase_docs
 EXTRA_ORACLES["search_phrase_docs"] = SEARCH_PHRASE_SQL
+
+
+def streaming_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, paired with
+    same-user views within the following hour OR null-extended once the
+    watermark proves no view can still arrive. Exercises watermark-
+    driven state eviction as an OUTPUT (not just a memory bound): a
+    null row is only correct once the global watermark — min of the two
+    streams' own ``max(ts) - delay`` — passes ``click_ts + within``.
+    The oracle replicates exactly that: a batch left join plus the
+    explicit watermark predicate on unmatched rows (a plain batch outer
+    join would overcount: left rows still buffered at shutdown never
+    emit)."""
+    from ..streaming.sessions import interval_join_streams, run_stream_to_memory
+
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+    )
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = interval_join_streams(
+        clicks, views, key_col="user_id", left_ts="ts", right_ts="r_ts",
+        within="1 hour", watermark="2 hours", how="left_outer",
+    )
+    run_stream_to_memory(
+        joined, "interval_left_join_result", output_mode="append"
+    )
+    res = spark.table("interval_left_join_result")
+    return res.select(
+        "user_id",
+        "click_id",
+        "view_id",
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+STREAM_INTERVAL_LEFT_JOIN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events
+  WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, event_id AS view_id, ts AS r_ts FROM events
+  WHERE event_type = 'view'
+), wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(r_ts) FROM v))
+         - INTERVAL 2 HOUR AS w
+), j AS (
+  SELECT c.user_id, c.click_id, v.view_id,
+         epoch_us(v.r_ts) - epoch_us(c.ts) AS gap_us, c.ts
+  FROM c LEFT JOIN v
+    ON c.user_id = v.user_id
+   AND v.r_ts >= c.ts AND v.r_ts <= c.ts + INTERVAL 1 HOUR
+)
+SELECT user_id, click_id, view_id, gap_us
+FROM j, wm
+WHERE view_id IS NOT NULL OR ts + INTERVAL 1 HOUR < wm.w
+"""
+
+EXTRA_QUERIES["streaming_interval_left_join"] = streaming_interval_left_join
+EXTRA_ORACLES["streaming_interval_left_join"] = STREAM_INTERVAL_LEFT_JOIN_SQL

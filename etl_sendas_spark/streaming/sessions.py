@@ -106,6 +106,7 @@ def interval_join_streams(
     right_ts: str = "r_ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event paired with the
     right-stream events of the same key that occur in
@@ -119,6 +120,16 @@ def interval_join_streams(
     append mode. Without the time bounds a stream-stream join would
     need unbounded state — the planner rejects it.
 
+    ``how='left_outer'`` additionally emits each UNMATCHED left row —
+    null-extended — but only once the global watermark (the MIN of the
+    two streams' watermarks, each ``max(event_ts seen) - delay`` over
+    its own filtered feed) passes ``left_ts + within``: before that the
+    row might still be matched by a late right event, so it sits in
+    state. On a bounded source this means left rows newer than
+    ``final_watermark - within`` are still buffered at shutdown and
+    never emit their null row — semantics a batch mirror must replicate
+    with an explicit watermark predicate, not a plain outer join.
+
     State is hash-partitioned on the join key; at 100 TB feed rates the
     bound on per-key buffered history, not the feed size, dictates
     state-store memory — the same sizing rule as a windowed agg.
@@ -130,7 +141,7 @@ def interval_join_streams(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop(r[key_col])
+    return l.join(r, cond, how).drop(r[key_col])
 
 
 _GAP_STATE_SCHEMA = T.StructType([T.StructField("anchor_ms", T.LongType())])

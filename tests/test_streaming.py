@@ -367,3 +367,46 @@ def test_stream_maintained_agg_view_equals_batch_aggregate(spark, tmp_path):
     )
     assert got == want
     assert len([d for d in os.listdir(view) if d.startswith("v=")]) == 3
+
+
+def test_interval_left_join_nulls_gated_by_watermark(spark):
+    """The left-outer stream join must emit SOME null-extended rows
+    (eviction happened) but FEWER than a naive batch outer join's
+    unmatched count (rows newer than final_watermark - within are
+    still buffered at shutdown) — i.e. the watermark predicate in the
+    oracle is load-bearing, not decorative."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.plans.inventory import (
+        _stream_events,
+        streaming_interval_left_join,
+    )
+    from conftest import SF_SMOKE
+
+    res = streaming_interval_left_join(spark, SF_SMOKE)
+    n_null = res.filter(F.col("view_id").isNull()).count()
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from etl_sendas_spark.sources.readers import normalize_event_time
+
+    ev = normalize_event_time(ev, "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    naive_unmatched = (
+        c.join(
+            v,
+            (c["user_id"] == v["vu"])
+            & (v["r_ts"] >= c["ts"])
+            & (v["r_ts"] <= F.expr("ts + INTERVAL 1 hour")),
+            "left_outer",
+        )
+        .filter(F.col("view_id").isNull())
+        .count()
+    )
+    assert 0 < n_null < naive_unmatched
