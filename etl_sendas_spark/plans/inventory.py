@@ -4417,3 +4417,77 @@ WHERE view_id IS NOT NULL OR ts + INTERVAL 1 HOUR < wm.w
 
 EXTRA_QUERIES["streaming_interval_left_join"] = streaming_interval_left_join
 EXTRA_ORACLES["streaming_interval_left_join"] = STREAM_INTERVAL_LEFT_JOIN_SQL
+
+
+# ===========================================================================
+# round-4 third-session rotation: driver-window refresh
+# ===========================================================================
+# Same policy as the session-2 block above: new MACHINERY earns a driver
+# CORRECTNESS row; the outgoing sibling keeps the identical oracle bar in
+# EXTRA_QUERIES via tests/test_oracle_parity.py. Window stays exactly 50.
+_SWAPS_S3 = {
+    # chained-regexp_replace machinery pinned in-window by text_features
+    # (+ EXTRA parity keeps pii_redact green every pytest run); BM25 adds
+    # the retrieval ladder (inverted index, idf, per-query top-k)
+    "pii_redact_docs": "search_bm25_docs",
+    # ANN scoring kernel pinned by ann_cosine_topk in-window (lsh + ivf
+    # variants stay pytest-parity); PageRank adds the iterative
+    # matrix-vector machinery — with CC, the graph ladder's second row
+    "ann_ivf_topk": "graph_pagerank_entities",
+}
+_q3, _o3 = {}, {}
+for _k in QUERIES:
+    if _k in _SWAPS_S3:
+        _new = _SWAPS_S3[_k]
+        _q3[_new] = EXTRA_QUERIES.pop(_new)
+        _o3[_new] = EXTRA_ORACLES.pop(_new)
+        EXTRA_QUERIES[_k] = QUERIES[_k]
+        EXTRA_ORACLES[_k] = ORACLES[_k]
+    else:
+        _q3[_k] = QUERIES[_k]
+        _o3[_k] = ORACLES[_k]
+QUERIES, ORACLES = _q3, _o3
+
+
+def hierarchy_roots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by POINTER DOUBLING (operators/graph.py):
+    root + depth for every node of a synthetic document forest
+    (parent(d) = d // 3; d % 89 == 0 and d = 0 are roots — parent < id
+    guarantees acyclicity). O(log depth) self-join rounds instead of
+    the O(depth) sequential walk of the oracle's recursive CTE — the
+    org-chart / BOM / category-tree shape at corpus scale."""
+    from ..operators.graph import forest_roots
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            (F.col("doc_id") == 0) | (F.col("doc_id") % 89 == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise((F.col("doc_id") / 3).cast("long"))
+        .alias("parent"),
+    )
+    return forest_roots(docs, "id", "parent").select(
+        F.col("id").alias("doc_id"), "root", "depth"
+    )
+
+
+HIERARCHY_ROOTS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id = 0 OR doc_id % 89 = 0 THEN NULL
+              ELSE CAST(doc_id // 3 AS BIGINT) END AS parent
+  FROM documents
+),
+climb AS (
+  SELECT id AS start, id AS node, parent, 0 AS depth FROM t
+  UNION ALL
+  SELECT c.start, t.id AS node, t.parent, c.depth + 1
+  FROM climb c JOIN t ON t.id = c.parent
+)
+SELECT start AS doc_id, node AS root, depth
+FROM climb WHERE parent IS NULL
+"""
+
+EXTRA_QUERIES["hierarchy_roots_docs"] = hierarchy_roots_docs
+EXTRA_ORACLES["hierarchy_roots_docs"] = HIERARCHY_ROOTS_SQL

@@ -195,3 +195,16 @@ def test_weighted_sample_is_deterministic_and_biased(spark):
     heavy = sum(1 for i in s1 if i % 10 == 0)
     # heavy rows are 10% of the population but carry ~91% of the mass
     assert heavy > 20
+
+
+def test_forest_roots_deep_chain(spark):
+    """A 20-deep chain (5 doubling rounds) plus a second 1-node tree:
+    every node must report the correct root and exact depth."""
+    from etl_sendas_spark.operators.graph import forest_roots
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 21)] + [(100, None)]
+    df = spark.createDataFrame(rows, "id LONG, parent LONG")
+    got = {r["id"]: (r["root"], r["depth"]) for r in forest_roots(df).collect()}
+    for i in range(21):
+        assert got[i] == (0, i), (i, got[i])
+    assert got[100] == (100, 0)
