@@ -342,3 +342,51 @@ def dequantize_embeddings(
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
     return df.withColumn(out_col, deq)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary and therefore carry the most gradient signal.
+
+    Same broadcast-query scoring kernel as :func:`cosine_topk` (one
+    corpus pass, per-query window top-k) with the label constraint
+    applied BEFORE scoring, so excluded same-label vectors cost a
+    predicate, not a dot product. Output: (query_id, neighbor_id,
+    cosine, rank); ties break on neighbor id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -4491,3 +4491,124 @@ FROM climb WHERE parent IS NULL
 
 EXTRA_QUERIES["hierarchy_roots_docs"] = hierarchy_roots_docs
 EXTRA_ORACLES["hierarchy_roots_docs"] = HIERARCHY_ROOTS_SQL
+
+
+def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped statistical aggregates — Pearson correlation, sample
+    covariance, sample stddev — the feature-engineering / drift-
+    monitoring panel. All JVM-side partial-aggregable (one shuffle
+    carrying one state row per group); rounded to 6 before hashing
+    because the co-moment sums are float-order-dependent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
+        F.count("*").alias("n"),
+    )
+
+
+A_CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+       ROUND(stddev_samp(l_extendedprice), 6) AS std_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def quality_deciles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing AT SCALE: assign each doc its corpus-wide
+    length decile WITHOUT a global window. ``ntile(10) OVER (ORDER BY
+    ..)`` forces every row through one partition — the canonical
+    global-sort bottleneck; instead the 9 interpolated percentile
+    thresholds reduce to one broadcast-sized row and the assignment is
+    a scan-local comparison sum. This is how a 100 TB corpus gets
+    quality/length tiers for mixing and curriculum schedules. Ties at
+    a threshold go to the lower decile in both engines (strict >)."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = [i / 10.0 for i in range(1, 10)]
+    thresholds = docs.agg(
+        *[
+            F.expr(f"percentile(n_chars, {q})").alias(f"t{i}")
+            for i, q in enumerate(qs, 1)
+        ]
+    )
+    decile = sum(
+        F.when(F.col("n_chars") > F.col(f"t{i}"), 1).otherwise(0)
+        for i in range(1, 10)
+    ) + 1
+    return (
+        docs.crossJoin(F.broadcast(thresholds))
+        .select(
+            "doc_id",
+            "n_chars",
+            decile.cast("int").alias("decile"),
+        )
+    )
+
+
+QUALITY_DECILES_SQL = """
+WITH t AS (
+  SELECT {cols} FROM documents
+)
+SELECT d.doc_id, d.n_chars,
+       CAST(1 {cases} AS INT) AS decile
+FROM documents d CROSS JOIN t
+""".format(
+    cols=", ".join(
+        f"quantile_cont(n_chars, {i / 10.0}) AS t{i}" for i in range(1, 10)
+    ),
+    cases=" ".join(
+        f"+ (CASE WHEN d.n_chars > t.t{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 10)
+    ),
+)
+
+EXTRA_QUERIES["a_corr_stats"] = a_corr_stats
+EXTRA_ORACLES["a_corr_stats"] = A_CORR_SQL
+EXTRA_QUERIES["quality_deciles_docs"] = quality_deciles_docs
+EXTRA_ORACLES["quality_deciles_docs"] = QUALITY_DECILES_SQL
+
+
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py): per query
+    vector, the top-5 nearest neighbors under cosine that carry a
+    DIFFERENT class label — the contrastive-training negatives with
+    the most gradient signal. Label filter applies before scoring, so
+    same-label vectors cost a predicate, not a dot product."""
+    from ..operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hard_negatives(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        label_col="label", k=5,
+    )
+
+
+MINE_HARD_NEG_SQL = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings WHERE len(embedding) > 0
+), q AS (SELECT * FROM v WHERE vec_id < 10)
+SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       ROUND(list_dot_product(v.e, q.e) / (v.nrm * q.nrm), 6) AS cosine,
+       ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY ROUND(list_dot_product(v.e, q.e) / (v.nrm * q.nrm), 6) DESC,
+                  v.vec_id) AS rank
+FROM v CROSS JOIN q
+WHERE v.label <> q.label AND v.nrm > 0 AND q.nrm > 0
+QUALIFY rank <= 5
+"""
+
+EXTRA_QUERIES["mine_hard_negatives"] = mine_hard_negatives
+EXTRA_ORACLES["mine_hard_negatives"] = MINE_HARD_NEG_SQL

@@ -208,3 +208,39 @@ def test_forest_roots_deep_chain(spark):
     for i in range(21):
         assert got[i] == (0, i), (i, got[i])
     assert got[100] == (100, 0)
+
+
+def test_quality_deciles_no_global_window(spark):
+    """The decile assignment must not compile to a single-partition
+    global Window/ntile: the thresholds reduce to one broadcast row and
+    the assignment is scan-local."""
+    from conftest import SF_SMOKE
+
+    from etl_sendas_spark.plans.inventory import quality_deciles_docs
+
+    plan = (
+        quality_deciles_docs(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+
+
+def test_hard_negatives_all_cross_label(spark):
+    """Every mined negative must carry a label different from its
+    query's — and for a query with in-class near-duplicates the
+    same-label twin must NOT appear even if it is the global nearest."""
+    from etl_sendas_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),   # same-label near-twin of 0
+        (2, [0.9, 0.43], 1),
+        (3, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids == [2, 3]  # 1 excluded despite being nearest
