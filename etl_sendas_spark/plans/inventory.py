@@ -4612,3 +4612,51 @@ QUALIFY rank <= 5
 
 EXTRA_QUERIES["mine_hard_negatives"] = mine_hard_negatives
 EXTRA_ORACLES["mine_hard_negatives"] = MINE_HARD_NEG_SQL
+
+
+def u_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (sources/readers.py
+    union_with_evolution): an early ingest wave carries
+    (key, status, price-as-float32); a later wave drops status, widens
+    price to double and adds a channel column. The union widens
+    numerics per column, null-fills missing columns, and costs no
+    shuffle (scan-local casts) — the long-lived-feed ingest case a
+    plain unionByName rejects."""
+    from ..sources.readers import union_with_evolution
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.concat(F.lit("ch"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "o_channel"
+        ),
+    )
+    merged = union_with_evolution([v1, v2])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_channel",
+    )
+
+
+U_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       ROUND(CAST(CAST(o_totalprice AS REAL) AS DOUBLE), 6) AS o_totalprice,
+       NULL AS o_channel
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, NULL AS o_orderstatus,
+       ROUND(o_totalprice, 6) AS o_totalprice,
+       'ch' || CAST(o_orderkey % 3 AS VARCHAR) AS o_channel
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+EXTRA_QUERIES["u_union_schema_evolution"] = u_union_schema_evolution
+EXTRA_ORACLES["u_union_schema_evolution"] = U_SCHEMA_EVOLUTION_SQL

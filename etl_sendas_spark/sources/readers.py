@@ -445,3 +445,52 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
             read_table(spark, sf_dir, name).createOrReplaceTempView(name)
             registered.append(name)
     return registered
+
+
+_NUMERIC_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                  "float": 4, "double": 5, "decimal": 5}
+
+
+def union_with_evolution(frames: Sequence[DataFrame]) -> DataFrame:
+    """Union frames whose schemas EVOLVED across ingest waves: later
+    files add columns and widen numeric types (int → bigint → double),
+    which is exactly what a long-lived feed does and what a plain
+    ``unionByName`` rejects.
+
+    Per column name the widest numeric type wins (non-numeric
+    conflicts fall back to string — lossless and greppable); missing
+    columns null-fill via ``allowMissingColumns``. Both steps are
+    scan-local casts — schema evolution costs no shuffle at any scale.
+    """
+    if not frames:
+        raise ValueError("union_with_evolution: no frames")
+    widest: dict[str, str] = {}
+    order: list[str] = []
+    for df in frames:
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if f.name not in widest:
+                widest[f.name] = t
+                order.append(f.name)
+            elif widest[f.name] != t:
+                a, b = widest[f.name], t
+                base = lambda s: s.split("(")[0]
+                if base(a) in _NUMERIC_WIDTH and base(b) in _NUMERIC_WIDTH:
+                    widest[f.name] = (
+                        a if _NUMERIC_WIDTH[base(a)] >= _NUMERIC_WIDTH[base(b)]
+                        else b
+                    )
+                else:
+                    widest[f.name] = "string"
+    out = None
+    for df in frames:
+        cast = df.select(
+            *[
+                F.col(c).cast(widest[c]).alias(c)
+                for c in df.columns
+            ]
+        )
+        out = cast if out is None else out.unionByName(
+            cast, allowMissingColumns=True
+        )
+    return out.select(*order)

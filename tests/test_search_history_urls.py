@@ -244,3 +244,20 @@ def test_hard_negatives_all_cross_label(spark):
     out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
     ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ids == [2, 3]  # 1 excluded despite being nearest
+
+
+def test_union_with_evolution_widening_rules(spark):
+    """int widens to bigint, float to double, string-vs-int conflicts
+    fall back to string, and missing columns null-fill."""
+    from etl_sendas_spark.sources.readers import union_with_evolution
+
+    a = spark.createDataFrame([(1, 1.5, "x")], "k INT, v FLOAT, s STRING")
+    b = spark.createDataFrame([(2**40, 2.5, 7)], "k BIGINT, v DOUBLE, s INT")
+    c = spark.createDataFrame([(3,)], "k INT")
+    out = union_with_evolution([a, b, c])
+    types = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert types == {"k": "bigint", "v": "double", "s": "string"}
+    rows = {r["k"]: (r["v"], r["s"]) for r in out.collect()}
+    assert rows[1] == (1.5, "x")
+    assert rows[2**40] == (2.5, "7")
+    assert rows[3] == (None, None)
