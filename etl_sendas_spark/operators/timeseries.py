@@ -1,0 +1,66 @@
+"""Sequential time-series folds that no window function expresses.
+
+EWMA (exponential smoothing) is the canonical one: ``y_t = (1-a)*y_{t-1}
++ a*x_t`` depends on the PREVIOUS OUTPUT, not a previous input — a
+recurrence, not a window aggregate. (A closed-form window sum with
+``a^-i`` weights exists but overflows double for long histories, so the
+honest distributed form is a per-key grouped fold.)
+
+Same execution pattern as the R7 gap-anchor fold (``operators/
+marking.py``): ONE shuffle on the key, Arrow-batched ``applyInPandas``,
+the recurrence runs inside each group in explicit event order. The
+fold loop applies the recurrence literally — ``y = (1.0 - a) * y +
+a * x`` — so an engine replaying the same formula in the same order
+(the DuckDB recursive-CTE oracle) reproduces it to the last ulp; we do
+NOT use ``pandas.DataFrame.ewm``, whose internal weighting arithmetic
+is algebraically equal but floating-point different.
+
+At 100 TB the state per group is one double and the cost is one pass
+per key — the same profile as any sessionization; skewed keys are a
+single long group, which Arrow batches stream through without
+materializing more than the group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponential moving average in event order.
+
+    ``y_1 = x_1`` (adjust-free initialization), then
+    ``y_t = (1-alpha)*y_{t-1} + alpha*x_t``. Ties in ``order_cols``
+    must be broken by a unique column for a deterministic series.
+    Output: the input columns plus ``out_col`` (double, unrounded).
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    # a fresh StructType — StructType.add would MUTATE df's cached
+    # schema object in place, desynchronizing df.columns from its plan
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].astype("float64").to_numpy()
+        ys = xs.copy()
+        for i in range(1, len(ys)):
+            # literal recurrence — see module docstring re: float parity
+            ys[i] = (1.0 - alpha) * ys[i - 1] + alpha * xs[i]
+        pdf[out_col] = ys
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fold, schema)

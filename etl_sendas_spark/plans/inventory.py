@@ -4660,3 +4660,42 @@ FROM orders WHERE o_orderkey % 2 = 1
 
 EXTRA_QUERIES["u_union_schema_evolution"] = u_union_schema_evolution
 EXTRA_ORACLES["u_union_schema_evolution"] = U_SCHEMA_EVOLUTION_SQL
+
+
+def ts_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=0.3), event-ordered — the
+    smoothing recurrence (y depends on the previous OUTPUT) no window
+    function expresses; runs as the same one-shuffle Arrow grouped
+    fold as the R7 gap mark (operators/timeseries.py). The oracle
+    replays the literal recurrence as a recursive CTE; both engines
+    execute the identical float ops in the identical order, rounded
+    at 6 for the hash."""
+    from ..operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
+    return out.select(
+        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
+    )
+
+
+TS_EWMA_SQL = """
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, value, rn, CAST(value AS DOUBLE) AS y
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.value, s.rn,
+         (1.0 - 0.3) * r.y + 0.3 * s.value
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, ROUND(y, 6) AS ewma FROM rec
+"""
+
+EXTRA_QUERIES["ts_ewma_user_values"] = ts_ewma_user_values
+EXTRA_ORACLES["ts_ewma_user_values"] = TS_EWMA_SQL

@@ -261,3 +261,19 @@ def test_union_with_evolution_widening_rules(spark):
     assert rows[1] == (1.5, "x")
     assert rows[2**40] == (2.5, "7")
     assert rows[3] == (None, None)
+
+
+def test_ewma_hand_computed(spark):
+    """alpha=0.5 over [4, 0, 8]: y = [4, 2, 5] exactly (dyadic
+    fractions, so float equality is exact)."""
+    from etl_sendas_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 4.0), (1, 2, 0.0), (1, 3, 8.0), (2, 1, 7.0)],
+        "k LONG, seq LONG, value DOUBLE",
+    )
+    out = {
+        (r["k"], r["seq"]): r["ewma"]
+        for r in ewma(df, ["k"], ["seq"], "value", alpha=0.5).collect()
+    }
+    assert out == {(1, 1): 4.0, (1, 2): 2.0, (1, 3): 5.0, (2, 1): 7.0}
