@@ -4699,3 +4699,115 @@ SELECT user_id, event_id, ROUND(y, 6) AS ewma FROM rec
 
 EXTRA_QUERIES["ts_ewma_user_values"] = ts_ewma_user_values
 EXTRA_ORACLES["ts_ewma_user_values"] = TS_EWMA_SQL
+
+
+def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, each step
+    within 7 days of the previous) WITHOUT self-joins: two window
+    passes over the SAME user partition compute the earliest
+    qualifying timestamp of each step conditional on the previous —
+    one shuffle total, vs the naive 3-way self-join that re-shuffles
+    the fact per step. Output: users completing each prefix."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    week = F.expr("INTERVAL 7 DAYS")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_t1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + week),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_t2 = with_t1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + week),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_t2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("t1").isNotNull()).alias("s1"),
+            F.max(F.col("t2").isNotNull()).alias("s2"),
+            F.max(F.col("t3").isNotNull()).alias("s3"),
+        )
+    )
+    return per_user.agg(
+        F.sum(F.col("s1").cast("long")).alias("viewed"),
+        F.sum(F.col("s2").cast("long")).alias("clicked_after_view"),
+        F.sum(F.col("s3").cast("long")).alias("purchased_after_click"),
+    )
+
+
+A_FUNNEL_SQL = """
+WITH t1s AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), t2s AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts >= t1
+                   AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM t1s
+), t3s AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
+                   AND ts <= t2 + INTERVAL 7 DAY THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM t2s
+), per_user AS (
+  SELECT user_id, MAX(t1 IS NOT NULL) AS s1, MAX(t2 IS NOT NULL) AS s2,
+         MAX(t3 IS NOT NULL) AS s3
+  FROM t3s GROUP BY user_id
+)
+SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS clicked_after_view,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS purchased_after_click
+FROM per_user
+"""
+
+
+def embedding_class_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (class prototype) of the embedding corpus,
+    emitted as (label, dim, mean) rows: posexplode keeps the shuffle
+    keyed on (label, dim) with map-side partial averaging — the
+    prototype/centroid-init step of classifier-free labeling and
+    k-means seeding. Rounded to 6 (summation order)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("mean"), F.count("*").alias("n"))
+    )
+
+
+EMB_PROTOTYPES_SQL = """
+SELECT label, i - 1 AS dim, ROUND(AVG(e), 6) AS mean, COUNT(*) AS n
+FROM (
+  SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS e,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i - 1
+"""
+
+EXTRA_QUERIES["a_funnel_steps"] = a_funnel_steps
+EXTRA_ORACLES["a_funnel_steps"] = A_FUNNEL_SQL
+EXTRA_QUERIES["embedding_class_prototypes"] = embedding_class_prototypes
+EXTRA_ORACLES["embedding_class_prototypes"] = EMB_PROTOTYPES_SQL
