@@ -4811,3 +4811,66 @@ EXTRA_QUERIES["a_funnel_steps"] = a_funnel_steps
 EXTRA_ORACLES["a_funnel_steps"] = A_FUNNEL_SQL
 EXTRA_QUERIES["embedding_class_prototypes"] = embedding_class_prototypes
 EXTRA_ORACLES["embedding_class_prototypes"] = EMB_PROTOTYPES_SQL
+
+
+def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over lineitem
+    (operators/quality_checks.py): five declarative rules — null
+    check, accepted-values domain, numeric range, compound-key
+    uniqueness, referential integrity to orders — evaluated with one
+    fact scan for all scalar rules plus one groupBy (unique) and one
+    anti-join (FK). The report row set IS the quarantine/alert input;
+    the oracle recomputes each count in plain SQL."""
+    from ..operators.quality_checks import expectation_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        {"rule": "not_null", "col": "l_orderkey"},
+        {"rule": "in_set", "col": "l_returnflag", "values": ["A", "N", "R"]},
+        {"rule": "in_range", "col": "l_discount", "lo": 0.0, "hi": 0.05},
+        {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {
+            "rule": "foreign_key",
+            "col": "l_orderkey",
+            "ref": orders,
+            "ref_col": "o_orderkey",
+        },
+    ]
+    return expectation_report(li, rules)
+
+
+DQ_REPORT_SQL = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+checks AS (
+  SELECT 'not_null' AS rule, 'l_orderkey' AS target,
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS violations
+  UNION ALL
+  SELECT 'in_set', 'l_returnflag',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A', 'N', 'R'))
+  UNION ALL
+  SELECT 'in_range', 'l_discount',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_discount IS NOT NULL
+            AND (l_discount < 0.0 OR l_discount > 0.05))
+  UNION ALL
+  SELECT 'unique', 'l_orderkey,l_linenumber',
+         (SELECT COALESCE(SUM(c - 1), 0) FROM (
+            SELECT COUNT(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber))
+  UNION ALL
+  SELECT 'foreign_key', 'l_orderkey',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+)
+SELECT rule, target, CAST(violations AS BIGINT) AS violations,
+       CAST(n.n_rows AS BIGINT) AS n_rows, violations = 0 AS passed
+FROM checks, n
+"""
+
+EXTRA_QUERIES["dq_expectation_report"] = dq_expectation_report
+EXTRA_ORACLES["dq_expectation_report"] = DQ_REPORT_SQL

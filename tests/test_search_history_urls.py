@@ -277,3 +277,42 @@ def test_ewma_hand_computed(spark):
         for r in ewma(df, ["k"], ["seq"], "value", alpha=0.5).collect()
     }
     assert out == {(1, 1): 4.0, (1, 2): 2.0, (1, 3): 5.0, (2, 1): 7.0}
+
+
+def test_expectation_report_counts_each_failure_mode(spark):
+    """Synthetic frame with one violation of each kind: nulls, domain,
+    range, duplicate key, and an orphan FK — each rule must count
+    exactly its own violations (and NULL must not double-count into
+    in_set/in_range with default count_null=False)."""
+    from etl_sendas_spark.operators.quality_checks import expectation_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 0.01),
+            (1, "A", 0.02),    # duplicate key=1
+            (2, "X", 0.01),    # bad domain
+            (3, "N", 0.99),    # bad range
+            (None, None, None),  # null key; null domain/range NOT counted
+            (9, "R", 0.0),     # orphan FK (ref has 1,2,3 only)
+        ],
+        "k LONG, flag STRING, d DOUBLE",
+    )
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "rk LONG")
+    rules = [
+        {"rule": "not_null", "col": "k"},
+        {"rule": "in_set", "col": "flag", "values": ["A", "N", "R"]},
+        {"rule": "in_range", "col": "d", "lo": 0.0, "hi": 0.1},
+        {"rule": "unique", "cols": ["k"]},
+        {"rule": "foreign_key", "col": "k", "ref": ref, "ref_col": "rk"},
+    ]
+    got = {
+        r["rule"]: (r["violations"], r["passed"], r["n_rows"])
+        for r in expectation_report(df, rules).collect()
+    }
+    assert got == {
+        "not_null": (1, False, 6),
+        "in_set": (1, False, 6),
+        "in_range": (1, False, 6),
+        "unique": (1, False, 6),
+        "foreign_key": (1, False, 6),
+    }
