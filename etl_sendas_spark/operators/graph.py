@@ -59,6 +59,10 @@ def pagerank(
     hash-comparing across engines should round (the per-node
     contribution SUM is float-order-dependent at the last ulp).
     """
+    if iterations < 0:
+        raise ValueError(f"pagerank: iterations must be >= 0, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
     # NOTE on pin width: an explicit repartition(shuffle_partitions, key)
     # before each pin was measured at x10 scale (1.2 M edges) and LOST to
     # letting AQE size the pinned frames (warm 12.4 s vs 10.2 s for the

@@ -43,7 +43,8 @@ def expectation_report(df: DataFrame, rules: list[dict[str, Any]]) -> DataFrame:
     """Evaluate ``rules`` against ``df``; returns one row per rule:
     ``(rule, target, violations, n_rows, passed)`` in the order given.
     """
-    spark = df.sparkSession
+    if not rules:
+        raise ValueError("expectation_report: empty rule list")
     scalar_exprs = [F.count(F.lit(1)).alias("__n")]
     scalar_names: list[tuple[str, str]] = []
     heavy: list[tuple[str, str, DataFrame]] = []

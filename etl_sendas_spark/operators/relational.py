@@ -430,6 +430,8 @@ def scd2_history(
     event order must be broken by a unique column in ``order_cols``
     for a deterministic history.
     """
+    if not order_cols:
+        raise ValueError("scd2_history: order_cols must be non-empty")
     order = [F.col(c) for c in order_cols]
     w = Window.partitionBy(key).orderBy(*order)
     chg = F.when(

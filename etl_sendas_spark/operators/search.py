@@ -62,6 +62,8 @@ def bm25_topk(
     Returns ``(query_id, doc_id, score)`` with ``score`` rounded to 6
     decimals and ``rank <= k`` per query (ties broken by ``doc_id``).
     """
+    if not queries:
+        raise ValueError("bm25_topk: empty query list")
     spark = docs.sparkSession
     qdf = spark.createDataFrame(queries, schema="query_id INT, qtext STRING")
     qterms = qdf.select(
@@ -146,6 +148,8 @@ def phrase_match(
     agreement validates the index construction, not just a shared
     formula.
     """
+    if not phrase_tokens:
+        raise ValueError("phrase_match: empty phrase")
     spark = docs.sparkSession
     k = len(phrase_tokens)
     offsets = spark.createDataFrame(

@@ -45,6 +45,10 @@ def ewma(
     must be broken by a unique column for a deterministic series.
     Output: the input columns plus ``out_col`` (double, unrounded).
     """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    if not order_cols:
+        raise ValueError("ewma: order_cols must be non-empty")
     keys = list(key_cols)
     order = list(order_cols)
     # a fresh StructType — StructType.add would MUTATE df's cached

@@ -316,3 +316,29 @@ def test_expectation_report_counts_each_failure_mode(spark):
         "unique": (1, False, 6),
         "foreign_key": (1, False, 6),
     }
+
+
+def test_operator_input_guards(spark):
+    """Bad parameters fail fast with a clear message, not deep inside
+    a job: empty query/phrase/rule lists, alpha/damping out of range."""
+    import pytest
+
+    from etl_sendas_spark.operators.graph import pagerank
+    from etl_sendas_spark.operators.quality_checks import expectation_report
+    from etl_sendas_spark.operators.search import bm25_topk, phrase_match
+    from etl_sendas_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame([(1, "x", 1.0)], "k LONG, t STRING, v DOUBLE")
+    e = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(df, [], text_col="t", id_col="k")
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_match(df, [], text_col="t", id_col="k")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, ["k"], ["k"], "v", alpha=1.5)
+    with pytest.raises(ValueError, match="order_cols"):
+        ewma(df, ["k"], [], "v", alpha=0.5)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.0)
+    with pytest.raises(ValueError, match="empty rule"):
+        expectation_report(df, [])
