@@ -49,15 +49,25 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     strategy: str | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list
     ``(src, dst)`` where every node has out-degree >= 1 (symmetrize
     first for affinity graphs).
 
-    r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u) / outdeg(u),
-    r_0 = 1/N uniform. Returns ``(node, pagerank)`` unrounded; callers
-    hash-comparing across engines should round (the per-node
-    contribution SUM is float-order-dependent at the last ulp).
+    r_{t+1}(v) = (1-d)*reset(v) + d * sum_{u->v} r_t(u) / outdeg(u),
+    r_0 = reset. With ``reset=None`` the reset distribution is the
+    uniform 1/N — classic global PageRank. Passing ``reset`` as a
+    ``(node, weight)`` frame (weights summing to 1, zero implied
+    elsewhere) gives PERSONALIZED PageRank: mass teleports back to the
+    seed set, so the stationary weights rank nodes by proximity to the
+    seeds — the "related items" recommendation query. The seed frame
+    is broadcast-joined onto the node set once; per-iteration cost is
+    identical to the global case.
+
+    Returns ``(node, pagerank)`` unrounded; callers hash-comparing
+    across engines should round (the per-node contribution SUM is
+    float-order-dependent at the last ulp).
     """
     if iterations < 0:
         raise ValueError(f"pagerank: iterations must be >= 0, got {iterations}")
@@ -71,20 +81,30 @@ def pagerank(
     # join (broadcasting the node-sized rank vector). Keep the pins as
     # the optimizer leaves them.
     e = edges.select("src", "dst").distinct()
-    nodes = materialize(
+    node_set = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct(),
-        name="pagerank_nodes",
-        strategy=strategy,
+        .distinct()
     )
+    if reset is not None:
+        node_set = node_set.join(
+            F.broadcast(reset.select("node", F.col("weight").alias("__w"))),
+            "node",
+            "left",
+        ).select("node", F.coalesce(F.col("__w"), F.lit(0.0)).alias("__r0"))
+    nodes = materialize(node_set, name="pagerank_nodes", strategy=strategy)
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ed = materialize(e.join(deg, "src"), name="pagerank_edges", strategy=strategy)
 
     n_nodes = nodes.count()  # driver scalar (a count, not a data collect)
-    base = (1.0 - damping) / n_nodes
+    if reset is None:
+        r0_col = F.lit(1.0 / n_nodes)
+        base_col = F.lit((1.0 - damping) / n_nodes)
+    else:
+        r0_col = F.col("__r0")
+        base_col = F.lit(1.0 - damping) * F.col("__r0")
     ranks = materialize(
-        nodes.withColumn("r", F.lit(1.0 / n_nodes)),
+        nodes.withColumn("r", r0_col).select("node", "r"),
         name="pagerank_r0",
         strategy=strategy,
     )
@@ -97,7 +117,7 @@ def pagerank(
         new = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                base_col + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("r"),
         )
         new = materialize(new, name=f"pagerank_r{i + 1}", strategy=strategy)

@@ -75,16 +75,21 @@ def bm25_topk(
 
     base = docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
-    )
-    dl = base.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
+    # dl rides THROUGH the explode and the tf aggregate (constant per
+    # doc, folded with max) instead of joining a corpus-sized dl frame
+    # back on doc_id afterwards — measured 30.6 s -> 26.6 s at x100
+    # (5 M docs) by deleting that second corpus-keyed exchange.
     post = base.select(
-        "doc_id", F.explode("toks").alias("token")
+        "doc_id", "dl", F.explode("toks").alias("token")
     ).filter(F.col("token").isin(vocab))
-    tf = post.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = post.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
     # tf has one row per (doc, term) => per-token row count IS the
     # document frequency; both frames are query-vocabulary-bounded.
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
@@ -100,7 +105,6 @@ def bm25_topk(
     scored = (
         tf.join(F.broadcast(dfreq), "token")
         .join(F.broadcast(qterms), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))

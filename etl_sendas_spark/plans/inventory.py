@@ -4874,3 +4874,84 @@ FROM checks, n
 
 EXTRA_QUERIES["dq_expectation_report"] = dq_expectation_report
 EXTRA_ORACLES["dq_expectation_report"] = DQ_REPORT_SQL
+
+
+_PPR_SEEDS = [("c1", 0.5), ("c2", 0.25), ("c3", 0.25)]
+
+
+def graph_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: mass teleports back to a 3-customer seed
+    set, so the stationary weights rank SUPPLIERS by trading proximity
+    to those customers — the 'related items' recommendation query,
+    same per-iteration cost as global PageRank (the seed frame is one
+    broadcast join at setup). Top-20 suppliers, ranked after
+    rounding."""
+    from ..operators.graph import pagerank, symmetrize
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame(_PPR_SEEDS, "node STRING, weight DOUBLE")
+    pr = pagerank(symmetrize(e0), iterations=5, damping=0.85, reset=seeds)
+    sup = pr.filter(F.col("node").startswith("s")).select(
+        "node", F.round("pagerank", 6).alias("pagerank")
+    )
+    w = Window.orderBy(F.col("pagerank").desc(), F.col("node"))
+    return (
+        sup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+def _ppr_oracle_sql(iterations: int, seeds: list[tuple[str, float]]) -> str:
+    seed_values = ", ".join(f"('{n}', {w})" for n, w in seeds)
+    head = f"""WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+rs(node, w) AS (VALUES {seed_values}),
+r0 AS (
+  SELECT n.node, COALESCE(rs.w, 0.0) AS r
+  FROM nodes n LEFT JOIN rs ON rs.node = n.node
+)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.r / d.outdeg) AS c
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT nd.node,
+         (1.0 - 0.85) * COALESCE(rs.w, 0.0)
+         + 0.85 * COALESCE(c{i}.c, 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN rs ON rs.node = nd.node
+  LEFT JOIN c{i} ON c{i}.node = nd.node
+)""")
+    tail = f"""
+SELECT node, pagerank, rank FROM (
+  SELECT node, ROUND(r, 6) AS pagerank,
+         CAST(ROW_NUMBER() OVER (ORDER BY ROUND(r, 6) DESC, node) AS INT)
+           AS rank
+  FROM r{iterations} WHERE node LIKE 's%'
+) WHERE rank <= 20"""
+    return head + "".join(steps) + tail
+
+
+GRAPH_PPR_SQL = _ppr_oracle_sql(5, _PPR_SEEDS)
+
+EXTRA_QUERIES["graph_ppr_related"] = graph_ppr_related
+EXTRA_ORACLES["graph_ppr_related"] = GRAPH_PPR_SQL

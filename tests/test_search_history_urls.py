@@ -342,3 +342,23 @@ def test_operator_input_guards(spark):
         pagerank(e, damping=1.0)
     with pytest.raises(ValueError, match="empty rule"):
         expectation_report(df, [])
+
+
+def test_personalized_pagerank_localizes_to_seed(spark):
+    """On two disconnected components, a seed in component A must give
+    ALL rank mass to A (component B stays at exactly 0), and the seed
+    itself must outrank its neighbors."""
+    from etl_sendas_spark.operators.graph import pagerank, symmetrize
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src STRING, dst STRING"
+    )
+    seeds = spark.createDataFrame([("a", 1.0)], "node STRING, weight DOUBLE")
+    r = {
+        row["node"]: row["pagerank"]
+        for row in pagerank(
+            symmetrize(edges), iterations=8, reset=seeds
+        ).collect()
+    }
+    assert r["x"] == 0.0 and r["y"] == 0.0
+    assert r["a"] > r["b"] > 0 and r["c"] > 0
