@@ -4955,3 +4955,66 @@ GRAPH_PPR_SQL = _ppr_oracle_sql(5, _PPR_SEEDS)
 
 EXTRA_QUERIES["graph_ppr_related"] = graph_ppr_related
 EXTRA_ORACLES["graph_ppr_related"] = GRAPH_PPR_SQL
+
+
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-row median of value per user (robust smoothing —
+    the outlier-immune counterpart of the EWMA): the interpolated
+    percentile aggregate evaluated over a bounded ROWS window, keyed
+    and ordered like every per-user window here (one user-hash
+    exchange; the frame is 7 rows, so per-row cost is O(frame), not
+    O(history))."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr(
+            "percentile(value, 0.5) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        ), 6).alias("med7"),
+    )
+
+
+W_ROLLING_MEDIAN_SQL = """
+SELECT user_id, event_id,
+       ROUND(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+FROM events
+"""
+
+
+def a_percent_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each doc WITHIN its source: percent_rank
+    over the (source)-partitioned length ordering — partitioned, so
+    no global sort; the per-source quality-positioning signal used for
+    source-conditional filtering. Ties on length are broken by doc_id
+    in the ordering so both engines rank identically."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+A_PERCENT_RANK_SQL = """
+SELECT doc_id, source, n_chars,
+       ROUND(percent_rank() OVER (
+         PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pr
+FROM documents
+"""
+
+EXTRA_QUERIES["w_rolling_median"] = w_rolling_median
+EXTRA_ORACLES["w_rolling_median"] = W_ROLLING_MEDIAN_SQL
+EXTRA_QUERIES["a_percent_rank_docs"] = a_percent_rank_docs
+EXTRA_ORACLES["a_percent_rank_docs"] = A_PERCENT_RANK_SQL
