@@ -5018,3 +5018,96 @@ EXTRA_QUERIES["w_rolling_median"] = w_rolling_median
 EXTRA_ORACLES["w_rolling_median"] = W_ROLLING_MEDIAN_SQL
 EXTRA_QUERIES["a_percent_rank_docs"] = a_percent_rank_docs
 EXTRA_ORACLES["a_percent_rank_docs"] = A_PERCENT_RANK_SQL
+
+
+def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: top-10 docs
+    PER LANGUAGE under the Efraimidis-Spirakis key (weight = length) —
+    the per-stratum variant of sample_weighted_docs, selected by a
+    partitioned window rank instead of a global top-k (one shuffle on
+    the stratum key; no global sort)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    from ..operators.dedupe import portable_hash60
+
+    u = (portable_hash60(F.col("doc_id").cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(2**60))
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("sample_key"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_key", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang", "n_chars", "sample_key")
+    )
+
+
+SAMPLE_WEIGHTED_LANG_SQL = """
+SELECT doc_id, lang, n_chars, sample_key FROM (
+  SELECT doc_id, lang, n_chars,
+         ROUND(
+           -ln(CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     + 1) AS DOUBLE) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE), 12) AS sample_key,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+           ROUND(
+             -ln(CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       + 1) AS DOUBLE) / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE), 12), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+def a_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of association between source and lang over the
+    documents contingency table — the feature-selection statistic
+    (is this feature independent of the label?). Observed cells via
+    one (source, lang) aggregate; expected from the broadcast row/col
+    margins; the statistic folds back to one row. Every join side
+    after the first aggregate is margin-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    row_m = obs.groupBy("source").agg(F.sum("o").alias("row_t"))
+    col_m = obs.groupBy("lang").agg(F.sum("o").alias("col_t"))
+    total = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(row_m), "source")
+        .join(F.broadcast(col_m), "lang")
+        .crossJoin(F.broadcast(total))
+    )
+    exp = F.col("row_t") * F.col("col_t") / F.col("n")
+    chi = ((F.col("o") - exp) * (F.col("o") - exp)) / exp
+    dims = cells.agg(
+        F.round(F.sum(chi), 6).alias("chi2"),
+        F.count_distinct("source").alias("r"),
+        F.count_distinct("lang").alias("c"),
+    )
+    return dims.select(
+        "chi2", ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof")
+    )
+
+
+A_CHI_SQUARE_SQL = """
+WITH obs AS (
+  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
+), rm AS (SELECT source, SUM(o) AS row_t FROM obs GROUP BY source),
+cm AS (SELECT lang, SUM(o) AS col_t FROM obs GROUP BY lang),
+t AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT o.o, rm.row_t, cm.col_t, t.n
+  FROM obs o JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN t
+)
+SELECT ROUND(SUM((o - row_t * col_t / n) * (o - row_t * col_t / n)
+                 / (row_t * col_t / n)), 6) AS chi2,
+       CAST(((SELECT COUNT(DISTINCT source) FROM obs) - 1)
+            * ((SELECT COUNT(DISTINCT lang) FROM obs) - 1) AS BIGINT) AS dof
+FROM cells
+"""
+
+EXTRA_QUERIES["sample_weighted_per_lang"] = sample_weighted_per_lang
+EXTRA_ORACLES["sample_weighted_per_lang"] = SAMPLE_WEIGHTED_LANG_SQL
+EXTRA_QUERIES["a_chi_square_assoc"] = a_chi_square_assoc
+EXTRA_ORACLES["a_chi_square_assoc"] = A_CHI_SQUARE_SQL
