@@ -423,42 +423,46 @@ def scd2_history(
     the inverse of :func:`asof_join`, which reads such a history
     back at a point in time.
 
-    Scale: both the windows and the aggregate are keyed by ``key``
-    alone (segment is a refinement computed within each key's
-    partition), so the whole build costs ONE hash exchange on the key
-    at any corpus size; no self-join, no driver state. Ties in the
-    event order must be broken by a unique column in ``order_cols``
-    for a deterministic history.
+    Scale: every window is keyed by ``key`` alone and there is NO
+    segment-keyed aggregate — segment boundaries are marked in the
+    ordered pass, non-start rows are filtered out scan-side, and the
+    interval end / row count come from ``lead`` over the surviving
+    start rows — so the whole build costs exactly ONE hash exchange
+    on the key at any corpus size (plan-tested); no self-join, no
+    driver state. (The first formulation aggregated by (key, segment),
+    which re-shuffled on the refined key — measurably a second
+    corpus-sized exchange.) Ties in the event order must be broken by
+    a unique column in ``order_cols`` for a deterministic history.
     """
     if not order_cols:
         raise ValueError("scd2_history: order_cols must be non-empty")
     order = [F.col(c) for c in order_cols]
     w = Window.partitionBy(key).orderBy(*order)
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     chg = F.when(
         ~F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), 1
     ).otherwise(0)
-    seg = F.sum(chg).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     first_order = order_cols[0]
-    grouped = (
-        df.withColumn("__seg", seg)
-        .groupBy(key, "__seg", state_col)
-        .agg(
-            F.min(first_order).alias("valid_from"),
-            F.count("*").alias("n_events"),
-        )
+    marked = df.select(
+        F.col(key).alias(key),
+        F.col(state_col).alias("state"),
+        F.col(first_order).alias("valid_from"),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(whole).alias("__total"),
+        ((F.row_number().over(w) == 1) | (chg == 1)).alias("__start"),
     )
-    w2 = Window.partitionBy(key).orderBy("valid_from")
-    return (
-        grouped.withColumn("valid_to", F.lead("valid_from").over(w2))
-        .withColumn("is_current", F.col("valid_to").isNull())
-        .select(
-            key,
-            F.col(state_col).alias("state"),
-            "valid_from",
-            "valid_to",
-            "n_events",
-            "is_current",
-        )
+    starts = marked.filter(F.col("__start"))
+    w2 = Window.partitionBy(key).orderBy("__rn")
+    return starts.select(
+        key,
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        (
+            F.coalesce(F.lead("__rn").over(w2), F.col("__total") + 1)
+            - F.col("__rn")
+        ).alias("n_events"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )

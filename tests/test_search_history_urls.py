@@ -362,3 +362,23 @@ def test_personalized_pagerank_localizes_to_seed(spark):
     }
     assert r["x"] == 0.0 and r["y"] == 0.0
     assert r["a"] > r["b"] > 0 and r["c"] > 0
+
+
+def test_new_ops_shuffle_budgets(spark):
+    """Exchange-count pins for the session's operators: scd2 costs ONE
+    hash exchange (all windows share the key; the (key, segment)
+    aggregate formulation that cost a second corpus-sized exchange is
+    retired), the funnel at most 3, BM25 at most 13. A refactor that
+    silently adds a shuffle turns these red."""
+    from conftest import SF_SMOKE
+
+    from etl_sendas_spark.plans.inventory import EXTRA_QUERIES, QUERIES
+
+    def hash_exchanges(name):
+        fn = QUERIES.get(name) or EXTRA_QUERIES[name]
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    assert hash_exchanges("scd2_user_state_history") == 1
+    assert hash_exchanges("a_funnel_steps") <= 3
+    assert hash_exchanges("search_bm25_docs") <= 10
