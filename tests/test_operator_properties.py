@@ -1281,3 +1281,72 @@ def test_fuzzy_join_exact_recall_and_short_string_guard(spark):
     )
     with pytest.raises(Exception, match="recall bound"):
         bad.collect()
+
+
+def test_scd2_randomized_partition_laws(spark):
+    """Randomized (seeded) SCD2 laws: per key, intervals tile the
+    event range (first valid_from = first event; each valid_to = next
+    valid_from; one open interval), n_events sums to the key's row
+    count, and adjacent intervals never share a state (else they'd be
+    one segment)."""
+    import random
+
+    from etl_sendas_spark.operators.relational import scd2_history
+
+    rng = random.Random(7)
+    rows = []
+    for k in range(12):
+        for seq in range(rng.randint(1, 30)):
+            rows.append((k, seq, rng.choice(["a", "b", None])))
+    df = spark.createDataFrame(rows, "k LONG, seq LONG, st STRING")
+    hist = scd2_history(df, "k", ["seq"], "st").collect()
+    per_key_rows = {}
+    for k, seq, st_ in rows:
+        per_key_rows[k] = per_key_rows.get(k, 0) + 1
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, ivals in by_key.items():
+        ivals = sorted(ivals, key=lambda r: r["valid_from"])
+        assert sum(r["n_events"] for r in ivals) == per_key_rows[k]
+        assert ivals[0]["valid_from"] == min(
+            seq for kk, seq, _ in rows if kk == k
+        )
+        opens = [r for r in ivals if r["is_current"]]
+        assert len(opens) == 1 and opens[-1] is ivals[-1]
+        for a, b in zip(ivals, ivals[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            # adjacent intervals with equal state (incl. both-NULL)
+            # would be one segment
+            assert not (a["state"] == b["state"]), "adjacent same state"
+
+
+def test_weighted_sample_superset_stability(spark):
+    """Hash-derandomized sampling law: the top-k of a SUPERSET corpus
+    restricted to the subset's ids contains the subset's own top-j
+    prefix in order (keys are per-row and content-stable, so adding
+    rows never changes an existing row's key — only displaces it)."""
+    from etl_sendas_spark.operators.sampling import weighted_sample_k
+
+    big_rows = [(i, (i % 7) + 1) for i in range(300)]
+    small_rows = [(i, w) for i, w in big_rows if i % 3 == 0]
+    big = spark.createDataFrame(big_rows, "id LONG, w LONG")
+    small = spark.createDataFrame(small_rows, "id LONG, w LONG")
+    big_keys = {
+        r["id"]: r["sample_key"]
+        for r in weighted_sample_k(big, "id", "w", 300).collect()
+    }
+    small_top = [
+        r["id"] for r in weighted_sample_k(small, "id", "w", 20).collect()
+    ]
+    # identical keys row-for-row...
+    small_keys = {
+        r["id"]: r["sample_key"]
+        for r in weighted_sample_k(small, "id", "w", 100).collect()
+    }
+    for i, key in small_keys.items():
+        assert big_keys[i] == key
+    # ...and the subset's top-20 is exactly the smallest-20 of its ids
+    # under the big corpus's keys
+    expect = sorted(small_keys, key=lambda i: (small_keys[i], i))[:20]
+    assert small_top == expect
