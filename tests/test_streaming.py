@@ -410,3 +410,57 @@ def test_interval_left_join_nulls_gated_by_watermark(spark):
         .count()
     )
     assert 0 < n_null < naive_unmatched
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across a mid-stream restart: process wave 1, stop,
+    land wave 2, restart against the SAME checkpoint — the resumed
+    query must pick up only the new file (offsets from the checkpoint),
+    and the sink must equal the batch union with no duplicates. A
+    third restart with no new data must add nothing."""
+    import os
+
+    from etl_sendas_spark.streaming.sessions import (
+        stream_to_partitioned_parquet,
+    )
+    from etl_sendas_spark.sources.readers import normalize_event_time
+
+    full = normalize_event_time(
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet"), "ts"
+    ).filter(F.col("user_id") < 20).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    wave1 = full.filter(F.col("event_id") % 2 == 0).coalesce(1)
+    wave2 = full.filter(F.col("event_id") % 2 == 1).coalesce(1)
+    wave1.write.parquet(str(tmp_path / "w1"))
+    for f in os.listdir(str(tmp_path / "w1")):
+        if f.endswith(".parquet"):
+            os.rename(str(tmp_path / "w1" / f), os.path.join(stage, "w1.parquet"))
+
+    schema = spark.read.parquet(stage).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(stage)
+        stream_to_partitioned_parquet(
+            stream, out, ckpt, partition_by=["event_type"],
+            output_mode="append",
+        )
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == wave1.count()
+
+    wave2.write.parquet(str(tmp_path / "w2"))
+    for f in os.listdir(str(tmp_path / "w2")):
+        if f.endswith(".parquet"):
+            os.rename(str(tmp_path / "w2" / f), os.path.join(stage, "w2.parquet"))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == full.count()
+    assert got.select("event_id").distinct().count() == full.count()
+
+    run_once()  # no new data: nothing replays, nothing duplicates
+    assert spark.read.parquet(out).count() == full.count()
