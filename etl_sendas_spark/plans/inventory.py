@@ -5111,3 +5111,69 @@ EXTRA_QUERIES["sample_weighted_per_lang"] = sample_weighted_per_lang
 EXTRA_ORACLES["sample_weighted_per_lang"] = SAMPLE_WEIGHTED_LANG_SQL
 EXTRA_QUERIES["a_chi_square_assoc"] = a_chi_square_assoc
 EXTRA_ORACLES["a_chi_square_assoc"] = A_CHI_SQUARE_SQL
+
+
+def a_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping
+    combinations in one pass — completes the grouping-sets family
+    (GROUPING SETS and ROLLUP are already registered). grouping_id
+    disambiguates NULL-as-subtotal from NULL data in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.count("*").alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+A_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def o_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group WITH ties kept: rank() (not row_number) over
+    (order, price desc) — the semantics a keep-best report needs when
+    equal-priced lines must not be dropped arbitrarily. Same one-
+    shuffle window shape as the row_number top-k; output size is data-
+    dependent (ties expand it), which is the semantic point."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc()
+    )
+    return (
+        li.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 6).alias("price"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+O_TOPK_TIES_SQL = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 6) AS price,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         RANK() OVER (PARTITION BY l_orderkey
+                      ORDER BY l_extendedprice DESC) AS rk
+  FROM lineitem
+) WHERE rk <= 3
+"""
+
+EXTRA_QUERIES["a_cube_revenue"] = a_cube_revenue
+EXTRA_ORACLES["a_cube_revenue"] = A_CUBE_SQL
+EXTRA_QUERIES["o_topk_with_ties"] = o_topk_with_ties
+EXTRA_ORACLES["o_topk_with_ties"] = O_TOPK_TIES_SQL
