@@ -73,6 +73,11 @@ def pagerank(
         raise ValueError(f"pagerank: iterations must be >= 0, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
+    # The dangling-node precondition promised by the module docstring:
+    # a node with out-degree 0 silently leaks rank mass (the result no
+    # longer sums to 1), so fail fast instead. Checked from frames the
+    # plan builds anyway: |distinct src| < |nodes| iff some node never
+    # appears as a source.
     # NOTE on pin width: an explicit repartition(shuffle_partitions, key)
     # before each pin was measured at x10 scale (1.2 M edges) and LOST to
     # letting AQE size the pinned frames (warm 12.4 s vs 10.2 s for the
@@ -97,6 +102,15 @@ def pagerank(
     ed = materialize(e.join(deg, "src"), name="pagerank_edges", strategy=strategy)
 
     n_nodes = nodes.count()  # driver scalar (a count, not a data collect)
+    n_src = ed.select("src").distinct().count()  # ed is pinned: cheap rescan
+    if n_src < n_nodes:
+        release(ed)
+        release(nodes)
+        raise ValueError(
+            f"pagerank: {n_nodes - n_src} node(s) have out-degree 0 "
+            "(dangling) — rank mass would leak. Symmetrize the edge "
+            "list first (graph.symmetrize) or add self-loops."
+        )
     if reset is None:
         r0_col = F.lit(1.0 / n_nodes)
         base_col = F.lit((1.0 - damping) / n_nodes)
@@ -163,9 +177,17 @@ def forest_roots(
         F.col(parent_col).isNull().alias("done"),
     )
     cur = materialize(cur, name="forest_r0", strategy=strategy)
-    for i in range(max_rounds):
-        if cur.filter(~F.col("done")).count() == 0:
+    for i in range(max_rounds + 1):
+        pending = cur.filter(~F.col("done")).count()
+        if pending == 0:
             break
+        if i == max_rounds:
+            # fail fast instead of emitting partial anc/depth as if final
+            raise ValueError(
+                f"forest_roots: {pending} row(s) unresolved after "
+                f"{max_rounds} rounds — cyclic or malformed parent "
+                "pointers (a forest converges in ceil(log2(depth)) rounds)"
+            )
         up = cur.select(
             F.col("id").alias("u_id"),
             F.col("anc").alias("u_anc"),

@@ -176,12 +176,28 @@ def weighted_sample_k(
 
     Keys are rounded to 12 decimals BEFORE the top-k (ties then break
     on id) so rank order cannot depend on last-ulp differences between
-    engines' ``ln``/division. Weights must be > 0.
+    engines' ``ln``/division. Weights must be > 0 — enforced row-side
+    with ``raise_error`` (a zero/negative/null weight would produce a
+    -inf or negative sort key that deterministically wins the top-k,
+    silently corrupting the sample).
     """
     u = (portable_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast(
         "double"
     ) / F.lit(float(2**60))
-    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 12)
+    w = F.col(weight_col).cast("double")
+    w = F.when(w > 0, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample_k: weights must be > 0, got "),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+                F.lit(" at "),
+                F.lit(id_col),
+                F.lit("="),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    key = F.round(-F.log(u) / w, 12)
     return (
         df.withColumn("sample_key", key)
         .orderBy(F.col("sample_key"), F.col(id_col))

@@ -447,8 +447,54 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     return registered
 
 
-_NUMERIC_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
-                  "float": 4, "double": 5, "decimal": 5}
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+# max decimal digits an integer type can need (for decimal-vs-int widening)
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+
+
+def _decimal_ps(t: str) -> tuple[int, int]:
+    if "(" not in t:
+        return (10, 0)  # Spark's default decimal(10,0)
+    p, s = t.split("(")[1].rstrip(")").split(",")
+    return (int(p), int(s))
+
+
+def _widen_type(a: str, b: str) -> str:
+    """Lossless-or-explicitly-promoted LUB of two Spark numeric types,
+    matching Spark's own type-promotion rules where they exist:
+
+    - within the integer family / within the float family: wider wins;
+    - integer vs float/double: ``double`` (NOT float — a bigint cast to
+      float silently loses precision above 2^24);
+    - decimal vs decimal: max integral digits + max scale (capped 38);
+    - decimal vs integer: decimal widened to fit the integer's digits;
+    - decimal vs float/double: ``double`` (Spark's promotion);
+    - anything else: ``string`` (lossless and greppable).
+    """
+    if a == b:
+        return a
+    ab, bb = a.split("(")[0], b.split("(")[0]
+    if ab in _INT_RANK and bb in _INT_RANK:
+        return a if _INT_RANK[ab] >= _INT_RANK[bb] else b
+    floats = ("float", "double")
+    if ab in floats and bb in floats:
+        return "double"
+    if (ab in _INT_RANK and bb in floats) or (ab in floats and bb in _INT_RANK):
+        return "double"
+    if ab == "decimal" and bb == "decimal":
+        p1, s1 = _decimal_ps(a)
+        p2, s2 = _decimal_ps(b)
+        i, s = max(p1 - s1, p2 - s2), max(s1, s2)
+        return f"decimal({min(38, i + s)},{s})"
+    if ab == "decimal" and bb in _INT_RANK:
+        p1, s1 = _decimal_ps(a)
+        i, s = max(p1 - s1, _INT_DIGITS[bb]), s1
+        return f"decimal({min(38, i + s)},{s})"
+    if ab in _INT_RANK and bb == "decimal":
+        return _widen_type(b, a)
+    if (ab == "decimal" and bb in floats) or (ab in floats and bb == "decimal"):
+        return "double"
+    return "string"
 
 
 def union_with_evolution(frames: Sequence[DataFrame]) -> DataFrame:
@@ -457,7 +503,9 @@ def union_with_evolution(frames: Sequence[DataFrame]) -> DataFrame:
     which is exactly what a long-lived feed does and what a plain
     ``unionByName`` rejects.
 
-    Per column name the widest numeric type wins (non-numeric
+    Per column name the numeric least-upper-bound wins (see
+    :func:`_widen_type` — integer-vs-float conflicts promote to double,
+    decimals widen by max(integral digits) + max(scale); non-numeric
     conflicts fall back to string — lossless and greppable); missing
     columns null-fill via ``allowMissingColumns``. Both steps are
     scan-local casts — schema evolution costs no shuffle at any scale.
@@ -473,15 +521,7 @@ def union_with_evolution(frames: Sequence[DataFrame]) -> DataFrame:
                 widest[f.name] = t
                 order.append(f.name)
             elif widest[f.name] != t:
-                a, b = widest[f.name], t
-                base = lambda s: s.split("(")[0]
-                if base(a) in _NUMERIC_WIDTH and base(b) in _NUMERIC_WIDTH:
-                    widest[f.name] = (
-                        a if _NUMERIC_WIDTH[base(a)] >= _NUMERIC_WIDTH[base(b)]
-                        else b
-                    )
-                else:
-                    widest[f.name] = "string"
+                widest[f.name] = _widen_type(widest[f.name], t)
     out = None
     for df in frames:
         cast = df.select(

@@ -344,6 +344,97 @@ def test_operator_input_guards(spark):
         expectation_report(df, [])
 
 
+def test_pagerank_rejects_dangling_nodes(spark):
+    """A non-symmetrized graph with a sink node (out-degree 0) leaks
+    rank mass; the docstring promises a cheap precondition assert, so
+    it must actually raise instead of silently mis-normalizing."""
+    import pytest
+
+    from etl_sendas_spark.operators.graph import pagerank, symmetrize
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "src STRING, dst STRING"
+    )  # b is a sink
+    with pytest.raises(ValueError, match="out-degree 0"):
+        pagerank(e, iterations=2)
+    # symmetrizing repairs it: result is a proper distribution
+    r = pagerank(symmetrize(e), iterations=3).collect()
+    assert abs(sum(x["pagerank"] for x in r) - 1.0) < 1e-9
+
+
+def test_forest_roots_raises_on_cycle(spark):
+    """Cyclic parent pointers must fail fast at max_rounds, not emit
+    partial anc/depth values as if they were final."""
+    import pytest
+
+    from etl_sendas_spark.operators.graph import forest_roots
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, None)], "id LONG, parent LONG"
+    )
+    with pytest.raises(ValueError, match="unresolved after"):
+        forest_roots(cyc, max_rounds=5).collect()
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """Zero/negative/null weights would produce -inf or negative sort
+    keys that deterministically win the top-k; the documented 'weights
+    must be > 0' contract is enforced row-side."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_sendas_spark.operators.sampling import weighted_sample_k
+
+    good = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "id STRING, w DOUBLE"
+    )
+    assert weighted_sample_k(good, "id", "w", 2).count() == 2
+    for bad_w in (0.0, -1.0, None):
+        bad = spark.createDataFrame(
+            [("a", 1.0), ("z", bad_w)], "id STRING, w DOUBLE"
+        )
+        with pytest.raises(SparkRuntimeException, match="must be > 0"):
+            weighted_sample_k(bad, "id", "w", 2).collect()
+
+
+def test_union_with_evolution_promotion_lattice(spark):
+    """The lossy corners the first widening table got wrong: bigint vs
+    float promotes to DOUBLE (float would truncate longs above 2^24),
+    decimal precisions merge as max-integral-digits + max-scale, and
+    decimal vs double goes to double."""
+    from decimal import Decimal
+
+    from etl_sendas_spark.sources.readers import union_with_evolution
+
+    big = 2**53  # exact in double, garbled in float
+    a = spark.createDataFrame([(big,)], "x BIGINT")
+    b = spark.createDataFrame([(1.5,)], "x FLOAT")
+    out = union_with_evolution([a, b])
+    assert out.schema["x"].dataType.simpleString() == "double"
+    assert {r["x"] for r in out.collect()} == {float(big), 1.5}
+
+    c = spark.createDataFrame([(Decimal("12345678.91"),)], "x DECIMAL(10,2)")
+    d = spark.createDataFrame([(Decimal("123456789012"),)], "x DECIMAL(12,0)")
+    out2 = union_with_evolution([c, d])
+    assert out2.schema["x"].dataType.simpleString() == "decimal(14,2)"
+    vals = {str(r["x"]) for r in out2.collect()}
+    assert vals == {"12345678.91", "123456789012.00"}
+
+    e = spark.createDataFrame([(Decimal("1.25"),)], "x DECIMAL(5,2)")
+    f = spark.createDataFrame([(0.5,)], "x DOUBLE")
+    out3 = union_with_evolution([e, f])
+    assert out3.schema["x"].dataType.simpleString() == "double"
+
+    g = spark.createDataFrame([(2**40,)], "x BIGINT")
+    out4 = union_with_evolution([e, g])
+    # bigint needs 20 integral digits; keep the decimal's scale 2
+    assert out4.schema["x"].dataType.simpleString() == "decimal(22,2)"
+    assert {str(r["x"]) for r in out4.collect()} == {
+        "1.25",
+        f"{2**40}.00",
+    }
+
+
 def test_personalized_pagerank_localizes_to_seed(spark):
     """On two disconnected components, a seed in component A must give
     ALL rank mass to A (component B stays at exactly 0), and the seed
@@ -368,7 +459,7 @@ def test_new_ops_shuffle_budgets(spark):
     """Exchange-count pins for the session's operators: scd2 costs ONE
     hash exchange (all windows share the key; the (key, segment)
     aggregate formulation that cost a second corpus-sized exchange is
-    retired), the funnel at most 3, BM25 at most 13. A refactor that
+    retired), the funnel at most 3, BM25 at most 10. A refactor that
     silently adds a shuffle turns these red."""
     from conftest import SF_SMOKE
 
