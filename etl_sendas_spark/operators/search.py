@@ -42,6 +42,13 @@ def _tokens(col) -> F.Column:
     return F.filter(F.split(normalized_text(col), " "), lambda t: t != "")
 
 
+# Above this many distinct query terms the postings filter routes through
+# a broadcast semi-join instead of an inlined isin literal (a 100k-term
+# literal makes plan compilation/serialization the bottleneck; the
+# broadcast join costs one tiny exchange and keeps the plan O(1)).
+_VOCAB_ISIN_MAX = 2048
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -69,8 +76,13 @@ def bm25_topk(
     qterms = qdf.select(
         "query_id", F.explode(_tokens(F.col("qtext"))).alias("token")
     ).distinct()
-    # The query vocabulary as a plan-time literal set: tiny, and lets the
-    # postings filter run inside the scan stage (no join before the tf agg).
+    # The query vocabulary bounds the postings BEFORE the one corpus
+    # shuffle. Two routes, same semantics: a small vocabulary inlines as
+    # a plan-time isin literal (runs inside the scan stage, no join
+    # before the tf agg); a large one (10k+ terms — batch retrieval
+    # workloads) would bloat the compiled plan as a literal, so it
+    # routes through a broadcast LEFT SEMI join against the distinct
+    # query tokens instead — still map-side, still pre-shuffle.
     vocab = sorted({t for _, q in queries for t in _py_tokens(q)})
 
     base = docs.select(
@@ -84,9 +96,13 @@ def bm25_topk(
     # doc, folded with max) instead of joining a corpus-sized dl frame
     # back on doc_id afterwards — measured 30.6 s -> 26.6 s at x100
     # (5 M docs) by deleting that second corpus-keyed exchange.
-    post = base.select(
-        "doc_id", "dl", F.explode("toks").alias("token")
-    ).filter(F.col("token").isin(vocab))
+    post = base.select("doc_id", "dl", F.explode("toks").alias("token"))
+    if len(vocab) <= _VOCAB_ISIN_MAX:
+        post = post.filter(F.col("token").isin(vocab))
+    else:
+        post = post.join(
+            F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+        )
     tf = post.groupBy("doc_id", "token").agg(
         F.count("*").alias("tf"), F.max("dl").alias("dl")
     )
