@@ -137,6 +137,46 @@ def test_bm25_postings_filtered_before_shuffle(spark):
     assert plan.find("alpha", exch) != -1
 
 
+def test_bm25_large_vocabulary_broadcast_path(spark):
+    """Above _VOCAB_ISIN_MAX distinct query terms the postings filter
+    must route through a broadcast LEFT SEMI join (an isin literal that
+    size makes plan compilation the bottleneck), and both routes must
+    score identically."""
+    import etl_sendas_spark.operators.search as search
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 50} term{(i * 7) % 50} filler{i}") for i in range(200)],
+        "doc_id LONG, text STRING",
+    )
+    # ~3 distinct tokens per query x 3500 queries >> 2048 distinct terms
+    big = [(q, f"term{q % 50} rare{q} rare{q * 2 + 1}") for q in range(3500)]
+    n_terms = len({t for _, s in big for t in search._py_tokens(s)})
+    assert n_terms > search._VOCAB_ISIN_MAX
+
+    out = search.bm25_topk(docs, big, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # broadcast semi-join, not an isin literal
+    # the compiled plan must not embed the vocabulary as a literal
+    assert plan.count("rare1000") == 0
+
+    # parity with the literal path on a workload both can take
+    small = big[:100]
+    got_small = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in search.bm25_topk(docs, small, k=3).collect()
+    }
+    orig = search._VOCAB_ISIN_MAX
+    try:
+        search._VOCAB_ISIN_MAX = 0  # force the broadcast route
+        got_bcast = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in search.bm25_topk(docs, small, k=3).collect()
+        }
+    finally:
+        search._VOCAB_ISIN_MAX = orig
+    assert got_small == got_bcast and len(got_small) > 0
+
+
 def test_pagerank_star_graph(spark):
     """4-leaf star, symmetrized: the hub must outrank every leaf, the
     leaves tie exactly, and total mass stays 1 (no dangling leakage)."""
