@@ -4742,10 +4742,13 @@ def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite over lineitem
     (operators/quality_checks.py): five declarative rules — null
     check, accepted-values domain, numeric range, compound-key
-    uniqueness, referential integrity to orders — evaluated with one
-    fact scan for all scalar rules plus one groupBy (unique) and one
-    anti-join (FK). The report row set IS the quarantine/alert input;
-    the oracle recomputes each count in plain SQL."""
+    uniqueness, referential integrity to orders — fused into ONE
+    aggregate over ONE scan of the fact (uniqueness via
+    count(*) - count(DISTINCT struct(keys)) in the same agg, the FK
+    check via a broadcast left join stacked under it), so the whole
+    suite is a single Spark job however many rules it holds. The
+    report row set IS the quarantine/alert input; the oracle
+    recomputes each count in plain SQL."""
     from ..operators.quality_checks import expectation_report
 
     li = _t(spark, sf_dir, "lineitem")
