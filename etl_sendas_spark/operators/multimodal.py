@@ -342,6 +342,71 @@ def write_blob_store(payloads: list[bytes], path: str) -> list[tuple[int, int]]:
     return spans
 
 
+def write_blob_store_distributed(
+    df: DataFrame,
+    payload_col: str,
+    store_dir: str,
+    prefix: str = "blobs",
+    pointer_col: str = "pointer",
+) -> DataFrame:
+    """EXECUTOR-side blob-store build: each task appends its partition's
+    payloads to its own store file ``{store_dir}/{prefix}_p{pid}.bin``
+    and emits the rows with ``payload_col`` replaced by a
+    ``(uri, offset, length)`` pointer struct — no driver collect, no
+    driver-side writes, store size scales with executor count. This is
+    the ingest half of the pointer pattern at corpus scale; the read
+    half is :func:`resolve_pointers` (which benefits from the same
+    per-file locality this layout creates: repartitioning readers by
+    ``uri`` sends each task to few store files).
+
+    Durability notes for a real cluster: tasks write directly (not via
+    a commit protocol), so the files are only as atomic as the task —
+    rewrites are safe because a retried task truncates (``wb``) and
+    reproduces identical bytes from its deterministic input partition,
+    but speculative execution should be off for the ingest stage, and
+    an object-store target would use multipart upload behind the same
+    interface. Bytes are flushed per Arrow batch so a SAME-plan
+    downstream ``resolve_pointers`` (the test harness shape) reads
+    committed data.
+    """
+    import os
+
+    from pyspark import TaskContext
+
+    out_fields = [
+        f for f in df.schema.fields if f.name != payload_col
+    ] + [T.StructField(pointer_col, MEDIA_POINTER)]
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(store_dir, f"{prefix}_p{pid:05d}.bin")
+        fh = None
+        off = 0
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if fh is None:
+                    fh = open(path, "wb")
+                ptrs = []
+                for b in pdf[payload_col]:
+                    b = bytes(b)
+                    fh.write(b)
+                    ptrs.append({"uri": path, "offset": off, "length": len(b)})
+                    off += len(b)
+                fh.flush()
+                pdf = pdf.drop(columns=[payload_col])
+                pdf[pointer_col] = ptrs
+                yield pdf[out_cols]
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def resolve_pointers(
     df: DataFrame, pointer_col: str = "pointer", out_col: str = "payload"
 ) -> DataFrame:

@@ -785,6 +785,42 @@ def test_resolve_pointers_durability_and_exactness(spark, tmp_path):
     assert got[3] is None and got[4] is None and got[5] is None
 
 
+def test_write_blob_store_distributed_round_trip(spark, tmp_path):
+    """Executor-side store build: each input partition writes its OWN
+    store file (no driver collect anywhere in the path), pointers
+    resolve byte-exactly in the same plan, and the store files on disk
+    hold exactly the concatenated payloads."""
+    import glob
+    import inspect
+
+    from etl_sendas_spark.operators.multimodal import (
+        resolve_pointers,
+        write_blob_store_distributed,
+    )
+
+    rows = [(i, bytes([65 + i]) * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, payload BINARY"
+    ).repartition(4)
+    ptrs = write_blob_store_distributed(
+        df, "payload", str(tmp_path), prefix="st"
+    )
+    out = resolve_pointers(ptrs, "pointer", "payload")
+    got = {r["media_id"]: bytes(r["payload"]) for r in out.collect()}
+    assert got == {i: b for i, b in rows}
+
+    files = sorted(glob.glob(str(tmp_path / "st_p*.bin")))
+    assert len(files) > 1  # one file per non-empty partition
+    total = sum(len(open(f, "rb").read()) for f in files)
+    assert total == sum(len(b) for _, b in rows)
+
+    # the registered exemplar query must stay collect-free (r4 verdict)
+    from etl_sendas_spark.plans import inventory
+
+    src = inspect.getsource(inventory.multimodal_pointer_features)
+    assert ".collect(" not in src and "toPandas" not in src
+
+
 def test_resize_images_survives_corrupt_p6(spark):
     """A truncated P6 blob must pass through resize unchanged instead
     of failing the job (decode_media's durability rule applies to every
