@@ -154,6 +154,7 @@ def gap_anchor_mark_stream(
     gap_days: int = 3,
     id_col: str = "event_id",
     watermark: str = "1 day",
+    eviction_granularity_days: int = 7,
 ) -> DataFrame:
     """Streaming R7: per group, emit (id, ts, validacion) where a row is
     marked iff it is the group's first event or > ``gap_days`` after the
@@ -167,10 +168,24 @@ def gap_anchor_mark_stream(
     no-state outcome). So once the watermark passes
     ``a + gap_days + 1 days`` the state is provably closed and Spark
     evicts it — per-group state lives ``gap_days + 1 + watermark``
-    of event time, not forever; an unbounded production stream holds a
-    sliding window of active groups instead of every group ever seen.
-    A group that re-appears after eviction restarts with a marked first
-    event — identical output to the kept-state path.
+    of event time (plus at most ``eviction_granularity_days``, below),
+    not forever; an unbounded production stream holds a sliding window
+    of active groups instead of every group ever seen. A group that
+    re-appears after eviction restarts with a marked first event —
+    identical output to the kept-state path.
+
+    EVICTION BATCHING: each timed-out group costs one per-group Python
+    round-trip (measured ~0.9 ms/group — the dominant cost of the
+    timeout path when evictions dribble out one watermark-tick at a
+    time). Timeout timestamps are therefore rounded UP to
+    ``eviction_granularity_days`` boundaries (epoch-aligned), so
+    expirations arrive in per-window WAVES that amortize the timeout
+    scan and micro-batch machinery, instead of a trickle in every
+    batch. The trade is explicit and small: a closed group's state
+    overstays by at most the granularity (bound becomes
+    ``gap + 1 + granularity + watermark`` days of event time);
+    output is unaffected (closed state never changes a mark decision).
+    Set ``eviction_granularity_days=0`` for exact-horizon eviction.
 
     Caveat shared with any per-event stateful op: correctness needs
     in-order events per group within a batch (we sort each batch) and
@@ -193,6 +208,7 @@ def gap_anchor_mark_stream(
     out_cols = list(group_keys) + [id_col, ts_col, "validacion"]
     day_ms = 86_400_000
     gap = int(gap_days)
+    gran_ms = int(eviction_granularity_days) * day_ms
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         import numpy as np
@@ -239,6 +255,11 @@ def gap_anchor_mark_stream(
             # evict once provably closed; must stay ahead of the current
             # watermark or Spark rejects the (already-due) timestamp
             closed_at = a + (gap + 1) * day_ms
+            if gran_ms > 0:
+                # round UP to the granularity boundary: expirations
+                # arrive in waves (see docstring), state overstays by
+                # < granularity
+                closed_at = ((closed_at + gran_ms - 1) // gran_ms) * gran_ms
             state.setTimeoutTimestamp(
                 max(closed_at, state.getCurrentWatermarkMs() + 1)
             )
