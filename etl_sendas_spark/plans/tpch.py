@@ -32,13 +32,94 @@ every one to the driver's rows + schema + values bar.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
+# sf_dir -> {table name -> registered bucketed spark table}. Populated
+# by build_bucketed_warehouse; _t serves these transparently so every
+# orderkey-keyed query in this module picks up the co-located layout
+# with zero query changes.
+_BUCKETED: dict[str, dict[str, str]] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    reg = _BUCKETED.get(sf_dir)
+    if reg and name in reg:
+        # the merge hint keeps fact⨝fact on the FREE co-located sort-
+        # merge join: without it Catalyst's cost model happily builds a
+        # fact-sized broadcast (orders fits the 64 MB threshold after
+        # column pruning — measured 8.4 s vs 1.05 s for q9 at ×100).
+        # Explicit F.broadcast() on dims still wins: BROADCAST hints
+        # outrank MERGE in join-strategy resolution.
+        return spark.table(reg[name]).hint("merge")
     from ..sources.readers import read_table
 
     return read_table(spark, sf_dir, name)
+
+
+def build_bucketed_warehouse(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> float:
+    """Write ``lineitem`` and ``orders`` bucketed AND sorted by their
+    orderkey (the at-rest layout a TPC-H-shaped warehouse would choose)
+    and register them so :func:`_t` serves the bucketed tables to every
+    query in this module — q4/q7/q8/q9/q12/q18/q21's fact⨝orders joins
+    and per-order aggregates/windows then need NO fact exchange at all:
+    HashPartitioning(orderkey) satisfies every ClusteredDistribution
+    whose keys include the orderkey, so Catalyst elides the shuffles
+    (plan-pinned in tests/test_plan_shapes.py).
+
+    The build is the one-time table-maintenance cost (one full shuffle
+    each, measured and reported by ``tools/tpch_bench.py --bucketed``);
+    reruns in the same or a later session reuse the stored tables —
+    the maintenance/query split a real deployment has. Returns the
+    build wall seconds (0.0 when reused).
+
+    At 100 TB pick ``buckets`` so each bucket's biggest table slice
+    fits an executor's shuffle memory (e.g. 6 TB lineitem / 2048
+    buckets ≈ 3 GB); both tables MUST use the same bucket count or
+    Spark re-shuffles one side anyway.
+    """
+    import hashlib
+    import tempfile
+    import time as _time
+
+    digest = hashlib.md5(f"{sf_dir}|{buckets}".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"tpch_buckets_{digest}")
+    spec = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+    reg = {}
+    t0 = _time.perf_counter()
+    from ..sources.readers import read_table
+
+    for name, key in spec.items():
+        tbl = f"tpch_{name}_bucketed_{digest}"
+        path = os.path.join(base, name)
+        if not (spark.catalog.tableExists(tbl) and os.path.isdir(path)):
+            if spark.catalog.tableExists(tbl):
+                spark.sql(f"DROP TABLE {tbl}")
+            (
+                # repartition by the bucket key FIRST so each bucket is
+                # exactly ONE file — multi-file buckets make the reader
+                # distrust sortBy and re-sort the fact per query
+                read_table(spark, sf_dir, name)
+                .repartition(buckets, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
+        reg[name] = tbl
+    _BUCKETED[sf_dir] = reg
+    return _time.perf_counter() - t0
+
+
+def drop_bucketed_warehouse(sf_dir: str) -> None:
+    """Deregister the bucketed layout for ``sf_dir`` (queries fall back
+    to the plain parquet reads). Stored tables stay on disk for reuse."""
+    _BUCKETED.pop(sf_dir, None)
 
 
 def _dec_sum(col, scale: int = 6):

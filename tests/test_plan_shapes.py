@@ -370,3 +370,43 @@ def test_tpch_suite_join_strategies(spark):
 
     q19 = _plan(TPCH_QUERIES["q19_disjunctive_revenue"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in q19 or "SortMergeJoin" in q19
+
+
+def test_tpch_bucketed_layout_removes_fact_exchanges(spark):
+    """With lineitem/orders stored bucketed+sorted by orderkey
+    (plans.tpch.build_bucketed_warehouse), the orderkey-keyed family's
+    plans must contain NO exchange on either orderkey — the fact⨝orders
+    joins, per-order aggregates, and per-order windows all ride the
+    at-rest partitioning — and results must match the plain-parquet
+    path bit-for-bit."""
+    import hashlib
+
+    from etl_sendas_spark.plans import tpch
+
+    family = (
+        "q4_priority_exists",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q12_late_shipping_priority",
+        "q18_large_volume_customers",
+        "q21_waiting_supplier",
+    )
+
+    def h(df):
+        p = df.toPandas()
+        p = p[sorted(p.columns)].astype(str)
+        p = p.sort_values(list(p.columns)).reset_index(drop=True)
+        return hashlib.md5(p.to_csv(index=False).encode()).hexdigest()
+
+    plain = {q: h(tpch.TPCH_QUERIES[q](spark, SF_ORACLE)) for q in family}
+    tpch.build_bucketed_warehouse(spark, SF_ORACLE, buckets=4)
+    try:
+        for q in family:
+            df = tpch.TPCH_QUERIES[q](spark, SF_ORACLE)
+            plan = _plan(df)
+            assert "hashpartitioning(l_orderkey" not in plan, q
+            assert "hashpartitioning(o_orderkey" not in plan, q
+            assert h(df) == plain[q], q
+    finally:
+        tpch.drop_bucketed_warehouse(SF_ORACLE)

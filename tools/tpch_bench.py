@@ -1,6 +1,6 @@
 """Benchmark the full 22-query TPC-H suite against the DuckDB mirror.
 
-Usage: python tools/tpch_bench.py [sf_dir] [reps]
+Usage: python tools/tpch_bench.py [sf_dir] [reps] [--bucketed]
 
 Runs every TPC-H-shape query (q1/q3/q5/q17 from inventory + the 18 in
 plans/tpch.py) on Spark (shared session, warm min-of-N) and the paired
@@ -8,6 +8,13 @@ oracle SQL on DuckDB at the same scale, printing one JSON line with
 per-query seconds for both engines. The same protocol as bench.py /
 tools/scale_bench.py: timings exclude session startup, each query is
 fully materialized (count() on Spark, fetchall on DuckDB).
+
+``--bucketed``: build (or reuse) the orderkey-bucketed at-rest layout
+for lineitem/orders first (plans.tpch.build_bucketed_warehouse) and
+run the suite against it — the orderkey-keyed family (q4/q7/q8/q9/
+q12/q18/q21) then plans without any fact exchange. The one-time build
+cost is reported separately as ``bucketed_build_sec``; query timings
+measure the steady state, the maintenance/query split a warehouse has.
 """
 
 from __future__ import annotations
@@ -26,10 +33,12 @@ TABLES = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if a != "--bucketed"]
+    bucketed = "--bucketed" in sys.argv[1:]
+    sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    reps = int(args[1]) if len(args) > 1 else 2
 
     import duckdb
 
@@ -56,6 +65,14 @@ def main() -> None:
         app_name="tpch_bench", master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
+    build_sec = None
+    if bucketed:
+        from etl_sendas_spark.plans.tpch import build_bucketed_warehouse
+
+        build_sec = round(
+            build_bucketed_warehouse(spark, sf_dir, buckets=int(cpus)), 3
+        )
+
     con = duckdb.connect()
     con.execute(f"SET threads TO {cpus}")
     for t in TABLES:
@@ -78,7 +95,7 @@ def main() -> None:
 
     total_s = round(sum(spark_s.values()), 3)
     total_d = round(sum(duck_s.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "tpch_22_total_sec",
         "value": total_s,
         "unit": "sec",
@@ -87,7 +104,11 @@ def main() -> None:
         "queries": spark_s,
         "duckdb": duck_s,
         "sf": sf_dir,
-    }))
+    }
+    if bucketed:
+        out["bucketed"] = True
+        out["bucketed_build_sec"] = build_sec
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
