@@ -508,22 +508,79 @@ def synth_avi(seed: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def synth_avi_mjpeg(seed: int) -> bytes:
+    """Deterministic MJPEG AVI: same dims / frame count / fps / level
+    arithmetic as :func:`synth_avi`, but each frame is a solid-gray
+    BASELINE JPEG in a '00dc' chunk (strf compression 'MJPG'). The
+    JPEG quant step for DC is 8, so a solid level v round-trips EXACTLY
+    (DC = 8·(v−128) is divisible by 8) — the same oracle arithmetic
+    replays the decoded means bit-for-bit."""
+    from .jpeg import encode_baseline_jpeg
+
+    import numpy as np
+
+    w, h = 4 + seed % 5, 2 + seed % 3
+    n_frames = 3 + seed % 6
+    fps = 5 + seed % 4
+
+    frames = b""
+    max_size = 0
+    for i in range(n_frames):
+        level = (seed + 7 * i) % 251
+        jpg = encode_baseline_jpeg(
+            np.full((h, w), level, dtype=np.uint8), q=8
+        )
+        max_size = max(max_size, len(jpg))
+        frames += b"00dc" + struct.pack("<I", len(jpg)) + jpg
+        if len(jpg) & 1:
+            frames += b"\x00"  # chunks word-align
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC, max_size, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+                      max_size, 0, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, 0, 0, 0, n_frames, 0, 1, max_size,
+        w, h, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi_frames(payload: bytes) -> Iterator[dict]:
-    """Walk an uncompressed-RGB AVI: headers from 'avih'/'strf', one
-    dict per '00db' frame (index, timestamp, dims, mean level over the
-    raster excluding row padding). Raises ValueError on non-AVI or
-    compressed payloads — callers apply the corpus durability rule."""
+    """Walk an AVI container: headers from 'avih'/'strf', one dict per
+    frame (index, timestamp, dims, mean level). Two codecs decode
+    dependency-free: uncompressed RGB24 rasters ('00db' chunks, mean
+    excludes row padding) and MJPEG ('00dc' chunks, each a baseline
+    JPEG — decoded by :mod:`.jpeg`, no ffmpeg/pyav needed). Any other
+    compression raises ValueError — callers apply the corpus
+    durability rule; H.264+ stays behind :func:`frame_sample_stub`."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
     w = h = None
+    mjpeg = False
     us_per_frame = 0
     frame_idx = 0
 
     def walk(lo: int, hi: int):
-        nonlocal w, h, us_per_frame, frame_idx
+        nonlocal w, h, mjpeg, us_per_frame, frame_idx
         i = lo
         while i + 8 <= hi:
             cid = payload[i : i + 4]
@@ -537,9 +594,11 @@ def decode_avi_frames(payload: bytes) -> Iterator[dict]:
                 _sz, bw, bh, _planes, bits, compression = struct.unpack_from(
                     "<IiiHHI", payload, body_lo
                 )
-                if bits != 24 or compression != 0:
+                if compression == _MJPG_FOURCC:
+                    mjpeg = True
+                elif bits != 24 or compression != 0:
                     raise ValueError(
-                        "compressed/non-RGB24 AVI needs pyav (not installed)"
+                        "non-RGB24/MJPEG AVI needs pyav (not installed)"
                     )
                 w, h = bw, abs(bh)
             elif cid == b"00db":
@@ -561,7 +620,19 @@ def decode_avi_frames(payload: bytes) -> Iterator[dict]:
                 }
                 frame_idx += 1
             elif cid == b"00dc":
-                raise ValueError("compressed AVI stream needs pyav")
+                if not mjpeg:
+                    raise ValueError("compressed AVI stream needs pyav")
+                from .jpeg import decode_baseline_jpeg
+
+                img = decode_baseline_jpeg(payload[body_lo:body_hi])
+                yield {
+                    "frame_idx": frame_idx,
+                    "t_s": frame_idx * us_per_frame / 1_000_000,
+                    "width": int(img.shape[1]),
+                    "height": int(img.shape[0]),
+                    "mean_level": float(img.mean()),
+                }
+                frame_idx += 1
             i = body_hi + (size & 1)  # chunks word-align
 
     yield from walk(12, len(payload))
@@ -626,13 +697,15 @@ def frame_sample(
 
 
 def frame_sample_stub(df: DataFrame, every_s: float) -> DataFrame:
-    """Frame sampling for COMPRESSED video (MJPEG/H.264/...) — still a
-    stub: entropy-coded bitstreams need pyav/ffmpeg. Uncompressed-RGB
-    AVI is fully supported by :func:`frame_sample` above (same
-    container walk as the WAV codec; the raster is plain bytes)."""
+    """Frame sampling for MOTION-compensated video (H.264/H.265/VP9/
+    AV1) — still a stub: inter-frame prediction needs a real codec
+    (pyav/ffmpeg, not in this container). Uncompressed RGB24 AVI AND
+    MJPEG AVI are fully supported by :func:`frame_sample` above (RIFF
+    walk + the pure-Python baseline JPEG decoder in :mod:`.jpeg`)."""
     raise NotImplementedError(
-        "compressed-video frame sampling requires pyav/ffmpeg (not in this "
-        "container); uncompressed RGB24 AVI decodes via frame_sample()"
+        "H.264+/motion-compensated frame sampling requires pyav/ffmpeg "
+        "(not in this container); RGB24 and MJPEG AVIs decode via "
+        "frame_sample()"
     )
 
 

@@ -2419,6 +2419,37 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def video_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over MJPEG AVIs — REAL entropy decode: each
+    document synthesizes a deterministic MJPEG AVI (same dims / frame
+    count / fps / level arithmetic as :func:`video_frame_sample`, but
+    every frame is a baseline JPEG in a '00dc' chunk), then
+    :func:`frame_sample` walks the RIFF container and runs each frame
+    through the pure-Python baseline JPEG decoder
+    (``operators/jpeg.py``: Huffman + dequant + IDCT — no
+    ffmpeg/pyav). The solid frames use DC quant step 8, so decoded
+    means replay EXACTLY from the doc_id arithmetic.
+
+    ORACLE: ``VIDEO_FRAME_SQL`` verbatim — the container schedule and
+    the decoded levels are both pure functions of doc_id, and one
+    wrong Huffman bit or dequant step anywhere breaks the hash."""
+    from ..operators.multimodal import frame_sample, synth_avi_mjpeg
+
+    synth = F.pandas_udf(
+        lambda ids: ids.map(lambda i: synth_avi_mjpeg(int(i))), "binary"
+    )
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = docs.withColumn("payload", synth(F.col("media_id")))
+    return frame_sample(media, every_s=0.5, payload_col="payload").select(
+        "media_id",
+        "frame_idx",
+        F.round("t_s", 6).alias("t_s"),
+        "width",
+        "height",
+        F.round("mean_level", 6).alias("mean_level"),
+    )
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table. FileStreamSource requires a
     DIRECTORY source and the testdata is one parquet file per table, so
@@ -5097,6 +5128,8 @@ EXTRA_QUERIES["a_cube_revenue"] = a_cube_revenue
 EXTRA_ORACLES["a_cube_revenue"] = A_CUBE_SQL
 EXTRA_QUERIES["o_topk_with_ties"] = o_topk_with_ties
 EXTRA_ORACLES["o_topk_with_ties"] = O_TOPK_TIES_SQL
+EXTRA_QUERIES["video_frame_sample_mjpeg"] = video_frame_sample_mjpeg
+EXTRA_ORACLES["video_frame_sample_mjpeg"] = VIDEO_FRAME_SQL
 
 
 # ===========================================================================

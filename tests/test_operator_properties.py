@@ -892,6 +892,78 @@ def test_frame_sample_every_frame_when_interval_zero(spark):
     ]
 
 
+def test_jpeg_codec_round_trips():
+    """The pure-Python baseline JPEG codec (operators/jpeg.py): solid
+    frames with DC quant 8 reconstruct EXACTLY (the MJPEG oracle's
+    foundation); random grayscale at q=1 round-trips within one count
+    (DCT float error only); color within 3 (adds the YCbCr round
+    trip); progressive/odd inputs raise ValueError."""
+    import numpy as np
+    import pytest
+
+    from etl_sendas_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    for v in (0, 17, 128, 250):
+        img = np.full((10, 13), v, dtype=np.uint8)
+        out = decode_baseline_jpeg(encode_baseline_jpeg(img, q=8))
+        assert out.shape == (10, 13) and (out == v).all()
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img, q=1))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(rgb, q=1))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"not a jpeg")
+
+
+def test_frame_sample_mjpeg_planted_frames(spark):
+    """MJPEG AVIs decode through the real baseline-JPEG path: planted
+    solid frames come back with exact means and the same 0.5s window
+    schedule as the uncompressed path; a '00dc' stream without the
+    MJPG fourcc still raises (H.264 etc. stay stubbed)."""
+    import pytest
+
+    from etl_sendas_spark.operators.multimodal import (
+        decode_avi_frames,
+        frame_sample,
+        synth_avi,
+        synth_avi_mjpeg,
+    )
+
+    seed = 3  # w=7 h=2, 6 frames, fps=8 — same schedule as synth_avi(3)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, synth_avi_mjpeg(seed))], schema)
+    rows = sorted(frame_sample(df, every_s=0.5).collect(), key=lambda r: r["frame_idx"])
+    got = [(r["frame_idx"], r["t_s"], r["mean_level"]) for r in rows]
+    assert got == [(0, 0.0, float(seed % 251)), (4, 0.5, float((seed + 28) % 251))]
+    assert all(r["width"] == 7 and r["height"] == 2 for r in rows)
+
+    # MJPEG and uncompressed produce IDENTICAL frame streams per seed
+    for s in (0, 5, 11):
+        a = list(decode_avi_frames(synth_avi(s)))
+        b = list(decode_avi_frames(synth_avi_mjpeg(s)))
+        assert a == b, s
+
+    # an 00dc stream whose fourcc is not MJPG must still refuse
+    bad = synth_avi_mjpeg(seed).replace(b"MJPG", b"H264")
+    with pytest.raises(ValueError, match="pyav"):
+        list(decode_avi_frames(bad))
+
+
 # ---------------------------------------------------------------------------
 # sketches: KMV merge law, estimator accuracy, HLL rollup (round 4)
 # ---------------------------------------------------------------------------
