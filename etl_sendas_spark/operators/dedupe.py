@@ -725,3 +725,133 @@ def incremental_dedup(
         .select(id_col)
     )
     return fresh.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# exact duplicate SUBSTRINGS (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): mark every k-token span whose
+# exact content occurs elsewhere in the corpus, keeping one canonical
+# occurrence. The document-level flavors above keep/drop whole docs;
+# this finds the REPEATED PASSAGES inside otherwise-unique documents
+# (licenses, headers, quoted chain mail) that document-level dedup
+# structurally cannot see.
+# --------------------------------------------------------------------------
+
+# gaps-and-islands needs a total order that one scalar can carry; a doc
+# would need >= this many tokens to make (doc_id, pos) encoding collide
+_MAX_DOC_TOKENS = 1_000_000
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every k-token
+    window (canonical tokenizer) is fingerprinted with the portable
+    60-bit hash; a window is DUPLICATE unless it is the globally first
+    occurrence of its content (ordered by ``(doc, pos)``); overlapping
+    and adjacent duplicate windows merge into maximal spans.
+
+    Returns ``(doc_id, span_start, span_end, n_windows)`` — token
+    offsets ``[span_start, span_end)``, one row per maximal span. The
+    caller strips or masks the spans (Lee et al. cut them from the
+    training text).
+
+    Plan (scale notes): shingling is scan-local array math (one
+    ``transform`` over a token sequence, no explode until the
+    fingerprint stream). The ONE corpus-sized shuffle is keyed by
+    fingerprint: the canonical occurrence per fingerprint comes from a
+    ``groupBy(fp).min(ord)`` — map-side combinable, so a boilerplate
+    span repeated a billion times still ships ONE row per partition —
+    followed by a join back that AQE's skew handling splits if a
+    posting is hot (a WINDOW over fp would pin each hot fingerprint to
+    one task; the agg+join formulation is why this survives viral
+    spans). Span merging shuffles by doc (gaps-and-islands, two
+    windows over doc-sized partitions).
+
+    ``ord = doc_id * 1_000_000 + pos`` carries the global order as one
+    scalar (min-combinable); docs with ≥1M tokens would alias it, so
+    they fail fast."""
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= k)
+    )
+    guarded_n = F.when(
+        F.col("n") < _MAX_DOC_TOKENS, F.col("n")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("substring_dedup_spans: document "),
+                F.col("doc").cast("string"),
+                F.lit(f" has >= {_MAX_DOC_TOKENS} tokens; ord encoding aliases"),
+            )
+        )
+    )
+    shingles = base.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), guarded_n - k),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    portable_hash60(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k))
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    shingles = shingles.withColumn(
+        "ord", F.col("doc") * F.lit(_MAX_DOC_TOKENS) + F.col("pos")
+    )
+    firsts = shingles.groupBy("fp").agg(
+        F.min("ord").alias("first_ord"), F.count(F.lit(1)).alias("cnt")
+    )
+    dups = (
+        shingles.join(firsts, "fp")
+        .filter((F.col("cnt") > 1) & (F.col("ord") != F.col("first_ord")))
+        .select("doc", "pos")
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        dups.withColumn(
+            "brk",
+            (
+                F.col("pos")
+                > F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+    )
+    return (
+        islands.groupBy("doc", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_windows",
+        )
+    )

@@ -5133,6 +5133,74 @@ EXTRA_ORACLES["video_frame_sample_mjpeg"] = VIDEO_FRAME_SQL
 
 
 # ===========================================================================
+# round 5: exact duplicate substrings (Lee et al. 2022 span dedup)
+# ===========================================================================
+
+def dedup_substring_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring detection over the corpus
+    (operators/dedupe.substring_dedup_spans): every 8-token window
+    whose content occurs anywhere else (ordered by (doc, pos); the
+    global first occurrence is canonical) is a duplicate; overlapping
+    and adjacent duplicate windows merge into maximal spans — the
+    repeated-passage cut document-level dedup cannot see (licenses,
+    boilerplate headers, quoted chains).
+
+    ORACLE: same portable md5-60 fingerprints, same
+    groupBy-min-canonical rule, same gaps-and-islands merge in plain
+    SQL — one wrong slice bound or tie order anywhere breaks the
+    hash."""
+    from ..operators.dedupe import substring_dedup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dedup_spans(docs, id_col="doc_id", text_col="text", k=8)
+
+
+SUBSTRING_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x != '') AS toks
+  FROM documents
+  WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 8], ' ')), 1, 15))::BIGINT AS fp,
+         doc_id * 1000000 + i AS ord
+  FROM t, LATERAL unnest(generate_series(0, len(toks) - 8)) AS u(i)
+  WHERE len(toks) >= 8
+), firsts AS (
+  SELECT fp, MIN(ord) AS first_ord, COUNT(*) AS cnt
+  FROM sh GROUP BY fp
+), dups AS (
+  SELECT sh.doc_id, sh.pos
+  FROM sh JOIN firsts USING (fp)
+  WHERE cnt > 1 AND ord != first_ord
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM dups
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 8 AS span_end,
+       COUNT(*) AS n_windows
+FROM isl
+GROUP BY doc_id, island
+"""
+
+EXTRA_QUERIES["dedup_substring_spans_docs"] = dedup_substring_spans_docs
+EXTRA_ORACLES["dedup_substring_spans_docs"] = SUBSTRING_SPANS_SQL
+
+
+# ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================
 # The driver's correctness gate checks exactly the queries in QUERIES;

@@ -368,3 +368,42 @@ def test_gopher_flags_semantics(spark):
     assert got[1].gopher_keep == 1
     assert got[2].f_word_count == 0 and got[2].gopher_keep == 0
     assert got[3].f_symbol_ratio == 0 and got[3].gopher_keep == 0
+
+
+def test_substring_dedup_planted_passages(spark):
+    """Exact duplicate-substring spans (Lee et al. cut): a passage
+    repeated across docs marks every occurrence EXCEPT the global
+    first; overlapping duplicate windows merge to one maximal span;
+    unique text contributes nothing; punctuation/case differences
+    don't defeat the match (canonical tokenizer)."""
+    from etl_sendas_spark.operators.dedupe import substring_dedup_spans
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = [
+        # doc 1: passage at tokens 0..9, then unique tail
+        (1, passage + " unique one two three four five six seven"),
+        # doc 2: unique head (5 tokens), passage (tokens 5..14), CASED
+        (2, "aaa bbb ccc ddd eee " + passage.upper() + "!"),
+        # doc 3: all unique
+        (3, "nothing here repeats at all in any window of eight tokens"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["n_windows"])
+        for r in substring_dedup_spans(df, k=8).collect()
+    }
+    # doc 1 is the canonical occurrence -> no spans; doc 3 unique.
+    # doc 2: the 10-token passage at offset 5 holds 3 duplicate 8-token
+    # windows (positions 5,6,7) merging to [5, 15).
+    assert got == {2: (5, 15, 3)}
+
+    # intra-doc repetition: second occurrence inside the SAME doc marks
+    one = spark.createDataFrame(
+        [(7, passage + " filler " + passage)], ["doc_id", "text"]
+    )
+    rows = substring_dedup_spans(one, k=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # tokens: passage=10, filler at 10, second passage at 11..20 ->
+    # duplicate windows at 11,12,13 -> span [11, 21)
+    assert (r["span_start"], r["span_end"], r["n_windows"]) == (11, 21, 3)
