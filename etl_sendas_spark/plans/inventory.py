@@ -5201,6 +5201,99 @@ EXTRA_ORACLES["dedup_substring_spans_docs"] = SUBSTRING_SPANS_SQL
 
 
 # ===========================================================================
+# round 5: point-in-time enrichment against the SCD2 history
+# ===========================================================================
+
+def j_pit_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: probe events look up the SCD2 version
+    valid AT their timestamp — the every-feature-store primitive that
+    prevents label leakage (training rows must see the dimension as it
+    WAS, not as it is). The history is built by scd2_user_state_history
+    machinery; probes are a deterministic event sample looking up the
+    state one hour BEFORE their own timestamp (a strictly-past lookup,
+    the leakage-safe convention).
+
+    Spark-first: the interval probe [valid_from, valid_to) is
+    re-expressed as the union+window AS-OF join (operators/relational
+    .asof_join — one equi-key shuffle, no range join, skew-safe);
+    empty [T, T) intervals (two state changes at one instant) are
+    dropped in both engines, which is exactly what makes the as-of
+    forward-fill equivalent to interval semantics. The ORACLE checks
+    the equivalence the hard way: a plain BETWEEN-style interval join
+    in SQL must hash-match the window formulation."""
+    from ..operators.relational import asof_join, scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = scd2_history(ev, "user_id", ["ts", "event_id"], "event_type")
+    versions = hist.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    ).select("user_id", F.col("valid_from").alias("pts"), "state")
+    probes = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("pts"),
+    )
+    out = asof_join(
+        probes,
+        versions,
+        on=["user_id"],
+        ts_col="pts",
+        payload_cols=["state"],
+        right_ts_alias="version_from",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
+        F.col("right_state").alias("state"),
+        F.date_format("version_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "version_from"
+        ),
+    )
+
+
+PIT_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seg
+  FROM o
+), g AS (
+  SELECT user_id, seg, event_type AS state, MIN(ts) AS valid_from
+  FROM s GROUP BY 1, 2, 3
+), hist AS (
+  SELECT user_id, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
+  FROM g
+), versions AS (
+  SELECT * FROM hist WHERE valid_to IS NULL OR valid_to != valid_from
+), probes AS (
+  SELECT user_id, event_id, ts - INTERVAL 1 HOUR AS pts
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT p.user_id, p.event_id,
+       strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+       v.state,
+       strftime(v.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from
+FROM probes p
+LEFT JOIN versions v
+  ON v.user_id = p.user_id
+ AND v.valid_from <= p.pts
+ AND (v.valid_to IS NULL OR p.pts < v.valid_to)
+"""
+
+EXTRA_QUERIES["j_pit_scd2_enrich"] = j_pit_scd2_enrich
+EXTRA_ORACLES["j_pit_scd2_enrich"] = PIT_SCD2_SQL
+
+
+# ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================
 # The driver's correctness gate checks exactly the queries in QUERIES;

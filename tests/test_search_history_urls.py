@@ -536,3 +536,50 @@ def test_new_ops_shuffle_budgets(spark):
     assert hash_exchanges("scd2_user_state_history") == 1
     assert hash_exchanges("a_funnel_steps") <= 3
     assert hash_exchanges("search_bm25_docs") <= 10
+
+
+def test_pit_join_boundary_semantics(spark):
+    """Point-in-time enrichment against an SCD2 history: a probe AT a
+    version boundary sees the NEW version ([valid_from, valid_to)
+    intervals), a probe before the first version gets NULL, and two
+    state changes at one instant (an empty [T, T) interval) never
+    match — the as-of window formulation and interval semantics agree
+    exactly on these corners."""
+    from etl_sendas_spark.operators.relational import asof_join, scd2_history
+
+    rows = [
+        # user 1: A at t=10, B at t=20, C+D both at t=30 (empty interval)
+        (1, 10.0, 1, "A"),
+        (1, 20.0, 2, "B"),
+        (1, 30.0, 3, "C"),
+        (1, 30.0, 4, "D"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, ts DOUBLE, event_id LONG, event_type STRING"
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    hist = scd2_history(ev, "user_id", ["ts", "event_id"], "event_type")
+    versions = hist.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    ).select("user_id", F.col("valid_from").alias("pts"), "state")
+    probes = spark.createDataFrame(
+        [(1, 1, 5.0), (2, 2, 10.0), (3, 3, 20.0), (4, 4, 25.0), (5, 5, 30.0)],
+        "probe_id LONG, _k LONG, t DOUBLE",
+    ).select(
+        F.lit(1).alias("user_id"),
+        "probe_id",
+        F.col("t").cast("timestamp").alias("pts"),
+    )
+    out = asof_join(
+        probes, versions, on=["user_id"], ts_col="pts",
+        payload_cols=["state"], right_ts_alias="version_from",
+    )
+    got = {r["probe_id"]: r["right_state"] for r in out.collect()}
+    # t=5 before history -> NULL; t=10 boundary -> A (new version);
+    # t=20 boundary -> B; t=25 mid-interval -> B; t=30 -> D (the empty
+    # C interval at t=30 is dropped, D wins deterministically)
+    assert got == {1: None, 2: "A", 3: "B", 4: "B", 5: "D"}
