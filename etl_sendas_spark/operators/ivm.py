@@ -23,9 +23,11 @@ merge join against the state table — never a base-table scan.  The
 state side shuffles on the group key only if it isn't already
 partitioned by it; co-locating state storage on the key (bucketed
 parquet / the stream-upsert sink) makes maintenance change-feed-sized.
-MIN/MAX are deliberately NOT supported: they are not self-maintainable
-under deletes (a retracted max needs the base table); route those to a
-full re-aggregate or a sketch.
+MIN/MAX are not self-maintainable under deletes (a retracted max needs
+base data), so :func:`incremental_minmax_update` handles them with the
+affected-key recompute: deletes that touch an extreme re-aggregate
+ONLY their keys against the (key-pruned) base; every other key merges
+change-feed-sized.
 """
 
 from __future__ import annotations
@@ -104,3 +106,103 @@ def incremental_agg_update(
         ],
     )
     return merged.filter(F.col("n") != 0)
+
+
+def minmax_state(
+    df: DataFrame, keys: Sequence[str], val_col: str
+) -> DataFrame:
+    """Initial MIN/MAX state: ``(keys..., n, min_v, max_v)``."""
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.min(val_col).alias("min_v"),
+        F.max(val_col).alias("max_v"),
+    )
+
+
+def incremental_minmax_update(
+    state: DataFrame,
+    changes: DataFrame,
+    effective_base: DataFrame,
+    keys: Sequence[str],
+    val_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MIN/MAX maintenance under inserts AND deletes — the aggregate the
+    module docstring used to exclude, closed with the standard
+    affected-key recompute:
+
+    - inserts are self-maintainable: ``min' = least(min, ins_min)``;
+    - a delete only invalidates state when it TOUCHES an extreme
+      (``del_min <= min_v`` or ``del_max >= max_v`` — conservative: the
+      state does not track extreme multiplicity, so an equal-valued
+      delete forces the safe path);
+    - ONLY those affected keys re-aggregate, against
+      ``effective_base`` (the base table as of after the changes —
+      what the storage layer already holds when maintenance runs),
+      pruned by a semi-join on the affected key set. Everything else
+      merges change-feed-sized.
+
+    At 100 TB the recompute branch reads base partitions for the
+    affected keys only — bucket/partition the base by the group key and
+    the semi-join prunes to those buckets; the full-scan fallback this
+    replaces is exactly the "route MIN/MAX to a full re-aggregate" the
+    earlier design prescribed. Returns the new ``minmax_state`` schema;
+    keys whose count reaches zero disappear. Deletes for keys the state
+    never saw take the recompute path (the feed is ahead of the state —
+    recomputing is the only consistent answer)."""
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    ins_val = F.when(F.col(op_col) == "I", F.col(val_col))
+    del_val = F.when(F.col(op_col) == "D", F.col(val_col))
+    delta = changes.groupBy(*keys).agg(
+        F.sum(F.when(F.col(op_col) == "I", 1).otherwise(0)).alias("n_ins"),
+        F.sum(F.when(F.col(op_col) == "D", 1).otherwise(0)).alias("n_del"),
+        F.min(ins_val).alias("ins_min"),
+        F.max(ins_val).alias("ins_max"),
+        F.min(del_val).alias("del_min"),
+        F.max(del_val).alias("del_max"),
+    )
+    s = state.alias("s")
+    d = delta.alias("d")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys],
+    )
+    merged = s.join(d, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"d.{k}"), F.col(f"s.{k}")).alias(k) for k in keys],
+        (
+            F.coalesce(F.col("s.n"), F.lit(0))
+            + F.coalesce(F.col("d.n_ins"), F.lit(0))
+            - F.coalesce(F.col("d.n_del"), F.lit(0))
+        ).alias("new_n"),
+        F.col("s.n").alias("old_n"),
+        "s.min_v",
+        "s.max_v",
+        "d.n_ins",
+        "d.n_del",
+        "d.ins_min",
+        "d.ins_max",
+        "d.del_min",
+        "d.del_max",
+    )
+    needs_recompute = (F.coalesce(F.col("n_del"), F.lit(0)) > 0) & (
+        F.col("old_n").isNull()
+        | (F.col("del_min") <= F.col("min_v"))
+        | (F.col("del_max") >= F.col("max_v"))
+    )
+    safe = merged.filter(~needs_recompute & (F.col("new_n") > 0)).select(
+        *keys,
+        F.col("new_n").alias("n"),
+        F.least("min_v", "ins_min").alias("min_v"),
+        F.greatest("max_v", "ins_max").alias("max_v"),
+    )
+    affected = merged.filter(needs_recompute).select(*keys)
+    recomputed = (
+        effective_base.join(affected, list(keys), "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.min(val_col).alias("min_v"),
+            F.max(val_col).alias("max_v"),
+        )
+    )
+    return safe.unionByName(recomputed)

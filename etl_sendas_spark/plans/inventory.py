@@ -3734,6 +3734,60 @@ EXTRA_QUERIES["ivm_incremental_agg"] = ivm_incremental_agg
 EXTRA_ORACLES["ivm_incremental_agg"] = IVM_SQL
 
 
+def ivm_minmax_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for the NON-self-maintainable aggregates: per-(user,
+    event_type) MIN/MAX of value maintained through the same
+    insert+delete CDC scenario as ivm_incremental_agg — deletes that
+    touch a group's extreme re-aggregate ONLY that group against the
+    key-pruned effective base (operators/ivm.incremental_minmax_update);
+    untouched groups merge change-feed-sized. The oracle recomputes the
+    final state from scratch; equality is the law, and the delete set
+    (every event_id % 10 == 0) is guaranteed to hit some extremes and
+    miss others, so BOTH branches are exercised."""
+    from ..operators.ivm import incremental_minmax_update, minmax_state
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16")
+    base = ev.filter(F.col("ts") < split)
+    state = minmax_state(base, keys=["user_id", "event_type"], val_col="value")
+    inserts = ev.filter(F.col("ts") >= split).withColumn("op", F.lit("I"))
+    deletes = base.filter(F.col("event_id") % 10 == 0).withColumn("op", F.lit("D"))
+    changes = inserts.unionByName(deletes)
+    effective = ev.filter(
+        (F.col("ts") >= split)
+        | ((F.col("ts") < split) & (F.col("event_id") % 10 != 0))
+    )
+    new_state = incremental_minmax_update(
+        state, changes, effective, keys=["user_id", "event_type"],
+        val_col="value",
+    )
+    return new_state.select(
+        "user_id",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("min_v").cast("double"), 6).alias("min_v"),
+        F.round(F.col("max_v").cast("double"), 6).alias("max_v"),
+    )
+
+
+IVM_MINMAX_SQL = """
+WITH eff AS (
+  SELECT user_id, event_type, value FROM events WHERE ts >= '2024-01-16'
+  UNION ALL
+  SELECT user_id, event_type, value FROM events
+  WHERE ts < '2024-01-16' AND event_id % 10 <> 0
+)
+SELECT user_id, event_type, COUNT(*) AS n,
+       ROUND(CAST(MIN(value) AS DOUBLE), 6) AS min_v,
+       ROUND(CAST(MAX(value) AS DOUBLE), 6) AS max_v
+FROM eff
+GROUP BY user_id, event_type
+"""
+
+EXTRA_QUERIES["ivm_minmax_incremental"] = ivm_minmax_incremental
+EXTRA_ORACLES["ivm_minmax_incremental"] = IVM_MINMAX_SQL
+
+
 def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized view: per-(event_type) running COUNT/SUM
     maintained incrementally per micro-batch (foreachBatch + IVM over
