@@ -201,3 +201,91 @@ def kmv_jaccard(
             inter_hits.cast("double") / denom * union_est.cast("double")
         ).cast("long"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: mergeable FREQUENCY sketch (the cardinality sketches above
+# answer "how many distinct"; CMS answers "how often is x" in fixed
+# space — heavy-hitter detection, spam/bot thresholds, join-size hints)
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Row-j bucket of a value: portable md5-60 of 'j:value' mod width —
+    deterministic and replayable in SQL, same discipline as KMV."""
+    return portable_hash60(
+        F.concat(F.lit(f"{row}:"), value.cast("string"))
+    ) % F.lit(width)
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of a value stream: ``depth`` independent hash
+    rows × ``width`` buckets, returned as ``(row, bucket, c)`` — at most
+    ``depth × width`` rows however large the input.
+
+    Plan: the input explodes ×depth (one (row, bucket) per hash row —
+    scan-local), then ONE groupBy((row, bucket)) whose map-side partial
+    aggregation caps per-task state at depth×width cells — the shuffle
+    carries at most ``tasks × depth × width`` pre-combined rows, never
+    the stream. Sketches over partitions of the data MERGE by adding
+    cell-wise (counts are linear) — the same build-once/roll-up-anywhere
+    contract as the KMV/HLL cardinality sketches above.
+
+    Estimates (:func:`cms_estimate`) are biased UP only — exact <= est
+    always; the overshoot per hash row has EXPECTED value
+    ``(N - exact)/width`` (the classic guarantee ``est <= exact +
+    e·N/width`` holds with probability ``1 - e^-depth``, not surely),
+    and the min over rows tightens it. Size width ≳ distinct-count for
+    near-exact heavy-hitter counts; the property tests pin the up-only
+    law, the mean overshoot, and exactness at generous width."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_bucket(v, j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ])
+    )
+    return (
+        df.select(rows.alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes``: each probe value joins
+    its ``depth`` sketch cells (broadcast — the sketch is ≤ depth×width
+    rows by construction) and takes the MIN count; absent cells read 0.
+    Returns the probe frame plus ``cms_est``."""
+    v = F.col(probe_col)
+    cells = probes.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    _cms_bucket(v, j, width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    joined = cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    probe_cols = [c for c in probes.columns]
+    return (
+        joined.groupBy(*probe_cols)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )

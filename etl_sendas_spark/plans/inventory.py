@@ -3788,6 +3788,70 @@ EXTRA_QUERIES["ivm_minmax_incremental"] = ivm_minmax_incremental
 EXTRA_ORACLES["ivm_minmax_incremental"] = IVM_MINMAX_SQL
 
 
+def sketch_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream
+    (operators/sketches.cms_sketch, depth 4 × width 1024 — ≤4096 cells
+    whatever the corpus size), probed at the exact top-20 tokens:
+    output (token, exact_n, cms_est). The estimate is biased up only
+    (cms_est >= exact_n always — collisions add, never subtract), and
+    because the hash rows are the portable md5-60 family the ORACLE
+    replays the whole sketch — build, probe, min-over-rows — in plain
+    SQL: the estimates must match cell-for-cell, not just
+    approximately."""
+    from ..operators.sketches import cms_estimate, cms_sketch
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(normalized_text(F.col("text")), " "),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
+        )
+    )
+    sketch = cms_sketch(toks, "tok", depth=4, width=1024)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top, "tok", depth=4, width=1024)
+    return est.select("tok", "exact_n", F.col("cms_est").cast("long").alias("cms_est"))
+
+
+CMS_HEAVY_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                x -> x != '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), sketch AS (
+  SELECT j AS row,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS bucket,
+         COUNT(*) AS c
+  FROM toks, LATERAL unnest(generate_series(0, 3)) AS u(j)
+  GROUP BY 1, 2
+), top AS (
+  SELECT tok, COUNT(*) AS exact_n
+  FROM toks GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT 20
+), probe AS (
+  SELECT t.tok, t.exact_n, j AS row,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t.tok), 1, 15))::BIGINT % 1024 AS bucket
+  FROM top t, LATERAL unnest(generate_series(0, 3)) AS u(j)
+)
+SELECT p.tok, p.exact_n, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cms_est
+FROM probe p LEFT JOIN sketch s USING (row, bucket)
+GROUP BY p.tok, p.exact_n
+"""
+
+EXTRA_QUERIES["sketch_cms_heavy_tokens"] = sketch_cms_heavy_tokens
+EXTRA_ORACLES["sketch_cms_heavy_tokens"] = CMS_HEAVY_SQL
+
+
 def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized view: per-(event_type) running COUNT/SUM
     maintained incrementally per micro-batch (foreachBatch + IVM over

@@ -1520,3 +1520,56 @@ def test_ivm_minmax_branches(spark):
         ).collect()
     }
     assert out2["b"] == (2.0, 11.0)
+
+
+def test_cms_sketch_properties(spark):
+    """Count-Min laws: (1) the sketch never exceeds depth×width rows
+    however large the stream; (2) estimates are exact-or-over, NEVER
+    under, even at a width tiny enough to force collisions — and the
+    mean overshoot stays near the expected (N-exact)/width; (3) at a
+    width comfortably above the distinct count the estimates are
+    exact; (4) sketches of disjoint halves merged cell-wise equal the
+    whole-stream sketch (counts are linear)."""
+    from etl_sendas_spark.operators.sketches import cms_estimate, cms_sketch
+
+    depth, width = 3, 32  # tiny width FORCES collisions
+    rows = [(f"v{i % 50}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "x STRING")
+    sk = cms_sketch(df, "x", depth=depth, width=width)
+    assert sk.count() <= depth * width
+
+    probes = spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)], "x STRING"
+    )
+    est = {
+        r["x"]: r["cms_est"]
+        for r in cms_estimate(sk, probes, "x", depth=depth, width=width).collect()
+    }
+    n, exact = len(rows), 40  # 2000 rows over 50 values
+    assert all(est[f"v{i}"] >= exact for i in range(50))  # up-only, always
+    mean_overshoot = sum(est[f"v{i}"] - exact for i in range(50)) / 50
+    assert mean_overshoot <= 2 * n / width  # near the expected error
+
+    # generous width -> no colliding pair survives the min over rows
+    wide = cms_sketch(df, "x", depth=depth, width=4096)
+    est_w = {
+        r["x"]: r["cms_est"]
+        for r in cms_estimate(wide, probes, "x", depth=depth, width=4096).collect()
+    }
+    assert all(est_w[f"v{i}"] == exact for i in range(50))
+
+    # merge = cell-wise add of per-half sketches
+    h1 = cms_sketch(df.limit(1000), "x", depth=depth, width=width)
+    import pyspark.sql.functions as F2
+
+    h2 = cms_sketch(
+        spark.createDataFrame(rows[1000:], "x STRING"), "x", depth=depth, width=width
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "bucket")
+        .agg(F2.sum("c").alias("c"))
+    )
+    whole = {(r["row"], r["bucket"]): r["c"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    assert got == whole
