@@ -211,3 +211,96 @@ def forest_roots(
         release(cur)
         cur = nxt
     return cur.select("id", F.col("anc").alias("root"), "depth")
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    strategy: str | None = None,
+) -> DataFrame:
+    """HITS (Kleinberg) over a DIRECTED edge list ``(src, dst)``:
+    authority(v) ∝ Σ hub(u) over in-edges, hub(u) ∝ Σ authority(v)
+    over out-edges, alternating — the third rung of the graph ladder
+    after connected components and PageRank, and the natural scorer
+    for BIPARTITE-ish graphs (a customer↔supplier graph splits into
+    hub-side buyers and authority-side sellers, which PageRank's
+    single score conflates).
+
+    Per iteration: ONE edge⨝hub join + dst aggregate (the authority
+    pass) and ONE edge⨝authority join + src aggregate (the hub pass) —
+    the same sparse mat-vec shape as :func:`pagerank`, shuffles keyed
+    by node id, edges pinned once, vectors pinned per iteration with
+    O(1) lineage. Normalization is L1 (vectors sum to 1; same ranking
+    as the textbook L2, only the scale differs) and each normalized
+    vector ROUNDS to 12 decimals per iteration — with ~node-count
+    terms in the normalizing sum, ulp-level addition-order noise would
+    otherwise compound across iterations and break cross-engine
+    replay (the SQL oracle unrolls the same iterations and must
+    hash-match after the final round to 6).
+
+    Returns ``(node, hub, authority)`` over all nodes (0.0 on the
+    side a node does not participate in)."""
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
+    e = edges.select("src", "dst").distinct()
+    node_set = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = materialize(node_set, name="hits_nodes", strategy=strategy)
+    ed = materialize(e, name="hits_edges", strategy=strategy)
+    n_nodes = nodes.count()
+
+    hub = materialize(
+        nodes.withColumn("h", F.lit(1.0 / n_nodes)), name="hits_h0",
+        strategy=strategy,
+    )
+    auth = None
+    for i in range(iterations):
+        a_raw = (
+            ed.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("v"))
+        )
+        a_sum = a_raw.agg(F.sum("v").alias("t"))
+        new_auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("v"), F.lit(0.0)) / F.col("t"), 12
+                ).alias("a"),
+            )
+        )
+        new_auth = materialize(new_auth, name=f"hits_a{i + 1}", strategy=strategy)
+        if auth is not None:
+            release(auth)
+        auth = new_auth
+
+        h_raw = (
+            ed.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("v"))
+        )
+        h_sum = h_raw.agg(F.sum("v").alias("t"))
+        new_hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("v"), F.lit(0.0)) / F.col("t"), 12
+                ).alias("h"),
+            )
+        )
+        new_hub = materialize(new_hub, name=f"hits_h{i + 1}", strategy=strategy)
+        release(hub)
+        hub = new_hub
+    release(ed)
+    out = hub.join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )
+    release(nodes)
+    return out

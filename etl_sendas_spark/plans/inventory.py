@@ -3852,6 +3852,75 @@ EXTRA_QUERIES["sketch_cms_heavy_tokens"] = sketch_cms_heavy_tokens
 EXTRA_ORACLES["sketch_cms_heavy_tokens"] = CMS_HEAVY_SQL
 
 
+def graph_hits_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the DIRECTED customer→supplier trading graph (an edge
+    per distinct pair from orders × lineitem): hubs are the buying
+    side, authorities the selling side — the bipartite structure
+    PageRank's single score conflates, and the reason the graph ladder
+    has this third rung (operators/graph.hits: per iteration one
+    edge⨝hub + dst agg and one edge⨝authority + src agg, L1
+    normalization, round-12 per iteration so the oracle's unrolled
+    CTEs replay bit-for-bit). 3 iterations; final scores round to 6."""
+    from ..operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits(e0, iterations=3)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    head = """WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+h0 AS (SELECT node, 1.0 / n_nodes AS h FROM nodes, n)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+ar{i} AS (
+  SELECT e.dst AS node, SUM(h.h) AS v
+  FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+),
+a{i} AS (
+  SELECT nodes.node,
+         ROUND(COALESCE(r.v, 0) / (SELECT SUM(v) FROM ar{i}), 12) AS a
+  FROM nodes LEFT JOIN ar{i} r ON r.node = nodes.node
+),
+hr{i} AS (
+  SELECT e.src AS node, SUM(a.a) AS v
+  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+),
+h{i} AS (
+  SELECT nodes.node,
+         ROUND(COALESCE(r.v, 0) / (SELECT SUM(v) FROM hr{i}), 12) AS h
+  FROM nodes LEFT JOIN hr{i} r ON r.node = nodes.node
+)""")
+    tail = f"""
+SELECT h.node, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS authority
+FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
+    return head + "".join(steps) + tail
+
+
+EXTRA_QUERIES["graph_hits_entities"] = graph_hits_entities
+EXTRA_ORACLES["graph_hits_entities"] = _hits_oracle_sql(3)
+
+
 def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized view: per-(event_type) running COUNT/SUM
     maintained incrementally per micro-batch (foreachBatch + IVM over

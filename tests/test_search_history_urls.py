@@ -583,3 +583,32 @@ def test_pit_join_boundary_semantics(spark):
     # t=20 boundary -> B; t=25 mid-interval -> B; t=30 -> D (the empty
     # C interval at t=30 is dropped, D wins deterministically)
     assert got == {1: None, 2: "A", 3: "B", 4: "B", 5: "D"}
+
+
+def test_hits_bipartite_semantics(spark):
+    """HITS on a small directed buyer->seller graph: the seller bought
+    by every buyer is the top authority, the buyer purchasing from the
+    most sellers is the top hub, pure-side nodes score 0 on the other
+    axis, and both vectors are L1-normalized distributions."""
+    from etl_sendas_spark.operators.graph import hits
+
+    edges = [
+        ("b1", "s1"), ("b1", "s2"), ("b1", "s3"),  # b1 buys everywhere
+        ("b2", "s1"),
+        ("b3", "s1"),                               # s1 sells to all
+    ]
+    e = spark.createDataFrame(edges, "src STRING, dst STRING")
+    r = {row["node"]: (row["hub"], row["authority"]) for row in hits(e, 4).collect()}
+    hubs = {k: v[0] for k, v in r.items()}
+    auths = {k: v[1] for k, v in r.items()}
+    assert hubs["b1"] > hubs["b2"] == hubs["b3"] > 0
+    assert auths["s1"] > auths["s2"] == auths["s3"] > 0
+    assert all(auths[b] == 0 for b in ("b1", "b2", "b3"))
+    assert all(hubs[s] == 0 for s in ("s1", "s2", "s3"))
+    assert abs(sum(hubs.values()) - 1.0) < 1e-9
+    assert abs(sum(auths.values()) - 1.0) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="iterations"):
+        hits(e, 0)
