@@ -419,6 +419,110 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "node",
+    out_label: str = "cluster",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round alternative to :func:`connected_components`'s
+    min-label propagation, whose round count is the component
+    DIAMETER. Same contract and output (component labeled by its min
+    node id); choose this one when components can be long chains
+    (citation trails, linked-record graphs), and the propagation one
+    when clusters are shallow (near-dup clusters — measured head to
+    head in the tests: on a 1024-node path this converges in ~5
+    rounds where propagation needs ~1024).
+
+    Each round is two half-steps over the current edge multiset, each
+    ONE groupBy(node) + ONE join back (both hash-keyed by node id,
+    map-side-combinable min):
+
+    - large-star: every strictly-larger neighbor of u re-points to
+      min(N(u) ∪ u) — halves long chains;
+    - small-star: every ≤-neighbor re-points there too — flattens the
+      local stars.
+
+    Convergence = the per-node min-neighbor assignment stops changing
+    (one early-exit probe per round, like the propagation variant);
+    the edge multiset is pinned per round with O(1) lineage."""
+    e0 = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = _pin(
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        name="ccs_edges_0",
+    )
+    all_nodes = _pin(
+        edges.select(F.col("u").alias("node")).distinct(), name="ccs_nodes"
+    )
+
+    def star(ed: DataFrame, large: bool, rnd: int) -> DataFrame:
+        m = ed.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        joined = ed.join(m, "u")
+        kept = joined.filter(
+            F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        ).select(F.col("v").alias("a"), F.col("m").alias("b"))
+        # u itself re-points to m in the small-star step
+        self_edges = (
+            m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            if not large
+            else None
+        )
+        out = kept if self_edges is None else kept.unionByName(self_edges)
+        out = (
+            out.filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
+        sym = out.unionByName(
+            out.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        return _pin(sym, name=f"ccs_edges_{rnd}")
+
+    prev_assign = None
+    for i in range(max_rounds):
+        lg = star(edges, large=True, rnd=2 * i + 1)
+        _release(edges)
+        sm = star(lg, large=False, rnd=2 * i + 2)
+        _release(lg)
+        edges = sm
+        assign = _pin(
+            edges.groupBy("u").agg(F.min("v").alias("mn")).select(
+                "u", F.least(F.col("u"), F.col("mn")).alias("m")
+            ),
+            name=f"ccs_assign_{i}",
+        )
+        if prev_assign is not None:
+            changed = (
+                assign.alias("n")
+                .join(prev_assign.alias("o"), "u", "full_outer")
+                .filter(
+                    ~F.col("n.m").eqNullSafe(F.col("o.m"))
+                )
+                .limit(1)
+                .count()
+            )
+            _release(prev_assign)
+            if changed == 0:
+                prev_assign = assign
+                break
+        prev_assign = assign
+    labels = all_nodes.join(
+        prev_assign.withColumnRenamed("u", "node"), "node", "left"
+    ).select(
+        F.col("node").alias(out_id),
+        F.least(F.col("node"), F.coalesce(F.col("m"), F.col("node"))).alias(
+            out_label
+        ),
+    )
+    return labels
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -3921,6 +3921,37 @@ EXTRA_QUERIES["graph_hits_entities"] = graph_hits_entities
 EXTRA_ORACLES["graph_hits_entities"] = _hits_oracle_sql(3)
 
 
+def dedup_cluster_star_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same pair→cluster contract as ``dedup_cluster_docs`` but
+    closed with ALTERNATING large-star/small-star rounds
+    (operators/dedupe.connected_components_star) instead of min-label
+    propagation: O(log n) rounds vs O(component diameter), the variant
+    that survives long-chain components (tests demonstrate a 1024-node
+    path converging in ~5 star rounds where propagation needs ~1024).
+    Identical output on identical input — the ORACLE is the very same
+    recursive-closure SQL as the propagation row, so the driver hash
+    also proves the two algorithms agree."""
+    from ..operators.dedupe import connected_components_star
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=64, bands=16, shingle_n=3, verify_threshold=0.5,
+    )
+    cc = connected_components_star(pairs, out_id="doc_id", out_label="cluster_id")
+    out = docs.select("doc_id").join(cc, "doc_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+EXTRA_QUERIES["dedup_cluster_star_docs"] = dedup_cluster_star_docs
+EXTRA_ORACLES["dedup_cluster_star_docs"] = DEDUP_CLUSTER_SQL
+
+
 def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized view: per-(event_type) running COUNT/SUM
     maintained incrementally per micro-batch (foreachBatch + IVM over

@@ -1573,3 +1573,43 @@ def test_cms_sketch_properties(spark):
     whole = {(r["row"], r["bucket"]): r["c"] for r in sk.collect()}
     got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
     assert got == whole
+
+
+def test_star_cc_beats_propagation_on_chains(spark):
+    """Large-star/small-star connected components: on a 256-node PATH
+    (diameter 255) the star variant converges inside its default round
+    budget and labels the whole chain with node 0, while min-label
+    propagation capped at 8 rounds demonstrably has not converged —
+    the O(log n)-vs-O(diameter) gap the second CC implementation
+    exists for. On shallow clusters both give identical labels."""
+    from etl_sendas_spark.operators.dedupe import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = [(i, i + 1) for i in range(255)]
+    tris = [(900, 901), (901, 902), (900, 902), (950, 951)]
+    df = spark.createDataFrame(path + tris, "id_a LONG, id_b LONG")
+
+    star = {
+        r["node"]: r["cluster"]
+        for r in connected_components_star(df).collect()
+    }
+    assert all(star[i] == 0 for i in range(256))
+    assert star[900] == star[901] == star[902] == 900
+    assert star[950] == star[951] == 950
+
+    capped = {
+        r["node"]: r["cluster"]
+        for r in connected_components(df, max_iter=8).collect()
+    }
+    assert any(capped[i] != 0 for i in range(256))  # diameter-bound bites
+
+    # shallow input: both algorithms agree exactly
+    shallow = spark.createDataFrame(tris, "id_a LONG, id_b LONG")
+    a = {r["node"]: r["cluster"] for r in connected_components(shallow).collect()}
+    b = {
+        r["node"]: r["cluster"]
+        for r in connected_components_star(shallow).collect()
+    }
+    assert a == b
