@@ -5524,6 +5524,15 @@ EXTRA_ORACLES["j_pit_scd2_enrich"] = PIT_SCD2_SQL
 # registries mechanically. Rationale for each past rotation lives in
 # git history; the standing policy: one in-window row per distinct
 # operator machinery, near-duplicate variants stay in EXTRA.
+# Round-5 rotation: substring-span dedup, the PIT/SCD2 interval join,
+# HITS, and MIN/MAX IVM enter (each is new machinery: global-first
+# canonical spans, as-of≡interval equivalence, alternating mat-vec,
+# affected-key recompute); j_semi_membership (window-flag semi-join
+# pinned by r4_invoice_zeroing), a4_first_flag (first-flag pinned by
+# f1_priority_pick + the pipeline), dedup_ngram_jaccard_docs
+# (posting-join machinery pinned by fuzzy_match_part_names), and
+# chunk_documents (array/window reshaping pinned by
+# pack_training_sequences) hold the same oracle bar in EXTRA.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -5532,9 +5541,9 @@ DRIVER_WINDOW = [
     "p_filter_project",
     "j_broadcast_enrich",
     "j_anti_all_columns",
-    "j_semi_membership",
+    "dedup_substring_spans_docs",
     "d1_keep_first",
-    "a4_first_flag",
+    "j_pit_scd2_enrich",
     "u_union_dedup_files",
     "o_topk_per_group",
     "a1_latest_partition",
@@ -5558,9 +5567,9 @@ DRIVER_WINDOW = [
     "search_bm25_docs",
     "fuzzy_match_part_names",
     "ivm_incremental_agg",
-    "chunk_documents",
+    "ivm_minmax_incremental",
     "dedup_exact_docs",
-    "dedup_ngram_jaccard_docs",
+    "graph_hits_entities",
     "dedup_minhash_lsh_docs",
     "decontaminate_docs",
     "dedup_cluster_docs",
