@@ -68,3 +68,55 @@ def ewma(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(fold, schema)
+
+
+def group_ols(
+    df,
+    keys: "list[str]",
+    x_col: str,
+    y_col: str,
+):
+    """Per-group ordinary least squares of ``y`` on ``x`` in ONE
+    aggregation: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate as EXACT decimals — map-side combinable, one
+    shuffle on the group key, no second pass, no window — and the
+    closed-form slope/intercept/R² derive from them in float at the
+    end. The decimal accumulation is what makes the result
+    engine-portable: float summation order is the only
+    non-determinism in textbook OLS, and it is gone before any
+    division happens.
+
+    Degenerate groups are NULL, not NaN: constant x → slope/intercept
+    NULL (division by zero variance), constant y → R² NULL. Inputs
+    must be exact at ≤6 decimals (the repo-wide decimal(28,6)
+    discipline); returns ``(keys..., n, slope, intercept, r2)``
+    unrounded — callers round for cross-engine hashing."""
+    from pyspark.sql import functions as F
+
+    x = F.col(x_col).cast("decimal(28,6)")
+    y = F.col(y_col).cast("decimal(28,6)")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / F.nullif(vx, F.lit(0.0))
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (cov * cov / F.nullif(vx * vy, F.lit(0.0))).alias("r2"),
+    )

@@ -3952,6 +3952,66 @@ EXTRA_QUERIES["dedup_cluster_star_docs"] = dedup_cluster_star_docs
 EXTRA_ORACLES["dedup_cluster_star_docs"] = DEDUP_CLUSTER_SQL
 
 
+def stat_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity trend: OLS of event value on event time
+    (seconds since 2024-01-01) in one aggregation
+    (operators/timeseries.group_ols) — slope/intercept/R² from exact
+    decimal sufficient statistics, so the ORACLE's identical
+    closed-form arithmetic matches bit-for-bit after rounding (float
+    enters only AFTER the sums are exact; x is floor-epoch seconds in
+    both engines). Slope rounds to 12 (per-second trends are tiny),
+    intercept and R² to 6."""
+    from ..operators.timeseries import group_ols
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    out = group_ols(base, ["user_id"], "x", "y")
+    return out.select(
+        "user_id",
+        "n",
+        F.round("slope", 12).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+GROUP_REGRESSION_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS DECIMAL(28,6)) AS x,
+         CAST(value AS DECIMAL(28,6)) AS y
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+  FROM b GROUP BY user_id
+), d AS (
+  SELECT user_id, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       ROUND((nd * sxyd - sxd * syd) / NULLIF(nd * sxxd - sxd * sxd, 0), 12) AS slope,
+       ROUND((syd - ((nd * sxyd - sxd * syd) / NULLIF(nd * sxxd - sxd * sxd, 0)) * sxd) / nd, 6) AS intercept,
+       ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+             / NULLIF((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd), 0), 6) AS r2
+FROM d
+"""
+
+EXTRA_QUERIES["stat_group_regression"] = stat_group_regression
+EXTRA_ORACLES["stat_group_regression"] = GROUP_REGRESSION_SQL
+
+
 def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized view: per-(event_type) running COUNT/SUM
     maintained incrementally per micro-batch (foreachBatch + IVM over

@@ -612,3 +612,26 @@ def test_hits_bipartite_semantics(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         hits(e, 0)
+
+
+def test_group_ols_hand_computed(spark):
+    """OLS sufficient-statistics corners: an exact line recovers
+    slope/intercept/R2=1 exactly (dyadic inputs, decimal sums — no
+    float tolerance needed); constant x yields NULL slope/intercept;
+    constant y yields slope 0 and NULL R2 (zero variance on either
+    axis never divides)."""
+    from etl_sendas_spark.operators.timeseries import group_ols
+
+    rows = (
+        [("line", float(x), 2.0 * x + 1.0) for x in range(5)]
+        + [("constx", 3.0, float(v)) for v in (1, 2, 3)]
+        + [("consty", float(x), 7.0) for x in (1, 2, 3)]
+    )
+    df = spark.createDataFrame(rows, "k STRING, x DOUBLE, y DOUBLE")
+    got = {
+        r["k"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in group_ols(df, ["k"], "x", "y").collect()
+    }
+    assert got["line"] == (5, 2.0, 1.0, 1.0)
+    assert got["constx"][1] is None and got["constx"][2] is None
+    assert got["consty"][1] == 0.0 and got["consty"][3] is None
