@@ -4012,6 +4012,88 @@ EXTRA_QUERIES["stat_group_regression"] = stat_group_regression
 EXTRA_ORACLES["stat_group_regression"] = GROUP_REGRESSION_SQL
 
 
+def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch MAINTAINED ON A STREAM: the sketch is a plain
+    (row, bucket) counter aggregation, so it runs as a streaming
+    groupBy in complete mode with state bounded at depth×width cells
+    REGARDLESS of stream length — the frequency-sketch analog of the
+    streaming matview, and the reason CMS is the right heavy-hitter
+    structure for unbounded feeds (exact per-key counts would grow
+    state with the key universe). The streamed sketch is then probed
+    batch-side at the exact top-10 users; the ORACLE rebuilds sketch
+    and probes from the same rows in SQL — streamed and batch cells
+    must agree exactly (counts are linear; micro-batching cannot
+    change a sum)."""
+    from ..operators.sketches import cms_estimate
+    from ..streaming.sessions import run_stream_to_memory
+
+    depth, width = 4, 1024
+    stream = _stream_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    cells = stream.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{j}:"), F.col("uid"))),
+                                1, 15,
+                            ), 16, 10,
+                        ).cast("long") % width
+                    ).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("rb")
+    ).groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    run_stream_to_memory(cells, "cms_user_cells", output_mode="complete")
+    sketch = spark.table("cms_user_cells")
+
+    top = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("uid"))
+        .limit(10)
+    )
+    est = cms_estimate(sketch, top, "uid", depth=depth, width=width)
+    return est.select(
+        "uid", "exact_n", F.col("cms_est").cast("long").alias("cms_est")
+    )
+
+
+STREAM_CMS_SQL = """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+), sketch AS (
+  SELECT j AS row,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || uid), 1, 15))::BIGINT % 1024 AS bucket,
+         COUNT(*) AS c
+  FROM ev, LATERAL unnest(generate_series(0, 3)) AS u(j)
+  GROUP BY 1, 2
+), top AS (
+  SELECT uid, COUNT(*) AS exact_n
+  FROM ev GROUP BY uid
+  ORDER BY exact_n DESC, uid LIMIT 10
+), probe AS (
+  SELECT t.uid, t.exact_n, j AS row,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t.uid), 1, 15))::BIGINT % 1024 AS bucket
+  FROM top t, LATERAL unnest(generate_series(0, 3)) AS u(j)
+)
+SELECT p.uid, p.exact_n, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cms_est
+FROM probe p LEFT JOIN sketch s USING (row, bucket)
+GROUP BY p.uid, p.exact_n
+"""
+
+EXTRA_QUERIES["streaming_cms_user_counts"] = streaming_cms_user_counts
+EXTRA_ORACLES["streaming_cms_user_counts"] = STREAM_CMS_SQL
+
+
 def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized view: per-(event_type) running COUNT/SUM
     maintained incrementally per micro-batch (foreachBatch + IVM over
