@@ -193,3 +193,74 @@ def phrase_match(
         (F.min("anchor") + 1).alias("first_pos"),
         F.count("*").alias("n_occurrences"),
     )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence: PMI(a,b) = ln(N·df_ab / (df_a·df_b)) for token
+    pairs from the top-``vocab_size`` df vocabulary that co-occur in
+    at least ``min_pair_docs`` documents — the association scores that
+    surface collocations/topics and feed phrase induction.
+
+    Plan: distinct (doc, token) postings filtered to the BROADCAST
+    vocabulary (tiny by construction) BEFORE the one corpus-keyed
+    self-join on doc — the pair explosion is bounded at
+    vocab_size²/2 per document, not doc-length², which is what makes
+    doc-level co-occurrence tractable at corpus scale (unbounded
+    vocabularies make the self-join quadratic in per-doc distinct
+    tokens). Pair counting is map-side combinable; df counts ride the
+    same postings frame. Ties and float order: PMI computes from
+    exact integer counts, rounded at the end.
+
+    Returns ``(tok_a, tok_b, pair_docs, pmi)`` with ``tok_a < tok_b``.
+    """
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("toks")
+    )
+    n_docs_df = base.agg(F.count("*").alias("n_docs"))
+    post = base.select(
+        "doc", F.explode(F.array_distinct("toks")).alias("token")
+    )
+    dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        dfreq.orderBy(F.col("df").desc(), F.col("token"))
+        .limit(vocab_size)
+    )
+    vp = post.join(F.broadcast(vocab), "token")
+    a = vp.select(
+        "doc", F.col("token").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = vp.select(
+        "doc", F.col("token").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_docs"),
+            F.max("df_a").alias("df_a"),
+            F.max("df_b").alias("df_b"),
+        )
+        .filter(F.col("pair_docs") >= min_pair_docs)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs_df)).select(
+        "tok_a",
+        "tok_b",
+        "pair_docs",
+        F.round(
+            F.log(
+                F.col("n_docs").cast("double")
+                * F.col("pair_docs")
+                / (F.col("df_a").cast("double") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )

@@ -4094,6 +4094,54 @@ EXTRA_QUERIES["streaming_cms_user_counts"] = streaming_cms_user_counts
 EXTRA_ORACLES["streaming_cms_user_counts"] = STREAM_CMS_SQL
 
 
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level PMI over the top-200-df
+    vocabulary (operators/search.cooccurrence_pmi — postings filtered
+    to the broadcast vocabulary BEFORE the one self-join on doc, so
+    the pair explosion is vocab²-bounded per doc, never doc-length²),
+    pairs in ≥5 docs. The ORACLE replays vocabulary selection
+    (df-desc, token tiebreak), the pair counts, and the exact-count
+    PMI formula in SQL."""
+    from ..operators.search import cooccurrence_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    return cooccurrence_pmi(
+        docs, vocab_size=200, min_pair_docs=5
+    )
+
+
+COOCCURRENCE_PMI_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x != '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), n AS (SELECT COUNT(*) AS n_docs FROM base),
+post AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS token FROM base
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM post GROUP BY token
+), vocab AS (
+  SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 200
+), vp AS (
+  SELECT p.doc_id, p.token, v.df FROM post p JOIN vocab v USING (token)
+), pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b,
+         COUNT(*) AS pair_docs, MAX(a.df) AS df_a, MAX(b.df) AS df_b
+  FROM vp a JOIN vp b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+)
+SELECT tok_a, tok_b, pair_docs,
+       ROUND(ln(CAST(n.n_docs AS DOUBLE) * pair_docs
+                / (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
+FROM pairs, n
+"""
+
+EXTRA_QUERIES["text_cooccurrence_pmi"] = text_cooccurrence_pmi
+EXTRA_ORACLES["text_cooccurrence_pmi"] = COOCCURRENCE_PMI_SQL
+
+
 def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized view: per-(event_type) running COUNT/SUM
     maintained incrementally per micro-batch (foreachBatch + IVM over

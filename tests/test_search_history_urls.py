@@ -635,3 +635,32 @@ def test_group_ols_hand_computed(spark):
     assert got["line"] == (5, 2.0, 1.0, 1.0)
     assert got["constx"][1] is None and got["constx"][2] is None
     assert got["consty"][1] == 0.0 and got["consty"][3] is None
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    """PMI on a 4-doc corpus: tokens that always co-occur get
+    ln(N·df_ab/(df_a·df_b)) = ln(4·2/(2·2)) = ln 2; independent-ish
+    pairs score lower; pairs under min_pair_docs are absent; tok_a <
+    tok_b ordering holds."""
+    import math
+
+    from etl_sendas_spark.operators.search import cooccurrence_pmi
+
+    docs = [
+        (1, "alpha beta"),
+        (2, "alpha beta"),
+        (3, "alpha gamma"),
+        (4, "delta gamma"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["pair_docs"], r["pmi"])
+        for r in cooccurrence_pmi(
+            df, vocab_size=10, min_pair_docs=2
+        ).collect()
+    }
+    # alpha df=3, beta df=2, gamma df=2, delta df=1
+    assert got[("alpha", "beta")] == (2, round(math.log(4 * 2 / (3 * 2)), 6))
+    # (alpha, gamma) co-occur once -> below min_pair_docs -> absent
+    assert ("alpha", "gamma") not in got
+    assert all(a < b for (a, b) in got)
