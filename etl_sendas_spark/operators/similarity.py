@@ -390,3 +390,96 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 32,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic deduplication.
+
+    The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): k-means the
+    embedding space, then compare pairs ONLY within a cluster — the
+    quadratic pair universe shrinks from |corpus|² to Σ|cluster|².
+    This is the third pair-generation family in the dedup ladder next
+    to LSH buckets (sign/band hashes) and posting lists (n-grams):
+    clusters capture *mid-cosine semantic* duplicates that sign-LSH's
+    near-duplicate collision regime misses.
+
+    Deterministic construction, same as :func:`ivf_cosine_topk` so the
+    DuckDB oracle replays the index bit-for-bit: centroids are the
+    ``n_clusters`` corpus vectors with the lowest portable md5-60 id
+    hashes (no RNG; production should add Lloyd rounds exactly as IVF
+    does), assignment is the broadcast argmax pass. A row is flagged
+    ``is_dup = 1`` iff a LOWER-id row in the same cluster has rounded
+    cosine >= ``threshold`` — min-id canonical, matching every other
+    dedup family's keep-first convention (the paper keeps the member
+    farthest from the centroid; id order is the deterministic stand-in
+    and makes the removal decision per-pair local, no transitive
+    closure pass).
+
+    Returns one row per positive-norm corpus vector:
+    ``(id_col, cluster, is_dup)``.
+
+    100 TB shape: centroid table broadcasts (n_clusters × dim floats);
+    assignment is scan-local; the ONE corpus-sized shuffle is the
+    cluster-keyed self-join, bounded by Σ|cluster|² pairs — choose
+    n_clusters ≈ |corpus| / target_cluster_size to bound it. At rest
+    the assignment would be written partitioned by cluster so re-runs
+    and incremental waves prune to touched clusters; oversized (skewed)
+    clusters are exactly what AQE skew-join splitting absorbs.
+    """
+    from .dedupe import portable_hash60
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    cents = (
+        c.withColumn("__h", portable_hash60(F.col("neighbor_id").cast("string")))
+        .orderBy("__h")
+        .limit(n_clusters)
+        .select(
+            F.col("neighbor_id").alias("centroid_id"),
+            F.col("cv").alias("ce"),
+            F.col("cn").alias("ce_n"),
+        )
+    )
+    assigned = _assign_nearest_centroid(c, cents)
+
+    a = assigned.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("cv").alias("va"),
+        F.col("cn").alias("na"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cv").alias("vb"),
+        F.col("cn").alias("nb"),
+        "cluster",
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    return (
+        assigned.select(F.col("neighbor_id").alias(id_col), "cluster")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("__d"), F.lit(0)).alias("is_dup"),
+        )
+    )

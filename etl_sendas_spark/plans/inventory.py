@@ -5701,6 +5701,65 @@ EXTRA_QUERIES["j_pit_scd2_enrich"] = j_pit_scd2_enrich
 EXTRA_ORACLES["j_pit_scd2_enrich"] = PIT_SCD2_SQL
 
 
+def dedup_semantic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic dedup over the embedding
+    corpus (operators/similarity.semantic_dedup): deterministic md5-60
+    centroid sample, broadcast argmax assignment, intra-cluster-only
+    pair scan, min-id canonical. The pair universe is Σ|cluster|²
+    instead of |corpus|² — the third sub-quadratic pair-generation
+    family beside LSH buckets and posting lists.
+
+    Threshold 0.40 sits just under this synthetic corpus's max pairwise
+    cosine (~0.49 — vectors are near-uniform; real text embeddings use
+    ~0.95+), flagging 19 of 500 rows at sf0.01 so both branches of the
+    is_dup flag are exercised.
+
+    ORACLE: ``DEDUP_SEMANTIC_SQL`` rebuilds the identical index —
+    same centroid hash order, same argmax tie-break, same rounded
+    cosine threshold — so the driver hash covers cluster ids AND the
+    flag for every row."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, threshold=0.40
+    )
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings WHERE len(embedding) > 0
+), s AS (
+  SELECT vec_id, e, nrm FROM v WHERE nrm > 0
+), cent AS (
+  SELECT vec_id AS centroid_id, e AS ce, nrm AS cen FROM s
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, e, nrm, centroid_id AS cluster FROM (
+    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
+                                       c.centroid_id) AS rn
+    FROM s CROSS JOIN cent c
+  ) WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.40
+)
+SELECT a.vec_id, a.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+"""
+
+EXTRA_QUERIES["dedup_semantic_docs"] = dedup_semantic_docs
+EXTRA_ORACLES["dedup_semantic_docs"] = DEDUP_SEMANTIC_SQL
+
+
 # ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================

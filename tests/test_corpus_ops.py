@@ -407,3 +407,40 @@ def test_substring_dedup_planted_passages(spark):
     # tokens: passage=10, filler at 10, second passage at 11..20 ->
     # duplicate windows at 11,12,13 -> span [11, 21)
     assert (r["span_start"], r["span_end"], r["n_windows"]) == (11, 21, 3)
+
+
+def test_semantic_dedup_planted_pair(spark):
+    """An exact copy of a vector must land in the same cluster (identical
+    argmax) and the HIGHER id is flagged; the lower id and unrelated
+    orthogonal vectors stay kept. Zero vectors drop out entirely."""
+    from etl_sendas_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+
+    def basis(i, scale=1.0):
+        v = [0.0] * dim
+        v[i % dim] = scale
+        return v
+
+    rows = [
+        (0, basis(0)),
+        (1, basis(1)),
+        (2, basis(2)),
+        (3, basis(3)),
+        # 10 duplicates 0 exactly (scaled copy: cosine 1.0)
+        (10, basis(0, 2.5)),
+        # zero vector: no norm, excluded from the output
+        (99, [0.0] * dim),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", n_clusters=3, threshold=0.99
+    )
+    got = {r["vec_id"]: (r["cluster"], r["is_dup"]) for r in out.collect()}
+    assert 99 not in got
+    assert set(got) == {0, 1, 2, 3, 10}
+    # copy pairs share a cluster; higher id flagged, lower kept
+    assert got[10][0] == got[0][0]
+    assert got[0][1] == 0 and got[10][1] == 1
+    # orthogonal vectors are never flagged at a 0.99 threshold
+    assert got[1][1] == 0 and got[2][1] == 0 and got[3][1] == 0
