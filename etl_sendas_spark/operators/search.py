@@ -264,3 +264,92 @@ def cooccurrence_pmi(
             6,
         ).alias("pmi"),
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: list[tuple[int, str, list[float]]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking fused with dense cosine
+    ranking by Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009
+    — the fusion Elasticsearch/Vespa/OpenSearch ship for "hybrid
+    search"). Each ``queries`` entry carries BOTH a keyword string and
+    a query vector; the fused score of a document is
+
+        rrf = Σ_lists 1 / (rrf_k + rank_in_list)
+
+    over the lists that retrieved it (top-``k_each`` each side, full
+    outer union — a doc found by only one retriever still scores).
+    Because RRF consumes RANKS, not raw scores, the two retrievers'
+    incomparable score scales never mix — which is exactly why the
+    fusion is also deterministic cross-engine: ranks are integers, so
+    the oracle reproduces the fused ordering bit-for-bit.
+
+    100 TB shape: the two branches are the already-scale-shaped
+    :func:`bm25_topk` (query-vocabulary-bounded corpus shuffle) and
+    :func:`~..similarity.cosine_topk` (broadcast query matrix, one
+    corpus scan; swap in the IVF/LSH variant above memory scale).
+    Their outputs are query-workload-sized (|queries| × k_each rows),
+    so the fusion join and final top-k window cost nothing at corpus
+    scale.
+
+    Returns ``(query_id, doc_id, rrf, rank)``, top-``k`` per query,
+    rrf rounded to 6, ties broken by doc_id.
+    """
+    from .similarity import cosine_topk
+
+    if not queries:
+        raise ValueError("hybrid_rrf_topk: empty query list")
+    spark = docs.sparkSession
+
+    bm = bm25_topk(
+        docs,
+        [(qid, text) for qid, text, _ in queries],
+        text_col=text_col,
+        id_col=id_col,
+        k=k_each,
+    )
+    w_b = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm = bm.withColumn("rank_b", F.row_number().over(w_b)).select(
+        "query_id", "doc_id", "rank_b"
+    )
+
+    qvecs = spark.createDataFrame(
+        [(qid, [float(x) for x in vec]) for qid, _, vec in queries],
+        schema=f"query_id INT, {vec_col} ARRAY<DOUBLE>",
+    )
+    vec = cosine_topk(
+        embeddings,
+        qvecs,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        k=k_each,
+        query_id_col="query_id",
+        exclude_self=False,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_v")
+    )
+
+    fused = (
+        bm.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_v")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -53,11 +53,15 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     query_id_col: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Output: (query_id, neighbor_id, cosine, rank), excluding self-
-    matches. Ties broken by neighbor id for determinism.
+    matches unless ``exclude_self=False`` (retrieval workloads whose
+    query ids share the corpus id namespace on purpose — e.g. hybrid
+    search seeded by a corpus vector — must keep the identity match).
+    Ties broken by neighbor id for determinism.
     """
     qid = query_id_col or id_col
     c = corpus.select(
@@ -67,9 +71,11 @@ def cosine_topk(
         F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
 
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        pairs
         .select(
             "query_id",
             "neighbor_id",

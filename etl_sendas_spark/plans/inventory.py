@@ -5760,6 +5760,109 @@ EXTRA_QUERIES["dedup_semantic_docs"] = dedup_semantic_docs
 EXTRA_ORACLES["dedup_semantic_docs"] = DEDUP_SEMANTIC_SQL
 
 
+def search_hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/search.hybrid_rrf_topk): the BM25
+    keyword queries fused with dense cosine ranking by Reciprocal Rank
+    Fusion. Query i pairs the i-th keyword string with the embedding of
+    vec_id=i (the query workload is driver-side by definition — same
+    contract as the BM25 literal list; the 5-row vector collect is the
+    workload, not the corpus). RRF consumes integer ranks only, so the
+    fused ordering is exact cross-engine.
+
+    ORACLE: ``SEARCH_HYBRID_RRF_SQL`` replays both branches — the full
+    BM25 pipeline at rank<=20 and the brute cosine at rank<=20 with
+    self-match kept — and the identical 1/(60+rank) fusion."""
+    from ..operators.search import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    by_id = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin([q[0] for q in _BM25_QUERIES]))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    queries = [(qid, text, by_id[qid]) for qid, text in _BM25_QUERIES]
+    return hybrid_rrf_topk(docs, emb, queries, k=10, k_each=20, rrf_k=60)
+
+
+SEARCH_HYBRID_RRF_SQL = f"""
+WITH qs(query_id, qtext) AS (VALUES {_BM25_QS_VALUES}),
+qterm AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split(trim(regexp_replace(lower(qtext),
+                '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS token
+  FROM qs
+),
+docs AS (
+  SELECT doc_id, list_filter({{_TOKS}}, t -> t <> '') AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+  WHERE token IN (SELECT DISTINCT token FROM qterm)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+bm_scored AS (
+  SELECT q.query_id, t.doc_id,
+         ROUND(SUM(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM qterm q
+  JOIN tf t USING (token)
+  JOIN dfreq d USING (token)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bm AS (
+  SELECT query_id, doc_id, rn AS rank_b FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM bm_scored
+  ) WHERE rn <= 20
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings WHERE len(embedding) > 0
+),
+qv AS (SELECT * FROM v WHERE vec_id IN (1, 2, 3, 4, 5) AND nrm > 0),
+vec AS (
+  SELECT query_id, doc_id, rn AS rank_v FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_dot_product(c.e, q.e) / (c.nrm * q.nrm), 6) DESC,
+                                       c.vec_id) AS rn
+    FROM v c CROSS JOIN qv q
+    WHERE c.nrm > 0
+  ) WHERE rn <= 20
+),
+fused AS (
+  SELECT CAST(COALESCE(b.query_id, x.query_id) AS INTEGER) AS query_id,
+         COALESCE(b.doc_id, x.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / CAST(60 + b.rank_b AS DOUBLE), 0)
+               + COALESCE(1.0 / CAST(60 + x.rank_v AS DOUBLE), 0), 6) AS rrf
+  FROM bm b FULL OUTER JOIN vec x
+    ON b.query_id = x.query_id AND b.doc_id = x.doc_id
+)
+SELECT query_id, doc_id, rrf,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, doc_id) AS rank
+FROM fused
+QUALIFY rank <= 10
+""".replace("{_TOKS}", _TOKS_SQL)
+
+EXTRA_QUERIES["search_hybrid_rrf_docs"] = search_hybrid_rrf_docs
+EXTRA_ORACLES["search_hybrid_rrf_docs"] = SEARCH_HYBRID_RRF_SQL
+
+
 # ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================

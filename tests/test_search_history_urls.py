@@ -664,3 +664,41 @@ def test_cooccurrence_pmi_hand_computed(spark):
     # (alpha, gamma) co-occur once -> below min_pair_docs -> absent
     assert ("alpha", "gamma") not in got
     assert all(a < b for (a, b) in got)
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF fusion on a hand-built corpus: a doc ranked top by BOTH
+    retrievers beats single-list docs; a doc found by only one list
+    still scores 1/(60+rank); self-match (query vector == its own doc
+    vector) is kept."""
+    from etl_sendas_spark.operators.search import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join algorithms"),   # keyword hit
+            (2, "unrelated cooking text"),  # vector hit only
+            (3, "spark join deep dive"),    # keyword hit
+        ],
+        "doc_id LONG, text STRING",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    # query 1: keyword "spark join", vector = doc 1's own vector
+    out = hybrid_rrf_topk(
+        docs, emb, [(1, "spark join", [1.0, 0.0, 0.0])], k=3, k_each=2, rrf_k=60
+    ).collect()
+    by_doc = {r["doc_id"]: (r["rrf"], r["rank"]) for r in out}
+    # doc 1: bm25 rank 1 or 2 + vector rank 1 (self kept, cosine 1.0)
+    # -> fused on both lists, must outrank everything
+    assert by_doc[1][1] == 1
+    # doc 2 vector-only, doc 3 keyword-only: both present, single-list scores
+    assert set(by_doc) == {1, 2, 3}
+    assert by_doc[1][0] > max(by_doc[2][0], by_doc[3][0])
+    # single-list score is exactly 1/(60+rank) rounded to 6
+    assert by_doc[2][0] in (round(1 / 61, 6), round(1 / 62, 6))
