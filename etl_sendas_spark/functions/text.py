@@ -296,3 +296,93 @@ def gopher_quality_flags(col: Column | str) -> dict[str, Column]:
         keep = v if keep is None else (keep & v)
     out["gopher_keep"] = keep.cast("int")
     return out
+
+
+def bigram_lm_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 256,
+    alpha: float = 0.1,
+):
+    """Corpus-trained bigram language-model quality score — the
+    in-engine stand-in for the CCNet/Wikipedia-LM perplexity filter
+    (Wenzek et al. 2020 score with KenLM; same two-pass shape, n=2,
+    add-α smoothing so the model is exactly replayable in SQL).
+
+    Pass 1 trains on the corpus itself: vocabulary = top-``vocab_k``
+    tokens by frequency (ties on token text), everything else mapped to
+    ``<unk>``; bigram counts c(w1,w2) aggregate map-side, and unigram
+    context counts derive as c(w1) = Σ_w2 c(w1,w2) — a model-sized
+    aggregate of the model, zero extra corpus pass. Pass 2 scores every
+    document with ≥ 2 tokens by its mean bigram log-probability
+
+        lm_score = avg ln( (c(w1,w2) + α) / (c(w1) + α·(V+1)) )
+
+    (V+1 event types: the vocabulary plus ``<unk>``). Low scores =
+    improbable token transitions = gibberish/boilerplate — rank or
+    threshold downstream exactly like ``quality_logit``.
+
+    Plan shape at 100 TB: the vocabulary is a bounded ``vocab_k``-row
+    collect (the model is driver-sized by construction, like the BM25
+    query workload) re-broadcast as a map literal, so OOV mapping is a
+    narrow array ``transform`` at scan speed; the bigram explode
+    partial-aggregates map-side into a model-sized table that
+    broadcasts back onto the scoring pass; the only corpus-keyed
+    shuffle is the per-doc average. Above ~10⁵ vocab the map-literal
+    and broadcast both outgrow their sweet spots — route the mapping
+    through a broadcast join on exploded tokens and the model join
+    through a shuffle on (w1, w2), same semantics. Train and score each
+    scan the corpus once (standard two-pass LM; at rest the model
+    table is written once and reused across scoring runs).
+
+    Returns ``(doc_id, n_bigrams, lm_score)`` for docs with ≥ 1 bigram,
+    score rounded to 6.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = [
+        r["token"]
+        for r in counts.orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(vocab_k)
+        .collect()
+    ]
+    v_types = len(vocab) + 1  # + <unk>
+    vmap = F.create_map(*[x for t in vocab for x in (F.lit(t), F.lit(t))])
+
+    mapped = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            toks, lambda t: F.coalesce(F.element_at(vmap, t), F.lit("<unk>"))
+        ).alias("mt"),
+    ).filter(F.size("mt") >= 2)
+    bigrams = mapped.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(mt)-2), i -> struct(mt[i] AS w1, mt[i+1] AS w2))")
+        ).alias("z"),
+    ).select("doc_id", "z.w1", "z.w2")
+
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, "w1")
+
+    logp = F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.lit(v_types))
+    )
+    return (
+        bigrams.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("lm_score"),
+        )
+    )

@@ -5863,6 +5863,56 @@ EXTRA_QUERIES["search_hybrid_rrf_docs"] = search_hybrid_rrf_docs
 EXTRA_ORACLES["search_hybrid_rrf_docs"] = SEARCH_HYBRID_RRF_SQL
 
 
+def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score
+    (functions/text.bigram_lm_scores): top-256 vocabulary with <unk>
+    fallback, add-0.1-smoothed bigram model trained on the corpus
+    itself, every >=2-token document scored by mean bigram
+    log-probability — the CCNet perplexity-filter shape with the model
+    small enough to replay exactly in SQL.
+
+    ORACLE: ``QUALITY_LM_SQL`` retrains the identical model (same
+    tokenizer, same frequency/tie vocabulary cut, same smoothing) and
+    rescore — vocabulary choice, counts, and every rounded score are
+    all hash-covered."""
+    from ..functions.text import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, id_col="doc_id", text_col="text", vocab_k=256, alpha=0.1)
+
+
+QUALITY_LM_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, list_filter({_TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+tok AS (SELECT unnest(toks) AS token FROM docs),
+vocab AS (
+  SELECT token FROM (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1)
+  ORDER BY freq DESC, token LIMIT 256
+),
+vsize AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+big AS (
+  SELECT doc_id, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z
+  FROM docs WHERE len(toks) >= 2
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN z[1] IN (SELECT token FROM vocab) THEN z[1] ELSE '<unk>' END AS w1,
+         CASE WHEN z[2] IN (SELECT token FROM vocab) THEN z[2] ELSE '<unk>' END AS w2
+  FROM big
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1)
+SELECT g.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((c.c12 + 0.1) / (u.c1 + 0.1 * s.v))), 6) AS lm_score
+FROM pairs g JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN vsize s
+GROUP BY 1
+"""
+
+EXTRA_QUERIES["quality_lm_perplexity"] = quality_lm_perplexity
+EXTRA_ORACLES["quality_lm_perplexity"] = QUALITY_LM_SQL
+
+
 # ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================

@@ -444,3 +444,29 @@ def test_semantic_dedup_planted_pair(spark):
     assert got[0][1] == 0 and got[10][1] == 1
     # orthogonal vectors are never flagged at a 0.99 threshold
     assert got[1][1] == 0 and got[2][1] == 0 and got[3][1] == 0
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus, model checked by hand: vocab_k=2 keeps {a, b} (freq
+    3/2), c maps to <unk>; c(a,b)=2, c(b,a)=1, c(a,<unk>)=1; context
+    counts a=3, b=1; V+1=3 event types, alpha=0.5. One-token docs drop."""
+    import math
+
+    from etl_sendas_spark.functions.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "a")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_scores(docs, vocab_k=2, alpha=0.5).collect()
+    }
+    assert 3 not in out  # a single token has no bigram
+    lp_ab = math.log((2 + 0.5) / (3 + 0.5 * 3))
+    lp_ba = math.log((1 + 0.5) / (1 + 0.5 * 3))
+    lp_au = math.log((1 + 0.5) / (3 + 0.5 * 3))
+    assert out[1] == (3, round((2 * lp_ab + lp_ba) / 3, 6))
+    assert out[2] == (1, round(lp_au, 6))
+    # the OOV transition is rarer than the dominant (a,b) transition
+    assert out[2][1] < round(lp_ab, 6)
