@@ -289,3 +289,115 @@ def cms_estimate(
         joined.groupBy(*probe_cols)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter — the shuffle-free semi-join prefilter
+# ---------------------------------------------------------------------------
+
+def _bloom_hashes(value: Column, k_hashes: int, m_bits: int) -> list[Column]:
+    """k bit positions by Kirsch–Mitzenmacher double hashing:
+    p_i = (h1 + i·h2) mod m, with h1/h2 two independent 60-bit halves
+    of one md5 — both replayable in DuckDB as
+    ``('0x' || substr(md5(x), <off>, 15))::BIGINT``. Safe in signed
+    64-bit: h1 + (k-1)·h2 < k·2^60, so k <= 7."""
+    if not 1 <= k_hashes <= 7:
+        raise ValueError("bloom: k_hashes must be in [1, 7]")
+    s = value.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long")
+    return [(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k_hashes)]
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: Column | str,
+    m_words: int = 1024,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Build a portable Bloom filter over a column: ``(w, bits)`` rows,
+    one per non-empty 63-bit word (word ``w`` covers bit positions
+    ``[63w, 63w+63)``; 63-bit words keep every mask positive in signed
+    64-bit arithmetic on BOTH engines — no engine-specific shift
+    wraparound to reason about).
+
+    This is the at-rest, cross-job twin of Catalyst's runtime
+    bloom-filter join injection (plan-test-pinned elsewhere in this
+    repo): build the filter ONCE over the build side (one map-side
+    combinable bit_or aggregate, output <= m_words rows regardless of
+    input size), write it next to the table, and any later job
+    prefilters its probe side with NO join and NO shuffle — the classic
+    "does this doc_id exist in last year's corpus" gate before an
+    expensive exact dedup join. False positives at the standard
+    (1 - e^{-kn/m})^k rate; false negatives never (property-tested).
+    """
+    total_bits = 63 * m_words
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    pos = df.select(
+        F.explode(F.array(*_bloom_hashes(v, k_hashes, total_bits))).alias("p")
+    )
+    return (
+        pos.groupBy((F.col("p") / 63).cast("int").alias("w"))
+        .agg(
+            # pyspark's shiftleft() wrapper only takes a literal shift
+            # amount — the per-row shift must go through the SQL parser
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT)))"
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_filter_probe(
+    probes: DataFrame,
+    value_col: Column | str,
+    bloom: DataFrame,
+    m_words: int = 1024,
+    k_hashes: int = 3,
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Tag every probe row with Bloom membership — ZERO shuffles on the
+    probe side: the filter table (<= m_words rows) broadcasts, and each
+    of the k bit tests is a broadcast hash join on the probe's computed
+    word index, so the whole test pipelines inside the probe scan. A
+    probe whose word is absent from the filter fails that bit test
+    (missing word = all-zero word). ``flag_col`` is 1 iff every one of
+    the k addressed bits is set.
+
+    The filter frame is pinned (strategy-pluggable) before fan-out:
+    each of the k broadcast joins reuses ONE materialized <=m_words-row
+    table instead of re-running the build aggregate k times."""
+    from ..materialize import materialize
+
+    total_bits = 63 * m_words
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    bloom = materialize(bloom, name="bloom_filter")
+    out = probes
+    flags = []
+    for i, p in enumerate(_bloom_hashes(v, k_hashes, total_bits)):
+        p_i, w_i, b_i = f"__p{i}", f"__w{i}", f"__bits{i}"
+        out = (
+            out.withColumn(p_i, p)
+            .withColumn(w_i, (F.col(p_i) / 63).cast("int"))
+            .join(
+                F.broadcast(
+                    bloom.select(F.col("w").alias(w_i), F.col("bits").alias(b_i))
+                ),
+                w_i,
+                "left",
+            )
+            .withColumn(
+                f"__f{i}",
+                # per-row shift amount -> SQL-parsed shiftright
+                F.expr(
+                    f"CAST(shiftright(COALESCE({b_i}, CAST(0 AS BIGINT)),"
+                    f" CAST({p_i} % 63 AS INT)) & 1 AS INT)"
+                ),
+            )
+            .drop(p_i, w_i, b_i)
+        )
+        flags.append(F.col(f"__f{i}"))
+    flag = flags[0]
+    for f in flags[1:]:
+        flag = flag * f
+    return out.withColumn(flag_col, flag).drop(*[f"__f{i}" for i in range(k_hashes)])

@@ -5913,6 +5913,78 @@ EXTRA_QUERIES["quality_lm_perplexity"] = quality_lm_perplexity
 EXTRA_ORACLES["quality_lm_perplexity"] = QUALITY_LM_SQL
 
 
+def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter semi-join prefilter
+    (operators/sketches.bloom_build/bloom_filter_probe): the urgent
+    orders' keys compress into a 64512-bit filter (<=1024 rows), and
+    every distinct lineitem orderkey is tagged with membership by
+    broadcast bit tests — no shuffle touches the probe side. ~0.2%
+    false positives at this load factor (measured 30 of 11813
+    non-members at sf0.01), zero false negatives by construction — the
+    cross-job, at-rest twin of Catalyst's runtime bloom injection.
+
+    ORACLE: ``J_BLOOM_SQL`` rebuilds the identical filter (same md5
+    double-hashing, same 63-bit words) and replays every bit test, so
+    the hash covers the exact false-positive set, not just counts."""
+    from ..operators.sketches import bloom_build, bloom_filter_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    bloom = bloom_build(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        ).distinct(),
+        "o_orderkey",
+        m_words=1024,
+        k_hashes=3,
+    )
+    probes = li.select("l_orderkey").distinct()
+    return bloom_filter_probe(
+        probes, "l_orderkey", bloom, m_words=1024, k_hashes=3
+    )
+
+
+J_BLOOM_SQL = """
+WITH build AS (
+  SELECT DISTINCT o_orderkey AS v FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bh AS (
+  SELECT v,
+         ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(v AS VARCHAR)), 16, 15))::BIGINT AS h2
+  FROM build
+),
+bpos AS (
+  SELECT ((h1 + i * h2) % 64512) AS p FROM bh, UNNEST([0, 1, 2]) AS t(i)
+),
+bloom AS (
+  SELECT CAST(p // 63 AS INT) AS w, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+probes AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
+ph AS (
+  SELECT v,
+         ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(v AS VARCHAR)), 16, 15))::BIGINT AS h2
+  FROM probes
+),
+ppos AS (
+  SELECT v, ((h1 + i * h2) % 64512) AS p FROM ph, UNNEST([0, 1, 2]) AS t(i)
+),
+ptest AS (
+  SELECT ppos.v,
+         CASE WHEN (COALESCE(b.bits, 0) >> CAST(p % 63 AS INT)) & 1 = 1
+              THEN 1 ELSE 0 END AS f
+  FROM ppos LEFT JOIN bloom b ON b.w = CAST(p // 63 AS INT)
+)
+SELECT v AS l_orderkey, CAST(MIN(f) AS INT) AS might_contain
+FROM ptest GROUP BY 1
+"""
+
+EXTRA_QUERIES["j_bloom_prefilter"] = j_bloom_prefilter
+EXTRA_ORACLES["j_bloom_prefilter"] = J_BLOOM_SQL
+
+
 # ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================

@@ -410,3 +410,33 @@ def test_tpch_bucketed_layout_removes_fact_exchanges(spark):
             assert h(df) == plain[q], q
     finally:
         tpch.drop_bucketed_warehouse(SF_ORACLE)
+
+
+def test_bloom_probe_is_shuffle_free_and_never_false_negative(spark):
+    """The Bloom prefilter's contract, both halves: (a) every member of
+    the build set is flagged (false negatives are impossible by
+    construction), and (b) the probe side compiles to broadcast bit
+    tests — the ONLY shuffle in the whole plan is the build side's
+    word aggregate, nothing repartitions the probes."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.sketches import bloom_build, bloom_filter_probe
+
+    members = spark.range(0, 500).select((F.col("id") * 7).alias("v"))
+    bloom = bloom_build(members, "v", m_words=64, k_hashes=3)
+    probes = spark.range(0, 5000).select(F.col("id").alias("v"))
+    out = bloom_filter_probe(probes, "v", bloom, m_words=64, k_hashes=3)
+
+    plan = _plan(out)
+    # the build aggregate ran once at pin time; the probe-side plan has
+    # NO exchange at all — the whole test pipelines inside the scan
+    assert _shuffles(plan) == 0, f"probe side must not shuffle:\n{plan}"
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+
+    got = {r["v"]: r["might_contain"] for r in out.collect()}
+    member_vals = {i * 7 for i in range(500)}
+    missed = [v for v in member_vals if v < 5000 and got[v] != 1]
+    assert not missed, f"false negatives: {missed[:5]}"
+    # the filter must actually reject most non-members at this sizing
+    fp = sum(1 for v, f_ in got.items() if f_ == 1 and v not in member_vals)
+    assert fp < 1000, f"degenerate filter: {fp} false positives"
