@@ -470,3 +470,24 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert out[2] == (1, round(lp_au, 6))
     # the OOV transition is rarer than the dominant (a,b) transition
     assert out[2][1] < round(lp_ab, 6)
+
+
+def test_semantic_dedup_numpy_backend_matches_exact(spark):
+    """The BLAS assignment backend must reproduce the exact path's
+    clusters and flags on the test corpus — including tie-breaks on
+    exactly-equal centroid copies (both paths pick the lowest
+    centroid_id)."""
+    from etl_sendas_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(SF_ORACLE + "/embeddings.parquet")
+    ex = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semantic_dedup(emb, n_clusters=16, threshold=0.40).collect()
+    }
+    np_ = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semantic_dedup(
+            emb, n_clusters=16, threshold=0.40, assign_backend="numpy"
+        ).collect()
+    }
+    assert ex == np_
