@@ -278,6 +278,7 @@ def hybrid_rrf_topk(
     k: int = 10,
     k_each: int = 20,
     rrf_k: int = 60,
+    vec_backend: str = "exact",
 ) -> DataFrame:
     """Hybrid retrieval: BM25 keyword ranking fused with dense cosine
     ranking by Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009
@@ -335,6 +336,7 @@ def hybrid_rrf_topk(
         k=k_each,
         query_id_col="query_id",
         exclude_self=False,
+        backend=vec_backend,
     ).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_v")
     )

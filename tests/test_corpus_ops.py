@@ -491,3 +491,19 @@ def test_semantic_dedup_numpy_backend_matches_exact(spark):
         ).collect()
     }
     assert ex == np_
+
+
+def test_cosine_topk_numpy_backend_matches_exact(spark):
+    """BLAS scoring must reproduce the exact path's top-k (6-decimal
+    rounding happens before ranking in both backends)."""
+    from etl_sendas_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(SF_ORACLE + "/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    ex = sorted(
+        tuple(r) for r in cosine_topk(emb, queries, k=5).collect()
+    )
+    np_ = sorted(
+        tuple(r) for r in cosine_topk(emb, queries, k=5, backend="numpy").collect()
+    )
+    assert ex == np_
