@@ -401,3 +401,92 @@ def bloom_filter_probe(
     for f in flags[1:]:
         flag = flag * f
     return out.withColumn(flag_col, flag).drop(*[f"__f{i}" for i in range(k_hashes)])
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch — bottom-k-by-row-hash uniform sample
+# ---------------------------------------------------------------------------
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    id_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per-group mergeable quantile sketch: the ``k`` rows with the
+    smallest portable row hashes, kept as ``array<struct<hv, v>>``
+    sorted by hash — the quantile member of the sketch family next to
+    KMV (cardinality) and Count-Min (frequency).
+
+    A bottom-k-by-hash sample is a uniform random sample with the SAME
+    exact merge law as KMV: the k smallest of a union equals the k
+    smallest over the parts' bottom-k's, because every hash in the true
+    global bottom-k survived in its part. So day-level sketches roll up
+    to month/corpus level without re-touching raw rows, and the whole
+    construction is deterministic and hash-replayable in SQL — unlike
+    t-digest/KLL whose merge is order-dependent. The price is accuracy:
+    rank error is O(1/sqrt(k)) (DKW bound on a uniform sample) versus
+    KLL's O(1/k) — the classic simplicity/accuracy trade, recorded
+    here deliberately.
+
+    ``id_cols`` must identify rows uniquely (the hash is the sampling
+    coin; hashing the VALUE would collapse duplicates and bias the
+    quantiles). Plan shape: slim (group, hv, v) projection, per-group
+    rank by hash — compiles to a map-side WindowGroupLimit exactly like
+    ``kmv_sketch(with_exact=False)``, so each map partition ships at
+    most k rows per group regardless of group size.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    hv = portable_hash60(
+        F.concat_ws("|", *[F.col(x).cast("string") for x in id_cols])
+    )
+    slim = df.select(
+        *group_cols, hv.alias("hv"), c.cast("double").alias("v")
+    ).filter(F.col("hv").isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        slim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("hv", "v"))).alias("qsk")
+        )
+    )
+
+
+def quantile_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "qsk",
+    k: int = 256,
+) -> DataFrame:
+    """Merge per-part quantile sketches to coarser groups. Exact
+    identity with re-sketching the union (see :func:`quantile_sketch`);
+    the distinct on (hv, v) makes the merge idempotent when parts
+    overlap."""
+    exploded = (
+        df.select(*group_cols, F.explode(sketch_col).alias("e"))
+        .select(*group_cols, F.col("e")["hv"].alias("hv"), F.col("e")["v"].alias("v"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w.orderBy("hv")))
+        .filter(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("hv", "v"))).alias(sketch_col))
+    )
+
+
+def quantile_estimate(sketch_col: Column | str, q: float) -> Column:
+    """Nearest-rank quantile estimate from a sketch column: the sample
+    value at 1-based position ``floor(q*(n-1)) + 1`` of the
+    value-sorted sample — interpolation-free, so the estimate is an
+    actual data value and the SQL oracle reproduces it exactly."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("quantile_estimate: q must be in [0, 1]")
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    vals = F.sort_array(F.transform(c, lambda s: s["v"]))
+    idx = (F.floor(F.lit(q) * (F.size(vals) - 1)) + 1).cast("int")
+    return F.element_at(vals, idx)

@@ -5985,6 +5985,68 @@ EXTRA_QUERIES["j_bloom_prefilter"] = j_bloom_prefilter
 EXTRA_ORACLES["j_bloom_prefilter"] = J_BLOOM_SQL
 
 
+def sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketches.quantile_sketch):
+    per-returnflag bottom-256-by-row-hash sample of l_extendedprice,
+    nearest-rank p50/p90/p99 estimates — the quantile member of the
+    sketch family (KMV = cardinality, CMS = frequency). The sample
+    rides the same exact merge law as KMV, so day-level sketches roll
+    up without re-touching raw rows; rank error O(1/sqrt(k)) is
+    property-tested against the exact percentiles.
+
+    ORACLE: ``SKETCH_QUANTILES_SQL`` replays the identical row hashes,
+    the identical bottom-k cut, and the identical nearest-rank pick, so
+    the estimates match bit-for-bit."""
+    from ..operators.sketches import quantile_estimate, quantile_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = quantile_sketch(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        id_cols=["l_orderkey", "l_linenumber"],
+        k=256,
+    )
+    return sk.select(
+        "l_returnflag",
+        F.size("qsk").alias("n_sample"),
+        quantile_estimate("qsk", 0.5).alias("p50"),
+        quantile_estimate("qsk", 0.9).alias("p90"),
+        quantile_estimate("qsk", 0.99).alias("p99"),
+    )
+
+
+SKETCH_QUANTILES_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                             CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS hv,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+  FROM s
+), smp AS (
+  SELECT l_returnflag, v FROM r WHERE rn <= 256
+), o AS (
+  SELECT l_returnflag, v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM smp
+)
+SELECT l_returnflag,
+       CAST(MAX(n) AS INT) AS n_sample,
+       MAX(CASE WHEN i = CAST(FLOOR(0.5  * (n - 1)) AS BIGINT) THEN v END) AS p50,
+       MAX(CASE WHEN i = CAST(FLOOR(0.9  * (n - 1)) AS BIGINT) THEN v END) AS p90,
+       MAX(CASE WHEN i = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) THEN v END) AS p99
+FROM o GROUP BY 1
+"""
+
+EXTRA_QUERIES["sketch_quantiles_price"] = sketch_quantiles_price
+EXTRA_ORACLES["sketch_quantiles_price"] = SKETCH_QUANTILES_SQL
+
+
 # ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================

@@ -1613,3 +1613,52 @@ def test_star_cc_beats_propagation_on_chains(spark):
         for r in connected_components_star(shallow).collect()
     }
     assert a == b
+
+
+def test_quantile_sketch_merge_law_and_error_bound(spark):
+    """(a) Merge identity: sketching two disjoint parts then merging
+    equals sketching the union — byte-for-byte, the same law KMV holds.
+    (b) Accuracy: nearest-rank estimates from the k=256 sample land
+    within the DKW rank band (~2/sqrt(k) of rank, generous constant)
+    of the exact quantiles on a skewed distribution."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    # skewed values: v = id^2 over 20k rows, one group
+    df = spark.range(0, 20000).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") * F.col("id")).cast("double").alias("v"),
+    )
+    part1 = df.filter(F.col("rid") % 2 == 0)
+    part2 = df.filter(F.col("rid") % 2 == 1)
+
+    whole = quantile_sketch(df, ["g"], "v", id_cols=["rid"], k=256)
+    merged = quantile_merge(
+        quantile_sketch(part1, ["g"], "v", id_cols=["rid"], k=256).unionByName(
+            quantile_sketch(part2, ["g"], "v", id_cols=["rid"], k=256)
+        ),
+        ["g"],
+        k=256,
+    )
+    a = whole.select("qsk").head()["qsk"]
+    b = merged.select("qsk").head()["qsk"]
+    assert [tuple(x) for x in a] == [tuple(x) for x in b]
+
+    # rank accuracy: invert the estimate back to its true rank
+    est = whole.select(
+        quantile_estimate("qsk", 0.5).alias("p50"),
+        quantile_estimate("qsk", 0.9).alias("p90"),
+    ).head()
+    import math
+
+    n, k = 20000, 256
+    band = 2.0 / math.sqrt(k)  # DKW-ish rank tolerance
+    for q, v in ((0.5, est["p50"]), (0.9, est["p90"])):
+        true_rank = math.sqrt(v) / n  # v = id^2 -> rank(v) = id/n
+        assert abs(true_rank - q) < band, (q, v, true_rank)
