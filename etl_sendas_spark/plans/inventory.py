@@ -6069,6 +6069,15 @@ EXTRA_ORACLES["sketch_quantiles_price"] = SKETCH_QUANTILES_SQL
 # (posting-join machinery pinned by fuzzy_match_part_names), and
 # chunk_documents (array/window reshaping pinned by
 # pack_training_sequences) hold the same oracle bar in EXTRA.
+# Round-5 second-session rotation: dedup_semantic_docs (cluster-bounded
+# pair generation — a third family no in-window row covers),
+# j_bloom_prefilter (bit-level sketch membership, shuffle-free probe),
+# and search_hybrid_rrf_docs (its oracle replays BOTH the full BM25
+# pipeline and the brute-cosine kernel plus the rank fusion) enter;
+# search_bm25_docs and ann_cosine_topk leave because hybrid's oracle
+# contains each of them whole, and dedup_exact_docs leaves because the
+# fingerprint-groupBy machinery is driver-pinned inside
+# corpus_training_manifest's exact-dedup stage.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -6100,18 +6109,18 @@ DRIVER_WINDOW = [
     "text_features",
     "sample_stratified_docs",
     "corpus_training_manifest",
-    "search_bm25_docs",
+    "search_hybrid_rrf_docs",
     "fuzzy_match_part_names",
     "ivm_incremental_agg",
     "ivm_minmax_incremental",
-    "dedup_exact_docs",
+    "dedup_semantic_docs",
     "graph_hits_entities",
     "dedup_minhash_lsh_docs",
     "decontaminate_docs",
     "dedup_cluster_docs",
     "dedup_segments_docs",
     "embedding_near_dup_bucketed",
-    "ann_cosine_topk",
+    "j_bloom_prefilter",
     "graph_pagerank_entities",
     "pack_training_sequences",
     "multimodal_features",
