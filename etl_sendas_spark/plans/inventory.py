@@ -6047,6 +6047,71 @@ EXTRA_QUERIES["sketch_quantiles_price"] = sketch_quantiles_price
 EXTRA_ORACLES["sketch_quantiles_price"] = SKETCH_QUANTILES_SQL
 
 
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch maintained on a stream
+    (streaming/sessions.quantile_sketch_stream): per event_type,
+    GroupState holds exactly the bottom-128 (row-hash, value) pairs —
+    fixed-size state on an unbounded feed. The bottom-k cut is
+    order-insensitive, so micro-batching cannot change the sample: the
+    streamed sketch equals the batch sketch bit-for-bit and the ORACLE
+    replays hashes, cut, count, and nearest-rank estimates exactly from
+    the same rows in SQL."""
+    from ..streaming.sessions import quantile_sketch_stream, run_stream_to_memory
+
+    stream = _stream_events(spark, sf_dir).select("event_type", "event_id", "value")
+    sk = quantile_sketch_stream(
+        stream, group_col="event_type", value_col="value", id_col="event_id", k=128
+    )
+    run_stream_to_memory(sk, "quantile_sketch_stream", output_mode="update")
+    snap = spark.table("quantile_sketch_stream")
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    final = snap.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    vals = F.sort_array(F.col("vs"))
+    p = lambda q: F.element_at(  # noqa: E731 — nearest-rank pick, same as batch
+        vals, (F.floor(F.lit(q) * (F.size(vals) - 1)) + 1).cast("int")
+    )
+    return final.select(
+        "event_type",
+        "n_seen",
+        F.size("vs").alias("n_sample"),
+        p(0.5).alias("p50"),
+        p(0.9).alias("p90"),
+    )
+
+
+STREAM_QUANTILES_SQL = """
+WITH s AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM s
+), smp AS (
+  SELECT event_type, v FROM r WHERE rn <= 128
+), o AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM smp
+), tot AS (
+  SELECT event_type, COUNT(*) AS n_seen FROM s GROUP BY 1
+)
+SELECT o.event_type,
+       MAX(t.n_seen) AS n_seen,
+       CAST(MAX(o.n) AS INT) AS n_sample,
+       MAX(CASE WHEN o.i = CAST(FLOOR(0.5 * (o.n - 1)) AS BIGINT) THEN o.v END) AS p50,
+       MAX(CASE WHEN o.i = CAST(FLOOR(0.9 * (o.n - 1)) AS BIGINT) THEN o.v END) AS p90
+FROM o JOIN tot t USING (event_type)
+GROUP BY 1
+"""
+
+EXTRA_QUERIES["streaming_quantile_sketch"] = streaming_quantile_sketch
+EXTRA_ORACLES["streaming_quantile_sketch"] = STREAM_QUANTILES_SQL
+
+
 # ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================
