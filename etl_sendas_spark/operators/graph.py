@@ -304,3 +304,66 @@ def hits(
     )
     release(nodes)
     return out
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (``src``/``dst``; orientation and self-loops are normalized
+    away). Fourth rung of the graph ladder: components label, PageRank
+    weights, HITS splits roles, triangles measure local closure — the
+    clustering-coefficient numerator used for community/spam signals.
+
+    The scale trick is DEGREE ORIENTATION (the "compact-forward"
+    algorithm): orient every canonical edge from its lower-degree
+    endpoint to its higher-degree one (ties by node id), which makes
+    the graph acyclic and bounds wedge generation by Σ_v out-deg(v)² =
+    O(m^1.5) instead of Σ_v deg(v)² — the hub node that would square a
+    naive wedge join has *in*-degree there, not out. Every triangle
+    then has exactly one node with two out-edges, so the wedge-join +
+    canonical-edge membership check counts each triangle once with no
+    /3 correction. Three shuffles total: degree aggregate, wedge join
+    key, membership semi-join key.
+
+    Returns (node, triangles) for every node in at least one triangle.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient low -> high by (deg, node); carry both endpoints' keys
+    ranked = (
+        canon.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    fwd = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select(F.col("e")["u"].alias("u"), F.col("e")["v"].alias("v"))
+
+    e1 = fwd.select(F.col("u"), F.col("v").alias("x"))
+    e2 = fwd.select(F.col("u"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    tris = wedges.join(
+        canon.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )

@@ -6112,6 +6112,185 @@ EXTRA_QUERIES["streaming_quantile_sketch"] = streaming_quantile_sketch
 EXTRA_ORACLES["streaming_quantile_sketch"] = STREAM_QUANTILES_SQL
 
 
+def a_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (basket =
+    distinct parts on one order): frequent pairs at min_support 3, both
+    rule directions scored with confidence = supp(a,b)/supp(a) and
+    lift = confidence / (supp(b)/N), top-50 by lift — the Apriori-2
+    pattern every recommender pipeline starts from.
+
+    Plan shape at scale: pair generation is the per-basket self-join —
+    quadratic ONLY in basket size (orders hold ≤13 distinct parts here;
+    production caps pathological baskets the same way the dedup
+    inverted index df-cuts hot postings); the pair aggregate map-side
+    combines to the frequent-pair universe, and item supports join on
+    the pair table (item-universe-sized, broadcast here, shuffle at
+    catalog scale). Confidences/lifts are integer ratios in doubles —
+    deterministic — rounded to 6 before the rank window.
+
+    ORACLE: ``A_ASSOC_RULES_SQL`` replays baskets, supports, both rule
+    directions, and the lift-ranked cutoff."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    n_baskets = b.select("bk").distinct().count()
+    isup = b.groupBy("it").agg(F.count("*").alias("s_item"))
+    a = b.select(F.col("bk"), F.col("it").alias("ia"))
+    c = b.select(F.col("bk"), F.col("it").alias("ib"))
+    pairs = (
+        a.join(c, "bk")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("s_pair"))
+        .filter(F.col("s_pair") >= 3)
+    )
+    # both rule directions from the one pair table
+    rules = pairs.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "s_pair"
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "s_pair"
+        )
+    )
+    rules = (
+        rules.join(
+            F.broadcast(isup.select(F.col("it").alias("antecedent"),
+                                    F.col("s_item").alias("s_ante"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(isup.select(F.col("it").alias("consequent"),
+                                    F.col("s_item").alias("s_cons"))),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "s_pair",
+            F.round(F.col("s_pair") / F.col("s_ante"), 6).alias("confidence"),
+            F.round(
+                (F.col("s_pair") / F.col("s_ante"))
+                / (F.col("s_cons") / F.lit(float(n_baskets))),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), F.col("antecedent"), F.col("consequent"))
+    return (
+        rules.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+A_ASSOC_RULES_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+isup AS (SELECT it, COUNT(*) AS s_item FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.it AS ia, c.it AS ib, COUNT(*) AS s_pair
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT ia AS antecedent, ib AS consequent, s_pair FROM pairs
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, s_pair FROM pairs
+),
+scored AS (
+  SELECT r.antecedent, r.consequent, r.s_pair,
+         ROUND(r.s_pair / sa.s_item, 6) AS confidence,
+         ROUND((r.s_pair / sa.s_item) / (sc.s_item / CAST(nb.n AS DOUBLE)), 6) AS lift
+  FROM rules r
+  JOIN isup sa ON sa.it = r.antecedent
+  JOIN isup sc ON sc.it = r.consequent
+  CROSS JOIN nb
+)
+SELECT antecedent, consequent, s_pair, confidence, lift,
+       ROW_NUMBER() OVER (ORDER BY lift DESC, antecedent, consequent) AS rank
+FROM scored
+QUALIFY rank <= 50
+"""
+
+EXTRA_QUERIES["a_association_rules"] = a_association_rules
+EXTRA_ORACLES["a_association_rules"] = A_ASSOC_RULES_SQL
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts,
+    degree-oriented compact-forward) on the part co-purchase graph —
+    edges between parts co-ordered in ≥2 baskets (the same graph the
+    association rules mine; 3445 edges / 61 triangles at sf0.01).
+    Local closure is the community/quality signal PageRank's global
+    rank cannot see.
+
+    ORACLE: ``GRAPH_TRIANGLES_SQL`` replays canonicalization, degrees,
+    the (deg, id) orientation, the wedge join, and the membership
+    check."""
+    from ..operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    e = (
+        b.select("bk", F.col("it").alias("src"))
+        .join(b.select("bk", F.col("it").alias("dst")), "bk")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(e)
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+canon AS (
+  SELECT a.it AS a, c.it AS b
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
+  ) GROUP BY 1
+),
+fwd AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+              THEN c.a ELSE c.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+              THEN c.b ELSE c.a END AS v
+  FROM canon c
+  JOIN deg da ON da.node = c.a
+  JOIN deg db ON db.node = c.b
+),
+wedges AS (
+  SELECT e1.u, e1.v AS x, e2.v AS y
+  FROM fwd e1 JOIN fwd e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+tris AS (
+  SELECT w.u, w.x, w.y
+  FROM wedges w JOIN canon c ON c.a = w.x AND c.b = w.y
+)
+SELECT node, COUNT(*) AS triangles FROM (
+  SELECT u AS node FROM tris
+  UNION ALL SELECT x FROM tris
+  UNION ALL SELECT y FROM tris
+) GROUP BY 1
+"""
+
+EXTRA_QUERIES["graph_triangle_counts"] = graph_triangle_counts
+EXTRA_ORACLES["graph_triangle_counts"] = GRAPH_TRIANGLES_SQL
+
+
 # ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================

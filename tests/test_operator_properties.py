@@ -1662,3 +1662,25 @@ def test_quantile_sketch_merge_law_and_error_bound(spark):
     for q, v in ((0.5, est["p50"]), (0.9, est["p90"])):
         true_rank = math.sqrt(v) / n  # v = id^2 -> rank(v) = id/n
         assert abs(true_rank - q) < band, (q, v, true_rank)
+
+
+def test_triangle_counts_known_graphs(spark):
+    """Hand-checked closures: K4 has 4 triangles with every node in 3;
+    a star and a path have none; orientation/duplicate/self-loop noise
+    in the input must not change counts."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noise = [(b, a) for a, b in k4[:3]] + [(0, 0)]          # reversed dups + loop
+    star = [(100, x) for x in (101, 102, 103, 104)]          # no closure
+    path = [(200, 201), (201, 202), (202, 203)]              # no closure
+    df = spark.createDataFrame(k4 + noise + star + path, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # one extra triangle hanging off K4: node 4 connected to 0 and 1
+    df2 = spark.createDataFrame(k4 + [(0, 4), (4, 1)], "src long, dst long")
+    got2 = {r["node"]: r["triangles"] for r in triangle_counts(df2).collect()}
+    assert got2 == {0: 4, 1: 4, 2: 3, 3: 3, 4: 1}
