@@ -440,3 +440,20 @@ def test_bloom_probe_is_shuffle_free_and_never_false_negative(spark):
     # the filter must actually reject most non-members at this sizing
     fp = sum(1 for v, f_ in got.items() if f_ == 1 and v not in member_vals)
     assert fp < 1000, f"degenerate filter: {fp} false positives"
+
+
+def test_quantile_sketch_compiles_to_map_side_group_limit(spark):
+    """The docstring's scale claim, pinned: the bottom-k rank filter
+    must compile to a Partial (map-side) WindowGroupLimit so each map
+    partition ships at most k rows per group — same property
+    kmv_sketch(with_exact=False) pins."""
+    from etl_sendas_spark.operators.sketches import quantile_sketch
+
+    li = spark.read.parquet(SF_ORACLE + "/lineitem.parquet")
+    sk = quantile_sketch(
+        li, ["l_returnflag"], "l_extendedprice",
+        id_cols=["l_orderkey", "l_linenumber"], k=256,
+    )
+    plan = _plan(sk)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan, plan
