@@ -379,3 +379,68 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
+
+
+def random_walks(
+    edges: DataFrame, length: int = 4, seed: int = 17
+) -> DataFrame:
+    """Uniform random-walk corpus over the undirected graph — the
+    training-data generation stage of DeepWalk/node2vec (walks become
+    "sentences" for a skip-gram embedding): one walk of ``length``
+    steps per distinct node.
+
+    DERANDOMIZED like every sampler in this repo: step ``i`` of walk
+    ``w`` picks neighbor index ``md5_60(w # seed # i) mod deg(cur)``
+    over the value-sorted adjacency array — deterministic, replayable
+    in SQL, and still uniform per step. (Hash-derandomization is the
+    same trick Efraimidis-Spirakis weighted sampling uses here.)
+
+    Plan shape: adjacency pre-grouped into one sorted array per node
+    and PINNED (one build, ``length`` reuses); each step is ONE join of
+    the walk frontier against it plus a narrow element_at pick — so a
+    full walk corpus costs ``length`` frontier-sized joins, not
+    ``length`` corpus shuffles of edge rows. Hub nodes mean big
+    adjacency arrays: at web scale cap them with a df-cut (same
+    policy as the dedup inverted index) or bucket the hot lists.
+
+    Returns (walk_id, step, node): step 0 is the start node itself.
+    """
+    if length < 1:
+        raise ValueError("random_walks: length must be >= 1")
+    from ..operators.dedupe import portable_hash60
+
+    und = symmetrize(edges)
+    adj = materialize(
+        und.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nb")),
+        name="walk_adjacency",
+    )
+    frontier = adj.select(
+        F.col("src").alias("walk_id"), F.col("src").alias("cur")
+    )
+    hops = [
+        frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    ]
+    for i in range(length):
+        h = portable_hash60(
+            F.concat(
+                F.col("walk_id").cast("string"), F.lit(f"#{seed}#{i}")
+            )
+        )
+        frontier = (
+            frontier.join(adj, frontier["cur"] == adj["src"])
+            .select(
+                "walk_id",
+                F.element_at(
+                    F.col("nb"), (h % F.size("nb")).cast("int") + 1
+                ).alias("cur"),
+            )
+        )
+        hops.append(
+            frontier.select(
+                "walk_id", F.lit(i + 1).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    out = hops[0]
+    for hdf in hops[1:]:
+        out = out.unionByName(hdf)
+    return out

@@ -6291,6 +6291,162 @@ EXTRA_QUERIES["graph_triangle_counts"] = graph_triangle_counts
 EXTRA_ORACLES["graph_triangle_counts"] = GRAPH_TRIANGLES_SQL
 
 
+def a_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are hash-bucketed into two arms
+    (portable md5 of user_id, mod 2 — exactly how production
+    experimentation systems assign deterministically, and replayable in
+    SQL), and each event_type's value metric is compared across arms
+    with a Welch t statistic — the experiment-analysis pass that closes
+    the product-analytics family (z-score outliers, funnel, cohort
+    retention, chi-square association, per-group OLS).
+
+    One scan, one (event_type, arm) aggregate (map-side combinable sums
+    for n/mean/var), then a 10-row reshape — nothing corpus-sized
+    survives the aggregate. Null metric values drop (standard
+    missing-outcome policy). t is rounded to 6; the pytest float
+    compare tolerates the last-ULP variance-merge differences between
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    armed = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2
+        ).alias("arm"),
+    ).filter(F.col("v").isNotNull())
+    stats = armed.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("mean"),
+        F.var_samp("v").alias("var"),
+    )
+    a0 = stats.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("mean").alias("mean0"),
+        F.col("var").alias("var0"),
+    )
+    a1 = stats.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("mean").alias("mean1"),
+        F.col("var").alias("var1"),
+    )
+    out = a0.join(a1, "event_type")
+    t = (F.col("mean1") - F.col("mean0")) / F.sqrt(
+        F.col("var1") / F.col("n1") + F.col("var0") / F.col("n0")
+    )
+    return out.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round("mean0", 6).alias("mean0"),
+        F.round("mean1", 6).alias("mean1"),
+        F.round(t, 6).alias("welch_t"),
+    )
+
+
+A_AB_TEST_SQL = """
+WITH armed AS (
+  SELECT event_type, value AS v,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, arm, COUNT(*) AS n, AVG(v) AS mean, VAR_SAMP(v) AS var
+  FROM armed GROUP BY 1, 2
+)
+SELECT a0.event_type,
+       a0.n AS n0, a1.n AS n1,
+       ROUND(a0.mean, 6) AS mean0, ROUND(a1.mean, 6) AS mean1,
+       ROUND((a1.mean - a0.mean)
+             / sqrt(a1.var / a1.n + a0.var / a0.n), 6) AS welch_t
+FROM (SELECT * FROM stats WHERE arm = 0) a0
+JOIN (SELECT * FROM stats WHERE arm = 1) a1 USING (event_type)
+"""
+
+EXTRA_QUERIES["a_ab_test_readout"] = a_ab_test_readout
+EXTRA_ORACLES["a_ab_test_readout"] = A_AB_TEST_SQL
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-derandomized uniform random walks
+    (operators/graph.random_walks): a 4-step walk from every node of
+    the customer<->supplier entity graph — the DeepWalk/node2vec
+    corpus-generation stage, with every step's neighbor pick
+    md5-derandomized so the ORACLE replays all four hops node-for-node
+    (``GRAPH_WALKS_SQL`` unrolls the steps as chained CTEs against the
+    same rank-indexed adjacency)."""
+    from ..operators.graph import random_walks
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return random_walks(e0, length=4, seed=17)
+
+
+GRAPH_WALKS_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+und AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM und
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY 1),
+s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM und),
+s1 AS (
+  SELECT w.walk_id, a.dst AS cur
+  FROM s0 w
+  JOIN deg d ON d.src = w.cur
+  JOIN adj a ON a.src = w.cur
+   AND a.idx = ('0x' || substr(md5(w.walk_id || '#17#0'), 1, 15))::BIGINT % d.deg
+),
+s2 AS (
+  SELECT w.walk_id, a.dst AS cur
+  FROM s1 w
+  JOIN deg d ON d.src = w.cur
+  JOIN adj a ON a.src = w.cur
+   AND a.idx = ('0x' || substr(md5(w.walk_id || '#17#1'), 1, 15))::BIGINT % d.deg
+),
+s3 AS (
+  SELECT w.walk_id, a.dst AS cur
+  FROM s2 w
+  JOIN deg d ON d.src = w.cur
+  JOIN adj a ON a.src = w.cur
+   AND a.idx = ('0x' || substr(md5(w.walk_id || '#17#2'), 1, 15))::BIGINT % d.deg
+),
+s4 AS (
+  SELECT w.walk_id, a.dst AS cur
+  FROM s3 w
+  JOIN deg d ON d.src = w.cur
+  JOIN adj a ON a.src = w.cur
+   AND a.idx = ('0x' || substr(md5(w.walk_id || '#17#3'), 1, 15))::BIGINT % d.deg
+)
+SELECT walk_id, 0 AS step, cur AS node FROM s0
+UNION ALL SELECT walk_id, 1, cur FROM s1
+UNION ALL SELECT walk_id, 2, cur FROM s2
+UNION ALL SELECT walk_id, 3, cur FROM s3
+UNION ALL SELECT walk_id, 4, cur FROM s4
+"""
+
+EXTRA_QUERIES["graph_random_walks"] = graph_random_walks
+EXTRA_ORACLES["graph_random_walks"] = GRAPH_WALKS_SQL
+
+
 # ===========================================================================
 # driver window — SINGLE definition site
 # ===========================================================================

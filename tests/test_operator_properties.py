@@ -1684,3 +1684,31 @@ def test_triangle_counts_known_graphs(spark):
     df2 = spark.createDataFrame(k4 + [(0, 4), (4, 1)], "src long, dst long")
     got2 = {r["node"]: r["triangles"] for r in triangle_counts(df2).collect()}
     assert got2 == {0: 4, 1: 4, 2: 3, 3: 3, 4: 1}
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    """Every consecutive (step i -> i+1) hop must be a real edge of the
+    symmetrized graph, walks start at their walk_id, every node gets a
+    full-length walk, and a rerun is byte-identical (hash, not RNG)."""
+    from etl_sendas_spark.operators.graph import random_walks, symmetrize
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    out = random_walks(edges, length=3, seed=5)
+    rows = [(r["walk_id"], r["step"], r["node"]) for r in out.collect()]
+    again = [(r["walk_id"], r["step"], r["node"])
+             for r in random_walks(edges, length=3, seed=5).collect()]
+    assert sorted(rows) == sorted(again)
+
+    und = {(r["src"], r["dst"]) for r in symmetrize(edges).collect()}
+    walks = {}
+    for wid, step, node in rows:
+        walks.setdefault(wid, {})[step] = node
+    assert set(walks) == {"a", "b", "c", "d"}
+    for wid, path in walks.items():
+        assert sorted(path) == [0, 1, 2, 3], (wid, path)
+        assert path[0] == wid
+        for i in range(3):
+            assert (path[i], path[i + 1]) in und, (wid, path)
