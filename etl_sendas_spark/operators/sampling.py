@@ -203,3 +203,52 @@ def weighted_sample_k(
         .orderBy(F.col("sample_key"), F.col(id_col))
         .limit(k)
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, float]],
+    denom: int = 1000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP
+    (domain, author, url-host, dedup cluster…) lands in the SAME split.
+
+    Row-hash splitting leaks — near-duplicates share a source, so a
+    random row split puts one copy in train and its twin in test,
+    inflating eval. The standard fix (how production corpus pipelines
+    split before benchmark decontamination) keys the split decision on
+    a hash of the *group*: ``bucket = hash60(group) % denom``, and
+    cumulative bucket ranges in the caller's ``splits`` order pick the
+    split name. Within a group the assignment is constant, so cross-
+    split leakage of a group is impossible by construction.
+
+    Like every sampler in this module the decision is the portable
+    60-bit md5 prefix: a single scan-local ``CASE`` over a hash —
+    no shuffle, no RNG, reproducible across engines/runs/partitioning,
+    and stable as the corpus grows (an existing group never changes
+    split when new groups arrive — the consistent-hash property that
+    makes incremental corpus refreshes train/test-safe).
+
+    ``splits`` is an ordered list of (name, fraction); fractions must
+    be > 0 and sum to <= 1 (any remainder falls to the LAST split, so
+    [(train, .8), (val, .1), (test, .1)] covers the space exactly).
+    """
+    if not splits:
+        raise ValueError("group_split: splits must be non-empty")
+    fracs = [f for _, f in splits]
+    if any(f <= 0 for f in fracs):
+        raise ValueError(f"group_split: fractions must be > 0, got {fracs}")
+    if sum(fracs) > 1.0 + 1e-9:
+        raise ValueError(f"group_split: fractions sum to {sum(fracs)} > 1")
+    bucket = hash_bucket(F.col(group_col), denom)
+    expr: Column | None = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        cond = bucket < F.lit(int(round(acc * denom)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

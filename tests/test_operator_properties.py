@@ -12,6 +12,7 @@ Python re-implementation on randomized inputs.
 from __future__ import annotations
 
 import datetime as dt
+import math
 import random
 
 import pytest
@@ -1712,3 +1713,83 @@ def test_random_walks_valid_and_deterministic(spark):
         assert path[0] == wid
         for i in range(3):
             assert (path[i], path[i + 1]) in und, (wid, path)
+
+
+def test_group_split_leakage_free_and_stable(spark):
+    """Groups never span splits (the leakage-safety contract), the
+    assignment ignores row content (only the group key decides), adding
+    new groups never reassigns existing ones (consistent-hash growth
+    property), remainder mass falls to the LAST split, and bad
+    fractions fail fast."""
+    import pytest as _pytest
+
+    from etl_sendas_spark.operators.sampling import group_split
+
+    rows = [(i, f"g{i % 40}", f"payload-{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string, body string")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = group_split(df, "grp", splits)
+
+    per_group = {}
+    for r in out.collect():
+        per_group.setdefault(r["grp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_group.values()), per_group
+    assert set().union(*per_group.values()) <= {"train", "val", "test"}
+
+    # growth stability: a corpus with MORE groups assigns the original
+    # groups identically
+    rows2 = rows + [(1000 + i, f"h{i}", "x") for i in range(60)]
+    df2 = spark.createDataFrame(rows2, "id long, grp string, body string")
+    before = {r["grp"]: r["split"] for r in out.select("grp", "split").distinct().collect()}
+    after = {
+        r["grp"]: r["split"]
+        for r in group_split(df2, "grp", splits)
+        .select("grp", "split").distinct().collect()
+        if r["grp"].startswith("g")
+    }
+    assert before == after
+
+    # remainder falls to the last split: fractions summing under 1
+    part = group_split(df, "grp", [("a", 0.3), ("b", 0.2)])
+    assert {r["split"] for r in part.collect()} <= {"a", "b"}
+
+    with _pytest.raises(ValueError):
+        group_split(df, "grp", [])
+    with _pytest.raises(ValueError):
+        group_split(df, "grp", [("a", 0.0)])
+    with _pytest.raises(ValueError):
+        group_split(df, "grp", [("a", 0.7), ("b", 0.5)])
+
+
+def test_psi_drift_planted_shift_and_null_case(spark):
+    """Identical distributions read PSI ~ 0; a planted location shift
+    reads > 0.25 ('significant shift' on the standard scale); empty
+    bins stay finite (smoothing); bad inputs fail fast."""
+    import pytest as _pytest
+
+    from etl_sendas_spark.operators.quality_checks import psi_drift
+
+    base = [(i, float(i % 100)) for i in range(2000)]
+    ref = spark.createDataFrame(base, "id long, v double")
+    same = psi_drift(ref, ref, "v").first()
+    assert abs(same["psi"]) < 1e-6
+    assert same["n_ref"] == same["n_cur"] == 2000
+
+    # location shift: mass moves to the top of the frozen range
+    shifted = spark.createDataFrame(
+        [(i, 90.0 + (i % 100) / 10.0) for i in range(2000)], "id long, v double"
+    )
+    drift = psi_drift(ref, shifted, "v").first()
+    assert drift["psi"] > 0.25, drift
+
+    # values beyond the frozen reference range clamp into edge bins
+    wild = spark.createDataFrame(
+        [(1, -1e9), (2, 1e9), (3, 50.0)], "id long, v double"
+    )
+    clamped = psi_drift(ref, wild, "v").first()
+    assert math.isfinite(clamped["psi"]) and clamped["n_cur"] == 3
+
+    with _pytest.raises(ValueError):
+        psi_drift(ref, ref, "v", n_bins=1)
+    with _pytest.raises(ValueError):
+        psi_drift(ref, ref, "v", lo=5.0, hi=5.0)

@@ -32,6 +32,21 @@ Content-dedup queries (minhash/simhash/ngram/embedding near-dup) are
 excluded by default: replicating identical text/vectors inflates
 duplicate-cluster sizes quadratically in pair count, which benchmarks
 the data generator, not the engine.
+
+The SAME caveat hits co-occurrence/graph queries built on entity keys
+the default SHIFT map leaves alone (l_partkey, o_custkey, l_suppkey):
+replicas repeat the same part/customer/supplier universe, so basket
+co-occurrence support inflates ×factor (association rules' s>=2 gate
+passes a superlinearly denser co-purchase graph — one wedge-join task
+was still running after 12 min at ×10) while distinct entity-pair
+graphs (random walks' customer-supplier edges) collapse back to ×1.
+``--shift-entities`` builds ``/tmp/sendas_entshift_x{factor}`` where
+those three keys ALSO shift per replica — each replica a disjoint
+catalog shard, co-occurrence per-key constant, total graph linear in
+factor: the way a real catalog grows. Queries that join the 1×-copied
+part/customer/supplier dims are excluded in this mode (fact keys no
+longer resolve); the co-occurrence family reads facts only, which is
+why the mode exists.
 """
 
 from __future__ import annotations
@@ -56,6 +71,13 @@ SHIFT: dict[str, list[str]] = {
 }
 STRIDE = 10_000_000_000  # beyond any generated id at any driver SF
 
+# --shift-entities: entity keys additionally shifted (disjoint catalog
+# shards per replica; dim-joining queries excluded — see module doc)
+ENTITY_SHIFT: dict[str, list[str]] = {
+    "lineitem": ["l_partkey", "l_suppkey"],
+    "orders": ["o_custkey"],
+}
+
 # --skew: group-key columns remapped to zipf over N_HOT keys
 ZIPF_KEY = {"lineitem": "l_orderkey", "events": "user_id"}
 N_HOT = 1000
@@ -78,18 +100,26 @@ DEFAULT_QUERIES = [
 
 
 def build_scaled(
-    src_dir: str, factor: int, out_dir: str, skew: bool = False
+    src_dir: str,
+    factor: int,
+    out_dir: str,
+    skew: bool = False,
+    shift_entities: bool = False,
 ) -> None:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    shift_map = {
+        t: cols + ENTITY_SHIFT.get(t, []) if shift_entities else cols
+        for t, cols in SHIFT.items()
+    }
     for t in TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(src) or os.path.exists(dst):
             continue
-        if t not in SHIFT:
+        if t not in shift_map:
             shutil.copyfile(src, dst)
             continue
         # zipf(α≈2) via inverse CDF: u uniform in (0,1] per (row,
@@ -100,12 +130,12 @@ def build_scaled(
             return f"LEAST(CAST(ceil(1.0 / ({u})) AS BIGINT), {N_HOT}) AS {c}"
 
         exprs = []
-        for c in SHIFT[t]:
+        for c in shift_map[t]:
             if skew and ZIPF_KEY.get(t) == c:
                 exprs.append(zipf(c))
             else:
                 exprs.append(f"{c} + r.i * {STRIDE} AS {c}")
-        if skew and t in ZIPF_KEY and ZIPF_KEY[t] not in SHIFT[t]:
+        if skew and t in ZIPF_KEY and ZIPF_KEY[t] not in shift_map[t]:
             exprs.append(zipf(ZIPF_KEY[t]))
         repl = ", ".join(exprs)
         con.execute(
@@ -242,6 +272,8 @@ def main() -> int:
 
     args = sys.argv[1:]
     skew = "--skew" in args
+    shift_entities = "--shift-entities" in args
+    args = [a for a in args if a != "--shift-entities"]
     args = [a for a in args if a != "--skew"]
     factor = int(args[0]) if args else 10
     src_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
@@ -254,10 +286,13 @@ def main() -> int:
     spark_only = os.environ.get("SCALE_BENCH_SPARK_ONLY", "") == "1"
     runs = int(os.environ.get("SCALE_BENCH_RUNS", "2"))
 
-    out_dir = (
-        f"/tmp/sendas_skew_x{factor}" if skew else f"/tmp/sendas_scale_x{factor}"
-    )
-    build_scaled(src_dir, factor, out_dir, skew=skew)
+    if skew:
+        out_dir = f"/tmp/sendas_skew_x{factor}"
+    elif shift_entities:
+        out_dir = f"/tmp/sendas_entshift_x{factor}"
+    else:
+        out_dir = f"/tmp/sendas_scale_x{factor}"
+    build_scaled(src_dir, factor, out_dir, skew=skew, shift_entities=shift_entities)
 
     spark = get_spark(app_name=f"scale_bench_x{factor}")
     con = duckdb.connect()
