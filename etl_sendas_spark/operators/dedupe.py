@@ -702,6 +702,8 @@ def embedding_near_dup_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from .similarity import round_half_up
+
     vecs = df.select(
         F.col(id_col).alias("doc"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -782,7 +784,7 @@ def embedding_near_dup_pairs(
             q_ids = pdf["doc"].values
             q = np.array(list(pdf["v"].values), dtype="float64")
             q /= np.linalg.norm(q, axis=1)[:, None]
-            sims = np.round(q @ all_mat.T, 6)
+            sims = round_half_up(q @ all_mat.T, 6)
             qi, ci = np.where(sims >= thr)
             if len(qi) == 0:
                 continue

@@ -42,6 +42,18 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def round_half_up(arr, decimals: int = 6):
+    """HALF_UP rounding for numpy arrays — matches Spark's ``F.round``
+    (and DuckDB's ``round``), which round a trailing 5 AWAY FROM ZERO.
+    ``np.round`` is banker's (half-to-even), so a cosine landing exactly
+    on a 5-at-the-(d+1)th-decimal boundary would round differently per
+    backend; the numpy paths share this one rule instead."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
 
@@ -141,7 +153,7 @@ def _cosine_scores_np(c: DataFrame, q: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             emb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
-            sims = np.round(
+            sims = round_half_up(
                 (emb @ qmat.T) / (pdf["cn"].to_numpy()[:, None] * qn[None, :]), 6
             )
             b, m = sims.shape

@@ -335,7 +335,7 @@ def bloom_build(
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     pos = df.select(
         F.explode(F.array(*_bloom_hashes(v, k_hashes, total_bits))).alias("p")
-    )
+    ).filter(F.col("p").isNotNull())  # NULL build value = no bits set (matches probe)
     return (
         pos.groupBy((F.col("p") / 63).cast("int").alias("w"))
         .agg(
@@ -388,10 +388,13 @@ def bloom_filter_probe(
             )
             .withColumn(
                 f"__f{i}",
-                # per-row shift amount -> SQL-parsed shiftright
+                # per-row shift amount -> SQL-parsed shiftright; the outer
+                # COALESCE catches a NULL probe value (NULL p_i would poison
+                # the flag product) so NULL probes read "not a member" (0),
+                # agreeing with the SQL oracle's CASE.
                 F.expr(
-                    f"CAST(shiftright(COALESCE({b_i}, CAST(0 AS BIGINT)),"
-                    f" CAST({p_i} % 63 AS INT)) & 1 AS INT)"
+                    f"COALESCE(CAST(shiftright(COALESCE({b_i}, CAST(0 AS BIGINT)),"
+                    f" CAST({p_i} % 63 AS INT)) & 1 AS INT), 0)"
                 ),
             )
             .drop(p_i, w_i, b_i)

@@ -144,13 +144,28 @@ def compact_parquet(
     return n
 
 
-def write_excel(df: DataFrame, path: str) -> None:
+def write_excel(df: DataFrame, path: str, max_rows: int = 1_048_576) -> None:
     """Excel sink (reference S5, capital_sendas.py:600) — driver-side,
     audit-sized output only. Uses openpyxl when installed; otherwise the
     stdlib xlsx codec writes the same byte-stream format (all cells as
     inline strings — the reference reads its own exports ``dtype=str``).
+
+    The ``toPandas()`` is the point of this sink (one driver-side .xlsx
+    file), but nothing else bounds it, so a caller pointing it at a fact
+    table would OOM the driver. ``max_rows`` (default = Excel's own
+    per-sheet row limit) is enforced with the same fused limit(cap+1)
+    trick as ``embedding_near_dup_pairs``'s exact-path guard: one job,
+    driver memory bounded by the cap even when the input is over it,
+    exact below it.
     """
-    pdf = df.toPandas()
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"write_excel materializes the frame on the driver and the "
+            f"input exceeds max_rows={max_rows} (Excel's sheet limit is "
+            f"1,048,576). Use write_parquet/write_csv for fact-table "
+            f"outputs, or pass an explicit max_rows if you really mean it."
+        )
     try:
         import openpyxl  # noqa: F401
 

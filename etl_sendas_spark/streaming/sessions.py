@@ -596,11 +596,18 @@ def quantile_sketch_stream(
             n += len(pdf)
             hvs.extend(int(x) for x in pdf[hv_col])
             vs.extend(float(x) for x in pdf[value_col])
-            if len(hvs) > k:
-                order = np.argsort(np.asarray(hvs, dtype=np.int64),
-                                   kind="stable")[:k]
-                hvs = [hvs[i] for i in order]
-                vs = [vs[i] for i in order]
+        # Sort by (hv, v) UNCONDITIONALLY — the batch sketch is
+        # sort_array'ed by (hv, v), so a group that never exceeds k must
+        # still emit in sketch order, not arrival order, for the
+        # bit-for-bit parity claim to hold. lexsort keys are
+        # least-significant first: vs breaks (vanishingly rare) hv ties.
+        if hvs:
+            order = np.lexsort(
+                (np.asarray(vs, dtype=np.float64),
+                 np.asarray(hvs, dtype=np.int64))
+            )[:k]
+            hvs = [hvs[i] for i in order]
+            vs = [vs[i] for i in order]
         state.update((hvs, vs, n))
         yield pd.DataFrame(
             {

@@ -1793,3 +1793,62 @@ def test_psi_drift_planted_shift_and_null_case(spark):
         psi_drift(ref, ref, "v", n_bins=1)
     with _pytest.raises(ValueError):
         psi_drift(ref, ref, "v", lo=5.0, hi=5.0)
+
+
+def test_bloom_null_values_are_not_members(spark):
+    """NULL hygiene on both Bloom sides (r5 advice): a NULL build value
+    sets no bits (it would otherwise insert a (NULL, NULL) word row),
+    and a NULL probe value reads "not a member" (0) — matching the SQL
+    oracle's CASE — instead of poisoning the flag product to NULL."""
+    from etl_sendas_spark.operators.sketches import bloom_build, bloom_filter_probe
+
+    members = spark.createDataFrame(
+        [(7,), (None,), (21,)], "v long"
+    )
+    bloom = bloom_build(members, "v", m_words=64, k_hashes=3)
+    # no NULL word rows leaked into the filter table
+    assert bloom.filter(F.col("w").isNull() | F.col("bits").isNull()).count() == 0
+
+    probes = spark.createDataFrame([(7,), (None,), (999_983,)], "v long")
+    out = bloom_filter_probe(probes, "v", bloom, m_words=64, k_hashes=3)
+    got = {r["v"]: r["might_contain"] for r in out.collect()}
+    assert got[7] == 1                      # member still flagged
+    assert got[None] == 0                   # NULL probe: 0, never NULL
+    assert got[None] is not None
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The shared numpy HALF_UP helper must agree with F.round on the
+    boundary cases where np.round (banker's) diverges: a trailing 5
+    rounds AWAY FROM ZERO in both engines, both signs."""
+    import numpy as np
+
+    from etl_sendas_spark.operators.similarity import round_half_up
+
+    vals = [0.1234565, -0.1234565, 0.1234575, -0.1234575, 1.9999995,
+            -1.9999995, 0.0, 0.25, -0.25]
+    arr = round_half_up(np.array(vals), 6)
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        F.round("v", 6).alias("r")
+    )
+    expected = [r["r"] for r in sdf.collect()]
+    assert [round(float(x), 6) for x in arr] == expected
+    # and np.round would have gotten at least one of these wrong
+    assert list(np.round(np.array(vals), 6)) != expected
+
+
+def test_write_excel_guard_raises_on_oversized_frame(spark, tmp_path):
+    """write_excel materializes on the driver; the cap must raise with
+    guidance past max_rows and still write the audit-sized path."""
+    from etl_sendas_spark.sources.sinks import write_excel
+
+    big = spark.range(0, 50)
+    with pytest.raises(ValueError, match="write_parquet"):
+        write_excel(big, str(tmp_path / "big.xlsx"), max_rows=10)
+
+    small = spark.range(0, 5).select(F.col("id").cast("string").alias("c"))
+    out = str(tmp_path / "small.xlsx")
+    write_excel(small, out, max_rows=10)
+    import os
+
+    assert os.path.getsize(out) > 0

@@ -98,6 +98,12 @@ DEFAULT_QUERIES = [
     "sendas_full_pipeline",
 ]
 
+# Defaults that join the part/customer/supplier dims — excluded under
+# --shift-entities, where replica fact keys are shifted into disjoint
+# catalog shards and would no longer match the 1x-copied dims (the join
+# would "succeed" while enriching nothing).
+DIM_JOINING_QUERIES = {"j_broadcast_enrich", "sendas_full_pipeline"}
+
 
 def build_scaled(
     src_dir: str,
@@ -277,9 +283,18 @@ def main() -> int:
     args = [a for a in args if a != "--skew"]
     factor = int(args[0]) if args else 10
     src_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    names = args[2:] or (
-        ["d1_keep_first", "sendas_full_pipeline"] if skew else DEFAULT_QUERIES
-    )
+    if args[2:]:
+        names = args[2:]
+    elif skew:
+        names = ["d1_keep_first", "sendas_full_pipeline"]
+    elif shift_entities:
+        # the module doc's exclusion, enforced: shifted replica fact keys
+        # (partkey/suppkey/custkey) no longer resolve against the
+        # 1x-copied dims, so dim-joining defaults would silently bench
+        # joins that match nothing. Keep only the fact-only family.
+        names = [n for n in DEFAULT_QUERIES if n not in DIM_JOINING_QUERIES]
+    else:
+        names = DEFAULT_QUERIES
     # SCALE_BENCH_SPARK_ONLY=1 skips the DuckDB side (its single-thread
     # shapes get prohibitively slow at large factors); SCALE_BENCH_RUNS
     # overrides min-of-N (default 2).
