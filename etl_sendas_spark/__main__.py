@@ -110,8 +110,16 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     p1 = _write_any(out, args.out_dir, "capital_sendas", args.format)
     p2 = _write_any(check, args.out_dir, "comprobar", args.format)
+    # the pipeline's spec artifact, like the reference ships
+    # grafo_sendas.html next to its outputs (grafo_sendas.html:586-587)
+    from .plans.lineage import emit_lineage_html, emit_lineage_json
+
+    p3 = os.path.join(args.out_dir, "lineage.html")
+    emit_lineage_html(p3)
+    emit_lineage_json(os.path.join(args.out_dir, "lineage.json"))
     print(f"capital_sendas -> {p1}")
     print(f"comprobar      -> {p2}")
+    print(f"lineage        -> {p3} (+ lineage.json)")
     return 0
 
 

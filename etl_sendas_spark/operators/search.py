@@ -279,6 +279,10 @@ def hybrid_rrf_topk(
     k_each: int = 20,
     rrf_k: int = 60,
     vec_backend: str = "exact",
+    vec_path: str = "brute",
+    ivf_centroids: int = 32,
+    ivf_probe: int = 8,
+    ivf_lloyd_iters: int = 2,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 keyword ranking fused with dense cosine
     ranking by Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009
@@ -296,9 +300,25 @@ def hybrid_rrf_topk(
     the oracle reproduces the fused ordering bit-for-bit.
 
     100 TB shape: the two branches are the already-scale-shaped
-    :func:`bm25_topk` (query-vocabulary-bounded corpus shuffle) and
-    :func:`~..similarity.cosine_topk` (broadcast query matrix, one
-    corpus scan; swap in the IVF/LSH variant above memory scale).
+    :func:`bm25_topk` (query-vocabulary-bounded corpus shuffle) and a
+    dense retriever selected by ``vec_path``:
+
+    - ``"brute"`` (default): :func:`~.similarity.cosine_topk` — exact,
+      one full corpus scan per query batch. The ORACLE path (the SQL
+      mirror replays it term-for-term), and fine while the corpus scan
+      is cheap — but it is the branch the round-5 scale audit flagged
+      at ×100 (3.46× the mirror), because the scan cost is
+      |corpus|×|queries| regardless of how few clusters matter.
+    - ``"ivf"``: :func:`~.similarity.ivf_cosine_topk` — the sub-linear
+      production path: the corpus is scored only inside the
+      ``ivf_probe`` of ``ivf_centroids`` clusters nearest each query
+      (scanned fraction ≈ ivf_probe/ivf_centroids), with
+      ``ivf_lloyd_iters`` k-means refinement rounds (the recall
+      recipe IVF ships with everywhere). RRF consumes ranks, so the
+      fusion itself is unchanged; what IVF trades is dense-branch
+      RECALL (measured in tests/test_corpus_ops.py), never fusion
+      semantics. Self-matches are kept, same as the brute branch.
+
     Their outputs are query-workload-sized (|queries| × k_each rows),
     so the fusion join and final top-k window cost nothing at corpus
     scale.
@@ -306,10 +326,12 @@ def hybrid_rrf_topk(
     Returns ``(query_id, doc_id, rrf, rank)``, top-``k`` per query,
     rrf rounded to 6, ties broken by doc_id.
     """
-    from .similarity import cosine_topk
+    from .similarity import cosine_topk, ivf_cosine_topk
 
     if not queries:
         raise ValueError("hybrid_rrf_topk: empty query list")
+    if vec_path not in ("brute", "ivf"):
+        raise ValueError(f"hybrid_rrf_topk: unknown vec_path={vec_path!r}")
     spark = docs.sparkSession
 
     bm = bm25_topk(
@@ -328,16 +350,32 @@ def hybrid_rrf_topk(
         [(qid, [float(x) for x in vec]) for qid, _, vec in queries],
         schema=f"query_id INT, {vec_col} ARRAY<DOUBLE>",
     )
-    vec = cosine_topk(
-        embeddings,
-        qvecs,
-        id_col=vec_id_col,
-        vec_col=vec_col,
-        k=k_each,
-        query_id_col="query_id",
-        exclude_self=False,
-        backend=vec_backend,
-    ).select(
+    if vec_path == "ivf":
+        vec = ivf_cosine_topk(
+            embeddings,
+            qvecs,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            k=k_each,
+            n_centroids=ivf_centroids,
+            n_probe=ivf_probe,
+            lloyd_iters=ivf_lloyd_iters,
+            assign_backend=vec_backend,
+            query_id_col="query_id",
+            exclude_self=False,
+        )
+    else:
+        vec = cosine_topk(
+            embeddings,
+            qvecs,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            k=k_each,
+            query_id_col="query_id",
+            exclude_self=False,
+            backend=vec_backend,
+        )
+    vec = vec.select(
         "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_v")
     )
 

@@ -299,6 +299,8 @@ def ivf_cosine_topk(
     n_probe: int = 8,
     lloyd_iters: int = 0,
     assign_backend: str = "exact",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) index.
 
@@ -321,11 +323,12 @@ def ivf_cosine_topk(
     rounds (diminishing returns after — standard IVF practice).
     """
     from .dedupe import portable_hash60
+    qid = query_id_col or id_col
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
 
     cents = (
@@ -380,9 +383,11 @@ def ivf_cosine_topk(
         .select("query_id", "qv", "qn", F.col("centroid_id").alias("cluster"))
     )
 
+    scored = assigned.join(F.broadcast(probes), "cluster")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = (
-        assigned.join(F.broadcast(probes), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        scored
         .select(
             "query_id",
             "neighbor_id",
@@ -582,6 +587,7 @@ def semantic_dedup(
     n_clusters: int = 32,
     threshold: float = 0.95,
     assign_backend: str = "exact",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup-style cluster-bounded semantic deduplication.
 
@@ -597,8 +603,16 @@ def semantic_dedup(
     Deterministic construction, same as :func:`ivf_cosine_topk` so the
     DuckDB oracle replays the index bit-for-bit: centroids are the
     ``n_clusters`` corpus vectors with the lowest portable md5-60 id
-    hashes (no RNG; production should add Lloyd rounds exactly as IVF
-    does), assignment is the broadcast argmax pass. A row is flagged
+    hashes (no RNG), optionally refined by ``lloyd_iters`` k-means
+    rounds — the paper's actual recipe. Each round assigns (broadcast
+    argmax) and recomputes per-cluster element-wise means as ``dim``
+    map-side-combinable ``avg`` aggregates; the refined means are
+    ROUNDED to 9 decimals so the SQL oracle can replay the refinement
+    exactly (an unrounded cross-engine float mean differs in the last
+    ULP and could flip a boundary assignment — same rounding discipline
+    as the rank-ordering cosines). Labels stay the seed ids; empty
+    clusters drop out. Assignment is the broadcast argmax pass. A row
+    is flagged
     ``is_dup = 1`` iff a LOWER-id row in the same cluster has rounded
     cosine >= ``threshold`` — min-id canonical, matching every other
     dedup family's keep-first convention (the paper keeps the member
@@ -636,12 +650,36 @@ def semantic_dedup(
             F.col("cn").alias("ce_n"),
         )
     )
+    from ..materialize import materialize
+
+    if lloyd_iters > 0:
+        # k-means refinement, IVF's loop (see ivf_cosine_topk) with one
+        # addition: means round to 9 decimals so the refinement is
+        # cross-engine replayable (docstring). Centroids pin per round
+        # so the next assignment doesn't recompute the previous rounds.
+        dim = len(corpus.select(vec_col).first()[0])
+        for _ in range(lloyd_iters):
+            members = _assign_nearest_centroid(c, cents, backend=assign_backend)
+            cents = (
+                members.groupBy("cluster")
+                .agg(*[
+                    F.round(F.avg(F.col("cv")[i]), 9).alias(f"__m{i}")
+                    for i in range(dim)
+                ])
+                .select(
+                    F.col("cluster").alias("centroid_id"),
+                    F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("ce"),
+                )
+                .withColumn("ce_n", _norm(F.col("ce")))
+                .filter(F.col("ce_n") > 0)
+            )
+        cents = F.broadcast(materialize(cents, name="semantic_dedup_centroids"))
+
     # The assignment frame feeds three consumers (both self-join sides
     # and the final flag join); without a pin each re-runs the
     # |corpus|×n_clusters argmax dot products — measured 64 s -> 23 s
     # at 20k vectors × 256 centroids. At rest this IS the
     # cluster-partitioned table a deployment writes once.
-    from ..materialize import materialize
 
     assigned = materialize(
         _assign_nearest_centroid(c, cents, backend=assign_backend),

@@ -5760,6 +5760,83 @@ EXTRA_QUERIES["dedup_semantic_docs"] = dedup_semantic_docs
 EXTRA_ORACLES["dedup_semantic_docs"] = DEDUP_SEMANTIC_SQL
 
 
+def dedup_semantic_lloyd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the PAPER's shape (r5 verdict item 3): the hash-seed
+    centroids refined by TWO Lloyd k-means rounds before the
+    cluster-bounded pair pass, at a corpus-real n_clusters (64 ≈
+    |corpus|/8 at this SF). Refined means round to 9 decimals so the
+    construction stays deterministic cross-engine.
+
+    ORACLE: ``DEDUP_SEMANTIC_LLOYD_SQL`` replays the ENTIRE refinement
+    — seed sample, two assign→mean rounds (element-wise AVG via
+    generate_subscripts/unnest, ROUND 9, empty clusters dropped), final
+    assignment, pair pass — so the driver-grade hash covers Lloyd
+    itself, not just the seeded index."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_clusters=64, threshold=0.40, lloyd_iters=2,
+    )
+
+
+def _semantic_lloyd_assign_sql(cent: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT vec_id, e, nrm, centroid_id AS cluster FROM (
+    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
+                                       c.centroid_id) AS rn
+    FROM s CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+
+def _semantic_lloyd_mean_sql(prev_assigned: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT centroid_id, ce, sqrt(list_dot_product(ce, ce)) AS cen FROM (
+    SELECT cluster AS centroid_id, list(m ORDER BY idx) AS ce FROM (
+      SELECT cluster, idx, ROUND(AVG(val), 9) AS m FROM (
+        SELECT cluster, generate_subscripts(e, 1) AS idx, unnest(e) AS val
+        FROM {prev_assigned}
+      ) GROUP BY cluster, idx
+    ) GROUP BY cluster
+  ) WHERE sqrt(list_dot_product(ce, ce)) > 0
+)"""
+
+
+DEDUP_SEMANTIC_LLOYD_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings WHERE len(embedding) > 0
+), s AS (
+  SELECT vec_id, e, nrm FROM v WHERE nrm > 0
+), cent0 AS (
+  SELECT vec_id AS centroid_id, e AS ce, nrm AS cen FROM s
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+  LIMIT 64
+), {_semantic_lloyd_assign_sql('cent0', 'a0')},
+{_semantic_lloyd_mean_sql('a0', 'cent1')},
+{_semantic_lloyd_assign_sql('cent1', 'a1')},
+{_semantic_lloyd_mean_sql('a1', 'cent2')},
+{_semantic_lloyd_assign_sql('cent2', 'assigned')},
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.40
+)
+SELECT a.vec_id, a.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+"""
+
+EXTRA_QUERIES["dedup_semantic_lloyd_docs"] = dedup_semantic_lloyd_docs
+EXTRA_ORACLES["dedup_semantic_lloyd_docs"] = DEDUP_SEMANTIC_LLOYD_SQL
+
+
 def search_hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (operators/search.hybrid_rrf_topk): the BM25
     keyword queries fused with dense cosine ranking by Reciprocal Rank
@@ -5861,6 +5938,100 @@ QUALIFY rank <= 10
 
 EXTRA_QUERIES["search_hybrid_rrf_docs"] = search_hybrid_rrf_docs
 EXTRA_ORACLES["search_hybrid_rrf_docs"] = SEARCH_HYBRID_RRF_SQL
+
+
+def search_hybrid_rrf_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the SUB-LINEAR dense branch — the round-5 scale
+    fix: the brute branch scans |corpus|x|queries| pairs no matter what
+    (x100 it ran 3.46x the mirror), while vec_path="ivf" scores only
+    the n_probe/n_centroids fraction of the corpus nearest each query
+    (operators/search.hybrid_rrf_topk -> similarity.ivf_cosine_topk).
+
+    This registered shape keeps lloyd_iters=0 and md5-60 centroid
+    sampling so the ORACLE rebuilds the IDENTICAL index in SQL (same
+    construction ANN_IVF_SQL verifies); the production recall recipe
+    (lloyd=2 + BLAS assignment) is pinned against this fusion by
+    tests/test_search_history_urls.py. The assignment backend is
+    env-selectable (SENDAS_IVF_BACKEND=numpy) so the scale bench can
+    run the BLAS kernel — the exact backend is CodegenFallback and
+    its corpus x centroids HOF dots dominate past ~100k vectors — while
+    the driver gate stays on the SQL-replayable exact path (the two
+    are property-pinned equal)."""
+    import os as _os
+
+    from ..operators.search import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    by_id = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin([q[0] for q in _BM25_QUERIES]))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    queries = [(qid, text, by_id[qid]) for qid, text in _BM25_QUERIES]
+    return hybrid_rrf_topk(
+        docs, emb, queries, k=10, k_each=20, rrf_k=60,
+        vec_path="ivf", ivf_centroids=32, ivf_probe=8, ivf_lloyd_iters=0,
+        vec_backend=_os.environ.get("SENDAS_IVF_BACKEND", "exact"),
+    )
+
+
+# the brute `vec` CTE swapped for the IVF index CTEs (cent/assigned/
+# probes replayed exactly as ANN_IVF_SQL does, self-match KEPT per the
+# hybrid contract); everything else — BM25 branch, fusion, top-k — is
+# byte-identical to SEARCH_HYBRID_RRF_SQL.
+_HYBRID_BRUTE_VEC_CTE = """vec AS (
+  SELECT query_id, doc_id, rn AS rank_v FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_dot_product(c.e, q.e) / (c.nrm * q.nrm), 6) DESC,
+                                       c.vec_id) AS rn
+    FROM v c CROSS JOIN qv q
+    WHERE c.nrm > 0
+  ) WHERE rn <= 20
+),"""
+
+_HYBRID_IVF_VEC_CTE = """cent AS (
+  SELECT vec_id AS centroid_id, e AS ce, nrm AS cen FROM v WHERE nrm > 0
+  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+  LIMIT 32
+),
+assigned AS (
+  SELECT vec_id, e, nrm, centroid_id AS cluster FROM (
+    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
+                                       c.centroid_id) AS rn
+    FROM v s CROSS JOIN cent c WHERE s.nrm > 0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qn, centroid_id AS cluster FROM (
+    SELECT q.vec_id, q.e, q.nrm, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.e, c.ce) / (q.nrm * c.cen) DESC,
+                                       c.centroid_id) AS rn
+    FROM qv q CROSS JOIN cent c
+  ) WHERE rn <= 8
+),
+vec AS (
+  SELECT query_id, doc_id, rn AS rank_v FROM (
+    SELECT p.query_id, a.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY ROUND(list_dot_product(a.e, p.qe) / (a.nrm * p.qn), 6) DESC,
+                                       a.vec_id) AS rn
+    FROM assigned a JOIN probes p ON a.cluster = p.cluster
+  ) WHERE rn <= 20
+),"""
+
+assert _HYBRID_BRUTE_VEC_CTE in SEARCH_HYBRID_RRF_SQL
+SEARCH_HYBRID_RRF_IVF_SQL = SEARCH_HYBRID_RRF_SQL.replace(
+    _HYBRID_BRUTE_VEC_CTE, _HYBRID_IVF_VEC_CTE
+)
+
+EXTRA_QUERIES["search_hybrid_rrf_ivf_docs"] = search_hybrid_rrf_ivf_docs
+EXTRA_ORACLES["search_hybrid_rrf_ivf_docs"] = SEARCH_HYBRID_RRF_IVF_SQL
 
 
 def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6619,6 +6790,23 @@ EXTRA_ORACLES["dq_psi_drift"] = DQ_PSI_DRIFT_SQL
 # contains each of them whole, and dedup_exact_docs leaves because the
 # fingerprint-groupBy machinery is driver-pinned inside
 # corpus_training_manifest's exact-dedup stage.
+# Round-6 rotation (the r5 verdict's item 10 plus the new machinery):
+# IN — search_hybrid_rrf_ivf_docs (the IVF index INSIDE the rank
+# fusion; its oracle replays BM25 + centroid sample + cluster probing
+# + fusion end-to-end), graph_triangle_counts (wedge-join O(m^1.5)
+# machinery, nothing else covers it), a_association_rules
+# (support/confidence/lift over pinned baskets), sample_group_split_docs
+# (leakage-safe group-hash split), dq_psi_drift (binned-distribution
+# drift). OUT, each still holding the identical oracle bar in EXTRA:
+# search_hybrid_rrf_docs (the brute variant; BM25 + fusion stay
+# driver-covered by the IVF variant, the brute-cosine kernel keeps its
+# pytest parity row), graph_pagerank_entities (iterative mat-vec
+# driver-pinned by graph_hits_entities), ivm_incremental_agg
+# (incremental_agg_update driver-pinned inside streaming_matview_counts),
+# r2_dual_key_mark (windowed first-flag machinery driver-pinned by
+# f1_priority_pick and r1_capped_mark), sample_stratified_docs
+# (per-stratum hash-rank sampling; the sampling family's driver row is
+# now the group split, stratified keeps the pytest bar).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -6637,7 +6825,7 @@ DRIVER_WINDOW = [
     "s3_filename_partition",
     "s5_sink_compact_roundtrip",
     "f1_priority_pick",
-    "r2_dual_key_mark",
+    "sample_group_split_docs",
     "w_window_frames",
     "j_asof_events",
     "j_range_bucketed",
@@ -6648,11 +6836,11 @@ DRIVER_WINDOW = [
     "r4_invoice_zeroing",
     "sendas_full_pipeline",
     "text_features",
-    "sample_stratified_docs",
+    "dq_psi_drift",
     "corpus_training_manifest",
-    "search_hybrid_rrf_docs",
+    "search_hybrid_rrf_ivf_docs",
     "fuzzy_match_part_names",
-    "ivm_incremental_agg",
+    "a_association_rules",
     "ivm_minmax_incremental",
     "dedup_semantic_docs",
     "graph_hits_entities",
@@ -6662,7 +6850,7 @@ DRIVER_WINDOW = [
     "dedup_segments_docs",
     "embedding_near_dup_bucketed",
     "j_bloom_prefilter",
-    "graph_pagerank_entities",
+    "graph_triangle_counts",
     "pack_training_sequences",
     "multimodal_features",
     "streaming_matview_counts",

@@ -146,3 +146,119 @@ def unrealized_nodes() -> list[str]:
     claimed = {n for s in STAGES for n in s.realizes}
     every = set(TABLES) | set(CONDITIONS) | set(RULES) | set(CALCULATIONS)
     return sorted(every - claimed)
+
+
+# --- artifact emission ------------------------------------------------------
+# The reference SHIPS its graph (grafo_sendas.html:586 nodes / :587
+# edges, pyvis). The mirror below emits the same spec as (a) a JSON
+# document any tool can load and (b) a self-contained HTML file (inline
+# SVG, no CDN / JS dependencies — the container is offline) with the
+# reference's kind colors, so the pipeline's spec is inspectable as an
+# artifact, not only as importable metadata.
+
+KIND_COLORS = {
+    # the reference graph's palette, by node kind
+    "table": "gold",
+    "condition": "limegreen",
+    "rule": "crimson",
+    "calculation": "hotpink",
+    "stage": "skyblue",
+}
+
+
+def lineage_graph() -> dict:
+    """The mirror as a plain nodes/edges document: one node per stage
+    and per non-column graph node (tables, conditions, rules, calcs),
+    a ``next`` edge between consecutive stages (execution order), and a
+    ``realizes`` edge from each stage to every graph node it claims."""
+    nodes, edges = [], []
+    for kind, table in (
+        ("table", TABLES),
+        ("condition", CONDITIONS),
+        ("rule", RULES),
+        ("calculation", CALCULATIONS),
+    ):
+        for node_id, binding in table.items():
+            nodes.append(
+                {"id": node_id, "kind": kind,
+                 "color": KIND_COLORS[kind], "title": binding}
+            )
+    for st in STAGES:
+        nodes.append(
+            {"id": f"stage:{st.name}", "kind": "stage",
+             "color": KIND_COLORS["stage"],
+             "title": f"plans.capital_sendas.{st.func} ({st.ref})"}
+        )
+    for a, b in zip(STAGES, STAGES[1:]):
+        edges.append(
+            {"from": f"stage:{a.name}", "to": f"stage:{b.name}", "rel": "next"}
+        )
+    for st in STAGES:
+        for node_id in st.realizes:
+            edges.append(
+                {"from": f"stage:{st.name}", "to": node_id, "rel": "realizes"}
+            )
+    return {"nodes": nodes, "edges": edges}
+
+
+def emit_lineage_json(path: str) -> dict:
+    """Write :func:`lineage_graph` as JSON; returns the graph."""
+    import json
+
+    g = lineage_graph()
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(g, f, indent=1, ensure_ascii=False)
+    return g
+
+
+def emit_lineage_html(path: str) -> dict:
+    """Write the graph as one self-contained HTML file: stages as a
+    left-to-right spine, realized nodes fanned below their stage,
+    everything inline SVG (openable anywhere, no network). Returns the
+    graph."""
+    from html import escape
+
+    g = lineage_graph()
+    stage_ids = [n["id"] for n in g["nodes"] if n["kind"] == "stage"]
+    by_id = {n["id"]: n for n in g["nodes"]}
+    col_w, x0, y_stage, y0, row_h = 230, 140, 60, 150, 48
+    pos: dict[str, tuple[int, int]] = {}
+    for i, sid in enumerate(stage_ids):
+        pos[sid] = (x0 + i * col_w, y_stage)
+    for i, sid in enumerate(stage_ids):
+        kids = [e["to"] for e in g["edges"] if e["from"] == sid and e["rel"] == "realizes"]
+        for j, kid in enumerate(kids):
+            pos[kid] = (x0 + i * col_w, y0 + j * row_h)
+    width = x0 + len(stage_ids) * col_w
+    height = max(y for _, y in pos.values()) + 80
+    parts = [
+        "<!doctype html><html><head><meta charset='utf-8'>",
+        "<title>capital_sendas lineage</title></head><body>",
+        "<h2>capital_sendas pipeline lineage</h2>",
+        "<p>Mirror of the reference's grafo_sendas.html node/edge spec "
+        "(tables=gold, join conditions=green, rules=red, calculations="
+        "pink, engine stages=blue). Hover a node for its engine "
+        "binding.</p>",
+        f"<svg width='{width}' height='{height}' "
+        "xmlns='http://www.w3.org/2000/svg'>",
+    ]
+    for e in g["edges"]:
+        (xa, ya), (xb, yb) = pos[e["from"]], pos[e["to"]]
+        dash = "" if e["rel"] == "next" else " stroke-dasharray='4 3'"
+        parts.append(
+            f"<line x1='{xa}' y1='{ya}' x2='{xb}' y2='{yb}' "
+            f"stroke='gray'{dash}/>"
+        )
+    for n in g["nodes"]:
+        x, y = pos[n["id"]]
+        label = n["id"].removeprefix("stage:")
+        parts.append(
+            f"<g><circle cx='{x}' cy='{y}' r='14' fill='{n['color']}' "
+            f"stroke='black'><title>{escape(n['title'])}</title></circle>"
+            f"<text x='{x + 18}' y='{y + 4}' font-size='11' "
+            f"font-family='sans-serif'>{escape(label)}</text></g>"
+        )
+    parts.append("</svg></body></html>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("".join(parts))
+    return g

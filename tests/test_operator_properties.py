@@ -1852,3 +1852,101 @@ def test_write_excel_guard_raises_on_oversized_frame(spark, tmp_path):
     import os
 
     assert os.path.getsize(out) > 0
+
+
+def test_semantic_dedup_lloyd_numpy_equals_exact(spark):
+    """The production recipe (lloyd_iters=2 at corpus-real n_clusters,
+    BLAS assignment) must produce the IDENTICAL flag table as the
+    SQL-replayable exact backend: the 9-decimal centroid rounding each
+    round re-synchronizes the two backends' float noise, so Lloyd does
+    not widen the property-pinned equivalence."""
+    from etl_sendas_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(SF_ORACLE + "/embeddings.parquet")
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              n_clusters=64, threshold=0.40, lloyd_iters=2)
+    exact = sorted(tuple(r) for r in semantic_dedup(emb, **kw).collect())
+    blas = sorted(
+        tuple(r)
+        for r in semantic_dedup(emb, assign_backend="numpy", **kw).collect()
+    )
+    assert exact == blas
+    assert len(exact) == 500
+
+
+def test_semantic_dedup_mega_cluster_hits_aqe_skew_split(spark):
+    """The docstring's 100 TB skew claim, plan-pinned: plant a corpus
+    where ONE cluster holds ~99.8% of the vectors, disable broadcast,
+    scale the AQE skew thresholds to the local data — the cluster-keyed
+    self-join's hot partition must be split by OptimizeSkewedJoin
+    (skew=true in the executed plan), which is what absorbs oversized
+    clusters at scale.
+
+    Construction notes, both found the hard way: (a) the cone vectors
+    carry per-row unique floats — identical rows lz4-compress to
+    nothing in the shuffle and the skew detector (which reads
+    compressed map-output sizes) sees no skew; (b) the seed ids are the
+    n_clusters lowest md5-60 hashes of the id, so the test computes
+    them and plants exactly ONE cone-like seed (noise could otherwise
+    flip assignments between several near-identical cone seeds and
+    shard the mega-cluster). forceOptimizeSkewedJoin mirrors production
+    guidance here: the pair join feeds a distinct on another key, so
+    without force the rule declines to add the (cheap) extra shuffle."""
+    import hashlib
+
+    from etl_sendas_spark.operators.similarity import semantic_dedup
+
+    dim, n = 16, 3200
+    h = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    seeds = sorted(range(n), key=h)[:8]
+    cone_seed = seeds[0]
+    rows = []
+    for i in range(n):
+        if i in seeds and i != cone_seed:
+            v = [0.0] * dim
+            v[seeds.index(i) + 1] = 1.0  # 7 orthogonal singleton clusters
+            rows.append((i, v))
+        else:
+            # noisy cone: cosine ~1 to the single cone seed, <=~0.3 to
+            # the orthogonal seeds, unique bytes per row
+            v = [1.0 + 0.001 * (((i * 31 + j * 17) % 97) / 97.0)
+                 for j in range(dim)]
+            rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        out = semantic_dedup(
+            emb, id_col="vec_id", vec_col="embedding",
+            n_clusters=8, threshold=0.95,
+        )
+        res = out.collect()
+        assert len(res) == n
+        from collections import Counter
+
+        sizes = Counter(r["cluster"] for r in res)
+        assert max(sizes.values()) == n - 7  # the planted mega-cluster
+        # every cone row except the min id is a dup of it
+        dups = sum(r["is_dup"] for r in res)
+        assert dups == n - 8, dups
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -702,3 +702,45 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert by_doc[1][0] > max(by_doc[2][0], by_doc[3][0])
     # single-list score is exactly 1/(60+rank) rounded to 6
     assert by_doc[2][0] in (round(1 / 61, 6), round(1 / 62, 6))
+
+
+def test_hybrid_rrf_ivf_path_matches_exact_fusion(spark):
+    """vec_path="ivf" (the production dense branch) must preserve the
+    fusion semantics: the keyword branch is byte-identical, and the
+    fused top-k per query overlaps the brute-path fusion heavily —
+    the only permitted deviation is dense-branch recall, bounded here.
+    Run on the real sf0.001 corpus so cluster geometry is non-trivial."""
+    from collections import defaultdict
+
+    from etl_sendas_spark.operators.search import hybrid_rrf_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    qids = [1, 2, 3, 4, 5]
+    by_id = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    texts = {1: "spark hash join", 2: "table scan fast", 3: "window sort merge",
+             4: "batch value row", 5: "key part line slow"}
+    queries = [(q, texts[q], by_id[q]) for q in qids]
+
+    kwargs = dict(k=10, k_each=20, rrf_k=60)
+    exact = hybrid_rrf_topk(docs, emb, queries, vec_path="brute", **kwargs).collect()
+    ivf = hybrid_rrf_topk(
+        docs, emb, queries, vec_path="ivf",
+        ivf_centroids=16, ivf_probe=8, ivf_lloyd_iters=2,
+        vec_backend="numpy", **kwargs,
+    ).collect()
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r["query_id"]].add(r["doc_id"])
+    for r in ivf:
+        ap[r["query_id"]].add(r["doc_id"])
+    assert set(ex) == set(ap) == set(qids)
+    overlaps = [len(ex[q] & ap[q]) / len(ex[q]) for q in qids]
+    # n_probe=8 of 16 scans ~half the corpus; fused overlap is higher
+    # than raw dense recall because the keyword branch is exact
+    assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
