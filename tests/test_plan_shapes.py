@@ -408,6 +408,14 @@ def test_tpch_bucketed_layout_removes_fact_exchanges(spark):
             assert "hashpartitioning(l_orderkey" not in plan, q
             assert "hashpartitioning(o_orderkey" not in plan, q
             assert h(df) == plain[q], q
+        # q21's round-6 claim: the per-order window STREAMS off the
+        # co-located SMJ's orderkey-sorted output — no Sort (and no
+        # pair-level aggregate) between Window and join
+        q21_plan = _plan(tpch.TPCH_QUERIES["q21_waiting_supplier"](spark, SF_ORACLE))
+        i = q21_plan.index("Window (")
+        j = q21_plan.index("SortMergeJoin", i)
+        between = q21_plan[i:j]
+        assert "Sort (" not in between and "Exchange" not in between, between
     finally:
         tpch.drop_bucketed_warehouse(SF_ORACLE)
 
