@@ -63,3384 +63,19 @@ def _dec_sum(col, scale: int = 6):
     return F.sum(col.cast("decimal(18,6)")).cast("double")
 
 
-# ===========================================================================
-# relational core
-# ===========================================================================
 
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (TPC-H Q1 shape): scan → filter → groupBy → 6 aggregates.
-
-    Exercises A-family aggregation + predicate pushdown (the shipdate
-    filter reaches the parquet scan).
-    """
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("sum_disc_price"),
-            F.round(
-                _dec_sum(F.col("l_quantity")) / F.count("*"), 4
-            ).alias("avg_qty"),
-            F.round(
-                _dec_sum(F.col("l_extendedprice")) / F.count("*"), 4
-            ).alias("avg_price"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-Q1_SQL = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape on the synthetic schema: 3-way join (filtered fact
-    ⋈ filtered orders ⋈ broadcast customer segment) → group → top-10 by
-    revenue. The segment filter prunes customers before the broadcast;
-    both date filters push into the parquet scans; the only shuffles are
-    the li⋈orders join and the final aggregation. ``l_orderkey`` breaks
-    revenue ties so the top-10 is engine-independent."""
-    cutoff = "1998-06-01"
-    cust = _t(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
-    )
-    return (
-        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.col("o_orderdate").cast("string").alias("o_orderdate"),
-            "o_orderpriority",
-        )
-    )
-
-
-Q3_SQL = """
-SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-       o_orderpriority
-FROM customer, orders, lineitem
-WHERE c_mktsegment = 'BUILDING'
-  AND c_custkey = o_custkey
-  AND l_orderkey = o_orderkey
-  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
-"""
-
-
-def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical aggregate: revenue by (returnflag, linestatus) with
-    ROLLUP subtotals and grand total — one shuffle, Catalyst expands the
-    grouping sets; null grouping cells mark the subtotal rows."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            _dec_sum(F.col("l_extendedprice")).alias("sum_price"),
-            F.count("*").alias("n_rows"),
-        )
-    )
-
-
-A_ROLLUP_SQL = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-       COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (median / p90) of quantity per
-    returnflag. Both engines use linear interpolation (Spark
-    ``percentile``, DuckDB ``quantile_cont``); the approximate scale
-    path is ``percentile_approx`` with the same call shape."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
-    )
-
-
-A_PCTL_SQL = """
-SELECT l_returnflag,
-       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
-       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
-       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
-FROM lineitem
-GROUP BY l_returnflag
-"""
-
-
-def a_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT: revenue by returnflag spread across linestatus columns —
-    one shuffle (Catalyst rewrites pivot into conditional aggregates,
-    exactly the formulation the oracle states)."""
-    li = _t(spark, sf_dir, "lineitem")
-    pivoted = (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["F", "O"])
-        .agg(_dec_sum(F.col("l_extendedprice")))
-    )
-    return pivoted.select(
-        "l_returnflag",
-        F.coalesce("F", F.lit(0.0)).alias("sum_f"),
-        F.coalesce("O", F.lit(0.0)).alias("sum_o"),
-    )
-
-
-A_PIVOT_SQL = """
-SELECT l_returnflag,
-       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
-                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS sum_f,
-       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
-                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS sum_o
-FROM lineitem
-GROUP BY l_returnflag
-"""
-
-
-def a_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-granularity event rollup in ONE shuffle: GROUPING SETS over
-    (event_type, day), (event_type), (day), () — Catalyst expands the
-    sets map-side, so the four granularities cost one pass over the fact
-    table instead of four separate jobs (the way a report layer would
-    otherwise issue them). ``lvl`` is the grouping_id bitmask that
-    distinguishes a subtotal row from a genuine null key."""
-    ev = _t(spark, sf_dir, "events")
-    g = ev.select("event_type", F.to_date("ts").alias("day"), "value")
-    agg = g.groupingSets(
-        [["event_type", "day"], ["event_type"], ["day"], []],
-        "event_type",
-        "day",
-    ).agg(
-        F.count("*").alias("n_events"),
-        _dec_sum(F.col("value")).alias("sum_value"),
-        F.grouping_id().cast("long").alias("lvl"),
-    )
-    # date → ISO string so the oracle compare is dtype-stable (DuckDB
-    # DATE surfaces as datetime64 in pandas, Spark as date objects).
-    return agg.select(
-        "event_type",
-        F.col("day").cast("string").alias("day"),
-        "n_events",
-        "sum_value",
-        "lvl",
-    )
-
-
-A_GROUPING_SETS_SQL = """
-SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS lvl
-FROM events
-GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)), ())
-"""
-
-
-def j9_update_by_row_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 directly: the pandas index-aligned ``df.update(sub)`` as a
-    row-id join + coalesce (reference :380,409,429,543,559) — orders
-    with priority re-marked for a filtered update set, others keeping
-    their value."""
-    from ..operators.relational import update_by_row_id
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority"
-    )
-    updates = orders.filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", F.lit("0-RECLASSIFIED").alias("o_orderpriority")
-    )
-    out = update_by_row_id(
-        orders, updates, value_col="o_orderpriority", row_id="o_orderkey"
-    )
-    return out.select("o_orderkey", "o_orderstatus", "o_orderpriority")
-
-
-J9_UPDATE_SQL = """
-SELECT o_orderkey, o_orderstatus,
-       CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
-            ELSE o_orderpriority END AS o_orderpriority
-FROM orders
-"""
-
-
-def j_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC MERGE: a deterministic change feed (delete every key ≡0 mod
-    10, reprice keys ≡1,2, insert shifted copies of keys ≡3) applied
-    onto orders in ONE full-outer join — the incremental-maintenance
-    primitive the reference lacks (it recomputes whole months). The
-    +1000.0 reprice is an exactly-representable double so the oracle
-    needs no rounding."""
-    from ..operators.relational import merge_changes
-
-    base = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    k = F.col("o_orderkey")
-    deletes = base.filter(k % 10 == 0).withColumn("op", F.lit("D"))
-    updates = (
-        base.filter((k % 10).isin(1, 2))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
-        .withColumn("op", F.lit("U"))
-    )
-    inserts = (
-        base.filter(k % 10 == 3)
-        .withColumn("o_orderkey", k + F.lit(100_000_000))
-        .withColumn("op", F.lit("I"))
-    )
-    changes = deletes.unionByName(updates).unionByName(inserts)
-    return merge_changes(base, changes, keys=["o_orderkey"])
-
-
-J_MERGE_SQL = """
-WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
-changes AS (
-  SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
-  FROM base WHERE o_orderkey % 10 = 0
-  UNION ALL
-  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 'U'
-  FROM base WHERE o_orderkey % 10 IN (1, 2)
-  UNION ALL
-  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I'
-  FROM base WHERE o_orderkey % 10 = 3
+# The inventory is split by era/family (round-6 item 9); this module
+# owns the registries and the DRIVER_WINDOW literal, the inv_* parts
+# own the query definitions. Star imports re-export every query
+# function so `from .inventory import <query>` keeps working.
+from .inv_relational import *  # noqa: E402,F401,F403
+from .inv_corpus import *  # noqa: E402,F401,F403
+# underscore helpers star-import skips but tests/tools import by name
+from .inv_corpus import (  # noqa: E402,F401
+    _BPE_PRETOK,
+    _PACK_BUDGET,
+    _stream_events,
 )
-SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
-       CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
-       CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice
-FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
-WHERE c.op IS NULL OR c.op <> 'D'
-"""
-
-
-def j9_update_then_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 + CDC MERGE chained: first the pandas-``df.update``-equivalent
-    row-id update (reference :380,409,429,543,559 — reclassify priority
-    for finished orders), then a deterministic change feed (delete keys
-    ≡0 mod 10, reprice ≡1,2, insert shifted copies of ≡3) applied in ONE
-    full-outer join. Both maintenance primitives share the o_orderkey
-    shuffle key, so AQE plans the chain with no extra exchange over
-    either half alone. The +1000.0 reprice is exactly representable in
-    double, so the oracle needs no rounding."""
-    from ..operators.relational import merge_changes, update_by_row_id
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
-    )
-    reclass = orders.filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", F.lit("0-RECLASSIFIED").alias("o_orderpriority")
-    )
-    base = update_by_row_id(
-        orders, reclass, value_col="o_orderpriority", row_id="o_orderkey"
-    )
-    k = F.col("o_orderkey")
-    deletes = base.filter(k % 10 == 0).withColumn("op", F.lit("D"))
-    updates = (
-        base.filter((k % 10).isin(1, 2))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
-        .withColumn("op", F.lit("U"))
-    )
-    inserts = (
-        base.filter(k % 10 == 3)
-        .withColumn("o_orderkey", k + F.lit(100_000_000))
-        .withColumn("op", F.lit("I"))
-    )
-    changes = deletes.unionByName(updates).unionByName(inserts)
-    return merge_changes(base, changes, keys=["o_orderkey"])
-
-
-J9_MERGE_CHAIN_SQL = """
-WITH base AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus,
-         CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
-              ELSE o_orderpriority END AS o_orderpriority,
-         o_totalprice
-  FROM orders
-),
-changes AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice,
-         'D' AS op
-  FROM base WHERE o_orderkey % 10 = 0
-  UNION ALL
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
-         o_totalprice + 1000.0, 'U'
-  FROM base WHERE o_orderkey % 10 IN (1, 2)
-  UNION ALL
-  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_orderpriority,
-         o_totalprice, 'I'
-  FROM base WHERE o_orderkey % 10 = 3
-)
-SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
-       CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
-       CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
-       CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority,
-       CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice
-FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
-WHERE c.op IS NULL OR c.op <> 'D'
-"""
-
-
-def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P-family predicates: contains / NOT-startswith / rlike / IN /
-    numeric compare, then projection (reference :109-111,212,448)."""
-    part = _t(spark, sf_dir, "part")
-    return part.filter(
-        F.col("p_name").contains("r")
-        & ~F.col("p_brand").startswith("Brand#1")
-        & F.upper(F.col("p_type")).rlike("ECONOMY|SMALL")
-        & F.col("p_size").isin(5, 11, 23, 28, 36, 42)
-        & (F.col("p_retailprice") > 901.0)
-    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
-
-
-P_FILTER_SQL = """
-SELECT p_partkey, p_name, p_brand, p_type, p_size
-FROM part
-WHERE p_name LIKE '%r%'
-  AND p_brand NOT LIKE 'Brand#1%'
-  AND regexp_matches(UPPER(p_type), 'ECONOMY|SMALL')
-  AND p_size IN (5, 11, 23, 28, 36, 42)
-  AND p_retailprice > 901.0
-"""
-
-
-def j_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2-shape: fact left-joins two broadcast dims, revenue by brand ×
-    nation (the reference's dim-enrichment chain at scale: the fact
-    never shuffles for the joins, only for the final groupBy)."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left")
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"], "left")
-        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"], "left")
-        .groupBy("p_brand", "n_name")
-        .agg(
-            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-            F.count("*").alias("n_items"),
-        )
-    )
-
-
-J_BROADCAST_SQL = """
-SELECT p_brand, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem
-LEFT JOIN part ON l_partkey = p_partkey
-LEFT JOIN supplier ON l_suppkey = s_suppkey
-LEFT JOIN nation ON s_nationkey = n_nationkey
-GROUP BY p_brand, n_name
-"""
-
-
-def j_anti_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1-shape: null-safe anti-join on ALL columns (cross-file dedup
-    primitive, reference :117-123)."""
-    from ..operators.relational import anti_join_all_columns
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
-    )
-    seen = orders.filter(F.col("o_orderkey") % 3 == 0)
-    return anti_join_all_columns(orders, seen)
-
-
-J_ANTI_SQL = """
-SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
-FROM orders o
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders s
-  WHERE s.o_orderkey % 3 = 0
-    AND s.o_orderkey IS NOT DISTINCT FROM o.o_orderkey
-    AND s.o_custkey IS NOT DISTINCT FROM o.o_custkey
-    AND s.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
-    AND s.o_orderpriority IS NOT DISTINCT FROM o.o_orderpriority
-)
-"""
-
-
-def j_semi_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8-shape: rows of invoices (orders) that contain a marker item —
-    window-flag formulation, one shuffle, no self-join collect."""
-    li = _t(spark, sf_dir, "lineitem")
-    from ..operators.relational import invoices_containing
-
-    flag = invoices_containing(li, "l_orderkey", "l_returnflag", "R")
-    return (
-        li.withColumn("__has", flag)
-        .filter(F.col("__has"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag")
-    )
-
-
-J_SEMI_SQL = """
-SELECT l_orderkey, l_linenumber, l_returnflag
-FROM lineitem
-WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
-"""
-
-
-def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-located join via bucketing: both sides written bucketed+sorted
-    on the join key, then join + same-key aggregation. The physical plan
-    has NO shuffle exchange — at 100 TB this is the difference between
-    re-shuffling the fact table per join and a purely local merge join
-    (pytest asserts the exchange-free plan; the oracle checks values)."""
-    import hashlib
-    import tempfile
-
-    # stable digest (not seed-randomized hash()) + SF-qualified table
-    # names: two SFs can coexist in one session, reruns reuse the same
-    # paths, and the bucketed tables build ONCE — repeat calls (bench
-    # reruns) time only the probe, not the index build, the same split
-    # a deployment has between table maintenance and queries.
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"buckets_{digest}")
-    li_tbl, ord_tbl = f"li_bucketed_{digest}", f"orders_bucketed_{digest}"
-
-    def ensure(table: str, df_fn, key: str, path: str) -> None:
-        if spark.catalog.tableExists(table) and os.path.isdir(path):
-            return
-        if spark.catalog.tableExists(table):
-            spark.sql(f"DROP TABLE {table}")
-        (
-            df_fn()
-            .write.mode("overwrite")
-            .bucketBy(8, key).sortBy(key)
-            .option("path", path)
-            .saveAsTable(table)
-        )
-
-    ensure(
-        li_tbl,
-        lambda: _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        ),
-        "l_orderkey",
-        os.path.join(base, "li"),
-    )
-    ensure(
-        ord_tbl,
-        lambda: _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "o_orderkey",
-        os.path.join(base, "orders"),
-    )
-    a = spark.table(li_tbl)
-    b = spark.table(ord_tbl)
-    return (
-        a.join(b, a["l_orderkey"] == b["o_orderkey"])
-        .groupBy("l_orderkey", "o_orderpriority")
-        .agg(
-            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-            F.count("*").alias("n_items"),
-        )
-    )
-
-
-J_BUCKETED_SQL = """
-SELECT l_orderkey, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY l_orderkey, o_orderpriority
-"""
-
-
-def d1_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1: keyed dedup keep-first with explicit tiebreak (reference
-    keep='first' ×8; here: first lineitem per (order, part) by line#)."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
-    )
-    # l_quantity in the tiebreak: the synthetic data has duplicate
-    # (orderkey, partkey, linenumber) rows, and a value-deterministic
-    # order is the only thing both engines can agree on without a
-    # shared physical row order
-    return keep_first(
-        li, keys=["l_orderkey", "l_partkey"], order_by=["l_linenumber", "l_quantity"]
-    )
-
-
-D1_SQL = """
-SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
-FROM lineitem
-QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_quantity) = 1
-"""
-
-
-def a4_first_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/R8: 1 for the first row per key, 0 for the rest (:556)."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_linenumber"
-    )
-    return first_flag(
-        li, keys=["l_orderkey", "l_returnflag"], order_by=["l_linenumber"]
-    )
-
-
-A4_SQL = """
-SELECT l_orderkey, l_returnflag, l_linenumber,
-       CASE WHEN ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_returnflag ORDER BY l_linenumber) = 1
-            THEN 1 ELSE 0 END AS validacion
-FROM lineitem
-"""
-
-
-def u_union_dedup_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4/U1/U2: multi-file union where later files drop rows already
-    seen (all-column match) but keep genuinely new/changed rows."""
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority"
-    )
-    file0 = orders.filter(F.col("o_orderkey") % 3 < 2)
-    file1 = orders.withColumn(
-        "o_orderpriority",
-        F.when(F.col("o_orderkey") % 3 == 1, F.lit("X")).otherwise(
-            F.col("o_orderpriority")
-        ),
-    )
-    return load_fact_files(spark, [file0, file1])
-
-
-U_UNION_SQL = """
-SELECT o_orderkey, o_orderstatus, o_orderpriority
-FROM orders WHERE o_orderkey % 3 < 2
-UNION ALL
-SELECT o_orderkey, o_orderstatus, 'X' AS o_orderpriority
-FROM orders WHERE o_orderkey % 3 = 1
-UNION ALL
-SELECT o_orderkey, o_orderstatus, o_orderpriority
-FROM orders WHERE o_orderkey % 3 = 2
-"""
-
-
-def o_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-family: top-3 items by price per order (sort-as-window)."""
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_linenumber")
-    )
-    return (
-        li.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")
-    )
-
-
-O_TOPK_SQL = """
-SELECT l_orderkey, l_linenumber, l_extendedprice,
-       ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rank
-FROM lineitem
-QUALIFY rank <= 3
-"""
-
-
-def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-spec window: running quantity per supplier in ship order."""
-    li = _t(spark, sf_dir, "lineitem")
-    # l_quantity in the order: (shipdate, orderkey, linenumber) is NOT
-    # unique in the synthetic data (dup rows differ in quantity), and a
-    # ROWS running sum under a non-total order is engine-dependent —
-    # surfaced by the sf0.1 strict audit, invisible at sf0.01
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy(
-            F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
-            F.col("l_quantity"),
-        )
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_qty"),
-    )
-
-
-W_RUNNING_SQL = """
-SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
-         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
-FROM lineitem
-"""
-
-
-def w_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window: per-user trailing 1-hour event sum/count —
-    the rolling-feature shape of behavioral feature engineering. The
-    frame is value-based (all peers within 3.6e9 µs), so same-timestamp
-    events land in the same frame in any engine — no tiebreak needed.
-    Ordering on integer microseconds, not double seconds: the epoch in
-    double loses the µs digit at the float64 mantissa edge."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .over(w)
-        .cast("double")
-        .alias("sum_1h"),
-        F.count("*").over(w).cast("long").alias("n_1h"),
-    )
-
-
-W_TRAILING_RANGE_SQL = """
-SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
-       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-"""
-
-
-def w_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 + RANGE-frame ext in one pass: per-user ROWS running sum AND
-    value-based trailing-1-hour sum/count over events (reference's
-    sorts-as-orderings :142,257 plus the rolling-feature shape). Both
-    frames partition on ``user_id`` — Catalyst reuses ONE hash exchange
-    for the two window specs, so the merged query costs one shuffle,
-    same as either half alone. ROWS ordering includes unique
-    ``event_id`` as tiebreak (ties in ts would make a ROWS frame
-    engine-dependent); the RANGE frame orders on integer microseconds
-    (double epoch loses the µs digit at the float64 mantissa edge)."""
-    ev = _t(spark, sf_dir, "events")
-    wr = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wt = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    dec_val = F.col("value").cast("decimal(18,6)")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.sum(dec_val).over(wr).cast("double").alias("running_value"),
-        F.sum(dec_val).over(wt).cast("double").alias("sum_1h"),
-        F.count("*").over(wt).cast("long").alias("n_1h"),
-    )
-
-
-W_FRAMES_SQL = """
-SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wr AS DOUBLE) AS running_value,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wt AS DOUBLE) AS sum_1h,
-       CAST(COUNT(*) OVER wt AS BIGINT) AS n_1h
-FROM events
-WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-              ROWS UNBOUNDED PRECEDING),
-       wt AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-"""
-
-
-def a1_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/O2/P6-shape: scalar MAX drives a partition-style filter — keep
-    only orders from the latest (year, month) present, the reference's
-    manual max-AnoMes pruning (:82-90,142). The max computes as a
-    scalar subquery so Catalyst folds it into the scan filter."""
-    orders = _t(spark, sf_dir, "orders")
-    ym = F.date_format("o_orderdate", "yyyyMM")
-    latest = orders.agg(F.max(ym).alias("m"))
-    return (
-        orders.withColumn("anomes", ym)
-        .join(F.broadcast(latest), F.col("anomes") == F.col("m"))
-        .select("o_orderkey", "o_custkey", "anomes")
-    )
-
-
-A1_SQL = """
-SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y%m') AS anomes
-FROM orders
-WHERE strftime(o_orderdate, '%Y%m') = (SELECT MAX(strftime(o_orderdate, '%Y%m')) FROM orders)
-"""
-
-
-def s3_filename_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: filename-derived partition column via input_file_name() —
-    fully distributed, no driver-side listing (reference :82-90 parses
-    AnoMes out of produccion_YYYYMMDD filenames on the driver)."""
-    import os
-
-    from etl_sendas_spark.sources.readers import widen_to_parallelism
-
-    # input_file_name() is only defined at the scan — an exchange above
-    # it (e.g. the fact-table widening) erases it — so attach the
-    # filename-derived column FIRST, then widen
-    raw = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    src = F.element_at(F.split(base, "\\."), 1)
-    li = widen_to_parallelism(raw.withColumn("src_table", src))
-    return (
-        li
-        .groupBy("src_table")
-        .agg(F.count("*").alias("n_rows"))
-    )
-
-
-S3_SQL = """
-SELECT 'lineitem' AS src_table, COUNT(*) AS n_rows FROM lineitem
-"""
-
-
-def s1_excel_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 Excel-dimension ingest through a REAL ``.xlsx`` byte stream.
-
-    The reference's primary ingest is an HTTP-fetched Excel workbook
-    whose production sheets carry the real header in the first DATA row
-    (capital_sendas.py:30-61,100-102). This builds exactly that
-    workbook shape — a blank header row (→ ``Unnamed: N`` columns),
-    mixed numeric/string cells, and blanks — as an actual xlsx zip
-    (``sources/xlsx.py`` stdlib codec), then ingests it with the REAL
-    production path, ``read_excel_dim``: xlsx parse → dtype=str →
-    header promotion → NaN → NULL. ``S1_EXCEL_SQL`` mirrors the
-    expected post-ingest table literally.
-    """
-    import os
-    import tempfile
-    import zipfile
-
-    from ..sources.readers import read_excel_dim
-
-    path = os.path.join(
-        tempfile.gettempdir(), "etl_sendas_s1_dim_fixture.xlsx"
-    )
-    # worksheet with a title-only first row (→ columns 'REPORTE',
-    # 'Unnamed: 1', 'Unnamed: 2' — the production-report shape) then the
-    # real header in the first DATA row; numeric cells stored as numbers
-    # so the dtype=str contract is exercised, not just string passthrough
-    sheet = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        "<sheetData>"
-        '<row r="1"><c r="A1" t="inlineStr"><is><t>REPORTE</t></is></c></row>'
-        '<row r="2">'
-        '<c r="A2" t="inlineStr"><is><t>CODIGO</t></is></c>'
-        '<c r="B2" t="inlineStr"><is><t>DESCRIPCION</t></is></c>'
-        '<c r="C2" t="inlineStr"><is><t>VALOR</t></is></c>'
-        "</row>"
-        '<row r="3">'
-        '<c r="A3" t="inlineStr"><is><t>890201</t></is></c>'
-        '<c r="B3" t="inlineStr"><is><t>Consulta</t></is></c>'
-        '<c r="C3"><v>125000</v></c>'
-        "</row>"
-        '<row r="4">'
-        '<c r="A4" t="inlineStr"><is><t>890301</t></is></c>'
-        '<c r="B4" t="inlineStr"><is><t>Control</t></is></c>'
-        '<c r="C4"><v>98000.5</v></c>'
-        "</row>"
-        '<row r="5">'
-        '<c r="B5" t="inlineStr"><is><t>Sin dato</t></is></c>'
-        "</row>"
-        "</sheetData></worksheet>"
-    )
-    from ..sources.xlsx import (
-        _XLSX_CONTENT_TYPES,
-        _XLSX_ROOT_RELS,
-        _XLSX_WB_RELS,
-        _wb_xml,
-    )
-
-    with zipfile.ZipFile(path, "w") as zf:
-        zf.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
-        zf.writestr("_rels/.rels", _XLSX_ROOT_RELS)
-        zf.writestr("xl/workbook.xml", _wb_xml("Hoja1"))
-        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet)
-
-    return read_excel_dim(spark, path, promote_first_row=True)
-
-
-S1_EXCEL_SQL = """
-SELECT * FROM (VALUES
-  ('890201', 'Consulta', '125000'),
-  ('890301', 'Control', '98000.5'),
-  (NULL, 'Sin dato', NULL)
-) AS t(CODIGO, DESCRIPCION, VALOR)
-"""
-
-
-def s5_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5/S6 sink family, scale layout: write orders as parquet
-    PARTITIONED BY order status (hive-style directories — the layout
-    that gives partition pruning for free at 100 TB), read it back,
-    aggregate per partition. Oracle aggregates the source directly, so
-    the write→read roundtrip must be lossless."""
-    import tempfile
-
-    from ..sources.sinks import write_parquet
-
-    import hashlib
-
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"sink_orders_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
-    )
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    write_parquet(orders, out, partition_by=["o_orderstatus"])
-    back = spark.read.parquet(out)
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        _dec_sum(F.col("o_totalprice")).alias("sum_price"),
-        F.max("o_orderkey").alias("max_orderkey"),
-    )
-
-
-S5_SINK_SQL = """
-SELECT o_orderstatus,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-       MAX(o_orderkey) AS max_orderkey
-FROM orders
-GROUP BY o_orderstatus
-"""
-
-
-def s6_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction roundtrip: fragment documents into 16 tiny
-    parquet files (the streaming-sink pathology), compact them to a
-    byte-sized file count, read back and aggregate. Content must survive
-    both rewrites — the oracle aggregates the source directly. At scale
-    this runs per partition directory so only appended partitions
-    rewrite."""
-    import hashlib
-    import tempfile
-
-    from ..sources.sinks import compact_parquet
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    frag = os.path.join(tempfile.gettempdir(), f"compact_src_{tag}")
-    compacted = os.path.join(tempfile.gettempdir(), f"compact_dst_{tag}")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    docs.repartition(16).write.mode("overwrite").parquet(frag)
-    # the returned file count is ceil(bytes / target) — SF-dependent, so
-    # it is pinned by tests/test_cli.py, NOT hashed here (a literal in
-    # the oracle would break the moment the table outgrows one target
-    # file); the parity columns are the content-roundtrip invariants
-    compact_parquet(spark, frag, compacted, target_file_mb=128)
-    back = spark.read.parquet(compacted)
-    return back.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.length("text")).alias("total_chars"),
-        F.max("doc_id").alias("max_doc_id"),
-    )
-
-
-S6_COMPACT_SQL = """
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       MAX(doc_id) AS max_doc_id
-FROM documents
-GROUP BY source
-"""
-
-
-def s5_sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 + S6-ext in one roundtrip: write orders as hive-partitioned
-    parquet (PARTITIONED BY o_orderstatus — the layout that gives
-    partition pruning for free at 100 TB), fragment each partition the
-    way a streaming sink would, then compact the whole dataset to a
-    byte-sized file count and read it back. Content must survive the
-    partitioned write, the hive-column round-trip, AND the compaction
-    rewrite — the oracle aggregates the source directly. At scale the
-    compaction runs per partition directory so only appended partitions
-    rewrite."""
-    import hashlib
-    import tempfile
-
-    from ..sources.sinks import compact_parquet, write_parquet
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    part_dir = os.path.join(tempfile.gettempdir(), f"sink_part_{tag}")
-    compacted = os.path.join(tempfile.gettempdir(), f"sink_compact_{tag}")
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    # repartition(8) inside each status dir = the small-file pathology
-    write_parquet(
-        orders.repartition(8), part_dir, partition_by=["o_orderstatus"]
-    )
-    # file count = ceil(bytes / target): SF-dependent, pinned by
-    # tests/test_cli.py rather than hashed into the parity columns (a
-    # literal here breaks as soon as orders exceeds one target file)
-    compact_parquet(spark, part_dir, compacted, target_file_mb=128)
-    back = spark.read.parquet(compacted)
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        _dec_sum(F.col("o_totalprice")).alias("sum_price"),
-        F.max("o_orderkey").alias("max_orderkey"),
-    )
-
-
-S5_SINK_COMPACT_SQL = """
-SELECT o_orderstatus,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-       MAX(o_orderkey) AS max_orderkey
-FROM orders
-GROUP BY o_orderstatus
-"""
-
-
-def f1_priority_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/D2/T4-shape: priority-ranked keep-first. Per part size-class,
-    rank candidate types by a CASE priority then name, keep the top row
-    — the reference's asignar_tipologia + sort + groupwise-first
-    (:212-257) re-expressed as one window."""
-    part = _t(spark, sf_dir, "part")
-    prio = (
-        F.when(F.upper("p_type").contains("PROMO"), F.lit(1))
-        .when(F.upper("p_type").contains("ECONOMY"), F.lit(2))
-        .otherwise(F.lit(3))
-    )
-    ranked = part.select(
-        "p_size", F.col("p_type"), prio.alias("prio"), "p_partkey"
-    )
-    return keep_first(
-        ranked, keys=["p_size"], order_by=[F.col("prio"), F.col("p_type"), F.col("p_partkey")]
-    ).select("p_size", "p_type", "prio")
-
-
-F1_SQL = """
-SELECT p_size, p_type, prio
-FROM (
-  SELECT p_size, p_type, p_partkey,
-         CASE WHEN UPPER(p_type) LIKE '%PROMO%' THEN 1
-              WHEN UPPER(p_type) LIKE '%ECONOMY%' THEN 2
-              ELSE 3 END AS prio
-  FROM part
-)
-QUALIFY ROW_NUMBER() OVER (PARTITION BY p_size ORDER BY prio, p_type, p_partkey) = 1
-"""
-
-
-def r2_dual_key_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2-shape (:383-410): scope split into two branches deduped on
-    DIFFERENT keys (R-flag rows key on (order, part, linestatus); other
-    flags on (order, part)), first rows of both branches marked 1."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_linestatus", "l_returnflag", "l_linenumber"
-    )
-    strict = keep_first(
-        li.filter(F.col("l_returnflag") == "R"),
-        keys=["l_orderkey", "l_partkey", "l_linestatus"],
-        order_by=["l_linenumber"],
-    )
-    loose = keep_first(
-        li.filter(F.col("l_returnflag") != "R"),
-        keys=["l_orderkey", "l_partkey"],
-        order_by=["l_linenumber"],
-    )
-    marks = strict.unionByName(loose).select(
-        "l_orderkey", "l_partkey", "l_linenumber", F.lit(1).alias("validacion")
-    )
-    return (
-        li.join(marks, ["l_orderkey", "l_partkey", "l_linenumber"], "left")
-        .withColumn("validacion", F.coalesce("validacion", F.lit(0)))
-        .select("l_orderkey", "l_partkey", "l_linenumber", "validacion")
-    )
-
-
-R2_SQL = """
-WITH marks AS (
-  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey, l_linestatus ORDER BY l_linenumber) = 1
-  UNION ALL
-  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_returnflag <> 'R'
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1
-)
-SELECT li.l_orderkey, li.l_partkey, li.l_linenumber,
-       CASE WHEN m.l_orderkey IS NULL THEN 0 ELSE 1 END AS validacion
-FROM lineitem li
-LEFT JOIN marks m USING (l_orderkey, l_partkey, l_linenumber)
-"""
-
-
-def j_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each click paired with the user's latest purchase at
-    or before it (union + last-carry window — one shuffle on user_id,
-    no range probe). Oracle: DuckDB's native ASOF LEFT JOIN."""
-    from ..operators.relational import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    joined = asof_join(
-        clicks,
-        purchases,
-        on=["user_id"],
-        ts_col="ts",
-        payload_cols=["event_id", "value"],
-        right_ts_alias="purchase_ts",
-    )
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-        F.col("right_event_id").alias("purchase_event_id"),
-        F.round("right_value", 6).alias("purchase_value"),
-        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-    )
-
-
-J_ASOF_SQL = """
-SELECT l.event_id, l.user_id,
-       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-       r.event_id AS purchase_event_id,
-       ROUND(r.value, 6) AS purchase_value,
-       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
-  ON l.user_id = r.user_id AND l.ts >= r.ts
-"""
-
-
-def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded range join WITHOUT an equi-key: every purchase within 10
-    minutes after any signup, across all users. A bare inequality join
-    compiles to BroadcastNestedLoopJoin (quadratic); time-bucketing
-    turns it into a hash join on the bucket — the interval-join layout
-    (pytest asserts no nested-loop in the plan)."""
-    from ..operators.relational import bounded_range_join
-
-    ev = _t(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_id"), F.col("ts").alias("signup_ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
-    )
-    pairs = bounded_range_join(
-        signups, purchases, ts_left="signup_ts", ts_right="purchase_ts",
-        lower_s=0, upper_s=600,
-    )
-    # integer microseconds: a double epoch difference at ~1.7e9 s sits
-    # at the mantissa edge and the two engines round differently
-    return pairs.select(
-        "signup_id",
-        "purchase_id",
-        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias(
-            "delay_us"
-        ),
-    )
-
-
-J_RANGE_SQL = """
-SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
-       epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
-FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
-JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
-  ON p.ts > s.ts AND p.ts <= s.ts + INTERVAL 10 MINUTES
-"""
-
-
-def d_keep_first_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key dedup: first event per event_type (5 distinct values —
-    the skew case where a plain window funnels everything into 5
-    tasks). Two-phase salted keep-first; same answer as the plain
-    QUALIFY oracle."""
-    from ..operators.relational import keep_first_salted
-
-    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
-    first = keep_first_salted(
-        ev,
-        keys=["event_type"],
-        order_by=["ts", "event_id"],
-        n_salt=16,
-        salt_on="event_id",
-    )
-    return first.select(
-        "event_type",
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-        F.round("value", 6).alias("value"),
-    )
-
-
-D_SALTED_SQL = """
-SELECT event_type, event_id,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-       ROUND(value, 6) AS value
-FROM events
-QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) = 1
-"""
-
-
-def o_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ORDER BY + LIMIT with a total-order tiebreak. Spark
-    executes this as TakeOrderedAndProject — per-partition heap + merge
-    on the driver, never a full sort/shuffle of the table."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.orderBy(
-            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
-        )
-        .limit(20)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
-    )
-
-
-O_GLOBAL_TOPK_SQL = """
-SELECT l_orderkey, l_linenumber, l_extendedprice
-FROM lineitem
-ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-LIMIT 20
-"""
-
-
-# ===========================================================================
-# scalar library
-# ===========================================================================
-
-def scalar_dates_ages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 date family: JS-text timestamp roundtrip (+5h, coerce) and
-    the EDAD1/EDAD2 CASE chains over (orderdate → shipdate) spans."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_shipdate"
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    df = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
-    js_text = F.date_format("l_shipdate", "EEE MMM dd yyyy HH:mm:ss")
-    parsed = parse_js_timestamp(js_text, add_hours=5)
-    return df.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_plus5"),
-        edad_valor("l_shipdate", "o_orderdate").alias("edad_1"),
-        edad_unidad("l_shipdate", "o_orderdate").alias("edad_2"),
-        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
-            "span_days"
-        ),
-    )
-
-
-SCALAR_DATES_SQL = """
-SELECT l_orderkey, l_linenumber,
-       strftime(strptime(substr(strftime(l_shipdate, '%a %b %d %Y %H:%M:%S'), 1, 24),
-                         '%a %b %d %Y %H:%M:%S') + INTERVAL 5 HOURS,
-                '%Y-%m-%d %H:%M:%S') AS parsed_plus5,
-       CASE WHEN dd >= 365 THEN dd // 365
-            WHEN dd >= 30 THEN dd // 30
-            ELSE dd END AS edad_1,
-       CASE WHEN dd >= 365 THEN 'Años'
-            WHEN dd >= 30 THEN 'Meses'
-            ELSE 'Días' END AS edad_2,
-       dd AS span_days
-FROM (
-  SELECT l_orderkey, l_linenumber, l_shipdate,
-         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS dd
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-)
-"""
-
-
-def scalar_name_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 name splitter end-to-end: synthesize 2- and 4-unit names (with
-    a glued 'DE LOS' particle) from customer keys, split via the
-    Arrow-vectorized UDF; oracle states the expected positions."""
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    name = F.when(
-        F.col("c_custkey") % 2 == 0,
-        F.concat(F.lit("ANA MARIA DE LOS RIOS GOMEZ")),
-    ).otherwise(F.lit("CARLOS RUIZ"))
-    df = cust.withColumn("full_name", name)
-    parts = df.withColumn("__p", split_full_name("full_name"))
-    return parts.select(
-        "c_custkey",
-        F.col("__p.nombre1").alias("nombre1"),
-        F.col("__p.nombre2").alias("nombre2"),
-        F.col("__p.apellido1").alias("apellido1"),
-        F.col("__p.apellido2").alias("apellido2"),
-    )
-
-
-SCALAR_NAME_SQL = """
-SELECT c_custkey,
-       CASE WHEN c_custkey % 2 = 0 THEN 'ANA' ELSE 'CARLOS' END AS nombre1,
-       CASE WHEN c_custkey % 2 = 0 THEN 'MARIA' ELSE '' END AS nombre2,
-       CASE WHEN c_custkey % 2 = 0 THEN 'DE LOS RIOS' ELSE 'RUIZ' END AS apellido1,
-       CASE WHEN c_custkey % 2 = 0 THEN 'GOMEZ' ELSE '' END AS apellido2
-FROM customer
-"""
-
-
-def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar path (events.props): extract k, aggregate per type."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.sum("k").alias("sum_k"),
-            F.count("k").alias("n"),
-            F.round(F.sum("k") / F.count("k"), 4).alias("avg_k"),
-        )
-    )
-
-
-SCALAR_JSON_SQL = """
-SELECT event_type,
-       CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n,
-       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
-FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-GROUP BY event_type
-"""
-
-
-# ===========================================================================
-# rule-engine formulations (R1 / R7 analogs on driver tables)
-# ===========================================================================
-
-def r1_capped_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1 two-window cap on lineitem: per order, walking returnflag
-    descending, ≤2 marks per flag run and ≤3 total (reference :326-380)."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_linenumber"
-    )
-    return capped_group_mark(
-        li,
-        group_keys=["l_orderkey"],
-        run_col="l_returnflag",
-        walk_order=[F.col("l_returnflag").desc(), F.col("l_linenumber")],
-        per_run_cap=2,
-        total_cap=3,
-    )
-
-
-R1_SQL = """
-WITH s AS (
-  SELECT l_orderkey, l_returnflag, l_linenumber,
-         ROW_NUMBER() OVER w AS rn,
-         CASE WHEN LAG(l_returnflag) OVER w IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS chg
-  FROM lineitem
-  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_returnflag DESC, l_linenumber)
-), s2 AS (
-  -- order later stages by rn (unique) so tie rows keep the SAME walk
-  -- order rn was assigned under — re-sorting ties would desync stages
-  SELECT *, MAX(CASE WHEN chg = 1 THEN rn END) OVER
-           (PARTITION BY l_orderkey ORDER BY rn
-            ROWS UNBOUNDED PRECEDING) AS run_start
-  FROM s
-), s3 AS (
-  SELECT *, CASE WHEN rn - run_start < 2 THEN 1 ELSE 0 END AS eligible FROM s2
-), s4 AS (
-  SELECT *, SUM(eligible) OVER
-           (PARTITION BY l_orderkey ORDER BY rn
-            ROWS UNBOUNDED PRECEDING) AS elig_so_far
-  FROM s3
-)
-SELECT l_orderkey, l_returnflag, l_linenumber,
-       CASE WHEN eligible = 1 AND elig_so_far <= 3 THEN 1 ELSE 0 END AS validacion
-FROM s4
-"""
-
-
-def r7_gap_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R7 anchor-reset gap fold on events: per (user, type) in ts order,
-    mark first, then only >3 days after the last marked (reference
-    :484-543). The one applyInPandas operator; oracle is a recursive CTE."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
-    marked = gap_anchor_mark(
-        ev,
-        group_keys=["user_id", "event_type"],
-        ts_col="ts",
-        order_by=["ts", "event_id"],
-        gap_days=3,
-    )
-    return marked.select("event_id", "user_id", "event_type", "validacion")
-
-
-R7_SQL = """
-WITH RECURSIVE ordered AS (
-  SELECT user_id, event_type, event_id, ts,
-         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-  FROM events
-), walk AS (
-  SELECT user_id, event_type, event_id, ts, rn, 1 AS validacion, ts AS anchor
-  FROM ordered WHERE rn = 1
-  UNION ALL
-  SELECT o.user_id, o.event_type, o.event_id, o.ts, o.rn,
-         CASE WHEN epoch(o.ts) - epoch(w.anchor) >= 4 * 86400 THEN 1 ELSE 0 END,
-         CASE WHEN epoch(o.ts) - epoch(w.anchor) >= 4 * 86400 THEN o.ts ELSE w.anchor END
-  FROM walk w
-  JOIN ordered o ON o.user_id = w.user_id AND o.event_type = w.event_type AND o.rn = w.rn + 1
-)
-SELECT event_id, user_id, event_type, validacion FROM walk
-"""
-
-
-def r4_invoice_zeroing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4 shape (:431-456): CASE-chain marking with an invoice-membership
-    override — orders containing a qty-50 item zero out their small-qty
-    C-like rows."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_linestatus"
-    )
-    from ..operators.relational import invoices_containing
-
-    w = Window.partitionBy("l_orderkey")
-    has50 = (
-        F.max(F.when(F.col("l_quantity") == 50.0, 1).otherwise(0)).over(w) == 1
-    )
-    base = F.col("l_linestatus") == "O"
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.when(base & has50 & F.col("l_quantity").isin(1.0, 2.0, 3.0), F.lit(0))
-        .when(base & (F.col("l_quantity") == 25.0), F.col("l_quantity").cast("int"))
-        .when(base & (F.col("l_quantity") != 25.0), F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("validacion"),
-    )
-
-
-R4_SQL = """
-SELECT l_orderkey, l_linenumber,
-       CASE WHEN l_linestatus = 'O'
-                 AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50.0)
-                 AND l_quantity IN (1.0, 2.0, 3.0) THEN 0
-            WHEN l_linestatus = 'O' AND l_quantity = 25.0 THEN CAST(l_quantity AS INT)
-            WHEN l_linestatus = 'O' AND l_quantity <> 25.0 THEN 1
-            ELSE -1 END AS validacion
-FROM lineitem
-"""
-
-
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (gap to PREVIOUS event > 30 min starts a new
-    session) — the window-expressible cousin of R7 and the batch mirror
-    of streaming session_window."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    out = sessionize(
-        ev, group_keys=["user_id"], ts_col="ts", gap="INTERVAL 30 MINUTES",
-        order_by=["event_id"],  # total order — matches SESSIONIZE_SQL's tiebreak
-    )
-    return out.select("event_id", "user_id", "session_id")
-
-
-SESSIONIZE_SQL = """
-SELECT event_id, user_id,
-       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-FROM (
-  SELECT event_id, user_id, ts,
-         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                          + INTERVAL 30 MINUTES
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-)
-"""
-
-
-# ===========================================================================
-# text analysis / dedup / similarity (documents, embeddings)
-# ===========================================================================
-
-def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language id + quality heuristics + token count + fingerprint —
-    the per-document pass of a corpus pipeline, all Column exprs."""
-    docs = _t(spark, sf_dir, "documents")
-    q = quality_features(F.col("text"))
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        q["punct_ratio"].alias("punct_ratio"),
-        q["stopword_ratio"].alias("stopword_ratio"),
-        q["mean_word_len"].alias("mean_word_len"),
-        lang_id(F.col("text")).alias("lang_pred"),
-        doc_fingerprint(F.col("text")).alias("fingerprint"),
-    )
-
-
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
-_EN = "['the','and','of','to','in','is','that','for','with','on']"
-_ES = "['el','la','de','que','y','en','los','del','se','por']"
-
-TEXT_FEATURES_SQL = f"""
-SELECT doc_id,
-       n_tokens,
-       ROUND(COALESCE(n_punct / NULLIF(n_chars, 0), 0.0), 6) AS punct_ratio,
-       ROUND(COALESCE(stop_hits / NULLIF(CAST(n_tokens AS DOUBLE), 0), 0.0), 6) AS stopword_ratio,
-       ROUND(COALESCE(alpha_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0), 0.0), 6) AS mean_word_len,
-       CASE WHEN en_hits = 0 AND es_hits = 0 THEN 'unknown'
-            WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang_pred,
-       md5({_NORM_SQL}) AS fingerprint
-FROM (
-  SELECT doc_id, text,
-         CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t) OR list_contains({_ES}, t))) AS DOUBLE) AS stop_hits,
-         CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE) AS alpha_chars,
-         len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t))) AS en_hits,
-         len(list_filter({_TOKS_SQL}, t -> list_contains({_ES}, t))) AS es_hits
-  FROM documents
-)
-"""
-
-
-def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LLM-corpus prep flow as ONE lazy plan: quality-filter (token
-    floor + stopword ratio) → exact dedup (min doc_id per content
-    fingerprint) → per-(source, language) stats. Everything is Column
-    exprs + one dedup shuffle + one agg shuffle; at 100 TB the quality
-    filter prunes before any shuffle, and the fingerprint groupBy is
-    the only pass over full text."""
-    docs = _t(spark, sf_dir, "documents")
-    q = quality_features(F.col("text"))
-    scored = docs.select(
-        "doc_id",
-        "source",
-        F.col("text"),
-        q["n_tokens"].alias("n_tokens"),
-        q["stopword_ratio"].alias("stopword_ratio"),
-        lang_id(F.col("text")).alias("lang"),
-    ).filter((F.col("n_tokens") >= 10) & (F.col("stopword_ratio") >= 0.05))
-    kept = exact_dedup(scored, text_col="text", id_col="doc_id")
-    return (
-        kept.groupBy("source", "lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.sum("n_tokens") / F.count("*"), 4).alias("avg_tokens"),
-        )
-    )
-
-
-CORPUS_PREP_SQL = f"""
-WITH scored AS (
-  SELECT doc_id, source, text,
-         CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
-         ROUND(COALESCE(
-           CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t) OR list_contains({_ES}, t))) AS DOUBLE)
-             / NULLIF(CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS DOUBLE), 0),
-           0.0), 6) AS stopword_ratio,
-         len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t))) AS en_hits,
-         len(list_filter({_TOKS_SQL}, t -> list_contains({_ES}, t))) AS es_hits
-  FROM documents
-), filtered AS (
-  SELECT doc_id, source, text, n_tokens,
-         CASE WHEN en_hits = 0 AND es_hits = 0 THEN 'unknown'
-              WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang
-  FROM scored
-  WHERE n_tokens >= 10 AND stopword_ratio >= 0.05
-), kept AS (
-  SELECT * FROM filtered
-  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY md5({_NORM_SQL}))
-)
-SELECT source, lang, COUNT(*) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
-FROM kept
-GROUP BY source, lang
-"""
-
-
-def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified corpus sample: per-language quotas keyed
-    on a portable 60-bit hash of doc_id — reproducible across engines
-    and runs, pure scan-local filter (no shuffle, no RNG), so at 100 TB
-    the sample costs one pushdown-friendly pass."""
-    docs = _t(spark, sf_dir, "documents")
-    out = stratified_sample(
-        docs,
-        id_col="doc_id",
-        stratum_col="lang",
-        rates={"en": 0.3, "es": 0.6},
-        default_rate=0.1,
-    )
-    return out.select("doc_id", "lang", "source")
-
-
-SAMPLE_STRATIFIED_SQL = """
-SELECT doc_id, lang, source
-FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
-      CASE lang WHEN 'en' THEN 300 WHEN 'es' THEN 600 ELSE 100 END
-"""
-
-
-def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing pass: tag-replace emails / SSN-shapes / phone-shapes
-    and emit per-pattern hit counts plus an md5 of the redacted text (the
-    oracle-checkable witness that the *content* matches, not just the
-    counts). All chained regexp expressions — scan-speed at corpus scale."""
-    docs = _t(spark, sf_dir, "documents")
-    cnt = pii_counts(F.col("text"))
-    red = pii_redact(F.col("text"))
-    return docs.select(
-        "doc_id",
-        cnt["email"].alias("n_emails"),
-        cnt["ssn"].alias("n_ssns"),
-        cnt["phone"].alias("n_phones"),
-        F.length(red).cast("long").alias("redacted_len"),
-        F.md5(red).alias("redacted_md5"),
-    )
-
-
-_PII_EMAIL, _PII_SSN, _PII_PHONE = (p[1] for p in PII_PATTERNS)
-PII_REDACT_SQL = f"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssns,
-       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
-       CAST(length(red) AS BIGINT) AS redacted_len,
-       md5(red) AS redacted_md5
-FROM (
-  SELECT doc_id, text,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-             '{_PII_SSN}', '<SSN>', 'g'),
-           '{_PII_PHONE}', '<PHONE>', 'g') AS red
-  FROM documents
-)
-"""
-
-
-def quality_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signal: fraction of duplicated word 2- and
-    3-grams per document, entirely as codegen'd array expressions (no
-    explode → no shuffle; the whole feature is one narrow scan)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        repeated_ngram_ratio(F.col("text"), 2).alias("dup_2gram_ratio"),
-        repeated_ngram_ratio(F.col("text"), 3).alias("dup_3gram_ratio"),
-    )
-
-
-REPEATED_NGRAM_SQL = f"""
-SELECT doc_id,
-       ROUND(CASE WHEN len(bg) = 0 THEN 0.0
-                  ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-             END, 6) AS dup_2gram_ratio,
-       ROUND(CASE WHEN len(tg) = 0 THEN 0.0
-                  ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
-             END, 6) AS dup_3gram_ratio
-FROM (
-  SELECT doc_id,
-         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
-         list_transform(range(1, len(toks) - 1),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
-  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-)
-"""
-
-
-# Simplified byte-pair pre-tokenizer (GPT-2 family without the
-# RE2-unsupported lookahead): letter runs, digit runs, punctuation runs,
-# each with an optional leading space. Counts approximate BPE token
-# budgets ~2× tighter than whitespace splitting on prose.
-_BPE_PRETOK = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
-
-
-def scalar_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token budgeting: whitespace tokens vs BPE-ish pre-tokenizer
-    matches per document plus the chars-per-token ratio — the numbers a
-    training pipeline needs to pack sequences. Pure regexp_count: one
-    codegen'd scan, identical RE2/Java-regex semantics."""
-    docs = _t(spark, sf_dir, "documents")
-    bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PRETOK)).cast("long")
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_ws_tokens"),
-        bpe.alias("n_bpe_tokens"),
-        F.round(
-            F.coalesce(
-                F.length("text").cast("double")
-                / F.when(bpe > 0, bpe.cast("double")),
-                F.lit(0.0),
-            ),
-            6,
-        ).alias("chars_per_bpe_token"),
-    )
-
-
-SCALAR_BPE_SQL = f"""
-SELECT doc_id,
-       CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text, '{_BPE_PRETOK}')) AS BIGINT) AS n_bpe_tokens,
-       ROUND(COALESCE(CAST(length(text) AS DOUBLE)
-             / NULLIF(CAST(len(regexp_extract_all(text, '{_BPE_PRETOK}')) AS DOUBLE), 0), 0.0), 6)
-         AS chars_per_bpe_token
-FROM documents
-"""
-
-_CHUNK, _STRIDE = 64, 48  # tokens per chunk / chunk stride (16 overlap)
-
-
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: split each document into {chunk}-token chunks on
-    a {stride}-token stride (overlap keeps context at boundaries) — the
-    explode that turns a document corpus into training sequences. All
-    array expressions + one posexplode: no shuffle, no Python; output
-    scales with total tokens, which is exactly the 100 TB shape."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(normalized_text(F.col("text")), " ")
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), n - 1, F.lit(_STRIDE))
-    ex = docs.select(
-        "doc_id", toks.alias("toks"), F.explode(starts).alias("s")
-    )
-    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK)
-    return ex.select(
-        "doc_id",
-        (F.col("s") / _STRIDE).cast("long").alias("chunk_idx"),
-        F.size(chunk).cast("long").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
-    )
-
-
-CHUNK_DOCS_SQL = f"""
-SELECT doc_id,
-       CAST(s / {_STRIDE} AS BIGINT) AS chunk_idx,
-       CAST(len(list_slice(toks, s + 1, s + {_CHUNK})) AS BIGINT) AS n_tokens,
-       md5(array_to_string(list_slice(toks, s + 1, s + {_CHUNK}), ' ')) AS chunk_md5
-FROM (
-  SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS s
-  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-)
-"""
-
-
-def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE training-data ladder as ONE lazy Catalyst plan:
-    quality gate (token floor, stopword ratio, 2-gram repetition) →
-    PII redaction → exact dedup on redacted content → deterministic
-    per-language stratified sample → 64/48 sequence chunking →
-    per-(lang, source) manifest. Everything before the dedup groupBy is
-    a scan-local Column expression, so at 100 TB the only full-text
-    shuffle is the fingerprint dedup and the quality gate prunes before
-    it; the sample is a pushdown-friendly hash filter; chunk explosion
-    happens after BOTH prunes. This is the composition the individual
-    queries exist to serve."""
-    docs = _t(spark, sf_dir, "documents")
-    q = quality_features(F.col("text"))
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        q["n_tokens"].alias("n_tokens"),
-        q["stopword_ratio"].alias("stopword_ratio"),
-        repeated_ngram_ratio(F.col("text"), 2).alias("dup2"),
-    ).filter(
-        (F.col("n_tokens") >= 10)
-        & (F.col("stopword_ratio") >= 0.05)
-        & (F.col("dup2") <= 0.5)
-    )
-    red = scored.select(
-        "doc_id", "lang", "source", pii_redact(F.col("text")).alias("red")
-    )
-    w = Window.partitionBy(F.md5(normalized_text(F.col("red"))))
-    deduped = red.withColumn(
-        "keep", F.min("doc_id").over(w) == F.col("doc_id")
-    ).filter("keep")
-    sampled = stratified_sample(
-        deduped,
-        id_col="doc_id",
-        stratum_col="lang",
-        rates={"en": 0.5, "es": 0.5},
-        default_rate=0.2,
-    )
-    toks = F.split(normalized_text(F.col("red")), " ")
-    n = F.size(toks)
-    ex = sampled.select(
-        "doc_id", "lang", "source", toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_STRIDE))).alias("s"),
-    )
-    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK)
-    chunks = ex.select(
-        "doc_id", "lang", "source", F.size(chunk).alias("chunk_toks")
-    )
-    return chunks.groupBy("lang", "source").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count("*").alias("n_chunks"),
-        F.sum("chunk_toks").alias("total_tokens"),
-    )
-
-
-def _norm_of(e: str) -> str:
-    return f"trim(regexp_replace(lower({e}), '[^a-z0-9]+', ' ', 'g'))"
-
-
-CORPUS_MANIFEST_SQL = f"""
-WITH scored AS (
-  SELECT doc_id, lang, source, text,
-         CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
-         ROUND(COALESCE(
-           CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t) OR list_contains({_ES}, t))) AS DOUBLE)
-             / NULLIF(CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS DOUBLE), 0),
-           0.0), 6) AS stopword_ratio,
-         ROUND(CASE WHEN len(bg) = 0 THEN 0.0
-                    ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-               END, 6) AS dup2
-  FROM (
-    SELECT *, list_transform(range(1, len({_TOKS_SQL})),
-                             i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]) AS bg
-    FROM documents
-  )
-), redacted AS (
-  SELECT doc_id, lang, source,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text, '{{email}}', '<EMAIL>', 'g'),
-             '{{ssn}}', '<SSN>', 'g'),
-           '{{phone}}', '<PHONE>', 'g') AS red
-  FROM scored
-  WHERE n_tokens >= 10 AND stopword_ratio >= 0.05 AND dup2 <= 0.5
-), deduped AS (
-  SELECT * FROM redacted
-  WHERE doc_id IN (SELECT MIN(doc_id) FROM redacted GROUP BY md5({_norm_of('red')}))
-), sampled AS (
-  SELECT * FROM deduped
-  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
-        CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 500 ELSE 200 END
-), chunks AS (
-  SELECT doc_id, lang, source,
-         len(list_slice(toks, s + 1, s + {_CHUNK})) AS chunk_toks
-  FROM (
-    SELECT doc_id, lang, source, toks,
-           unnest(range(0, len(toks), {_STRIDE})) AS s
-    FROM (SELECT doc_id, lang, source, {_norm_of('red')} AS norm_red,
-                 string_split({_norm_of('red')}, ' ') AS toks
-          FROM sampled)
-  )
-)
-SELECT lang, source,
-       COUNT(DISTINCT doc_id) AS n_docs,
-       COUNT(*) AS n_chunks,
-       CAST(SUM(chunk_toks) AS BIGINT) AS total_tokens
-FROM chunks
-GROUP BY lang, source
-""".replace("{email}", PII_PATTERNS[0][1]).replace(
-    "{ssn}", PII_PATTERNS[1][1]
-).replace("{phone}", PII_PATTERNS[2][1])
-
-
-def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: lowest doc_id per normalized-content fingerprint."""
-    docs = _t(spark, sf_dir, "documents")
-    kept = exact_dedup(docs, text_col="text", id_col="doc_id")
-    return kept.select("doc_id", "source", "n_chars")
-
-
-DEDUP_EXACT_SQL = f"""
-SELECT doc_id, source, n_chars
-FROM documents
-WHERE doc_id IN (
-  SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM_SQL})
-)
-"""
-
-
-def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard pairs ≥ 0.5 via inverted shingle index."""
-    docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5, max_posting=None
-    )
-
-
-DEDUP_NGRAM_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE {_NORM_SQL} <> ''
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
-                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-  FROM toks
-), sized AS (
-  SELECT doc_id, shingles, len(shingles) AS sz FROM sh WHERE len(shingles) > 0
-), posting AS (
-  SELECT doc_id, UNNEST(shingles) AS shingle FROM sized
-), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, n_common,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
-FROM common
-JOIN sized sa ON sa.doc_id = id_a
-JOIN sized sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
-"""
-
-
-def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + 16-band LSH candidates, verified at Jaccard ≥ 0.5.
-
-    ORACLE: exact shingle-Jaccard pairs (``DEDUP_MINHASH_SQL``). The
-    exact-verification stage makes LSH output a *subset* of the exact
-    pair set by construction; equality additionally needs banded recall
-    = 1, which holds on this corpus — every true pair has J ≥ 0.8
-    (planted near-dups), where P(miss) = (1-J⁴)¹⁶ ≤ 2·10⁻⁴ per pair,
-    and the seeded hash family + fixed data make the outcome
-    deterministic (verified at sf0.01 AND sf0.1: 25/25 and 256/256
-    pairs, zero missed)."""
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(
-        docs,
-        id_col="doc_id",
-        text_col="text",
-        num_hashes=64,
-        bands=16,
-        shingle_n=3,
-        verify_threshold=0.5,
-    )
-
-
-# same exact-Jaccard machinery as DEDUP_NGRAM_SQL, minus the n_common
-# column (the minhash query emits (id_a, id_b, jaccard))
-DEDUP_MINHASH_SQL = f"""
-SELECT id_a, id_b, jaccard FROM ({DEDUP_NGRAM_SQL})
-"""
-
-
-def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints, 60-bit portable-hash variant.
-
-    Uses the md5-60 token hash (dedupe.portable_hash60) instead of the
-    default xxhash64 precisely so a DuckDB oracle can recompute every
-    fingerprint bit-for-bit (``SIMHASH_SQL`` below) — the full vote
-    fold is verified, not just row counts. The xxhash64 default remains
-    the production path (same plan shape, cheaper per token)."""
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_fingerprints(
-        docs, id_col="doc_id", text_col="text", bits=60, hash_fn="md5_60"
-    )
-
-
-def _simhash_sql(bits: int = 60) -> str:
-    """DuckDB mirror of the portable SimHash: same normalization, same
-    distinct-token set, same md5-60 hash, same ±1 vote fold per bit."""
-    votes = ",\n         ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(bits)
-    )
-    fold = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, UNNEST(list_distinct({_TOKS_SQL})) AS tok
-  FROM documents WHERE {_NORM_SQL} <> ''
-), h AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-  FROM toks WHERE tok <> ''
-), v AS (
-  SELECT doc_id,
-         {votes}
-  FROM h GROUP BY doc_id
-)
-SELECT doc_id, {fold} AS simhash FROM v
-"""
-
-
-SIMHASH_SQL = _simhash_sql()
-
-
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline).
-
-    Threshold 0.42, not a production-ish 0.9+: the synthetic embeddings
-    are uniform random (max pairwise cosine ~0.51), so a high threshold
-    returns zero rows and the oracle comparison would be vacuous. 0.42
-    yields a small nonzero pair set at every driver SF."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.42
-    )
-
-
-EMB_NEAR_DUP_SQL = """
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
-  WHERE len(embedding) > 0
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE a.nrm > 0 AND b.nrm > 0
-  AND ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.42
-"""
-
-
-_EMB_DIM = 64  # driver testdata embeddings are 64-d at every SF
-_EMB_BUCKET_PLANES = 8
-
-
-def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed embedding near-dup — the 100 TB self-dedup path.
-
-    No driver collect anywhere in the plan: vectors get an 8-bit
-    random-hyperplane signature (deterministic seeded planes, shared
-    with the oracle SQL below), and only same-signature vectors are
-    compared. Same threshold semantics as the exact query restricted to
-    colliding pairs — which is exactly what the DuckDB mirror computes,
-    so the driver hash check verifies the bucketing itself."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.42,
-        bucket_planes=_EMB_BUCKET_PLANES, dim=_EMB_DIM,
-    )
-
-
-def _emb_bucketed_sql() -> str:
-    """DuckDB mirror of the sign-LSH bucketing: embeds the SAME plane
-    constants (dedupe.sign_planes, seed 42) as exact float literals, so
-    signatures — and therefore the emitted pair set — must match the
-    Spark plan bit-for-bit."""
-    from ..operators.dedupe import sign_planes
-
-    planes = sign_planes(_EMB_DIM, _EMB_BUCKET_PLANES)
-    sig_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
-    return f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
-  WHERE len(embedding) > 0
-), s AS (
-  SELECT vec_id, e, nrm, {sig_terms} AS sig
-  FROM v WHERE nrm > 0
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
-FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.42
-"""
-
-
-EMB_NEAR_DUP_BUCKETED_SQL = _emb_bucketed_sql()
-
-
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the first 10 vectors as queries."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(
-        emb, queries, id_col="vec_id", vec_col="embedding", k=5
-    )
-
-
-ANN_TOPK_SQL = """
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings WHERE len(embedding) > 0
-), q AS (SELECT * FROM v WHERE vec_id < 10)
-SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-       ROUND(list_dot_product(v.e, q.e) / (v.nrm * q.nrm), 6) AS cosine,
-       ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                          ORDER BY ROUND(list_dot_product(v.e, q.e) / (v.nrm * q.nrm), 6) DESC,
-                                   v.vec_id) AS rank
-FROM v CROSS JOIN q
-WHERE v.vec_id <> q.vec_id AND v.nrm > 0 AND q.nrm > 0
-QUALIFY rank <= 5
-"""
-
-
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-LSH approximate top-5.
-
-    ORACLE: ``ANN_LSH_SQL`` embeds the SAME seeded hyperplanes as float
-    literals and replays the whole algorithm — bucket in 16 tables of 8
-    sign bits, union candidates, exact-cosine rank — so the approximate
-    result itself is hash-checked, not just sampled for recall."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_cosine_topk(
-        emb, queries, id_col="vec_id", vec_col="embedding", k=5, tables=16, bits=8
-    )
-
-
-_ANN_LSH_TABLES = 16
-_ANN_LSH_BITS = 8
-
-
-def _ann_lsh_sql() -> str:
-    """DuckDB mirror of lsh_cosine_topk: identical planes (seed 7),
-    identical signature packing, candidates = bucket-mates in ANY
-    table, exact rounded-cosine rank with neighbor-id tiebreak."""
-    from ..operators.similarity import _hyperplanes
-
-    hp = _hyperplanes(_EMB_DIM, _ANN_LSH_TABLES, _ANN_LSH_BITS, seed=7)
-    sig_cols = []
-    for t, table in enumerate(hp):
-        terms = " + ".join(
-            f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) > 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(table)
-        )
-        sig_cols.append(f"{terms} AS b{t}")
-    any_bucket = " OR ".join(
-        f"c.b{t} = q.b{t}" for t in range(_ANN_LSH_TABLES)
-    )
-    return f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings WHERE len(embedding) > 0
-), s AS (
-  SELECT vec_id, e, nrm, {', '.join(sig_cols)}
-  FROM v WHERE nrm > 0
-), q AS (SELECT * FROM s WHERE vec_id < 10),
-cand AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND(list_dot_product(c.e, q.e) / (c.nrm * q.nrm), 6) AS cosine
-  FROM s c JOIN q ON c.vec_id <> q.vec_id AND ({any_bucket})
-)
-SELECT query_id, neighbor_id, cosine,
-       ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, neighbor_id) AS rank
-FROM cand
-QUALIFY rank <= 5
-"""
-
-
-ANN_LSH_SQL = _ann_lsh_sql()
-
-
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5.
-
-    ORACLE: ``ANN_IVF_SQL`` rebuilds the identical index — portable
-    md5-60 centroid sample, nearest-centroid assignment, n_probe
-    cluster probing, exact rounded-cosine rank — so the driver hash
-    check covers the whole IVF pipeline."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(
-        emb, queries, id_col="vec_id", vec_col="embedding", k=5,
-        n_centroids=32, n_probe=8,
-    )
-
-
-ANN_IVF_SQL = """
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings WHERE len(embedding) > 0
-), s AS (
-  SELECT vec_id, e, nrm FROM v WHERE nrm > 0
-), cent AS (
-  SELECT vec_id AS centroid_id, e AS ce, nrm AS cen FROM s
-  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-  LIMIT 32
-), assigned AS (
-  SELECT vec_id, e, nrm, centroid_id AS cluster FROM (
-    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
-                                       c.centroid_id) AS rn
-    FROM s CROSS JOIN cent c
-  ) WHERE rn = 1
-), probes AS (
-  SELECT vec_id AS query_id, e AS qe, nrm AS qn, centroid_id AS cluster FROM (
-    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
-                                       c.centroid_id) AS rn
-    FROM s CROSS JOIN cent c WHERE s.vec_id < 10
-  ) WHERE rn <= 8
-), scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         ROUND(list_dot_product(a.e, p.qe) / (a.nrm * p.qn), 6) AS cosine
-  FROM assigned a JOIN probes p ON a.cluster = p.cluster AND a.vec_id <> p.query_id
-)
-SELECT query_id, neighbor_id, cosine,
-       ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, neighbor_id) AS rank
-FROM scored
-QUALIFY rank <= 5
-"""
-
-
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode, REAL codecs: each document row synthesizes a
-    deterministic media payload from its id (even ids → binary P6 PPM
-    image, odd ids → PCM16 RIFF/WAV clip — dims, fill level, sample
-    count, amplitude all arithmetic functions of doc_id), then
-    :func:`media_features` parses the actual bytes back inside one
-    narrow ``mapInPandas`` stage — header tokenizer, chunk walk,
-    numpy raster/sample statistics, no imaging/audio library.
-
-    ORACLE: ``MULTIMODAL_SQL`` recomputes width/height/duration/mean
-    level/byte count from the same doc_id arithmetic, so the driver
-    hash verifies the encode→decode INVERSION: a header off by one
-    byte, a wrong chunk offset, or a bad sample stride all break the
-    match."""
-    from ..operators.multimodal import media_features, synth_ppm, synth_wav
-
-    # no type hints: postponed annotations (PEP 563) stringify them and
-    # pyspark can't resolve the function-local 'pd' alias
-    synth = F.pandas_udf(
-        lambda ids: ids.map(
-            lambda i: synth_ppm(int(i)) if int(i) % 2 == 0 else synth_wav(int(i))
-        ),
-        "binary",
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
-    media = docs.withColumn("payload", synth(F.col("media_id")))
-    feats = media_features(media, payload_col="payload")
-    return feats.select(
-        "media_id",
-        F.col("m_mime").alias("mime"),
-        F.col("m_width").alias("width"),
-        F.col("m_height").alias("height"),
-        F.round("m_duration_s", 6).alias("duration_s"),
-        F.round("m_mean_level", 6).alias("mean_level"),
-        F.col("m_n_bytes").alias("n_bytes"),
-    )
-
-
-MULTIMODAL_SQL = """
-WITH p AS (
-  SELECT doc_id,
-         doc_id % 2 = 0 AS is_img,
-         4 + doc_id % 13 AS w,
-         3 + doc_id % 7 AS h,
-         doc_id % 251 AS v,
-         500 + (doc_id % 100) * 37 AS ns,
-         doc_id % 997 AS amp
-  FROM documents
-)
-SELECT doc_id AS media_id,
-       CASE WHEN is_img THEN 'image/x-portable-pixmap'
-            ELSE 'audio/wav' END AS mime,
-       CAST(CASE WHEN is_img THEN w ELSE 0 END AS INTEGER) AS width,
-       CAST(CASE WHEN is_img THEN h ELSE 0 END AS INTEGER) AS height,
-       ROUND(CASE WHEN is_img THEN 0.0
-                  ELSE CAST(ns AS DOUBLE) / 8000 END, 6) AS duration_s,
-       ROUND(CAST(CASE WHEN is_img THEN v ELSE amp END AS DOUBLE), 6) AS mean_level,
-       CAST(CASE WHEN is_img
-                 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
-                 ELSE 44 + 2 * ns END AS BIGINT) AS n_bytes
-FROM p
-"""
-
-
-def multimodal_pointer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pointer-based multimodal decode: payloads too large to inline in
-    a parquet row group live in append-only blob-store files; the table
-    carries only (uri, offset, length) structs. This builds that layout
-    DISTRIBUTED — each task synthesizes its partition's deterministic
-    media payloads (same doc_id arithmetic as
-    :func:`multimodal_features`) and appends them to its own store file
-    (``write_blob_store_distributed``: no driver collect, no
-    driver-side writes — the r4 verdict's one flagged anti-pattern),
-    then the pipeline resolves pointers (per-task handle cache, seek +
-    exact-length read) and decodes the fetched bytes — every stage a
-    narrow ``mapInPandas``, end-to-end shuffle-free.
-
-    ORACLE: ``MULTIMODAL_SQL`` verbatim — pointer resolution must be
-    byte-exact for the decode inversion to hash-match, so one wrong
-    offset/length anywhere breaks the row."""
-    import hashlib
-    import tempfile
-    from typing import Iterator
-
-    from ..operators.multimodal import (
-        media_features,
-        resolve_pointers,
-        synth_ppm,
-        synth_wav,
-        write_blob_store_distributed,
-    )
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-
-    def synth_batches(batches: "Iterator[pd.DataFrame]"):
-        for pdf in batches:
-            pdf["payload"] = [
-                synth_ppm(int(i)) if int(i) % 2 == 0 else synth_wav(int(i))
-                for i in pdf["media_id"]
-            ]
-            yield pdf
-
-    media = (
-        _t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("media_id"))
-        .mapInPandas(synth_batches, "media_id LONG, payload BINARY")
-    )
-    pointers = write_blob_store_distributed(
-        media, "payload", tempfile.gettempdir(), prefix=f"blobs_{tag}"
-    )
-
-    feats = media_features(
-        resolve_pointers(pointers, "pointer", "payload"), payload_col="payload"
-    )
-    return feats.select(
-        "media_id",
-        F.col("m_mime").alias("mime"),
-        F.col("m_width").alias("width"),
-        F.col("m_height").alias("height"),
-        F.round("m_duration_s", 6).alias("duration_s"),
-        F.round("m_mean_level", 6).alias("mean_level"),
-        F.col("m_n_bytes").alias("n_bytes"),
-    )
-
-
-def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling, REAL decode: each document synthesizes a
-    deterministic uncompressed-RGB24 AVI (dims, frame count, fps, and
-    per-frame fill level all arithmetic in doc_id), then
-    :func:`frame_sample` walks the actual RIFF container — header
-    chunks, '00db' rasters, row padding — and keeps the first frame of
-    each 0.5 s sampling window, one output row per kept frame (the
-    row-explosion mapInPandas shape: narrow, no shuffle).
-
-    ORACLE: ``VIDEO_FRAME_SQL`` regenerates the frame schedule from the
-    same doc_id arithmetic (t_s uses the container's integer µs/frame,
-    so both engines compute bit-identical timestamps) and applies the
-    same first-of-window rule via QUALIFY."""
-    from ..operators.multimodal import frame_sample, synth_avi
-
-    synth = F.pandas_udf(
-        lambda ids: ids.map(lambda i: synth_avi(int(i))), "binary"
-    )
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    media = docs.withColumn("payload", synth(F.col("media_id")))
-    return frame_sample(media, every_s=0.5, payload_col="payload").select(
-        "media_id",
-        "frame_idx",
-        F.round("t_s", 6).alias("t_s"),
-        "width",
-        "height",
-        F.round("mean_level", 6).alias("mean_level"),
-    )
-
-
-VIDEO_FRAME_SQL = """
-WITH p AS (
-  SELECT doc_id,
-         3 + doc_id % 6 AS nf,
-         1000000 // (5 + doc_id % 4) AS us_per_frame,
-         4 + doc_id % 5 AS w,
-         2 + doc_id % 3 AS h
-  FROM documents
-), fr AS (
-  SELECT doc_id, w, h, us_per_frame,
-         unnest(generate_series(0, nf - 1)) AS i
-  FROM p
-), f AS (
-  SELECT doc_id, w, h, i,
-         CAST(i * us_per_frame AS DOUBLE) / 1000000 AS t_s,
-         CAST((doc_id + 7 * i) % 251 AS DOUBLE) AS lvl
-  FROM fr
-)
-SELECT doc_id AS media_id,
-       CAST(i AS INTEGER) AS frame_idx,
-       ROUND(t_s, 6) AS t_s,
-       CAST(w AS INTEGER) AS width,
-       CAST(h AS INTEGER) AS height,
-       ROUND(lvl, 6) AS mean_level
-FROM f
-QUALIFY ROW_NUMBER() OVER (
-  PARTITION BY doc_id, CAST(floor(t_s / 0.5) AS BIGINT) ORDER BY i
-) = 1
-"""
-
-
-def video_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over MJPEG AVIs — REAL entropy decode: each
-    document synthesizes a deterministic MJPEG AVI (same dims / frame
-    count / fps / level arithmetic as :func:`video_frame_sample`, but
-    every frame is a baseline JPEG in a '00dc' chunk), then
-    :func:`frame_sample` walks the RIFF container and runs each frame
-    through the pure-Python baseline JPEG decoder
-    (``operators/jpeg.py``: Huffman + dequant + IDCT — no
-    ffmpeg/pyav). The solid frames use DC quant step 8, so decoded
-    means replay EXACTLY from the doc_id arithmetic.
-
-    ORACLE: ``VIDEO_FRAME_SQL`` verbatim — the container schedule and
-    the decoded levels are both pure functions of doc_id, and one
-    wrong Huffman bit or dequant step anywhere breaks the hash."""
-    from ..operators.multimodal import frame_sample, synth_avi_mjpeg
-
-    synth = F.pandas_udf(
-        lambda ids: ids.map(lambda i: synth_avi_mjpeg(int(i))), "binary"
-    )
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    media = docs.withColumn("payload", synth(F.col("media_id")))
-    return frame_sample(media, every_s=0.5, payload_col="payload").select(
-        "media_id",
-        "frame_idx",
-        F.round("t_s", 6).alias("t_s"),
-        "width",
-        "height",
-        F.round("mean_level", 6).alias("mean_level"),
-    )
-
-
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events table. FileStreamSource requires a
-    DIRECTORY source and the testdata is one parquet file per table, so
-    stage a symlink dir (testdata itself is read-only)."""
-    import hashlib
-    import tempfile
-
-    from ..sources.readers import ensure_nanos_readable
-
-    ensure_nanos_readable(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    # md5 of the path, NOT Python hash(): hash() is seed-randomized per
-    # process, so it would mint a fresh /tmp staging dir on every run.
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"stream_events_{hashlib.md5(path.encode()).hexdigest()[:12]}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = spark.readStream.schema(
-        spark.read.parquet(path).schema
-    ).parquet(stage)
-    from ..sources.readers import normalize_event_time
-
-    return normalize_event_time(stream, "ts")
-
-
-def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming end-to-end: ``readStream`` over the events
-    parquet → watermark → 1-hour tumbling window agg → memory sink,
-    driven to completion, returning the materialized result.
-
-    Complete output mode on purpose: in append mode the final window
-    (beyond ``max(ts) - watermark``) is never finalized on a bounded
-    input, so the batch oracle could not match. Exact-sum discipline:
-    values accumulate as DECIMAL so the hash is order-insensitive.
-    """
-    from ..streaming.sessions import run_stream_to_memory, tumbling_counts
-
-    # pre-cast so the streaming agg ACCUMULATES in decimal (exact,
-    # order-insensitive) — casting after the sum would not be
-    stream = _stream_events(spark, sf_dir).withColumn(
-        "value", F.col("value").cast("decimal(18,6)")
-    )
-    agg = tumbling_counts(
-        stream, ts_col="ts", key_col="event_type",
-        window="1 hour", watermark="10 minutes",
-    )
-    run_stream_to_memory(agg, "tumbling_counts_result", output_mode="complete")
-    res = spark.table("tumbling_counts_result")
-    return res.select(
-        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
-        "event_type",
-        F.col("n"),
-        F.col("total_value").cast("double").alias("total_value"),
-    )
-
-
-STREAM_TUMBLING_SQL = """
-SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-FROM events
-GROUP BY 1, 2
-"""
-
-
-def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window streaming agg (1 h window / 30 min slide): every
-    event lands in exactly window/slide = 2 windows; oracle replays that
-    window assignment with generate_series."""
-    from ..streaming.sessions import run_stream_to_memory, sliding_counts
-
-    stream = _stream_events(spark, sf_dir)
-    agg = sliding_counts(
-        stream, ts_col="ts", key_col="event_type",
-        window="1 hour", slide="30 minutes", watermark="10 minutes",
-    )
-    run_stream_to_memory(agg, "sliding_counts_result", output_mode="complete")
-    res = spark.table("sliding_counts_result")
-    return res.select(
-        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
-        "event_type",
-        "n",
-    )
-
-
-STREAM_SLIDING_SQL = """
-SELECT strftime(time_bucket(INTERVAL 30 MINUTES, ts) - i * INTERVAL 30 MINUTES,
-                '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type,
-       COUNT(*) AS n
-FROM events, (SELECT UNNEST(generate_series(0, 1)) AS i)
-GROUP BY 1, 2
-"""
-
-
-def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based ``session_window`` streaming agg (30 min gap per user)
-    — R7's gap shape on a stream. Oracle rebuilds the sessions with the
-    lag-gap prefix-sum formulation (a new session starts when the gap to
-    the previous event exceeds 30 min)."""
-    from ..streaming.sessions import run_stream_to_memory, session_window_agg
-
-    stream = _stream_events(spark, sf_dir)
-    agg = session_window_agg(
-        stream, ts_col="ts", key_cols=("user_id",),
-        gap="30 minutes", watermark="1 hour",
-    )
-    run_stream_to_memory(agg, "session_windows_result", output_mode="complete")
-    res = spark.table("session_windows_result")
-    return res.select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-            "session_start"
-        ),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
-            "session_end"
-        ),
-        "n_events",
-    )
-
-
-STREAM_SESSION_SQL = """
-SELECT user_id,
-       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       COUNT(*) AS n_events
-FROM (
-  SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM (
-    SELECT user_id, event_id, ts,
-           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                     OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                            + INTERVAL 30 MINUTES
-                THEN 1 ELSE 0 END AS new_session
-    FROM events
-  )
-)
-GROUP BY user_id, session_id
-"""
-
-
-def streaming_gap_anchor_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R7 on a stream: the anchor-reset gap fold as a STATEFUL streaming
-    operator (``applyInPandasWithState``; anchor = last MARKED event,
-    persisted in GroupState across micro-batches). Same recursive-CTE
-    oracle as the batch ``r7_gap_mark`` — batch and stream agree."""
-    from ..streaming.sessions import gap_anchor_mark_stream, run_stream_to_memory
-
-    stream = _stream_events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts"
-    )
-    marked = gap_anchor_mark_stream(
-        stream,
-        group_keys=["user_id", "event_type"],
-        ts_col="ts",
-        gap_days=3,
-        id_col="event_id",
-    )
-    run_stream_to_memory(marked, "gap_anchor_stream_result", output_mode="append")
-    res = spark.table("gap_anchor_stream_result")
-    return res.select("event_id", "user_id", "event_type", "validacion")
-
-
-def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming dedup: first arrival per (user, event_type)
-    wins; watermark bounds state (keys older than the horizon evict) —
-    ingestion-time exactly-once for an event feed. Projected to the key
-    columns before dedup so the result is deterministic and the batch
-    oracle is a plain DISTINCT."""
-    from ..streaming.sessions import dedup_stream, run_stream_to_memory
-
-    stream = _stream_events(spark, sf_dir)
-    ded = dedup_stream(stream, keys=["user_id", "event_type"], ts_col="ts")
-    run_stream_to_memory(ded, "dedup_events_result", output_mode="append")
-    return spark.table("dedup_events_result").select("user_id", "event_type")
-
-
-STREAM_DEDUP_SQL = """
-SELECT DISTINCT user_id, event_type FROM events
-"""
-
-
-def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static join: the unbounded event stream enriched against a
-    small static dimension (broadcast — the static side never
-    re-shuffles per micro-batch), then aggregated per enriched category.
-    This is the ingestion-enrichment shape of a production feed: dim
-    lookup at stream speed, state only in the final agg."""
-    from ..streaming.sessions import run_stream_to_memory
-
-    dim = spark.createDataFrame(
-        [
-            ("click", "engagement"),
-            ("view", "engagement"),
-            ("purchase", "revenue"),
-            ("signup", "acquisition"),
-            ("error", "ops"),
-        ],
-        ["event_type", "category"],
-    )
-    stream = _stream_events(spark, sf_dir).withColumn(
-        "value", F.col("value").cast("decimal(18,6)")
-    )
-    agg = (
-        stream.join(F.broadcast(dim), "event_type")
-        .groupBy("category")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
-    )
-    run_stream_to_memory(agg, "enriched_counts_result", output_mode="complete")
-    res = spark.table("enriched_counts_result")
-    return res.select(
-        "category", "n", F.col("total_value").cast("double").alias("total_value")
-    )
-
-
-STREAM_ENRICHED_SQL = """
-SELECT CASE event_type WHEN 'purchase' THEN 'revenue'
-                       WHEN 'signup' THEN 'acquisition'
-                       WHEN 'error' THEN 'ops'
-                       ELSE 'engagement' END AS category,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-FROM events
-WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
-GROUP BY 1
-"""
-
-
-def j_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC *generation*: reconcile two order snapshots into the minimal
-    I/U/D feed (deletes keys ≡0 mod 10, reprices ≡1,2, inserts shifted
-    ≡3 — the same deterministic mutation the merge queries apply, so
-    the diff must recover it exactly). One null-safe full-outer join;
-    unchanged rows emit nothing. Round-trip law
-    ``merge_changes(old, snapshot_diff(old, new)) == new`` is pinned in
-    tests/test_corpus_ops.py."""
-    from ..operators.relational import snapshot_diff
-
-    old = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    k = F.col("o_orderkey")
-    kept = old.filter(k % 10 != 0)
-    new = (
-        kept.withColumn(
-            "o_totalprice",
-            F.when(
-                (k % 10).isin(1, 2), F.col("o_totalprice") + F.lit(1000.0)
-            ).otherwise(F.col("o_totalprice")),
-        )
-        .unionByName(
-            old.filter(k % 10 == 3).withColumn(
-                "o_orderkey", k + F.lit(100_000_000)
-            )
-        )
-    )
-    return snapshot_diff(old, new, keys=["o_orderkey"])
-
-
-J_SNAPSHOT_DIFF_SQL = """
-WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
-SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
-FROM base WHERE o_orderkey % 10 = 0
-UNION ALL
-SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 'U'
-FROM base WHERE o_orderkey % 10 IN (1, 2)
-UNION ALL
-SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'I'
-FROM base WHERE o_orderkey % 10 = 3
-"""
-
-
-_PACK_BUDGET = 512  # tokens per packed training sequence
-
-
-def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-cut sequence packing: documents stream into
-    fixed-budget training sequences in deterministic (source, doc_id)
-    order; each document is assigned the sequence where its first token
-    lands plus its offset inside it — the GPT-style packing manifest
-    (reader concatenates in order and cuts every ``_PACK_BUDGET``
-    tokens).
-
-    One window over (source) — a single shuffle on the pack-stream key.
-    At 100 TB the unit of packing parallelism is the stream key: a
-    giant source is pre-split into k salted streams (seq ids then
-    namespace per salt), the same hot-key treatment as
-    ``keep_first_salted``. Token counts come from the shared BPE-ish
-    pre-tokenizer regex, so the oracle replays them exactly."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = F.regexp_count(F.col("text"), F.lit(_BPE_PRETOK)).cast("long")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    start = F.sum(tok).over(w) - tok
-    return docs.select(
-        "doc_id",
-        "source",
-        tok.alias("n_tokens"),
-        F.floor(start / _PACK_BUDGET).cast("long").alias("seq_id"),
-        (start % _PACK_BUDGET).cast("long").alias("seq_offset"),
-    )
-
-
-PACK_SEQUENCES_SQL = f"""
-SELECT doc_id, source, n_tokens,
-       CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
-       CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS seq_offset
-FROM (
-  SELECT doc_id, source,
-         CAST(len(regexp_extract_all(text, '{_BPE_PRETOK}')) AS BIGINT) AS n_tokens,
-         SUM(CAST(len(regexp_extract_all(text, '{_BPE_PRETOK}')) AS BIGINT))
-             OVER (PARTITION BY source ORDER BY doc_id
-                   ROWS UNBOUNDED PRECEDING) AS cum
-  FROM documents
-)
-"""
-
-
-def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pair → cluster: MinHash-LSH verified pairs (same parameters as
-    ``dedup_minhash_lsh_docs``) fed through distributed connected
-    components; every document gets a cluster id (singletons cluster
-    with themselves) and a canonical flag (the cluster's min doc_id —
-    the row a dedup pass KEEPS).
-
-    ORACLE: the full minhash pair SQL embedded as a subquery, closed
-    transitively with a recursive CTE, min label per component — so the
-    driver hash verifies pairs, closure, AND canonical choice."""
-    from ..operators.dedupe import connected_components
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(
-        docs, id_col="doc_id", text_col="text",
-        num_hashes=64, bands=16, shingle_n=3, verify_threshold=0.5,
-    )
-    cc = connected_components(pairs, out_id="doc_id", out_label="cluster_id")
-    out = docs.select("doc_id").join(cc, "doc_id", "left")
-    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    return out.select(
-        "doc_id",
-        cluster.alias("cluster_id"),
-        (cluster == F.col("doc_id")).alias("is_canonical"),
-    )
-
-
-DEDUP_CLUSTER_SQL = f"""
-WITH RECURSIVE
-pairs AS (SELECT id_a, id_b FROM ({DEDUP_MINHASH_SQL})),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(node, label) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
-),
-cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
-SELECT d.doc_id,
-       COALESCE(cc.label, d.doc_id) AS cluster_id,
-       COALESCE(cc.label, d.doc_id) = d.doc_id AS is_canonical
-FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-"""
-
-
-def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join: clicks joined to the same user's
-    views within the following hour, both sides unbounded streams —
-    the funnel/attribution shape. Append mode works because the time
-    bounds let Spark expire join state (see
-    :func:`..streaming.sessions.interval_join_streams`).
-
-    ORACLE: the identical interval self-join in batch SQL. Timestamps
-    stringified, gap emitted in integer seconds — hash-stable."""
-    from ..streaming.sessions import interval_join_streams, run_stream_to_memory
-
-    clicks = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), "ts")
-    )
-    views = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("r_ts"),
-        )
-    )
-    joined = interval_join_streams(
-        clicks, views, key_col="user_id", left_ts="ts", right_ts="r_ts",
-        within="1 hour", watermark="2 hours",
-    )
-    run_stream_to_memory(joined, "interval_join_result", output_mode="append")
-    res = spark.table("interval_join_result")
-    return res.select(
-        "user_id",
-        "click_id",
-        "view_id",
-        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("gap_us"),
-    )
-
-
-STREAM_INTERVAL_JOIN_SQL = """
-SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
-       epoch_us(v.ts) - epoch_us(c.ts) AS gap_us
-FROM events c JOIN events v
-  ON c.user_id = v.user_id
- AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR
-WHERE c.event_type = 'click' AND v.event_type = 'view'
-"""
-
-
-def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: a six-table join tree (fact ⨝ fact ⨝ four dims)
-    with a region filter and a date range — the broad join-reordering
-    case. The only shuffle-worthy join is lineitem ⨝ orders; customer,
-    supplier, nation, region all broadcast, and Catalyst pushes the
-    date filter into the orders scan and the region filter down the
-    dim chain (plan-test pinned)."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01"))
-    )
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(_dec_sum(rev).alias("revenue"))
-    )
-
-
-Q5_SQL = """
-SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
-         AS revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation   ON s_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
-GROUP BY n_name
-"""
-
-
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape (correlated scalar subquery): revenue from
-    line items below 20% of their part's average quantity, for one
-    brand. DECORRELATED as a window average over l_partkey — one
-    shuffle on the part key instead of the naive per-row subquery
-    (which Catalyst would rewrite into a self-join + re-aggregate;
-    the window form reads the fact once). Oracle states the same
-    window formulation, so the decorrelation itself is hash-checked."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select(
-        "p_partkey"
-    )
-    w = Window.partitionBy("l_partkey")
-    flagged = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .withColumn("avg_qty", F.avg("l_quantity").over(w))
-        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
-    )
-    return flagged.agg(
-        F.count("*").alias("n_small"),
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
-            / F.lit(7.0),
-            4,
-        ).alias("avg_yearly"),
-    )
-
-
-Q17_SQL = """
-WITH flagged AS (
-  SELECT l_extendedprice, l_quantity,
-         AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
-  FROM lineitem
-  JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2') p
-    ON l_partkey = p_partkey
-)
-SELECT COUNT(*) AS n_small,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 4)
-         AS avg_yearly
-FROM flagged
-WHERE l_quantity < 0.2 * avg_qty
-"""
-
-
-def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-window EXACT distinct users via two CHAINED stateful
-    operators (stateful dedup on (window, user) → windowed count) —
-    the streaming COUNT(DISTINCT) restatement; both stages share the
-    watermark so closed-window state evicts end to end. Append mode:
-    the tail window (end past max-event-time − watermark) is withheld,
-    and the oracle applies the same cutoff."""
-    from ..streaming.sessions import run_stream_to_memory, windowed_distinct_users
-
-    stream = _stream_events(spark, sf_dir)
-    agg = windowed_distinct_users(
-        stream, ts_col="ts", user_col="user_id", window="1 day", watermark="1 hour"
-    )
-    run_stream_to_memory(agg, "windowed_distinct_users_result", output_mode="append")
-    res = spark.table("windowed_distinct_users_result")
-    return res.select(
-        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "n_users",
-    )
-
-
-STREAM_DISTINCT_USERS_SQL = """
-WITH mx AS (SELECT MAX(ts) AS m FROM events),
-d AS (SELECT DISTINCT date_trunc('day', ts) AS ws, user_id FROM events)
-SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-       COUNT(*) AS n_users
-FROM d, mx
-WHERE ws + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
-GROUP BY ws
-"""
-
-
-# ===========================================================================
-# sketches / model scoring / quantization / JSONL interchange (round 4)
-# ===========================================================================
-
-def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable cardinality rollup via KMV sketches: one k=64 sketch
-    per (lang, source) part, merged per lang — the "distinct docs for
-    any span of parts without rescanning raw data" pattern. Every hash,
-    the merge, and the (k-1)/U(k) estimator are engine-portable md5 +
-    IEEE arithmetic, so the oracle reproduces the estimate exactly
-    (sketches built per part; merged-union < k ⇒ exact by construction,
-    since any capped part forces the union to ≥ k)."""
-    from ..operators.dedupe import portable_hash60
-    from ..operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
-
-    k = 64
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("lang", "source", normalized_text(F.col("text")).alias("nt"))
-    )
-    parts = kmv_sketch(docs, ["lang", "source"], "nt", k=k)
-    merged = kmv_merge(parts, ["lang"], "kmv", k=k)
-    exact = (
-        docs.select("lang", portable_hash60(F.col("nt")).alias("hv"))
-        .distinct()
-        .groupBy("lang")
-        .agg(F.count("*").alias("exact_distinct"))
-    )
-    n_parts = parts.groupBy("lang").agg(F.count("*").alias("n_sources"))
-    return (
-        merged.select("lang", kmv_estimate("kmv", k=k).alias("kmv_estimate"))
-        .join(exact, "lang")
-        .join(n_parts, "lang")
-        .select("lang", "n_sources", "exact_distinct", "kmv_estimate")
-    )
-
-
-_KMV_HASH = f"('0x' || substr(md5({_NORM_SQL}), 1, 15))::BIGINT"
-
-SKETCH_KMV_SQL = f"""
-WITH h AS (
-  SELECT DISTINCT lang, source, {_KMV_HASH} AS hv
-  FROM documents WHERE text IS NOT NULL
-), part AS (
-  SELECT lang, source, hv,
-         row_number() OVER (PARTITION BY lang, source ORDER BY hv) AS rn
-  FROM h
-), sk AS (SELECT lang, source, hv FROM part WHERE rn <= 64),
-m AS (SELECT DISTINCT lang, hv FROM sk),
-mr AS (
-  SELECT lang, hv,
-         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
-         COUNT(*) OVER (PARTITION BY lang) AS msize
-  FROM m
-)
-SELECT mr.lang,
-       (SELECT COUNT(DISTINCT source) FROM h WHERE h.lang = mr.lang) AS n_sources,
-       (SELECT COUNT(*) FROM (SELECT DISTINCT hv FROM h WHERE h.lang = mr.lang)) AS exact_distinct,
-       CASE WHEN MAX(msize) < 64 THEN MAX(msize)
-            ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
-                            / MAX(CASE WHEN rn = 64 THEN hv END)) AS BIGINT)
-       END AS kmv_estimate
-FROM mr GROUP BY mr.lang
-"""
-
-
-def sketch_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-vs-corpus overlap from sketches alone (day-over-day
-    contamination check at 100 TB: neither side rescanned): KMV
-    sketches of the even-id and odd-id document halves, then union /
-    intersection / Jaccard estimated with exact integer set algebra on
-    the two k-hash summaries. Engine-reproducible bit-for-bit."""
-    from ..operators.sketches import kmv_jaccard, kmv_sketch
-
-    k = 128
-    halves = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select(
-            (F.col("doc_id") % 2).alias("half"),
-            normalized_text(F.col("text")).alias("nt"),
-        )
-    )
-    sk = kmv_sketch(halves, ["half"], "nt", k=k)
-    a = sk.filter(F.col("half") == 0).select(
-        F.col("kmv").alias("ka"), F.col("n_exact").alias("n_even")
-    )
-    b = sk.filter(F.col("half") == 1).select(
-        F.col("kmv").alias("kb"), F.col("n_exact").alias("n_odd")
-    )
-    c = kmv_jaccard("ka", "kb", k=k)
-    return (
-        a.crossJoin(b)
-        .select(
-            "n_even",
-            "n_odd",
-            c["union_est"].alias("union_est"),
-            c["inter_hits"].alias("inter_hits"),
-            c["jaccard_est"].alias("jaccard_est"),
-            c["intersection_est"].alias("intersection_est"),
-        )
-    )
-
-
-SKETCH_OVERLAP_SQL = f"""
-WITH h AS (
-  SELECT DISTINCT doc_id % 2 AS half, {_KMV_HASH} AS hv
-  FROM documents WHERE text IS NOT NULL
-), r AS (
-  SELECT half, hv,
-         row_number() OVER (PARTITION BY half ORDER BY hv) AS rn,
-         COUNT(*) OVER (PARTITION BY half) AS cnt
-  FROM h
-), sk AS (
-  SELECT half, list_sort(list(hv)) AS kmv, MAX(cnt) AS n_exact
-  FROM r WHERE rn <= 128 GROUP BY half
-), ab AS (
-  SELECT (SELECT kmv FROM sk WHERE half = 0) AS ka,
-         (SELECT n_exact FROM sk WHERE half = 0) AS n_even,
-         (SELECT kmv FROM sk WHERE half = 1) AS kb,
-         (SELECT n_exact FROM sk WHERE half = 1) AS n_odd
-), m AS (
-  SELECT n_even, n_odd, ka, kb,
-         list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 128) AS merged
-  FROM ab
-), e AS (
-  SELECT n_even, n_odd,
-         CASE WHEN len(merged) < 128 THEN len(merged)
-              ELSE CAST(FLOOR(127.0 * 1152921504606846976.0 / merged[128]) AS BIGINT)
-         END AS union_est,
-         CAST(len(list_intersect(list_intersect(merged, ka), kb)) AS BIGINT) AS inter_hits,
-         LEAST(128, len(merged)) AS denom
-  FROM m
-)
-SELECT n_even, n_odd, union_est, inter_hits,
-       ROUND(CAST(inter_hits AS DOUBLE) / denom, 6) AS jaccard_est,
-       CAST(FLOOR(CAST(inter_hits AS DOUBLE) / denom * CAST(union_est AS DOUBLE)) AS BIGINT)
-         AS intersection_est
-FROM e
-"""
-
-
-def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality scoring: a linear classifier over the
-    heuristic features (sqrt-tokens, punct/stopword ratios, mean word
-    length, 2-gram repetition) emitting a logit and a keep decision —
-    the learned-filter stage of a corpus pipeline, kept IEEE-exact
-    (sqrt/mul/add only, fixed order) so the score itself is
-    oracle-hashed, not just tested to tolerance."""
-    from ..functions.text import quality_logit
-
-    docs = _t(spark, sf_dir, "documents")
-    z = quality_logit(F.col("text"))
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        z.alias("q_logit"),
-        (z >= 0).cast("int").alias("keep"),
-    )
-
-
-QUALITY_MODEL_SQL = f"""
-SELECT doc_id, n_tokens,
-       ROUND(-2.0 + 0.35 * sqrt(CAST(n_tokens AS DOUBLE))
-                  + (-6.0) * punct_ratio
-                  + 8.0 * stopword_ratio
-                  + 0.05 * mean_word_len
-                  + (-5.0) * rep2, 6) AS q_logit,
-       CAST(ROUND(-2.0 + 0.35 * sqrt(CAST(n_tokens AS DOUBLE))
-                  + (-6.0) * punct_ratio
-                  + 8.0 * stopword_ratio
-                  + 0.05 * mean_word_len
-                  + (-5.0) * rep2, 6) >= 0 AS INT) AS keep
-FROM (
-  SELECT doc_id,
-         CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
-         ROUND(COALESCE(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-               / NULLIF(CAST(length(text) AS DOUBLE), 0), 0.0), 6) AS punct_ratio,
-         ROUND(COALESCE(
-           CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_EN}, t) OR list_contains({_ES}, t))) AS DOUBLE)
-             / NULLIF(CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS DOUBLE), 0),
-           0.0), 6) AS stopword_ratio,
-         ROUND(COALESCE(CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE)
-               / NULLIF(CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len({_TOKS_SQL}) END AS DOUBLE), 0), 0.0), 6)
-           AS mean_word_len,
-         ROUND(CASE WHEN len(bg) = 0 THEN 0.0
-                    ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-               END, 6) AS rep2
-  FROM (
-    SELECT doc_id, text,
-           list_transform(range(1, len({_TOKS_SQL})),
-                          i -> ({_TOKS_SQL})[i] || ' ' || ({_TOKS_SQL})[i+1]) AS bg
-    FROM documents
-  )
-)
-"""
-
-
-def quantize_embeddings_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8 embedding quantization (4x storage cut for a 100 TB
-    embedding store): per-vector symmetric scale, round-to-int8, plus
-    reconstruction-error audit columns. Quantized bytes are hashed via
-    exact integer aggregates (sum / min / max of the int8 array) so the
-    oracle pins every byte, and max_abs_err is IEEE-exact arithmetic."""
-    from ..operators.similarity import dequantize_embeddings, quantize_embeddings
-
-    emb = _t(spark, sf_dir, "embeddings")
-    # zero / null vectors quantize to null scale; both sides drop them
-    q = dequantize_embeddings(quantize_embeddings(emb)).filter(
-        F.col("q8_scale").isNotNull()
-    )
-    err = F.array_max(
-        F.zip_with(
-            F.transform(F.col("embedding"), lambda x: x.cast("double")),
-            F.col("embedding_deq"),
-            lambda a, b: F.abs(a - b),
-        )
-    )
-    qi = F.transform(F.col("q8"), lambda x: x.cast("long"))
-    return q.select(
-        "vec_id",
-        F.round(F.col("q8_scale"), 6).alias("q8_scale_r"),
-        F.aggregate(qi, F.lit(0).cast("long"), lambda s, v: s + v).alias("q_sum"),
-        F.array_min("q8").cast("int").alias("q_min"),
-        F.array_max("q8").cast("int").alias("q_max"),
-        F.round(err, 6).alias("max_abs_err"),
-    )
-
-
-QUANTIZE_Q8_SQL = """
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-  FROM embeddings
-), s AS (
-  SELECT vec_id, vd,
-         list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
-  FROM v
-), q AS (
-  SELECT vec_id, vd, scale,
-         list_transform(vd, x -> CAST(round(x / scale) AS BIGINT)) AS qi
-  FROM s WHERE scale > 0
-)
-SELECT vec_id,
-       ROUND(scale, 6) AS q8_scale_r,
-       CAST(list_sum(qi) AS BIGINT) AS q_sum,
-       CAST(list_min(qi) AS INT) AS q_min,
-       CAST(list_max(qi) AS INT) AS q_max,
-       ROUND(list_max(list_transform(list_zip(vd, qi),
-                                     p -> abs(p[1] - p[2] * scale))), 6) AS max_abs_err
-FROM q
-"""
-
-
-def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-based corpus re-balancing (weight ∝ share^0.5) with
-    the realized per-stratum sample: the data-mixing stage of a training
-    pipeline, end-to-end — rates computed FROM the data (one tiny agg),
-    broadcast back, and applied as the deterministic hash quota. Both
-    the weights (sqrt/÷, IEEE-exact) and the exact kept set are
-    oracle-hashed."""
-    from ..operators.sampling import mixture_rates, stratified_sample_rates
-
-    docs = _t(spark, sf_dir, "documents")
-    rates = mixture_rates(docs, "lang", alpha=0.5, target_rows=150)
-    kept = (
-        stratified_sample_rates(docs, "doc_id", "lang", rates)
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_kept"))
-    )
-    return (
-        rates.join(F.broadcast(kept), "lang", "left")
-        .select(
-            "lang",
-            "n_rows",
-            F.round("mix_weight", 6).alias("mix_weight"),
-            F.round("sample_rate", 6).alias("sample_rate"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        )
-    )
-
-
-SAMPLE_MIXTURE_SQL = """
-WITH c AS (SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang),
-t AS (SELECT SUM(sqrt(CAST(n_rows AS DOUBLE))) AS w_total FROM c),
-r AS (
-  SELECT lang, n_rows,
-         sqrt(CAST(n_rows AS DOUBLE)) / w_total AS mw,
-         LEAST(1.0, sqrt(CAST(n_rows AS DOUBLE)) / w_total * 150.0 / n_rows) AS rate
-  FROM c, t
-), k AS (
-  SELECT d.lang, COUNT(*) AS n_kept
-  FROM documents d JOIN r ON d.lang = r.lang
-  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100000
-        < CAST(round(rate * 100000) AS BIGINT)
-  GROUP BY d.lang
-)
-SELECT r.lang, r.n_rows,
-       ROUND(mw, 6) AS mix_weight,
-       ROUND(rate, 6) AS sample_rate,
-       COALESCE(k.n_kept, 0) AS n_kept
-FROM r LEFT JOIN k ON r.lang = k.lang
-"""
-
-
-def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-seed vocabulary induction: top-100 normalized tokens by
-    corpus frequency with rank and cumulative coverage. The explode is
-    scan-local and the count partial-aggregates map-side, so the only
-    full shuffle carries one row per DISTINCT token — at 100 TB that is
-    vocabulary-sized, not corpus-sized."""
-    from ..functions.text import vocab_top_k
-
-    docs = _t(spark, sf_dir, "documents")
-    return vocab_top_k(docs, "text", k=100)
-
-
-VOCAB_TOPK_SQL = f"""
-WITH tok AS (
-  SELECT unnest(list_filter({_TOKS_SQL}, t -> t <> '')) AS token FROM documents
-), c AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
-t AS (SELECT SUM(freq) AS total FROM c),
-top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 100)
-SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
-       token, freq,
-       ROUND(CAST(SUM(freq) OVER (ORDER BY freq DESC, token
-                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-             / CAST(total AS DOUBLE), 6) AS cum_coverage
-FROM top, t
-"""
-
-
-def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental (ingest-wave) dedup: the odd-id half of documents
-    arrives as a new batch and dedups against the even-id half's
-    fingerprint-only index — the corpus itself is never rescanned. The
-    operational dedup shape at 100 TB: the index is one md5 per
-    historical doc, the anti-join hashes on it, and within-batch
-    keep-first matches exact_dedup's canonical-survivor rule."""
-    from ..operators.dedupe import incremental_dedup
-
-    docs = _t(spark, sf_dir, "documents")
-    index = (
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .select(doc_fingerprint(F.col("text")).alias("fp"))
-    )
-    new_batch = docs.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", "text"
-    )
-    kept = incremental_dedup(new_batch, index)
-    return kept.select("doc_id", "fp")
-
-
-DEDUP_INCREMENTAL_SQL = f"""
-WITH idx AS (
-  SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id % 2 = 0
-), newb AS (
-  SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id % 2 = 1
-), fresh AS (
-  SELECT * FROM newb n WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = n.fp)
-), keep AS (
-  SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
-)
-SELECT doc_id, fp FROM fresh WHERE doc_id IN (SELECT doc_id FROM keep)
-"""
-
-
-def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-count stratified sample: exactly min(20, |lang|) docs per
-    language, chosen by hash order — reproducible eval-set carving
-    (Bernoulli quotas give a binomial count; eval sets need the exact
-    one). Map-side WindowGroupLimit keeps hot strata from straggling."""
-    from ..operators.sampling import stratified_exact_k
-
-    docs = _t(spark, sf_dir, "documents")
-    return stratified_exact_k(docs, "doc_id", "lang", k=20).select(
-        "doc_id", "lang", "source"
-    )
-
-
-SAMPLE_EXACT_K_SQL = """
-SELECT doc_id, lang, source FROM (
-  SELECT doc_id, lang, source,
-         row_number() OVER (
-           PARTITION BY lang
-           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
-                    doc_id
-         ) AS rn
-  FROM documents
-) WHERE rn <= 20
-"""
-
-
-def s8_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-Lines interchange roundtrip: write the documents table as
-    JSONL (the LLM-corpus interchange format), read it back with an
-    explicit schema in PERMISSIVE + corrupt-record-capture mode, and
-    aggregate — content (unicode text, nulls, counts) must survive the
-    text encoding. The oracle aggregates the parquet source directly,
-    so any loss in the JSON path breaks the hash."""
-    import hashlib
-    import tempfile
-
-    from ..sources.readers import read_jsonl, write_jsonl
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out_dir = os.path.join(tempfile.gettempdir(), f"jsonl_docs_{tag}")
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    write_jsonl(docs, out_dir)
-    back = read_jsonl(
-        spark,
-        out_dir,
-        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
-    )
-    return (
-        back.filter(F.col("_corrupt_record").isNull())
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
-            F.sum("n_chars").alias("total_chars"),
-            F.sum(F.length("text")).alias("total_text_len"),
-        )
-    )
-
-
-S8_JSONL_SQL = """
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
-FROM documents
-GROUP BY source
-"""
-
 
 # ===========================================================================
 # registry
@@ -3649,3115 +284,15 @@ EXTRA_QUERIES.update(CORPUS_QUALITY_QUERIES)
 EXTRA_ORACLES.update(CORPUS_QUALITY_ORACLES)
 
 
-def streaming_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming MERGE-by-key sink: the event stream upserts a keyed
-    latest-state table (key = user_id, last-writer-wins on event_id)
-    through versioned idempotent snapshots — the dimension-maintenance
-    sink the plain append file sink cannot express. The readback is the
-    final snapshot; the oracle is per-key argmax(event_id)."""
-    import tempfile
-
-    from ..streaming.sessions import read_upsert_table, stream_upsert_to_parquet
-
-    stream = _stream_events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "value"
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
-    stream_upsert_to_parquet(
-        stream,
-        f"{tmp}/table",
-        f"{tmp}/ckpt",
-        keys=["user_id"],
-        seq_col="event_id",
-    )
-    return read_upsert_table(spark, f"{tmp}/table").select(
-        "user_id", "event_id", "event_type", "value"
-    )
-
-
-STREAM_UPSERT_SQL = """
-SELECT user_id, event_id, event_type, value
-FROM (
-  SELECT user_id, event_id, event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-  FROM events
-)
-WHERE rn = 1
-"""
-
-EXTRA_QUERIES["streaming_upsert_events"] = streaming_upsert_events
-EXTRA_ORACLES["streaming_upsert_events"] = STREAM_UPSERT_SQL
-
-
-def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental view maintenance: a per-(user, event_type) COUNT/SUM
-    aggregate built over the first half of January is maintained to
-    month-end by a CDC feed alone — inserts for the new events plus
-    deletes retracting every event_id % 10 == 0 base row — without
-    rescanning the base. The oracle recomputes the final state from
-    scratch; equality IS the IVM law. MIN/MAX stay out by design (not
-    self-maintainable under deletes; see operators/ivm.py)."""
-    from ..operators.ivm import aggregate_state, incremental_agg_update
-
-    ev = _t(spark, sf_dir, "events")
-    split = F.lit("2024-01-16")
-    base = ev.filter(F.col("ts") < split)
-    state = aggregate_state(base, keys=["user_id", "event_type"], sum_cols=["value"])
-    inserts = ev.filter(F.col("ts") >= split).withColumn("op", F.lit("I"))
-    deletes = base.filter(F.col("event_id") % 10 == 0).withColumn("op", F.lit("D"))
-    changes = inserts.unionByName(deletes)
-    new_state = incremental_agg_update(
-        state, changes, keys=["user_id", "event_type"], sum_cols=["value"]
-    )
-    return new_state.select(
-        "user_id",
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
-    )
-
-
-IVM_SQL = """
-WITH eff AS (
-  SELECT user_id, event_type, value FROM events WHERE ts >= '2024-01-16'
-  UNION ALL
-  SELECT user_id, event_type, value FROM events
-  WHERE ts < '2024-01-16' AND event_id % 10 <> 0
-)
-SELECT user_id, event_type, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
-FROM eff
-GROUP BY user_id, event_type
-"""
-
-EXTRA_QUERIES["ivm_incremental_agg"] = ivm_incremental_agg
-EXTRA_ORACLES["ivm_incremental_agg"] = IVM_SQL
-
-
-def ivm_minmax_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVM for the NON-self-maintainable aggregates: per-(user,
-    event_type) MIN/MAX of value maintained through the same
-    insert+delete CDC scenario as ivm_incremental_agg — deletes that
-    touch a group's extreme re-aggregate ONLY that group against the
-    key-pruned effective base (operators/ivm.incremental_minmax_update);
-    untouched groups merge change-feed-sized. The oracle recomputes the
-    final state from scratch; equality is the law, and the delete set
-    (every event_id % 10 == 0) is guaranteed to hit some extremes and
-    miss others, so BOTH branches are exercised."""
-    from ..operators.ivm import incremental_minmax_update, minmax_state
-
-    ev = _t(spark, sf_dir, "events")
-    split = F.lit("2024-01-16")
-    base = ev.filter(F.col("ts") < split)
-    state = minmax_state(base, keys=["user_id", "event_type"], val_col="value")
-    inserts = ev.filter(F.col("ts") >= split).withColumn("op", F.lit("I"))
-    deletes = base.filter(F.col("event_id") % 10 == 0).withColumn("op", F.lit("D"))
-    changes = inserts.unionByName(deletes)
-    effective = ev.filter(
-        (F.col("ts") >= split)
-        | ((F.col("ts") < split) & (F.col("event_id") % 10 != 0))
-    )
-    new_state = incremental_minmax_update(
-        state, changes, effective, keys=["user_id", "event_type"],
-        val_col="value",
-    )
-    return new_state.select(
-        "user_id",
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round(F.col("min_v").cast("double"), 6).alias("min_v"),
-        F.round(F.col("max_v").cast("double"), 6).alias("max_v"),
-    )
-
-
-IVM_MINMAX_SQL = """
-WITH eff AS (
-  SELECT user_id, event_type, value FROM events WHERE ts >= '2024-01-16'
-  UNION ALL
-  SELECT user_id, event_type, value FROM events
-  WHERE ts < '2024-01-16' AND event_id % 10 <> 0
-)
-SELECT user_id, event_type, COUNT(*) AS n,
-       ROUND(CAST(MIN(value) AS DOUBLE), 6) AS min_v,
-       ROUND(CAST(MAX(value) AS DOUBLE), 6) AS max_v
-FROM eff
-GROUP BY user_id, event_type
-"""
-
-EXTRA_QUERIES["ivm_minmax_incremental"] = ivm_minmax_incremental
-EXTRA_ORACLES["ivm_minmax_incremental"] = IVM_MINMAX_SQL
-
-
-def sketch_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min frequency sketch over the corpus token stream
-    (operators/sketches.cms_sketch, depth 4 × width 1024 — ≤4096 cells
-    whatever the corpus size), probed at the exact top-20 tokens:
-    output (token, exact_n, cms_est). The estimate is biased up only
-    (cms_est >= exact_n always — collisions add, never subtract), and
-    because the hash rows are the portable md5-60 family the ORACLE
-    replays the whole sketch — build, probe, min-over-rows — in plain
-    SQL: the estimates must match cell-for-cell, not just
-    approximately."""
-    from ..operators.sketches import cms_estimate, cms_sketch
-
-    toks = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select(
-            F.explode(
-                F.filter(
-                    F.split(normalized_text(F.col("text")), " "),
-                    lambda t: t != "",
-                )
-            ).alias("tok")
-        )
-    )
-    sketch = cms_sketch(toks, "tok", depth=4, width=1024)
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("tok"))
-        .limit(20)
-    )
-    est = cms_estimate(sketch, top, "tok", depth=4, width=1024)
-    return est.select("tok", "exact_n", F.col("cms_est").cast("long").alias("cms_est"))
-
-
-CMS_HEAVY_SQL = """
-WITH toks AS (
-  SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-                x -> x != '')) AS tok
-  FROM documents WHERE text IS NOT NULL
-), sketch AS (
-  SELECT j AS row,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS bucket,
-         COUNT(*) AS c
-  FROM toks, LATERAL unnest(generate_series(0, 3)) AS u(j)
-  GROUP BY 1, 2
-), top AS (
-  SELECT tok, COUNT(*) AS exact_n
-  FROM toks GROUP BY tok
-  ORDER BY exact_n DESC, tok LIMIT 20
-), probe AS (
-  SELECT t.tok, t.exact_n, j AS row,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t.tok), 1, 15))::BIGINT % 1024 AS bucket
-  FROM top t, LATERAL unnest(generate_series(0, 3)) AS u(j)
-)
-SELECT p.tok, p.exact_n, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cms_est
-FROM probe p LEFT JOIN sketch s USING (row, bucket)
-GROUP BY p.tok, p.exact_n
-"""
-
-EXTRA_QUERIES["sketch_cms_heavy_tokens"] = sketch_cms_heavy_tokens
-EXTRA_ORACLES["sketch_cms_heavy_tokens"] = CMS_HEAVY_SQL
-
-
-def graph_hits_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS over the DIRECTED customer→supplier trading graph (an edge
-    per distinct pair from orders × lineitem): hubs are the buying
-    side, authorities the selling side — the bipartite structure
-    PageRank's single score conflates, and the reason the graph ladder
-    has this third rung (operators/graph.hits: per iteration one
-    edge⨝hub + dst agg and one edge⨝authority + src agg, L1
-    normalization, round-12 per iteration so the oracle's unrolled
-    CTEs replay bit-for-bit). 3 iterations; final scores round to 6."""
-    from ..operators.graph import hits
-
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    out = hits(e0, iterations=3)
-    return out.select(
-        "node",
-        F.round("hub", 6).alias("hub"),
-        F.round("authority", 6).alias("authority"),
-    )
-
-
-def _hits_oracle_sql(iterations: int = 3) -> str:
-    head = """WITH e AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                  's' || CAST(l_suppkey AS VARCHAR) AS dst
-  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-), nodes AS (
-  SELECT src AS node FROM e UNION SELECT dst FROM e
-), n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
-h0 AS (SELECT node, 1.0 / n_nodes AS h FROM nodes, n)"""
-    steps = []
-    for i in range(1, iterations + 1):
-        steps.append(f""",
-ar{i} AS (
-  SELECT e.dst AS node, SUM(h.h) AS v
-  FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
-),
-a{i} AS (
-  SELECT nodes.node,
-         ROUND(COALESCE(r.v, 0) / (SELECT SUM(v) FROM ar{i}), 12) AS a
-  FROM nodes LEFT JOIN ar{i} r ON r.node = nodes.node
-),
-hr{i} AS (
-  SELECT e.src AS node, SUM(a.a) AS v
-  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
-),
-h{i} AS (
-  SELECT nodes.node,
-         ROUND(COALESCE(r.v, 0) / (SELECT SUM(v) FROM hr{i}), 12) AS h
-  FROM nodes LEFT JOIN hr{i} r ON r.node = nodes.node
-)""")
-    tail = f"""
-SELECT h.node, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS authority
-FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
-    return head + "".join(steps) + tail
-
-
-EXTRA_QUERIES["graph_hits_entities"] = graph_hits_entities
-EXTRA_ORACLES["graph_hits_entities"] = _hits_oracle_sql(3)
-
-
-def dedup_cluster_star_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same pair→cluster contract as ``dedup_cluster_docs`` but
-    closed with ALTERNATING large-star/small-star rounds
-    (operators/dedupe.connected_components_star) instead of min-label
-    propagation: O(log n) rounds vs O(component diameter), the variant
-    that survives long-chain components (tests demonstrate a 1024-node
-    path converging in ~5 star rounds where propagation needs ~1024).
-    Identical output on identical input — the ORACLE is the very same
-    recursive-closure SQL as the propagation row, so the driver hash
-    also proves the two algorithms agree."""
-    from ..operators.dedupe import connected_components_star
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(
-        docs, id_col="doc_id", text_col="text",
-        num_hashes=64, bands=16, shingle_n=3, verify_threshold=0.5,
-    )
-    cc = connected_components_star(pairs, out_id="doc_id", out_label="cluster_id")
-    out = docs.select("doc_id").join(cc, "doc_id", "left")
-    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    return out.select(
-        "doc_id",
-        cluster.alias("cluster_id"),
-        (cluster == F.col("doc_id")).alias("is_canonical"),
-    )
-
-
-EXTRA_QUERIES["dedup_cluster_star_docs"] = dedup_cluster_star_docs
-EXTRA_ORACLES["dedup_cluster_star_docs"] = DEDUP_CLUSTER_SQL
-
-
-def stat_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user activity trend: OLS of event value on event time
-    (seconds since 2024-01-01) in one aggregation
-    (operators/timeseries.group_ols) — slope/intercept/R² from exact
-    decimal sufficient statistics, so the ORACLE's identical
-    closed-form arithmetic matches bit-for-bit after rounding (float
-    enters only AFTER the sums are exact; x is floor-epoch seconds in
-    both engines). Slope rounds to 12 (per-second trends are tiny),
-    intercept and R² to 6."""
-    from ..operators.timeseries import group_ols
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    base = ev.select(
-        "user_id",
-        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
-        F.col("value").alias("y"),
-    )
-    out = group_ols(base, ["user_id"], "x", "y")
-    return out.select(
-        "user_id",
-        "n",
-        F.round("slope", 12).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
-        F.round("r2", 6).alias("r2"),
-    )
-
-
-GROUP_REGRESSION_SQL = """
-WITH b AS (
-  SELECT user_id,
-         CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS DECIMAL(28,6)) AS x,
-         CAST(value AS DECIMAL(28,6)) AS y
-  FROM events WHERE value IS NOT NULL
-), s AS (
-  SELECT user_id, COUNT(*) AS n,
-         SUM(x) AS sx, SUM(y) AS sy,
-         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
-         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
-         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
-  FROM b GROUP BY user_id
-), d AS (
-  SELECT user_id, n,
-         CAST(n AS DOUBLE) AS nd,
-         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
-         CAST(syy AS DOUBLE) AS syyd
-  FROM s
-)
-SELECT user_id, CAST(n AS BIGINT) AS n,
-       ROUND((nd * sxyd - sxd * syd) / NULLIF(nd * sxxd - sxd * sxd, 0), 12) AS slope,
-       ROUND((syd - ((nd * sxyd - sxd * syd) / NULLIF(nd * sxxd - sxd * sxd, 0)) * sxd) / nd, 6) AS intercept,
-       ROUND((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
-             / NULLIF((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd), 0), 6) AS r2
-FROM d
-"""
-
-EXTRA_QUERIES["stat_group_regression"] = stat_group_regression
-EXTRA_ORACLES["stat_group_regression"] = GROUP_REGRESSION_SQL
-
-
-def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch MAINTAINED ON A STREAM: the sketch is a plain
-    (row, bucket) counter aggregation, so it runs as a streaming
-    groupBy in complete mode with state bounded at depth×width cells
-    REGARDLESS of stream length — the frequency-sketch analog of the
-    streaming matview, and the reason CMS is the right heavy-hitter
-    structure for unbounded feeds (exact per-key counts would grow
-    state with the key universe). The streamed sketch is then probed
-    batch-side at the exact top-10 users; the ORACLE rebuilds sketch
-    and probes from the same rows in SQL — streamed and batch cells
-    must agree exactly (counts are linear; micro-batching cannot
-    change a sum)."""
-    from ..operators.sketches import cms_estimate
-    from ..streaming.sessions import run_stream_to_memory
-
-    depth, width = 4, 1024
-    stream = _stream_events(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("uid")
-    )
-    cells = stream.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("row"),
-                    (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{j}:"), F.col("uid"))),
-                                1, 15,
-                            ), 16, 10,
-                        ).cast("long") % width
-                    ).alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("rb")
-    ).groupBy(
-        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    run_stream_to_memory(cells, "cms_user_cells", output_mode="complete")
-    sketch = spark.table("cms_user_cells")
-
-    top = (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.col("user_id").cast("string").alias("uid"))
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("uid"))
-        .limit(10)
-    )
-    est = cms_estimate(sketch, top, "uid", depth=depth, width=width)
-    return est.select(
-        "uid", "exact_n", F.col("cms_est").cast("long").alias("cms_est")
-    )
-
-
-STREAM_CMS_SQL = """
-WITH ev AS (
-  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
-), sketch AS (
-  SELECT j AS row,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || uid), 1, 15))::BIGINT % 1024 AS bucket,
-         COUNT(*) AS c
-  FROM ev, LATERAL unnest(generate_series(0, 3)) AS u(j)
-  GROUP BY 1, 2
-), top AS (
-  SELECT uid, COUNT(*) AS exact_n
-  FROM ev GROUP BY uid
-  ORDER BY exact_n DESC, uid LIMIT 10
-), probe AS (
-  SELECT t.uid, t.exact_n, j AS row,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t.uid), 1, 15))::BIGINT % 1024 AS bucket
-  FROM top t, LATERAL unnest(generate_series(0, 3)) AS u(j)
-)
-SELECT p.uid, p.exact_n, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cms_est
-FROM probe p LEFT JOIN sketch s USING (row, bucket)
-GROUP BY p.uid, p.exact_n
-"""
-
-EXTRA_QUERIES["streaming_cms_user_counts"] = streaming_cms_user_counts
-EXTRA_ORACLES["streaming_cms_user_counts"] = STREAM_CMS_SQL
-
-
-def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining: document-level PMI over the top-200-df
-    vocabulary (operators/search.cooccurrence_pmi — postings filtered
-    to the broadcast vocabulary BEFORE the one self-join on doc, so
-    the pair explosion is vocab²-bounded per doc, never doc-length²),
-    pairs in ≥5 docs. The ORACLE replays vocabulary selection
-    (df-desc, token tiebreak), the pair counts, and the exact-count
-    PMI formula in SQL."""
-    from ..operators.search import cooccurrence_pmi
-
-    docs = _t(spark, sf_dir, "documents")
-    return cooccurrence_pmi(
-        docs, vocab_size=200, min_pair_docs=5
-    )
-
-
-COOCCURRENCE_PMI_SQL = """
-WITH base AS (
-  SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-                     x -> x != '') AS toks
-  FROM documents WHERE text IS NOT NULL
-), n AS (SELECT COUNT(*) AS n_docs FROM base),
-post AS (
-  SELECT DISTINCT doc_id, unnest(toks) AS token FROM base
-), dfreq AS (
-  SELECT token, COUNT(*) AS df FROM post GROUP BY token
-), vocab AS (
-  SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 200
-), vp AS (
-  SELECT p.doc_id, p.token, v.df FROM post p JOIN vocab v USING (token)
-), pairs AS (
-  SELECT a.token AS tok_a, b.token AS tok_b,
-         COUNT(*) AS pair_docs, MAX(a.df) AS df_a, MAX(b.df) AS df_b
-  FROM vp a JOIN vp b ON a.doc_id = b.doc_id AND a.token < b.token
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 5
-)
-SELECT tok_a, tok_b, pair_docs,
-       ROUND(ln(CAST(n.n_docs AS DOUBLE) * pair_docs
-                / (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
-FROM pairs, n
-"""
-
-EXTRA_QUERIES["text_cooccurrence_pmi"] = text_cooccurrence_pmi
-EXTRA_ORACLES["text_cooccurrence_pmi"] = COOCCURRENCE_PMI_SQL
-
-
-def streaming_matview_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming materialized view: per-(event_type) running COUNT/SUM
-    maintained incrementally per micro-batch (foreachBatch + IVM over
-    versioned snapshots — state at rest in parquet, never re-aggregated
-    from history). Oracle: the one-shot batch aggregate."""
-    import tempfile
-
-    from ..streaming.sessions import read_upsert_table, stream_maintain_agg_view
-
-    stream = _stream_events(spark, sf_dir).select("event_type", "value")
-    tmp = tempfile.mkdtemp(prefix="stream_matview_")
-    stream_maintain_agg_view(
-        stream,
-        f"{tmp}/view",
-        f"{tmp}/ckpt",
-        keys=["event_type"],
-        sum_cols=["value"],
-    )
-    res = read_upsert_table(spark, f"{tmp}/view")
-    return res.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
-    )
-
-
-STREAM_MATVIEW_SQL = """
-SELECT event_type, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
-FROM events
-GROUP BY event_type
-"""
-
-EXTRA_QUERIES["streaming_matview_counts"] = streaming_matview_counts
-EXTRA_ORACLES["streaming_matview_counts"] = STREAM_MATVIEW_SQL
-
-
-def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record linkage: part names matched against a corrupted
-    copy (one char substituted at a length-derived position) within
-    Levenshtein distance 2 — q-gram blocking with the count-filtering
-    recall bound + JVM levenshtein verify (operators/linkage.py). The
-    oracle brute-forces ALL pairs, so parity proves the blocking lost
-    nothing."""
-    from ..operators.linkage import fuzzy_join
-
-    perturb = (
-        "concat(substr(p_name, 1, (length(p_name) % 5) + 1), 'x', "
-        "substr(p_name, (length(p_name) % 5) + 3))"
-    )
-    p = _t(spark, sf_dir, "part")
-    left = p.select(F.col("p_name")).distinct().select(
-        F.col("p_name").alias("lkey"), F.col("p_name").alias("l_name")
-    )
-    right = p.select(F.expr(perturb).alias("r_name")).distinct().select(
-        F.col("r_name").alias("rkey"), F.col("r_name")
-    )
-    out = fuzzy_join(
-        left, right,
-        left_id="lkey", left_col="l_name",
-        right_id="rkey", right_col="r_name",
-        max_dist=2, q=2,
-    )
-    return out.select("l_name", "r_name", "dist")
-
-
-FUZZY_MATCH_SQL = """
-WITH l AS (SELECT DISTINCT p_name FROM part),
-r AS (
-  SELECT DISTINCT concat(substr(p_name, 1, (length(p_name) % 5) + 1), 'x',
-                         substr(p_name, (length(p_name) % 5) + 3)) AS r_name
-  FROM part
-)
-SELECT l.p_name AS l_name, r.r_name,
-       CAST(levenshtein(l.p_name, r.r_name) AS INTEGER) AS dist
-FROM l, r
-WHERE levenshtein(l.p_name, r.r_name) <= 2
-"""
-
-EXTRA_QUERIES["fuzzy_match_part_names"] = fuzzy_match_part_names
-EXTRA_ORACLES["fuzzy_match_part_names"] = FUZZY_MATCH_SQL
-
-
-def a_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group anomaly flags: z-score of value within event_type via
-    window mean/stddev — one shuffle on the group key, no self-join
-    (the naive form joins per-group stats back). Both engines compute
-    sample stddev; the z is rounded to 6 to pin float parity."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
-    return (
-        ev.withColumn("z", F.round(z, 6))
-        .filter(F.abs(F.col("z")) > 2.5)
-        .select("event_id", "event_type", "value", "z")
-    )
-
-
-A_OUTLIER_SQL = """
-SELECT event_id, event_type, value, z
-FROM (
-  SELECT event_id, event_type, value,
-         ROUND((value - AVG(value) OVER (PARTITION BY event_type))
-               / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS z
-  FROM events
-)
-WHERE ABS(z) > 2.5
-"""
-
-
-def a_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series resampling WITH gap filling: daily per-type counts
-    over the full calendar span, EMPTY days materialized as zero rows
-    (the buckets a plain groupBy silently omits). The calendar is a
-    1-row sequence exploded and cross-joined against the distinct key
-    set — both broadcast-sized — then the real aggregate left-joins
-    on. No fact-sized shuffle beyond the one aggregation."""
-    ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count("*").alias("n"))
-    span = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    calendar = span.select(
-        F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    keys = ev.select("event_type").distinct()
-    grid = calendar.crossJoin(F.broadcast(keys))
-    return (
-        grid.join(agg, ["day", "event_type"], "left")
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "event_type",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
-        )
-    )
-
-
-A_RESAMPLE_SQL = """
-WITH span AS (
-  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
-), calendar AS (
-  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span
-), keys AS (SELECT DISTINCT event_type FROM events),
-agg AS (
-  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
-)
-SELECT strftime(c.day, '%Y-%m-%d') AS day, k.event_type,
-       COALESCE(a.n, 0) AS n
-FROM calendar c CROSS JOIN keys k
-LEFT JOIN agg a ON a.day = c.day AND a.event_type = k.event_type
-"""
-
-
-def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: users grouped by first-activity day, counted
-    again at each day offset they return — the two-level aggregate
-    (first-touch window, then (cohort, offset) rollup) every product
-    analytics stack runs. One window shuffle on user_id + one
-    distinct-sized aggregation; no self-join."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day")
-    )
-    w = Window.partitionBy("user_id")
-    cohorted = ev.withColumn("cohort", F.min("day").over(w)).withColumn(
-        "offset_days", F.datediff("day", F.col("cohort"))
-    )
-    return (
-        cohorted.select("user_id", "cohort", "offset_days")
-        .distinct()
-        .groupBy("cohort", "offset_days")
-        .agg(F.count("*").alias("n_users"))
-        .filter(F.col("offset_days").isin(0, 1, 7, 14))
-        .select(
-            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
-            "offset_days",
-            "n_users",
-        )
-    )
-
-
-A_COHORT_SQL = """
-WITH cohorted AS (
-  SELECT DISTINCT user_id,
-         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort,
-         date_diff('day', MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
-                   CAST(ts AS DATE)) AS offset_days
-  FROM events
-)
-SELECT strftime(cohort, '%Y-%m-%d') AS cohort, offset_days,
-       COUNT(*) AS n_users
-FROM cohorted
-WHERE offset_days IN (0, 1, 7, 14)
-GROUP BY cohort, offset_days
-"""
-
-EXTRA_QUERIES["a_outlier_zscore"] = a_outlier_zscore
-EXTRA_ORACLES["a_outlier_zscore"] = A_OUTLIER_SQL
-EXTRA_QUERIES["a_resample_gapfill"] = a_resample_gapfill
-EXTRA_ORACLES["a_resample_gapfill"] = A_RESAMPLE_SQL
-EXTRA_QUERIES["a_cohort_retention"] = a_cohort_retention
-EXTRA_ORACLES["a_cohort_retention"] = A_COHORT_SQL
-
-
-# ===========================================================================
-# round-4 third session: retrieval, warehouse history, reshaping, web URLs
-# ===========================================================================
-
-_BM25_QUERIES = [
-    (1, "spark hash join"),
-    (2, "table scan fast"),
-    (3, "window sort merge"),
-    (4, "batch value row"),
-    (5, "key part line slow"),
-]
-
-
-def search_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword retrieval: Okapi BM25 top-10 per query over the corpus.
-
-    Inverted-index plan shape (operators/search.py): dl is computed in
-    the scan projection, the postings explode is filtered to the
-    broadcast query vocabulary BEFORE the one corpus-keyed shuffle, and
-    IDF derives from the already-filtered tf frame. Scores round to 6
-    BEFORE ranking so float summation order cannot reorder the top-k
-    across engines."""
-    from ..operators.search import bm25_topk
-
-    docs = _t(spark, sf_dir, "documents")
-    return bm25_topk(docs, _BM25_QUERIES, k=10)
-
-
-_BM25_QS_VALUES = ", ".join(
-    f"({i}, '{q}')" for i, q in _BM25_QUERIES
-)
-
-SEARCH_BM25_SQL = f"""
-WITH qs(query_id, qtext) AS (VALUES {_BM25_QS_VALUES}),
-qterm AS (
-  SELECT DISTINCT query_id,
-         unnest(list_filter(string_split(trim(regexp_replace(lower(qtext),
-                '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS token
-  FROM qs
-),
-docs AS (
-  SELECT doc_id, list_filter({_TOKS_SQL}, t -> t <> '') AS toks FROM documents
-),
-dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
-stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
-  WHERE token IN (SELECT DISTINCT token FROM qterm)
-  GROUP BY 1, 2
-),
-dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-scored AS (
-  SELECT q.query_id, t.doc_id,
-         ROUND(SUM(
-           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * t.tf * (1.2 + 1.0)
-           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
-         ), 6) AS score
-  FROM qterm q
-  JOIN tf t USING (token)
-  JOIN dfreq d USING (token)
-  JOIN dl l ON l.doc_id = t.doc_id
-  CROSS JOIN stats s
-  GROUP BY 1, 2
-)
-SELECT query_id, doc_id, score FROM (
-  SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS rn
-  FROM scored
-) WHERE rn <= 10
-"""
-
-
-def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2 dimension build: each user's event_type change feed
-    collapsed into validity intervals (valid_from/valid_to/is_current)
-    — the versioned-dimension derivation every warehouse runs on a CDC
-    stream, and the inverse of the as-of join that reads it back. One
-    hash exchange on user_id total (gaps-and-islands windows + the
-    segment aggregate share the key)."""
-    from ..operators.relational import scd2_history
-
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    hist = scd2_history(ev, "user_id", ["ts", "event_id"], "event_type")
-    return hist.select(
-        "user_id",
-        "state",
-        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
-        "n_events",
-        "is_current",
-    )
-
-
-SCD2_HISTORY_SQL = """
-WITH o AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN LAG(event_type) OVER w IS NOT DISTINCT FROM event_type
-              THEN 0 ELSE 1 END AS chg
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS seg
-  FROM o
-), g AS (
-  SELECT user_id, seg, event_type AS state,
-         MIN(ts) AS valid_from, COUNT(*) AS n_events
-  FROM s GROUP BY 1, 2, 3
-)
-SELECT user_id, state,
-       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
-       strftime(LEAD(valid_from) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
-       n_events,
-       (LEAD(valid_from) OVER w2 IS NULL) AS is_current
-FROM g
-WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
-"""
-
-
-def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide-to-long reshape: three lineitem measures unpivoted to
-    (metric, value) rows — the melt every metrics store and feature
-    pipeline needs. Narrow per-row transform: no shuffle at all (the
-    explode-free relational unpivot keeps it scan-local), output is
-    3x the scan rows."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("double").alias("quantity"),
-        F.col("l_extendedprice").cast("double").alias("extendedprice"),
-        F.col("l_discount").cast("double").alias("discount"),
-    )
-    return li.unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["quantity", "extendedprice", "discount"],
-        "metric",
-        "value",
-    ).withColumn("value", F.round("value", 6))
-
-
-A_UNPIVOT_SQL = """
-SELECT l_orderkey, l_linenumber, metric, ROUND(value, 6) AS value
-FROM (
-  UNPIVOT (SELECT l_orderkey, l_linenumber,
-                  CAST(l_quantity AS DOUBLE) AS quantity,
-                  CAST(l_extendedprice AS DOUBLE) AS extendedprice,
-                  CAST(l_discount AS DOUBLE) AS discount
-           FROM lineitem)
-  ON quantity, extendedprice, discount INTO NAME metric VALUE value
-)
-"""
-
-
-def scalar_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization (functions/urls.py): scheme/case/port/www/
-    fragment/utm normalization with pure JVM regex chains — the scalar
-    prerequisite of web-corpus URL dedup and per-domain statistics.
-    The messy raw URLs are synthesized deterministically per doc (case
-    soup, optional www/port/trailing-slash, utm-polluted queries,
-    fragments) so both engines canonicalize the identical byte
-    strings; the oracle replays the same RE2-safe regexes."""
-    from ..functions.urls import (
-        canonical_url,
-        url_host,
-        url_path,
-        url_query_clean,
-    )
-
-    d = F.col("doc_id")
-    raw = F.concat(
-        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
-        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.when(d % 4 == 0, F.upper("source")).otherwise(F.col("source")),
-        F.lit(".Example.COM"),
-        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/"),
-        F.col("lang"),
-        F.lit("/doc/"),
-        d.cast("string"),
-        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(
-            d % 2 == 0, F.lit("?utm_source=feed&ref=a&utm_campaign=x")
-        )
-        .when(d % 7 == 0, F.lit("?utm_only=1"))
-        .otherwise(F.lit("?ref=b")),
-        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
-    )
-    docs = _t(spark, sf_dir, "documents").withColumn("url", raw)
-    u = F.col("url")
-    return docs.select(
-        "doc_id",
-        "url",
-        url_host(u).alias("host"),
-        url_path(u).alias("path"),
-        url_query_clean(u).alias("query_clean"),
-        canonical_url(u).alias("canonical_url"),
-    )
-
-
-_URL_RAW_SQL = """
-    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
-    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
-    || (CASE WHEN doc_id % 4 = 0 THEN UPPER(source) ELSE source END)
-    || '.Example.COM'
-    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
-    || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
-    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
-    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=a&utm_campaign=x'
-             WHEN doc_id % 7 = 0 THEN '?utm_only=1'
-             ELSE '?ref=b' END)
-    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
-"""
-
-SCALAR_URL_SQL = f"""
-WITH u AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
-parts AS (
-  SELECT doc_id, url,
-    regexp_replace(regexp_replace(
-      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-      '^www\\.', ''), ':(80|443)$', '') AS host,
-    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
-      AS path0,
-    regexp_replace(regexp_replace(regexp_replace(
-      regexp_extract(url, '\\?([^#]*)', 1),
-      '(^|&)utm_[^&]*', '\\1', 'g'), '&&+', '&', 'g'), '^&|&$', '', 'g')
-      AS q0
-  FROM u
-),
-norm AS (
-  SELECT doc_id, url, host,
-    CASE WHEN path0 = '' OR path0 = '/' THEN '/'
-         ELSE regexp_replace(path0, '/$', '') END AS path,
-    CASE WHEN q0 = '' THEN NULL ELSE q0 END AS query_clean
-  FROM parts
-)
-SELECT doc_id, url, host, path, query_clean,
-       'https://' || host || path
-       || (CASE WHEN query_clean IS NULL THEN '' ELSE '?' || query_clean END)
-         AS canonical_url
-FROM norm
-"""
-
-EXTRA_QUERIES["search_bm25_docs"] = search_bm25_docs
-EXTRA_ORACLES["search_bm25_docs"] = SEARCH_BM25_SQL
-EXTRA_QUERIES["scd2_user_state_history"] = scd2_user_state_history
-EXTRA_ORACLES["scd2_user_state_history"] = SCD2_HISTORY_SQL
-EXTRA_QUERIES["a_unpivot_metrics"] = a_unpivot_metrics
-EXTRA_ORACLES["a_unpivot_metrics"] = A_UNPIVOT_SQL
-EXTRA_QUERIES["scalar_url_canonicalize"] = scalar_url_canonicalize
-EXTRA_ORACLES["scalar_url_canonicalize"] = SCALAR_URL_SQL
-
-
-def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the customer<->supplier affinity graph (an edge
-    per distinct trading pair from orders x lineitem, symmetrized), 5
-    iterations, d=0.85 — the link-structure quality prior of a web
-    pipeline, exercised on the graph this schema actually contains.
-    Each iteration is one edge-vs-rank join + one dst aggregation
-    (operators/graph.py pins edges/ranks via the pluggable
-    materializer, so lineage is O(1) in iterations). The oracle unrolls
-    the same five iterations as chained CTEs; both engines round only
-    the final vector."""
-    from ..operators.graph import pagerank, symmetrize
-
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    pr = pagerank(symmetrize(e0), iterations=5, damping=0.85)
-    return pr.select("node", F.round("pagerank", 6).alias("pagerank"))
-
-
-def _pagerank_oracle_sql(iterations: int = 5) -> str:
-    head = """WITH e0 AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                  's' || CAST(l_suppkey AS VARCHAR) AS dst
-  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-), edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
-r0 AS (SELECT node, 1.0 / n_nodes AS r FROM nodes, n)"""
-    steps = []
-    for i in range(1, iterations + 1):
-        steps.append(f""",
-c{i} AS (
-  SELECT e.dst AS node, SUM(r.r / d.outdeg) AS c
-  FROM edges e
-  JOIN r{i - 1} r ON r.node = e.src
-  JOIN deg d ON d.src = e.src
-  GROUP BY e.dst
-), r{i} AS (
-  SELECT nd.node,
-         (1.0 - 0.85) / n.n_nodes + 0.85 * COALESCE(c{i}.c, 0.0) AS r
-  FROM nodes nd CROSS JOIN n LEFT JOIN c{i} ON c{i}.node = nd.node
-)""")
-    tail = f"\nSELECT node, ROUND(r, 6) AS pagerank FROM r{iterations}"
-    return head + "".join(steps) + tail
-
-
-GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(5)
-
-EXTRA_QUERIES["graph_pagerank_entities"] = graph_pagerank_entities
-EXTRA_ORACLES["graph_pagerank_entities"] = GRAPH_PAGERANK_SQL
-
-
-def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling without replacement (Efraimidis-Spirakis
-    exponential clocks, hash-derandomized): 50 docs drawn with
-    probability proportional to length. The selection is a global
-    top-k on the per-row key — TakeOrderedAndProject, reproducible
-    across engines because the only randomness is md5(doc_id); the
-    oracle replays the identical key formula."""
-    from ..operators.sampling import weighted_sample_k
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return weighted_sample_k(docs, "doc_id", "n_chars", k=50)
-
-
-SAMPLE_WEIGHTED_SQL = """
-SELECT doc_id, n_chars, sample_key FROM (
-  SELECT doc_id, n_chars,
-         ROUND(
-           -ln(CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                     + 1) AS DOUBLE) / 1152921504606846976.0)
-           / CAST(n_chars AS DOUBLE), 12) AS sample_key
-  FROM documents
-)
-ORDER BY sample_key, doc_id
-LIMIT 50
-"""
-
-
-_PHRASE = ["value", "fast", "spark"]
-
-
-def search_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase search via a positional inverted index
-    (operators/search.py): postings filtered to the phrase tokens
-    scan-side, anchor-alignment vote, all-offsets-present = match.
-    The oracle is a genuinely different algorithm (per-doc array scan
-    over candidate anchors), so agreement validates the distributed
-    index construction itself."""
-    from ..operators.search import phrase_match
-
-    docs = _t(spark, sf_dir, "documents")
-    out = phrase_match(docs, _PHRASE)
-    return out.select(
-        "doc_id",
-        F.col("first_pos").cast("long").alias("first_pos"),
-        "n_occurrences",
-    )
-
-
-SEARCH_PHRASE_SQL = f"""
-WITH docs AS (
-  SELECT doc_id, list_filter({_TOKS_SQL}, t -> t <> '') AS toks FROM documents
-),
-cand AS (
-  SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS a FROM docs
-),
-m AS (
-  SELECT doc_id, a FROM cand
-  WHERE toks[a] = '{_PHRASE[0]}'
-    AND toks[a + 1] = '{_PHRASE[1]}'
-    AND toks[a + 2] = '{_PHRASE[2]}'
-)
-SELECT doc_id, MIN(a) AS first_pos, COUNT(*) AS n_occurrences
-FROM m GROUP BY doc_id
-"""
-
-EXTRA_QUERIES["sample_weighted_docs"] = sample_weighted_docs
-EXTRA_ORACLES["sample_weighted_docs"] = SAMPLE_WEIGHTED_SQL
-EXTRA_QUERIES["search_phrase_docs"] = search_phrase_docs
-EXTRA_ORACLES["search_phrase_docs"] = SEARCH_PHRASE_SQL
-
-
-def streaming_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join: every click, paired with
-    same-user views within the following hour OR null-extended once the
-    watermark proves no view can still arrive. Exercises watermark-
-    driven state eviction as an OUTPUT (not just a memory bound): a
-    null row is only correct once the global watermark — min of the two
-    streams' own ``max(ts) - delay`` — passes ``click_ts + within``.
-    The oracle replicates exactly that: a batch left join plus the
-    explicit watermark predicate on unmatched rows (a plain batch outer
-    join would overcount: left rows still buffered at shutdown never
-    emit)."""
-    from ..streaming.sessions import interval_join_streams, run_stream_to_memory
-
-    clicks = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), "ts")
-    )
-    views = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("r_ts"),
-        )
-    )
-    joined = interval_join_streams(
-        clicks, views, key_col="user_id", left_ts="ts", right_ts="r_ts",
-        within="1 hour", watermark="2 hours", how="left_outer",
-    )
-    run_stream_to_memory(
-        joined, "interval_left_join_result", output_mode="append"
-    )
-    res = spark.table("interval_left_join_result")
-    return res.select(
-        "user_id",
-        "click_id",
-        "view_id",
-        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("gap_us"),
-    )
-
-
-STREAM_INTERVAL_LEFT_JOIN_SQL = """
-WITH c AS (
-  SELECT user_id, event_id AS click_id, ts FROM events
-  WHERE event_type = 'click'
-), v AS (
-  SELECT user_id, event_id AS view_id, ts AS r_ts FROM events
-  WHERE event_type = 'view'
-), wm AS (
-  SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(r_ts) FROM v))
-         - INTERVAL 2 HOUR AS w
-), j AS (
-  SELECT c.user_id, c.click_id, v.view_id,
-         epoch_us(v.r_ts) - epoch_us(c.ts) AS gap_us, c.ts
-  FROM c LEFT JOIN v
-    ON c.user_id = v.user_id
-   AND v.r_ts >= c.ts AND v.r_ts <= c.ts + INTERVAL 1 HOUR
-)
-SELECT user_id, click_id, view_id, gap_us
-FROM j, wm
-WHERE view_id IS NOT NULL OR ts + INTERVAL 1 HOUR < wm.w
-"""
-
-EXTRA_QUERIES["streaming_interval_left_join"] = streaming_interval_left_join
-EXTRA_ORACLES["streaming_interval_left_join"] = STREAM_INTERVAL_LEFT_JOIN_SQL
-
-
-def hierarchy_roots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchy flattening by POINTER DOUBLING (operators/graph.py):
-    root + depth for every node of a synthetic document forest
-    (parent(d) = d // 3; d % 89 == 0 and d = 0 are roots — parent < id
-    guarantees acyclicity). O(log depth) self-join rounds instead of
-    the O(depth) sequential walk of the oracle's recursive CTE — the
-    org-chart / BOM / category-tree shape at corpus scale."""
-    from ..operators.graph import forest_roots
-
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"),
-        F.when(
-            (F.col("doc_id") == 0) | (F.col("doc_id") % 89 == 0),
-            F.lit(None).cast("long"),
-        )
-        .otherwise((F.col("doc_id") / 3).cast("long"))
-        .alias("parent"),
-    )
-    return forest_roots(docs, "id", "parent").select(
-        F.col("id").alias("doc_id"), "root", "depth"
-    )
-
-
-HIERARCHY_ROOTS_SQL = """
-WITH RECURSIVE t AS (
-  SELECT doc_id AS id,
-         CASE WHEN doc_id = 0 OR doc_id % 89 = 0 THEN NULL
-              ELSE CAST(doc_id // 3 AS BIGINT) END AS parent
-  FROM documents
-),
-climb AS (
-  SELECT id AS start, id AS node, parent, 0 AS depth FROM t
-  UNION ALL
-  SELECT c.start, t.id AS node, t.parent, c.depth + 1
-  FROM climb c JOIN t ON t.id = c.parent
-)
-SELECT start AS doc_id, node AS root, depth
-FROM climb WHERE parent IS NULL
-"""
-
-EXTRA_QUERIES["hierarchy_roots_docs"] = hierarchy_roots_docs
-EXTRA_ORACLES["hierarchy_roots_docs"] = HIERARCHY_ROOTS_SQL
-
-
-def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped statistical aggregates — Pearson correlation, sample
-    covariance, sample stddev — the feature-engineering / drift-
-    monitoring panel. All JVM-side partial-aggregable (one shuffle
-    carrying one state row per group); rounded to 6 before hashing
-    because the co-moment sums are float-order-dependent."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "corr_qty_price"
-        ),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
-            "covar_qty_disc"
-        ),
-        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
-        F.count("*").alias("n"),
-    )
-
-
-A_CORR_SQL = """
-SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
-       ROUND(stddev_samp(l_extendedprice), 6) AS std_price,
-       COUNT(*) AS n
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def quality_deciles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile bucketing AT SCALE: assign each doc its corpus-wide
-    length decile WITHOUT a global window. ``ntile(10) OVER (ORDER BY
-    ..)`` forces every row through one partition — the canonical
-    global-sort bottleneck; instead the 9 interpolated percentile
-    thresholds reduce to one broadcast-sized row and the assignment is
-    a scan-local comparison sum. This is how a 100 TB corpus gets
-    quality/length tiers for mixing and curriculum schedules. Ties at
-    a threshold go to the lower decile in both engines (strict >)."""
-    docs = _t(spark, sf_dir, "documents")
-    qs = [i / 10.0 for i in range(1, 10)]
-    thresholds = docs.agg(
-        *[
-            F.expr(f"percentile(n_chars, {q})").alias(f"t{i}")
-            for i, q in enumerate(qs, 1)
-        ]
-    )
-    decile = sum(
-        F.when(F.col("n_chars") > F.col(f"t{i}"), 1).otherwise(0)
-        for i in range(1, 10)
-    ) + 1
-    return (
-        docs.crossJoin(F.broadcast(thresholds))
-        .select(
-            "doc_id",
-            "n_chars",
-            decile.cast("int").alias("decile"),
-        )
-    )
-
-
-QUALITY_DECILES_SQL = """
-WITH t AS (
-  SELECT {cols} FROM documents
-)
-SELECT d.doc_id, d.n_chars,
-       CAST(1 {cases} AS INT) AS decile
-FROM documents d CROSS JOIN t
-""".format(
-    cols=", ".join(
-        f"quantile_cont(n_chars, {i / 10.0}) AS t{i}" for i in range(1, 10)
-    ),
-    cases=" ".join(
-        f"+ (CASE WHEN d.n_chars > t.t{i} THEN 1 ELSE 0 END)"
-        for i in range(1, 10)
-    ),
-)
-
-EXTRA_QUERIES["a_corr_stats"] = a_corr_stats
-EXTRA_ORACLES["a_corr_stats"] = A_CORR_SQL
-EXTRA_QUERIES["quality_deciles_docs"] = quality_deciles_docs
-EXTRA_ORACLES["quality_deciles_docs"] = QUALITY_DECILES_SQL
-
-
-def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining (operators/similarity.py): per query
-    vector, the top-5 nearest neighbors under cosine that carry a
-    DIFFERENT class label — the contrastive-training negatives with
-    the most gradient signal. Label filter applies before scoring, so
-    same-label vectors cost a predicate, not a dot product."""
-    from ..operators.similarity import hard_negatives
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return hard_negatives(
-        emb, queries, id_col="vec_id", vec_col="embedding",
-        label_col="label", k=5,
-    )
-
-
-MINE_HARD_NEG_SQL = """
-WITH v AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings WHERE len(embedding) > 0
-), q AS (SELECT * FROM v WHERE vec_id < 10)
-SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-       ROUND(list_dot_product(v.e, q.e) / (v.nrm * q.nrm), 6) AS cosine,
-       ROW_NUMBER() OVER (
-         PARTITION BY q.vec_id
-         ORDER BY ROUND(list_dot_product(v.e, q.e) / (v.nrm * q.nrm), 6) DESC,
-                  v.vec_id) AS rank
-FROM v CROSS JOIN q
-WHERE v.label <> q.label AND v.nrm > 0 AND q.nrm > 0
-QUALIFY rank <= 5
-"""
-
-EXTRA_QUERIES["mine_hard_negatives"] = mine_hard_negatives
-EXTRA_ORACLES["mine_hard_negatives"] = MINE_HARD_NEG_SQL
-
-
-def u_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-evolution union (sources/readers.py
-    union_with_evolution): an early ingest wave carries
-    (key, status, price-as-float32); a later wave drops status, widens
-    price to double and adds a channel column. The union widens
-    numerics per column, null-fills missing columns, and costs no
-    shuffle (scan-local casts) — the long-lived-feed ingest case a
-    plain unionByName rejects."""
-    from ..sources.readers import union_with_evolution
-
-    orders = _t(spark, sf_dir, "orders")
-    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_totalprice").cast("float").alias("o_totalprice"),
-    )
-    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey",
-        "o_totalprice",
-        F.concat(F.lit("ch"), (F.col("o_orderkey") % 3).cast("string")).alias(
-            "o_channel"
-        ),
-    )
-    merged = union_with_evolution([v1, v2])
-    return merged.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round("o_totalprice", 6).alias("o_totalprice"),
-        "o_channel",
-    )
-
-
-U_SCHEMA_EVOLUTION_SQL = """
-SELECT o_orderkey, o_orderstatus,
-       ROUND(CAST(CAST(o_totalprice AS REAL) AS DOUBLE), 6) AS o_totalprice,
-       NULL AS o_channel
-FROM orders WHERE o_orderkey % 2 = 0
-UNION ALL
-SELECT o_orderkey, NULL AS o_orderstatus,
-       ROUND(o_totalprice, 6) AS o_totalprice,
-       'ch' || CAST(o_orderkey % 3 AS VARCHAR) AS o_channel
-FROM orders WHERE o_orderkey % 2 = 1
-"""
-
-EXTRA_QUERIES["u_union_schema_evolution"] = u_union_schema_evolution
-EXTRA_ORACLES["u_union_schema_evolution"] = U_SCHEMA_EVOLUTION_SQL
-
-
-def ts_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user EWMA of event values (alpha=0.3), event-ordered — the
-    smoothing recurrence (y depends on the previous OUTPUT) no window
-    function expresses; runs as the same one-shuffle Arrow grouped
-    fold as the R7 gap mark (operators/timeseries.py). The oracle
-    replays the literal recurrence as a recursive CTE; both engines
-    execute the identical float ops in the identical order, rounded
-    at 6 for the hash."""
-    from ..operators.timeseries import ewma
-
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
-    )
-    out = ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
-    return out.select(
-        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
-    )
-
-
-TS_EWMA_SQL = """
-WITH RECURSIVE s AS (
-  SELECT user_id, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-), rec AS (
-  SELECT user_id, event_id, value, rn, CAST(value AS DOUBLE) AS y
-  FROM s WHERE rn = 1
-  UNION ALL
-  SELECT s.user_id, s.event_id, s.value, s.rn,
-         (1.0 - 0.3) * r.y + 0.3 * s.value
-  FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
-)
-SELECT user_id, event_id, ROUND(y, 6) AS ewma FROM rec
-"""
-
-EXTRA_QUERIES["ts_ewma_user_values"] = ts_ewma_user_values
-EXTRA_ORACLES["ts_ewma_user_values"] = TS_EWMA_SQL
-
-
-def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel (view -> click -> purchase, each step
-    within 7 days of the previous) WITHOUT self-joins: two window
-    passes over the SAME user partition compute the earliest
-    qualifying timestamp of each step conditional on the previous —
-    one shuffle total, vs the naive 3-way self-join that re-shuffles
-    the fact per step. Output: users completing each prefix."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    w = Window.partitionBy("user_id")
-    week = F.expr("INTERVAL 7 DAYS")
-    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    with_t1 = ev.withColumn("t1", t1)
-    t2 = F.min(
-        F.when(
-            (F.col("event_type") == "click")
-            & (F.col("ts") >= F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + week),
-            F.col("ts"),
-        )
-    ).over(w)
-    with_t2 = with_t1.withColumn("t2", t2)
-    t3 = F.min(
-        F.when(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") >= F.col("t2"))
-            & (F.col("ts") <= F.col("t2") + week),
-            F.col("ts"),
-        )
-    ).over(w)
-    per_user = (
-        with_t2.withColumn("t3", t3)
-        .groupBy("user_id")
-        .agg(
-            F.max(F.col("t1").isNotNull()).alias("s1"),
-            F.max(F.col("t2").isNotNull()).alias("s2"),
-            F.max(F.col("t3").isNotNull()).alias("s3"),
-        )
-    )
-    return per_user.agg(
-        F.sum(F.col("s1").cast("long")).alias("viewed"),
-        F.sum(F.col("s2").cast("long")).alias("clicked_after_view"),
-        F.sum(F.col("s3").cast("long")).alias("purchased_after_click"),
-    )
-
-
-A_FUNNEL_SQL = """
-WITH t1s AS (
-  SELECT user_id, event_type, ts,
-         MIN(CASE WHEN event_type = 'view' THEN ts END)
-           OVER (PARTITION BY user_id) AS t1
-  FROM events
-), t2s AS (
-  SELECT *,
-         MIN(CASE WHEN event_type = 'click' AND ts >= t1
-                   AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
-           OVER (PARTITION BY user_id) AS t2
-  FROM t1s
-), t3s AS (
-  SELECT *,
-         MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
-                   AND ts <= t2 + INTERVAL 7 DAY THEN ts END)
-           OVER (PARTITION BY user_id) AS t3
-  FROM t2s
-), per_user AS (
-  SELECT user_id, MAX(t1 IS NOT NULL) AS s1, MAX(t2 IS NOT NULL) AS s2,
-         MAX(t3 IS NOT NULL) AS s3
-  FROM t3s GROUP BY user_id
-)
-SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
-       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS clicked_after_view,
-       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
-         AS purchased_after_click
-FROM per_user
-"""
-
-
-def embedding_class_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid (class prototype) of the embedding corpus,
-    emitted as (label, dim, mean) rows: posexplode keeps the shuffle
-    keyed on (label, dim) with map-side partial averaging — the
-    prototype/centroid-init step of classifier-free labeling and
-    k-means seeding. Rounded to 6 (summation order)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return (
-        emb.select(
-            "label",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "dim", "x"
-            ),
-        )
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("mean"), F.count("*").alias("n"))
-    )
-
-
-EMB_PROTOTYPES_SQL = """
-SELECT label, i - 1 AS dim, ROUND(AVG(e), 6) AS mean, COUNT(*) AS n
-FROM (
-  SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS e,
-         generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-)
-GROUP BY label, i - 1
-"""
-
-EXTRA_QUERIES["a_funnel_steps"] = a_funnel_steps
-EXTRA_ORACLES["a_funnel_steps"] = A_FUNNEL_SQL
-EXTRA_QUERIES["embedding_class_prototypes"] = embedding_class_prototypes
-EXTRA_ORACLES["embedding_class_prototypes"] = EMB_PROTOTYPES_SQL
-
-
-def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality expectation suite over lineitem
-    (operators/quality_checks.py): five declarative rules — null
-    check, accepted-values domain, numeric range, compound-key
-    uniqueness, referential integrity to orders — fused into ONE
-    aggregate over ONE scan of the fact (uniqueness via
-    count(*) - count(DISTINCT struct(keys)) in the same agg, the FK
-    check via a broadcast left join stacked under it), so the whole
-    suite is a single Spark job however many rules it holds. The
-    report row set IS the quarantine/alert input; the oracle
-    recomputes each count in plain SQL."""
-    from ..operators.quality_checks import expectation_report
-
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    rules = [
-        {"rule": "not_null", "col": "l_orderkey"},
-        {"rule": "in_set", "col": "l_returnflag", "values": ["A", "N", "R"]},
-        {"rule": "in_range", "col": "l_discount", "lo": 0.0, "hi": 0.05},
-        {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
-        {
-            "rule": "foreign_key",
-            "col": "l_orderkey",
-            "ref": orders,
-            "ref_col": "o_orderkey",
-        },
-    ]
-    return expectation_report(li, rules)
-
-
-DQ_REPORT_SQL = """
-WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
-checks AS (
-  SELECT 'not_null' AS rule, 'l_orderkey' AS target,
-         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS violations
-  UNION ALL
-  SELECT 'in_set', 'l_returnflag',
-         (SELECT COUNT(*) FROM lineitem
-          WHERE l_returnflag IS NOT NULL
-            AND l_returnflag NOT IN ('A', 'N', 'R'))
-  UNION ALL
-  SELECT 'in_range', 'l_discount',
-         (SELECT COUNT(*) FROM lineitem
-          WHERE l_discount IS NOT NULL
-            AND (l_discount < 0.0 OR l_discount > 0.05))
-  UNION ALL
-  SELECT 'unique', 'l_orderkey,l_linenumber',
-         (SELECT COALESCE(SUM(c - 1), 0) FROM (
-            SELECT COUNT(*) AS c FROM lineitem
-            GROUP BY l_orderkey, l_linenumber))
-  UNION ALL
-  SELECT 'foreign_key', 'l_orderkey',
-         (SELECT COUNT(*) FROM lineitem l
-          WHERE l.l_orderkey IS NOT NULL
-            AND NOT EXISTS (SELECT 1 FROM orders o
-                            WHERE o.o_orderkey = l.l_orderkey))
-)
-SELECT rule, target, CAST(violations AS BIGINT) AS violations,
-       CAST(n.n_rows AS BIGINT) AS n_rows, violations = 0 AS passed
-FROM checks, n
-"""
-
-EXTRA_QUERIES["dq_expectation_report"] = dq_expectation_report
-EXTRA_ORACLES["dq_expectation_report"] = DQ_REPORT_SQL
-
-
-_PPR_SEEDS = [("c1", 0.5), ("c2", 0.25), ("c3", 0.25)]
-
-
-def graph_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Personalized PageRank: mass teleports back to a 3-customer seed
-    set, so the stationary weights rank SUPPLIERS by trading proximity
-    to those customers — the 'related items' recommendation query,
-    same per-iteration cost as global PageRank (the seed frame is one
-    broadcast join at setup). Top-20 suppliers, ranked after
-    rounding."""
-    from ..operators.graph import pagerank, symmetrize
-
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    seeds = spark.createDataFrame(_PPR_SEEDS, "node STRING, weight DOUBLE")
-    pr = pagerank(symmetrize(e0), iterations=5, damping=0.85, reset=seeds)
-    sup = pr.filter(F.col("node").startswith("s")).select(
-        "node", F.round("pagerank", 6).alias("pagerank")
-    )
-    w = Window.orderBy(F.col("pagerank").desc(), F.col("node"))
-    return (
-        sup.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-    )
-
-
-def _ppr_oracle_sql(iterations: int, seeds: list[tuple[str, float]]) -> str:
-    seed_values = ", ".join(f"('{n}', {w})" for n, w in seeds)
-    head = f"""WITH e0 AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                  's' || CAST(l_suppkey AS VARCHAR) AS dst
-  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-), edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-rs(node, w) AS (VALUES {seed_values}),
-r0 AS (
-  SELECT n.node, COALESCE(rs.w, 0.0) AS r
-  FROM nodes n LEFT JOIN rs ON rs.node = n.node
-)"""
-    steps = []
-    for i in range(1, iterations + 1):
-        steps.append(f""",
-c{i} AS (
-  SELECT e.dst AS node, SUM(r.r / d.outdeg) AS c
-  FROM edges e
-  JOIN r{i - 1} r ON r.node = e.src
-  JOIN deg d ON d.src = e.src
-  GROUP BY e.dst
-), r{i} AS (
-  SELECT nd.node,
-         (1.0 - 0.85) * COALESCE(rs.w, 0.0)
-         + 0.85 * COALESCE(c{i}.c, 0.0) AS r
-  FROM nodes nd
-  LEFT JOIN rs ON rs.node = nd.node
-  LEFT JOIN c{i} ON c{i}.node = nd.node
-)""")
-    tail = f"""
-SELECT node, pagerank, rank FROM (
-  SELECT node, ROUND(r, 6) AS pagerank,
-         CAST(ROW_NUMBER() OVER (ORDER BY ROUND(r, 6) DESC, node) AS INT)
-           AS rank
-  FROM r{iterations} WHERE node LIKE 's%'
-) WHERE rank <= 20"""
-    return head + "".join(steps) + tail
-
-
-GRAPH_PPR_SQL = _ppr_oracle_sql(5, _PPR_SEEDS)
-
-EXTRA_QUERIES["graph_ppr_related"] = graph_ppr_related
-EXTRA_ORACLES["graph_ppr_related"] = GRAPH_PPR_SQL
-
-
-def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-row median of value per user (robust smoothing —
-    the outlier-immune counterpart of the EWMA): the interpolated
-    percentile aggregate evaluated over a bounded ROWS window, keyed
-    and ordered like every per-user window here (one user-hash
-    exchange; the frame is 7 rows, so per-row cost is O(frame), not
-    O(history))."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-6, Window.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.expr(
-            "percentile(value, 0.5) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
-        ), 6).alias("med7"),
-    )
-
-
-W_ROLLING_MEDIAN_SQL = """
-SELECT user_id, event_id,
-       ROUND(quantile_cont(value, 0.5) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
-FROM events
-"""
-
-
-def a_percent_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative standing of each doc WITHIN its source: percent_rank
-    over the (source)-partitioned length ordering — partitioned, so
-    no global sort; the per-source quality-positioning signal used for
-    source-conditional filtering. Ties on length are broken by doc_id
-    in the ordering so both engines rank identically."""
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    return docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-    )
-
-
-A_PERCENT_RANK_SQL = """
-SELECT doc_id, source, n_chars,
-       ROUND(percent_rank() OVER (
-         PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pr
-FROM documents
-"""
-
-EXTRA_QUERIES["w_rolling_median"] = w_rolling_median
-EXTRA_ORACLES["w_rolling_median"] = W_ROLLING_MEDIAN_SQL
-EXTRA_QUERIES["a_percent_rank_docs"] = a_percent_rank_docs
-EXTRA_ORACLES["a_percent_rank_docs"] = A_PERCENT_RANK_SQL
-
-
-def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum weighted sampling without replacement: top-10 docs
-    PER LANGUAGE under the Efraimidis-Spirakis key (weight = length) —
-    the per-stratum variant of sample_weighted_docs, selected by a
-    partitioned window rank instead of a global top-k (one shuffle on
-    the stratum key; no global sort)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    from ..operators.dedupe import portable_hash60
-
-    u = (portable_hash60(F.col("doc_id").cast("string")) + F.lit(1)).cast(
-        "double"
-    ) / F.lit(float(2**60))
-    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
-    w = Window.partitionBy("lang").orderBy(
-        F.col("sample_key"), F.col("doc_id")
-    )
-    return (
-        docs.withColumn("sample_key", key)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("doc_id", "lang", "n_chars", "sample_key")
-    )
-
-
-SAMPLE_WEIGHTED_LANG_SQL = """
-SELECT doc_id, lang, n_chars, sample_key FROM (
-  SELECT doc_id, lang, n_chars,
-         ROUND(
-           -ln(CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                     + 1) AS DOUBLE) / 1152921504606846976.0)
-           / CAST(n_chars AS DOUBLE), 12) AS sample_key,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
-           ROUND(
-             -ln(CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                       + 1) AS DOUBLE) / 1152921504606846976.0)
-             / CAST(n_chars AS DOUBLE), 12), doc_id) AS rn
-  FROM documents
-) WHERE rn <= 10
-"""
-
-
-def a_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square test of association between source and lang over the
-    documents contingency table — the feature-selection statistic
-    (is this feature independent of the label?). Observed cells via
-    one (source, lang) aggregate; expected from the broadcast row/col
-    margins; the statistic folds back to one row. Every join side
-    after the first aggregate is margin-sized."""
-    docs = _t(spark, sf_dir, "documents")
-    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
-    row_m = obs.groupBy("source").agg(F.sum("o").alias("row_t"))
-    col_m = obs.groupBy("lang").agg(F.sum("o").alias("col_t"))
-    total = obs.agg(F.sum("o").alias("n"))
-    cells = (
-        obs.join(F.broadcast(row_m), "source")
-        .join(F.broadcast(col_m), "lang")
-        .crossJoin(F.broadcast(total))
-    )
-    exp = F.col("row_t") * F.col("col_t") / F.col("n")
-    chi = ((F.col("o") - exp) * (F.col("o") - exp)) / exp
-    dims = cells.agg(
-        F.round(F.sum(chi), 6).alias("chi2"),
-        F.count_distinct("source").alias("r"),
-        F.count_distinct("lang").alias("c"),
-    )
-    return dims.select(
-        "chi2", ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof")
-    )
-
-
-A_CHI_SQUARE_SQL = """
-WITH obs AS (
-  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
-), rm AS (SELECT source, SUM(o) AS row_t FROM obs GROUP BY source),
-cm AS (SELECT lang, SUM(o) AS col_t FROM obs GROUP BY lang),
-t AS (SELECT SUM(o) AS n FROM obs),
-cells AS (
-  SELECT o.o, rm.row_t, cm.col_t, t.n
-  FROM obs o JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN t
-)
-SELECT ROUND(SUM((o - row_t * col_t / n) * (o - row_t * col_t / n)
-                 / (row_t * col_t / n)), 6) AS chi2,
-       CAST(((SELECT COUNT(DISTINCT source) FROM obs) - 1)
-            * ((SELECT COUNT(DISTINCT lang) FROM obs) - 1) AS BIGINT) AS dof
-FROM cells
-"""
-
-EXTRA_QUERIES["sample_weighted_per_lang"] = sample_weighted_per_lang
-EXTRA_ORACLES["sample_weighted_per_lang"] = SAMPLE_WEIGHTED_LANG_SQL
-EXTRA_QUERIES["a_chi_square_assoc"] = a_chi_square_assoc
-EXTRA_ORACLES["a_chi_square_assoc"] = A_CHI_SQUARE_SQL
-
-
-def a_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all four grouping
-    combinations in one pass — completes the grouping-sets family
-    (GROUPING SETS and ROLLUP are already registered). grouping_id
-    disambiguates NULL-as-subtotal from NULL data in both engines."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-            .alias("revenue"),
-            F.count("*").alias("n"),
-            F.grouping_id().alias("gid"),
-        )
-    )
-
-
-A_CUBE_SQL = """
-SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-       COUNT(*) AS n,
-       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
-def o_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 per group WITH ties kept: rank() (not row_number) over
-    (order, price desc) — the semantics a keep-best report needs when
-    equal-priced lines must not be dropped arbitrarily. Same one-
-    shuffle window shape as the row_number top-k; output size is data-
-    dependent (ties expand it), which is the semantic point."""
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").desc()
-    )
-    return (
-        li.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") <= 3)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.round("l_extendedprice", 6).alias("price"),
-            F.col("rk").cast("long").alias("rk"),
-        )
-    )
-
-
-O_TOPK_TIES_SQL = """
-SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 6) AS price,
-       CAST(rk AS BIGINT) AS rk
-FROM (
-  SELECT l_orderkey, l_linenumber, l_extendedprice,
-         RANK() OVER (PARTITION BY l_orderkey
-                      ORDER BY l_extendedprice DESC) AS rk
-  FROM lineitem
-) WHERE rk <= 3
-"""
-
-EXTRA_QUERIES["a_cube_revenue"] = a_cube_revenue
-EXTRA_ORACLES["a_cube_revenue"] = A_CUBE_SQL
-EXTRA_QUERIES["o_topk_with_ties"] = o_topk_with_ties
-EXTRA_ORACLES["o_topk_with_ties"] = O_TOPK_TIES_SQL
-EXTRA_QUERIES["video_frame_sample_mjpeg"] = video_frame_sample_mjpeg
-EXTRA_ORACLES["video_frame_sample_mjpeg"] = VIDEO_FRAME_SQL
-
-
-# ===========================================================================
-# round 5: exact duplicate substrings (Lee et al. 2022 span dedup)
-# ===========================================================================
-
-def dedup_substring_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate-substring detection over the corpus
-    (operators/dedupe.substring_dedup_spans): every 8-token window
-    whose content occurs anywhere else (ordered by (doc, pos); the
-    global first occurrence is canonical) is a duplicate; overlapping
-    and adjacent duplicate windows merge into maximal spans — the
-    repeated-passage cut document-level dedup cannot see (licenses,
-    boilerplate headers, quoted chains).
-
-    ORACLE: same portable md5-60 fingerprints, same
-    groupBy-min-canonical rule, same gaps-and-islands merge in plain
-    SQL — one wrong slice bound or tie order anywhere breaks the
-    hash."""
-    from ..operators.dedupe import substring_dedup_spans
-
-    docs = _t(spark, sf_dir, "documents")
-    return substring_dedup_spans(docs, id_col="doc_id", text_col="text", k=8)
-
-
-SUBSTRING_SPANS_SQL = """
-WITH t AS (
-  SELECT doc_id,
-         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-                     x -> x != '') AS toks
-  FROM documents
-  WHERE text IS NOT NULL
-), sh AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 8], ' ')), 1, 15))::BIGINT AS fp,
-         doc_id * 1000000 + i AS ord
-  FROM t, LATERAL unnest(generate_series(0, len(toks) - 8)) AS u(i)
-  WHERE len(toks) >= 8
-), firsts AS (
-  SELECT fp, MIN(ord) AS first_ord, COUNT(*) AS cnt
-  FROM sh GROUP BY fp
-), dups AS (
-  SELECT sh.doc_id, sh.pos
-  FROM sh JOIN firsts USING (fp)
-  WHERE cnt > 1 AND ord != first_ord
-), brk AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
-                PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS b
-  FROM dups
-), isl AS (
-  SELECT doc_id, pos,
-         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM brk
-)
-SELECT doc_id,
-       MIN(pos) AS span_start,
-       MAX(pos) + 8 AS span_end,
-       COUNT(*) AS n_windows
-FROM isl
-GROUP BY doc_id, island
-"""
-
-EXTRA_QUERIES["dedup_substring_spans_docs"] = dedup_substring_spans_docs
-EXTRA_ORACLES["dedup_substring_spans_docs"] = SUBSTRING_SPANS_SQL
-
-
-# ===========================================================================
-# round 5: point-in-time enrichment against the SCD2 history
-# ===========================================================================
-
-def j_pit_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time (PIT) join: probe events look up the SCD2 version
-    valid AT their timestamp — the every-feature-store primitive that
-    prevents label leakage (training rows must see the dimension as it
-    WAS, not as it is). The history is built by scd2_user_state_history
-    machinery; probes are a deterministic event sample looking up the
-    state one hour BEFORE their own timestamp (a strictly-past lookup,
-    the leakage-safe convention).
-
-    Spark-first: the interval probe [valid_from, valid_to) is
-    re-expressed as the union+window AS-OF join (operators/relational
-    .asof_join — one equi-key shuffle, no range join, skew-safe);
-    empty [T, T) intervals (two state changes at one instant) are
-    dropped in both engines, which is exactly what makes the as-of
-    forward-fill equivalent to interval semantics. The ORACLE checks
-    the equivalence the hard way: a plain BETWEEN-style interval join
-    in SQL must hash-match the window formulation."""
-    from ..operators.relational import asof_join, scd2_history
-
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    hist = scd2_history(ev, "user_id", ["ts", "event_id"], "event_type")
-    versions = hist.filter(
-        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
-    ).select("user_id", F.col("valid_from").alias("pts"), "state")
-    probes = ev.filter(F.col("event_id") % 7 == 0).select(
-        "user_id",
-        "event_id",
-        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("pts"),
-    )
-    out = asof_join(
-        probes,
-        versions,
-        on=["user_id"],
-        ts_col="pts",
-        payload_cols=["state"],
-        right_ts_alias="version_from",
-    )
-    return out.select(
-        "user_id",
-        "event_id",
-        F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
-        F.col("right_state").alias("state"),
-        F.date_format("version_from", "yyyy-MM-dd HH:mm:ss").alias(
-            "version_from"
-        ),
-    )
-
-
-PIT_SCD2_SQL = """
-WITH o AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN LAG(event_type) OVER w IS NOT DISTINCT FROM event_type
-              THEN 0 ELSE 1 END AS chg
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS seg
-  FROM o
-), g AS (
-  SELECT user_id, seg, event_type AS state, MIN(ts) AS valid_from
-  FROM s GROUP BY 1, 2, 3
-), hist AS (
-  SELECT user_id, state, valid_from,
-         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
-  FROM g
-), versions AS (
-  SELECT * FROM hist WHERE valid_to IS NULL OR valid_to != valid_from
-), probes AS (
-  SELECT user_id, event_id, ts - INTERVAL 1 HOUR AS pts
-  FROM events WHERE event_id % 7 = 0
-)
-SELECT p.user_id, p.event_id,
-       strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
-       v.state,
-       strftime(v.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from
-FROM probes p
-LEFT JOIN versions v
-  ON v.user_id = p.user_id
- AND v.valid_from <= p.pts
- AND (v.valid_to IS NULL OR p.pts < v.valid_to)
-"""
-
-EXTRA_QUERIES["j_pit_scd2_enrich"] = j_pit_scd2_enrich
-EXTRA_ORACLES["j_pit_scd2_enrich"] = PIT_SCD2_SQL
-
-
-def dedup_semantic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cluster-bounded semantic dedup over the embedding
-    corpus (operators/similarity.semantic_dedup): deterministic md5-60
-    centroid sample, broadcast argmax assignment, intra-cluster-only
-    pair scan, min-id canonical. The pair universe is Σ|cluster|²
-    instead of |corpus|² — the third sub-quadratic pair-generation
-    family beside LSH buckets and posting lists.
-
-    Threshold 0.40 sits just under this synthetic corpus's max pairwise
-    cosine (~0.49 — vectors are near-uniform; real text embeddings use
-    ~0.95+), flagging 19 of 500 rows at sf0.01 so both branches of the
-    is_dup flag are exercised.
-
-    ORACLE: ``DEDUP_SEMANTIC_SQL`` rebuilds the identical index —
-    same centroid hash order, same argmax tie-break, same rounded
-    cosine threshold — so the driver hash covers cluster ids AND the
-    flag for every row."""
-    from ..operators.similarity import semantic_dedup
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(
-        emb, id_col="vec_id", vec_col="embedding", n_clusters=16, threshold=0.40
-    )
-
-
-DEDUP_SEMANTIC_SQL = """
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings WHERE len(embedding) > 0
-), s AS (
-  SELECT vec_id, e, nrm FROM v WHERE nrm > 0
-), cent AS (
-  SELECT vec_id AS centroid_id, e AS ce, nrm AS cen FROM s
-  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-  LIMIT 16
-), assigned AS (
-  SELECT vec_id, e, nrm, centroid_id AS cluster FROM (
-    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
-                                       c.centroid_id) AS rn
-    FROM s CROSS JOIN cent c
-  ) WHERE rn = 1
-), dup AS (
-  SELECT DISTINCT b.vec_id
-  FROM assigned a JOIN assigned b
-    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.40
-)
-SELECT a.vec_id, a.cluster,
-       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
-FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
-"""
-
-EXTRA_QUERIES["dedup_semantic_docs"] = dedup_semantic_docs
-EXTRA_ORACLES["dedup_semantic_docs"] = DEDUP_SEMANTIC_SQL
-
-
-def dedup_semantic_lloyd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup at the PAPER's shape (r5 verdict item 3): the hash-seed
-    centroids refined by TWO Lloyd k-means rounds before the
-    cluster-bounded pair pass, at a corpus-real n_clusters (64 ≈
-    |corpus|/8 at this SF). Refined means round to 9 decimals so the
-    construction stays deterministic cross-engine.
-
-    ORACLE: ``DEDUP_SEMANTIC_LLOYD_SQL`` replays the ENTIRE refinement
-    — seed sample, two assign→mean rounds (element-wise AVG via
-    generate_subscripts/unnest, ROUND 9, empty clusters dropped), final
-    assignment, pair pass — so the driver-grade hash covers Lloyd
-    itself, not just the seeded index."""
-    from ..operators.similarity import semantic_dedup
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(
-        emb, id_col="vec_id", vec_col="embedding",
-        n_clusters=64, threshold=0.40, lloyd_iters=2,
-    )
-
-
-def _semantic_lloyd_assign_sql(cent: str, name: str) -> str:
-    return f"""{name} AS (
-  SELECT vec_id, e, nrm, centroid_id AS cluster FROM (
-    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
-                                       c.centroid_id) AS rn
-    FROM s CROSS JOIN {cent} c
-  ) WHERE rn = 1
-)"""
-
-
-def _semantic_lloyd_mean_sql(prev_assigned: str, name: str) -> str:
-    return f"""{name} AS (
-  SELECT centroid_id, ce, sqrt(list_dot_product(ce, ce)) AS cen FROM (
-    SELECT cluster AS centroid_id, list(m ORDER BY idx) AS ce FROM (
-      SELECT cluster, idx, ROUND(AVG(val), 9) AS m FROM (
-        SELECT cluster, generate_subscripts(e, 1) AS idx, unnest(e) AS val
-        FROM {prev_assigned}
-      ) GROUP BY cluster, idx
-    ) GROUP BY cluster
-  ) WHERE sqrt(list_dot_product(ce, ce)) > 0
-)"""
-
-
-DEDUP_SEMANTIC_LLOYD_SQL = f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings WHERE len(embedding) > 0
-), s AS (
-  SELECT vec_id, e, nrm FROM v WHERE nrm > 0
-), cent0 AS (
-  SELECT vec_id AS centroid_id, e AS ce, nrm AS cen FROM s
-  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-  LIMIT 64
-), {_semantic_lloyd_assign_sql('cent0', 'a0')},
-{_semantic_lloyd_mean_sql('a0', 'cent1')},
-{_semantic_lloyd_assign_sql('cent1', 'a1')},
-{_semantic_lloyd_mean_sql('a1', 'cent2')},
-{_semantic_lloyd_assign_sql('cent2', 'assigned')},
-dup AS (
-  SELECT DISTINCT b.vec_id
-  FROM assigned a JOIN assigned b
-    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.40
-)
-SELECT a.vec_id, a.cluster,
-       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
-FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
-"""
-
-EXTRA_QUERIES["dedup_semantic_lloyd_docs"] = dedup_semantic_lloyd_docs
-EXTRA_ORACLES["dedup_semantic_lloyd_docs"] = DEDUP_SEMANTIC_LLOYD_SQL
-
-
-def search_hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval (operators/search.hybrid_rrf_topk): the BM25
-    keyword queries fused with dense cosine ranking by Reciprocal Rank
-    Fusion. Query i pairs the i-th keyword string with the embedding of
-    vec_id=i (the query workload is driver-side by definition — same
-    contract as the BM25 literal list; the 5-row vector collect is the
-    workload, not the corpus). RRF consumes integer ranks only, so the
-    fused ordering is exact cross-engine.
-
-    ORACLE: ``SEARCH_HYBRID_RRF_SQL`` replays both branches — the full
-    BM25 pipeline at rank<=20 and the brute cosine at rank<=20 with
-    self-match kept — and the identical 1/(60+rank) fusion."""
-    from ..operators.search import hybrid_rrf_topk
-
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    by_id = {
-        r["vec_id"]: r["embedding"]
-        for r in emb.filter(F.col("vec_id").isin([q[0] for q in _BM25_QUERIES]))
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    queries = [(qid, text, by_id[qid]) for qid, text in _BM25_QUERIES]
-    return hybrid_rrf_topk(docs, emb, queries, k=10, k_each=20, rrf_k=60)
-
-
-SEARCH_HYBRID_RRF_SQL = f"""
-WITH qs(query_id, qtext) AS (VALUES {_BM25_QS_VALUES}),
-qterm AS (
-  SELECT DISTINCT query_id,
-         unnest(list_filter(string_split(trim(regexp_replace(lower(qtext),
-                '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS token
-  FROM qs
-),
-docs AS (
-  SELECT doc_id, list_filter({{_TOKS}}, t -> t <> '') AS toks FROM documents
-),
-dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
-stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
-  WHERE token IN (SELECT DISTINCT token FROM qterm)
-  GROUP BY 1, 2
-),
-dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-bm_scored AS (
-  SELECT q.query_id, t.doc_id,
-         ROUND(SUM(
-           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * t.tf * (1.2 + 1.0)
-           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
-         ), 6) AS score
-  FROM qterm q
-  JOIN tf t USING (token)
-  JOIN dfreq d USING (token)
-  JOIN dl l ON l.doc_id = t.doc_id
-  CROSS JOIN stats s
-  GROUP BY 1, 2
-),
-bm AS (
-  SELECT query_id, doc_id, rn AS rank_b FROM (
-    SELECT query_id, doc_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id) AS rn
-    FROM bm_scored
-  ) WHERE rn <= 20
-),
-v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings WHERE len(embedding) > 0
-),
-qv AS (SELECT * FROM v WHERE vec_id IN (1, 2, 3, 4, 5) AND nrm > 0),
-vec AS (
-  SELECT query_id, doc_id, rn AS rank_v FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY ROUND(list_dot_product(c.e, q.e) / (c.nrm * q.nrm), 6) DESC,
-                                       c.vec_id) AS rn
-    FROM v c CROSS JOIN qv q
-    WHERE c.nrm > 0
-  ) WHERE rn <= 20
-),
-fused AS (
-  SELECT CAST(COALESCE(b.query_id, x.query_id) AS INTEGER) AS query_id,
-         COALESCE(b.doc_id, x.doc_id) AS doc_id,
-         ROUND(COALESCE(1.0 / CAST(60 + b.rank_b AS DOUBLE), 0)
-               + COALESCE(1.0 / CAST(60 + x.rank_v AS DOUBLE), 0), 6) AS rrf
-  FROM bm b FULL OUTER JOIN vec x
-    ON b.query_id = x.query_id AND b.doc_id = x.doc_id
-)
-SELECT query_id, doc_id, rrf,
-       ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY rrf DESC, doc_id) AS rank
-FROM fused
-QUALIFY rank <= 10
-""".replace("{_TOKS}", _TOKS_SQL)
-
-EXTRA_QUERIES["search_hybrid_rrf_docs"] = search_hybrid_rrf_docs
-EXTRA_ORACLES["search_hybrid_rrf_docs"] = SEARCH_HYBRID_RRF_SQL
-
-
-def search_hybrid_rrf_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid RRF with the SUB-LINEAR dense branch — the round-5 scale
-    fix: the brute branch scans |corpus|x|queries| pairs no matter what
-    (x100 it ran 3.46x the mirror), while vec_path="ivf" scores only
-    the n_probe/n_centroids fraction of the corpus nearest each query
-    (operators/search.hybrid_rrf_topk -> similarity.ivf_cosine_topk).
-
-    This registered shape keeps lloyd_iters=0 and md5-60 centroid
-    sampling so the ORACLE rebuilds the IDENTICAL index in SQL (same
-    construction ANN_IVF_SQL verifies); the production recall recipe
-    (lloyd=2 + BLAS assignment) is pinned against this fusion by
-    tests/test_search_history_urls.py. The assignment backend is
-    env-selectable (SENDAS_IVF_BACKEND=numpy) so the scale bench can
-    run the BLAS kernel — the exact backend is CodegenFallback and
-    its corpus x centroids HOF dots dominate past ~100k vectors — while
-    the driver gate stays on the SQL-replayable exact path (the two
-    are property-pinned equal)."""
-    import os as _os
-
-    from ..operators.search import hybrid_rrf_topk
-
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    by_id = {
-        r["vec_id"]: r["embedding"]
-        for r in emb.filter(F.col("vec_id").isin([q[0] for q in _BM25_QUERIES]))
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    queries = [(qid, text, by_id[qid]) for qid, text in _BM25_QUERIES]
-    return hybrid_rrf_topk(
-        docs, emb, queries, k=10, k_each=20, rrf_k=60,
-        vec_path="ivf", ivf_centroids=32, ivf_probe=8, ivf_lloyd_iters=0,
-        vec_backend=_os.environ.get("SENDAS_IVF_BACKEND", "exact"),
-    )
-
-
-# the brute `vec` CTE swapped for the IVF index CTEs (cent/assigned/
-# probes replayed exactly as ANN_IVF_SQL does, self-match KEPT per the
-# hybrid contract); everything else — BM25 branch, fusion, top-k — is
-# byte-identical to SEARCH_HYBRID_RRF_SQL.
-_HYBRID_BRUTE_VEC_CTE = """vec AS (
-  SELECT query_id, doc_id, rn AS rank_v FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY ROUND(list_dot_product(c.e, q.e) / (c.nrm * q.nrm), 6) DESC,
-                                       c.vec_id) AS rn
-    FROM v c CROSS JOIN qv q
-    WHERE c.nrm > 0
-  ) WHERE rn <= 20
-),"""
-
-_HYBRID_IVF_VEC_CTE = """cent AS (
-  SELECT vec_id AS centroid_id, e AS ce, nrm AS cen FROM v WHERE nrm > 0
-  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-  LIMIT 32
-),
-assigned AS (
-  SELECT vec_id, e, nrm, centroid_id AS cluster FROM (
-    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
-                                       c.centroid_id) AS rn
-    FROM v s CROSS JOIN cent c WHERE s.nrm > 0
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id AS query_id, e AS qe, nrm AS qn, centroid_id AS cluster FROM (
-    SELECT q.vec_id, q.e, q.nrm, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY list_dot_product(q.e, c.ce) / (q.nrm * c.cen) DESC,
-                                       c.centroid_id) AS rn
-    FROM qv q CROSS JOIN cent c
-  ) WHERE rn <= 8
-),
-vec AS (
-  SELECT query_id, doc_id, rn AS rank_v FROM (
-    SELECT p.query_id, a.vec_id AS doc_id,
-           ROW_NUMBER() OVER (PARTITION BY p.query_id
-                              ORDER BY ROUND(list_dot_product(a.e, p.qe) / (a.nrm * p.qn), 6) DESC,
-                                       a.vec_id) AS rn
-    FROM assigned a JOIN probes p ON a.cluster = p.cluster
-  ) WHERE rn <= 20
-),"""
-
-assert _HYBRID_BRUTE_VEC_CTE in SEARCH_HYBRID_RRF_SQL
-SEARCH_HYBRID_RRF_IVF_SQL = SEARCH_HYBRID_RRF_SQL.replace(
-    _HYBRID_BRUTE_VEC_CTE, _HYBRID_IVF_VEC_CTE
-)
-
-EXTRA_QUERIES["search_hybrid_rrf_ivf_docs"] = search_hybrid_rrf_ivf_docs
-EXTRA_ORACLES["search_hybrid_rrf_ivf_docs"] = SEARCH_HYBRID_RRF_IVF_SQL
-
-
-def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-trained bigram-LM quality score
-    (functions/text.bigram_lm_scores): top-256 vocabulary with <unk>
-    fallback, add-0.1-smoothed bigram model trained on the corpus
-    itself, every >=2-token document scored by mean bigram
-    log-probability — the CCNet perplexity-filter shape with the model
-    small enough to replay exactly in SQL.
-
-    ORACLE: ``QUALITY_LM_SQL`` retrains the identical model (same
-    tokenizer, same frequency/tie vocabulary cut, same smoothing) and
-    rescore — vocabulary choice, counts, and every rounded score are
-    all hash-covered."""
-    from ..functions.text import bigram_lm_scores
-
-    docs = _t(spark, sf_dir, "documents")
-    return bigram_lm_scores(docs, id_col="doc_id", text_col="text", vocab_k=256, alpha=0.1)
-
-
-QUALITY_LM_SQL = f"""
-WITH docs AS (
-  SELECT doc_id, list_filter({_TOKS_SQL}, t -> t <> '') AS toks FROM documents
-),
-tok AS (SELECT unnest(toks) AS token FROM docs),
-vocab AS (
-  SELECT token FROM (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1)
-  ORDER BY freq DESC, token LIMIT 256
-),
-vsize AS (SELECT COUNT(*) + 1 AS v FROM vocab),
-big AS (
-  SELECT doc_id, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z
-  FROM docs WHERE len(toks) >= 2
-),
-pairs AS (
-  SELECT doc_id,
-         CASE WHEN z[1] IN (SELECT token FROM vocab) THEN z[1] ELSE '<unk>' END AS w1,
-         CASE WHEN z[2] IN (SELECT token FROM vocab) THEN z[2] ELSE '<unk>' END AS w2
-  FROM big
-),
-c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
-c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1)
-SELECT g.doc_id, COUNT(*) AS n_bigrams,
-       ROUND(AVG(ln((c.c12 + 0.1) / (u.c1 + 0.1 * s.v))), 6) AS lm_score
-FROM pairs g JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN vsize s
-GROUP BY 1
-"""
-
-EXTRA_QUERIES["quality_lm_perplexity"] = quality_lm_perplexity
-EXTRA_ORACLES["quality_lm_perplexity"] = QUALITY_LM_SQL
-
-
-def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable Bloom-filter semi-join prefilter
-    (operators/sketches.bloom_build/bloom_filter_probe): the urgent
-    orders' keys compress into a 64512-bit filter (<=1024 rows), and
-    every distinct lineitem orderkey is tagged with membership by
-    broadcast bit tests — no shuffle touches the probe side. ~0.2%
-    false positives at this load factor (measured 30 of 11813
-    non-members at sf0.01), zero false negatives by construction — the
-    cross-job, at-rest twin of Catalyst's runtime bloom injection.
-
-    ORACLE: ``J_BLOOM_SQL`` rebuilds the identical filter (same md5
-    double-hashing, same 63-bit words) and replays every bit test, so
-    the hash covers the exact false-positive set, not just counts."""
-    from ..operators.sketches import bloom_build, bloom_filter_probe
-
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    bloom = bloom_build(
-        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-            "o_orderkey"
-        ).distinct(),
-        "o_orderkey",
-        m_words=1024,
-        k_hashes=3,
-    )
-    probes = li.select("l_orderkey").distinct()
-    return bloom_filter_probe(
-        probes, "l_orderkey", bloom, m_words=1024, k_hashes=3
-    )
-
-
-J_BLOOM_SQL = """
-WITH build AS (
-  SELECT DISTINCT o_orderkey AS v FROM orders WHERE o_orderpriority = '1-URGENT'
-),
-bh AS (
-  SELECT v,
-         ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h1,
-         ('0x' || substr(md5(CAST(v AS VARCHAR)), 16, 15))::BIGINT AS h2
-  FROM build
-),
-bpos AS (
-  SELECT ((h1 + i * h2) % 64512) AS p FROM bh, UNNEST([0, 1, 2]) AS t(i)
-),
-bloom AS (
-  SELECT CAST(p // 63 AS INT) AS w, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
-  FROM bpos GROUP BY 1
-),
-probes AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
-ph AS (
-  SELECT v,
-         ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h1,
-         ('0x' || substr(md5(CAST(v AS VARCHAR)), 16, 15))::BIGINT AS h2
-  FROM probes
-),
-ppos AS (
-  SELECT v, ((h1 + i * h2) % 64512) AS p FROM ph, UNNEST([0, 1, 2]) AS t(i)
-),
-ptest AS (
-  SELECT ppos.v,
-         CASE WHEN (COALESCE(b.bits, 0) >> CAST(p % 63 AS INT)) & 1 = 1
-              THEN 1 ELSE 0 END AS f
-  FROM ppos LEFT JOIN bloom b ON b.w = CAST(p // 63 AS INT)
-)
-SELECT v AS l_orderkey, CAST(MIN(f) AS INT) AS might_contain
-FROM ptest GROUP BY 1
-"""
-
-EXTRA_QUERIES["j_bloom_prefilter"] = j_bloom_prefilter
-EXTRA_ORACLES["j_bloom_prefilter"] = J_BLOOM_SQL
-
-
-def sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketch (operators/sketches.quantile_sketch):
-    per-returnflag bottom-256-by-row-hash sample of l_extendedprice,
-    nearest-rank p50/p90/p99 estimates — the quantile member of the
-    sketch family (KMV = cardinality, CMS = frequency). The sample
-    rides the same exact merge law as KMV, so day-level sketches roll
-    up without re-touching raw rows; rank error O(1/sqrt(k)) is
-    property-tested against the exact percentiles.
-
-    ORACLE: ``SKETCH_QUANTILES_SQL`` replays the identical row hashes,
-    the identical bottom-k cut, and the identical nearest-rank pick, so
-    the estimates match bit-for-bit."""
-    from ..operators.sketches import quantile_estimate, quantile_sketch
-
-    li = _t(spark, sf_dir, "lineitem")
-    sk = quantile_sketch(
-        li,
-        ["l_returnflag"],
-        "l_extendedprice",
-        id_cols=["l_orderkey", "l_linenumber"],
-        k=256,
-    )
-    return sk.select(
-        "l_returnflag",
-        F.size("qsk").alias("n_sample"),
-        quantile_estimate("qsk", 0.5).alias("p50"),
-        quantile_estimate("qsk", 0.9).alias("p90"),
-        quantile_estimate("qsk", 0.99).alias("p99"),
-    )
-
-
-SKETCH_QUANTILES_SQL = """
-WITH s AS (
-  SELECT l_returnflag,
-         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
-                             CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS hv,
-         CAST(l_extendedprice AS DOUBLE) AS v
-  FROM lineitem
-), r AS (
-  SELECT l_returnflag, v,
-         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
-  FROM s
-), smp AS (
-  SELECT l_returnflag, v FROM r WHERE rn <= 256
-), o AS (
-  SELECT l_returnflag, v,
-         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) - 1 AS i,
-         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-  FROM smp
-)
-SELECT l_returnflag,
-       CAST(MAX(n) AS INT) AS n_sample,
-       MAX(CASE WHEN i = CAST(FLOOR(0.5  * (n - 1)) AS BIGINT) THEN v END) AS p50,
-       MAX(CASE WHEN i = CAST(FLOOR(0.9  * (n - 1)) AS BIGINT) THEN v END) AS p90,
-       MAX(CASE WHEN i = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) THEN v END) AS p99
-FROM o GROUP BY 1
-"""
-
-EXTRA_QUERIES["sketch_quantiles_price"] = sketch_quantiles_price
-EXTRA_ORACLES["sketch_quantiles_price"] = SKETCH_QUANTILES_SQL
-
-
-def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quantile sketch maintained on a stream
-    (streaming/sessions.quantile_sketch_stream): per event_type,
-    GroupState holds exactly the bottom-128 (row-hash, value) pairs —
-    fixed-size state on an unbounded feed. The bottom-k cut is
-    order-insensitive, so micro-batching cannot change the sample: the
-    streamed sketch equals the batch sketch bit-for-bit and the ORACLE
-    replays hashes, cut, count, and nearest-rank estimates exactly from
-    the same rows in SQL."""
-    from ..streaming.sessions import quantile_sketch_stream, run_stream_to_memory
-
-    stream = _stream_events(spark, sf_dir).select("event_type", "event_id", "value")
-    sk = quantile_sketch_stream(
-        stream, group_col="event_type", value_col="value", id_col="event_id", k=128
-    )
-    run_stream_to_memory(sk, "quantile_sketch_stream", output_mode="update")
-    snap = spark.table("quantile_sketch_stream")
-    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
-    final = snap.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    vals = F.sort_array(F.col("vs"))
-    p = lambda q: F.element_at(  # noqa: E731 — nearest-rank pick, same as batch
-        vals, (F.floor(F.lit(q) * (F.size(vals) - 1)) + 1).cast("int")
-    )
-    return final.select(
-        "event_type",
-        "n_seen",
-        F.size("vs").alias("n_sample"),
-        p(0.5).alias("p50"),
-        p(0.9).alias("p90"),
-    )
-
-
-STREAM_QUANTILES_SQL = """
-WITH s AS (
-  SELECT event_type,
-         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
-         CAST(value AS DOUBLE) AS v
-  FROM events
-), r AS (
-  SELECT event_type, v,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-  FROM s
-), smp AS (
-  SELECT event_type, v FROM r WHERE rn <= 128
-), o AS (
-  SELECT event_type, v,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) - 1 AS i,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM smp
-), tot AS (
-  SELECT event_type, COUNT(*) AS n_seen FROM s GROUP BY 1
-)
-SELECT o.event_type,
-       MAX(t.n_seen) AS n_seen,
-       CAST(MAX(o.n) AS INT) AS n_sample,
-       MAX(CASE WHEN o.i = CAST(FLOOR(0.5 * (o.n - 1)) AS BIGINT) THEN o.v END) AS p50,
-       MAX(CASE WHEN o.i = CAST(FLOOR(0.9 * (o.n - 1)) AS BIGINT) THEN o.v END) AS p90
-FROM o JOIN tot t USING (event_type)
-GROUP BY 1
-"""
-
-EXTRA_QUERIES["streaming_quantile_sketch"] = streaming_quantile_sketch
-EXTRA_ORACLES["streaming_quantile_sketch"] = STREAM_QUANTILES_SQL
-
-
-def a_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association rules over order baskets (basket =
-    distinct parts on one order): frequent pairs at min_support 3, both
-    rule directions scored with confidence = supp(a,b)/supp(a) and
-    lift = confidence / (supp(b)/N), top-50 by lift — the Apriori-2
-    pattern every recommender pipeline starts from.
-
-    Plan shape at scale: pair generation is the per-basket self-join —
-    quadratic ONLY in basket size (orders hold ≤13 distinct parts here;
-    production caps pathological baskets the same way the dedup
-    inverted index df-cuts hot postings); the pair aggregate map-side
-    combines to the frequent-pair universe, and item supports join on
-    the pair table (item-universe-sized, broadcast here, shuffle at
-    catalog scale). Confidences/lifts are integer ratios in doubles —
-    deterministic — rounded to 6 before the rank window.
-
-    The distinct basket table feeds FOUR consumers (the eager
-    n_baskets count, item supports, both self-join sides), so it is
-    pinned via the pluggable materializer. Measured honestly: the pin
-    buys ~7 % at ×10 sf0.1 (8.10 → 7.51 s) — the per-basket pair join
-    + aggregate dominates, not the repeated distinct — but it also
-    caps the cost of adding consumers, and at 100 TB it turns four
-    fact scans into one.
-
-    ORACLE: ``A_ASSOC_RULES_SQL`` replays baskets, supports, both rule
-    directions, and the lift-ranked cutoff."""
-    from ..materialize import materialize
-
-    li = _t(spark, sf_dir, "lineitem")
-    b = materialize(
-        li.select(
-            F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
-        ).distinct(),
-        name="assoc_baskets",
-    )
-    n_baskets = b.select("bk").distinct().count()
-    isup = b.groupBy("it").agg(F.count("*").alias("s_item"))
-    a = b.select(F.col("bk"), F.col("it").alias("ia"))
-    c = b.select(F.col("bk"), F.col("it").alias("ib"))
-    pairs = (
-        a.join(c, "bk")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
-        .agg(F.count("*").alias("s_pair"))
-        .filter(F.col("s_pair") >= 3)
-    )
-    # both rule directions from the one pair table
-    rules = pairs.select(
-        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "s_pair"
-    ).unionByName(
-        pairs.select(
-            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "s_pair"
-        )
-    )
-    rules = (
-        rules.join(
-            F.broadcast(isup.select(F.col("it").alias("antecedent"),
-                                    F.col("s_item").alias("s_ante"))),
-            "antecedent",
-        )
-        .join(
-            F.broadcast(isup.select(F.col("it").alias("consequent"),
-                                    F.col("s_item").alias("s_cons"))),
-            "consequent",
-        )
-        .select(
-            "antecedent",
-            "consequent",
-            "s_pair",
-            F.round(F.col("s_pair") / F.col("s_ante"), 6).alias("confidence"),
-            F.round(
-                (F.col("s_pair") / F.col("s_ante"))
-                / (F.col("s_cons") / F.lit(float(n_baskets))),
-                6,
-            ).alias("lift"),
-        )
-    )
-    w = Window.orderBy(F.col("lift").desc(), F.col("antecedent"), F.col("consequent"))
-    return (
-        rules.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-    )
-
-
-A_ASSOC_RULES_SQL = """
-WITH b AS (
-  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-),
-nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
-isup AS (SELECT it, COUNT(*) AS s_item FROM b GROUP BY 1),
-pairs AS (
-  SELECT a.it AS ia, c.it AS ib, COUNT(*) AS s_pair
-  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 3
-),
-rules AS (
-  SELECT ia AS antecedent, ib AS consequent, s_pair FROM pairs
-  UNION ALL
-  SELECT ib AS antecedent, ia AS consequent, s_pair FROM pairs
-),
-scored AS (
-  SELECT r.antecedent, r.consequent, r.s_pair,
-         ROUND(r.s_pair / sa.s_item, 6) AS confidence,
-         ROUND((r.s_pair / sa.s_item) / (sc.s_item / CAST(nb.n AS DOUBLE)), 6) AS lift
-  FROM rules r
-  JOIN isup sa ON sa.it = r.antecedent
-  JOIN isup sc ON sc.it = r.consequent
-  CROSS JOIN nb
-)
-SELECT antecedent, consequent, s_pair, confidence, lift,
-       ROW_NUMBER() OVER (ORDER BY lift DESC, antecedent, consequent) AS rank
-FROM scored
-QUALIFY rank <= 50
-"""
-
-EXTRA_QUERIES["a_association_rules"] = a_association_rules
-EXTRA_ORACLES["a_association_rules"] = A_ASSOC_RULES_SQL
-
-
-def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts (operators/graph.triangle_counts,
-    degree-oriented compact-forward) on the part co-purchase graph —
-    edges between parts co-ordered in ≥2 baskets (the same graph the
-    association rules mine; 3445 edges / 61 triangles at sf0.01).
-    Local closure is the community/quality signal PageRank's global
-    rank cannot see.
-
-    ORACLE: ``GRAPH_TRIANGLES_SQL`` replays canonicalization, degrees,
-    the (deg, id) orientation, the wedge join, and the membership
-    check."""
-    from ..operators.graph import triangle_counts
-
-    li = _t(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
-    ).distinct()
-    e = (
-        b.select("bk", F.col("it").alias("src"))
-        .join(b.select("bk", F.col("it").alias("dst")), "bk")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= 2)
-        .select("src", "dst")
-    )
-    return triangle_counts(e)
-
-
-GRAPH_TRIANGLES_SQL = """
-WITH b AS (
-  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-),
-canon AS (
-  SELECT a.it AS a, c.it AS b
-  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 2
-),
-deg AS (
-  SELECT node, COUNT(*) AS deg FROM (
-    SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
-  ) GROUP BY 1
-),
-fwd AS (
-  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-              THEN c.a ELSE c.b END AS u,
-         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-              THEN c.b ELSE c.a END AS v
-  FROM canon c
-  JOIN deg da ON da.node = c.a
-  JOIN deg db ON db.node = c.b
-),
-wedges AS (
-  SELECT e1.u, e1.v AS x, e2.v AS y
-  FROM fwd e1 JOIN fwd e2 ON e1.u = e2.u AND e1.v < e2.v
-),
-tris AS (
-  SELECT w.u, w.x, w.y
-  FROM wedges w JOIN canon c ON c.a = w.x AND c.b = w.y
-)
-SELECT node, COUNT(*) AS triangles FROM (
-  SELECT u AS node FROM tris
-  UNION ALL SELECT x FROM tris
-  UNION ALL SELECT y FROM tris
-) GROUP BY 1
-"""
-
-EXTRA_QUERIES["graph_triangle_counts"] = graph_triangle_counts
-EXTRA_ORACLES["graph_triangle_counts"] = GRAPH_TRIANGLES_SQL
-
-
-def a_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B experiment readout: users are hash-bucketed into two arms
-    (portable md5 of user_id, mod 2 — exactly how production
-    experimentation systems assign deterministically, and replayable in
-    SQL), and each event_type's value metric is compared across arms
-    with a Welch t statistic — the experiment-analysis pass that closes
-    the product-analytics family (z-score outliers, funnel, cohort
-    retention, chi-square association, per-group OLS).
-
-    One scan, one (event_type, arm) aggregate (map-side combinable sums
-    for n/mean/var), then a 10-row reshape — nothing corpus-sized
-    survives the aggregate. Null metric values drop (standard
-    missing-outcome policy). t is rounded to 6; the pytest float
-    compare tolerates the last-ULP variance-merge differences between
-    engines."""
-    ev = _t(spark, sf_dir, "events")
-    armed = ev.select(
-        "event_type",
-        F.col("value").alias("v"),
-        (
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-            .cast("long") % 2
-        ).alias("arm"),
-    ).filter(F.col("v").isNotNull())
-    stats = armed.groupBy("event_type", "arm").agg(
-        F.count("*").alias("n"),
-        F.avg("v").alias("mean"),
-        F.var_samp("v").alias("var"),
-    )
-    a0 = stats.filter(F.col("arm") == 0).select(
-        "event_type",
-        F.col("n").alias("n0"),
-        F.col("mean").alias("mean0"),
-        F.col("var").alias("var0"),
-    )
-    a1 = stats.filter(F.col("arm") == 1).select(
-        "event_type",
-        F.col("n").alias("n1"),
-        F.col("mean").alias("mean1"),
-        F.col("var").alias("var1"),
-    )
-    out = a0.join(a1, "event_type")
-    t = (F.col("mean1") - F.col("mean0")) / F.sqrt(
-        F.col("var1") / F.col("n1") + F.col("var0") / F.col("n0")
-    )
-    return out.select(
-        "event_type",
-        "n0",
-        "n1",
-        F.round("mean0", 6).alias("mean0"),
-        F.round("mean1", 6).alias("mean1"),
-        F.round(t, 6).alias("welch_t"),
-    )
-
-
-A_AB_TEST_SQL = """
-WITH armed AS (
-  SELECT event_type, value AS v,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
-  FROM events WHERE value IS NOT NULL
-),
-stats AS (
-  SELECT event_type, arm, COUNT(*) AS n, AVG(v) AS mean, VAR_SAMP(v) AS var
-  FROM armed GROUP BY 1, 2
-)
-SELECT a0.event_type,
-       a0.n AS n0, a1.n AS n1,
-       ROUND(a0.mean, 6) AS mean0, ROUND(a1.mean, 6) AS mean1,
-       ROUND((a1.mean - a0.mean)
-             / sqrt(a1.var / a1.n + a0.var / a0.n), 6) AS welch_t
-FROM (SELECT * FROM stats WHERE arm = 0) a0
-JOIN (SELECT * FROM stats WHERE arm = 1) a1 USING (event_type)
-"""
-
-EXTRA_QUERIES["a_ab_test_readout"] = a_ab_test_readout
-EXTRA_ORACLES["a_ab_test_readout"] = A_AB_TEST_SQL
-
-
-def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-derandomized uniform random walks
-    (operators/graph.random_walks): a 4-step walk from every node of
-    the customer<->supplier entity graph — the DeepWalk/node2vec
-    corpus-generation stage, with every step's neighbor pick
-    md5-derandomized so the ORACLE replays all four hops node-for-node
-    (``GRAPH_WALKS_SQL`` unrolls the steps as chained CTEs against the
-    same rank-indexed adjacency)."""
-    from ..operators.graph import random_walks
-
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    return random_walks(e0, length=4, seed=17)
-
-
-GRAPH_WALKS_SQL = """
-WITH e0 AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                  's' || CAST(l_suppkey AS VARCHAR) AS dst
-  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-),
-und AS (
-  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
-),
-adj AS (
-  SELECT src, dst,
-         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
-  FROM und
-),
-deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY 1),
-s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM und),
-s1 AS (
-  SELECT w.walk_id, a.dst AS cur
-  FROM s0 w
-  JOIN deg d ON d.src = w.cur
-  JOIN adj a ON a.src = w.cur
-   AND a.idx = ('0x' || substr(md5(w.walk_id || '#17#0'), 1, 15))::BIGINT % d.deg
-),
-s2 AS (
-  SELECT w.walk_id, a.dst AS cur
-  FROM s1 w
-  JOIN deg d ON d.src = w.cur
-  JOIN adj a ON a.src = w.cur
-   AND a.idx = ('0x' || substr(md5(w.walk_id || '#17#1'), 1, 15))::BIGINT % d.deg
-),
-s3 AS (
-  SELECT w.walk_id, a.dst AS cur
-  FROM s2 w
-  JOIN deg d ON d.src = w.cur
-  JOIN adj a ON a.src = w.cur
-   AND a.idx = ('0x' || substr(md5(w.walk_id || '#17#2'), 1, 15))::BIGINT % d.deg
-),
-s4 AS (
-  SELECT w.walk_id, a.dst AS cur
-  FROM s3 w
-  JOIN deg d ON d.src = w.cur
-  JOIN adj a ON a.src = w.cur
-   AND a.idx = ('0x' || substr(md5(w.walk_id || '#17#3'), 1, 15))::BIGINT % d.deg
-)
-SELECT walk_id, 0 AS step, cur AS node FROM s0
-UNION ALL SELECT walk_id, 1, cur FROM s1
-UNION ALL SELECT walk_id, 2, cur FROM s2
-UNION ALL SELECT walk_id, 3, cur FROM s3
-UNION ALL SELECT walk_id, 4, cur FROM s4
-"""
-
-EXTRA_QUERIES["graph_random_walks"] = graph_random_walks
-EXTRA_ORACLES["graph_random_walks"] = GRAPH_WALKS_SQL
-
-
-def sample_group_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/val/test split of the corpus
-    (operators/sampling.group_split): the split decision is keyed on a
-    hash of ``source`` — the leakage unit, since near-duplicate docs
-    share a source — so no source ever spans splits. Emits the per-split
-    audit a pipeline records next to the manifest: docs, distinct
-    sources, total text bytes. That ``sum(n_sources)`` across the three
-    rows equals the corpus' distinct-source count IS the no-leakage
-    witness (a source in two splits would double-count), and the oracle
-    replays the exact md5 bucket assignment, so parity proves both the
-    assignment and the audit.
-
-    Scale shape: the assignment is one scan-local CASE over a hash
-    (no shuffle, no RNG — stable under corpus growth: an existing
-    source never changes split when new sources arrive); the audit is
-    a 3-group aggregate. At 100 TB the split column is typically
-    written back partitioned-by-split in the same pass.
-
-    ORACLE: ``SAMPLE_GROUP_SPLIT_SQL``."""
-    from ..operators.sampling import group_split
-
-    docs = _t(spark, sf_dir, "documents")
-    out = group_split(
-        docs, "source", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
-    )
-    return (
-        out.groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("source").alias("n_sources"),
-            F.sum(F.length("text")).alias("text_chars"),
-        )
-        .orderBy("split")
-    )
-
-
-SAMPLE_GROUP_SPLIT_SQL = """
-WITH assigned AS (
-  SELECT *,
-    CASE
-      WHEN ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800
-        THEN 'train'
-      WHEN ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))::BIGINT % 1000 < 900
-        THEN 'val'
-      ELSE 'test'
-    END AS split
-  FROM documents
-)
-SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
-       CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
-FROM assigned GROUP BY split ORDER BY split
-"""
-
-EXTRA_QUERIES["sample_group_split_docs"] = sample_group_split_docs
-EXTRA_ORACLES["sample_group_split_docs"] = SAMPLE_GROUP_SPLIT_SQL
-
-
-def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-drift monitor (operators/quality_checks.psi_drift):
-    PSI of the event value distribution, second half of January vs the
-    first, per event_type — the null-calibration deployment (iid halves
-    must read PSI ≈ 0; the operator's property test plants real drift
-    and reads it back > 0.25). Bin edges freeze from the REFERENCE
-    window's min/max (one tiny eager aggregate — the deployed pattern,
-    so the monitor itself cannot drift), counts are exact one-scan
-    aggregates per side, and +0.5 Laplace smoothing keeps empty bins
-    finite and the whole statistic ANSI-replayable.
-
-    ORACLE: ``DQ_PSI_DRIFT_SQL`` replays the split, the frozen edges,
-    the clamped equi-width binning, smoothing, and the PSI sum."""
-    from ..operators.quality_checks import psi_drift
-
-    ev = _t(spark, sf_dir, "events")
-    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    ref = ev.filter(F.col("ts") < mid)
-    cur = ev.filter(F.col("ts") >= mid)
-    return psi_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
-
-
-DQ_PSI_DRIFT_SQL = """
-WITH ref AS (
-  SELECT event_type, value FROM events
-  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
-),
-cur AS (
-  SELECT event_type, value FROM events
-  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
-),
-edges AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ref),
-rb AS (
-  SELECT event_type,
-         GREATEST(0, LEAST(9, CAST(FLOOR((value - e.lo) / (e.hi - e.lo) * 10)
-                                   AS BIGINT))) AS bin,
-         COUNT(*) AS n_ref
-  FROM ref, edges e GROUP BY 1, 2
-),
-cb AS (
-  SELECT event_type,
-         GREATEST(0, LEAST(9, CAST(FLOOR((value - e.lo) / (e.hi - e.lo) * 10)
-                                   AS BIGINT))) AS bin,
-         COUNT(*) AS n_cur
-  FROM cur, edges e GROUP BY 1, 2
-),
-j AS (
-  SELECT COALESCE(rb.event_type, cb.event_type) AS event_type,
-         COALESCE(rb.bin, cb.bin) AS bin,
-         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
-  FROM rb FULL OUTER JOIN cb
-    ON rb.event_type = cb.event_type AND rb.bin = cb.bin
-),
-terms AS (
-  SELECT event_type, n_ref, n_cur,
-         ((n_cur + 0.5) / (SUM(n_cur) OVER (PARTITION BY event_type) + 5.0)
-          - (n_ref + 0.5) / (SUM(n_ref) OVER (PARTITION BY event_type) + 5.0))
-         * LN(((n_cur + 0.5) / (SUM(n_cur) OVER (PARTITION BY event_type) + 5.0))
-              / ((n_ref + 0.5) / (SUM(n_ref) OVER (PARTITION BY event_type) + 5.0)))
-         AS term
-  FROM j
-)
-SELECT event_type, ROUND(SUM(term), 6) AS psi,
-       CAST(SUM(n_ref) AS BIGINT) AS n_ref, CAST(SUM(n_cur) AS BIGINT) AS n_cur
-FROM terms GROUP BY event_type ORDER BY event_type
-"""
-
-EXTRA_QUERIES["dq_psi_drift"] = dq_psi_drift
-EXTRA_ORACLES["dq_psi_drift"] = DQ_PSI_DRIFT_SQL
-
+from . import inv_round4 as _inv_round4  # noqa: E402
+from . import inv_round5 as _inv_round5  # noqa: E402
+from .inv_round4 import *  # noqa: E402,F401,F403
+from .inv_round5 import *  # noqa: E402,F401,F403
+
+EXTRA_QUERIES.update(_inv_round4.PART_QUERIES)
+EXTRA_ORACLES.update(_inv_round4.PART_ORACLES)
+EXTRA_QUERIES.update(_inv_round5.PART_QUERIES)
+EXTRA_ORACLES.update(_inv_round5.PART_ORACLES)
 
 # ===========================================================================
 # driver window — SINGLE definition site
