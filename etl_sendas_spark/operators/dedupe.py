@@ -961,3 +961,98 @@ def substring_dedup_spans(
             "n_windows",
         )
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard >= ``threshold`` via PREFIX
+    FILTERING (Bayardo, Ma & Srikant 2007 "Scaling Up All Pairs
+    Similarity Search"; the PPJoin family) — the fourth pair-generation
+    plan in the dedup ladder, and the only sub-quadratic one that is
+    EXACT at its threshold:
+
+    - minhash-LSH (`minhash_lsh_candidates`) is probabilistic recall;
+    - the capped posting join (`ngram_jaccard_pairs`) is exact only
+      over the capped shingle universe;
+    - prefix filtering has NO false negatives by pigeonhole: order
+      every doc's distinct tokens by a global canonical order (document
+      frequency ascending, then token — rarest first) and keep only
+      the first ``L = |d| - ceil(t*|d|) + 1`` as the doc's PREFIX. Two
+      docs with Jaccard >= t must share >= 1 prefix token: if they
+      disagreed on all prefix tokens, the intersection is confined to
+      the two suffixes and |A∩B| <= min(|A|,|B|) - L < t*|A∪B|.
+
+    Plan shape at 100 TB: the candidate join keys are ONLY prefix
+    tokens — by construction each doc's globally RAREST tokens, so
+    posting lists are short where the join happens and the stopword
+    bucket that forces `ngram_jaccard_pairs`' cap never joins at all.
+    A length filter (t*|a| <= |b| for |a| >= |b|) prunes candidates
+    whose sizes alone cap Jaccard below t. Verification joins each
+    candidate pair back to the two full token arrays and computes the
+    exact intersection with JVM ``array_intersect`` — cost is
+    per-candidate, not per-corpus. One df-keyed shuffle (postings),
+    one prefix-token-keyed shuffle (candidates), two doc-keyed joins
+    (verification); every one on slim projections.
+
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard
+    rounded to 6. Deterministic end-to-end (integer df counts, integer
+    positions, IEEE double threshold arithmetic), so the SQL oracle
+    replays the index exactly.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"prefix_jaccard_pairs: threshold {t} not in (0, 1]")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda x: x != "",
+            )
+        ).alias("arr"),
+    ).filter(F.size("arr") > 0)
+    toks = _pin(toks, name="prefix_jaccard_toks")
+
+    post = toks.select("doc", F.size("arr").alias("s"), F.explode("arr").alias("token"))
+    dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "token")
+    pref = (
+        post.join(dfreq, "token")
+        .withColumn("p", F.row_number().over(w))
+        # L = s - ceil(t*s) + 1; doubles multiply identically cross-engine
+        .filter(F.col("p") <= F.col("s") - F.ceil(F.lit(t) * F.col("s")) + 1)
+        .select("doc", "s", "token")
+    )
+    a = pref.select(F.col("doc").alias("id_a"), F.col("s").alias("sa"), "token")
+    b = pref.select(F.col("doc").alias("id_b"), F.col("s").alias("sb"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: Jaccard <= min/max of the sizes
+        .filter(
+            F.least(F.col("sa"), F.col("sb"))
+            >= F.lit(t) * F.greatest(F.col("sa"), F.col("sb"))
+        )
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    va = toks.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a"))
+    vb = toks.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified

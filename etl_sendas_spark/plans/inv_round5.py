@@ -1290,3 +1290,64 @@ PART_QUERIES["dq_psi_drift"] = dq_psi_drift
 PART_ORACLES["dq_psi_drift"] = DQ_PSI_DRIFT_SQL
 
 
+
+
+# ===========================================================================
+# round 6: exact all-pairs similarity join via prefix filtering
+# ===========================================================================
+
+def dedup_prefix_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard all-pairs at threshold 0.9 via PREFIX
+    FILTERING (operators/dedupe.prefix_jaccard_pairs; Bayardo et al.
+    2007 / PPJoin family) — the one sub-quadratic dedup plan with NO
+    false negatives at its threshold: candidates join only on each
+    doc's rarest L = |d| - ceil(t|d|) + 1 tokens (df-ascending
+    canonical order), pairs sharing none cannot reach t by pigeonhole.
+
+    ORACLE: ``DEDUP_PREFIX_JACCARD_SQL`` rebuilds the identical index —
+    same tokenizer, same (df, token) canonical order, same prefix cut,
+    same exact intersection — so the driver-grade hash covers the
+    pruning logic itself: a wrong prefix length or ordering loses or
+    invents pairs."""
+    from ..operators.dedupe import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                threshold=0.9)
+
+
+DEDUP_PREFIX_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(list_filter({{_TOKS}}, t -> t <> ''))) AS token
+  FROM documents
+), sz AS (
+  SELECT doc, COUNT(*) AS s FROM toks GROUP BY 1
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM toks GROUP BY 1
+), pref AS (
+  SELECT doc, s, token FROM (
+    SELECT t.doc, z.s, t.token,
+           ROW_NUMBER() OVER (PARTITION BY t.doc
+                              ORDER BY d.df, t.token) AS p
+    FROM toks t JOIN dfreq d USING (token) JOIN sz z USING (doc)
+  ) WHERE p <= s - CEIL(0.9 * s) + 1
+), cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b, a.s AS sa, b.s AS sb
+  FROM pref a JOIN pref b
+    ON a.token = b.token AND a.doc < b.doc
+  WHERE LEAST(a.s, b.s) >= 0.9 * GREATEST(a.s, b.s)
+), inter AS (
+  SELECT c.id_a, c.id_b, c.sa, c.sb, COUNT(*) AS i
+  FROM cand c
+  JOIN toks ta ON ta.doc = c.id_a
+  JOIN toks tb ON tb.doc = c.id_b AND tb.token = ta.token
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, ROUND(i / (sa + sb - i), 6) AS jaccard
+FROM inter
+WHERE ROUND(i / (sa + sb - i), 6) >= 0.9
+""".replace("{_TOKS}", _TOKS_SQL)
+
+PART_QUERIES["dedup_prefix_jaccard_docs"] = dedup_prefix_jaccard_docs
+PART_ORACLES["dedup_prefix_jaccard_docs"] = DEDUP_PREFIX_JACCARD_SQL

@@ -1950,3 +1950,48 @@ def test_semantic_dedup_mega_cluster_hits_aqe_skew_split(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_prefix_jaccard_pairs_equals_bruteforce(spark):
+    """Prefix filtering's no-false-negative guarantee, checked against
+    a pure-Python brute force over every pair: planted near-dups (one
+    token changed), disjoint docs, and random-overlap docs — the pair
+    SET and the rounded scores must both match exactly, at two
+    thresholds (the prefix length L changes with t)."""
+    import itertools
+    import random as _random
+
+    from etl_sendas_spark.operators.dedupe import prefix_jaccard_pairs
+
+    rng = _random.Random(13)
+    vocab = [f"w{j}" for j in range(120)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(8, 20))
+        rows.append((2 * i, " ".join(base)))
+        twin = list(base)
+        twin[rng.randrange(len(twin))] = rng.choice(vocab)  # near-dup
+        rows.append((2 * i + 1, " ".join(twin)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {i: set(t.split()) for i, t in rows}
+    for t in (0.6, 0.9):
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = round(inter / len(sets[a] | sets[b]), 6)
+                if j >= t:
+                    want[(a, b)] = j
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_jaccard_pairs(
+                docs, id_col="doc_id", text_col="text", threshold=t
+            ).collect()
+        }
+        assert got == want, (
+            t,
+            sorted(set(want) - set(got))[:5],
+            sorted(set(got) - set(want))[:5],
+        )
+        assert len(got) > 0, t  # planted twins guarantee non-empty

@@ -120,6 +120,12 @@ def run_suite(master: str | None, sf_dir: str, names: list[str],
         "spark.executor.memory": EXECUTOR_MEM,
         "spark.executor.cores": str(WORKER_CORES),
         "spark.cores.max": str(N_WORKERS * WORKER_CORES),
+        # executor Python workers unpickle closures that import the
+        # engine package; workers run on this box but inherit a clean
+        # PYTHONPATH from the worker daemon
+        "spark.executorEnv.PYTHONPATH": os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
     } if master else None
     spark = get_spark(app_name="standalone_bench", master=master,
                       extra_conf=extra)
