@@ -266,3 +266,82 @@ def psi_drift(
             F.sum("n_cur").alias("n_cur"),
         )
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per group:
+    ``D = sup_x |F_ref(x) - F_cur(x)|`` — the binning-free companion to
+    :func:`psi_drift` (PSI depends on the frozen bin edges; KS is the
+    exact distributional distance, sensitive where PSI's 10 bins are
+    blind, e.g. a pure within-bin reshuffle).
+
+    Distributed shape: the sup over a CONTINUOUS x only changes at
+    observed values, so D = max over the union of observed values of
+    |ECDF difference|. The union of the two slim ``(group, v, side)``
+    projections takes ONE shuffle on (group); the running ECDFs are
+    windowed running sums over the per-group local sort, and the sup
+    is a plain max aggregate. Ties are handled by evaluating the ECDFs
+    AFTER consuming all rows of a tied value (``rangeBetween`` on the
+    value = the standard right-continuous convention, replayable in
+    SQL). With no ``group_cols`` the global sort runs on one
+    partition — inherent to an exact global ECDF; group the statistic
+    (or sample) at corpus scale.
+
+    Emits ``(group..., ks, n_ref, n_cur)`` with ``ks`` rounded to 6.
+    Raises on an empty side (a KS against nothing is undefined) —
+    checked per group by emitting NULL ks for groups missing a side.
+    """
+    gcols = list(group_cols or [])
+
+    def side(df, tag):
+        return df.filter(F.col(value_col).isNotNull()).select(
+            *gcols,
+            F.col(value_col).cast("double").alias("v"),
+            F.lit(tag).alias("w"),
+        )
+
+    u = side(ref, "r").unionByName(side(cur, "c"))
+    counts = u.groupBy(*gcols).agg(
+        F.sum(F.when(F.col("w") == "r", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("w") == "c", 1).otherwise(0)).alias("n_cur"),
+    )
+    w_run = (
+        Window.partitionBy(*gcols)
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    # rangeBetween on the VALUE makes the running counts right-
+    # continuous at ties: every row of a tied value sees the full count
+    # of that value on both sides
+    stepped = (
+        u.withColumn(
+            "cr", F.sum(F.when(F.col("w") == "r", 1).otherwise(0)).over(w_run)
+        )
+        .withColumn(
+            "cc", F.sum(F.when(F.col("w") == "c", 1).otherwise(0)).over(w_run)
+        )
+    )
+    d = (
+        stepped.join(counts, gcols) if gcols
+        else stepped.crossJoin(F.broadcast(counts))
+    )
+    return (
+        d.withColumn(
+            "diff",
+            F.abs(
+                F.col("cr") / F.col("n_ref") - F.col("cc") / F.col("n_cur")
+            ),
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.round(F.max("diff"), 6).alias("ks"),
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+        )
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+    )

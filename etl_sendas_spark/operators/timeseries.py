@@ -120,3 +120,84 @@ def group_ols(
         ((sy - slope * sx) / n).alias("intercept"),
         (cov * cov / F.nullif(vx * vy, F.lit(0.0))).alias("r2"),
     )
+
+
+def funnel_steps(
+    events,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+):
+    """Ordered-funnel analysis (the MATCH_RECOGNIZE / product-analytics
+    "funnel" primitive): per funnel step k, how many users produced
+    events matching ``steps[0..k]`` in STRICT timestamp order — step
+    k's event must be strictly later than the user's matched step-k-1
+    event. ``within`` (an INTERVAL literal, e.g. ``'7 days'``) bounds
+    the whole funnel to a window opening at the matched first step.
+
+    Plan: k chained earliest-match aggregates — step 1 is
+    ``min(ts)`` per user over the step-1 events; step k joins the
+    step-(k-1) frame (per-user, tiny) to the step-k events and takes
+    ``min(ts) where ts > t_{k-1}``. Greedy earliest-completion
+    chaining is exact for reachability: taking the EARLIEST valid
+    event at each step can only enlarge the set of later events
+    available, so a user completes the funnel under greedy iff they
+    complete it under any strategy. Each stage shuffles only the
+    step-filtered slim ``(user, ts)`` projection — k small
+    hash-aggregates, no window over the raw feed, no UDF; at 100 TB
+    the feed is scanned once per step with the type filter pushed to
+    the scan (or once total if the source is type-partitioned).
+
+    Returns one row per step: ``(step_idx, step, n_users,
+    conversion)`` where conversion = n_users / step-1 users, rounded
+    to 6 (step 1's conversion is 1.0 by definition; an empty step-1
+    cohort yields zero rows for every step, not a divide-by-zero).
+    """
+    from pyspark.sql import functions as F
+
+    if not steps:
+        raise ValueError("funnel_steps: empty step list")
+    spark = events.sparkSession
+    slim = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    ).filter(F.col("ts").isNotNull())
+
+    reached = (
+        slim.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t"))
+    )
+    if within is not None:
+        reached = reached.withColumn(
+            "deadline", F.col("t") + F.expr(f"INTERVAL {within}")
+        )
+    counts = [reached.count()]
+    for s in steps[1:]:
+        nxt = slim.filter(F.col("et") == s).join(reached, "u")
+        nxt = nxt.filter(F.col("ts") > F.col("t"))
+        if within is not None:
+            nxt = nxt.filter(F.col("ts") <= F.col("deadline"))
+            nxt = nxt.groupBy("u", "deadline").agg(F.min("ts").alias("t"))
+        else:
+            nxt = nxt.groupBy("u").agg(F.min("ts").alias("t"))
+        reached = nxt
+        counts.append(reached.count())
+
+    base = counts[0]
+    rows = [
+        (
+            i + 1,
+            s,
+            int(c),
+            round(c / base, 6) if base else 0.0,
+        )
+        for i, (s, c) in enumerate(zip(steps, counts))
+        if base > 0
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_users bigint, conversion double"
+    )

@@ -1351,3 +1351,121 @@ WHERE ROUND(i / (sa + sb - i), 6) >= 0.9
 
 PART_QUERIES["dedup_prefix_jaccard_docs"] = dedup_prefix_jaccard_docs
 PART_ORACLES["dedup_prefix_jaccard_docs"] = DEDUP_PREFIX_JACCARD_SQL
+
+
+# ===========================================================================
+# round 6: ordered funnel analysis (first-touch, strict ordering)
+# ===========================================================================
+
+def a_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-step ordered funnel view → click → signup → purchase over
+    the event feed with a 1-day first-touch window
+    (operators/timeseries.funnel_steps): step k counts users whose
+    earliest valid step-k event strictly follows their matched step-k-1
+    event, all inside 1 day of the user's FIRST view (first-touch
+    anchoring — the standard product-analytics convention, and the
+    property that makes the chain greedy-exact and SQL-replayable).
+
+    ORACLE: ``A_FUNNEL_SQL`` replays the same chained earliest-match
+    CTEs, so the driver hash covers the ordering/deadline logic."""
+    from ..operators.timeseries import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, steps=["view", "click", "signup", "purchase"],
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        within="1 day",
+    )
+
+
+A_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id AS u, MIN(ts) AS t
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+), s1d AS (
+  SELECT u, t, t + INTERVAL 1 DAY AS deadline FROM s1
+), s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t, ANY_VALUE(r.deadline) AS deadline
+  FROM events e JOIN s1d r ON e.user_id = r.u
+  WHERE e.event_type = 'click' AND e.ts > r.t AND e.ts <= r.deadline
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t, ANY_VALUE(r.deadline) AS deadline
+  FROM events e JOIN s2 r ON e.user_id = r.u
+  WHERE e.event_type = 'signup' AND e.ts > r.t AND e.ts <= r.deadline
+  GROUP BY 1
+), s4 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t
+  FROM events e JOIN s3 r ON e.user_id = r.u
+  WHERE e.event_type = 'purchase' AND e.ts > r.t AND e.ts <= r.deadline
+  GROUP BY 1
+), counts(step_idx, step, n_users) AS (
+  SELECT 1, 'view', (SELECT COUNT(*) FROM s1)
+  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'signup', (SELECT COUNT(*) FROM s3)
+  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+)
+SELECT CAST(step_idx AS INTEGER) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(n_users / (SELECT COUNT(*) FROM s1), 6) AS conversion
+FROM counts
+WHERE (SELECT COUNT(*) FROM s1) > 0
+"""
+
+PART_QUERIES["a_funnel_conversion"] = a_funnel_conversion
+PART_ORACLES["a_funnel_conversion"] = A_FUNNEL_SQL
+
+
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-sample KS drift between the first and second
+    half-month of the event feed (operators/quality_checks.ks_drift) —
+    the exact, binning-free companion to ``dq_psi_drift``: D =
+    sup|ECDF_ref − ECDF_cur| computed over the union of observed
+    values with right-continuous tie handling.
+
+    ORACLE: ``DQ_KS_DRIFT_SQL`` replays the identical running-ECDF
+    construction (RANGE frame = ties consumed together), so the hash
+    covers the tie convention, not just the formula."""
+    from ..operators.quality_checks import ks_drift
+
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = ev.filter(F.col("ts") < mid)
+    cur = ev.filter(F.col("ts") >= mid)
+    return ks_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
+
+
+DQ_KS_DRIFT_SQL = """
+WITH u AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v, 'r' AS w
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+  UNION ALL
+  SELECT event_type, CAST(value AS DOUBLE) AS v, 'c' AS w
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+), counts AS (
+  SELECT event_type,
+         SUM(CASE WHEN w = 'r' THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN w = 'c' THEN 1 ELSE 0 END) AS n_cur
+  FROM u GROUP BY 1
+), stepped AS (
+  SELECT event_type, v,
+         SUM(CASE WHEN w = 'r' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY v
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         SUM(CASE WHEN w = 'c' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY v
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM u
+)
+SELECT s.event_type,
+       ROUND(MAX(ABS(s.cr / c.n_ref - s.cc / c.n_cur)), 6) AS ks,
+       CAST(MAX(c.n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(c.n_cur) AS BIGINT) AS n_cur
+FROM stepped s JOIN counts c USING (event_type)
+WHERE c.n_ref > 0 AND c.n_cur > 0
+GROUP BY 1
+ORDER BY 1
+"""
+
+PART_QUERIES["dq_ks_drift"] = dq_ks_drift
+PART_ORACLES["dq_ks_drift"] = DQ_KS_DRIFT_SQL

@@ -1995,3 +1995,97 @@ def test_prefix_jaccard_pairs_equals_bruteforce(spark):
             sorted(set(got) - set(want))[:5],
         )
         assert len(got) > 0, t  # planted twins guarantee non-empty
+
+
+def test_funnel_steps_semantics(spark):
+    """Hand-built funnel edge cases: strict ordering (same-timestamp
+    events do NOT chain), the first-touch anchor (a user whose only
+    valid window opens at a LATER step-1 event does not convert —
+    documented convention), the deadline cut, and the empty-cohort
+    guard (no step-1 events → zero rows, not a divide by zero)."""
+    import datetime as dt
+
+    from etl_sendas_spark.operators.timeseries import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = lambda n: t0 + dt.timedelta(hours=n)
+    rows = [
+        # user 1: clean A(0h) -> B(1h) -> C(2h): full conversion
+        (1, h(0), "A"), (1, h(1), "B"), (1, h(2), "C"),
+        # user 2: B at the SAME ts as A -> strict '>' blocks step 2
+        (2, h(0), "A"), (2, h(0), "B"),
+        # user 3: B before A -> order wrong, step 2 not reached
+        (3, h(5), "A"), (3, h(4), "B"),
+        # user 4: B beyond the 6h deadline of the FIRST A (first-touch:
+        # the second A at 10h would put B in-window, but does not count)
+        (4, h(0), "A"), (4, h(10), "A"), (4, h(12), "B"),
+        # user 5: A -> B inside window, C outside deadline
+        (5, h(0), "A"), (5, h(1), "B"), (5, h(20), "C"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["step"]: (r["n_users"], r["conversion"])
+        for r in funnel_steps(
+            ev, ["A", "B", "C"], within="6 hours"
+        ).collect()
+    }
+    assert got == {"A": (5, 1.0), "B": (2, 0.4), "C": (1, 0.2)}, got
+
+    # without a window, user 5 converts fully and user 4 reaches B
+    got2 = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(ev, ["A", "B", "C"]).collect()
+    }
+    assert got2 == {"A": 5, "B": 3, "C": 2}, got2
+
+    # empty step-1 cohort: zero rows
+    assert funnel_steps(ev, ["Z", "B"]).count() == 0
+
+
+def test_ks_drift_matches_scipy_convention(spark):
+    """KS against a pure-Python reference (the scipy two-sample
+    formula, computed directly from sorted samples) on groups with
+    ties, identical distributions, and a planted location shift."""
+    import random as _random
+
+    from etl_sendas_spark.operators.quality_checks import ks_drift
+
+    rng = _random.Random(5)
+    ref_rows, cur_rows = [], []
+    data = {}
+    for g, shift in (("same", 0.0), ("shifted", 5.0), ("tied", 0.0)):
+        rv = [float(rng.randint(0, 30)) for _ in range(200)]
+        cv = [float(rng.randint(0, 30)) + shift for _ in range(150)]
+        if g == "tied":
+            rv = [float(x % 3) for x in range(200)]   # heavy ties
+            cv = [float((x + 1) % 3) for x in range(150)]
+        data[g] = (rv, cv)
+        ref_rows += [(g, v) for v in rv]
+        cur_rows += [(g, v) for v in cv]
+
+    ref = spark.createDataFrame(ref_rows, "event_type string, value double")
+    cur = spark.createDataFrame(cur_rows, "event_type string, value double")
+    got = {
+        r["event_type"]: (r["ks"], r["n_ref"], r["n_cur"])
+        for r in ks_drift(ref, cur, "value", ["event_type"]).collect()
+    }
+
+    def py_ks(a, b):
+        xs = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        sa, sb = sorted(a), sorted(b)
+        import bisect
+
+        return max(
+            abs(bisect.bisect_right(sa, x) / na - bisect.bisect_right(sb, x) / nb)
+            for x in xs
+        )
+
+    for g, (rv, cv) in data.items():
+        assert got[g][1:] == (len(rv), len(cv))
+        assert abs(got[g][0] - round(py_ks(rv, cv), 6)) < 1e-9, g
+    assert got["shifted"][0] > got["same"][0]
+    # a group missing one side is dropped, not divided by zero
+    only_ref = spark.createDataFrame([("x", 1.0)], "event_type string, value double")
+    empty = spark.createDataFrame([], "event_type string, value double")
+    assert ks_drift(only_ref, empty, "value", ["event_type"]).count() == 0

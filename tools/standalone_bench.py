@@ -129,6 +129,19 @@ def run_suite(master: str | None, sf_dir: str, names: list[str],
     } if master else None
     spark = get_spark(app_name="standalone_bench", master=master,
                       extra_conf=extra)
+    if master:
+        # ship the engine package to executor Python workers (closures
+        # in pandas_udf/applyInPandas import it); addPyFile is the
+        # standard distribution path and needs a zip, not a directory
+        import shutil
+        import tempfile
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_base = os.path.join(tempfile.gettempdir(), "etl_sendas_spark_pkg")
+        zip_path = shutil.make_archive(
+            zip_base, "zip", root_dir=repo, base_dir="etl_sendas_spark"
+        )
+        spark.sparkContext.addPyFile(zip_path)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     out: dict[str, dict] = {}
