@@ -244,6 +244,32 @@ def _signatures_from_shingles(
     return hs.select(F.col(id_col), sig.alias("signature"))
 
 
+def _band_buckets(
+    sig_df: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, band, bhash) LSH bucket rows from a (id, signature) frame.
+
+    Narrow explode of ``bands`` per-band slice hashes — the one shared
+    piece between the batch and incremental LSH paths, so both put
+    byte-identical bucket keys on the wire.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -272,7 +298,6 @@ def minhash_lsh_candidates(
     executes at call time.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows_per_band = num_hashes // bands
     # shingle ONCE; signatures and the verification arrays both read
     # this frame. With verification on it persists (memory-and-disk —
     # spill-safe at scale) so the corpus is normalized+shingled a
@@ -287,20 +312,7 @@ def minhash_lsh_candidates(
         "doc", id_col
     )
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bhash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(
-        F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    buckets = _band_buckets(sig, id_col, num_hashes, bands)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -831,6 +843,174 @@ def incremental_dedup(
         .select(id_col)
     )
     return fresh.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# incremental NEAR-dup: ingest wave vs a persisted MinHash-LSH index.
+# The near-dup analogue of incremental_dedup above — the corpus text is
+# never re-shingled and never re-hashed; each wave probes a stored
+# (id, shingles, signature) artifact and appends its own rows.
+# --------------------------------------------------------------------------
+
+def minhash_lsh_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh, signature) — the persisted near-dup index artifact.
+
+    One pass over the text: normalize → shingle → hash each shingle
+    once → fold the seeded MinHash family over the hash array. All
+    narrow; the output is what :func:`minhash_lsh_incremental` probes,
+    so at 100 TB this table is written once (bucketed by ``id_col`` so
+    the verification join co-locates) and the raw text is never read
+    again by dedup.
+    """
+    sh = _shingle_docs(df, id_col, text_col, shingle_n, out_id="doc")
+    hs = sh.select(
+        "doc",
+        "sh",
+        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("__hs"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__hs"), lambda h: F.xxhash64(F.lit(i), h)))
+            for i in range(num_hashes)
+        ]
+    )
+    return hs.select(F.col("doc").alias(id_col), "sh", sig.alias("signature"))
+
+
+def minhash_lsh_incremental(
+    index: DataFrame,
+    wave_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    verify_threshold: float = 0.5,
+    broadcast_wave: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new ingest wave, probed against a
+    stored :func:`minhash_lsh_index` — the historical corpus is never
+    re-shingled.
+
+    Returns (id_a, id_b, jaccard, origin) with id_a < id_b and origin ∈
+    {'wave-index', 'wave-wave'}; index-index pairs are by construction
+    out of scope (they were found when those docs were themselves the
+    wave). Two candidate joins:
+
+    - wave × index on (band, bhash): the wave's bucket rows are
+      BROADCAST (``broadcast_wave``, default) — a daily wave is tiny
+      next to the corpus, so the index side streams scan→BHJ with ZERO
+      index shuffle. The index's bucket rows derive from the stored
+      signature by a narrow explode; no text, no re-hash.
+    - wave × wave: a self-join of the wave's own buckets (small).
+
+    Candidates are then verified with exact shingle Jaccard by joining
+    back to the stored shingle arrays (index side) and the wave's own —
+    again broadcast-sized joins keyed by id. Same banded family, same
+    verification rule as :func:`minhash_lsh_candidates`, so batch and
+    incremental agree bit-for-bit on the same corpus split.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    wave_idx = minhash_lsh_index(wave_df, id_col, text_col, num_hashes, shingle_n)
+    if materialize:
+        from pyspark import StorageLevel
+
+        wave_idx = wave_idx.persist(StorageLevel.MEMORY_AND_DISK)
+
+    wb = _band_buckets(wave_idx, id_col, num_hashes, bands)
+    ib = _band_buckets(index.select(id_col, "signature"), id_col, num_hashes, bands)
+    wb_probe = F.broadcast(wb) if broadcast_wave else wb
+
+    cross = (
+        ib.alias("a")
+        .join(
+            wb_probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("id_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id_b"),
+            F.lit("wave-index").alias("origin"),
+        )
+        .distinct()
+    )
+    within = (
+        wb.alias("a")
+        .join(
+            wb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.lit("wave-wave").alias("origin"),
+        )
+        .distinct()
+    )
+    cand = cross.unionByName(within)
+
+    sh_all = index.select(F.col(id_col).alias("doc"), "sh").unionByName(
+        wave_idx.select(F.col(id_col).alias("doc"), "sh")
+    )
+    sa = sh_all.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sa"))
+    sb = sh_all.select(F.col("doc").alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("__sa") + F.size("__sb") - inter), 6),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard", "origin")
+    )
+    if not materialize:
+        return verified
+    return _materialize_release(verified, wave_idx, name="minhash_incremental_pairs")
+
+
+def minhash_index_append(
+    index: DataFrame,
+    wave_index: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Updated index = old index ∪ the wave's NON-duplicate docs.
+
+    Survivor policy mirrors :func:`incremental_dedup`: history is
+    canonical — a wave doc is dropped if it near-matched ANY index doc
+    (either pair orientation) or a lower-id doc within its own wave.
+    ``pairs`` is :func:`minhash_lsh_incremental` output; ``wave_index``
+    the wave's :func:`minhash_lsh_index` rows.
+    """
+    wi = pairs.filter(F.col("origin") == "wave-index")
+    ww = pairs.filter(F.col("origin") == "wave-wave")
+    index_ids = index.select(F.col(id_col).alias("__iid"))
+    # wave-side member of each cross pair = whichever side is NOT in the index
+    wave_dups = (
+        wi.join(index_ids, F.col("id_a") == F.col("__iid"), "left")
+        .select(
+            F.when(F.col("__iid").isNotNull(), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias(id_col)
+        )
+        .unionByName(ww.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    fresh = wave_index.join(wave_dups, on=id_col, how="left_anti")
+    return index.unionByName(fresh)
 
 
 # --------------------------------------------------------------------------

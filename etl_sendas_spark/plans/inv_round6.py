@@ -1,0 +1,60 @@
+"""Round-6 query-inventory section (see plans/inventory.py for the
+registry discipline). This module is NOT a public entry point —
+plans.inventory star-imports it and owns the DRIVER_WINDOW literal and
+the merged QUERIES/ORACLES registries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+from .inv_corpus import DEDUP_NGRAM_SQL  # noqa: E402
+
+PART_QUERIES: dict = {}
+PART_ORACLES: dict = {}
+
+# ===========================================================================
+# round 6: incremental near-dup — ingest wave vs persisted MinHash index
+# ===========================================================================
+
+
+def dedup_minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-wave near-dup: docs with ``doc_id % 3 == 2`` arrive as a
+    new wave and are probed against a MinHash-LSH index built from the
+    rest of the corpus (operators/dedupe.minhash_lsh_index /
+    minhash_lsh_incremental) — the historical text is shingled exactly
+    once, wave buckets broadcast, zero index-side shuffle.
+
+    ORACLE: exact shingle-Jaccard pairs restricted to pairs touching
+    the wave. Equality inherits ``dedup_minhash_lsh_docs``' recall
+    argument (same seeded family, planted near-dups at J ≥ 0.8, banded
+    miss ≤ 2e-4/pair), and additionally checks the batch/incremental
+    split logic: index-index pairs must NOT appear, and the origin
+    label must agree with the modulo split.
+    """
+    from ..operators.dedupe import minhash_lsh_incremental, minhash_lsh_index
+
+    docs = _t(spark, sf_dir, "documents")
+    index = minhash_lsh_index(docs.filter(F.col("doc_id") % 3 != 2))
+    wave = docs.filter(F.col("doc_id") % 3 == 2)
+    pairs = minhash_lsh_incremental(index, wave)
+    return pairs.orderBy("id_a", "id_b")
+
+
+DEDUP_MINHASH_INCREMENTAL_SQL = f"""
+SELECT id_a, id_b, jaccard,
+       CASE WHEN id_a % 3 = 2 AND id_b % 3 = 2 THEN 'wave-wave'
+            ELSE 'wave-index' END AS origin
+FROM ({DEDUP_NGRAM_SQL})
+WHERE id_a % 3 = 2 OR id_b % 3 = 2
+"""
+
+PART_QUERIES["dedup_minhash_incremental_docs"] = dedup_minhash_incremental_docs
+PART_ORACLES["dedup_minhash_incremental_docs"] = DEDUP_MINHASH_INCREMENTAL_SQL

@@ -286,13 +286,17 @@ EXTRA_ORACLES.update(CORPUS_QUALITY_ORACLES)
 
 from . import inv_round4 as _inv_round4  # noqa: E402
 from . import inv_round5 as _inv_round5  # noqa: E402
+from . import inv_round6 as _inv_round6  # noqa: E402
 from .inv_round4 import *  # noqa: E402,F401,F403
 from .inv_round5 import *  # noqa: E402,F401,F403
+from .inv_round6 import *  # noqa: E402,F401,F403
 
 EXTRA_QUERIES.update(_inv_round4.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round4.PART_ORACLES)
 EXTRA_QUERIES.update(_inv_round5.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round5.PART_ORACLES)
+EXTRA_QUERIES.update(_inv_round6.PART_QUERIES)
+EXTRA_ORACLES.update(_inv_round6.PART_ORACLES)
 
 # ===========================================================================
 # driver window — SINGLE definition site

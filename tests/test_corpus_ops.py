@@ -507,3 +507,55 @@ def test_cosine_topk_numpy_backend_matches_exact(spark):
         tuple(r) for r in cosine_topk(emb, queries, k=5, backend="numpy").collect()
     )
     assert ex == np_
+
+
+def test_minhash_incremental_matches_batch_and_append_law(spark):
+    """Two laws for the ingest-wave near-dup path: (1) incremental
+    pairs over a corpus split equal the batch LSH pairs restricted to
+    wave-involving pairs (same family, same verification — only the
+    probe order differs); (2) minhash_index_append keeps history
+    canonical: appended index = old index ∪ wave survivors, and a doc
+    dropped as a dup never re-enters."""
+    from etl_sendas_spark.operators.dedupe import (
+        minhash_index_append,
+        minhash_lsh_candidates,
+        minhash_lsh_incremental,
+        minhash_lsh_index,
+    )
+    from etl_sendas_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 2)
+    wave = docs.filter(F.col("doc_id") % 3 == 2)
+
+    batch = minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in batch
+        if r["id_a"] % 3 == 2 or r["id_b"] % 3 == 2
+    }
+    assert want, "vacuous: no wave-involving pairs at this SF"
+
+    index = minhash_lsh_index(old)
+    inc_df = minhash_lsh_incremental(index, wave)
+    inc = inc_df.collect()
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in inc}
+    assert got == want
+    # origin labels agree with the split
+    for r in inc:
+        both_wave = r["id_a"] % 3 == 2 and r["id_b"] % 3 == 2
+        assert r["origin"] == ("wave-wave" if both_wave else "wave-index")
+
+    # append law
+    wave_index = minhash_lsh_index(wave)
+    appended = minhash_index_append(index, wave_index, inc_df)
+    old_ids = {r["doc_id"] for r in index.select("doc_id").collect()}
+    wave_ids = {r["doc_id"] for r in wave_index.select("doc_id").collect()}
+    dropped = set()
+    for r in inc:
+        if r["origin"] == "wave-wave":
+            dropped.add(r["id_b"])
+        else:
+            dropped.add(r["id_a"] if r["id_a"] in wave_ids else r["id_b"])
+    got_ids = {r["doc_id"] for r in appended.select("doc_id").collect()}
+    assert got_ids == old_ids | (wave_ids - dropped)
