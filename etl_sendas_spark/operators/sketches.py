@@ -493,3 +493,76 @@ def quantile_estimate(sketch_col: Column | str, q: float) -> Column:
     vals = F.sort_array(F.transform(c, lambda s: s["v"]))
     idx = (F.floor(F.lit(q) * (F.size(vals) - 1)) + 1).cast("int")
     return F.element_at(vals, idx)
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters in two passes — Misra-Gries candidates, exact recount
+# ---------------------------------------------------------------------------
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    threshold: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT keys exceeding ``threshold`` fraction of rows, without the
+    full groupBy-every-key shuffle.
+
+    The 100 TB shape: a plain ``groupBy(key).count()`` shuffles one row
+    per DISTINCT key — at billions of keys the reduce side is the
+    bottleneck even though only a handful of keys can possibly exceed
+    θ·n. Two passes fix that:
+
+    1. **Candidates** (one scan, zero shuffle): per-partition weighted
+       Misra-Gries with ``capacity`` counters (default ceil(1/θ)) via
+       Arrow ``mapInPandas`` — each partition emits at most `capacity`
+       keys. Guarantee (pigeonhole + the MG decrement bound): a key
+       with global count > θ·n has local count > θ·n_p in at least one
+       partition, and MG's total undercount per partition is ≤
+       n_p/(capacity+1) ≤ θ·n_p, so every true heavy hitter survives
+       in some partition's candidate list. (False positives are fine —
+       the recount removes them.)
+    2. **Exact recount** (one scan, bounded shuffle): broadcast-join
+       the ≤ P·capacity candidate keys back onto the data; the groupBy
+       now shuffles only rows whose key is a candidate, with state
+       bounded by the candidate count, then keeps count > θ·n.
+
+    Output is exact and deterministic — (key, cnt, share) independent
+    of partitioning, Python batch order, or MG eviction order, because
+    pass 2 recounts exactly and the threshold test uses true counts.
+    NULL keys are excluded (a NULL key is "no key", mirroring the
+    engine-wide null-dimension policy).
+    """
+    import math
+
+    import pandas as pd
+
+    k = capacity or max(2, math.ceil(1.0 / threshold))
+    data = df.select(F.col(key_col).alias("k")).filter(F.col("k").isNotNull())
+    key_type = data.schema["k"].dataType.simpleString()
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, w in pdf["k"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(w)
+                if len(counters) > k:
+                    m = min(counters.values())
+                    counters = {
+                        key: c - m for key, c in counters.items() if c > m
+                    }
+        yield pd.DataFrame({"k": list(counters.keys())})
+
+    cands = data.mapInPandas(mg_partition, schema=f"k {key_type}").distinct()
+    total = data.count()
+    out = (
+        data.join(F.broadcast(cands), on="k", how="inner")
+        .groupBy("k")
+        .count()
+        .filter(F.col("count") > F.lit(threshold) * F.lit(total))
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("count").alias("cnt"),
+        F.round(F.col("count") / F.lit(float(total)), 6).alias("share"),
+    )

@@ -58,3 +58,39 @@ WHERE id_a % 3 = 2 OR id_b % 3 = 2
 
 PART_QUERIES["dedup_minhash_incremental_docs"] = dedup_minhash_incremental_docs
 PART_ORACLES["dedup_minhash_incremental_docs"] = DEDUP_MINHASH_INCREMENTAL_SQL
+
+
+# ===========================================================================
+# round 6: exact heavy hitters — Misra-Gries candidates + exact recount
+# ===========================================================================
+
+
+def a_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users producing > 0.8 % of all events, found WITHOUT a
+    full-key-space shuffle (operators/sketches.heavy_hitters_exact):
+    per-partition Misra-Gries candidates via Arrow, then an exact
+    broadcast-semi recount of the candidate set only.
+
+    ORACLE: the plain GROUP BY ... HAVING count > θ·n — the operator's
+    output is exact by construction (pass 2 recounts), so the hash
+    proves the MG candidate pass lost no true heavy hitter on real
+    data, not just in the proof sketch.
+    """
+    from ..operators.sketches import heavy_hitters_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, "user_id", threshold=0.008).orderBy("user_id")
+
+
+A_HEAVY_HITTERS_SQL = """
+WITH d AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
+SELECT user_id,
+       COUNT(*) AS cnt,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM d), 6) AS share
+FROM d
+GROUP BY user_id
+HAVING COUNT(*) > 0.008 * (SELECT COUNT(*) FROM d)
+"""
+
+PART_QUERIES["a_heavy_hitters_events"] = a_heavy_hitters_events
+PART_ORACLES["a_heavy_hitters_events"] = A_HEAVY_HITTERS_SQL

@@ -2089,3 +2089,43 @@ def test_ks_drift_matches_scipy_convention(spark):
     only_ref = spark.createDataFrame([("x", 1.0)], "event_type string, value double")
     empty = spark.createDataFrame([], "event_type string, value double")
     assert ks_drift(only_ref, empty, "value", ["event_type"]).count() == 0
+
+
+def test_heavy_hitters_exact_skewed_and_deterministic(spark):
+    """The MG candidate pass may not lose a true heavy hitter under
+    heavy skew, tiny capacity, or adversarial partitioning, and the
+    exact recount must make the output identical to a plain
+    groupBy-HAVING regardless of partition layout."""
+    from etl_sendas_spark.operators.sketches import heavy_hitters_exact
+
+    # 100k rows: key 0 = 20%, key 1 = 5%, keys 2.. uniform tail + nulls
+    df = spark.range(0, 100_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .when(F.col("id") % 20 == 1, F.lit(1))
+        .when(F.col("id") % 97 == 3, F.lit(None))
+        .otherwise((F.col("id") % 4096) + 10)
+        .alias("k")
+    )
+    truth = {
+        (r["k"], r["count"])
+        for r in df.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .count()
+        .collect()
+        if r["count"] > 0.04 * 97938  # non-null total
+    }
+    for parts in (3, 32, 200):
+        out = heavy_hitters_exact(df.repartition(parts), "k", threshold=0.04)
+        got = {(r["k"], r["cnt"]) for r in out.collect()}
+        assert got == truth, f"parts={parts}"
+
+    # capacity below the default still keeps exactness (recount guards),
+    # as long as capacity >= ceil(1/theta) the guarantee argument holds;
+    # here we deliberately pass the minimum
+    out_min = heavy_hitters_exact(df, "k", threshold=0.04, capacity=25)
+    assert {(r["k"], r["cnt"]) for r in out_min.collect()} == truth
+
+    # plan: candidate join must broadcast (the shuffle carries only
+    # candidate-key rows, never the full key space)
+    plan = heavy_hitters_exact(df, "k", 0.04)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
