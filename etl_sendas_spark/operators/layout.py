@@ -1,0 +1,135 @@
+"""Physical-layout operators: Z-order (Morton) clustering for
+multi-column data skipping.
+
+The 100 TB problem: parquet min/max footer stats prune files only on
+columns the data is SORTED by. A linear sort on (a) gives perfect
+pruning on `a` and none on `b`; queries filtering `b` scan everything.
+Interleaving the bits of several rank-scaled columns into one Morton
+key and range-partitioning + sorting by it gives every interleaved
+column *partial* locality — a box predicate on any subset of the
+columns overlaps only the files whose z-range intersects the box
+(Morton 1966; the technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`).
+
+Everything here is pure Column expressions (JVM codegen, no UDFs): the
+min/max frame is a 1-row broadcast crossJoin, the interleave is a sum
+of shift-and-mask terms, and the layout is repartitionByRange + an
+intra-partition sort — exactly the shuffle a cluster write would pay,
+no more.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _scaled(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Rank-free linear scaling of a numeric column into [0, 2^bits-1].
+
+    floor((x - lo) / (hi - lo) * (2^bits - 1)); NULLs and a degenerate
+    (lo == hi) domain map to cell 0. The multiplier is 2^bits - 1 (not
+    2^bits) so x == hi lands in the top cell without clamping — the
+    identical expression is mirrored by the SQL oracle, so the IEEE
+    double sequence (subtract, divide, multiply, floor) matches
+    bit-for-bit across engines.
+    """
+    span = hi.cast("double") - lo.cast("double")
+    ratio = (col.cast("double") - lo.cast("double")) / span
+    cell = F.floor(ratio * F.lit(float((1 << bits) - 1)))
+    return F.when(col.isNull() | (span == 0), F.lit(0)).otherwise(cell)
+
+
+def zorder_key(cells: list[Column], bits: int) -> Column:
+    """Morton-interleave pre-scaled integer cells: bit i of column j
+    lands at position i * ncols + j. ncols * bits must fit in 63 bits."""
+    ncols = len(cells)
+    assert ncols * bits <= 63, "interleaved key must fit a signed long"
+    terms = [
+        F.shiftleft(F.shiftright(cells[j], i).bitwiseAND(F.lit(1)), i * ncols + j)
+        for i in range(bits)
+        for j in range(ncols)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 10, out_col: str = "zval"
+) -> DataFrame:
+    """Add the Morton key for ``cols`` as ``out_col``.
+
+    The per-column domains come from one aggregate row broadcast back
+    onto the frame (crossJoin of a 1-row frame — Catalyst turns it into
+    a BroadcastNestedLoopJoin with a single build row): fully lazy, no
+    driver collect, two scans total when the layout is written.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stats = df.agg(*aggs)
+    with_stats = df.crossJoin(F.broadcast(stats))
+    cells = [
+        _scaled(F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), bits) for c in cols
+    ]
+    return with_stats.withColumn(out_col, zorder_key(cells, bits)).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 10, num_files: int = 16
+) -> DataFrame:
+    """Cluster ``df`` for multi-column skipping: Morton key →
+    range-partition into ``num_files`` → sort within partitions.
+
+    Writing the result with one file per partition gives parquet
+    footers whose per-file min/max on EVERY interleaved column is
+    narrow — the skip-proof test in tests/test_layout.py measures
+    files-touched under box predicates vs a linear sort layout.
+    """
+    z = zorder_value(df, cols, bits)
+    return z.repartitionByRange(num_files, "zval").sortWithinPartitions("zval")
+
+
+def parquet_file_minmax(path: str, cols: list[str]) -> list[dict]:
+    """Per-file [min, max] ranges from parquet footers (no data read) —
+    exactly the stats a scan planner prunes with. Local pyarrow walk;
+    on a cluster the same numbers come from the catalog/manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        rng: dict = {"file": name}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema != c or col.statistics is None:
+                        continue
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+            rng[c] = (lo, hi)
+        out.append(rng)
+    return out
+
+
+def files_touched(stats: list[dict], box: dict[str, tuple]) -> int:
+    """How many files a box predicate must read, by footer overlap."""
+    n = 0
+    for f in stats:
+        hit = True
+        for c, (qlo, qhi) in box.items():
+            lo, hi = f[c]
+            if lo is None or hi < qlo or lo > qhi:
+                hit = False
+                break
+        n += hit
+    return n

@@ -94,3 +94,69 @@ HAVING COUNT(*) > 0.008 * (SELECT COUNT(*) FROM d)
 
 PART_QUERIES["a_heavy_hitters_events"] = a_heavy_hitters_events
 PART_ORACLES["a_heavy_hitters_events"] = A_HEAVY_HITTERS_SQL
+
+
+# ===========================================================================
+# round 6: Z-order layout — Morton key for multi-column data skipping
+# ===========================================================================
+
+_Z_BITS = 8
+
+
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, value) — the
+    layout primitive behind multi-column file skipping
+    (operators/layout.zorder_value; Delta/Iceberg OPTIMIZE ZORDER BY
+    analogue). Pure Column arithmetic: 1-row broadcast min/max, linear
+    scaling into 2^8 cells, 16 shift-and-mask interleave terms.
+
+    ORACLE: ``LAYOUT_ZORDER_SQL`` replays the identical IEEE double
+    sequence (subtract → divide → multiply → floor) and the identical
+    bit interleave, so the hash covers every Morton bit of every row —
+    not a sampled projection. The skip-power of the layout itself is
+    pinned by tests/test_layout.py with real parquet footers.
+    """
+    from ..operators.layout import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        zorder_value(ev.select("event_id", "user_id", "value"), ["user_id", "value"], bits=_Z_BITS)
+        .select("event_id", "zval")
+        .orderBy("event_id")
+    )
+
+
+def _zorder_interleave_sql(cells: list[str], bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cells):
+            terms.append(f"((({c} >> {i}) & 1) << {i * len(cells) + j})")
+    return " + ".join(terms)
+
+
+def _zorder_cell_sql(x: str, lo: str, hi: str, bits: int) -> str:
+    span = f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))"
+    ratio = f"((CAST({x} AS DOUBLE) - CAST({lo} AS DOUBLE)) / {span})"
+    return (
+        f"CASE WHEN {x} IS NULL OR {span} = 0 THEN 0 "
+        f"ELSE CAST(FLOOR({ratio} * {float((1 << bits) - 1)}) AS BIGINT) END"
+    )
+
+
+LAYOUT_ZORDER_SQL = f"""
+WITH s AS (
+  SELECT MIN(user_id) AS lou, MAX(user_id) AS hiu,
+         MIN(value)   AS lov, MAX(value)   AS hiv
+  FROM events
+), c AS (
+  SELECT e.event_id,
+         {_zorder_cell_sql("e.user_id", "s.lou", "s.hiu", _Z_BITS)} AS cu,
+         {_zorder_cell_sql("e.value", "s.lov", "s.hiv", _Z_BITS)} AS cv
+  FROM events e, s
+)
+SELECT event_id, {_zorder_interleave_sql(["cu", "cv"], _Z_BITS)} AS zval
+FROM c
+"""
+
+PART_QUERIES["layout_zorder_events"] = layout_zorder_events
+PART_ORACLES["layout_zorder_events"] = LAYOUT_ZORDER_SQL
