@@ -346,9 +346,24 @@ EXTRA_ORACLES.update(_inv_round6.PART_ORACLES)
 # f1_priority_pick and r1_capped_mark), sample_stratified_docs
 # (per-stratum hash-rank sampling; the sampling family's driver row is
 # now the group split, stratified keeps the pytest bar).
+# Round-6 second-session rotation (new machinery from this session):
+# IN — dedup_minhash_incremental_docs (wave-vs-index probe; its oracle
+# and implementation contain the banded-LSH family + exact-Jaccard
+# verification whole), a_heavy_hitters_events (Misra-Gries candidate
+# pass + exact recount — no other row touches bounded-candidate
+# aggregation), layout_zorder_events (Morton interleave + broadcast
+# min/max scaling — the layout family's first row). OUT, each keeping
+# the identical oracle bar in EXTRA: dedup_minhash_lsh_docs (batch
+# banded LSH — the incremental row drives the same _band_buckets and
+# verification machinery plus the probe), q3_shipping_priority (its
+# dim join / agg / top-k machinery is driver-pinned by
+# j_broadcast_enrich, q1_pricing_summary and o_topk_per_group),
+# embedding_near_dup_bucketed (sign-LSH bucket join; embedding-space
+# dedup stays driver-covered by dedup_semantic_docs, and the Hamming
+# bucket machinery by multimodal_features' fingerprint path).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "a_heavy_hitters_events",
     "a_grouping_sets_events",
     "j9_update_then_merge",
     "p_filter_project",
@@ -383,11 +398,11 @@ DRIVER_WINDOW = [
     "ivm_minmax_incremental",
     "dedup_semantic_docs",
     "graph_hits_entities",
-    "dedup_minhash_lsh_docs",
+    "dedup_minhash_incremental_docs",
     "decontaminate_docs",
     "dedup_cluster_docs",
     "dedup_segments_docs",
-    "embedding_near_dup_bucketed",
+    "layout_zorder_events",
     "j_bloom_prefilter",
     "graph_triangle_counts",
     "pack_training_sequences",
