@@ -946,7 +946,7 @@ def minhash_lsh_incremental(
     within = (
         wb.alias("a")
         .join(
-            wb.alias("b"),
+            F.broadcast(wb.alias("b")) if broadcast_wave else wb.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.doc") < F.col("b.doc")),
@@ -959,6 +959,11 @@ def minhash_lsh_incremental(
         .distinct()
     )
     cand = cross.unionByName(within)
+    # candidates are wave-bounded (every pair touches a wave doc), so
+    # the verification joins broadcast THEM — the corpus-sized shingle
+    # table is only ever the streamed probe side, never shuffled
+    if broadcast_wave:
+        cand = F.broadcast(cand)
 
     sh_all = index.select(F.col(id_col).alias("doc"), "sh").unionByName(
         wave_idx.select(F.col(id_col).alias("doc"), "sh")

@@ -499,6 +499,11 @@ def quantile_estimate(sketch_col: Column | str, q: float) -> Column:
 # exact heavy hitters in two passes — Misra-Gries candidates, exact recount
 # ---------------------------------------------------------------------------
 
+# above this many candidate keys, pass 2 uses a broadcast join instead
+# of an IN-list literal (codegen bloat)
+_ISIN_CAP = 4096
+
+
 def heavy_hitters_exact(
     df: DataFrame,
     key_col: str,
@@ -532,6 +537,27 @@ def heavy_hitters_exact(
     pass 2 recounts exactly and the threshold test uses true counts.
     NULL keys are excluded (a NULL key is "no key", mirroring the
     engine-wide null-dimension policy).
+
+    Exactly two scans: each MG partition also emits its row count (a
+    NULL-key row), so n comes with the candidates instead of a third
+    counting pass; the sketch-sized candidate frame is collected and
+    pushed back as an ``isin`` literal — pass 2 is then a pure
+    filtered scan + tiny aggregate, no join at all (falls back to a
+    broadcast join above ``_ISIN_CAP`` candidates, where a giant IN
+    list would bloat codegen).
+
+    Honest local-bench note (BASELINE.md round 6): on local[32] a
+    plain groupBy-HAVING wins at EVERY key cardinality we could test —
+    even 8M distinct keys in 10M rows (0.78 s vs 2.36 s): Tungsten's
+    hash aggregate + map-side combine absorb the key space in memory,
+    while this operator pays an Arrow round-trip of the key column for
+    its candidate pass. The two-pass shape is insurance for the
+    cluster regime a single box cannot exhibit: when per-executor
+    aggregation state (distinct keys × partial-agg entry) no longer
+    fits and the shuffle fabric carries one row per distinct key,
+    pass 2 here shuffles only the ≤ P·capacity candidate rows. Use
+    plain groupBy until the key space is the problem; this is the
+    plan that still terminates when it is.
     """
     import math
 
@@ -543,7 +569,9 @@ def heavy_hitters_exact(
 
     def mg_partition(batches):
         counters: dict = {}
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             for v, w in pdf["k"].value_counts().items():
                 counters[v] = counters.get(v, 0) + int(w)
                 if len(counters) > k:
@@ -551,13 +579,36 @@ def heavy_hitters_exact(
                     counters = {
                         key: c - m for key, c in counters.items() if c > m
                     }
-        yield pd.DataFrame({"k": list(counters.keys())})
+        yield pd.DataFrame(
+            {"k": list(counters.keys()) + [None], "n_p": [None] * len(counters) + [n_p]}
+        )
 
-    cands = data.mapInPandas(mg_partition, schema=f"k {key_type}").distinct()
-    total = data.count()
+    sketch = data.mapInPandas(
+        mg_partition, schema=f"k {key_type}, n_p bigint"
+    ).collect()
+    total = sum(r["n_p"] for r in sketch if r["n_p"] is not None)
+    cand_keys = sorted({r["k"] for r in sketch if r["k"] is not None})
+    if not cand_keys or total == 0:
+        return (
+            data.limit(0)
+            .groupBy("k")
+            .count()
+            .select(
+                F.col("k").alias(key_col),
+                F.col("count").alias("cnt"),
+                F.lit(0.0).alias("share"),
+            )
+        )
+
+    if len(cand_keys) <= _ISIN_CAP:
+        hits = data.filter(F.col("k").isin(cand_keys))
+    else:
+        cands = data.sparkSession.createDataFrame(
+            [(c,) for c in cand_keys], schema=f"k {key_type}"
+        )
+        hits = data.join(F.broadcast(cands), on="k", how="inner")
     out = (
-        data.join(F.broadcast(cands), on="k", how="inner")
-        .groupBy("k")
+        hits.groupBy("k")
         .count()
         .filter(F.col("count") > F.lit(threshold) * F.lit(total))
     )

@@ -2125,7 +2125,9 @@ def test_heavy_hitters_exact_skewed_and_deterministic(spark):
     out_min = heavy_hitters_exact(df, "k", threshold=0.04, capacity=25)
     assert {(r["k"], r["cnt"]) for r in out_min.collect()} == truth
 
-    # plan: candidate join must broadcast (the shuffle carries only
-    # candidate-key rows, never the full key space)
+    # plan: below _ISIN_CAP candidates the recount is a pure filtered
+    # scan (IN-list pushed into the scan stage) — no join of any kind,
+    # and the one aggregate runs over candidate rows only
     plan = heavy_hitters_exact(df, "k", 0.04)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert " IN " in plan or "isin" in plan.lower() or "INSET" in plan.upper()

@@ -465,3 +465,27 @@ def test_quantile_sketch_compiles_to_map_side_group_limit(spark):
     plan = _plan(sk)
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan, plan
+
+
+def test_minhash_incremental_corpus_side_never_shuffles(spark):
+    """The wave-probe contract: every join in the incremental plan is
+    a BroadcastHashJoin with the wave-derived side as the build —
+    the corpus-sized index (buckets, shingle postings) is only ever a
+    streamed scan, and no SortMergeJoin (which would exchange the
+    index) appears anywhere."""
+    from etl_sendas_spark.operators.dedupe import (
+        minhash_lsh_incremental,
+        minhash_lsh_index,
+    )
+    from etl_sendas_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    index = minhash_lsh_index(docs.filter(F.col("doc_id") % 3 != 2))
+    pairs = minhash_lsh_incremental(
+        index, docs.filter(F.col("doc_id") % 3 == 2), materialize=False
+    )
+    plan = _plan(pairs)
+    assert "SortMergeJoin" not in plan
+    # probe (index x wave), wave self-join, and both verification joins
+    assert plan.count("BroadcastHashJoin") >= 4
