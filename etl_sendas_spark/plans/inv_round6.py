@@ -160,3 +160,60 @@ FROM c
 
 PART_QUERIES["layout_zorder_events"] = layout_zorder_events
 PART_ORACLES["layout_zorder_events"] = LAYOUT_ZORDER_SQL
+
+
+# ===========================================================================
+# round 6: BPE tokenizer training — the corpus→vocab reduction + pair stats
+# ===========================================================================
+
+
+def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent symbol pairs (the statistic BPE training argmaxes
+    over, at merge step 0) across the documents corpus, weighted by word
+    frequency (functions/bpe.word_freqs → to_symbols → pair_counts).
+
+    Scale shape under test: the ONLY corpus-sized stage is the word
+    count (map-side combine → |vocab| rows); the pair explode runs on
+    the vocab table and shuffles |alphabet|² ≈ nothing. All JVM-side —
+    split/slice/arrays_zip/explode — no UDF anywhere.
+
+    ORACLE: ``BPE_PAIR_COUNTS_SQL`` replays the identical normalize →
+    word-count → char-pair (+ ``</w>`` terminal) pipeline; (cnt DESC,
+    sym_a, sym_b) is a total order so the LIMIT is deterministic.
+    """
+    from ..functions.bpe import pair_counts, to_symbols, word_freqs
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_freqs(docs).select(to_symbols("word").alias("syms"), "freq")
+    return (
+        pair_counts(vocab)
+        .orderBy(F.col("cnt").desc(), F.col("sym_a").asc(), F.col("sym_b").asc())
+        .limit(40)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = """
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+  GROUP BY w
+), idx AS (
+  SELECT w, freq, unnest(range(length(w))) AS i FROM wf
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT) + 1, 1) AS sym_a,
+         CASE WHEN CAST(i AS INT) + 2 <= length(w)
+              THEN substr(w, CAST(i AS INT) + 2, 1) ELSE '</w>' END AS sym_b,
+         freq
+  FROM idx
+)
+SELECT sym_a, sym_b, SUM(freq) AS cnt
+FROM pairs GROUP BY sym_a, sym_b
+ORDER BY cnt DESC, sym_a, sym_b LIMIT 40
+"""
+
+PART_QUERIES["bpe_pair_counts_docs"] = bpe_pair_counts_docs
+PART_ORACLES["bpe_pair_counts_docs"] = BPE_PAIR_COUNTS_SQL
