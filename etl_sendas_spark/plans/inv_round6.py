@@ -217,3 +217,75 @@ ORDER BY cnt DESC, sym_a, sym_b LIMIT 40
 
 PART_QUERIES["bpe_pair_counts_docs"] = bpe_pair_counts_docs
 PART_ORACLES["bpe_pair_counts_docs"] = BPE_PAIR_COUNTS_SQL
+
+
+# ===========================================================================
+# round 6: geo — grid-bucketed radius join (spatial pairing, no all-pairs)
+# ===========================================================================
+
+
+def geo_radius_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (probe, site) point pairs within 50 great-circle km
+    (operators/geo.radius_join): sites bucketed into radius-sized grid
+    cells once, probes exploded to their 3×3 cell neighborhood,
+    hash-join on the cell key, exact haversine prune. The cross
+    product never materializes — the plan is two scans plus one
+    equi-join (plan-pinned: no nested-loop/cartesian anywhere).
+
+    Events carry no coordinates, so both engines derive identical
+    synthetic ones (lat = 40 + (user_id%1000)/100 ∈ [40,50),
+    lon = (event_id%1000)/100 ∈ [0,10)) — integer-derived doubles, so
+    the inputs are bit-identical and the oracle replays the same IEEE
+    trig sequence; distances round to 6 dp before the radius filter.
+
+    ORACLE: ``GEO_RADIUS_JOIN_SQL`` — brute-force all-pairs haversine,
+    so hash equality proves the grid expansion loses no qualifying
+    pair (the radius-join analogue of the LSH-vs-exact recall proofs).
+    """
+    from ..operators.geo import radius_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def pts(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            (F.lit(40.0) + (F.col("user_id") % 1000) / 100.0).alias("lat"),
+            ((F.col("event_id") % 1000) / 100.0).alias("lon"),
+        )
+
+    site = pts(ev.filter(F.col("event_id") % 20 == 0))
+    probe = pts(ev.filter(F.col("event_id") % 20 == 10))
+    return (
+        radius_join(probe, site, 50.0, max_abs_lat=50.0)
+        .select(
+            F.col("event_id_l").alias("probe_id"),
+            F.col("event_id_r").alias("site_id"),
+            "distance_km",
+        )
+        .orderBy("probe_id", "site_id")
+    )
+
+
+GEO_RADIUS_JOIN_SQL = """
+WITH p AS (
+  SELECT event_id, 40.0 + (user_id % 1000) / 100.0 AS lat,
+         (event_id % 1000) / 100.0 AS lon
+  FROM events WHERE event_id % 20 = 10
+), s AS (
+  SELECT event_id, 40.0 + (user_id % 1000) / 100.0 AS lat,
+         (event_id % 1000) / 100.0 AS lon
+  FROM events WHERE event_id % 20 = 0
+), d AS (
+  SELECT p.event_id AS probe_id, s.event_id AS site_id,
+         ROUND((2.0 * 6371.0088) * ASIN(SQRT(
+           SIN(RADIANS(s.lat - p.lat) / 2.0) * SIN(RADIANS(s.lat - p.lat) / 2.0)
+           + COS(RADIANS(p.lat)) * COS(RADIANS(s.lat))
+             * SIN(RADIANS(s.lon - p.lon) / 2.0) * SIN(RADIANS(s.lon - p.lon) / 2.0)
+         )), 6) AS distance_km
+  FROM p CROSS JOIN s
+)
+SELECT probe_id, site_id, distance_km FROM d WHERE distance_km <= 50.0
+"""
+
+PART_QUERIES["geo_radius_join_events"] = geo_radius_join_events
+PART_ORACLES["geo_radius_join_events"] = GEO_RADIUS_JOIN_SQL

@@ -1,0 +1,122 @@
+"""Geo radius join (operators/geo.py): exact-equality vs a brute-force
+all-pairs haversine (the recall proof for the grid expansion), the
+documented miss classes (antimeridian wrap, |lat| beyond max_abs_lat),
+and the plan shape that makes it 100 TB-safe (hash join on the cell
+key, never a nested loop)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sendas_spark.operators.geo import (
+    KM_PER_DEG_LAT,
+    haversine_km,
+    radius_join,
+)
+
+
+def _points(spark, n=400, lat_span=12.0, lat0=40.0, lon_span=12.0, lon0=0.0):
+    return spark.range(0, n).select(
+        F.col("id").alias("pid"),
+        (F.lit(lat0) + (F.col("id") * 37 % 1000) / F.lit(1000.0 / lat_span)).alias(
+            "lat"
+        ),
+        (F.lit(lon0) + (F.col("id") * 91 % 1000) / F.lit(1000.0 / lon_span)).alias(
+            "lon"
+        ),
+    )
+
+
+def _brute(left, right, radius):
+    l2 = left.select(
+        F.col("pid").alias("pid_l"),
+        F.col("lat").alias("lat_l"),
+        F.col("lon").alias("lon_l"),
+    )
+    r2 = right.select(
+        F.col("pid").alias("pid_r"),
+        F.col("lat").alias("lat_r"),
+        F.col("lon").alias("lon_r"),
+    )
+    return (
+        l2.crossJoin(r2)
+        .withColumn(
+            "distance_km",
+            F.round(
+                haversine_km(
+                    F.col("lat_l"), F.col("lon_l"), F.col("lat_r"), F.col("lon_r")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("distance_km") <= radius)
+    )
+
+
+def test_radius_join_equals_brute_force(spark):
+    pts = _points(spark)
+    left = pts.filter("pid % 2 = 0")
+    right = pts.filter("pid % 2 = 1")
+    out = radius_join(left, right, 120.0, max_abs_lat=52.0)
+    got = {(r["pid_l"], r["pid_r"], r["distance_km"]) for r in out.collect()}
+    exp = {
+        (r["pid_l"], r["pid_r"], r["distance_km"])
+        for r in _brute(left, right, 120.0).collect()
+    }
+    assert got == exp and len(exp) > 50
+
+
+def test_radius_join_pairs_unique_and_symmetric_roles(spark):
+    pts = _points(spark, n=200)
+    out = radius_join(pts, pts, 80.0, max_abs_lat=52.0).collect()
+    keys = [(r["pid_l"], r["pid_r"]) for r in out]
+    # exactly-once per pair: the join matches on the right point's own
+    # cell, so the 3x3 expansion cannot double-produce
+    assert len(keys) == len(set(keys))
+    # self-pairs at distance 0 present (caller filters if unwanted)
+    assert all(
+        r["distance_km"] == 0.0 for r in out if r["pid_l"] == r["pid_r"]
+    )
+
+
+def test_radius_join_plan_has_no_nested_loop(spark):
+    pts = _points(spark)
+    out = radius_join(pts.filter("pid % 2 = 0"), pts.filter("pid % 2 = 1"), 100.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_radius_join_documented_miss_classes(spark):
+    # (1) antimeridian: two points 0.2 deg apart across lon=±180 are
+    # ~15 km apart on the sphere but land in non-adjacent grid cells
+    a = spark.createDataFrame([(0, 10.0, 179.9)], "pid long, lat double, lon double")
+    b = spark.createDataFrame([(1, 10.0, -179.9)], "pid long, lat double, lon double")
+    assert radius_join(a, b, 50.0).count() == 0  # documented miss
+    # (2) |lat| beyond max_abs_lat: cells too narrow, pairs can vanish;
+    # with the bound passed correctly the same pair IS found
+    hi_a = spark.createDataFrame([(0, 70.0, 10.0)], "pid long, lat double, lon double")
+    hi_b = spark.createDataFrame([(1, 70.0, 11.2)], "pid long, lat double, lon double")
+    found = radius_join(hi_a, hi_b, 50.0, max_abs_lat=71.0).count()
+    assert found == 1
+
+
+def test_radius_join_validates_radius(spark):
+    pts = _points(spark, n=4)
+    with pytest.raises(ValueError, match="radius_km"):
+        radius_join(pts, pts, 0.0)
+
+
+def test_haversine_known_distance(spark):
+    # Paris (48.8566, 2.3522) — London (51.5074, -0.1278) ≈ 343.5 km
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double"
+    ).select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    )
+    km = df.collect()[0]["km"]
+    assert abs(km - 343.5) < 1.0
+    # degree-of-latitude constant consistent with the radius in use
+    assert abs(KM_PER_DEG_LAT - 111.195) < 0.001
