@@ -11,6 +11,7 @@ are chosen to exist in both engines (regexp_replace / length / md5).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # A small English/Spanish stopword panel for the n-gram-free lang-id
@@ -386,3 +387,85 @@ def bigram_lm_scores(
             F.round(F.avg(logp), 6).alias("lm_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# information-theoretic quality signals: char entropy + compressibility
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the normalized text — the cheap
+    gibberish detector: natural language sits ~3.4-4.2 bits/char over
+    this 37-symbol alphabet, single-char spam near 0, uniform random
+    keyboard mash near log2(37) ≈ 5.21.
+
+    Engine-faithful construction: per-symbol counts come from the
+    length-difference trick (``len(s) - len(replace(s, c, ''))``) over
+    the closed 37-symbol normalized alphabet — 37 JVM codegen terms,
+    NO explode, NO shuffle, NO UDF, so the cost is a scan and the
+    identical expression tree replays in ANSI SQL bit-for-bit (fixed
+    left-to-right float summation order; see CHAR_ENTROPY_SQL users in
+    plans). Uses the identity H = log2(n) - (Σ c·log2(c))/n so each
+    count appears once. Empty text → 0.0; rounded to 6 dp.
+    """
+    s = normalized_text(col)
+    n = F.length(s).cast("double")
+    acc: Column | None = None
+    for ch in _ENTROPY_ALPHABET:
+        c = (F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))).cast(
+            "double"
+        )
+        term = F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))
+        acc = term if acc is None else acc + term
+    h = F.log2(n) - acc / n
+    return F.when(n > 0, F.round(h, 6)).otherwise(F.lit(0.0))
+
+
+def char_entropy_sql(text_expr: str = "text") -> str:
+    """The DuckDB/ANSI mirror of :func:`char_entropy` — generated from
+    the same alphabet loop so the 37 terms sum in the same order."""
+    norm = f"trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g'))"
+    terms = []
+    for ch in _ENTROPY_ALPHABET:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        c = f"CAST(length({norm}) - length(replace({norm}, {lit}, '')) AS DOUBLE)"
+        terms.append(f"(CASE WHEN {c} > 0 THEN {c} * log2({c}) ELSE 0.0 END)")
+    acc = " + ".join(terms)
+    n = f"CAST(length({norm}) AS DOUBLE)"
+    return (
+        f"CASE WHEN {n} > 0 THEN ROUND(log2({n}) - ({acc}) / {n}, 6) ELSE 0.0 END"
+    )
+
+
+def compression_ratio(col: Column | str, level: int = 6) -> Column:
+    """Deflate compressibility of the raw text: ``compressed_bytes /
+    raw_bytes`` (zlib level ``level``), the quality signal corpus
+    pipelines use to catch both templated boilerplate (ratio → 0,
+    deflate eats repetition) and binary/base64 junk (ratio → 1+,
+    incompressible). Natural prose lands ~0.3-0.6.
+
+    zlib has no SQL analogue, so this is an Arrow-vectorized scalar
+    (scan-local, no shuffle) held to the Python zlib reference by
+    pytest instead of the DuckDB oracle. Empty/NULL text → NULL
+    (no evidence, distinct from 'perfectly compressible').
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return ratio(c)

@@ -289,3 +289,51 @@ SELECT probe_id, site_id, distance_km FROM d WHERE distance_km <= 50.0
 
 PART_QUERIES["geo_radius_join_events"] = geo_radius_join_events
 PART_ORACLES["geo_radius_join_events"] = GEO_RADIUS_JOIN_SQL
+
+
+# ===========================================================================
+# round 6: information-theoretic quality signals — char entropy per doc
+# ===========================================================================
+
+
+def quality_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits/char, normalized 37-symbol alphabet) per
+    document plus a corpus keep-flag at the classic gibberish band
+    (functions/text.char_entropy): natural prose ~3.4-4.2, repeated-
+    char spam → 0, keyboard mash → log2(37).
+
+    Scale shape: 37 length-difference codegen terms — NO explode (the
+    naive per-char unnest would shuffle 100 TB of single characters),
+    no UDF, no shuffle; the whole signal rides the scan.
+
+    ORACLE: ``QUALITY_ENTROPY_SQL`` is generated from the SAME alphabet
+    loop (functions/text.char_entropy_sql), so the 37 float terms sum
+    in the same order and the entropy is bit-identical, not
+    approximately equal.
+    """
+    from ..functions.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = char_entropy(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ent.alias("entropy"),
+        ((ent >= 2.5) & (ent <= 4.8)).cast("int").alias("entropy_keep"),
+    ).orderBy("doc_id")
+
+
+def _quality_entropy_sql() -> str:
+    from ..functions.text import char_entropy_sql
+
+    e = char_entropy_sql("text")
+    return f"""
+SELECT doc_id, {e} AS entropy,
+       CAST(({e}) >= 2.5 AND ({e}) <= 4.8 AS INT) AS entropy_keep
+FROM documents
+"""
+
+
+QUALITY_ENTROPY_SQL = _quality_entropy_sql()
+
+PART_QUERIES["quality_entropy_docs"] = quality_entropy_docs
+PART_ORACLES["quality_entropy_docs"] = QUALITY_ENTROPY_SQL

@@ -1,0 +1,89 @@
+"""Information-theoretic quality signals (functions/text.py round-6
+additions): char_entropy pinned to a hand-computed reference and to its
+plan contract (pure codegen, no explode/UDF/shuffle), compression_ratio
+held to the Python zlib reference byte-for-byte."""
+
+from __future__ import annotations
+
+import math
+import re
+import zlib
+
+from pyspark.sql import functions as F
+
+from etl_sendas_spark.functions.text import (
+    _ENTROPY_ALPHABET,
+    char_entropy,
+    compression_ratio,
+)
+
+ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "aaaaaaaaaaaaaaaaaaaa"),
+    (2, ""),
+    (3, None),
+    (4, "abc ABC a-b-c 123!!!"),  # normalization folds case/punct
+    (5, "qwrtpsdfgh zxcvb 0192837465" * 3),
+]
+
+
+def _py_entropy(t):
+    if t is None:
+        return 0.0
+    s = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+    if not s:
+        return 0.0
+    n = len(s)
+    acc = sum(
+        s.count(ch) * math.log2(s.count(ch))
+        for ch in _ENTROPY_ALPHABET
+        if s.count(ch) > 0
+    )
+    return round(math.log2(n) - acc / n, 6)
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_char_entropy_matches_reference_and_bounds(spark):
+    got = {
+        r["doc_id"]: r["e"]
+        for r in _df(spark).select("doc_id", char_entropy("text").alias("e")).collect()
+    }
+    for i, t in ROWS:
+        assert abs(got[i] - _py_entropy(t)) < 2e-6, (i, got[i], _py_entropy(t))
+    assert got[1] == 0.0  # single repeated char carries no information
+    assert got[2] == 0.0 and got[3] == 0.0  # empty/NULL -> 0
+    # bounded by log2(alphabet)
+    assert all(0.0 <= v <= math.log2(len(_ENTROPY_ALPHABET)) + 1e-9 for v in got.values())
+    # prose > repeated junk
+    assert got[0] > 3.0
+
+
+def test_char_entropy_plan_is_scan_local_codegen(spark):
+    out = _df(spark).select(char_entropy("text").alias("e"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # executedPlan().toString() renders whole-stage codegen as "*(n)"
+    assert "*(1)" in plan
+
+
+def test_compression_ratio_matches_zlib(spark):
+    got = {
+        r["doc_id"]: r["z"]
+        for r in _df(spark)
+        .select("doc_id", compression_ratio("text").alias("z"))
+        .collect()
+    }
+    for i, t in ROWS:
+        exp = (
+            None
+            if not t
+            else round(len(zlib.compress(t.encode("utf-8"), 6)) / len(t.encode("utf-8")), 6)
+        )
+        assert got[i] == exp, (i, got[i], exp)
+    # boilerplate repetition compresses far better than prose
+    assert got[5] < got[0]
