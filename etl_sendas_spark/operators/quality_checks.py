@@ -345,3 +345,74 @@ def ks_drift(
         )
         .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Column-profile report — the first query anyone runs against an
+    unfamiliar table: per column, row count, null count, exact distinct
+    count, and the modal value with its frequency.
+
+    One scan, two shuffles, ANY number of columns: every profiled
+    column stacks into (col_name, value-as-string) rows via a single
+    explode, so adding columns widens the explode, not the job count.
+    The first groupBy (col_name, val) is map-side combinable — the
+    shuffle carries per-partition DISTINCT (column, value) pairs, so
+    low-cardinality columns cost almost nothing; the second aggregate
+    reduces value-counts to the per-column report. The modal value uses
+    a min-over-struct((-cnt, val)) so ties break on the smallest value
+    — a total order, deterministic across engines.
+
+    Honest scale note: an all-distinct column (a primary key) makes its
+    slice of the stacked shuffle row-per-value — exact distinct counts
+    are only free when cardinality is bounded. For wide fact tables,
+    profile id-like columns with approx_count_distinct separately or
+    feed a hash-sampled df (operators/sampling.stratified_sample); the
+    exact form here is what the DuckDB oracle can replay.
+
+    Output: (col_name, n_rows, n_nulls, n_distinct, top_value,
+    top_count), one row per profiled column; values compare as their
+    Spark string casts.
+    """
+    cols = columns or df.columns
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.val")
+    counts = stacked.groupBy("col_name", "val").agg(F.count("*").alias("cnt"))
+    top_struct = F.min(
+        F.when(
+            F.col("val").isNotNull(),
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("val").alias("v")),
+        )
+    )
+    return (
+        counts.groupBy("col_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.sum(
+                F.when(F.col("val").isNull(), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_nulls"),
+            F.count(F.when(F.col("val").isNotNull(), F.lit(1))).alias("n_distinct"),
+            top_struct.alias("__top"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            F.col("__top.v").alias("top_value"),
+            (-F.col("__top.neg_cnt")).alias("top_count"),
+        )
+    )

@@ -337,3 +337,51 @@ QUALITY_ENTROPY_SQL = _quality_entropy_sql()
 
 PART_QUERIES["quality_entropy_docs"] = quality_entropy_docs
 PART_ORACLES["quality_entropy_docs"] = QUALITY_ENTROPY_SQL
+
+
+# ===========================================================================
+# round 6: column profiler — stacked one-scan table profile
+# ===========================================================================
+
+
+def dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over events (operators/quality_checks.
+    profile_table): per column, rows / nulls / exact distinct / modal
+    value+count — the one-scan, two-shuffle stacked formulation (adding
+    columns widens one explode, never adds jobs).
+
+    ORACLE: ``DQ_PROFILE_SQL`` stacks the same columns with UNION ALL
+    and ranks modal values with the identical (cnt DESC, val ASC) total
+    order.
+    """
+    from ..operators.quality_checks import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(
+        ev, ["event_id", "user_id", "event_type", "props"]
+    ).orderBy("col_name")
+
+
+DQ_PROFILE_SQL = """
+WITH stacked AS (
+  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val FROM events
+  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL SELECT 'event_type', event_type FROM events
+  UNION ALL SELECT 'props', props FROM events
+), counts AS (
+  SELECT col_name, val, COUNT(*) AS cnt FROM stacked GROUP BY col_name, val
+), top AS (
+  SELECT col_name, val AS top_value, cnt AS top_count,
+         ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY cnt DESC, val) AS rn
+  FROM counts WHERE val IS NOT NULL
+)
+SELECT c.col_name, SUM(c.cnt) AS n_rows,
+       SUM(CASE WHEN c.val IS NULL THEN c.cnt ELSE 0 END) AS n_nulls,
+       COUNT(CASE WHEN c.val IS NOT NULL THEN 1 END) AS n_distinct,
+       t.top_value, t.top_count
+FROM counts c JOIN top t ON c.col_name = t.col_name AND t.rn = 1
+GROUP BY c.col_name, t.top_value, t.top_count
+"""
+
+PART_QUERIES["dq_profile_events"] = dq_profile_events
+PART_ORACLES["dq_profile_events"] = DQ_PROFILE_SQL
