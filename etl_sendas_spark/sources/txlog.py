@@ -1,0 +1,211 @@
+"""A minimal transaction-log table format: versioned parquet tables
+with atomic commits, time-travel reads, optimistic concurrency, and
+file compaction — the Delta-Lake/Iceberg idea reduced to its core so
+the engine's batch operators get a consistent, multi-writer-safe
+at-rest representation without any external dependency.
+
+Layout (everything under one table root):
+
+    <root>/_txlog/00000000.json   one JSON commit per version
+    <root>/data/<commit-uuid>/    parquet files written by that commit
+
+A commit file lists ``add`` (paths this version introduces) and
+``remove`` (paths it logically deletes). The LIVE file set at version v
+is the replay of all commits ≤ v — data files are immutable and never
+deleted, which is what makes time travel free and readers never block
+writers.
+
+Atomicity rides the filesystem primitive production log stores use:
+the commit file is created with ``O_CREAT | O_EXCL``, so exactly one
+writer can own a version number. Data files are written BEFORE the
+commit attempt; a loser's files are unreferenced garbage (harmless,
+re-commit reuses them), never a torn table. Conflict rules mirror
+Delta's, simplified:
+
+- ``append``   — retries unconditionally (a blind insert commutes with
+                 anything),
+- ``overwrite``— recomputes its remove-set against the new head and
+                 retries (last-writer-wins on the logical content),
+- ``compact``  — pure layout change; aborts with ``CommitConflict`` if
+                 the live set moved under it (rewriting stale files
+                 would resurrect deleted rows).
+
+Scale notes: all metadata is driver-side and O(#commits) per snapshot
+resolution (production systems checkpoint the log every N commits —
+same replay contract, noted not implemented); the data path stays
+fully distributed (``spark.read.parquet(live_files)``), so partition
+pruning, predicate pushdown, and AQE behave exactly as on a plain
+parquet directory. Composes with the CDC operators: ``snapshot_diff(
+read(v0), read(v1))`` is change-data-feed between versions
+(tests pin the merge round-trip law).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit invalidated this operation's snapshot."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_txlog")
+
+
+def _commit_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:08d}.json")
+
+
+class TxLogTable:
+    """Handle to a transaction-log table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.root = path
+
+    # -- log plumbing -------------------------------------------------
+
+    def versions(self) -> list[int]:
+        d = _log_dir(self.root)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no txlog table at {self.root}")
+        return vs[-1]
+
+    def _read_commit(self, version: int) -> dict:
+        with open(_commit_path(self.root, version)) as f:
+            return json.load(f)
+
+    def live_files(self, version: int | None = None) -> list[str]:
+        """Replay the log to the live file set at ``version`` (latest
+        when None). Paths are root-relative in the log, absolute out."""
+        v = self.latest_version() if version is None else version
+        if v not in set(self.versions()):
+            raise ValueError(
+                f"version {v} does not exist (have {self.versions()})"
+            )
+        live: list[str] = []
+        for i in range(v + 1):
+            c = self._read_commit(i)
+            removed = set(c.get("remove", []))
+            live = [p for p in live if p not in removed]
+            live.extend(c.get("add", []))
+        return [os.path.join(self.root, p) for p in live]
+
+    def _try_commit(self, version: int, payload: dict) -> bool:
+        """Atomic claim of a version number: O_EXCL create. Returns
+        False when a concurrent writer already owns it."""
+        os.makedirs(_log_dir(self.root), exist_ok=True)
+        try:
+            fd = os.open(
+                _commit_path(self.root, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, **payload}, f)
+        return True
+
+    # -- data plumbing ------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write parquet files for one commit into a fresh subdir;
+        returns root-relative paths. Files become table data only when
+        a commit file references them."""
+        rel_dir = os.path.join("data", uuid.uuid4().hex)
+        out_dir = os.path.join(self.root, rel_dir)
+        df.write.mode("error").parquet(out_dir)
+        return [
+            os.path.join(rel_dir, f)
+            for f in sorted(os.listdir(out_dir))
+            if f.endswith(".parquet")
+        ]
+
+    def _check_schema(self, df: DataFrame, spark: SparkSession) -> None:
+        if not self.versions():
+            return
+        current = self.read(spark).schema
+        if [f.name for f in df.schema.fields] != [
+            f.name for f in current.fields
+        ]:
+            raise ValueError(
+                f"schema mismatch: table has {current.fieldNames()}, "
+                f"append has {df.schema.fieldNames()}"
+            )
+
+    # -- public ops ---------------------------------------------------
+
+    @classmethod
+    def create(cls, path: str, df: DataFrame) -> "TxLogTable":
+        """Create a new table at ``path`` with ``df`` as version 0."""
+        t = cls(path)
+        if t.versions():
+            raise FileExistsError(f"txlog table already exists at {path}")
+        files = t._write_data(df)
+        if not t._try_commit(0, {"op": "create", "add": files}):
+            raise CommitConflict(f"concurrent create at {path}")
+        return t
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read at ``version`` (latest when None) — a plain
+        distributed parquet scan of the live files, so pushdown/
+        pruning/AQE all apply."""
+        files = self.live_files(version)
+        if not files:
+            raise ValueError(f"version has no live files at {self.root}")
+        return spark.read.parquet(*files)
+
+    def append(self, df: DataFrame, spark: SparkSession) -> int:
+        """Blind insert; retries version claims until one lands."""
+        self._check_schema(df, spark)
+        files = self._write_data(df)
+        v = self.latest_version() + 1
+        while not self._try_commit(v, {"op": "append", "add": files}):
+            v += 1
+        return v
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table's logical content. On conflict, the
+        remove-set is recomputed against the new head (last writer
+        wins on content; no torn states in between)."""
+        files = self._write_data(df)
+        while True:
+            head = self.latest_version()
+            removes = [
+                os.path.relpath(p, self.root) for p in self.live_files(head)
+            ]
+            if self._try_commit(
+                head + 1, {"op": "overwrite", "add": files, "remove": removes}
+            ):
+                return head + 1
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Layout-only rewrite of the current live set into
+        ``target_files`` files. Raises :class:`CommitConflict` if any
+        commit lands between snapshot and claim — compacting a stale
+        snapshot would resurrect overwritten rows."""
+        head = self.latest_version()
+        live = self.live_files(head)
+        compacted = self._write_data(
+            spark.read.parquet(*live).coalesce(target_files)
+        )
+        removes = [os.path.relpath(p, self.root) for p in live]
+        if not self._try_commit(
+            head + 1, {"op": "compact", "add": compacted, "remove": removes}
+        ):
+            raise CommitConflict(
+                f"live set moved past version {head} during compact; retry"
+            )
+        return head + 1

@@ -1,0 +1,123 @@
+"""Transaction-log table format (sources/txlog.py): version replay,
+time travel, atomic O_EXCL commit claims, per-op conflict rules, and
+composition with the CDC operators (snapshot_diff between versions +
+the merge round-trip law)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sendas_spark.sources.txlog import CommitConflict, TxLogTable
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("v")
+    )
+
+
+def test_create_append_overwrite_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    t = TxLogTable.create(root, _df(spark, 0, 5, "v0"))
+    t.append(_df(spark, 5, 8, "v1"), spark)
+    t.overwrite(_df(spark, 100, 103, "v2"))
+
+    assert t.versions() == [0, 1, 2]
+    assert {r["k"] for r in t.read(spark, 0).collect()} == set(range(5))
+    assert {r["k"] for r in t.read(spark, 1).collect()} == set(range(8))
+    assert {r["k"] for r in t.read(spark, 2).collect()} == {100, 101, 102}
+    # latest == explicit head
+    assert sorted(t.read(spark).collect()) == sorted(t.read(spark, 2).collect())
+    with pytest.raises(ValueError, match="version 9"):
+        t.read(spark, 9)
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    t = TxLogTable.create(root, _df(spark, 0, 50, "a").repartition(8))
+    t.append(_df(spark, 50, 100, "b").repartition(8), spark)
+    before = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    n_before = len(t.live_files())
+    v = t.compact(spark, target_files=1)
+    after = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert after == before  # layout-only
+    assert len(t.live_files()) < n_before
+    # time travel still reaches the pre-compact layout
+    assert len(t.live_files(v - 1)) == n_before
+
+
+def test_append_retries_past_concurrent_commit(spark, tmp_path):
+    root = str(tmp_path / "t3")
+    t = TxLogTable.create(root, _df(spark, 0, 3, "x"))
+    # a concurrent writer claims version 1 out from under this append
+    assert t._try_commit(1, {"op": "append", "add": []})
+    v = t.append(_df(spark, 3, 6, "y"), spark)
+    assert v == 2  # landed AFTER the interloper, nothing lost
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(6))
+
+
+def test_overwrite_conflict_recomputes_remove_set(spark, tmp_path):
+    root = str(tmp_path / "t4")
+    t = TxLogTable.create(root, _df(spark, 0, 3, "x"))
+    t.append(_df(spark, 3, 6, "y"), spark)
+    t.overwrite(_df(spark, 9, 10, "z"))
+    # the final content is exactly the overwrite, all prior files dead
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == {(9, "z")}
+    # every pre-overwrite file is still on disk (time travel) but dead
+    assert len(t.live_files()) < len(t.live_files(1))
+    assert {r["k"] for r in t.read(spark, 1).collect()} == set(range(6))
+
+
+def test_compact_conflict_raises(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t5")
+    t = TxLogTable.create(root, _df(spark, 0, 10, "x"))
+    orig = t._write_data
+
+    def raced(df):
+        files = orig(df)
+        # a concurrent commit claims the next version while compact is
+        # still rewriting its (now stale) snapshot
+        assert t._try_commit(
+            t.latest_version() + 1, {"op": "append", "add": []}
+        )
+        return files
+
+    monkeypatch.setattr(t, "_write_data", raced)
+    with pytest.raises(CommitConflict):
+        t.compact(spark)
+    # the interloper's commit stands; the table is uncorrupted
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(10))
+
+
+def test_schema_mismatch_raises_and_create_twice_raises(spark, tmp_path):
+    root = str(tmp_path / "t6")
+    t = TxLogTable.create(root, _df(spark, 0, 3, "x"))
+    bad = spark.range(3).select(F.col("id").alias("other"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad, spark)
+    with pytest.raises(FileExistsError):
+        TxLogTable.create(root, _df(spark, 0, 3, "x"))
+
+
+def test_cdc_between_versions_merge_round_trip(spark, tmp_path):
+    """snapshot_diff(read(v0), read(v1)) is a change feed; merging it
+    back onto v0 reproduces v1 exactly — txlog + CDC compose."""
+    from etl_sendas_spark.operators.relational import merge_changes, snapshot_diff
+
+    root = str(tmp_path / "t7")
+    t = TxLogTable.create(root, _df(spark, 0, 6, "old"))
+    new = (
+        _df(spark, 0, 4, "old")  # 4,5 deleted
+        .union(_df(spark, 3, 4, "upd").limit(0))
+        .union(_df(spark, 6, 8, "new"))  # inserts
+    )
+    t.overwrite(new)
+    old_snap, new_snap = t.read(spark, 0), t.read(spark, 1)
+    diff = snapshot_diff(old_snap, new_snap, keys=["k"])
+    merged = merge_changes(old_snap, diff, keys=["k"])
+    assert sorted((r["k"], r["v"]) for r in merged.collect()) == sorted(
+        (r["k"], r["v"]) for r in new_snap.collect()
+    )
