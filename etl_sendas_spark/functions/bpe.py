@@ -219,3 +219,25 @@ def bpe_encode(
     )
     assert [f.name for f in schema.fields] == [f.name for f in out_schema.fields]
     return with_norm.mapInPandas(encode_batches, schema=schema)
+
+
+def merges_to_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Trained merge list → (rank, sym_a, sym_b, cnt) DataFrame, the
+    at-rest form (write it as parquet, or version it in a
+    sources/txlog.TxLogTable next to the corpus snapshot it was trained
+    on — tokenizer/corpus version skew is a classic training bug)."""
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, sym_a string, sym_b string, cnt bigint",
+    )
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str, int]]:
+    """Inverse of :func:`merges_to_df`: rank order restored regardless
+    of file/partition order (merge RANK is the model — applying merges
+    out of order changes tokenizations)."""
+    rows = df.select("rank", "sym_a", "sym_b", "cnt").collect()
+    return [
+        (r["sym_a"], r["sym_b"], int(r["cnt"]))
+        for r in sorted(rows, key=lambda r: r["rank"])
+    ]

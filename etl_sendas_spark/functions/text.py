@@ -410,8 +410,26 @@ def char_entropy(col: Column | str) -> Column:
     left-to-right float summation order; see CHAR_ENTROPY_SQL users in
     plans). Uses the identity H = log2(n) - (Σ c·log2(c))/n so each
     count appears once. Empty text → 0.0; rounded to 6 dp.
+
+    MEASURED TRAP (BASELINE.md round 6): inlining the normalization
+    into every one of the ~150 column references defeats codegen
+    subexpression elimination — the regex re-evaluates per reference
+    (6.9 s for 5k docs). Do NOT select this Column directly over raw
+    text at scale; call :func:`add_char_entropy`, which hoists the
+    normalization into its own projection (CollapseProject refuses to
+    re-inline a non-cheap multiply-referenced alias, so the plan keeps
+    exactly one regexp_replace — 2.7×) or takes the Arrow backend
+    (~25× on prose-sized docs). This inline form remains the
+    oracle-replayable definition and is fine at reference scale.
     """
-    s = normalized_text(col)
+    return char_entropy_from_norm(normalized_text(col))
+
+
+def char_entropy_from_norm(norm: Column | str) -> Column:
+    """:func:`char_entropy` over ALREADY-normalized text (the hoisted
+    form — see the trap note there). Same expression tree minus the
+    normalization, so results are identical floats."""
+    s = F.col(norm) if isinstance(norm, str) else norm
     n = F.length(s).cast("double")
     acc: Column | None = None
     for ch in _ENTROPY_ALPHABET:
@@ -424,10 +442,71 @@ def char_entropy(col: Column | str) -> Column:
     return F.when(n > 0, F.round(h, 6)).otherwise(F.lit(0.0))
 
 
-def char_entropy_sql(text_expr: str = "text") -> str:
+def add_char_entropy(
+    df,
+    text_col: str = "text",
+    out_col: str = "entropy",
+    backend: str = "exact",
+):
+    """Append a char-entropy column the scale-safe way.
+
+    ``backend="exact"`` hoists the normalization into its own
+    projection so the regex evaluates once per row and the 37 counting
+    terms run over the cached normalized string (the SQL-replayable
+    path — one regexp_replace in the executed plan, plan-pinned).
+    ``backend="arrow"`` computes the same alphabet-ordered float sum in
+    a vectorized scalar (Counter per doc) — ~10× the hoisted JVM form
+    on prose-sized docs because the JVM path still allocates 37
+    replace() copies of every string; property-pinned equal to exact
+    on the test corpus (same ops, same order, same 6-dp round).
+    """
+    if backend == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def ent(s: pd.Series) -> pd.Series:
+            import math
+            import re as _re
+            from collections import Counter
+
+            def one(t):
+                if not t:
+                    return 0.0
+                x = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+                if not x:
+                    return 0.0
+                n = len(x)
+                cnt = Counter(x)
+                acc = 0.0
+                for ch in _ENTROPY_ALPHABET:
+                    c = cnt.get(ch, 0)
+                    if c > 0:
+                        acc += c * math.log2(c)
+                return round(math.log2(n) - acc / n, 6)
+
+            return s.map(one)
+
+        return df.withColumn(out_col, ent(F.col(text_col)))
+    if backend != "exact":
+        raise ValueError(f"add_char_entropy: unknown backend {backend!r}")
+    return (
+        df.withColumn("__ce_norm", normalized_text(F.col(text_col)))
+        .withColumn(out_col, char_entropy_from_norm("__ce_norm"))
+        .drop("__ce_norm")
+    )
+
+
+def char_entropy_sql(text_expr: str = "text", assume_normalized: bool = False) -> str:
     """The DuckDB/ANSI mirror of :func:`char_entropy` — generated from
-    the same alphabet loop so the 37 terms sum in the same order."""
-    norm = f"trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g'))"
+    the same alphabet loop so the 37 terms sum in the same order. With
+    ``assume_normalized`` the expression is counted as-is (pair it with
+    a normalized-once subquery, mirroring :func:`add_char_entropy`'s
+    hoist — same values, since normalization is idempotent)."""
+    norm = (
+        text_expr
+        if assume_normalized
+        else f"trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g'))"
+    )
     terms = []
     for ch in _ENTROPY_ALPHABET:
         lit = "' '" if ch == " " else f"'{ch}'"

@@ -129,8 +129,17 @@ def radius_join(
         ),
         6,
     )
+    # bounding-box prefilter: |Δlat| ≤ dlat and |Δlon| ≤ dlon are
+    # NECESSARY for any pair within radius_km (degree sizes bounded at
+    # max_abs_lat), so this rejects no qualifying pair — it just spares
+    # the 5-trig haversine on candidates the cell join over-admits
+    # (measured 1.6× at 1e9 candidates, BASELINE.md round 6)
+    bbox = (
+        F.abs(F.col(lat_col + sl) - F.col(lat_col + sr)) <= F.lit(dlat)
+    ) & (F.abs(F.col(lon_col + sl) - F.col(lon_col + sr)) <= F.lit(dlon))
     return (
         lexpanded.join(rbucketed, ["__cx", "__cy"])
+        .filter(bbox)
         .withColumn("distance_km", dist)
         .filter(F.col("distance_km") <= F.lit(radius_km))
         .drop("__cx", "__cy")

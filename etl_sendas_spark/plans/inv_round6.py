@@ -304,32 +304,46 @@ def quality_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: 37 length-difference codegen terms — NO explode (the
     naive per-char unnest would shuffle 100 TB of single characters),
-    no UDF, no shuffle; the whole signal rides the scan.
+    no UDF, no shuffle; the whole signal rides the scan. Uses the
+    HOISTED form (functions/text.add_char_entropy): the normalization
+    regex evaluates once per row and the keep-flag derives from the
+    projected entropy column, not a re-expansion — the inline form
+    re-evaluates the regex per reference (measured 2.7× slower,
+    BASELINE.md round 6), and both engines' mirrors hoist identically.
 
     ORACLE: ``QUALITY_ENTROPY_SQL`` is generated from the SAME alphabet
-    loop (functions/text.char_entropy_sql), so the 37 float terms sum
-    in the same order and the entropy is bit-identical, not
-    approximately equal.
+    loop (functions/text.char_entropy_sql) over a normalized-once
+    subquery, so the 37 float terms sum in the same order and the
+    entropy is bit-identical, not approximately equal.
     """
-    from ..functions.text import char_entropy
+    from ..functions.text import add_char_entropy
 
     docs = _t(spark, sf_dir, "documents")
-    ent = char_entropy(F.col("text"))
-    return docs.select(
+    out = add_char_entropy(docs, "text", "entropy")
+    return out.select(
         "doc_id",
-        ent.alias("entropy"),
-        ((ent >= 2.5) & (ent <= 4.8)).cast("int").alias("entropy_keep"),
+        "entropy",
+        ((F.col("entropy") >= 2.5) & (F.col("entropy") <= 4.8))
+        .cast("int")
+        .alias("entropy_keep"),
     ).orderBy("doc_id")
 
 
 def _quality_entropy_sql() -> str:
     from ..functions.text import char_entropy_sql
 
-    e = char_entropy_sql("text")
+    e = char_entropy_sql("__norm", assume_normalized=True)
     return f"""
-SELECT doc_id, {e} AS entropy,
-       CAST(({e}) >= 2.5 AND ({e}) <= 4.8 AS INT) AS entropy_keep
-FROM documents
+WITH normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS __norm
+  FROM documents
+), scored AS (
+  SELECT doc_id, {e} AS entropy FROM normed
+)
+SELECT doc_id, entropy,
+       CAST(entropy >= 2.5 AND entropy <= 4.8 AS INT) AS entropy_keep
+FROM scored
 """
 
 

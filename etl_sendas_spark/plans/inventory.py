@@ -361,6 +361,23 @@ EXTRA_ORACLES.update(_inv_round6.PART_ORACLES)
 # embedding_near_dup_bucketed (sign-LSH bucket join; embedding-space
 # dedup stays driver-covered by dedup_semantic_docs, and the Hamming
 # bucket machinery by multimodal_features' fingerprint path).
+# Round-6 third-session rotation (new machinery from this session):
+# IN — bpe_pair_counts_docs (the corpus→word-vocab reduction + symbol
+# pair stats behind tokenizer training — no other row aggregates over
+# exploded symbol arrays), geo_radius_join_events (spatial cell-bucket
+# join; oracle is brute-force all-pairs, so the driver hash proves the
+# grid expansion's recall), quality_entropy_docs (37-term
+# length-difference counting — the one bit-identical float-summation
+# oracle), dq_profile_events (stacked one-scan profile; modal
+# min-over-struct tiebreak). OUT, each keeping the identical oracle bar
+# in EXTRA: scalar_name_split (Arrow struct-scalar machinery
+# driver-pinned inside multimodal_features' decode UDFs),
+# s3_filename_partition (filename-derived columns driver-pinned inside
+# u_union_dedup_files + a1_latest_partition), j_bloom_prefilter
+# (bit-level sketch membership had its r5 driver outing; sketch-family
+# coverage stays via a_heavy_hitters_events), dedup_segments_docs
+# (line-level token reshaping driver-pinned by dedup_substring_spans_docs
+# and pack_training_sequences; segment dedup keeps its pytest bar).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_heavy_hitters_events",
@@ -376,7 +393,7 @@ DRIVER_WINDOW = [
     "o_topk_per_group",
     "a1_latest_partition",
     "s1_excel_dim",
-    "s3_filename_partition",
+    "geo_radius_join_events",
     "s5_sink_compact_roundtrip",
     "f1_priority_pick",
     "sample_group_split_docs",
@@ -384,7 +401,7 @@ DRIVER_WINDOW = [
     "j_asof_events",
     "j_range_bucketed",
     "scalar_dates_ages",
-    "scalar_name_split",
+    "quality_entropy_docs",
     "r1_capped_mark",
     "r7_gap_mark",
     "r4_invoice_zeroing",
@@ -401,9 +418,9 @@ DRIVER_WINDOW = [
     "dedup_minhash_incremental_docs",
     "decontaminate_docs",
     "dedup_cluster_docs",
-    "dedup_segments_docs",
+    "bpe_pair_counts_docs",
     "layout_zorder_events",
-    "j_bloom_prefilter",
+    "dq_profile_events",
     "graph_triangle_counts",
     "pack_training_sequences",
     "multimodal_features",

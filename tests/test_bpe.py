@@ -129,3 +129,21 @@ def test_bpe_plan_shapes(spark):
         .toString()
     )
     assert "Exchange" not in enc_plan
+
+
+def test_bpe_merges_roundtrip_through_parquet(spark, tmp_path):
+    """Persist merges, reload shuffled, encode — identical tokens.
+    Rank order is restored from the rank column, not file order."""
+    from etl_sendas_spark.functions.bpe import merges_from_df, merges_to_df
+
+    df = _corpus_df(spark)
+    merges = bpe_train(df, n_merges=15)
+    path = str(tmp_path / "merges")
+    merges_to_df(spark, merges).repartition(4).write.parquet(path)
+    reloaded = merges_from_df(spark.read.parquet(path))
+    assert reloaded == merges
+    a = {r["doc_id"]: tuple(r["bpe_tokens"]) for r in bpe_encode(df, merges).collect()}
+    b = {
+        r["doc_id"]: tuple(r["bpe_tokens"]) for r in bpe_encode(df, reloaded).collect()
+    }
+    assert a == b

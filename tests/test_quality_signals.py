@@ -131,3 +131,32 @@ def test_profile_table_all_null_column_and_job_shape(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2
     assert "partial" in plan.lower()
+
+
+def test_add_char_entropy_backends_agree_and_hoist_plan(spark):
+    """Arrow backend == exact backend on real corpus text (same
+    alphabet-ordered float sum, same 6-dp round), and the hoisted
+    exact plan contains exactly ONE regexp_replace — the measured
+    CSE trap (BASELINE.md round 6) stays fixed."""
+    from conftest import SF_ORACLE
+    from etl_sendas_spark.functions.text import add_char_entropy
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = add_char_entropy(docs, "text", "e")
+    arrow = add_char_entropy(docs, "text", "e", backend="arrow")
+    a = {r["doc_id"]: r["e"] for r in exact.select("doc_id", "e").collect()}
+    b = {r["doc_id"]: r["e"] for r in arrow.select("doc_id", "e").collect()}
+    assert a == b
+    plan = exact.select("e")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 1
+    # inline form == hoisted form (hoisting only dedupes evaluation)
+    inline = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id",
+            __import__(
+                "etl_sendas_spark.functions.text", fromlist=["char_entropy"]
+            ).char_entropy("text").alias("e"),
+        ).collect()
+    }
+    assert inline == a
