@@ -60,3 +60,36 @@ def test_latest_partition_files_keeps_exactly_max_anomes(specs):
     expect = {f for f, am in zip(files, anomes) if am == top}
     assert set(keep) == expect
     assert keep == sorted(keep, reverse=True)  # reference's name-desc order
+
+
+_word = st.text(alphabet="abcdef01", min_size=1, max_size=12)
+
+
+@given(
+    _word,
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef01", min_size=1, max_size=3),
+            st.text(alphabet="abcdef01", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_encode_word_lossless_and_rank_greedy(word, pairs):
+    """The greedy BPE encode kernel (functions/bpe._encode_word) is
+    lossless for ANY merge table (token concat == word + EOW),
+    deterministic, and a fixpoint: no adjacent pair of output tokens
+    is itself a known merge (the loop may only stop when nothing
+    applies)."""
+    from etl_sendas_spark.functions.bpe import EOW, _encode_word
+
+    ranks = {p: i for i, p in enumerate(dict.fromkeys(pairs))}
+    toks = _encode_word(word, ranks)
+    assert "".join(toks) == word + EOW
+    # fixpoint: no adjacent pair of output tokens is a known merge
+    for a, b in zip(toks, toks[1:]):
+        assert (a, b) not in ranks
+    # determinism
+    assert _encode_word(word, ranks) == toks
