@@ -144,3 +144,114 @@ def radius_join(
         .filter(F.col("distance_km") <= F.lit(radius_km))
         .drop("__cx", "__cy")
     )
+
+
+# ---------------------------------------------------------------------------
+# latitude-banded radius join — tight cells at every latitude
+# ---------------------------------------------------------------------------
+
+
+def _band_dlon(band: Column, dlat_deg: float, radius_km: float) -> Column:
+    """Longitude cell width for a latitude band: sized at the band edge
+    farther from the equator, so every cell in the band is at least as
+    wide as the radius' lon-extent anywhere inside the band. Capped at
+    360 (a polar band degenerates to one wrap-around cell)."""
+    edge1 = band.cast("double") * F.lit(dlat_deg)
+    edge2 = (band.cast("double") + F.lit(1.0)) * F.lit(dlat_deg)
+    max_abs = F.greatest(F.abs(edge1), F.abs(edge2))
+    cosm = F.greatest(F.cos(F.radians(max_abs)), F.lit(1e-9))
+    return F.least(
+        F.lit(360.0), F.lit(radius_km) / (F.lit(KM_PER_DEG_LAT) * cosm)
+    )
+
+
+def radius_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """:func:`radius_join` with LATITUDE-BANDED cells — the fix for the
+    fixed grid's measured failure mode (BASELINE.md round 6: one global
+    ``max_abs_lat`` over-sizes every lon cell for low-latitude data —
+    10× candidate inflation on a 20°–83° dataset).
+
+    Each latitude band (height dlat = radius' lat-extent) gets its OWN
+    longitude cell width, sized at the band edge farther from the
+    equator — the H3/S2 idea reduced to two pure Columns. Build side:
+    key = (band, floor(lon / dlon(band))). Probe side explodes to 9
+    keys — for each of the 3 reachable bands b' (|Δlat| ≤ dlat ⇒
+    neighbor's band ∈ {b−1,b,b+1}), the 3 lon cells around
+    floor(lon / dlon(b')), computed with THAT band's width, so probe
+    and build keys always agree. A neighbor within the radius satisfies
+    |Δlon| ≤ dlon(b') (its own band bounds its lon-degree size), hence
+    sits within ±1 of the probe's base cell in its band: no false
+    negatives, no ``max_abs_lat`` parameter to get wrong.
+
+    The 9 probe keys are pairwise distinct (band differs or cell index
+    differs), so each qualifying pair is still produced exactly once.
+    Poles are handled (a near-polar band is one wrap cell); the
+    antimeridian seam remains the one documented miss class, as in the
+    fixed-grid form. Output schema identical to :func:`radius_join`.
+    """
+    if radius_km <= 0:
+        raise ValueError(
+            f"radius_join_banded: radius_km must be > 0, got {radius_km}"
+        )
+    dlat = radius_km / KM_PER_DEG_LAT
+
+    sl, sr = suffixes
+    lrenamed = left.select(*[F.col(c).alias(c + sl) for c in left.columns])
+    rrenamed = right.select(*[F.col(c).alias(c + sr) for c in right.columns])
+
+    rband = F.floor(F.col(lat_col + sr) / F.lit(dlat)).cast("long")
+    rdlon = _band_dlon(rband, dlat, radius_km)
+    rbucketed = rrenamed.withColumn("__band", rband).withColumn(
+        "__cell", F.floor(F.col(lon_col + sr) / rdlon).cast("long")
+    )
+
+    lband = F.floor(F.col(lat_col + sl) / F.lit(dlat)).cast("long")
+    probes = []
+    for db in (-1, 0, 1):
+        band_p = lband + F.lit(db)
+        dlon_p = _band_dlon(band_p, dlat, radius_km)
+        base = F.floor(F.col(lon_col + sl) / dlon_p).cast("long")
+        for dc in (-1, 0, 1):
+            probes.append(
+                F.struct(
+                    band_p.alias("band"), (base + F.lit(dc)).alias("cell")
+                )
+            )
+    lexpanded = (
+        lrenamed.withColumn("__n", F.explode(F.array(*probes)))
+        .select(
+            "*",
+            F.col("__n.band").alias("__band"),
+            F.col("__n.cell").alias("__cell"),
+        )
+        .drop("__n")
+    )
+
+    dist = F.round(
+        haversine_km(
+            F.col(lat_col + sl),
+            F.col(lon_col + sl),
+            F.col(lat_col + sr),
+            F.col(lon_col + sr),
+        ),
+        6,
+    )
+    # |Δlat| bound is latitude-independent, so it is always a valid
+    # (necessary) prefilter; the lon bound varies per pair, so banded
+    # mode leaves lon pruning to the cells themselves
+    return (
+        lexpanded.join(rbucketed, ["__band", "__cell"])
+        .filter(
+            F.abs(F.col(lat_col + sl) - F.col(lat_col + sr)) <= F.lit(dlat)
+        )
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= F.lit(radius_km))
+        .drop("__band", "__cell")
+    )

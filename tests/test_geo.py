@@ -120,3 +120,36 @@ def test_haversine_known_distance(spark):
     assert abs(km - 343.5) < 1.0
     # degree-of-latitude constant consistent with the radius in use
     assert abs(KM_PER_DEG_LAT - 111.195) < 0.001
+
+
+def test_radius_join_banded_equals_brute_force_wide_latitudes(spark):
+    """Latitude-banded cells: exact brute-force equality on a cloud
+    spanning -70..83 deg (southern hemisphere, equator crossing, and
+    near-polar bands all exercised), pairs produced exactly once."""
+    from etl_sendas_spark.operators.geo import radius_join_banded
+
+    pts = spark.range(0, 3000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 37 % 1530) / 10.0 - 70.0).alias("lat"),
+        ((F.col("id") * 91 % 500) / 10.0).alias("lon"),
+    )
+    left = pts.filter("pid % 2 = 0")
+    right = pts.filter("pid % 2 = 1")
+    out = radius_join_banded(left, right, 200.0)
+    rows = out.collect()
+    keys = [(r["pid_l"], r["pid_r"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    got = {(r["pid_l"], r["pid_r"], r["distance_km"]) for r in rows}
+    exp = {
+        (r["pid_l"], r["pid_r"], r["distance_km"])
+        for r in _brute(left, right, 200.0).collect()
+    }
+    assert got == exp and len(exp) > 1000
+    # same answer as the fixed grid given a correct max_abs_lat bound
+    fixed = {
+        (r["pid_l"], r["pid_r"], r["distance_km"])
+        for r in radius_join(left, right, 200.0, max_abs_lat=84.0).collect()
+    }
+    assert fixed == exp
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
