@@ -35,7 +35,12 @@ resolution (production systems checkpoint the log every N commits —
 same replay contract, noted not implemented); the data path stays
 fully distributed (``spark.read.parquet(live_files)``), so partition
 pruning, predicate pushdown, and AQE behave exactly as on a plain
-parquet directory. Composes with the CDC operators: ``snapshot_diff(
+parquet directory. Commits additionally log per-file min/max zone maps
+for ``stat_cols`` (harvested from the parquet footers at write time),
+and ``read(prune={col: (lo, hi)})`` drops non-intersecting files
+BEFORE Spark sees them — manifest-level data skipping on top of
+row-group pushdown; pair with a z-order/range layout so ranges cluster
+per file (operators/layout.py). Composes with the CDC operators: ``snapshot_diff(
 read(v0), read(v1))`` is change-data-feed between versions
 (tests pin the merge round-trip law).
 """
@@ -87,20 +92,30 @@ class TxLogTable:
         with open(_commit_path(self.root, version)) as f:
             return json.load(f)
 
-    def live_files(self, version: int | None = None) -> list[str]:
-        """Replay the log to the live file set at ``version`` (latest
-        when None). Paths are root-relative in the log, absolute out."""
+    def _replay(self, version: int | None) -> tuple[list[str], dict]:
+        """Replay the log to (live root-relative files, per-file column
+        stats) at ``version`` (latest when None)."""
         v = self.latest_version() if version is None else version
         if v not in set(self.versions()):
             raise ValueError(
                 f"version {v} does not exist (have {self.versions()})"
             )
         live: list[str] = []
+        stats: dict = {}
         for i in range(v + 1):
             c = self._read_commit(i)
             removed = set(c.get("remove", []))
             live = [p for p in live if p not in removed]
+            for p in removed:
+                stats.pop(p, None)
             live.extend(c.get("add", []))
+            stats.update(c.get("stats", {}))
+        return live, stats
+
+    def live_files(self, version: int | None = None) -> list[str]:
+        """Replay the log to the live file set at ``version`` (latest
+        when None). Paths are root-relative in the log, absolute out."""
+        live, _ = self._replay(version)
         return [os.path.join(self.root, p) for p in live]
 
     def _try_commit(self, version: int, payload: dict) -> bool:
@@ -120,18 +135,31 @@ class TxLogTable:
 
     # -- data plumbing ------------------------------------------------
 
-    def _write_data(self, df: DataFrame) -> list[str]:
+    def _write_data(
+        self, df: DataFrame, stat_cols: list[str] | None = None
+    ) -> tuple[list[str], dict]:
         """Write parquet files for one commit into a fresh subdir;
-        returns root-relative paths. Files become table data only when
-        a commit file references them."""
+        returns (root-relative paths, per-file min/max stats for
+        ``stat_cols``, harvested from the parquet footers — the zone
+        maps :meth:`read` prunes with). Files become table data only
+        when a commit file references them."""
+        from ..operators.layout import parquet_file_minmax
+
         rel_dir = os.path.join("data", uuid.uuid4().hex)
         out_dir = os.path.join(self.root, rel_dir)
         df.write.mode("error").parquet(out_dir)
-        return [
+        files = [
             os.path.join(rel_dir, f)
             for f in sorted(os.listdir(out_dir))
             if f.endswith(".parquet")
         ]
+        stats: dict = {}
+        if stat_cols:
+            for rng in parquet_file_minmax(out_dir, stat_cols):
+                stats[os.path.join(rel_dir, rng["file"])] = {
+                    c: list(rng[c]) for c in stat_cols if rng[c][0] is not None
+                }
+        return files, stats
 
     def _check_schema(self, df: DataFrame, spark: SparkSession) -> None:
         if not self.versions():
@@ -148,31 +176,77 @@ class TxLogTable:
     # -- public ops ---------------------------------------------------
 
     @classmethod
-    def create(cls, path: str, df: DataFrame) -> "TxLogTable":
-        """Create a new table at ``path`` with ``df`` as version 0."""
+    def create(
+        cls, path: str, df: DataFrame, stat_cols: list[str] | None = None
+    ) -> "TxLogTable":
+        """Create a new table at ``path`` with ``df`` as version 0.
+        ``stat_cols`` opts columns into per-file min/max zone maps
+        (recorded in every subsequent commit too) for
+        :meth:`read`-time file skipping."""
         t = cls(path)
         if t.versions():
             raise FileExistsError(f"txlog table already exists at {path}")
-        files = t._write_data(df)
-        if not t._try_commit(0, {"op": "create", "add": files}):
+        cols = list(stat_cols or [])
+        files, stats = t._write_data(df, cols)
+        payload = {"op": "create", "add": files, "stat_cols": cols}
+        if stats:
+            payload["stats"] = stats
+        if not t._try_commit(0, payload):
             raise CommitConflict(f"concurrent create at {path}")
         return t
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def _stat_cols(self) -> list[str]:
+        return self._read_commit(0).get("stat_cols", [])
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: dict | None = None,
+    ) -> DataFrame:
         """Snapshot read at ``version`` (latest when None) — a plain
         distributed parquet scan of the live files, so pushdown/
-        pruning/AQE all apply."""
-        files = self.live_files(version)
+        pruning/AQE all apply.
+
+        ``prune`` maps column → (lo, hi): files whose logged zone map
+        cannot intersect the range are dropped from the scan BEFORE
+        Spark sees them — manifest-level skipping on top of row-group
+        pushdown, the Delta data-skipping idea. A file with no logged
+        stats for a pruned column is kept (safe), so pruning can never
+        change results, only shrink the file list; pair with
+        zorder-style layout so ranges cluster per file. NOTE: the
+        pruning is metadata-only — the caller still applies the actual
+        row filter."""
+        rel, stats = self._replay(version)
+        if prune:
+            def keep(p: str) -> bool:
+                fs = stats.get(p, {})
+                for col, (lo, hi) in prune.items():
+                    rng = fs.get(col)
+                    if rng is None:
+                        continue
+                    if rng[1] < lo or rng[0] > hi:
+                        return False
+                return True
+
+            rel = [p for p in rel if keep(p)]
+        files = [os.path.join(self.root, p) for p in rel]
         if not files:
+            if prune:
+                # every file pruned: empty frame with the table schema
+                return spark.createDataFrame([], self.read(spark, version).schema)
             raise ValueError(f"version has no live files at {self.root}")
         return spark.read.parquet(*files)
 
     def append(self, df: DataFrame, spark: SparkSession) -> int:
         """Blind insert; retries version claims until one lands."""
         self._check_schema(df, spark)
-        files = self._write_data(df)
+        files, stats = self._write_data(df, self._stat_cols())
+        payload = {"op": "append", "add": files}
+        if stats:
+            payload["stats"] = stats
         v = self.latest_version() + 1
-        while not self._try_commit(v, {"op": "append", "add": files}):
+        while not self._try_commit(v, payload):
             v += 1
         return v
 
@@ -180,15 +254,16 @@ class TxLogTable:
         """Replace the table's logical content. On conflict, the
         remove-set is recomputed against the new head (last writer
         wins on content; no torn states in between)."""
-        files = self._write_data(df)
+        files, stats = self._write_data(df, self._stat_cols())
         while True:
             head = self.latest_version()
             removes = [
                 os.path.relpath(p, self.root) for p in self.live_files(head)
             ]
-            if self._try_commit(
-                head + 1, {"op": "overwrite", "add": files, "remove": removes}
-            ):
+            payload = {"op": "overwrite", "add": files, "remove": removes}
+            if stats:
+                payload["stats"] = stats
+            if self._try_commit(head + 1, payload):
                 return head + 1
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -198,13 +273,15 @@ class TxLogTable:
         snapshot would resurrect overwritten rows."""
         head = self.latest_version()
         live = self.live_files(head)
-        compacted = self._write_data(
-            spark.read.parquet(*live).coalesce(target_files)
+        compacted, stats = self._write_data(
+            spark.read.parquet(*live).coalesce(target_files),
+            self._stat_cols(),
         )
         removes = [os.path.relpath(p, self.root) for p in live]
-        if not self._try_commit(
-            head + 1, {"op": "compact", "add": compacted, "remove": removes}
-        ):
+        payload = {"op": "compact", "add": compacted, "remove": removes}
+        if stats:
+            payload["stats"] = stats
+        if not self._try_commit(head + 1, payload):
             raise CommitConflict(
                 f"live set moved past version {head} during compact; retry"
             )

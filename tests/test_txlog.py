@@ -76,8 +76,8 @@ def test_compact_conflict_raises(spark, tmp_path, monkeypatch):
     t = TxLogTable.create(root, _df(spark, 0, 10, "x"))
     orig = t._write_data
 
-    def raced(df):
-        files = orig(df)
+    def raced(df, stat_cols=None):
+        files = orig(df, stat_cols)
         # a concurrent commit claims the next version while compact is
         # still rewriting its (now stale) snapshot
         assert t._try_commit(
@@ -121,3 +121,48 @@ def test_cdc_between_versions_merge_round_trip(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in merged.collect()) == sorted(
         (r["k"], r["v"]) for r in new_snap.collect()
     )
+
+
+def test_zone_map_file_skipping(spark, tmp_path):
+    """Data skipping from logged footer stats: a range-clustered table
+    reads a strict subset of files under a range prune, results are
+    identical to filter-after-full-read, and pruning a column with no
+    stats is a safe no-op."""
+    root = str(tmp_path / "t8")
+    # 8 files, k range-clustered so zone maps are tight per file
+    base = (
+        spark.range(0, 8000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    t = TxLogTable.create(root, base, stat_cols=["k"])
+
+    full = t.read(spark)
+    pruned = t.read(spark, prune={"k": (1000, 1999)})
+    # file-level skip actually happened
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # range split points are sampled, so the 1000-row band straddles
+    # at most 3 of the 8 files
+    assert len(pruned.inputFiles()) <= 3
+    # metadata pruning never changes filtered results
+    exp = sorted(r["k"] for r in full.filter("k between 1000 and 1999").collect())
+    got = sorted(r["k"] for r in pruned.filter("k between 1000 and 1999").collect())
+    assert got == exp and len(exp) == 1000
+    # stats survive append + compact replay
+    t.append(
+        spark.range(20000, 21000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        spark,
+    )
+    pruned2 = t.read(spark, prune={"k": (20000, 20010)})
+    assert len(pruned2.inputFiles()) < len(t.read(spark).inputFiles())
+    assert pruned2.filter("k <= 20010").count() == 11
+    # unknown-stats column: keep everything (safe)
+    assert len(t.read(spark, prune={"v": (0, 0)}).inputFiles()) == len(
+        t.read(spark).inputFiles()
+    )
+    # every file pruned: empty frame, table schema
+    nothing = t.read(spark, prune={"k": (10**9, 10**9 + 1)})
+    assert nothing.count() == 0 and nothing.columns == ["k", "v"]
