@@ -30,9 +30,11 @@ Delta's, simplified:
                  the live set moved under it (rewriting stale files
                  would resurrect deleted rows).
 
-Scale notes: all metadata is driver-side and O(#commits) per snapshot
-resolution (production systems checkpoint the log every N commits —
-same replay contract, noted not implemented); the data path stays
+Scale notes: all metadata is driver-side; snapshot resolution replays
+from the newest log CHECKPOINT (written every ``CHECKPOINT_EVERY``
+commits, Delta-style: the full live-set + zone-map state at that
+version, so replay cost is O(N mod CHECKPOINT_EVERY), not O(#commits));
+the data path stays
 fully distributed (``spark.read.parquet(live_files)``), so partition
 pruning, predicate pushdown, and AQE behave exactly as on a plain
 parquet directory. Commits additionally log per-file min/max zone maps
@@ -49,9 +51,15 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+CHECKPOINT_EVERY = 10
+
+_COMMIT_RE = re.compile(r"^(\d{8})\.json$")
+_CKPT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
 
 
 class CommitConflict(RuntimeError):
@@ -79,7 +87,19 @@ class TxLogTable:
         if not os.path.isdir(d):
             return []
         return sorted(
-            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := _COMMIT_RE.match(f))
+        )
+
+    def _checkpoints(self) -> list[int]:
+        d = _log_dir(self.root)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := _CKPT_RE.match(f))
         )
 
     def latest_version(self) -> int:
@@ -102,7 +122,17 @@ class TxLogTable:
             )
         live: list[str] = []
         stats: dict = {}
-        for i in range(v + 1):
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= v]
+        if ckpts:
+            cp = os.path.join(
+                _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
+            )
+            with open(cp) as f:
+                snap = json.load(f)
+            live, stats = snap["live"], snap.get("stats", {})
+            start = ckpts[-1] + 1
+        for i in range(start, v + 1):
             c = self._read_commit(i)
             removed = set(c.get("remove", []))
             live = [p for p in live if p not in removed]
@@ -131,7 +161,25 @@ class TxLogTable:
             return False
         with os.fdopen(fd, "w") as f:
             json.dump({"version": version, **payload}, f)
+        if version > 0 and version % CHECKPOINT_EVERY == 0:
+            self._write_checkpoint(version)
         return True
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the replay state AT ``version`` so later reads
+        start here instead of commit 0. Deterministic content + O_EXCL
+        create make concurrent attempts benign; failure is ignored
+        (a checkpoint is an optimization, never required)."""
+        live, stats = self._replay(version)
+        path = os.path.join(
+            _log_dir(self.root), f"{version:08d}.checkpoint.json"
+        )
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "live": live, "stats": stats}, f)
 
     # -- data plumbing ------------------------------------------------
 

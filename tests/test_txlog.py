@@ -166,3 +166,37 @@ def test_zone_map_file_skipping(spark, tmp_path):
     # every file pruned: empty frame, table schema
     nothing = t.read(spark, prune={"k": (10**9, 10**9 + 1)})
     assert nothing.count() == 0 and nothing.columns == ["k", "v"]
+
+
+def test_log_checkpointing_bounds_replay(spark, tmp_path):
+    """Checkpoints written every CHECKPOINT_EVERY commits hold the full
+    live-set + zone-map state: reads at/after a checkpoint never touch
+    older commit files (proven by deleting them), time travel BEFORE
+    the checkpoint still replays from commit 0, and pruning works from
+    checkpointed stats."""
+    import os as _os
+
+    from etl_sendas_spark.sources.txlog import CHECKPOINT_EVERY, _log_dir
+
+    root = str(tmp_path / "t9")
+    t = TxLogTable.create(root, _df(spark, 0, 10, "c0"), stat_cols=["k"])
+    for i in range(1, 12):
+        t.append(_df(spark, i * 10, i * 10 + 10, f"c{i}"), spark)
+    assert t._checkpoints() == [CHECKPOINT_EVERY]
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(120))
+
+    # delete pre-checkpoint commit files: post-checkpoint reads are
+    # unaffected (replay starts at the checkpoint), pre-checkpoint
+    # time travel now fails loudly
+    for v in range(1, CHECKPOINT_EVERY):
+        _os.remove(_os.path.join(_log_dir(root), f"{v:08d}.json"))
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(120))
+    assert {r["k"] for r in t.read(spark, CHECKPOINT_EVERY).collect()} == set(
+        range(110)
+    )
+    with pytest.raises(ValueError, match="version 5"):
+        t.read(spark, 5)
+    # zone maps flow through the checkpoint: prune still skips files
+    pruned = t.read(spark, prune={"k": (115, 116)})
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+    assert pruned.filter("k between 115 and 116").count() == 2
