@@ -225,12 +225,17 @@ class TxLogTable:
 
     @classmethod
     def create(
-        cls, path: str, df: DataFrame, stat_cols: list[str] | None = None
+        cls,
+        path: str,
+        df: DataFrame,
+        stat_cols: list[str] | None = None,
+        extra: dict | None = None,
     ) -> "TxLogTable":
         """Create a new table at ``path`` with ``df`` as version 0.
         ``stat_cols`` opts columns into per-file min/max zone maps
         (recorded in every subsequent commit too) for
-        :meth:`read`-time file skipping."""
+        :meth:`read`-time file skipping; ``extra`` merges application
+        metadata into the commit record, as in :meth:`overwrite`."""
         t = cls(path)
         if t.versions():
             raise FileExistsError(f"txlog table already exists at {path}")
@@ -239,6 +244,8 @@ class TxLogTable:
         payload = {"op": "create", "add": files, "stat_cols": cols}
         if stats:
             payload["stats"] = stats
+        if extra:
+            payload.update(extra)
         if not t._try_commit(0, payload):
             raise CommitConflict(f"concurrent create at {path}")
         return t
@@ -298,10 +305,13 @@ class TxLogTable:
             v += 1
         return v
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         """Replace the table's logical content. On conflict, the
         remove-set is recomputed against the new head (last writer
-        wins on content; no torn states in between)."""
+        wins on content; no torn states in between). ``extra`` merges
+        application metadata into the commit record (e.g. a streaming
+        sink's batch id — the Delta txn-identifier idea), readable back
+        via :meth:`commit_meta`."""
         files, stats = self._write_data(df, self._stat_cols())
         while True:
             head = self.latest_version()
@@ -311,8 +321,15 @@ class TxLogTable:
             payload = {"op": "overwrite", "add": files, "remove": removes}
             if stats:
                 payload["stats"] = stats
+            if extra:
+                payload.update(extra)
             if self._try_commit(head + 1, payload):
                 return head + 1
+
+    def commit_meta(self, version: int) -> dict:
+        """The raw commit record for ``version`` (op, files, stats, and
+        any ``extra`` metadata the committer attached)."""
+        return self._read_commit(version)
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Layout-only rewrite of the current live set into

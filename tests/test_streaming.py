@@ -834,3 +834,54 @@ def test_matview_sink_recovers_through_checkpoint_restart(spark, tmp_path):
         int(d.split("=")[1]) for d in os.listdir(view) if d.startswith("v=")
     )
     assert versions == [0, 1, 2], versions
+
+
+def test_txlog_sink_skips_replayed_batch_exactly_once(spark, tmp_path):
+    """The transactional upgrade of the upsert sink: each micro-batch
+    commits ONE TxLogTable version carrying its batch id; a replayed
+    batch (checkpoint commit lost after the table commit) is detected
+    from the logged batch id and SKIPPED — no duplicate version, no
+    double-apply. Time travel over the table is the stream's history."""
+    import datetime as dt
+    import os
+
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import stream_upsert_to_txlog
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    sch = "k long, v string, ts timestamp"
+    _land_file(spark, src, "f1.parquet", [(1, "a0", t(0)), (2, "b0", t(1))], sch, 1000)
+    _land_file(spark, src, "f2.parquet", [(2, "b1", t(10)), (3, "c0", t(11))], sch, 2000)
+
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+    table_path, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*.parquet"))
+        )
+        stream_upsert_to_txlog(stream, table_path, ckpt, keys=["k"], seq_col="ts")
+
+    run_once()  # batches 0, 1 -> versions 0, 1
+    table = TxLogTable(table_path)
+    assert table.versions() == [0, 1]
+    replayed = _force_replay_of_last_batch(ckpt)
+    assert replayed == 1
+
+    _land_file(spark, src, "f3.parquet", [(1, "a1", t(20))], sch, 3000)
+    run_once()  # batch 1 replays (must SKIP), batch 2 applies
+
+    assert table.versions() == [0, 1, 2]  # replay added no version
+    metas = [table.commit_meta(v).get("batch_id") for v in table.versions()]
+    assert metas == [0, 1, 2]  # one commit per batch, none duplicated
+    final = {
+        (r["k"], r["v"]) for r in table.read(spark).select("k", "v").collect()
+    }
+    assert final == {(1, "a1"), (2, "b1"), (3, "c0")}  # merge oracle
+    # per-batch time travel: version 1 is the post-batch-1 state
+    v1 = {(r["k"], r["v"]) for r in table.read(spark, 1).select("k", "v").collect()}
+    assert v1 == {(1, "a0"), (2, "b1"), (3, "c0")}
