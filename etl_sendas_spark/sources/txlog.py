@@ -179,7 +179,15 @@ class TxLogTable:
         except FileExistsError:
             return
         with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, "live": live, "stats": stats}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "live": live,
+                    "stats": stats,
+                    "stat_cols": self._stat_cols(),
+                },
+                f,
+            )
 
     # -- data plumbing ------------------------------------------------
 
@@ -251,7 +259,18 @@ class TxLogTable:
         return t
 
     def _stat_cols(self) -> list[str]:
-        return self._read_commit(0).get("stat_cols", [])
+        """Zone-map column list: from commit 0, or (after a vacuum
+        truncated the log) from the oldest surviving checkpoint."""
+        if os.path.exists(_commit_path(self.root, 0)):
+            return self._read_commit(0).get("stat_cols", [])
+        ckpts = self._checkpoints()
+        if ckpts:
+            cp = os.path.join(
+                _log_dir(self.root), f"{ckpts[0]:08d}.checkpoint.json"
+            )
+            with open(cp) as f:
+                return json.load(f).get("stat_cols", [])
+        return []
 
     def read(
         self,
@@ -351,3 +370,74 @@ class TxLogTable:
                 f"live set moved past version {head} during compact; retry"
             )
         return head + 1
+
+    def vacuum(
+        self,
+        retain_versions: int = 2,
+        min_age_s: float = 3600.0,
+    ) -> dict:
+        """Physically delete data files unreferenced by the retained
+        version window, and truncate the log below it — the Delta
+        VACUUM lifecycle step that keeps an append/overwrite-heavy
+        table from growing without bound.
+
+        cutoff = latest − retain_versions + 1. A checkpoint is written
+        AT the cutoff (if absent) so retained reads replay without the
+        truncated commits; commit files below the cutoff are removed,
+        making pre-cutoff time travel fail loudly at version resolution
+        (not with a missing-file surprise mid-scan). A data file is
+        deleted only if (a) it is not in ANY retained version's live
+        set and (b) it is older than ``min_age_s`` — the age guard is
+        how Delta avoids deleting files an IN-FLIGHT commit has written
+        but not yet referenced (a loser of a version race re-commits
+        the same files); keep it comfortably above your longest write.
+
+        Returns {"cutoff", "deleted_files", "deleted_commits"}.
+        """
+        import time as _time
+
+        latest = self.latest_version()
+        cutoff = max(0, latest - retain_versions + 1)
+        if cutoff == 0:
+            return {"cutoff": 0, "deleted_files": 0, "deleted_commits": 0}
+        self._write_checkpoint(cutoff)
+
+        keep: set[str] = set()
+        for v in range(cutoff, latest + 1):
+            live, _ = self._replay(v)
+            keep.update(live)
+
+        now = _time.time()
+        deleted_files = 0
+        data_root = os.path.join(self.root, "data")
+        for sub in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            subdir = os.path.join(data_root, sub)
+            for f in os.listdir(subdir):
+                rel = os.path.join("data", sub, f)
+                full = os.path.join(subdir, f)
+                if not f.endswith(".parquet"):
+                    continue
+                if rel in keep:
+                    continue
+                if now - os.path.getmtime(full) < min_age_s:
+                    continue
+                os.remove(full)
+                deleted_files += 1
+
+        deleted_commits = 0
+        for v in self.versions():
+            if v < cutoff:
+                os.remove(_commit_path(self.root, v))
+                deleted_commits += 1
+        for c in self._checkpoints():
+            if c < cutoff:
+                os.remove(
+                    os.path.join(
+                        _log_dir(self.root), f"{c:08d}.checkpoint.json"
+                    )
+                )
+        return {
+            "cutoff": cutoff,
+            "deleted_files": deleted_files,
+            "deleted_commits": deleted_commits,
+        }

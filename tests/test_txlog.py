@@ -200,3 +200,43 @@ def test_log_checkpointing_bounds_replay(spark, tmp_path):
     pruned = t.read(spark, prune={"k": (115, 116)})
     assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
     assert pruned.filter("k between 115 and 116").count() == 2
+
+
+def test_vacuum_deletes_dead_files_and_truncates_log(spark, tmp_path):
+    """VACUUM: files dead in every retained version are physically
+    removed, retained reads (incl. zone-map pruning) are unaffected,
+    pre-cutoff time travel fails loudly at version resolution, and the
+    age guard protects freshly-written unreferenced files."""
+    import glob
+    import os as _os
+
+    root = str(tmp_path / "t10")
+    t = TxLogTable.create(root, _df(spark, 0, 10, "a"), stat_cols=["k"])
+    t.overwrite(_df(spark, 10, 20, "b"))
+    t.overwrite(_df(spark, 20, 30, "c"))
+    t.overwrite(_df(spark, 30, 40, "d"))
+    n_files_before = len(glob.glob(f"{root}/data/*/*.parquet"))
+
+    # age guard: the log truncates, but no file young enough to belong
+    # to an in-flight writer is deleted
+    res = t.vacuum(retain_versions=2, min_age_s=3600)
+    assert res["cutoff"] == 2
+    assert res["deleted_files"] == 0 and res["deleted_commits"] == 2
+
+    res = t.vacuum(retain_versions=2, min_age_s=0)
+    assert res["cutoff"] == 2
+    assert res["deleted_files"] > 0 and res["deleted_commits"] == 0
+    assert len(glob.glob(f"{root}/data/*/*.parquet")) < n_files_before
+
+    # retained window fully functional
+    assert t.versions() == [2, 3]
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(30, 40))
+    assert {r["k"] for r in t.read(spark, 2).collect()} == set(range(20, 30))
+    pruned = t.read(spark, prune={"k": (35, 36)})
+    assert pruned.filter("k between 35 and 36").count() == 2
+    # pre-cutoff time travel fails at resolution, not mid-scan
+    with pytest.raises(ValueError, match="version 0"):
+        t.read(spark, 0)
+    # the table still accepts writes after vacuum
+    t.append(_df(spark, 40, 45, "e"), spark)
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(30, 45))
