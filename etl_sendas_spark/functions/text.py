@@ -548,3 +548,111 @@ def compression_ratio(col: Column | str, level: int = 6) -> Column:
         return s.map(one)
 
     return ratio(c)
+
+
+# ---------------------------------------------------------------------------
+# trained n-gram language ID (Cavnar & Trenkle 1994, out-of-place measure)
+# ---------------------------------------------------------------------------
+
+
+def _trigram_rows(df, key_expr: Column, key_name: str):
+    """(key, gram) rows: every character trigram of each row's
+    normalized text. The normalization is HOISTED to its own projected
+    column (the round-6 CSE lesson: a lambda body referencing the raw
+    expression would re-run the regex once per trigram); strings
+    shorter than 3 chars contribute nothing (sequence(1,0) would
+    DESCEND — same guard as repeated_ngram_ratio)."""
+    with_norm = df.select(
+        key_expr.alias(key_name), normalized_text(F.col("text")).alias("__n")
+    )
+    n = F.col("__n")
+    grams = F.when(
+        F.length(n) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(n) - 2),
+            lambda i: F.substring(n, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return with_norm.select(key_name, F.explode(grams).alias("gram"))
+
+
+def langid_train(df, lang_col: str = "lang", k: int = 50):
+    """Train Cavnar-Trenkle language profiles: per language, the top-k
+    character trigrams of normalized text, ranked by frequency with
+    ties broken on gram text — a total order, so training is
+    deterministic and fully SQL-replayable.
+
+    Scale shape: ONE corpus-sized stage (the trigram explode, whose
+    groupBy(lang, gram) shuffle is map-side combined down to distinct
+    pairs per partition); the rank window runs on the model-sized count
+    table. Returns (lang, gram, rank) with ≤ k rows per language — a
+    broadcastable model, exactly how production language-ID models are
+    tiny artifacts trained in one corpus pass.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        _trigram_rows(df, F.col(lang_col), "lang")
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "gram", "rank")
+    )
+
+
+def langid_score(df, profiles, id_col: str = "doc_id", k: int = 50):
+    """Classify each document against trained profiles with the
+    out-of-place measure: build the document's own top-k trigram
+    profile, then for each candidate language sum |doc_rank −
+    lang_rank| over the document's grams, charging the maximum penalty
+    ``k`` for grams absent from the language profile; predict the
+    argmin (ties on language name).
+
+    Scale shape: one trigram explode + one (doc, gram) combine (the
+    corpus-sized stage), a map-side WindowGroupLimit for the per-doc
+    top-k, then a BROADCAST join of the model and a doc-keyed
+    aggregate. Documents with no trigrams are absent from the output
+    (no evidence → no prediction). Output: (id, lang_pred, distance).
+    """
+    from pyspark.sql import Window
+
+    doc_counts = (
+        _trigram_rows(df, F.col(id_col), id_col)
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    doc_prof = (
+        doc_counts.withColumn("drank", F.row_number().over(w))
+        .filter(F.col("drank") <= k)
+        .select(id_col, "gram", "drank")
+    )
+    langs = profiles.select("lang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(profiles.withColumnRenamed("rank", "lrank")),
+            ["lang", "gram"],
+            "left",
+        )
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")), F.lit(k)
+                ).cast("long")
+            ).alias("distance")
+        )
+    )
+    best = Window.partitionBy(id_col).orderBy(
+        F.col("distance").asc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("lang").alias("lang_pred"), "distance")
+    )

@@ -461,3 +461,73 @@ SELECT probe_id, site_id, distance_km FROM d WHERE distance_km <= 120.0
 
 PART_QUERIES["geo_radius_join_banded_events"] = geo_radius_join_banded_events
 PART_ORACLES["geo_radius_join_banded_events"] = GEO_RADIUS_JOIN_BANDED_SQL
+
+
+# ===========================================================================
+# round 6: trained n-gram language ID (Cavnar-Trenkle out-of-place)
+# ===========================================================================
+
+_LID_K = 40
+
+
+def langid_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train character-trigram language profiles on the documents
+    corpus and classify every document with the out-of-place measure
+    (functions/text.langid_train / langid_score) — Cavnar & Trenkle
+    1994, the classic pre-fastText language ID.
+
+    NOTE the honest caveat: the synthetic corpus's ``lang`` labels are
+    decorative (every document draws from one English-ish vocabulary),
+    so self-train accuracy is meaningless HERE; the planted
+    multilingual pytest pins real discrimination. What this row proves
+    is the distributed construction: one trigram explode per side
+    (map-side combined), per-doc top-k via WindowGroupLimit, broadcast
+    model join, argmin with total-order ties.
+
+    ORACLE: ``LANGID_NGRAM_SQL`` replays trigrams → ranked profiles →
+    out-of-place sum → argmin with the identical tiebreaks.
+    """
+    from ..functions.text import langid_score, langid_train
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = langid_train(docs, k=_LID_K)
+    return langid_score(docs, prof, k=_LID_K).orderBy("doc_id")
+
+
+LANGID_NGRAM_SQL = f"""
+WITH normed AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, substr(n, CAST(i AS INT) + 1, 3) AS gram
+  FROM (SELECT doc_id, lang, n, unnest(range(length(n) - 2)) AS i
+        FROM normed WHERE length(n) >= 3)
+), lang_prof AS (
+  SELECT lang, gram,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY COUNT(*) DESC, gram) AS lrank
+  FROM grams GROUP BY lang, gram
+  QUALIFY lrank <= {_LID_K}
+), doc_prof AS (
+  SELECT doc_id, gram,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY COUNT(*) DESC, gram) AS drank
+  FROM grams GROUP BY doc_id, gram
+  QUALIFY drank <= {_LID_K}
+), scored AS (
+  SELECT d.doc_id, l.lang,
+         SUM(COALESCE(ABS(d.drank - p.lrank), {_LID_K})) AS distance
+  FROM doc_prof d
+  CROSS JOIN (SELECT DISTINCT lang FROM lang_prof) l
+  LEFT JOIN lang_prof p ON p.lang = l.lang AND p.gram = d.gram
+  GROUP BY d.doc_id, l.lang
+)
+SELECT doc_id, lang AS lang_pred, distance
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY distance, lang) = 1
+"""
+
+PART_QUERIES["langid_ngram_docs"] = langid_ngram_docs
+PART_ORACLES["langid_ngram_docs"] = LANGID_NGRAM_SQL

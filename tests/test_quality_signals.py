@@ -160,3 +160,79 @@ def test_add_char_entropy_backends_agree_and_hoist_plan(spark):
         ).collect()
     }
     assert inline == a
+
+
+# ---------------------------------------------------------------------------
+# trained n-gram language ID (functions/text.langid_train / langid_score)
+# ---------------------------------------------------------------------------
+
+_LID_SENTS = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she was walking through the forest when the rain started falling",
+        "this is the most important thing that we have learned this year",
+        "children often think that everything in the world belongs to them",
+    ],
+    "es": [
+        "el rapido zorro marron salta sobre el perro perezoso junto al rio",
+        "ella caminaba por el bosque cuando la lluvia comenzo a caer fuerte",
+        "esta es la cosa mas importante que hemos aprendido este ano juntos",
+        "los ninos piensan que todas las cosas del mundo les pertenecen",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt ueber den faulen hund am fluss",
+        "sie ging durch den wald als der regen zu fallen begann und wurde nass",
+        "das ist die wichtigste sache die wir dieses jahr gelernt haben",
+        "kinder denken oft dass ihnen alles auf der welt gehoert und bleibt",
+    ],
+}
+
+
+def test_langid_ngram_discriminates_real_languages(spark):
+    """Train on three sentences per language, classify the held-out
+    fourth: every held-out sentence must come back with its own
+    language (real discrimination, which the synthetic driver corpus
+    cannot exercise — its lang labels are decorative)."""
+    from etl_sendas_spark.functions.text import langid_score, langid_train
+
+    train_rows, test_rows = [], []
+    i = 0
+    for lang, sents in _LID_SENTS.items():
+        for s in sents[:3]:
+            train_rows.append((i, s, lang))
+            i += 1
+        test_rows.append((i, sents[3], lang))
+        i += 1
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, lang string")
+    test = spark.createDataFrame(test_rows, "doc_id long, text string, lang string")
+
+    prof = langid_train(train, k=100)
+    pred = langid_score(test, prof, k=100)
+    got = {r["doc_id"]: r["lang_pred"] for r in pred.collect()}
+    want = {i: lang for i, _s, lang in test_rows}
+    assert got == want
+
+    # determinism + plan shape: broadcast model join, no doc-side
+    # nested loop, map-side group limit for the per-doc top-k
+    again = {r["doc_id"]: r["lang_pred"] for r in langid_score(test, prof, k=100).collect()}
+    assert again == got
+    plan = langid_score(test, prof, k=100)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_langid_short_and_empty_docs_absent(spark):
+    """Documents with no trigrams (len<3 after normalization) produce
+    no prediction row — no evidence, no guess."""
+    from etl_sendas_spark.functions.text import langid_score, langid_train
+
+    train = spark.createDataFrame(
+        [(0, _LID_SENTS["en"][0], "en")], "doc_id long, text string, lang string"
+    )
+    prof = langid_train(train, k=50)
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "the the the")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in langid_score(docs, prof, k=50).collect()}
+    assert got == {4}
