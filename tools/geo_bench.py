@@ -12,6 +12,14 @@ harness scales the region with n: points spread over a square whose
 side grows with sqrt(n), keeping pairs-per-point constant.
 
     python tools/geo_bench.py [n ...]          # default 200000 2000000
+    python tools/geo_bench.py --wide-lat [n]   # fixed vs banded cells
+                                               # on a 20..83 deg cloud
+
+``--wide-lat`` reproduces the round-6 cell-sizing lesson as a same-
+session A/B: points spread over latitudes 20..83 deg, fixed-grid cells
+(sized at cos 84 deg, 10x over-wide at the data's real latitudes) vs
+``radius_join_banded`` (per-band widths). Count+checksum asserted
+identical between the variants.
 
 For each n it times (warm min-of-2, noop sink / fetchall, same
 discipline as scale_bench):
@@ -128,8 +136,62 @@ WHERE (2.0 * 6371.0088) * ASIN(SQRT(
 """
 
 
+def wide_lat_points(spark, n: int, path: str) -> None:
+    """The cell-sizing-lesson config: lat AND lon spread 20..83.25."""
+    cells = 100_000
+    pts = spark.range(0, n).select(
+        F.col("id").alias("pid"),
+        (F.lit(20.0) + (F.col("id") * 7919 % cells) * F.lit(63.25 / cells)).alias("lat"),
+        ((F.col("id") * 104729 % cells) * F.lit(63.25 / cells)).alias("lon"),
+    )
+    pts.write.mode("overwrite").parquet(path)
+
+
+def run_wide_lat(n: int) -> int:
+    from etl_sendas_spark.operators.geo import radius_join_banded
+
+    spark = get_spark(app_name="geo_bench_wide_lat")
+    path = f"/tmp/geo_bench_widelat_{n}"
+    wide_lat_points(spark, n, path)
+    pts = spark.read.parquet(path)
+    left = pts.filter("pid % 2 = 0")
+    right = pts.filter("pid % 2 = 1")
+
+    def agg(df):
+        return df.agg(
+            F.count("*").alias("pairs"),
+            F.sum(F.floor(F.col("distance_km") * 100.0).cast("long")).alias(
+                "checksum"
+            ),
+        )
+
+    fixed = radius_join(left, right, RADIUS_KM, max_abs_lat=84.0)
+    banded = radius_join_banded(left, right, RADIUS_KM)
+    fr, br = agg(fixed).collect()[0], agg(banded).collect()[0]
+    assert (fr["pairs"], fr["checksum"]) == (br["pairs"], br["checksum"]), (
+        fr,
+        br,
+    )
+    out = {
+        "n": n,
+        "pairs": fr["pairs"],
+        "fixed_s": timed(
+            lambda: agg(fixed).write.format("noop").mode("overwrite").save()
+        ),
+        "banded_s": timed(
+            lambda: agg(banded).write.format("noop").mode("overwrite").save()
+        ),
+    }
+    print(json.dumps({"mode": "wide_lat", "radius_km": RADIUS_KM, **out}))
+    spark.stop()
+    return 0
+
+
 def main() -> int:
-    sizes = [int(a) for a in sys.argv[1:]] or [200_000, 2_000_000]
+    args = sys.argv[1:]
+    if args and args[0] == "--wide-lat":
+        return run_wide_lat(int(args[1]) if args[1:] else 2_000_000)
+    sizes = [int(a) for a in args] or [200_000, 2_000_000]
     spark = get_spark(app_name="geo_bench")
     out: dict = {}
     for n in sizes:
