@@ -617,3 +617,106 @@ def heavy_hitters_exact(
         F.col("count").alias("cnt"),
         F.round(F.col("count") / F.lit(float(total)), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact quantile by histogram refinement — selection without a global sort
+# ---------------------------------------------------------------------------
+
+
+def exact_quantile_histogram(
+    df: DataFrame,
+    col: str,
+    q: float,
+    buckets: int = 8192,
+    collect_threshold: int = 100_000,
+    max_passes: int = 12,
+):
+    """EXACT q-quantile of a numeric column without ever sorting the
+    data: iterative histogram refinement (the distributed selection
+    algorithm — BLAST/TDigest pipelines call it "binary search the
+    value domain").
+
+    Each pass is one scan restricted to the current value interval: a
+    ``buckets``-way histogram (map-side combinable groupBy over a
+    computed bucket index, ≤ ``buckets`` rows collected), then the
+    bucket containing the target order statistic becomes the next
+    interval. The candidate count shrinks ~``buckets``× per pass, so a
+    trillion rows need 3 passes before the remainder fits
+    ``collect_threshold`` and resolves with a bounded sort — versus
+    ``percentile``'s sort-based aggregate whose per-group state is the
+    whole dataset. Semantics match DuckDB's ``quantile_disc``: the
+    1-based order statistic k = max(1, ceil(q·n)), NULLs excluded.
+
+    Ties/degenerate mass: when the interval collapses (lo == hi) every
+    remaining value is identical and that value is the answer, however
+    many rows share it. Returns None on an empty/all-NULL column.
+    """
+    import math
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"exact_quantile_histogram: q must be in [0,1], got {q}")
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    first = vals.agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    n = int(first["n"])
+    if n == 0:
+        return None
+    k = max(1, math.ceil(q * n))  # global 1-based order statistic
+    lo, hi = float(first["lo"]), float(first["hi"])
+    before = 0  # rows strictly below the current interval
+
+    for _ in range(max_passes):
+        if lo == hi:
+            return lo
+        in_range = vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+        remaining = k - before
+        cnt = in_range.count()
+        if cnt <= collect_threshold:
+            row = (
+                in_range.orderBy("v").limit(remaining).agg(F.max("v")).collect()
+            )
+            return float(row[0][0])
+        width = (hi - lo) / buckets
+        idx = F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+        )
+        hist = dict(
+            (int(r["b"]), int(r["c"]))
+            for r in in_range.groupBy(idx.alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        acc = 0
+        for b in range(buckets):
+            c = hist.get(b, 0)
+            if acc + c >= remaining:
+                before += acc
+                new_lo = lo + b * width
+                new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
+                # guard: FP bucket edges — if the interval no longer
+                # shrinks, fall through to the bounded-sort path
+                if (new_lo, new_hi) == (lo, hi):
+                    row = (
+                        in_range.orderBy("v")
+                        .limit(remaining)
+                        .agg(F.max("v"))
+                        .collect()
+                    )
+                    return float(row[0][0])
+                lo, hi = new_lo, new_hi
+                break
+            acc += c
+    # max_passes exhausted (pathological FP distribution): bounded sort
+    row = (
+        vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+        .orderBy("v")
+        .limit(k - before)
+        .agg(F.max("v"))
+        .collect()
+    )
+    return float(row[0][0])

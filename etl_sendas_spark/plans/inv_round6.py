@@ -531,3 +531,46 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
 
 PART_QUERIES["langid_ngram_docs"] = langid_ngram_docs
 PART_ORACLES["langid_ngram_docs"] = LANGID_NGRAM_SQL
+
+
+# ===========================================================================
+# round 6: exact quantile by histogram refinement — selection, no sort
+# ===========================================================================
+
+_EQ_QS = [0.01, 0.25, 0.5, 0.9, 0.99]
+
+
+def a_exact_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact l_extendedprice quantiles WITHOUT sorting the fact table
+    (operators/sketches.exact_quantile_histogram): per quantile, a few
+    histogram passes narrow the value interval ~buckets× each time,
+    then a bounded sort resolves the order statistic. buckets=64 and a
+    500-row collect threshold force the refinement machinery to
+    actually run at sf0.01 (defaults would resolve in one pass there).
+
+    ORACLE: DuckDB ``quantile_disc`` per q — the operator is exact by
+    construction, so the hash proves the bucket walk/before-count
+    bookkeeping against the engine-native sort-based answer.
+    """
+    from ..operators.sketches import exact_quantile_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = [
+        (
+            q,
+            exact_quantile_histogram(
+                li, "l_extendedprice", q, buckets=64, collect_threshold=500
+            ),
+        )
+        for q in _EQ_QS
+    ]
+    return spark.createDataFrame(rows, "q double, value double").orderBy("q")
+
+
+A_EXACT_QUANTILE_SQL = " UNION ALL ".join(
+    f"SELECT {q} AS q, quantile_disc(CAST(l_extendedprice AS DOUBLE), {q}) AS value FROM lineitem"
+    for q in _EQ_QS
+)
+
+PART_QUERIES["a_exact_quantile_histogram"] = a_exact_quantile_histogram
+PART_ORACLES["a_exact_quantile_histogram"] = A_EXACT_QUANTILE_SQL

@@ -2131,3 +2131,36 @@ def test_heavy_hitters_exact_skewed_and_deterministic(spark):
     plan = heavy_hitters_exact(df, "k", 0.04)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert " IN " in plan or "isin" in plan.lower() or "INSET" in plan.upper()
+
+
+def test_exact_quantile_histogram_matches_sorted_truth(spark):
+    """Histogram-refinement selection == sorted order statistic
+    (DuckDB quantile_disc semantics, k = max(1, ceil(q*n))) across
+    boundary quantiles, heavy ties at the cut, and forced multi-pass
+    refinement; empty/all-NULL -> None."""
+    import math
+
+    from etl_sendas_spark.operators.sketches import exact_quantile_histogram
+
+    vals = [float((i * 7919) % 1000) / 7.0 for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    svals = sorted(vals)
+    for q in [0.0, 0.01, 0.5, 0.777, 0.99, 1.0]:
+        k = max(1, math.ceil(q * len(vals)))
+        got = exact_quantile_histogram(df, "v", q, buckets=16, collect_threshold=50)
+        assert got == svals[k - 1], (q, got, svals[k - 1])
+
+    ties = [1.0] * 500 + [2.0] * 3 + [3.0] * 497
+    tdf = spark.createDataFrame([(v,) for v in ties], "v double")
+    st = sorted(ties)
+    for q in [0.5, 0.500001, 0.503, 0.504]:
+        k = max(1, math.ceil(q * len(ties)))
+        got = exact_quantile_histogram(tdf, "v", q, buckets=8, collect_threshold=10)
+        assert got == st[k - 1], (q, got, st[k - 1])
+
+    assert exact_quantile_histogram(
+        spark.createDataFrame([], "v double"), "v", 0.5
+    ) is None
+    assert exact_quantile_histogram(
+        spark.createDataFrame([(None,), (None,)], "v double"), "v", 0.5
+    ) is None
