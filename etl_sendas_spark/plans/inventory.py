@@ -378,6 +378,10 @@ EXTRA_ORACLES.update(_inv_round6.PART_ORACLES)
 # coverage stays via a_heavy_hitters_events), dedup_segments_docs
 # (line-level token reshaping driver-pinned by dedup_substring_spans_docs
 # and pack_training_sequences; segment dedup keeps its pytest bar).
+# Queued for the NEXT swap (new machinery landed after this round's
+# rotation): langid_ngram_docs (trained-model rank-displacement
+# scoring) and a_exact_quantile_histogram (iterative value-domain
+# selection) — both already hold the full oracle bar in EXTRA.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_heavy_hitters_events",
