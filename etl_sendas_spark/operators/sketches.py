@@ -720,3 +720,101 @@ def exact_quantile_histogram(
         .collect()
     )
     return float(row[0][0])
+
+
+def exact_quantiles_histogram(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    buckets: int = 8192,
+    collect_threshold: int = 100_000,
+    max_passes: int = 12,
+) -> list[tuple[float, float | None]]:
+    """Batch form of :func:`exact_quantile_histogram`: ALL quantiles
+    share the global count/min/max aggregate and the first-pass
+    histogram (one corpus scan routes every target to its bucket);
+    each quantile then resolves in its own narrowed interval — with
+    8192 buckets a 100 TB column resolves every quantile after the
+    shared pass plus one bounded sort each, instead of re-scanning the
+    corpus per quantile. Returns [(q, value), ...] in input order.
+    """
+    import math
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"exact_quantiles_histogram: q={q} not in [0,1]")
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    first = vals.agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    n = int(first["n"])
+    if n == 0:
+        return [(q, None) for q in qs]
+    glo, ghi = float(first["lo"]), float(first["hi"])
+    if glo == ghi or n <= collect_threshold:
+        return [
+            (q, exact_quantile_histogram(df, col, q, buckets, collect_threshold))
+            for q in qs
+        ]
+
+    width = (ghi - glo) / buckets
+    idx = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col("v") - F.lit(glo)) / F.lit(width)).cast("long"),
+    )
+    hist = dict(
+        (int(r["b"]), int(r["c"]))
+        for r in vals.groupBy(idx.alias("b")).agg(F.count("*").alias("c")).collect()
+    )
+    cumulative = []
+    acc = 0
+    for b in range(buckets):
+        cumulative.append(acc)  # rows strictly below bucket b
+        acc += hist.get(b, 0)
+
+    # route every quantile to its bucket; bucket sizes are known from
+    # the histogram BEFORE any collect, so the final resolution can be
+    # one tagged scan: pull the (few) target buckets' values in a
+    # single pass and finish each order statistic driver-side — total
+    # corpus scans = 3 (agg, histogram, target-bucket collect),
+    # independent of len(qs)
+    targets: dict[int, list[tuple[float, int]]] = {}
+    fallback_qs: list[float] = []
+    for q in qs:
+        k = max(1, math.ceil(q * n))
+        b = 0
+        for b in range(buckets):
+            if cumulative[b] + hist.get(b, 0) >= k:
+                break
+        if hist.get(b, 0) <= collect_threshold:
+            targets.setdefault(b, []).append((q, k - cumulative[b]))
+        else:
+            # oversized bucket (a huge value mass): single-q refinement
+            # keeps narrowing until its bounded-sort threshold
+            fallback_qs.append(q)
+
+    resolved: dict[float, float] = {}
+    if targets:
+        idx_tagged = F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("v") - F.lit(glo)) / F.lit(width)).cast("long"),
+        )
+        rows = (
+            vals.withColumn("b", idx_tagged)
+            .filter(F.col("b").isin(list(targets)))
+            .collect()
+        )
+        by_bucket: dict[int, list[float]] = {}
+        for r in rows:
+            by_bucket.setdefault(int(r["b"]), []).append(float(r["v"]))
+        for b, wants in targets.items():
+            bucket_vals = sorted(by_bucket[b])
+            for q, remaining in wants:
+                resolved[q] = bucket_vals[remaining - 1]
+    for q in fallback_qs:
+        resolved[q] = exact_quantile_histogram(
+            df, col, q, buckets, collect_threshold, max_passes
+        )
+    return [(q, resolved[q]) for q in qs]

@@ -542,28 +542,28 @@ _EQ_QS = [0.01, 0.25, 0.5, 0.9, 0.99]
 
 def a_exact_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact l_extendedprice quantiles WITHOUT sorting the fact table
-    (operators/sketches.exact_quantile_histogram): per quantile, a few
-    histogram passes narrow the value interval ~buckets× each time,
-    then a bounded sort resolves the order statistic. buckets=64 and a
-    500-row collect threshold force the refinement machinery to
-    actually run at sf0.01 (defaults would resolve in one pass there).
+    (operators/sketches.exact_quantiles_histogram): ONE shared
+    count/min/max aggregate + ONE shared first-pass histogram route all
+    five quantiles to their buckets, then each resolves with a bounded
+    sort in its own narrowed interval — total corpus scans are O(1) in
+    the number of quantiles. The 20k collect threshold keeps the
+    histogram machinery exercised at sf0.01 (60k rows) rather than
+    degenerating to a single bounded sort. (A first registration ran
+    the SINGLE-q loop per quantile with pedagogically tiny parameters —
+    64 buckets / 500-row threshold — which forced ~8 corpus scans per
+    quantile and benched 15.8× vs the mirror at ×100; the shared-pass
+    batch form is the scale shape. BASELINE.md round 6.)
 
     ORACLE: DuckDB ``quantile_disc`` per q — the operator is exact by
     construction, so the hash proves the bucket walk/before-count
     bookkeeping against the engine-native sort-based answer.
     """
-    from ..operators.sketches import exact_quantile_histogram
+    from ..operators.sketches import exact_quantiles_histogram
 
     li = _t(spark, sf_dir, "lineitem")
-    rows = [
-        (
-            q,
-            exact_quantile_histogram(
-                li, "l_extendedprice", q, buckets=64, collect_threshold=500
-            ),
-        )
-        for q in _EQ_QS
-    ]
+    rows = exact_quantiles_histogram(
+        li, "l_extendedprice", _EQ_QS, buckets=8192, collect_threshold=20_000
+    )
     return spark.createDataFrame(rows, "q double, value double").orderBy("q")
 
 

@@ -2164,3 +2164,39 @@ def test_exact_quantile_histogram_matches_sorted_truth(spark):
     assert exact_quantile_histogram(
         spark.createDataFrame([(None,), (None,)], "v double"), "v", 0.5
     ) is None
+
+
+def test_exact_quantiles_histogram_batch_matches_singular(spark):
+    """Batch form == singular form for every q (shared first-pass
+    histogram + one tagged collect), including the oversized-bucket
+    fallback (forced by a tiny collect threshold against a huge value
+    mass) and the small-n degenerate path."""
+    from etl_sendas_spark.operators.sketches import (
+        exact_quantile_histogram,
+        exact_quantiles_histogram,
+    )
+
+    vals = [float((i * 104729) % 5000) / 11.0 for i in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.0, 0.1, 0.5, 0.51, 0.9, 1.0]
+    batch = exact_quantiles_histogram(df, "v", qs, buckets=32, collect_threshold=300)
+    for q, got in batch:
+        assert got == exact_quantile_histogram(
+            df, "v", q, buckets=32, collect_threshold=300
+        ), q
+
+    # oversized bucket: 3500 copies of one value with threshold 100
+    mass = [42.0] * 3500 + [float(i) for i in range(500)]
+    mdf = spark.createDataFrame([(v,) for v in mass], "v double")
+    sm = sorted(mass)
+    import math
+
+    for q, got in exact_quantiles_histogram(
+        mdf, "v", [0.25, 0.5, 0.95], buckets=16, collect_threshold=100
+    ):
+        k = max(1, math.ceil(q * len(mass)))
+        assert got == sm[k - 1], (q, got)
+
+    # small n: degenerates to the singular path
+    tiny = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    assert exact_quantiles_histogram(tiny, "v", [0.5, 1.0]) == [(0.5, 1.0), (1.0, 2.0)]
