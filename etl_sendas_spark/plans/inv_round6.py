@@ -210,7 +210,7 @@ WITH wf AS (
          freq
   FROM idx
 )
-SELECT sym_a, sym_b, SUM(freq) AS cnt
+SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS cnt
 FROM pairs GROUP BY sym_a, sym_b
 ORDER BY cnt DESC, sym_a, sym_b LIMIT 40
 """
@@ -389,11 +389,11 @@ WITH stacked AS (
          ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY cnt DESC, val) AS rn
   FROM counts WHERE val IS NOT NULL
 )
-SELECT c.col_name, SUM(c.cnt) AS n_rows,
-       SUM(CASE WHEN c.val IS NULL THEN c.cnt ELSE 0 END) AS n_nulls,
+SELECT c.col_name, CAST(SUM(c.cnt) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c.val IS NULL THEN c.cnt ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(CASE WHEN c.val IS NOT NULL THEN 1 END) AS n_distinct,
        t.top_value, t.top_count
-FROM counts c JOIN top t ON c.col_name = t.col_name AND t.rn = 1
+FROM counts c LEFT JOIN top t ON c.col_name = t.col_name AND t.rn = 1
 GROUP BY c.col_name, t.top_value, t.top_count
 """
 
@@ -517,7 +517,7 @@ WITH normed AS (
   QUALIFY drank <= {_LID_K}
 ), scored AS (
   SELECT d.doc_id, l.lang,
-         SUM(COALESCE(ABS(d.drank - p.lrank), {_LID_K})) AS distance
+         CAST(SUM(COALESCE(ABS(d.drank - p.lrank), {_LID_K})) AS BIGINT) AS distance
   FROM doc_prof d
   CROSS JOIN (SELECT DISTINCT lang FROM lang_prof) l
   LEFT JOIN lang_prof p ON p.lang = l.lang AND p.gram = d.gram

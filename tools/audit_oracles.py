@@ -21,6 +21,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def oracle_type_problems(con, sql: str) -> list[str]:
+    """DuckDB output-column types the driver's type-sensitive hash rejects.
+
+    SUM(BIGINT) is HUGEINT (int128) in DuckDB while Spark emits BIGINT —
+    the exact class that broke bpe_pair_counts_docs / dq_profile_events in
+    round 6 (values identical, hash red). DECIMAL outputs drift the same
+    way. Intermediate/CTE sums are fine; this inspects only the final
+    relation schema, which is what the driver hashes.
+    """
+    rel = con.sql(sql)
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if t in ("HUGEINT", "INT128", "UHUGEINT") or t.startswith("DECIMAL"):
+            bad.append(f"{col}:{t}")
+    return bad
+
+
+def dtype_mismatches(a, b) -> list[str]:
+    """Raw pandas-dtype differences between the Spark and oracle frames
+    (pre-canonicalization) — the driver hashes typed values, so a dtype
+    split that canon() papers over is still a red row at the gate."""
+    out = []
+    for c in sorted(set(a.columns) & set(b.columns)):
+        ta, tb = str(a[c].dtype), str(b[c].dtype)
+        if ta != tb:
+            out.append(f"{c}: spark={ta} oracle={tb}")
+    return out
+
+
 def canon(df):
     import pandas as pd
 
@@ -60,8 +90,11 @@ def main() -> int:
     names = [n for n in sorted(ORACLES) if not only or n in only]
     for name in names:
         try:
-            a = canon(QUERIES[name](spark, sf_dir).toPandas())
-            b = canon(con.execute(ORACLES[name]).df())
+            type_bad = oracle_type_problems(con, ORACLES[name])
+            ra = QUERIES[name](spark, sf_dir).toPandas()
+            rb = con.execute(ORACLES[name]).df()
+            dtype_bad = dtype_mismatches(ra, rb)
+            a, b = canon(ra), canon(rb)
             ha = hashlib.md5(a.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
             hb = hashlib.md5(b.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
             ok = (
@@ -72,6 +105,14 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - audit reports, not raises
             print(f"ERROR     {name}: {type(exc).__name__}: {exc}", flush=True)
             bad += 1
+            continue
+        if type_bad:
+            bad += 1
+            print(f"TYPEBAD   {name}: oracle output {type_bad}", flush=True)
+            continue
+        if dtype_bad:
+            bad += 1
+            print(f"DTYPEDIFF {name}: {dtype_bad}", flush=True)
             continue
         if ok:
             print(f"match     {name} ({len(a)} rows)", flush=True)
