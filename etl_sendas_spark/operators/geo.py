@@ -151,18 +151,34 @@ def radius_join(
 # ---------------------------------------------------------------------------
 
 
-def _band_dlon(band: Column, dlat_deg: float, radius_km: float) -> Column:
-    """Longitude cell width for a latitude band: sized at the band edge
-    farther from the equator, so every cell in the band is at least as
-    wide as the radius' lon-extent anywhere inside the band. Capped at
-    360 (a polar band degenerates to one wrap-around cell)."""
+def _band_lon_grid(
+    band: Column, dlat_deg: float, radius_km: float
+) -> tuple[Column, Column]:
+    """(cell width, cell count) of a latitude band's longitude grid.
+
+    The raw width is the radius' lon-extent at the band edge farther
+    from the equator, so every cell is at least as wide as the radius'
+    lon-extent anywhere inside the band. The EFFECTIVE width then snaps
+    UP so an integer number of cells tiles the full 360°:
+    ``ncells = max(1, floor(360/raw))``, ``width = 360/ncells``. Even
+    tiling is what makes the antimeridian seam safe — cells indexed
+    ``pmod(floor((lon+180)/width), ncells)`` wrap, and any |Δlon| ≤ raw
+    ≤ width spans at most one (modular) cell boundary. With uneven
+    tiling the leftover sliver cell at the seam can be narrower than
+    the radius, putting a qualifying pair two cells apart. A polar band
+    degenerates to ncells = 1 (one wrap-around cell)."""
     edge1 = band.cast("double") * F.lit(dlat_deg)
     edge2 = (band.cast("double") + F.lit(1.0)) * F.lit(dlat_deg)
     max_abs = F.greatest(F.abs(edge1), F.abs(edge2))
     cosm = F.greatest(F.cos(F.radians(max_abs)), F.lit(1e-9))
-    return F.least(
-        F.lit(360.0), F.lit(radius_km) / (F.lit(KM_PER_DEG_LAT) * cosm)
-    )
+    raw = F.lit(radius_km) / (F.lit(KM_PER_DEG_LAT) * cosm)
+    ncells = F.greatest(F.lit(1).cast("long"), F.floor(F.lit(360.0) / raw))
+    return F.lit(360.0) / ncells.cast("double"), ncells
+
+
+def _lon_cell(lon: Column, width: Column, ncells: Column) -> Column:
+    """Modular longitude cell index: wraps ±180 onto the same seam."""
+    return F.pmod(F.floor((lon + F.lit(180.0)) / width).cast("long"), ncells)
 
 
 def radius_join_banded(
@@ -190,11 +206,15 @@ def radius_join_banded(
     sits within ±1 of the probe's base cell in its band: no false
     negatives, no ``max_abs_lat`` parameter to get wrong.
 
-    The 9 probe keys are pairwise distinct (band differs or cell index
-    differs), so each qualifying pair is still produced exactly once.
-    Poles are handled (a near-polar band is one wrap cell); the
-    antimeridian seam remains the one documented miss class, as in the
-    fixed-grid form. Output schema identical to :func:`radius_join`.
+    Longitude cells tile the globe evenly and are indexed MODULO the
+    band's cell count (:func:`_band_lon_grid`), so pairs straddling the
+    ±180° antimeridian land in adjacent (wrapped) cells — the seam is
+    no longer a miss class (haversine itself is already periodic in
+    Δλ). Probe keys are de-duplicated per row (``array_distinct``): in
+    a near-polar band with < 3 lon cells the modular ±1 expansion
+    collides with itself, and exactly-once output survives only if the
+    collided keys explode once. Output schema identical to
+    :func:`radius_join`.
     """
     if radius_km <= 0:
         raise ValueError(
@@ -207,25 +227,30 @@ def radius_join_banded(
     rrenamed = right.select(*[F.col(c).alias(c + sr) for c in right.columns])
 
     rband = F.floor(F.col(lat_col + sr) / F.lit(dlat)).cast("long")
-    rdlon = _band_dlon(rband, dlat, radius_km)
+    rwidth, rncells = _band_lon_grid(rband, dlat, radius_km)
     rbucketed = rrenamed.withColumn("__band", rband).withColumn(
-        "__cell", F.floor(F.col(lon_col + sr) / rdlon).cast("long")
+        "__cell", _lon_cell(F.col(lon_col + sr), rwidth, rncells)
     )
 
     lband = F.floor(F.col(lat_col + sl) / F.lit(dlat)).cast("long")
     probes = []
     for db in (-1, 0, 1):
         band_p = lband + F.lit(db)
-        dlon_p = _band_dlon(band_p, dlat, radius_km)
-        base = F.floor(F.col(lon_col + sl) / dlon_p).cast("long")
+        width_p, ncells_p = _band_lon_grid(band_p, dlat, radius_km)
+        base = F.floor(
+            (F.col(lon_col + sl) + F.lit(180.0)) / width_p
+        ).cast("long")
         for dc in (-1, 0, 1):
             probes.append(
                 F.struct(
-                    band_p.alias("band"), (base + F.lit(dc)).alias("cell")
+                    band_p.alias("band"),
+                    F.pmod(base + F.lit(dc), ncells_p).alias("cell"),
                 )
             )
     lexpanded = (
-        lrenamed.withColumn("__n", F.explode(F.array(*probes)))
+        lrenamed.withColumn(
+            "__n", F.explode(F.array_distinct(F.array(*probes)))
+        )
         .select(
             "*",
             F.col("__n.band").alias("__band"),

@@ -651,6 +651,14 @@ def exact_quantile_histogram(
     Ties/degenerate mass: when the interval collapses (lo == hi) every
     remaining value is identical and that value is the answer, however
     many rows share it. Returns None on an empty/all-NULL column.
+
+    Interval membership is the bucket predicate ITSELF (the recomputed
+    floor index == b), never arithmetic edges ``lo + b*width``: at
+    bucket boundaries FP rounding can put a value on opposite sides of
+    the floor index and the recomputed edge, silently dropping or
+    double-counting a boundary row. Each pass re-aggregates the actual
+    min/max of the surviving set, so the next histogram is bucketed on
+    exact bounds.
     """
     import math
 
@@ -659,31 +667,42 @@ def exact_quantile_histogram(
     vals = df.select(F.col(col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    first = vals.agg(
-        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
-    ).collect()[0]
+    pred = F.lit(True)  # conjunction of chosen bucket predicates
+    first = vals.agg(F.count("*").alias("n")).collect()[0]
     n = int(first["n"])
     if n == 0:
         return None
     k = max(1, math.ceil(q * n))  # global 1-based order statistic
-    lo, hi = float(first["lo"]), float(first["hi"])
     before = 0  # rows strictly below the current interval
 
     for _ in range(max_passes):
+        in_range = vals.filter(pred)
+        stats = in_range.agg(
+            F.count("*").alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()[0]
+        cnt, lo, hi = int(stats["c"]), float(stats["lo"]), float(stats["hi"])
         if lo == hi:
             return lo
-        in_range = vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
         remaining = k - before
-        cnt = in_range.count()
         if cnt <= collect_threshold:
             row = (
                 in_range.orderBy("v").limit(remaining).agg(F.max("v")).collect()
             )
             return float(row[0][0])
         width = (hi - lo) / buckets
-        idx = F.least(
-            F.lit(buckets - 1),
-            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+        if width <= 0.0:
+            # subnormal interval: (hi-lo)/buckets underflowed although
+            # lo < hi — the domain can't split further, bounded sort
+            row = (
+                in_range.orderBy("v").limit(remaining).agg(F.max("v")).collect()
+            )
+            return float(row[0][0])
+        idx = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+            ),
         )
         hist = dict(
             (int(r["b"]), int(r["c"]))
@@ -696,24 +715,12 @@ def exact_quantile_histogram(
             c = hist.get(b, 0)
             if acc + c >= remaining:
                 before += acc
-                new_lo = lo + b * width
-                new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
-                # guard: FP bucket edges — if the interval no longer
-                # shrinks, fall through to the bounded-sort path
-                if (new_lo, new_hi) == (lo, hi):
-                    row = (
-                        in_range.orderBy("v")
-                        .limit(remaining)
-                        .agg(F.max("v"))
-                        .collect()
-                    )
-                    return float(row[0][0])
-                lo, hi = new_lo, new_hi
+                pred = pred & (idx == b)
                 break
             acc += c
     # max_passes exhausted (pathological FP distribution): bounded sort
     row = (
-        vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+        vals.filter(pred)
         .orderBy("v")
         .limit(k - before)
         .agg(F.max("v"))

@@ -226,11 +226,16 @@ PART_ORACLES["bpe_pair_counts_docs"] = BPE_PAIR_COUNTS_SQL
 
 def geo_radius_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All (probe, site) point pairs within 50 great-circle km
-    (operators/geo.radius_join): sites bucketed into radius-sized grid
-    cells once, probes exploded to their 3×3 cell neighborhood,
-    hash-join on the cell key, exact haversine prune. The cross
-    product never materializes — the plan is two scans plus one
-    equi-join (plan-pinned: no nested-loop/cartesian anywhere).
+    (operators/geo.radius_join_banded — the REGISTERED geo path since
+    round 7): sites bucketed once into latitude-banded, evenly-tiled
+    longitude cells, probes exploded to ≤ 9 (band, cell) keys,
+    hash-join on the key, exact haversine prune. The banded grid is
+    strictly safer than the fixed grid (no ``max_abs_lat`` contract to
+    violate), measured 2.06× faster on wide-latitude data (BASELINE.md
+    round 6), and since round 7 wrap-indexes longitude cells so
+    antimeridian pairs are found. The cross product never materializes
+    — the plan is two scans plus one equi-join (plan-pinned: no
+    nested-loop/cartesian anywhere).
 
     Events carry no coordinates, so both engines derive identical
     synthetic ones (lat = 40 + (user_id%1000)/100 ∈ [40,50),
@@ -239,10 +244,10 @@ def geo_radius_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     trig sequence; distances round to 6 dp before the radius filter.
 
     ORACLE: ``GEO_RADIUS_JOIN_SQL`` — brute-force all-pairs haversine,
-    so hash equality proves the grid expansion loses no qualifying
+    so hash equality proves the banded expansion loses no qualifying
     pair (the radius-join analogue of the LSH-vs-exact recall proofs).
     """
-    from ..operators.geo import radius_join
+    from ..operators.geo import radius_join_banded
 
     ev = _t(spark, sf_dir, "events")
 
@@ -256,7 +261,7 @@ def geo_radius_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     site = pts(ev.filter(F.col("event_id") % 20 == 0))
     probe = pts(ev.filter(F.col("event_id") % 20 == 10))
     return (
-        radius_join(probe, site, 50.0, max_abs_lat=50.0)
+        radius_join_banded(probe, site, 50.0)
         .select(
             F.col("event_id_l").alias("probe_id"),
             F.col("event_id_r").alias("site_id"),
@@ -411,8 +416,9 @@ def geo_radius_join_banded_events(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ORACLE: brute-force all-pairs haversine over the same derivation —
     hash equality proves the banded expansion loses no qualifying pair.
-    Lives in EXTRA (the fixed-grid sibling holds the driver row; same
-    join machinery, different cell addressing).
+    Lives in EXTRA: since round 7 the driver row geo_radius_join_events
+    runs this same banded implementation (on a narrow-lat cloud); this
+    row keeps the wide-latitude band coverage at the identical bar.
     """
     from ..operators.geo import radius_join_banded
 
@@ -567,8 +573,10 @@ def a_exact_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, value double").orderBy("q")
 
 
+# q literal cast to DOUBLE: DuckDB types bare 0.25 as DECIMAL(3,2),
+# which the driver's type-sensitive hash rejects (TYPEBAD audit class)
 A_EXACT_QUANTILE_SQL = " UNION ALL ".join(
-    f"SELECT {q} AS q, quantile_disc(CAST(l_extendedprice AS DOUBLE), {q}) AS value FROM lineitem"
+    f"SELECT CAST({q} AS DOUBLE) AS q, quantile_disc(CAST(l_extendedprice AS DOUBLE), {q}) AS value FROM lineitem"
     for q in _EQ_QS
 )
 

@@ -287,9 +287,11 @@ EXTRA_ORACLES.update(CORPUS_QUALITY_ORACLES)
 from . import inv_round4 as _inv_round4  # noqa: E402
 from . import inv_round5 as _inv_round5  # noqa: E402
 from . import inv_round6 as _inv_round6  # noqa: E402
+from . import inv_round7 as _inv_round7  # noqa: E402
 from .inv_round4 import *  # noqa: E402,F401,F403
 from .inv_round5 import *  # noqa: E402,F401,F403
 from .inv_round6 import *  # noqa: E402,F401,F403
+from .inv_round7 import *  # noqa: E402,F401,F403
 
 EXTRA_QUERIES.update(_inv_round4.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round4.PART_ORACLES)
@@ -297,6 +299,8 @@ EXTRA_QUERIES.update(_inv_round5.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round5.PART_ORACLES)
 EXTRA_QUERIES.update(_inv_round6.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round6.PART_ORACLES)
+EXTRA_QUERIES.update(_inv_round7.PART_QUERIES)
+EXTRA_ORACLES.update(_inv_round7.PART_ORACLES)
 
 # ===========================================================================
 # driver window — SINGLE definition site
@@ -378,13 +382,27 @@ EXTRA_ORACLES.update(_inv_round6.PART_ORACLES)
 # coverage stays via a_heavy_hitters_events), dedup_segments_docs
 # (line-level token reshaping driver-pinned by dedup_substring_spans_docs
 # and pack_training_sequences; segment dedup keeps its pytest bar).
-# Queued for the NEXT swap (new machinery landed after this round's
-# rotation): langid_ngram_docs (trained-model rank-displacement
-# scoring) and a_exact_quantile_histogram (iterative value-domain
-# selection) — both already hold the full oracle bar in EXTRA.
+# Round-7 rotation (executes the r6 queue + gives the txlog its first
+# driver outing): IN — txlog_time_travel_events (transaction-log table
+# format: version replay, time travel, overwrite remove-sets, zone-map
+# file pruning — the round-6 flagship surface had no driver row),
+# langid_ngram_docs (trained-model rank-displacement scoring),
+# a_exact_quantile_histogram (iterative value-domain selection; its
+# ADVICE-flagged FP bucket-edge membership was fixed + boundary-planted
+# test BEFORE rotating in). OUT, each keeping the identical oracle bar
+# in EXTRA after a green r6 outing: quality_entropy_docs (bit-identical
+# float-sum machinery; text-quality family stays driver-pinned by
+# text_features + langid), a_heavy_hitters_events (bounded-candidate
+# aggregation; sketch-family driver coverage moves to the exact
+# quantile's histogram selection), layout_zorder_events (Morton
+# interleave; the at-rest layout family's scale story — manifest-level
+# file skipping — is now driver-hashed end-to-end inside
+# txlog_time_travel_events, which asserts the pruned scan read fewer
+# files). Streaming rows (5) and Sendas rule rows untouched per the
+# keep-the-window-honest rule.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
-    "a_heavy_hitters_events",
+    "a_exact_quantile_histogram",
     "a_grouping_sets_events",
     "j9_update_then_merge",
     "p_filter_project",
@@ -405,7 +423,7 @@ DRIVER_WINDOW = [
     "j_asof_events",
     "j_range_bucketed",
     "scalar_dates_ages",
-    "quality_entropy_docs",
+    "langid_ngram_docs",
     "r1_capped_mark",
     "r7_gap_mark",
     "r4_invoice_zeroing",
@@ -423,7 +441,7 @@ DRIVER_WINDOW = [
     "decontaminate_docs",
     "dedup_cluster_docs",
     "bpe_pair_counts_docs",
-    "layout_zorder_events",
+    "txlog_time_travel_events",
     "dq_profile_events",
     "graph_triangle_counts",
     "pack_training_sequences",

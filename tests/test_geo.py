@@ -153,3 +153,57 @@ def test_radius_join_banded_equals_brute_force_wide_latitudes(spark):
     assert fixed == exp
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_radius_join_banded_antimeridian_wraparound(spark):
+    """A ±180°-straddling cloud: the banded grid's modular, evenly
+    tiled longitude cells must find every seam-crossing pair — exact
+    brute-force equality (haversine itself is periodic in Δλ, so the
+    brute truth includes wrapped pairs), produced exactly once. Also
+    pins the single-pair seam case the fixed grid documents as a miss,
+    and a near-polar band where < 3 lon cells exist (the modular ±1
+    expansion collides and must be de-duplicated)."""
+    from etl_sendas_spark.operators.geo import radius_join_banded
+
+    # lon in [176, 184) mapped onto [-180, 180): half the cloud sits
+    # just west of the seam, half just east
+    pts = spark.range(0, 2000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 37 % 900) / 10.0 - 45.0).alias("lat"),
+        (
+            F.when(
+                (F.col("id") * 91 % 80) / 10.0 + 176.0 >= 180.0,
+                (F.col("id") * 91 % 80) / 10.0 - 184.0,
+            ).otherwise((F.col("id") * 91 % 80) / 10.0 + 176.0)
+        ).alias("lon"),
+    )
+    left = pts.filter("pid % 2 = 0")
+    right = pts.filter("pid % 2 = 1")
+    rows = radius_join_banded(left, right, 150.0).collect()
+    keys = [(r["pid_l"], r["pid_r"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    got = {(r["pid_l"], r["pid_r"], r["distance_km"]) for r in rows}
+    exp = {
+        (r["pid_l"], r["pid_r"], r["distance_km"])
+        for r in _brute(left, right, 150.0).collect()
+    }
+    assert got == exp and len(exp) > 200
+    # seam pairs actually present in the truth set (not a vacuous pass)
+    seam = left.filter("lon > 170").crossJoin(
+        right.selectExpr("pid AS rp", "lon AS rlon").filter("rlon < -170")
+    )
+    assert seam.count() > 0
+
+    # the exact single pair the fixed grid misses (test above) is found
+    a = spark.createDataFrame([(0, 10.0, 179.9)], "pid long, lat double, lon double")
+    b = spark.createDataFrame([(1, 10.0, -179.9)], "pid long, lat double, lon double")
+    assert radius_join_banded(a, b, 50.0).count() == 1
+
+    # near-polar band: a 500 km radius at 89.x° latitude leaves < 3
+    # longitude cells; exactly-once must survive the modular collision
+    pa = spark.createDataFrame(
+        [(0, 89.3, 10.0), (1, 89.3, -170.0)], "pid long, lat double, lon double"
+    )
+    polar = radius_join_banded(pa, pa, 500.0).collect()
+    pkeys = [(r["pid_l"], r["pid_r"]) for r in polar]
+    assert len(pkeys) == len(set(pkeys)) == 4  # both cross pairs + selves

@@ -2166,6 +2166,36 @@ def test_exact_quantile_histogram_matches_sorted_truth(spark):
     ) is None
 
 
+def test_exact_quantile_histogram_boundary_planted_values(spark):
+    """Values planted EXACTLY on bucket edges (and one ulp either
+    side): floor-index membership vs recomputed `lo + b*width` edges
+    can disagree under FP rounding, silently dropping or
+    double-counting a boundary row — the refinement now narrows by the
+    bucket predicate itself, so every planted edge value must resolve
+    to the sorted order statistic."""
+    import math
+
+    from etl_sendas_spark.operators.sketches import exact_quantile_histogram
+
+    buckets = 16
+    lo, hi = 0.1, 0.1 + 16 * 0.7  # non-round width = 0.7 (inexact in FP)
+    width = (hi - lo) / buckets
+    edges = [lo + b * width for b in range(buckets + 1)]
+    vals = []
+    for e in edges:
+        vals += [e] * 9
+        vals += [math.nextafter(e, -math.inf), math.nextafter(e, math.inf)]
+    vals = [v for v in vals if lo <= v <= hi]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    svals = sorted(vals)
+    for q in [0.0, 0.25, 0.5, 0.5001, 0.75, 1.0]:
+        k = max(1, math.ceil(q * len(vals)))
+        got = exact_quantile_histogram(
+            df, "v", q, buckets=buckets, collect_threshold=10
+        )
+        assert got == svals[k - 1], (q, got, svals[k - 1])
+
+
 def test_exact_quantiles_histogram_batch_matches_singular(spark):
     """Batch form == singular form for every q (shared first-pass
     histogram + one tagged collect), including the oversized-bucket

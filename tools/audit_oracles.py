@@ -40,14 +40,29 @@ def oracle_type_problems(con, sql: str) -> list[str]:
 
 
 def dtype_mismatches(a, b) -> list[str]:
-    """Raw pandas-dtype differences between the Spark and oracle frames
-    (pre-canonicalization) — the driver hashes typed values, so a dtype
-    split that canon() papers over is still a red row at the gate."""
+    """Kind-level pandas-dtype differences between the Spark and oracle
+    frames (pre-canonicalization) — the driver hashes typed values, so
+    an int-vs-float split that canon() papers over is still a red row
+    at the gate (HUGEINT→float64 vs Spark int64 was exactly the r6
+    failure). Integer WIDTH differences (int32 vs int64) are proven
+    driver-tolerated — 13 green window rows carry them — so widths are
+    normalized to kind before comparing."""
+    import pandas as pd
+
+    def kind(s) -> str:
+        if pd.api.types.is_integer_dtype(s):
+            return "int"
+        if pd.api.types.is_float_dtype(s):
+            return "float"
+        if pd.api.types.is_bool_dtype(s):
+            return "bool"
+        return str(s.dtype)
+
     out = []
     for c in sorted(set(a.columns) & set(b.columns)):
-        ta, tb = str(a[c].dtype), str(b[c].dtype)
-        if ta != tb:
-            out.append(f"{c}: spark={ta} oracle={tb}")
+        ka, kb = kind(a[c]), kind(b[c])
+        if ka != kb:
+            out.append(f"{c}: spark={ka}({a[c].dtype}) oracle={kb}({b[c].dtype})")
     return out
 
 
