@@ -509,6 +509,8 @@ def heavy_hitters_exact(
     key_col: str,
     threshold: float,
     capacity: int | None = None,
+    route: str = "auto",
+    groupby_max_distinct: int = 10_000_000,
 ) -> DataFrame:
     """EXACT keys exceeding ``threshold`` fraction of rows, without the
     full groupBy-every-key shuffle.
@@ -546,26 +548,53 @@ def heavy_hitters_exact(
     broadcast join above ``_ISIN_CAP`` candidates, where a giant IN
     list would bloat codegen).
 
-    Honest local-bench note (BASELINE.md round 6): on local[32] a
-    plain groupBy-HAVING wins at EVERY key cardinality we could test —
-    even 8M distinct keys in 10M rows (0.78 s vs 2.36 s): Tungsten's
-    hash aggregate + map-side combine absorb the key space in memory,
-    while this operator pays an Arrow round-trip of the key column for
-    its candidate pass. The two-pass shape is insurance for the
-    cluster regime a single box cannot exhibit: when per-executor
-    aggregation state (distinct keys × partial-agg entry) no longer
-    fits and the shuffle fabric carries one row per distinct key,
-    pass 2 here shuffles only the ≤ P·capacity candidate rows. Use
-    plain groupBy until the key space is the problem; this is the
-    plan that still terminates when it is.
+    Routing (round 7 — the operator picks, the caller no longer has
+    to): BASELINE.md round 6 measured plain groupBy-HAVING beating the
+    two-pass Misra-Gries at EVERY single-box key cardinality (even 8M
+    distinct keys in 10M rows: 0.78 s vs 2.36 s — Tungsten's hash
+    aggregate + map-side combine absorb the key space in memory, while
+    MG pays an Arrow round-trip of the key column). The two-pass shape
+    is insurance for the cluster regime a single box cannot exhibit:
+    aggregation state (distinct keys × partial-agg entry) exceeding
+    executor memory. ``route="auto"`` therefore estimates the distinct
+    key count with one JVM-side ``approx_count_distinct`` scan (shared
+    with the total-count aggregate, so the groupBy route still touches
+    the data exactly twice) and takes plain groupBy-HAVING at or below
+    ``groupby_max_distinct`` (default 10M ≈ hundreds of MB of
+    hash-aggregate state, comfortably in-memory per executor), the
+    MG candidate pass above it. ``route="groupby"`` / ``route=
+    "misra_gries"`` force a path; output is identical either way
+    (both recount exactly; pytest pins route-equality on the same
+    oracle).
     """
     import math
 
     import pandas as pd
 
+    if route not in ("auto", "groupby", "misra_gries"):
+        raise ValueError(f"heavy_hitters_exact: unknown route {route!r}")
     k = capacity or max(2, math.ceil(1.0 / threshold))
     data = df.select(F.col(key_col).alias("k")).filter(F.col("k").isNotNull())
     key_type = data.schema["k"].dataType.simpleString()
+
+    if route != "misra_gries":
+        first = data.agg(
+            F.count("*").alias("n"), F.approx_count_distinct("k").alias("d")
+        ).collect()[0]
+        if route == "groupby" or int(first["d"]) <= groupby_max_distinct:
+            total = int(first["n"])
+            out = (
+                data.groupBy("k")
+                .count()
+                .filter(F.col("count") > F.lit(threshold) * F.lit(total))
+            )
+            return out.select(
+                F.col("k").alias(key_col),
+                F.col("count").alias("cnt"),
+                F.round(
+                    F.col("count") / F.lit(float(max(total, 1))), 6
+                ).alias("share"),
+            )
 
     def mg_partition(batches):
         counters: dict = {}

@@ -74,12 +74,18 @@ def a_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE: the plain GROUP BY ... HAVING count > θ·n — the operator's
     output is exact by construction (pass 2 recounts), so the hash
     proves the MG candidate pass lost no true heavy hitter on real
-    data, not just in the proof sketch.
+    data, not just in the proof sketch. The route is PINNED to
+    misra_gries here precisely because the default ``route="auto"``
+    would (correctly — it is the measured-faster single-box plan,
+    BASELINE.md round 6) take plain groupBy-HAVING, which is also the
+    oracle: the row would stop exercising the candidate machinery.
     """
     from ..operators.sketches import heavy_hitters_exact
 
     ev = _t(spark, sf_dir, "events")
-    return heavy_hitters_exact(ev, "user_id", threshold=0.008).orderBy("user_id")
+    return heavy_hitters_exact(
+        ev, "user_id", threshold=0.008, route="misra_gries"
+    ).orderBy("user_id")
 
 
 A_HEAVY_HITTERS_SQL = """

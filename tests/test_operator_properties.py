@@ -2115,22 +2115,45 @@ def test_heavy_hitters_exact_skewed_and_deterministic(spark):
         if r["count"] > 0.04 * 97938  # non-null total
     }
     for parts in (3, 32, 200):
-        out = heavy_hitters_exact(df.repartition(parts), "k", threshold=0.04)
-        got = {(r["k"], r["cnt"]) for r in out.collect()}
-        assert got == truth, f"parts={parts}"
+        for route in ("auto", "groupby", "misra_gries"):
+            out = heavy_hitters_exact(
+                df.repartition(parts), "k", threshold=0.04, route=route
+            )
+            got = {(r["k"], r["cnt"]) for r in out.collect()}
+            assert got == truth, f"parts={parts} route={route}"
 
     # capacity below the default still keeps exactness (recount guards),
     # as long as capacity >= ceil(1/theta) the guarantee argument holds;
     # here we deliberately pass the minimum
-    out_min = heavy_hitters_exact(df, "k", threshold=0.04, capacity=25)
+    out_min = heavy_hitters_exact(
+        df, "k", threshold=0.04, capacity=25, route="misra_gries"
+    )
     assert {(r["k"], r["cnt"]) for r in out_min.collect()} == truth
 
-    # plan: below _ISIN_CAP candidates the recount is a pure filtered
+    # MG plan: below _ISIN_CAP candidates the recount is a pure filtered
     # scan (IN-list pushed into the scan stage) — no join of any kind,
     # and the one aggregate runs over candidate rows only
-    plan = heavy_hitters_exact(df, "k", 0.04)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        heavy_hitters_exact(df, "k", 0.04, route="misra_gries")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "Join" not in plan
     assert " IN " in plan or "isin" in plan.lower() or "INSET" in plan.upper()
+
+    # the router: ~4.1k distinct keys under the default ceiling -> auto
+    # takes the plain groupBy (no candidate IN-list in the plan, the
+    # measured-faster single-box plan); force the ceiling below the
+    # estimate -> auto takes MG (IN-list recount appears)
+    auto_plan = (
+        heavy_hitters_exact(df, "k", 0.04)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "INSET" not in auto_plan.upper() and "Join" not in auto_plan
+    forced_plan = (
+        heavy_hitters_exact(df, "k", 0.04, groupby_max_distinct=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert " IN " in forced_plan or "INSET" in forced_plan.upper()
 
 
 def test_exact_quantile_histogram_matches_sorted_truth(spark):
