@@ -345,6 +345,35 @@ class TxLogTable:
             if self._try_commit(head + 1, payload):
                 return head + 1
 
+    def overwrite_if(
+        self, df: DataFrame, expected_head: int, extra: dict | None = None
+    ) -> int | None:
+        """Conditional overwrite: commit ``df`` as version
+        ``expected_head + 1`` ONLY if the head is still
+        ``expected_head``; return the new version, or None if another
+        commit claimed it. This is the read-modify-write primitive
+        (the Delta serializable-write idea): a caller that READ the
+        table at ``expected_head``, derived ``df`` from it, and must
+        not lose a concurrent writer's rows re-reads the new head and
+        re-derives on None — unlike :meth:`overwrite`, whose
+        last-writer-wins retry recomputes only the remove-set and
+        would silently drop rows a concurrent append added after the
+        caller's read. Data files written by a losing attempt are
+        unreferenced orphans; VACUUM's age guard collects them."""
+        files, stats = self._write_data(df, self._stat_cols())
+        removes = [
+            os.path.relpath(p, self.root)
+            for p in self.live_files(expected_head)
+        ]
+        payload = {"op": "overwrite", "add": files, "remove": removes}
+        if stats:
+            payload["stats"] = stats
+        if extra:
+            payload.update(extra)
+        if self._try_commit(expected_head + 1, payload):
+            return expected_head + 1
+        return None
+
     def commit_meta(self, version: int) -> dict:
         """The raw commit record for ``version`` (op, files, stats, and
         any ``extra`` metadata the committer attached)."""

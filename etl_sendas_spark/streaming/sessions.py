@@ -659,7 +659,14 @@ def stream_upsert_to_txlog(
     - versions are per-batch snapshots, so the txlog's time travel IS
       the stream's history, its zone maps prune reads of it, and its
       CDC composition (snapshot_diff between versions) gives a change
-      feed per micro-batch for free.
+      feed per micro-batch for free;
+    - CONCURRENT BATCH WRITERS are safe (round 7): each micro-batch is
+      an optimistic read-modify-write — read the head it validated,
+      merge, then :meth:`TxLogTable.overwrite_if` commits only if the
+      head is unchanged; a batch ``append``/``compact`` landing between
+      the read and the commit forces a re-read + re-merge, so the
+      concurrent writer's rows survive into the stream's committed
+      version instead of being dropped by a blind remove-set retry.
 
     The batch-id scan walks commits newest-first and stops at the
     first streaming commit, so steady-state cost is O(1) commits read.
@@ -667,7 +674,7 @@ def stream_upsert_to_txlog(
     import os
 
     from ..operators.relational import merge_changes
-    from ..sources.txlog import TxLogTable
+    from ..sources.txlog import CommitConflict, TxLogTable
 
     def last_batch_id(t: TxLogTable) -> int | None:
         for v in reversed(t.versions()):
@@ -678,23 +685,34 @@ def stream_upsert_to_txlog(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        t = TxLogTable(table_path)
-        exists = bool(t.versions())
-        if exists:
+        changes = batch_df.withColumn("op", F.lit("U"))
+        while True:
+            t = TxLogTable(table_path)
+            if not t.versions():
+                merged = merge_changes(
+                    spark.createDataFrame([], batch_df.schema),
+                    changes,
+                    keys=keys,
+                    seq_col=seq_col,
+                )
+                try:
+                    TxLogTable.create(
+                        table_path, merged, extra={"batch_id": int(batch_id)}
+                    )
+                    return
+                except (CommitConflict, FileExistsError):
+                    continue  # lost the create race: merge onto the head
             last = last_batch_id(t)
             if last is not None and int(batch_id) <= last:
                 return  # replay of an already-committed batch: skip
-        changes = batch_df.withColumn("op", F.lit("U"))
-        base = (
-            t.read(spark)
-            if exists
-            else spark.createDataFrame([], batch_df.schema)
-        )
-        merged = merge_changes(base, changes, keys=keys, seq_col=seq_col)
-        if exists:
-            t.overwrite(merged, extra={"batch_id": int(batch_id)})
-        else:
-            TxLogTable.create(table_path, merged, extra={"batch_id": int(batch_id)})
+            head = t.latest_version()
+            base = t.read(spark, version=head)  # the head we validate
+            merged = merge_changes(base, changes, keys=keys, seq_col=seq_col)
+            if (
+                t.overwrite_if(merged, head, extra={"batch_id": int(batch_id)})
+                is not None
+            ):
+                return
 
     q = (
         stream_df.writeStream.outputMode("update")

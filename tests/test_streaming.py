@@ -885,3 +885,92 @@ def test_txlog_sink_skips_replayed_batch_exactly_once(spark, tmp_path):
     # per-batch time travel: version 1 is the post-batch-1 state
     v1 = {(r["k"], r["v"]) for r in table.read(spark, 1).select("k", "v").collect()}
     assert v1 == {(1, "a0"), (2, "b1"), (3, "c0")}
+
+
+def test_txlog_sink_survives_concurrent_batch_writers(spark, tmp_path, monkeypatch):
+    """The production scenario round 6 left untested: batch writers
+    landing on the SAME txlog table a stream is merging into —
+    (a) between micro-batches (append, then compact), and (b) INSIDE a
+    micro-batch's read-modify-write window (append injected between the
+    stream's head read and its conditional commit, forcing
+    ``overwrite_if`` to return None). Required outcomes: the concurrent
+    writers' rows survive into the stream's committed version (a blind
+    remove-set retry would drop them), the stream's retry commits its
+    batch exactly once, and the batch-id replay scan keeps working
+    across interleaved non-stream commits (append/compact carry no
+    batch_id)."""
+    import datetime as dt
+    import os
+
+    from etl_sendas_spark.sources import txlog as txlog_mod
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import stream_upsert_to_txlog
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    sch = "k long, v string, ts timestamp"
+    table_path, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+
+    def run_once():
+        schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*.parquet"))
+        )
+        stream_upsert_to_txlog(stream, table_path, ckpt, keys=["k"], seq_col="ts")
+
+    _land_file(spark, src, "f1.parquet", [(1, "a0", t(0)), (2, "b0", t(1))], sch, 1000)
+    run_once()  # batch 0 -> version 0 (create)
+    table = TxLogTable(table_path)
+    assert table.versions() == [0]
+
+    # (a) between micro-batches: a batch append, then a compact
+    table.append(spark.createDataFrame([(9, "z0", t(5))], sch), spark)  # v1
+    table.compact(spark)  # v2, no batch_id
+    _land_file(spark, src, "f2.parquet", [(2, "b1", t(10))], sch, 2000)
+
+    # (b) mid-commit: the FIRST conditional commit of the next stream
+    # batch races a concurrent append landing after the stream's read
+    real_overwrite_if = TxLogTable.overwrite_if
+    race = {"fired": 0, "none_seen": 0}
+
+    def racing_overwrite_if(self, df, expected_head, extra=None):
+        if race["fired"] == 0:
+            race["fired"] = 1
+            TxLogTable(table_path).append(
+                spark.createDataFrame([(8, "y0", t(11))], sch), spark
+            )
+        out = real_overwrite_if(self, df, expected_head, extra)
+        if out is None:
+            race["none_seen"] += 1
+        return out
+
+    monkeypatch.setattr(TxLogTable, "overwrite_if", racing_overwrite_if)
+    run_once()  # batch 1: read head -> injected append -> conflict -> retry
+    monkeypatch.setattr(TxLogTable, "overwrite_if", real_overwrite_if)
+
+    assert race["fired"] == 1 and race["none_seen"] == 1  # retry path real
+    # versions: 0 create, 1 append, 2 compact, 3 injected append,
+    # 4 the stream batch's single commit after its retry
+    assert table.versions() == [0, 1, 2, 3, 4]
+    metas = [table.commit_meta(v).get("batch_id") for v in table.versions()]
+    assert metas == [0, None, None, None, 1]  # exactly-once, scan-safe
+    final = {
+        (r["k"], r["v"]) for r in table.read(spark).select("k", "v").collect()
+    }
+    # both concurrent writers' rows survived the stream's re-merge
+    assert final == {(1, "a0"), (2, "b1"), (9, "z0"), (8, "y0")}
+
+    # the replay scan still resolves across the non-stream commits:
+    # a replayed batch 1 must be skipped, a new batch 2 must apply
+    replayed = _force_replay_of_last_batch(ckpt)
+    assert replayed == 1
+    _land_file(spark, src, "f3.parquet", [(9, "z1", t(20))], sch, 3000)
+    run_once()
+    assert table.versions() == [0, 1, 2, 3, 4, 5]  # replay added nothing
+    assert table.commit_meta(5).get("batch_id") == 2
+    assert {
+        (r["k"], r["v"]) for r in table.read(spark).select("k", "v").collect()
+    } == {(1, "a0"), (2, "b1"), (9, "z1"), (8, "y0")}
