@@ -604,6 +604,125 @@ def langid_train(df, lang_col: str = "lang", k: int = 50):
     )
 
 
+def _langid_score_profiles(doc_prof, profiles, id_col: str, k: int):
+    """Scoring tail shared by :func:`langid_score` and
+    :func:`langid_train_score`: out-of-place distance of per-doc
+    profiles against broadcast language profiles, argmin per doc."""
+    from pyspark.sql import Window
+
+    langs = profiles.select("lang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(profiles.withColumnRenamed("rank", "lrank")),
+            ["lang", "gram"],
+            "left",
+        )
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")), F.lit(k)
+                ).cast("long")
+            ).alias("distance")
+        )
+    )
+    best = Window.partitionBy(id_col).orderBy(
+        F.col("distance").asc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("lang").alias("lang_pred"), "distance")
+    )
+
+
+def langid_train_score(
+    df,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 50,
+    strategy: str | None = None,
+):
+    """Train AND classify in one corpus pass: identical output to
+    ``langid_score(df, langid_train(df, k=k), k=k)``, but the
+    corpus-sized work — the trigram explode (normalization regex +
+    substring generation over every character position) AND its
+    map-side-combined shuffle — runs ONCE. What gets pinned is NOT the
+    raw exploded frame (pinning ~200 gram rows per document
+    OOM-pressured local[32] at 500k docs — a corpus-sized pin is the
+    wrong stage table at any scale); it is the per-(id, lang, gram)
+    COUNT, which is combine-sized (distinct grams per doc). Each doc
+    has one lang, so (id, gram) is unique in the pin and BOTH profiles
+    derive from it: the language profile re-aggregates
+    ``SUM(cnt) GROUP BY (lang, gram)`` (a pin-sized shuffle, not a
+    corpus one) and the per-doc ranks read it directly. Pin mechanism
+    is the ``materialize`` strategy knob (localCheckpoint locally,
+    reliable checkpoint / stage parquet on a cluster).
+
+    MEASURED NEGATIVE RESULT (round 7, BASELINE.md): at ×100 (500k
+    docs, local[32]) this fused form LOSES to the two-pass
+    ``langid_score(df, langid_train(df))`` — 47.3 s (parquet stage)
+    vs 41.0 s, and a localCheckpoint pin fails outright under block-
+    manager pressure (~250M pinned gram rows). The intermediate is
+    cheap to recompute (pure codegen over the scan) and expensive to
+    materialize, so the registered query keeps the two-explode form;
+    this operator remains for callers whose source scan is the
+    expensive part (e.g. remote object storage with per-scan egress),
+    equality pinned by pytest across all strategies.
+    """
+    from pyspark.sql import Window
+
+    from ..materialize import materialize, release
+
+    with_norm = df.select(
+        F.col(id_col), F.col(lang_col).alias("lang"),
+        normalized_text(F.col("text")).alias("__n"),
+    )
+    n = F.col("__n")
+    grams = F.when(
+        F.length(n) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(n) - 2),
+            lambda i: F.substring(n, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_gram_counts = materialize(
+        with_norm.select(id_col, "lang", F.explode(grams).alias("gram"))
+        .groupBy(id_col, "lang", "gram")
+        .agg(F.count("*").alias("cnt")),
+        name="langid_doc_gram_counts",
+        strategy=strategy,
+    )
+    try:
+        wl = Window.partitionBy("lang").orderBy(
+            F.col("cnt").desc(), F.col("gram").asc()
+        )
+        profiles = (
+            doc_gram_counts.groupBy("lang", "gram")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("rank", F.row_number().over(wl))
+            .filter(F.col("rank") <= k)
+            .select("lang", "gram", "rank")
+        )
+        wd = Window.partitionBy(id_col).orderBy(
+            F.col("cnt").desc(), F.col("gram").asc()
+        )
+        doc_prof = (
+            doc_gram_counts.withColumn("drank", F.row_number().over(wd))
+            .filter(F.col("drank") <= k)
+            .select(id_col, "gram", "drank")
+        )
+        out = _langid_score_profiles(doc_prof, profiles, id_col, k)
+        # the pinned frame feeds two branches of `out`'s plan, so it
+        # must stay alive until the caller has consumed the result;
+        # eagerly materialize the small output before releasing it
+        result = materialize(out, name="langid_out", strategy=strategy)
+    finally:
+        release(doc_gram_counts)
+    return result
+
+
 def langid_score(df, profiles, id_col: str = "doc_id", k: int = 50):
     """Classify each document against trained profiles with the
     out-of-place measure: build the document's own top-k trigram
@@ -631,28 +750,4 @@ def langid_score(df, profiles, id_col: str = "doc_id", k: int = 50):
         .filter(F.col("drank") <= k)
         .select(id_col, "gram", "drank")
     )
-    langs = profiles.select("lang").distinct()
-    scored = (
-        doc_prof.crossJoin(F.broadcast(langs))
-        .join(
-            F.broadcast(profiles.withColumnRenamed("rank", "lrank")),
-            ["lang", "gram"],
-            "left",
-        )
-        .groupBy(id_col, "lang")
-        .agg(
-            F.sum(
-                F.coalesce(
-                    F.abs(F.col("drank") - F.col("lrank")), F.lit(k)
-                ).cast("long")
-            ).alias("distance")
-        )
-    )
-    best = Window.partitionBy(id_col).orderBy(
-        F.col("distance").asc(), F.col("lang").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(best))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("lang").alias("lang_pred"), "distance")
-    )
+    return _langid_score_profiles(doc_prof, profiles, id_col, k)

@@ -496,6 +496,14 @@ def langid_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined), per-doc top-k via WindowGroupLimit, broadcast
     model join, argmin with total-order ties.
 
+    The two-explode form is KEPT deliberately (round-7 measured
+    negative result, BASELINE.md): fusing both sides onto one pinned
+    explode (functions/text.langid_train_score) lost the ×100 A/B —
+    recomputing the cheap codegen explode beats materializing the
+    combine-sized (doc, gram, cnt) intermediate (41.0 s vs 47.3 s
+    parquet stage; a localCheckpoint pin OOM-pressures the block
+    manager outright).
+
     ORACLE: ``LANGID_NGRAM_SQL`` replays trigrams → ranked profiles →
     out-of-place sum → argmin with the identical tiebreaks.
     """

@@ -221,6 +221,39 @@ def test_langid_ngram_discriminates_real_languages(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_langid_train_score_equals_two_pass_form(spark):
+    """The one-explode self-train form (langid_train_score: trigram
+    explode pinned once, both profile aggregates read the pin) must be
+    row-identical to langid_score(df, langid_train(df)) — the
+    equivalence that let the registered query drop its second
+    corpus-sized explode in round 7. Covers every materialize strategy
+    knob (local / parquet / none)."""
+    from etl_sendas_spark.functions.text import (
+        langid_score,
+        langid_train,
+        langid_train_score,
+    )
+
+    rows, i = [], 0
+    for lang, sents in _LID_SENTS.items():
+        for s in sents:
+            rows.append((i, s, lang))
+            i += 1
+    rows += [(i, "ab", "en"), (i + 1, None, "fr")]  # no-trigram edges
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    two_pass = {
+        (r["doc_id"], r["lang_pred"], r["distance"])
+        for r in langid_score(df, langid_train(df, k=60), k=60).collect()
+    }
+    for strategy in ("local", "parquet", "none"):
+        fused = {
+            (r["doc_id"], r["lang_pred"], r["distance"])
+            for r in langid_train_score(df, k=60, strategy=strategy).collect()
+        }
+        assert fused == two_pass, strategy
+
+
 def test_langid_short_and_empty_docs_absent(spark):
     """Documents with no trigrams (len<3 after normalization) produce
     no prediction row — no evidence, no guess."""
