@@ -54,6 +54,102 @@ def geo_cells(lat: Column, lon: Column, dlat_deg: float, dlon_deg: float):
     )
 
 
+def _exact_prune(
+    cand: DataFrame,
+    radius_km: float,
+    lat_col: str,
+    lon_col: str,
+    suffixes: tuple[str, str],
+    backend: str,
+) -> DataFrame:
+    """Exact haversine prune of cell-join candidates, shared by
+    :func:`radius_join` and :func:`radius_join_banded`.
+
+    ``backend="exact"`` (default, the oracle path): one Column
+    expression tree — SQL-replayable, stays inside whole-stage codegen.
+    ``backend="numpy"``: the same trig vectorized over Arrow batches
+    (``mapInPandas``), rounding unified through
+    :func:`..similarity.round_half_up` — the similarity-module backend
+    pattern applied to the r6 finding that the radius join is
+    output-bound at ≈250 ns/pair of JVM row-pipeline constant. Not the
+    oracle default: numpy's libm need not be bit-identical to the
+    JVM's, so a pair landing EXACTLY on the radius or a rounding
+    boundary could flip (property-pinned equal on grid-derived data).
+
+    MEASURED NEGATIVE RESULT (round 7, BASELINE.md): at n=2M /
+    ~40M output pairs the numpy path is 3.7× SLOWER than the Column
+    path (41.9 s vs 11.3 s) — precisely BECAUSE the workload is
+    output-bound: the similarity backends win by collapsing many rows
+    into k results inside the Arrow stage, while here survivors ≈
+    candidates, so the Arrow round-trip serializes the whole pair
+    stream both ways to save five trig calls per row. The Column path
+    stays the default AND the recommendation; the 2M-scale mirror
+    residual is confirmed JVM row-pipeline floor, not filter math
+    (same verdict as the r6 chord prefilter, now from the opposite
+    direction).
+    """
+    sl, sr = suffixes
+    if backend == "exact":
+        dist = F.round(
+            haversine_km(
+                F.col(lat_col + sl),
+                F.col(lon_col + sl),
+                F.col(lat_col + sr),
+                F.col(lon_col + sr),
+            ),
+            6,
+        )
+        return cand.withColumn("distance_km", dist).filter(
+            F.col("distance_km") <= F.lit(radius_km)
+        )
+    if backend != "numpy":
+        raise ValueError(f"radius join backend must be exact|numpy, got {backend!r}")
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from .similarity import round_half_up
+
+    out_schema = StructType(
+        cand.schema.fields + [StructField("distance_km", DoubleType())]
+    )
+    latl, lonl = lat_col + sl, lon_col + sl
+    latr, lonr = lat_col + sr, lon_col + sr
+    r2 = 2.0 * EARTH_RADIUS_KM
+
+    def prune(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lat1 = np.radians(pdf[latl].to_numpy(dtype=np.float64))
+            lat2 = np.radians(pdf[latr].to_numpy(dtype=np.float64))
+            dphi = (
+                np.radians(
+                    pdf[latr].to_numpy(dtype=np.float64)
+                    - pdf[latl].to_numpy(dtype=np.float64)
+                )
+                / 2.0
+            )
+            dlam = (
+                np.radians(
+                    pdf[lonr].to_numpy(dtype=np.float64)
+                    - pdf[lonl].to_numpy(dtype=np.float64)
+                )
+                / 2.0
+            )
+            a = np.sin(dphi) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlam) ** 2
+            d = round_half_up(r2 * np.arcsin(np.sqrt(a)), 6)
+            keep = d <= radius_km
+            if not keep.any():
+                continue
+            out = pdf.loc[keep].copy()
+            out["distance_km"] = d[keep]
+            yield out
+
+    return cand.mapInPandas(prune, out_schema)
+
+
 def radius_join(
     left: DataFrame,
     right: DataFrame,
@@ -62,6 +158,7 @@ def radius_join(
     lon_col: str = "lon",
     max_abs_lat: float = 66.0,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    backend: str = "exact",
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_km`` great-circle km.
 
@@ -120,15 +217,6 @@ def radius_join(
         "*", F.col("__n.cx").alias("__cx"), F.col("__n.cy").alias("__cy")
     ).drop("__n")
 
-    dist = F.round(
-        haversine_km(
-            F.col(lat_col + sl),
-            F.col(lon_col + sl),
-            F.col(lat_col + sr),
-            F.col(lon_col + sr),
-        ),
-        6,
-    )
     # bounding-box prefilter: |Δlat| ≤ dlat and |Δlon| ≤ dlon are
     # NECESSARY for any pair within radius_km (degree sizes bounded at
     # max_abs_lat), so this rejects no qualifying pair — it just spares
@@ -137,13 +225,12 @@ def radius_join(
     bbox = (
         F.abs(F.col(lat_col + sl) - F.col(lat_col + sr)) <= F.lit(dlat)
     ) & (F.abs(F.col(lon_col + sl) - F.col(lon_col + sr)) <= F.lit(dlon))
-    return (
+    cand = (
         lexpanded.join(rbucketed, ["__cx", "__cy"])
         .filter(bbox)
-        .withColumn("distance_km", dist)
-        .filter(F.col("distance_km") <= F.lit(radius_km))
         .drop("__cx", "__cy")
     )
+    return _exact_prune(cand, radius_km, lat_col, lon_col, suffixes, backend)
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +275,7 @@ def radius_join_banded(
     lat_col: str = "lat",
     lon_col: str = "lon",
     suffixes: tuple[str, str] = ("_l", "_r"),
+    backend: str = "exact",
 ) -> DataFrame:
     """:func:`radius_join` with LATITUDE-BANDED cells — the fix for the
     fixed grid's measured failure mode (BASELINE.md round 6: one global
@@ -259,24 +347,14 @@ def radius_join_banded(
         .drop("__n")
     )
 
-    dist = F.round(
-        haversine_km(
-            F.col(lat_col + sl),
-            F.col(lon_col + sl),
-            F.col(lat_col + sr),
-            F.col(lon_col + sr),
-        ),
-        6,
-    )
     # |Δlat| bound is latitude-independent, so it is always a valid
     # (necessary) prefilter; the lon bound varies per pair, so banded
     # mode leaves lon pruning to the cells themselves
-    return (
+    cand = (
         lexpanded.join(rbucketed, ["__band", "__cell"])
         .filter(
             F.abs(F.col(lat_col + sl) - F.col(lat_col + sr)) <= F.lit(dlat)
         )
-        .withColumn("distance_km", dist)
-        .filter(F.col("distance_km") <= F.lit(radius_km))
         .drop("__band", "__cell")
     )
+    return _exact_prune(cand, radius_km, lat_col, lon_col, suffixes, backend)

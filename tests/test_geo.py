@@ -207,3 +207,39 @@ def test_radius_join_banded_antimeridian_wraparound(spark):
     polar = radius_join_banded(pa, pa, 500.0).collect()
     pkeys = [(r["pid_l"], r["pid_r"]) for r in polar]
     assert len(pkeys) == len(set(pkeys)) == 4  # both cross pairs + selves
+
+
+def test_radius_join_numpy_backend_equals_column_path(spark):
+    """backend='numpy' (Arrow-batched trig prune over candidates) must
+    return the exact pair set AND rounded distances of the default
+    Column path (HALF_UP rounding unified via similarity.round_half_up)
+    for both the fixed-grid and banded joins, including seam-crossing
+    pairs; the backend arg is rejected if unknown."""
+    import pytest as _pytest
+
+    from etl_sendas_spark.operators.geo import radius_join_banded
+
+    pts = _points(spark, n=600, lat_span=20.0, lat0=30.0, lon_span=20.0, lon0=170.0)
+    # wrap half the lons past the seam
+    pts = pts.withColumn(
+        "lon", F.when(F.col("lon") >= 180.0, F.col("lon") - 360.0).otherwise(F.col("lon"))
+    )
+    left = pts.filter("pid % 2 = 0")
+    right = pts.filter("pid % 2 = 1")
+
+    for join_fn, kw in (
+        (radius_join, {"max_abs_lat": 51.0}),
+        (radius_join_banded, {}),
+    ):
+        exact = {
+            (r["pid_l"], r["pid_r"], r["distance_km"])
+            for r in join_fn(left, right, 150.0, **kw).collect()
+        }
+        vec = {
+            (r["pid_l"], r["pid_r"], r["distance_km"])
+            for r in join_fn(left, right, 150.0, backend="numpy", **kw).collect()
+        }
+        assert vec == exact and len(exact) > 100, join_fn.__name__
+
+    with _pytest.raises(ValueError, match="backend"):
+        radius_join(left, right, 10.0, backend="arrow").collect()
