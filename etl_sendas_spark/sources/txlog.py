@@ -54,7 +54,7 @@ import os
 import re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CHECKPOINT_EVERY = 10
 
@@ -379,19 +379,48 @@ class TxLogTable:
         any ``extra`` metadata the committer attached)."""
         return self._read_commit(version)
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 10,
+    ) -> int:
         """Layout-only rewrite of the current live set into
         ``target_files`` files. Raises :class:`CommitConflict` if any
         commit lands between snapshot and claim — compacting a stale
-        snapshot would resurrect overwritten rows."""
+        snapshot would resurrect overwritten rows.
+
+        ``zorder_by`` re-clusters the live set on the Morton key of
+        those columns before writing (Delta/Iceberg ``OPTIMIZE ZORDER
+        BY``, via :func:`..operators.layout.zorder_value`):
+        range-partition on the key into ``target_files``, sort within
+        partitions, drop the key. Every interleaved column then has
+        narrow per-file zone maps in the NEW commit's stats, so
+        :meth:`read`'s manifest pruning bites on all of them at once —
+        appends arrive in ingest order, and without an occasional
+        clustered rewrite their zone maps converge to full-domain
+        ranges that prune nothing. Plain ``coalesce`` (no shuffle)
+        when ``zorder_by`` is None."""
         head = self.latest_version()
         live = self.live_files(head)
-        compacted, stats = self._write_data(
-            spark.read.parquet(*live).coalesce(target_files),
-            self._stat_cols(),
-        )
+        src = spark.read.parquet(*live)
+        if zorder_by:
+            from ..operators.layout import zorder_value
+
+            src = (
+                zorder_value(src, list(zorder_by), bits=zorder_bits)
+                .repartitionByRange(target_files, "zval")
+                .sortWithinPartitions("zval")
+                .drop("zval")
+            )
+        else:
+            src = src.coalesce(target_files)
+        compacted, stats = self._write_data(src, self._stat_cols())
         removes = [os.path.relpath(p, self.root) for p in live]
         payload = {"op": "compact", "add": compacted, "remove": removes}
+        if zorder_by:
+            payload["zorder_by"] = list(zorder_by)
         if stats:
             payload["stats"] = stats
         if not self._try_commit(head + 1, payload):
@@ -399,6 +428,66 @@ class TxLogTable:
                 f"live set moved past version {head} during compact; retry"
             )
         return head + 1
+
+    def change_feed(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Per-commit change data feed (the Delta CDF idea, read-side):
+        for each version v in [from_version, to_version], the I/U/D
+        rows that turned snapshot v−1 into snapshot v
+        (:func:`..operators.relational.snapshot_diff`), tagged
+        ``_commit_version`` — so downstream incremental consumers
+        (IVM, replication, audit) can replay the table's history
+        without re-reading full snapshots themselves.
+
+        PRECONDITION: ``keys`` unique within every snapshot (a keyed
+        table — e.g. the streaming MERGE sink's output; inherited from
+        snapshot_diff). Version 0's feed diffs against an empty frame,
+        so a create commit emits pure inserts. Versions truncated by
+        VACUUM fail at resolution, loudly.
+
+        Scale note: this RECONSTRUCTS changes by diffing adjacent
+        snapshots — one keyed shuffle per requested version, each
+        change-sized on output but snapshot-sized on input. It is the
+        right tool for occasional catch-up over a few commits; a
+        consumer that needs every batch's changes should take them at
+        write time (the streaming sink's per-batch time travel), which
+        is free.
+        """
+        from ..operators.relational import snapshot_diff
+
+        if to_version is None:
+            to_version = self.latest_version()
+        known = set(self.versions())
+        missing = [
+            v for v in range(from_version, to_version + 1) if v not in known
+        ]
+        if from_version > to_version or missing:
+            raise ValueError(
+                f"change_feed: versions {missing or [from_version]} not "
+                f"resolvable (available: {sorted(known)})"
+            )
+        parts = []
+        for v in range(from_version, to_version + 1):
+            cur = self.read(spark, v)
+            prev = (
+                self.read(spark, v - 1)
+                if (v - 1) in known
+                else spark.createDataFrame([], cur.schema)
+            )
+            parts.append(
+                snapshot_diff(prev, cur, keys=keys).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def vacuum(
         self,

@@ -240,3 +240,89 @@ def test_vacuum_deletes_dead_files_and_truncates_log(spark, tmp_path):
     # the table still accepts writes after vacuum
     t.append(_df(spark, 40, 45, "e"), spark)
     assert {r["k"] for r in t.read(spark).collect()} == set(range(30, 45))
+
+
+def test_compact_zorder_restores_multi_column_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY for the txlog: ingest-ordered appends leave
+    every file's zone maps spanning the full domain of both query
+    columns (pruning reads everything); compact(zorder_by=[a, b]) must
+    (1) preserve content exactly, (2) make read()-time pruning on EACH
+    of the two columns drop files, and (3) record the clustering in the
+    commit payload."""
+    root = str(tmp_path / "tz")
+    # two independent uniform columns, appended in id order: every
+    # ingest file spans ~the full (a, b) domain
+    def wave(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 7919 % 1000).alias("a"),
+                (F.col("id") * 104729 % 1000).alias("b"),
+            )
+            .repartition(4)
+        )
+
+    t = TxLogTable.create(root, wave(0, 4000), stat_cols=["a", "b"])
+    t.append(wave(4000, 8000), spark)
+    before = t.read(spark)
+    n_before = len(before.inputFiles())
+    # ingest layout: a box prune on either column keeps every file
+    assert len(t.read(spark, prune={"a": (0, 99)}).inputFiles()) == n_before
+    assert len(t.read(spark, prune={"b": (0, 99)}).inputFiles()) == n_before
+    exp = sorted((r["k"], r["a"], r["b"]) for r in before.collect())
+
+    v = t.compact(spark, target_files=16, zorder_by=["a", "b"])
+    assert t.commit_meta(v)["zorder_by"] == ["a", "b"]
+    after = t.read(spark)
+    assert sorted((r["k"], r["a"], r["b"]) for r in after.collect()) == exp
+    n_after = len(after.inputFiles())
+    # z-clustered layout: the same box prunes files on BOTH columns
+    pr_a = len(t.read(spark, prune={"a": (0, 99)}).inputFiles())
+    pr_b = len(t.read(spark, prune={"b": (0, 99)}).inputFiles())
+    assert pr_a < n_after and pr_b < n_after, (pr_a, pr_b, n_after)
+    # and pruned reads stay value-correct
+    got = sorted(
+        r["k"]
+        for r in t.read(spark, prune={"a": (0, 99)})
+        .filter("a between 0 and 99")
+        .collect()
+    )
+    assert got == sorted(r["k"] for r in before.filter("a between 0 and 99").collect())
+
+
+def test_change_feed_per_commit_and_replay(spark, tmp_path):
+    """change_feed: per-commit I/U/D rows tagged _commit_version;
+    create emits pure inserts, merging each commit's feed in order
+    replays every snapshot, bad ranges fail loudly."""
+    from etl_sendas_spark.operators.relational import merge_changes
+
+    root = str(tmp_path / "tcf")
+    t = TxLogTable.create(root, _df(spark, 0, 5, "v0"))
+    t.overwrite(_df(spark, 0, 4, "v0").union(_df(spark, 6, 8, "v1")))  # del 4, ins 6,7
+    t.overwrite(
+        _df(spark, 0, 3, "v0").union(_df(spark, 3, 4, "UPD")).union(_df(spark, 6, 8, "v1"))
+    )  # update k=3
+
+    feed = t.change_feed(spark, keys=["k"], from_version=0)
+    rows = feed.collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["_commit_version"], []).append((r["op"], r["k"]))
+    assert sorted(by_v[0]) == [("I", k) for k in range(5)]
+    assert sorted(by_v[1]) == [("D", 4), ("I", 6), ("I", 7)]
+    assert sorted(by_v[2]) == [("U", 3)]
+
+    # replay law: folding each commit's feed reproduces each snapshot
+    state = spark.createDataFrame([], t.read(spark, 0).schema)
+    for v in [0, 1, 2]:
+        changes = feed.filter(F.col("_commit_version") == v).drop("_commit_version")
+        state = merge_changes(state, changes, keys=["k"])
+        assert sorted((r["k"], r["v"]) for r in state.collect()) == sorted(
+            (r["k"], r["v"]) for r in t.read(spark, v).collect()
+        ), v
+
+    # partial window + loud failure on unresolvable versions
+    assert {r["_commit_version"] for r in t.change_feed(spark, ["k"], 1, 2).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="change_feed"):
+        t.change_feed(spark, ["k"], 1, 9)
