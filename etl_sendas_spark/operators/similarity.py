@@ -401,6 +401,223 @@ def ivf_cosine_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ — product-quantized inverted file (the memory-bounded ANN path)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    rerank: int = 0,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via IVF + product quantization (Jégou, Douze,
+    Schmid 2011 — the FAISS ``IVFPQ`` shape, the standard way to fit a
+    billion-vector index in memory).
+
+    Why this exists next to :func:`ivf_cosine_topk`: IVF bounds the
+    SCAN (n_probe/n_centroids of the corpus per query) but every probed
+    candidate still carries its full ``dim`` doubles through the join.
+    PQ bounds the BYTES: the at-rest index row is
+    (id, cluster, codes array of ``m_subspaces`` small ints) — at
+    dim=64/m=4 that is 4 bytes of code versus 512 bytes of vector, the
+    ~100× compression that makes a 100 TB embedding corpus probeable
+    from executor memory. Candidates are scored WITHOUT their original
+    vectors: the code array reconstructs an approximation from the
+    broadcast codebook and the score is the exact rounded
+    cosine(query, reconstruction).
+
+    Deterministic, cross-engine-replayable construction (no RNG, same
+    discipline as the IVF index):
+
+    - coarse quantizer: the ``n_centroids`` portable-hash-lowest corpus
+      rows, nearest-centroid assignment with lowest-id tie-break —
+      identical to :func:`ivf_cosine_topk` (lloyd refinement
+      deliberately omitted here: the oracle-replayable lloyd=0 config
+      is this function's contract; compose with the IVF machinery for
+      refined coarse centroids);
+    - codebooks: subspace j's codewords are the j-th subvector slices
+      of the ``n_codes`` hash-lowest rows (a deterministic sample, the
+      same seeding idea as the coarse centroids);
+    - encode: per subspace, L2-argmin over the literal codebook via
+      ``x·x − 2·x·c + c·c`` (three left-to-right dot folds — the form
+      both engines reproduce bit-for-bit), ties to the lowest code id;
+    - ADC scoring: reconstruction = concat of the coded codewords
+      (``element_at`` into the broadcast literal codebook, never a
+      join), cosine = dot(q, x̃)/(|q|·|x̃|) rounded to 6 dp.
+
+    ``rerank > 0`` re-scores each query's top-``rerank`` ADC candidates
+    with their TRUE vectors (one broadcast join of the candidate ids
+    back onto the corpus) — the standard two-stage recipe that buys
+    back the quantization error for pennies; the output ``cosine`` is
+    then exact. Left at 0 the output is the pure-ADC ranking the SQL
+    oracle replays end-to-end.
+    """
+    from .dedupe import portable_hash60
+
+    if rerank < 0:
+        raise ValueError(f"ivfpq_cosine_topk: rerank must be >= 0, got {rerank}")
+    qid = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"ivfpq_cosine_topk: dim {dim} not divisible by m={m_subspaces}"
+        )
+    dsub = dim // m_subspaces
+
+    hashed = c.withColumn(
+        "__h", portable_hash60(F.col("neighbor_id").cast("string"))
+    )
+    cents = (
+        hashed.orderBy("__h")
+        .limit(n_centroids)
+        .select(
+            F.col("neighbor_id").alias("centroid_id"),
+            F.col("cv").alias("ce"),
+            F.col("cn").alias("ce_n"),
+        )
+    )
+    # codebooks: n_codes hash-lowest rows, sliced per subspace
+    cb_rows = sorted(
+        hashed.orderBy("__h").limit(n_codes).select("neighbor_id", "cv").collect(),
+        key=lambda r: r["neighbor_id"],
+    )
+    if len(cb_rows) < 2:
+        raise ValueError("ivfpq_cosine_topk: corpus too small for a codebook")
+    # codebook[j][i] = list of dsub floats (codeword i of subspace j),
+    # ordered by the sampled rows' ids so code assignment is stable
+    codebook = [
+        [list(r["cv"])[j * dsub : (j + 1) * dsub] for r in cb_rows]
+        for j in range(m_subspaces)
+    ]
+
+    def _lit_vec(vals: list[float]):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    # encode: per subspace, argmin ||x_j - c||^2 = x·x - 2 x·c + c·c
+    # (three dot folds, replayed verbatim by the oracle), first
+    # strictly-smaller wins = lowest code id on ties
+    def _argmin_code(j: int):
+        xj = F.slice(F.col("cv"), j * dsub + 1, dsub)
+        xx = _dot(xj, xj)
+        d2s = F.array(
+            *[
+                xx
+                - F.lit(2.0) * _dot(xj, _lit_vec(cw))
+                + _dot(_lit_vec(cw), _lit_vec(cw))
+                for cw in codebook[j]
+            ]
+        )
+        best = F.aggregate(
+            F.sequence(F.lit(0), F.lit(len(codebook[j]) - 1)),
+            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+            lambda acc, i: F.when(
+                F.element_at(d2s, i + 1) < acc["d"],
+                F.struct(F.element_at(d2s, i + 1).alias("d"), i.alias("i")),
+            ).otherwise(acc),
+        )
+        return best["i"].alias(f"__c{j}")
+
+    code_cols = [_argmin_code(j) for j in range(m_subspaces)]
+
+    assigned = _assign_nearest_centroid(c, cents)
+    index = assigned.select(
+        "neighbor_id",
+        "cluster",
+        F.array(*code_cols).alias("codes"),
+        # at rest ONLY (neighbor_id, cluster, codes) persists — cv/cn
+        # are consumed by the encode expressions above and dropped here
+    )
+
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim", _dot(F.col("qv"), F.col("ce")) / (F.col("qn") * F.col("ce_n"))
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("cluster"))
+    )
+
+    # ADC: reconstruct from the literal codebook (element_at, no join),
+    # exact rounded cosine against the reconstruction
+    cb_lits = [
+        F.array(*[_lit_vec(cw) for cw in codebook[j]]) for j in range(m_subspaces)
+    ]
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(cb_lits[j], F.col("codes")[j] + 1)
+                for j in range(m_subspaces)
+            ]
+        )
+    )
+    cand = index.join(F.broadcast(probes), "cluster")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    adc = cand.withColumn("__rv", recon).select(
+        "query_id",
+        "neighbor_id",
+        "qv",
+        "qn",
+        F.round(
+            _dot(F.col("__rv"), F.col("qv")) / (_norm(F.col("__rv")) * F.col("qn")),
+            6,
+        ).alias("adc_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id")
+    )
+    if rerank == 0:
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.col("adc_cosine").alias("cosine"), "rank")
+        )
+
+    shortlist = adc.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max(rerank, k)
+    )
+    exact = (
+        c.join(
+            F.broadcast(shortlist.select("query_id", "neighbor_id", "qv", "qn")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
 # multi-table sign-LSH — the near-duplicate fast path
 # ---------------------------------------------------------------------------
 

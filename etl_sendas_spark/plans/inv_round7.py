@@ -123,3 +123,114 @@ GROUP BY event_type
 
 PART_QUERIES["txlog_time_travel_events"] = txlog_time_travel_events
 PART_ORACLES["txlog_time_travel_events"] = TXLOG_TIME_TRAVEL_SQL
+
+
+# ===========================================================================
+# round 7: IVF-PQ — product-quantized ANN (the memory-bounded index)
+# ===========================================================================
+
+_PQ_M = 4  # subspaces (dim 64 -> dsub 16)
+_PQ_CODES = 16
+_PQ_DSUB = 16
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 (operators/similarity.ivfpq_cosine_topk,
+    pure-ADC config): coarse IVF routing as in ann_ivf_topk, but probed
+    candidates are scored from their ``m=4`` PQ codes against the
+    broadcast codebook — the index row carries 4 small ints instead of
+    64 doubles, the ~100× at-rest compression that fits a 100 TB
+    embedding corpus in probeable memory (Jégou et al. 2011).
+
+    ORACLE: ``ANN_IVFPQ_SQL`` rebuilds the ENTIRE index — hash-sampled
+    coarse centroids AND codebooks, per-subspace L2-argmin encoding via
+    the same three dot folds (x·x − 2·x·c + c·c, lowest code on ties),
+    reconstruction by code lookup, rounded ADC cosine rank — so the
+    driver-grade hash covers quantization, encoding, and scoring
+    end-to-end, not just the routing.
+    """
+    from ..operators.similarity import ivfpq_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_cosine_topk(
+        emb,
+        queries,
+        k=5,
+        n_centroids=32,
+        n_probe=8,
+        m_subspaces=_PQ_M,
+        n_codes=_PQ_CODES,
+    )
+
+
+ANN_IVFPQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings WHERE len(embedding) > 0
+), s AS (
+  SELECT vec_id, e, nrm FROM v WHERE nrm > 0
+), hashed AS (
+  SELECT vec_id, e, nrm,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM s
+), cent AS (
+  SELECT vec_id AS centroid_id, e AS ce, nrm AS cen
+  FROM hashed ORDER BY h LIMIT 32
+), cbase AS (
+  SELECT vec_id, e FROM hashed ORDER BY h LIMIT {_PQ_CODES}
+), cb AS (
+  SELECT j.j,
+         ROW_NUMBER() OVER (PARTITION BY j.j ORDER BY c.vec_id) - 1 AS code_id,
+         c.e[j.j*{_PQ_DSUB}+1 : j.j*{_PQ_DSUB}+{_PQ_DSUB}] AS sub
+  FROM cbase c CROSS JOIN (VALUES (0),(1),(2),(3)) j(j)
+), assigned AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT s.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
+                                       c.centroid_id) AS rn
+    FROM s CROSS JOIN cent c
+  ) WHERE rn = 1
+), codes AS (
+  SELECT vec_id, j, code_id FROM (
+    SELECT s.vec_id, cb.j, cb.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, cb.j
+             ORDER BY list_dot_product(s.e[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}],
+                                       s.e[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}])
+                      - 2.0 * list_dot_product(s.e[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}], cb.sub)
+                      + list_dot_product(cb.sub, cb.sub) ASC,
+                      cb.code_id ASC) AS rn
+    FROM s CROSS JOIN cb
+  ) WHERE rn = 1
+), recon AS (
+  SELECT c.vec_id, flatten(array_agg(cb.sub ORDER BY c.j)) AS re
+  FROM codes c JOIN cb ON cb.j = c.j AND cb.code_id = c.code_id
+  GROUP BY c.vec_id
+), probes AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qn, centroid_id AS cluster FROM (
+    SELECT s.vec_id, s.e, s.nrm, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cen) DESC,
+                                       c.centroid_id) AS rn
+    FROM s CROSS JOIN cent c WHERE s.vec_id < 10
+  ) WHERE rn <= 8
+), adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(r.re, p.qe)
+               / (sqrt(list_dot_product(r.re, r.re)) * p.qn), 6) AS cosine
+  FROM assigned a
+  JOIN probes p ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+  JOIN recon r ON r.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM adc
+QUALIFY rank <= 5
+"""
+
+PART_QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
+PART_ORACLES["ann_ivfpq_topk"] = ANN_IVFPQ_SQL

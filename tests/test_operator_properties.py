@@ -214,6 +214,54 @@ def test_ivf_recall_against_bruteforce(spark):
         assert top1.get(n + j) == j
 
 
+def test_ivfpq_exactness_and_recall_laws(spark):
+    """IVF-PQ (product-quantized inverted file):
+
+    (1) FULL-RECOVERY LAW — with every cluster probed and the whole
+    probed set reranked with true vectors, quantization must be fully
+    bought back: output == exact cosine_topk row-for-row.
+    (2) The planted twin (cosine ≈ 0.9995) must surface at rank 1
+    through the ADC-shortlist + rerank recipe at production-ish
+    settings (the quantizer may blur mid-cosine order, never a twin).
+    (3) Pure-ADC output is deterministic and carries at most k rows
+    per query with ranks 1..k (dim 32 / m=4 / 16 codes here; the
+    driver-grade end-to-end hash lives in ann_ivfpq_topk's oracle)."""
+    from etl_sendas_spark.operators.similarity import ivfpq_cosine_topk
+
+    vecs, n, n_dups = _planted_vectors(spark)
+    queries = vecs.filter(F.col("vec_id") >= n)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(vecs, queries, "vec_id", "embedding", k=5).collect()
+    }
+    recovered = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ivfpq_cosine_topk(
+            vecs, queries, k=5, n_centroids=16, n_probe=16,
+            m_subspaces=4, n_codes=16, rerank=n + n_dups,
+        ).collect()
+    }
+    assert recovered == exact
+
+    top = ivfpq_cosine_topk(
+        vecs, queries, k=5, n_centroids=16, n_probe=8,
+        m_subspaces=4, n_codes=16, rerank=40,
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in top if r["rank"] == 1}
+    for j in range(n_dups):
+        assert top1.get(n + j) == j
+
+    adc1 = ivfpq_cosine_topk(vecs, queries, k=5, n_centroids=16, n_probe=8).collect()
+    adc2 = ivfpq_cosine_topk(vecs, queries, k=5, n_centroids=16, n_probe=8).collect()
+    assert sorted(map(tuple, adc1)) == sorted(map(tuple, adc2))
+    per_q = {}
+    for r in adc1:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q_, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 5
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing: features equal the decoder, run batch-wise
 # ---------------------------------------------------------------------------
