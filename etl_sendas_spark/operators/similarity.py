@@ -416,6 +416,7 @@ def ivfpq_cosine_topk(
     m_subspaces: int = 4,
     n_codes: int = 16,
     rerank: int = 0,
+    encode_backend: str = "exact",
     query_id_col: str | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
@@ -460,11 +461,22 @@ def ivfpq_cosine_topk(
     back the quantization error for pennies; the output ``cosine`` is
     then exact. Left at 0 the output is the pure-ADC ranking the SQL
     oracle replays end-to-end.
+
+    ``encode_backend="numpy"`` is the production index-build path: the
+    coarse assignment AND the per-subspace code argmin run as
+    Arrow-batched BLAS instead of interpreted higher-order folds (the
+    CodegenFallback cost the r5 lesson documented) — same tie-breaks,
+    property-pinned equal; ``"exact"`` stays the SQL-replayable oracle
+    default.
     """
     from .dedupe import portable_hash60
 
     if rerank < 0:
         raise ValueError(f"ivfpq_cosine_topk: rerank must be >= 0, got {rerank}")
+    if encode_backend not in ("exact", "numpy"):
+        raise ValueError(
+            f"ivfpq_cosine_topk: encode_backend must be exact|numpy, got {encode_backend!r}"
+        )
     qid = query_id_col or id_col
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
@@ -512,37 +524,79 @@ def ivfpq_cosine_topk(
     # encode: per subspace, argmin ||x_j - c||^2 = x·x - 2 x·c + c·c
     # (three dot folds, replayed verbatim by the oracle), first
     # strictly-smaller wins = lowest code id on ties
-    def _argmin_code(j: int):
-        xj = F.slice(F.col("cv"), j * dsub + 1, dsub)
-        xx = _dot(xj, xj)
-        d2s = F.array(
-            *[
-                xx
-                - F.lit(2.0) * _dot(xj, _lit_vec(cw))
-                + _dot(_lit_vec(cw), _lit_vec(cw))
-                for cw in codebook[j]
+    assigned = _assign_nearest_centroid(c, cents, backend=encode_backend)
+    if encode_backend == "numpy":
+        # production path: per-batch BLAS argmin over each subspace —
+        # ||x-c||² = x·x − 2 x·c + c·c as matrix ops, first-min wins =
+        # lowest code id, the exact path's tie-break. Same caveat as
+        # _assign_nearest_centroid's numpy backend: BLAS reassociates
+        # sums, so a code can flip only on two codewords within ~1 ulp.
+        import numpy as np
+        from pyspark.sql.types import ArrayType, IntegerType, StructType
+
+        cb_mats = [
+            np.array(codebook[j], dtype=np.float64) for j in range(m_subspaces)
+        ]
+        idx_schema = StructType(
+            [
+                assigned.schema["neighbor_id"],
+                assigned.schema["cluster"],
             ]
-        )
-        best = F.aggregate(
-            F.sequence(F.lit(0), F.lit(len(codebook[j]) - 1)),
-            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
-            lambda acc, i: F.when(
-                F.element_at(d2s, i + 1) < acc["d"],
-                F.struct(F.element_at(d2s, i + 1).alias("d"), i.alias("i")),
-            ).otherwise(acc),
-        )
-        return best["i"].alias(f"__c{j}")
+        ).add("codes", ArrayType(IntegerType()))
 
-    code_cols = [_argmin_code(j) for j in range(m_subspaces)]
+        def encode(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                )
+                codes = np.empty((len(pdf), m_subspaces), dtype=np.int32)
+                for j in range(m_subspaces):
+                    xj = emb[:, j * dsub : (j + 1) * dsub]
+                    d2 = (
+                        (xj * xj).sum(axis=1)[:, None]
+                        - 2.0 * (xj @ cb_mats[j].T)
+                        + (cb_mats[j] * cb_mats[j]).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = d2.argmin(axis=1)  # first min = lowest id
+                out = pdf[["neighbor_id", "cluster"]].copy()
+                out["codes"] = list(codes)
+                yield out
 
-    assigned = _assign_nearest_centroid(c, cents)
-    index = assigned.select(
-        "neighbor_id",
-        "cluster",
-        F.array(*code_cols).alias("codes"),
-        # at rest ONLY (neighbor_id, cluster, codes) persists — cv/cn
-        # are consumed by the encode expressions above and dropped here
-    )
+        index = assigned.mapInPandas(encode, schema=idx_schema)
+    else:
+
+        def _argmin_code(j: int):
+            xj = F.slice(F.col("cv"), j * dsub + 1, dsub)
+            xx = _dot(xj, xj)
+            d2s = F.array(
+                *[
+                    xx
+                    - F.lit(2.0) * _dot(xj, _lit_vec(cw))
+                    + _dot(_lit_vec(cw), _lit_vec(cw))
+                    for cw in codebook[j]
+                ]
+            )
+            best = F.aggregate(
+                F.sequence(F.lit(0), F.lit(len(codebook[j]) - 1)),
+                F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+                lambda acc, i: F.when(
+                    F.element_at(d2s, i + 1) < acc["d"],
+                    F.struct(F.element_at(d2s, i + 1).alias("d"), i.alias("i")),
+                ).otherwise(acc),
+            )
+            return best["i"].alias(f"__c{j}")
+
+        index = assigned.select(
+            "neighbor_id",
+            "cluster",
+            F.array(*[_argmin_code(j) for j in range(m_subspaces)]).alias(
+                "codes"
+            ),
+            # at rest ONLY (neighbor_id, cluster, codes) persists — cv/cn
+            # are consumed by the encode expressions above and dropped
+        )
 
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("centroid_id")

@@ -255,6 +255,14 @@ def test_ivfpq_exactness_and_recall_laws(spark):
     adc1 = ivfpq_cosine_topk(vecs, queries, k=5, n_centroids=16, n_probe=8).collect()
     adc2 = ivfpq_cosine_topk(vecs, queries, k=5, n_centroids=16, n_probe=8).collect()
     assert sorted(map(tuple, adc1)) == sorted(map(tuple, adc2))
+
+    # (4) the production BLAS index build (encode_backend="numpy":
+    # Arrow-batched coarse assign + per-subspace code argmin) must
+    # reproduce the oracle path's output exactly on this corpus
+    adc_np = ivfpq_cosine_topk(
+        vecs, queries, k=5, n_centroids=16, n_probe=8, encode_backend="numpy"
+    ).collect()
+    assert sorted(map(tuple, adc_np)) == sorted(map(tuple, adc1))
     per_q = {}
     for r in adc1:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
