@@ -405,6 +405,79 @@ def ivf_cosine_topk(
 # ---------------------------------------------------------------------------
 
 
+def _pq_train_lloyd(
+    c: DataFrame, codebook: list[list[list[float]]], dsub: int, iters: int
+) -> list[list[list[float]]]:
+    """k-means refinement of PQ codebooks (see ivfpq_cosine_topk).
+    One Arrow pass per round trains EVERY subspace: each partition
+    emits (subspace, code, partial sum vector, count); the driver sums
+    partials in sorted (subspace, code, partition) order and rounds the
+    means to 9 decimals, so the updated codewords are deterministic
+    literals for the encode/ADC expressions. Codes are argmin by
+    ``x·x − 2·x·c + c·c`` with lowest-code ties — identical to the
+    encode path, so training and encoding never disagree about
+    assignment."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebook)
+
+    for _ in range(iters):
+        cb_mats = [np.array(codebook[j], dtype=np.float64) for j in range(m)]
+
+        def partials(batches, _mats=cb_mats):
+            sums: dict = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                )
+                for j, mat in enumerate(_mats):
+                    xj = emb[:, j * dsub : (j + 1) * dsub]
+                    d2 = (
+                        (xj * xj).sum(axis=1)[:, None]
+                        - 2.0 * (xj @ mat.T)
+                        + (mat * mat).sum(axis=1)[None, :]
+                    )
+                    codes = d2.argmin(axis=1)
+                    for code in np.unique(codes):
+                        mask = codes == code
+                        key = (j, int(code))
+                        s, n = sums.get(key, (np.zeros(dsub), 0))
+                        sums[key] = (s + xj[mask].sum(axis=0), n + int(mask.sum()))
+            yield pd.DataFrame(
+                {
+                    "j": [k[0] for k in sums],
+                    "code": [k[1] for k in sums],
+                    "s": [list(v[0]) for v in sums.values()],
+                    "cnt": [v[1] for v in sums.values()],
+                }
+            )
+
+        rows = c.select("cv").mapInPandas(
+            partials, schema="j int, code int, s array<double>, cnt long"
+        ).collect()
+        acc: dict = {}
+        # fully-keyed sort (incl. the partials themselves) -> the fold
+        # order, hence the trained floats, are independent of task
+        # completion order and of which partition emitted which partial
+        for r in sorted(
+            rows, key=lambda r: (r["j"], r["code"], r["cnt"], tuple(r["s"]))
+        ):
+            key = (r["j"], r["code"])
+            import numpy as _np
+
+            s, n = acc.get(key, (_np.zeros(dsub), 0))
+            acc[key] = (s + _np.asarray(r["s"], dtype=_np.float64), n + r["cnt"])
+        new_cb = [[list(cw) for cw in codebook[j]] for j in range(m)]
+        for (j, code), (s, n) in acc.items():
+            if n > 0:
+                new_cb[j][code] = [round(float(x), 9) for x in (s / n)]
+        codebook = new_cb
+    return codebook
+
+
 def ivfpq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -417,6 +490,7 @@ def ivfpq_cosine_topk(
     n_codes: int = 16,
     rerank: int = 0,
     encode_backend: str = "exact",
+    pq_lloyd_iters: int = 0,
     query_id_col: str | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
@@ -468,6 +542,18 @@ def ivfpq_cosine_topk(
     CodegenFallback cost the r5 lesson documented) — same tie-breaks,
     property-pinned equal; ``"exact"`` stays the SQL-replayable oracle
     default.
+
+    ``pq_lloyd_iters > 0`` k-means-trains the codebooks (how FAISS
+    trains its quantizer): each round is ONE Arrow pass over the
+    corpus emitting per-partition (subspace, code) partial sums —
+    every subspace trains in the same pass — then a driver-side
+    mean update rounded to 9 decimals (the semantic-dedup replay
+    discipline) so the trained codewords are plain literals again;
+    empty codes keep their previous codeword. Total quantization
+    error is monotonically non-increasing in iterations (the standard
+    Lloyd argument, pytest-pinned on the planted corpus). The oracle
+    config stays ``pq_lloyd_iters=0`` — sampled codebooks replay in
+    SQL; trained ones would need the oracle to re-run k-means.
     """
     from .dedupe import portable_hash60
 
@@ -520,6 +606,9 @@ def ivfpq_cosine_topk(
 
     def _lit_vec(vals: list[float]):
         return F.array(*[F.lit(float(x)) for x in vals])
+
+    if pq_lloyd_iters > 0:
+        codebook = _pq_train_lloyd(c, codebook, dsub, pq_lloyd_iters)
 
     # encode: per subspace, argmin ||x_j - c||^2 = x·x - 2 x·c + c·c
     # (three dot folds, replayed verbatim by the oracle), first

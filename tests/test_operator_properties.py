@@ -270,6 +270,73 @@ def test_ivfpq_exactness_and_recall_laws(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 5
 
 
+def test_ivfpq_lloyd_training_reduces_quantization_error(spark):
+    """k-means codebook training: total L2 quantization error over the
+    corpus must be monotonically non-increasing in pq_lloyd_iters (the
+    Lloyd argument), the trained index must still satisfy the
+    full-recovery law, and training must be deterministic across
+    repartitionings (partials folded in a fully-keyed sort order,
+    means rounded to 9 dp)."""
+    import numpy as np
+
+    from etl_sendas_spark.operators.similarity import (
+        _pq_train_lloyd,
+        ivfpq_cosine_topk,
+    )
+
+    vecs, n, n_dups = _planted_vectors(spark)
+    dsub = 8  # dim 32, m=4
+    rows = sorted(vecs.collect(), key=lambda r: r["vec_id"])[:16]
+    cb0 = [
+        [list(r["embedding"])[j * dsub : (j + 1) * dsub] for r in rows]
+        for j in range(4)
+    ]
+    c = vecs.selectExpr("vec_id AS neighbor_id", "embedding AS cv")
+    emb = np.array([list(r["embedding"]) for r in vecs.collect()])
+
+    def qerr(cb):
+        total = 0.0
+        for j in range(4):
+            xj = emb[:, j * dsub : (j + 1) * dsub]
+            mat = np.array(cb[j])
+            d2 = (
+                (xj * xj).sum(axis=1)[:, None]
+                - 2.0 * (xj @ mat.T)
+                + (mat * mat).sum(axis=1)[None, :]
+            )
+            total += d2.min(axis=1).sum()
+        return total
+
+    errs = [qerr(cb0)]
+    cb = cb0
+    for _ in range(3):
+        cb = _pq_train_lloyd(c, cb, dsub, 1)
+        errs.append(qerr(cb))
+    assert all(b <= a + 1e-9 for a, b in zip(errs, errs[1:])), errs
+    assert errs[-1] < errs[0]  # training actually moved
+
+    # determinism across partitionings
+    cb_a = _pq_train_lloyd(c.repartition(3), cb0, dsub, 2)
+    cb_b = _pq_train_lloyd(c.repartition(17), cb0, dsub, 2)
+    assert cb_a == cb_b
+
+    # full-recovery law survives training (rerank with true vectors)
+    queries = vecs.filter(F.col("vec_id") >= n)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(vecs, queries, "vec_id", "embedding", k=5).collect()
+    }
+    trained = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ivfpq_cosine_topk(
+            vecs, queries, k=5, n_centroids=16, n_probe=16,
+            m_subspaces=4, n_codes=16, rerank=n + n_dups,
+            pq_lloyd_iters=2, encode_backend="numpy",
+        ).collect()
+    }
+    assert trained == exact
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing: features equal the decoder, run batch-wise
 # ---------------------------------------------------------------------------
