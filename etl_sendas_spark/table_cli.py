@@ -1,0 +1,174 @@
+"""Table-maintenance CLI for the transaction-log format — the
+operational companion to :mod:`.sources.txlog` (what ``delta-rs``'s
+CLI or ``OPTIMIZE``/``VACUUM``/``DESCRIBE HISTORY`` SQL are to Delta):
+
+    python -m etl_sendas_spark.table_cli history  PATH [--limit N]
+    python -m etl_sendas_spark.table_cli describe PATH
+    python -m etl_sendas_spark.table_cli read     PATH --out DIR
+        [--version N] [--format parquet|csv]
+    python -m etl_sendas_spark.table_cli compact  PATH
+        [--target-files N] [--zorder col1,col2]
+    python -m etl_sendas_spark.table_cli vacuum   PATH
+        [--retain N] [--min-age-s S]
+    python -m etl_sendas_spark.table_cli change-feed PATH --keys k1,k2
+        --from-version N [--to-version M] --out DIR
+
+Every subcommand is a thin wrapper over the TxLogTable methods, so the
+conflict rules, age guards, and replay semantics are exactly the
+library's; the CLI adds only argument parsing and human-readable
+output. ``history``/``describe`` never start Spark (pure log reads);
+the data-touching commands share one session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _table(path: str):
+    from .sources.txlog import TxLogTable
+
+    t = TxLogTable(path)
+    if not t.versions():
+        print(f"no txlog table at {path}", file=sys.stderr)
+        raise SystemExit(2)
+    return t
+
+
+def cmd_history(args) -> int:
+    t = _table(args.path)
+    versions = t.versions()[-args.limit :] if args.limit else t.versions()
+    for v in versions:
+        meta = t.commit_meta(v)
+        extra = {
+            k: meta[k]
+            for k in meta
+            if k not in ("op", "add", "remove", "stats", "stat_cols")
+        }
+        print(
+            f"v{v:06d}  op={meta.get('op', '?'):9s} "
+            f"+{len(meta.get('add', [])):4d} files "
+            f"-{len(meta.get('remove', [])):4d} files"
+            + (f"  {json.dumps(extra)}" if extra else "")
+        )
+    return 0
+
+
+def cmd_describe(args) -> int:
+    t = _table(args.path)
+    head = t.latest_version()
+    live = t.live_files(head)
+    print(f"path:      {args.path}")
+    print(f"head:      v{head} ({len(t.versions())} resolvable versions)")
+    print(f"live:      {len(live)} data files")
+    print(f"stat_cols: {t._stat_cols() or '(none)'}")
+    from .session import get_spark
+
+    spark = get_spark(app_name="txlog_describe")
+    for f in t.read(spark).schema.fields:
+        print(f"  {f.name}: {f.dataType.simpleString()}")
+    return 0
+
+
+def cmd_read(args) -> int:
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_read")
+    df = t.read(spark, version=args.version)
+    if args.format == "csv":
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)
+    else:
+        df.write.mode("overwrite").parquet(args.out)
+    print(f"v{args.version if args.version is not None else t.latest_version()}"
+          f" -> {args.out} ({df.count()} rows)")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_compact")
+    zorder = args.zorder.split(",") if args.zorder else None
+    v = t.compact(spark, target_files=args.target_files, zorder_by=zorder)
+    print(f"compacted -> v{v}" + (f" (zorder by {zorder})" if zorder else ""))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    t = _table(args.path)
+    out = t.vacuum(retain_versions=args.retain, min_age_s=args.min_age_s)
+    print(
+        f"cutoff v{out['cutoff']}: deleted {out['deleted_files']} data files, "
+        f"{out['deleted_commits']} commits"
+    )
+    return 0
+
+
+def cmd_change_feed(args) -> int:
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_change_feed")
+    feed = t.change_feed(
+        spark,
+        keys=args.keys.split(","),
+        from_version=args.from_version,
+        to_version=args.to_version,
+    )
+    feed.write.mode("overwrite").parquet(args.out)
+    print(f"change feed v{args.from_version}.. -> {args.out} ({feed.count()} rows)")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="etl_sendas_spark.table_cli", description=__doc__
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("history", help="one line per resolvable commit")
+    p.add_argument("path")
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_history)
+
+    p = sub.add_parser("describe", help="head, live files, stat cols, schema")
+    p.add_argument("path")
+    p.set_defaults(fn=cmd_describe)
+
+    p = sub.add_parser("read", help="export a snapshot (time travel via --version)")
+    p.add_argument("path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    p.set_defaults(fn=cmd_read)
+
+    p = sub.add_parser("compact", help="rewrite the live set (OPTIMIZE [ZORDER BY])")
+    p.add_argument("path")
+    p.add_argument("--target-files", type=int, default=1)
+    p.add_argument("--zorder", default=None, help="comma-separated columns")
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("vacuum", help="GC dead files + truncate the log")
+    p.add_argument("path")
+    p.add_argument("--retain", type=int, default=2)
+    p.add_argument("--min-age-s", type=float, default=3600.0)
+    p.set_defaults(fn=cmd_vacuum)
+
+    p = sub.add_parser("change-feed", help="per-commit I/U/D rows to parquet")
+    p.add_argument("path")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument("--from-version", type=int, required=True)
+    p.add_argument("--to-version", type=int, default=None)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_change_feed)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

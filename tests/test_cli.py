@@ -256,3 +256,53 @@ def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(z_dir).groupBy().sum("x", "y").collect()[0]
     b = df.groupBy().sum("x", "y").collect()[0]
     assert a == b
+
+
+def test_table_cli_lifecycle(spark, tmp_path, capsys):
+    """The txlog maintenance CLI drives the library end-to-end:
+    history/describe reflect commits, read exports a time-traveled
+    snapshot, compact --zorder lands a clustered commit (recorded in
+    the payload), change-feed exports per-commit I/U/D rows, vacuum
+    GCs below the cutoff — all through main(argv), no subprocess."""
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.table_cli import main as table_main
+
+    root = str(tmp_path / "tbl")
+    df0 = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS a", "CAST(id % 7 AS BIGINT) AS b")
+    t = TxLogTable.create(root, df0.repartition(4), stat_cols=["a", "b"])
+    t.append(
+        spark.range(100, 200).selectExpr("id AS k", "id * 2 AS a", "CAST(id % 7 AS BIGINT) AS b"),
+        spark,
+    )
+
+    assert table_main(["history", root]) == 0
+    out = capsys.readouterr().out
+    assert "op=create" in out and "op=append" in out
+
+    assert table_main(["describe", root]) == 0
+    out = capsys.readouterr().out
+    assert "head:      v1" in out and "k: bigint" in out
+
+    snap0 = str(tmp_path / "snap0")
+    assert table_main(["read", root, "--out", snap0, "--version", "0"]) == 0
+    assert spark.read.parquet(snap0).count() == 100  # time travel, not head
+
+    assert table_main(
+        ["compact", root, "--target-files", "8", "--zorder", "a,b"]
+    ) == 0
+    assert t.commit_meta(2)["zorder_by"] == ["a", "b"]
+    assert t.read(spark).count() == 200
+
+    t.overwrite(spark.range(0, 50).selectExpr("id AS k", "id * 2 AS a", "CAST(id % 7 AS BIGINT) AS b"))
+    feed_dir = str(tmp_path / "feed")
+    assert table_main(
+        ["change-feed", root, "--keys", "k", "--from-version", "3", "--out", feed_dir]
+    ) == 0
+    feed = spark.read.parquet(feed_dir)
+    assert feed.filter("op = 'D'").count() == 150  # 200 -> 50 keys
+    assert {r["_commit_version"] for r in feed.collect()} == {3}
+
+    assert table_main(["vacuum", root, "--retain", "1", "--min-age-s", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "cutoff v3" in out
+    assert t.read(spark).count() == 50  # head still readable post-GC
