@@ -234,3 +234,73 @@ QUALIFY rank <= 5
 
 PART_QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
 PART_ORACLES["ann_ivfpq_topk"] = ANN_IVFPQ_SQL
+
+
+# ===========================================================================
+# round 7: txlog change data feed — per-commit I/U/D under an oracle hash
+# ===========================================================================
+
+
+def txlog_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit change feed of a txlog table
+    (sources/txlog.TxLogTable.change_feed): create → overwrite (drops
+    some keys, inserts a new slice) → overwrite (bumps the new slice's
+    value), then the feed from version 0 — one I/U/D row per changed
+    key per commit, tagged ``_commit_version``. Exercises all three op
+    classes AND the D-rows-carry-old-values / I-U-carry-new-values
+    contract of snapshot_diff under a value hash. Rows whose only
+    "change" is NULL→NULL must NOT appear (null-safe comparison).
+
+    ORACLE: replays the three version states from the same modulo
+    derivation and emits each commit's expected change rows directly.
+    Lives in EXTRA (the lifecycle-row machinery is driver-pinned by
+    txlog_time_travel_events; this row adds the diff composition).
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"txlog_cf_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    a_kept = a.filter(F.col("event_id") % 5 != 0)
+    b = ev.filter(F.col("event_id") % 3 == 1)
+
+    t = TxLogTable.create(root, a)  # v0: pure inserts
+    t.overwrite(a_kept.unionByName(b))  # v1: D (a %5==0), I (b)
+    t.overwrite(  # v2: U for b rows with non-null value
+        a_kept.unionByName(b.withColumn("value", F.col("value") + 1))
+    )
+    feed = t.change_feed(spark, keys=["event_id"], from_version=0)
+    return feed.select(
+        "_commit_version", "op", "event_id", "event_type", "value"
+    )
+
+
+TXLOG_CHANGE_FEED_SQL = """
+WITH a AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
+), b AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 1
+)
+SELECT CAST(0 AS BIGINT) AS _commit_version, 'I' AS op,
+       event_id, event_type, value
+FROM a
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'D', event_id, event_type, value
+FROM a WHERE event_id % 5 = 0
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'I', event_id, event_type, value
+FROM b
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'U', event_id, event_type, value + 1
+FROM b WHERE value IS NOT NULL
+"""
+
+PART_QUERIES["txlog_change_feed_events"] = txlog_change_feed_events
+PART_ORACLES["txlog_change_feed_events"] = TXLOG_CHANGE_FEED_SQL
