@@ -435,6 +435,7 @@ class TxLogTable:
         keys: list[str],
         from_version: int,
         to_version: int | None = None,
+        normalize_updates: bool = False,
     ) -> DataFrame:
         """Per-commit change data feed (the Delta CDF idea, read-side):
         for each version v in [from_version, to_version], the I/U/D
@@ -449,6 +450,16 @@ class TxLogTable:
         snapshot_diff). Version 0's feed diffs against an empty frame,
         so a create commit emits pure inserts. Versions truncated by
         VACUUM fail at resolution, loudly.
+
+        ``normalize_updates=True`` rewrites every U into a D carrying
+        the PRE-image (the old row, fetched by a semi-join of the U
+        keys against the previous snapshot) plus an I carrying the
+        post-image — the Delta CDF update_preimage/update_postimage
+        idea flattened to the {I, D} alphabet
+        :func:`..operators.ivm.incremental_agg_update` consumes, so a
+        feed drives incremental view maintenance directly (composition
+        law pinned in tests/test_txlog.py). Costs one extra U-key-sized
+        join per version.
 
         Scale note: this RECONSTRUCTS changes by diffing adjacent
         snapshots — one keyed shuffle per requested version, each
@@ -479,10 +490,19 @@ class TxLogTable:
                 if (v - 1) in known
                 else spark.createDataFrame([], cur.schema)
             )
-            parts.append(
-                snapshot_diff(prev, cur, keys=keys).withColumn(
-                    "_commit_version", F.lit(v).cast("long")
+            diff = snapshot_diff(prev, cur, keys=keys)
+            if normalize_updates:
+                u = diff.filter(F.col("op") == "U")
+                pre = prev.join(
+                    u.select(*keys), keys, "left_semi"
+                ).withColumn("op", F.lit("D"))
+                diff = (
+                    diff.filter(F.col("op") != "U")
+                    .unionByName(u.withColumn("op", F.lit("I")))
+                    .unionByName(pre)
                 )
+            parts.append(
+                diff.withColumn("_commit_version", F.lit(v).cast("long"))
             )
         out = parts[0]
         for p in parts[1:]:

@@ -326,3 +326,56 @@ def test_change_feed_per_commit_and_replay(spark, tmp_path):
     assert {r["_commit_version"] for r in t.change_feed(spark, ["k"], 1, 2).collect()} == {1, 2}
     with pytest.raises(ValueError, match="change_feed"):
         t.change_feed(spark, ["k"], 1, 9)
+
+
+def test_change_feed_normalized_drives_ivm(spark, tmp_path):
+    """Composition law: change_feed(normalize_updates=True) — every U
+    rewritten as D(pre-image) + I(post-image), the Delta CDF idea
+    flattened to the {I, D} alphabet — must drive
+    incremental_agg_update so that folding each commit's feed into the
+    v0 aggregate state reproduces aggregate_state(read(v)) exactly at
+    every version, updates included."""
+    from etl_sendas_spark.operators.ivm import (
+        aggregate_state,
+        incremental_agg_update,
+    )
+
+    root = str(tmp_path / "tivm")
+
+    def rows(lo, hi, mult):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k",
+            "CAST(id % 3 AS BIGINT) AS grp",
+            f"CAST(id * {mult} AS DOUBLE) AS x",
+        )
+
+    t = TxLogTable.create(root, rows(0, 60, 1))
+    t.overwrite(rows(0, 40, 1).union(rows(100, 120, 1)))  # deletes + inserts
+    t.overwrite(rows(0, 40, 3).union(rows(100, 120, 1)))  # updates x for k<40
+
+    feed = t.change_feed(
+        spark, keys=["k"], from_version=1, normalize_updates=True
+    )
+    # normalized alphabet is exactly {I, D}
+    assert {r["op"] for r in feed.select("op").distinct().collect()} <= {"I", "D"}
+    # the update commit (v2) contains pre-image deletes AND post-image
+    # inserts for the same keys
+    v2 = feed.filter("_commit_version = 2")
+    # k=0 is x-invariant under *3 (0 == 0), so 39 keys actually change
+    assert v2.filter("op = 'D'").count() == 39
+    assert v2.filter("op = 'I'").count() == 39
+    pre = {(r["k"], r["x"]) for r in v2.filter("op = 'D'").collect()}
+    post = {(r["k"], r["x"]) for r in v2.filter("op = 'I'").collect()}
+    assert pre == {(k, float(k)) for k in range(1, 40)}  # old x
+    assert post == {(k, float(k * 3)) for k in range(1, 40)}  # new x
+
+    state = aggregate_state(t.read(spark, 0), keys=["grp"], sum_cols=["x"])
+    for v in (1, 2):
+        changes = feed.filter(F.col("_commit_version") == v).drop(
+            "_commit_version"
+        )
+        state = incremental_agg_update(state, changes, keys=["grp"], sum_cols=["x"])
+        expect = aggregate_state(t.read(spark, v), keys=["grp"], sum_cols=["x"])
+        got = sorted(map(tuple, state.collect()))
+        want = sorted(map(tuple, expect.collect()))
+        assert got == want, f"v{v}"
