@@ -304,3 +304,117 @@ FROM b WHERE value IS NOT NULL
 
 PART_QUERIES["txlog_change_feed_events"] = txlog_change_feed_events
 PART_ORACLES["txlog_change_feed_events"] = TXLOG_CHANGE_FEED_SQL
+
+
+# ===========================================================================
+# round 7: HTML → text extraction — the web-crawl corpus entry pass
+# ===========================================================================
+
+# deterministic per-doc HTML template (both engines concatenate the
+# same pieces; a NULL text nulls the whole document in both)
+_HTML_PRE = (
+    '<html><head><title>Doc &amp; no. '
+)
+_HTML_MID1 = '</title><style>p{color:red}</style><script>var x="<p>'
+_HTML_MID2 = (
+    '</p>";</script></head><body><!-- meta --><h1>Section</h1><p>'
+)
+_HTML_MID3 = '</p><ul><li>alpha</li><li>beta&nbsp;&lt;raw&gt;</li></ul><a href="/nav">nav '
+_HTML_POST = '</a><div>tail</div></body></html>'
+
+
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text over the documents corpus (functions/html.py): each
+    doc is wrapped in a deterministic HTML template (title, style +
+    script subtrees that MUST be dropped, comments, block tags,
+    entities, a nav anchor), then title / visible body / length / link
+    density are extracted with the pure-Column regexp chain — the
+    first full-corpus pass of a web-crawl pipeline, whole-stage
+    codegen, zero UDF.
+
+    ORACLE: the identical strip chain GENERATED FROM THE SAME pattern
+    list (``HTML_STRIP_STEPS``/``HTML_ENTITIES`` drive both engines, the
+    quality_entropy discipline), so a regex drift between engines —
+    or an extraction that leaks script text or misses an entity —
+    breaks the hash on every row.
+    """
+    from ..functions.html import html_link_density, html_title, html_to_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID1),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID2),
+        F.col("text"),
+        F.lit(_HTML_MID3),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_POST),
+    )
+    return docs.select(
+        "doc_id",
+        html_title(h).alias("title"),
+        html_to_text(h).alias("body"),
+        F.length(html_to_text(h)).alias("n_chars"),
+        html_link_density(h).alias("link_density"),
+    )
+
+
+def _html_sql() -> str:
+    from ..functions.html import HTML_ENTITIES, HTML_STRIP_STEPS
+
+    def strip_chain(expr: str) -> str:
+        out = expr
+        for pat, repl in HTML_STRIP_STEPS:
+            r = "chr(10)" if repl == "\n" else f"'{repl}'"
+            # 'g' only: dotall/case flags ride inline in the patterns
+            out = f"regexp_replace({out}, '{pat}', {r}, 'g')"
+        for ent, ch in HTML_ENTITIES:
+            c = "''''" if ch == "'" else f"'{ch}'"
+            out = f"replace({out}, '{ent}', {c})"
+        out = f"regexp_replace({out}, '[ \\t\\r\\f]+', ' ', 'g')"
+        out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+        out = "regexp_replace(" + out + ", '\\n{2,}', chr(10), 'g')"
+        return f"regexp_replace({out}, '(?s)^\\s+|\\s+$', '', 'g')"
+
+    def entity_chain(expr: str) -> str:
+        out = expr
+        for ent, ch in HTML_ENTITIES:
+            c = "''''" if ch == "'" else f"'{ch}'"
+            out = f"replace({out}, '{ent}', {c})"
+        return out
+
+    title = entity_chain(
+        r"regexp_extract(h, '(?is)<title\b[^>]*>(.*?)</title>', 1)"
+    )
+    anchor = (
+        r"array_to_string(regexp_extract_all(h, '(?is)<a\b[^>]*>(.*?)</a>', 1), '')"
+    )
+    body = strip_chain("h")
+    a_text = strip_chain(anchor)
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID1}'
+           || CAST(doc_id AS VARCHAR) || '{_HTML_MID2}' || text
+           || '{_HTML_MID3}' || CAST(doc_id AS VARCHAR) || '{_HTML_POST}' AS h
+  FROM documents
+), ex AS (
+  SELECT doc_id, trim({title}, ' ') AS title, {body} AS body,
+         length({a_text}) AS a_len
+  FROM src
+)
+SELECT doc_id, title, body, length(body) AS n_chars,
+       CASE WHEN body IS NULL THEN NULL
+            WHEN length(body) > 0
+            THEN ROUND(a_len * 1.0 / length(body), 6)
+            ELSE 0.0 END AS link_density
+FROM ex
+"""
+
+
+HTML_EXTRACT_SQL = _html_sql()
+
+PART_QUERIES["html_extract_docs"] = html_extract_docs
+PART_ORACLES["html_extract_docs"] = HTML_EXTRACT_SQL
