@@ -418,3 +418,66 @@ HTML_EXTRACT_SQL = _html_sql()
 
 PART_QUERIES["html_extract_docs"] = html_extract_docs
 PART_ORACLES["html_extract_docs"] = HTML_EXTRACT_SQL
+
+
+# ===========================================================================
+# round 7: WARC source — the web-crawl container, byte-framed roundtrip
+# ===========================================================================
+
+
+def s9_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC interchange roundtrip (sources/warc.py): every document is
+    framed as a WARC/1.0 response record into ONE per-record-gzipped
+    segment (the Common Crawl layout: concatenated gzip members, one
+    per record), then read back through the binaryFile + Arrow parse
+    stage. Content must survive the header framing, the
+    Content-Length byte math on multi-byte UTF-8, and the multi-member
+    gzip walk — the oracle recomputes every field from the documents
+    table directly, so a one-byte framing error breaks the hash.
+    """
+    import hashlib
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    seg = os.path.join(tempfile.gettempdir(), f"warc_docs_{tag}.warc.gz")
+    docs = sorted(
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    records = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:doc-{d['doc_id']}>",
+                "WARC-Target-URI": f"https://example.org/doc/{d['doc_id']}",
+                "WARC-Date": "2026-01-01T00:00:00Z",
+                "Content-Type": "text/plain",
+            },
+            (d["text"] or "").encode("utf-8"),
+        )
+        for d in docs
+    ]
+    write_warc(records, seg, gzip_mode="record")
+    rows = read_warc(spark, seg)
+    return rows.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "content_length",
+        F.col("payload").cast("string").alias("text_back"),
+    )
+
+
+S9_WARC_SQL = """
+SELECT doc_id, 'response' AS warc_type,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+         AS content_length,
+       COALESCE(text, '') AS text_back
+FROM documents
+"""
+
+PART_QUERIES["s9_warc_roundtrip"] = s9_warc_roundtrip
+PART_ORACLES["s9_warc_roundtrip"] = S9_WARC_SQL

@@ -1,0 +1,165 @@
+"""WARC (Web ARChive, ISO 28500) source — the format web crawls ship
+in (Common Crawl's WARC/WAT/WET files), parsed by hand the way the
+multimodal module parses RIFF/AVI: the container is simple enough
+(text header block + Content-Length-framed payload) that a dependency
+would buy nothing, and hand-framing keeps the byte math testable.
+
+Scale shape: one WARC segment file = one row of
+``spark.read.format("binaryFile")`` (crawl segments are ~1 GB by
+convention, well under the 2 GB binaryFile ceiling), and parsing is an
+Arrow ``mapInPandas`` stage — per-file sequential record walk, no
+shuffle; downstream filtering/extraction (html_extract, langid,
+dedup) runs on the emitted rows. Gzip segments (.warc.gz) decompress
+in-stage via zlib; per-RECORD gzip members (the Common Crawl layout)
+also work — zlib consumes one member at a time and reports the byte
+offset where the next begins.
+
+Record framing (WARC/1.0): ``WARC/1.0\\r\\n`` + header lines +
+``\\r\\n`` + exactly Content-Length payload bytes + ``\\r\\n\\r\\n``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_FIELDS = (
+    "warc_type",
+    "record_id",
+    "target_uri",
+    "warc_date",
+    "content_type",
+)
+
+_SCHEMA = (
+    "source_file string, warc_type string, record_id string, "
+    "target_uri string, warc_date string, content_type string, "
+    "content_length long, payload binary"
+)
+
+
+def warc_record(headers: dict, payload: bytes) -> bytes:
+    """Frame one WARC/1.0 record (writer half — used by the sink and
+    the tests' synthesized segments). ``Content-Length`` is computed,
+    not caller-supplied."""
+    head = "WARC/1.0\r\n"
+    for k, v in headers.items():
+        head += f"{k}: {v}\r\n"
+    head += f"Content-Length: {len(payload)}\r\n\r\n"
+    return head.encode("utf-8") + payload + b"\r\n\r\n"
+
+
+def parse_warc_bytes(data: bytes):
+    """Yield (headers dict, payload bytes) per record from one segment.
+
+    Accepts plain concatenated records, a whole-file gzip member, or
+    concatenated per-record gzip members (Common Crawl); gzip is
+    detected by magic. Tolerates trailing garbage and stops at the
+    first frame that no longer parses (crawl files are append-streams;
+    a truncated tail record is normal after a crawler crash).
+    """
+    import zlib
+
+    if data[:2] == b"\x1f\x8b":  # gzip member(s)
+        out = bytearray()
+        pos = 0
+        while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            out += d.decompress(data[pos:])
+            pos = len(data) - len(d.unused_data)
+            if not d.eof:  # truncated member: keep what decompressed
+                break
+        data = bytes(out)
+
+    pos = 0
+    while True:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers: dict = {}
+        lines = data[start:hdr_end].decode("utf-8", errors="replace").split("\r\n")
+        for line in lines[1:]:
+            if ": " in line:
+                k, v = line.split(": ", 1)
+                headers[k.strip()] = v.strip()
+        try:
+            clen = int(headers.get("Content-Length", ""))
+        except ValueError:
+            return
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end > len(data):
+            return  # truncated tail record
+        yield headers, data[body_start:body_end]
+        pos = body_end
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC segment(s) into rows: (source_file, warc_type,
+    record_id, target_uri, warc_date, content_type, content_length,
+    payload). One binaryFile row per segment, one Arrow stage to
+    records, no shuffle."""
+    import os
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(str(fpath))
+                for headers, payload in parse_warc_bytes(bytes(content)):
+                    rows.append(
+                        {
+                            "source_file": name,
+                            "warc_type": headers.get("WARC-Type"),
+                            "record_id": headers.get("WARC-Record-ID"),
+                            "target_uri": headers.get("WARC-Target-URI"),
+                            "warc_date": headers.get("WARC-Date"),
+                            "content_type": headers.get("Content-Type"),
+                            "content_length": len(payload),
+                            "payload": payload,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source_file",
+                    "warc_type",
+                    "record_id",
+                    "target_uri",
+                    "warc_date",
+                    "content_type",
+                    "content_length",
+                    "payload",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(parse, schema=_SCHEMA)
+
+
+def write_warc(records: list[tuple[dict, bytes]], path: str, gzip_mode: str | None = None) -> None:
+    """Write framed records to ONE segment file (driver-side writer —
+    segments are the unit crawls ship in; a distributed crawl writes
+    one segment per task the same way). ``gzip_mode``: None (plain),
+    "file" (one member), "record" (one member per record — the Common
+    Crawl layout)."""
+    import gzip as _gzip
+
+    if gzip_mode not in (None, "file", "record"):
+        raise ValueError(f"write_warc: bad gzip_mode {gzip_mode!r}")
+    frames = [warc_record(h, p) for h, p in records]
+    if gzip_mode == "record":
+        blob = b"".join(
+            _gzip.compress(f, compresslevel=6, mtime=0) for f in frames
+        )
+    elif gzip_mode == "file":
+        blob = _gzip.compress(b"".join(frames), compresslevel=6, mtime=0)
+    else:
+        blob = b"".join(frames)
+    with open(path, "wb") as fh:
+        fh.write(blob)

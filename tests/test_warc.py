@@ -1,0 +1,78 @@
+"""WARC source (sources/warc.py): framing round-trips across all three
+gzip layouts, truncated-tail tolerance, and the no-shuffle plan shape —
+the byte-level truth the s9_warc_roundtrip oracle is held to."""
+
+from __future__ import annotations
+
+from etl_sendas_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    warc_record,
+    write_warc,
+)
+
+
+def _records(n=5):
+    out = []
+    for i in range(n):
+        out.append(
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:{i}>",
+                    "WARC-Target-URI": f"https://example.org/doc/{i}",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "Content-Type": "text/plain",
+                },
+                f"payload {i} éñ".encode("utf-8"),
+            )
+        )
+    # adversarial payload: contains a fake record header — framing is
+    # Content-Length based, so this must NOT split the record
+    out.append(
+        (
+            {"WARC-Type": "metadata", "WARC-Record-ID": "<urn:uuid:meta>"},
+            b"WARC/1.0\r\nContent-Length: 999\r\n\r\nnot a real record",
+        )
+    )
+    return out
+
+
+def test_warc_roundtrip_all_gzip_layouts(spark, tmp_path):
+    recs = _records()
+    for mode, name in ((None, "plain.warc"), ("file", "f.warc.gz"), ("record", "r.warc.gz")):
+        path = str(tmp_path / name)
+        write_warc(recs, path, gzip_mode=mode)
+        rows = sorted(
+            read_warc(spark, path).collect(),
+            key=lambda r: r["record_id"],
+        )
+        assert len(rows) == len(recs), mode
+        by_id = {r["record_id"]: r for r in rows}
+        for hdrs, payload in recs:
+            got = by_id[hdrs["WARC-Record-ID"]]
+            assert bytes(got["payload"]) == payload, mode
+            assert got["content_length"] == len(payload)
+            assert got["warc_type"] == hdrs["WARC-Type"]
+
+
+def test_warc_truncated_tail_is_tolerated(spark, tmp_path):
+    recs = _records(3)  # 3 responses + the adversarial metadata record
+    blob = b"".join(warc_record(h, p) for h, p in recs)
+    cut = blob[: len(blob) - 15]  # last record's payload truncated
+    parsed = list(parse_warc_bytes(cut))
+    assert len(parsed) == 3  # whole records only, no exception
+    path = str(tmp_path / "trunc.warc")
+    with open(path, "wb") as fh:
+        fh.write(cut)
+    assert read_warc(spark, path).count() == 3
+
+
+def test_warc_parse_is_shuffle_free(spark, tmp_path):
+    path = str(tmp_path / "p.warc")
+    write_warc(_records(4), path)
+    plan = (
+        read_warc(spark, path)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # one binaryFile scan + one Arrow stage
