@@ -481,3 +481,85 @@ FROM documents
 
 PART_QUERIES["s9_warc_roundtrip"] = s9_warc_roundtrip
 PART_ORACLES["s9_warc_roundtrip"] = S9_WARC_SQL
+
+
+def crawl_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl entry pipeline end-to-end: documents framed as HTML
+    inside WARC response records (per-record gzip, the Common Crawl
+    layout) → WARC parse → HTML → text extraction → quality gate
+    (length + link-density keep flag). Byte-level composition proof:
+    multi-byte UTF-8 survives gzip members, Content-Length framing,
+    the binary→string cast, AND the regex strip chain, or the hash
+    breaks.
+
+    ORACLE: rebuilds the same HTML from the documents table and
+    replays the generated strip chain (shared pattern lists) plus the
+    keep-flag predicate — no WARC needed oracle-side, which is the
+    point: the transport must be lossless.
+    """
+    import hashlib
+    import tempfile
+
+    from ..functions.html import html_link_density, html_title, html_to_text
+    from ..sources.warc import read_warc, write_warc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    seg = os.path.join(tempfile.gettempdir(), f"warc_crawl_{tag}.warc.gz")
+    docs = sorted(
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    records = []
+    for d in docs:
+        if d["text"] is None:
+            continue  # a crawler has no page to archive
+        i = d["doc_id"]
+        page = (
+            f"{_HTML_PRE}{i}{_HTML_MID1}{i}{_HTML_MID2}{d['text']}"
+            f"{_HTML_MID3}{i}{_HTML_POST}"
+        )
+        records.append(
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:doc-{i}>",
+                    "WARC-Target-URI": f"https://example.org/doc/{i}",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "Content-Type": "text/html",
+                },
+                page.encode("utf-8"),
+            )
+        )
+    write_warc(records, seg, gzip_mode="record")
+
+    h = F.col("payload").cast("string")
+    body = html_to_text(h)
+    ld = html_link_density(h)
+    return read_warc(spark, seg).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        html_title(h).alias("title"),
+        F.length(body).alias("n_chars"),
+        ld.alias("link_density"),
+        ((F.length(body) >= 200) & (ld <= F.lit(0.2))).alias("keep"),
+    )
+
+
+def _crawl_sql() -> str:
+    # the html_extract oracle's CTEs, restricted to crawlable rows and
+    # finished with the keep-flag predicate
+    inner = HTML_EXTRACT_SQL.strip().rstrip()
+    return f"""
+WITH extracted AS ({inner})
+SELECT doc_id, title, n_chars, link_density,
+       (n_chars >= 200 AND link_density <= 0.2) AS keep
+FROM extracted
+WHERE body IS NOT NULL
+"""
+
+
+CRAWL_INGEST_SQL = _crawl_sql()
+
+PART_QUERIES["crawl_ingest_pipeline"] = crawl_ingest_pipeline
+PART_ORACLES["crawl_ingest_pipeline"] = CRAWL_INGEST_SQL
