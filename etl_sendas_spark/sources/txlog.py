@@ -217,16 +217,35 @@ class TxLogTable:
                 }
         return files, stats
 
-    def _check_schema(self, df: DataFrame, spark: SparkSession) -> None:
+    def _check_schema(
+        self, df: DataFrame, spark: SparkSession, merge_schema: bool = False
+    ) -> None:
         if not self.versions():
             return
         current = self.read(spark).schema
+        if merge_schema:
+            # Delta-style evolution rule: ADDING columns is allowed
+            # (old files backfill NULL at read via mergeSchema);
+            # dropping or renaming is not — a missing column would
+            # silently null out history, so it fails loudly here.
+            missing = [
+                f.name for f in current.fields
+                if f.name not in df.schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"schema evolution cannot drop columns {missing}; "
+                    f"table has {current.fieldNames()}, "
+                    f"append has {df.schema.fieldNames()}"
+                )
+            return
         if [f.name for f in df.schema.fields] != [
             f.name for f in current.fields
         ]:
             raise ValueError(
                 f"schema mismatch: table has {current.fieldNames()}, "
-                f"append has {df.schema.fieldNames()}"
+                f"append has {df.schema.fieldNames()} "
+                f"(pass merge_schema=True to add columns)"
             )
 
     # -- public ops ---------------------------------------------------
@@ -310,11 +329,19 @@ class TxLogTable:
                 # every file pruned: empty frame with the table schema
                 return spark.createDataFrame([], self.read(spark, version).schema)
             raise ValueError(f"version has no live files at {self.root}")
-        return spark.read.parquet(*files)
+        # mergeSchema: files written before a schema-evolving append
+        # lack the added columns; the merged read backfills them NULL
+        # (one extra footer pass — negligible against the data scan)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
-    def append(self, df: DataFrame, spark: SparkSession) -> int:
-        """Blind insert; retries version claims until one lands."""
-        self._check_schema(df, spark)
+    def append(
+        self, df: DataFrame, spark: SparkSession, merge_schema: bool = False
+    ) -> int:
+        """Blind insert; retries version claims until one lands.
+        ``merge_schema=True`` permits ADDING columns (Delta-style
+        evolution): earlier files backfill NULL at read; drops and
+        renames still fail loudly."""
+        self._check_schema(df, spark, merge_schema=merge_schema)
         files, stats = self._write_data(df, self._stat_cols())
         payload = {"op": "append", "add": files}
         if stats:

@@ -379,3 +379,44 @@ def test_change_feed_normalized_drives_ivm(spark, tmp_path):
         got = sorted(map(tuple, state.collect()))
         want = sorted(map(tuple, expect.collect()))
         assert got == want, f"v{v}"
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Delta-style evolution: append(merge_schema=True) may ADD columns
+    (old files backfill NULL on every read path, including time travel
+    and pruned reads); dropping a column fails loudly with or without
+    the flag; the default strict mode still rejects any name drift."""
+    root = str(tmp_path / "tse")
+    t = TxLogTable.create(
+        root,
+        spark.range(0, 50).selectExpr("id AS k", "id * 2 AS a"),
+        stat_cols=["k"],
+    )
+    wide = spark.range(50, 100).selectExpr(
+        "id AS k", "id * 2 AS a", "CAST(id AS STRING) AS tag"
+    )
+    # strict mode refuses the new column, evolution accepts it
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(wide, spark)
+    t.append(wide, spark, merge_schema=True)
+
+    latest = t.read(spark)
+    assert set(latest.columns) == {"k", "a", "tag"}
+    assert latest.count() == 100
+    # old rows backfill NULL, new rows carry values
+    assert latest.filter("k < 50 AND tag IS NULL").count() == 50
+    assert latest.filter("k >= 50 AND tag IS NOT NULL").count() == 50
+    # time travel at the pre-evolution version keeps the narrow schema
+    assert set(t.read(spark, 0).columns) == {"k", "a"}
+    # zone-map pruning still works across mixed-schema files
+    pruned = t.read(spark, prune={"k": (0, 10)})
+    assert len(pruned.inputFiles()) < len(latest.inputFiles())
+    assert pruned.filter("k <= 10").count() == 11
+
+    # dropping a column is never allowed
+    with pytest.raises(ValueError, match="drop"):
+        t.append(
+            spark.range(100, 110).selectExpr("id AS k", "id * 2 AS a"),
+            spark,
+            merge_schema=True,
+        )
