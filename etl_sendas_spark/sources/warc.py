@@ -142,6 +142,41 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, schema=_SCHEMA)
 
 
+def to_wet(records: DataFrame) -> DataFrame:
+    """WARC response records → WET "conversion" records (Common
+    Crawl's extracted-text sibling format): HTML payloads run through
+    :func:`..functions.html.html_to_text` (the scan-local regex
+    chain), non-response records drop, and the header fields are
+    rewritten per the WET convention — ``warc_type='conversion'``,
+    ``WARC-Refers-To`` carrying the source record id, text/plain
+    content type, UTF-8 payload. Stays a pure DataFrame transform so a
+    crawl-scale WARC→WET pass is scan + projection, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..functions.html import html_to_text
+
+    text = html_to_text(F.col("payload").cast("string"))
+    return (
+        records.filter(F.col("warc_type") == "response")
+        .withColumn("__t", text)
+        .select(
+            "source_file",
+            F.lit("conversion").alias("warc_type"),
+            F.concat(F.lit("<urn:wet:"), F.col("record_id"), F.lit(">")).alias(
+                "record_id"
+            ),
+            "target_uri",
+            "warc_date",
+            F.lit("text/plain").alias("content_type"),
+            F.length(F.encode(F.col("__t"), "utf-8")).cast("long").alias(
+                "content_length"
+            ),
+            F.encode(F.col("__t"), "utf-8").alias("payload"),
+            F.col("record_id").alias("refers_to"),
+        )
+    )
+
+
 def write_warc(records: list[tuple[dict, bytes]], path: str, gzip_mode: str | None = None) -> None:
     """Write framed records to ONE segment file (driver-side writer —
     segments are the unit crawls ship in; a distributed crawl writes

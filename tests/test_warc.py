@@ -76,3 +76,63 @@ def test_warc_parse_is_shuffle_free(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # one binaryFile scan + one Arrow stage
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WARC→WET: response payloads extract through the shared HTML
+    chain into conversion records (text/plain, refers-to source id,
+    UTF-8 byte-exact Content-Length); non-response records drop; the
+    transform is shuffle-free; and the WET rows survive a
+    write_warc/read_warc roundtrip byte-for-byte."""
+    from etl_sendas_spark.sources.warc import to_wet
+
+    html = "<html><body><p>Hello &amp; wörld.</p><p>Two.</p></body></html>"
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": "<urn:uuid:1>",
+                "WARC-Target-URI": "https://x/1",
+                "WARC-Date": "2026-01-01T00:00:00Z",
+                "Content-Type": "text/html",
+            },
+            html.encode("utf-8"),
+        ),
+        ({"WARC-Type": "request", "WARC-Record-ID": "<urn:uuid:req>"}, b"GET /"),
+    ]
+    src = str(tmp_path / "src.warc")
+    write_warc(recs, src)
+    wet = to_wet(read_warc(spark, src))
+    rows = wet.collect()
+    assert len(rows) == 1  # the request record dropped
+    r = rows[0]
+    assert r["warc_type"] == "conversion"
+    assert r["content_type"] == "text/plain"
+    assert r["refers_to"] == "<urn:uuid:1>"
+    assert bytes(r["payload"]).decode("utf-8") == "Hello & wörld.\nTwo."
+    assert r["content_length"] == len("Hello & wörld.\nTwo.".encode("utf-8"))
+
+    plan = wet._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # WET records are themselves valid WARC: roundtrip one segment
+    wet_path = str(tmp_path / "out.wet.gz")
+    write_warc(
+        [
+            (
+                {
+                    "WARC-Type": r["warc_type"],
+                    "WARC-Record-ID": r["record_id"],
+                    "WARC-Target-URI": r["target_uri"],
+                    "WARC-Refers-To": r["refers_to"],
+                    "Content-Type": r["content_type"],
+                },
+                bytes(r["payload"]),
+            )
+        ],
+        wet_path,
+        gzip_mode="record",
+    )
+    back = read_warc(spark, wet_path).collect()[0]
+    assert bytes(back["payload"]) == bytes(r["payload"])
+    assert back["warc_type"] == "conversion"
