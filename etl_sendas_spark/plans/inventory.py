@@ -400,6 +400,15 @@ EXTRA_ORACLES.update(_inv_round7.PART_ORACLES)
 # txlog_time_travel_events, which asserts the pruned scan read fewer
 # files). Streaming rows (5) and Sendas rule rows untouched per the
 # keep-the-window-honest rule.
+# Queued for the NEXT (round-8) swap — new machinery landed after this
+# round's rotation, all already holding the full oracle bar in EXTRA:
+# ann_ivfpq_topk (product quantization: codebook sampling + subspace
+# argmin encoding + ADC — no other row scores candidates without their
+# vectors), crawl_ingest_pipeline (WARC transport + HTML strip chain +
+# quality gate end-to-end; subsumes html_extract_docs and
+# s9_warc_roundtrip if only one slot opens), txlog_change_feed_events
+# (per-commit snapshot-diff composition; the lifecycle row pins the
+# format, this one pins the CDC read path).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",

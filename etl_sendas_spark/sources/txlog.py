@@ -536,6 +536,53 @@ class TxLogTable:
             out = out.unionByName(p)
         return out
 
+    def read_changes_since(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        state_path: str,
+        normalize_updates: bool = False,
+    ):
+        """Poll-based incremental consumption — Delta's
+        ``startingVersion`` stream reduced to a batch poll, for
+        consumers that run on a schedule instead of holding a query
+        open. Reads the consumer's last-processed version from
+        ``state_path`` (one JSON line; absent = never consumed, start
+        before version 0) and returns ``(changes, head)``: the
+        :meth:`change_feed` rows for every newer version, and the head
+        the caller must pass to :meth:`commit_progress` AFTER its own
+        sink commit — progress is the consumer's transaction, so a
+        crash between processing and commit redelivers (at-least-once;
+        pair with an idempotent sink or the feed's ``_commit_version``
+        for dedup). Returns ``(None, head)`` when caught up. A VACUUM
+        that truncated versions the consumer never saw fails loudly in
+        change_feed rather than silently skipping history.
+        """
+        last = -1
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                last = int(json.load(fh)["version"])
+        head = self.latest_version()
+        if head <= last:
+            return None, head
+        feed = self.change_feed(
+            spark,
+            keys=keys,
+            from_version=last + 1,
+            to_version=head,
+            normalize_updates=normalize_updates,
+        )
+        return feed, head
+
+    @staticmethod
+    def commit_progress(state_path: str, version: int) -> None:
+        """Persist a consumer's processed-version watermark (atomic
+        tmp + rename, same durability idea as the commit claims)."""
+        tmp = f"{state_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": int(version)}, fh)
+        os.replace(tmp, state_path)
+
     def vacuum(
         self,
         retain_versions: int = 2,

@@ -420,3 +420,43 @@ def test_schema_evolution_add_column(spark, tmp_path):
             spark,
             merge_schema=True,
         )
+
+
+def test_read_changes_since_poll_consumption(spark, tmp_path):
+    """Poll-based incremental consumption: first poll delivers all
+    history, committed progress advances the watermark, a crash before
+    commit_progress redelivers the same window (at-least-once), caught
+    up returns (None, head), and a VACUUM past the consumer's
+    watermark fails loudly instead of skipping history."""
+    root = str(tmp_path / "tpoll")
+    state = str(tmp_path / "consumer.json")
+    t = TxLogTable.create(root, _df(spark, 0, 5, "v0"))
+    t.append(_df(spark, 5, 8, "v1"), spark)
+
+    feed, head = t.read_changes_since(spark, ["k"], state)
+    assert head == 1
+    assert {r["_commit_version"] for r in feed.collect()} == {0, 1}
+    # crash before commit: repoll redelivers the identical window
+    feed2, head2 = t.read_changes_since(spark, ["k"], state)
+    assert head2 == 1
+    assert sorted(map(tuple, feed2.collect())) == sorted(map(tuple, feed.collect()))
+
+    TxLogTable.commit_progress(state, head)
+    none_feed, head3 = t.read_changes_since(spark, ["k"], state)
+    assert none_feed is None and head3 == 1  # caught up
+
+    t.append(_df(spark, 8, 10, "v2"), spark)
+    t.overwrite(_df(spark, 0, 3, "v3"))
+    feed3, head4 = t.read_changes_since(spark, ["k"], state)
+    assert head4 == 3
+    assert {r["_commit_version"] for r in feed3.collect()} == {2, 3}
+    TxLogTable.commit_progress(state, head4)
+
+    # consumer falls behind a vacuum: loud failure, no silent skip
+    for i in range(4, 9):
+        t.append(_df(spark, i * 10, i * 10 + 2, f"v{i}"), spark)
+    t.vacuum(retain_versions=2, min_age_s=0.0)
+    lagging = str(tmp_path / "lagging.json")
+    TxLogTable.commit_progress(lagging, 3)  # saw up to v3 only
+    with pytest.raises(ValueError, match="change_feed"):
+        t.read_changes_since(spark, ["k"], lagging)
