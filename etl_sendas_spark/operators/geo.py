@@ -243,9 +243,16 @@ def _band_lon_grid(
 ) -> tuple[Column, Column]:
     """(cell width, cell count) of a latitude band's longitude grid.
 
-    The raw width is the radius' lon-extent at the band edge farther
-    from the equator, so every cell is at least as wide as the radius'
-    lon-extent anywhere inside the band. The EFFECTIVE width then snaps
+    The raw width is the radius' lon-extent at the farthest latitude a
+    PARTNER point matched against this band can sit: the band's far
+    edge plus one more dlat, because the probe expansion admits
+    neighbors from ±1 band. (Sizing at the band's own edge alone is
+    subtly lossy: for a pair with latitudes φ1 in the band and φ2 up
+    to dlat poleward, the qualifying Δlon bound is
+    R/(K·sqrt(cosφ1·cosφ2)), which can exceed the band-edge extent —
+    and even tiling can leave near-zero slack, so such a pair could
+    straddle two cell boundaries at high latitude and be missed.)
+    The EFFECTIVE width then snaps
     UP so an integer number of cells tiles the full 360°:
     ``ncells = max(1, floor(360/raw))``, ``width = 360/ncells``. Even
     tiling is what makes the antimeridian seam safe — cells indexed
@@ -257,7 +264,11 @@ def _band_lon_grid(
     edge1 = band.cast("double") * F.lit(dlat_deg)
     edge2 = (band.cast("double") + F.lit(1.0)) * F.lit(dlat_deg)
     max_abs = F.greatest(F.abs(edge1), F.abs(edge2))
-    cosm = F.greatest(F.cos(F.radians(max_abs)), F.lit(1e-9))
+    # + dlat_deg: partner points come from ±1 band; past the pole
+    # cos goes ≤ 0 and the clamp degenerates the band to ncells = 1
+    cosm = F.greatest(
+        F.cos(F.radians(max_abs + F.lit(dlat_deg))), F.lit(1e-9)
+    )
     raw = F.lit(radius_km) / (F.lit(KM_PER_DEG_LAT) * cosm)
     ncells = F.greatest(F.lit(1).cast("long"), F.floor(F.lit(360.0) / raw))
     return F.lit(360.0) / ncells.cast("double"), ncells

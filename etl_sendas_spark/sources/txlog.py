@@ -238,6 +238,23 @@ class TxLogTable:
                     f"table has {current.fieldNames()}, "
                     f"append has {df.schema.fieldNames()}"
                 )
+            # a same-named column with a DIFFERENT type would commit
+            # fine and then break every subsequent read inside Spark's
+            # mergeSchema footer merge — fail at write time instead
+            cur_types = {f.name: f.dataType for f in current.fields}
+            changed = [
+                (f.name, str(cur_types[f.name]), str(f.dataType))
+                for f in df.schema.fields
+                if f.name in cur_types and f.dataType != cur_types[f.name]
+            ]
+            if changed:
+                raise ValueError(
+                    "schema evolution cannot change column types: "
+                    + ", ".join(
+                        f"{n} is {old}, append has {new}"
+                        for n, old, new in changed
+                    )
+                )
             return
         if [f.name for f in df.schema.fields] != [
             f.name for f in current.fields
@@ -512,11 +529,23 @@ class TxLogTable:
         parts = []
         for v in range(from_version, to_version + 1):
             cur = self.read(spark, v)
-            prev = (
-                self.read(spark, v - 1)
-                if (v - 1) in known
-                else spark.createDataFrame([], cur.schema)
-            )
+            if v == 0:
+                # a create commit diffs against nothing: pure inserts
+                prev = spark.createDataFrame([], cur.schema)
+            elif (v - 1) in known:
+                prev = self.read(spark, v - 1)
+            else:
+                # v itself survived vacuum but its predecessor did not:
+                # an empty base here would re-emit the ENTIRE snapshot
+                # as inserts and silently corrupt downstream IVM /
+                # replication. Fail loudly instead — the consumer must
+                # re-baseline from a full snapshot read.
+                raise ValueError(
+                    f"change_feed: cannot reconstruct the diff for "
+                    f"version {v}: previous version {v - 1} was "
+                    f"vacuum-truncated (available: {sorted(known)}); "
+                    f"re-baseline the consumer from a snapshot read"
+                )
             diff = snapshot_diff(prev, cur, keys=keys)
             if normalize_updates:
                 u = diff.filter(F.col("op") == "U")

@@ -162,9 +162,15 @@ def to_wet(records: DataFrame) -> DataFrame:
         .select(
             "source_file",
             F.lit("conversion").alias("warc_type"),
-            F.concat(F.lit("<urn:wet:"), F.col("record_id"), F.lit(">")).alias(
-                "record_id"
-            ),
+            # the source id is already bracketed ('<urn:uuid:...>');
+            # strip before embedding so the conversion id stays a valid
+            # ISO 28500 '<uri>' (no nested angle brackets) — lineage to
+            # the source record rides in refers_to, as in real WET files
+            F.concat(
+                F.lit("<urn:wet:"),
+                F.regexp_replace(F.col("record_id"), "^<|>$", ""),
+                F.lit(">"),
+            ).alias("record_id"),
             "target_uri",
             "warc_date",
             F.lit("text/plain").alias("content_type"),

@@ -243,3 +243,44 @@ def test_radius_join_numpy_backend_equals_column_path(spark):
 
     with _pytest.raises(ValueError, match="backend"):
         radius_join(left, right, 10.0, backend="arrow").collect()
+
+
+def test_radius_join_banded_poleward_partner_boundary(spark):
+    """ADVICE r7: a band's lon cell width must be sized at the farthest
+    latitude a PARTNER point can have — the band's far edge plus one
+    more dlat (probes match ±1 band) — not the band's own edge. The
+    hardcoded pair below was found by replaying the grid math offline:
+    distance 199.41 km < 200, but under the old sizing the build
+    point's cell sits TWO (modular) cells from the probe's base cell in
+    the build band, outside the ±1 expansion — a silent miss. Plus a
+    dense near-polar cloud brute-force equality sweep."""
+    from etl_sendas_spark.operators.geo import radius_join_banded
+
+    left = spark.createDataFrame(
+        [(0, 88.7021653493165, -0.006)], ["pid", "lat", "lon"]
+    )
+    right = spark.createDataFrame(
+        [(1, 87.95365305885184, 60.0)], ["pid", "lat", "lon"]
+    )
+    out = radius_join_banded(left, right, 200.0).collect()
+    assert len(out) == 1 and out[0]["distance_km"] <= 200.0
+
+    # randomized near-polar cloud (83°..89.9°, full lon range): exact
+    # brute-force equality, pairs exactly once
+    pts = spark.range(0, 1200).select(
+        F.col("id").alias("pid"),
+        (F.lit(83.0) + (F.col("id") * 37 % 1000) / F.lit(1000.0 / 6.9)).alias(
+            "lat"
+        ),
+        ((F.col("id") * 91 % 1000) * F.lit(0.36) - F.lit(180.0)).alias("lon"),
+    )
+    l, r = pts.filter("pid % 2 = 0"), pts.filter("pid % 2 = 1")
+    got = radius_join_banded(l, r, 200.0).collect()
+    keys = [(x["pid_l"], x["pid_r"]) for x in got]
+    assert len(keys) == len(set(keys))
+    exp = {
+        (x["pid_l"], x["pid_r"], x["distance_km"])
+        for x in _brute(l, r, 200.0).collect()
+    }
+    assert {(x["pid_l"], x["pid_r"], x["distance_km"]) for x in got} == exp
+    assert len(exp) > 100

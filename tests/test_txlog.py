@@ -460,3 +460,53 @@ def test_read_changes_since_poll_consumption(spark, tmp_path):
     TxLogTable.commit_progress(lagging, 3)  # saw up to v3 only
     with pytest.raises(ValueError, match="change_feed"):
         t.read_changes_since(spark, ["k"], lagging)
+
+
+def test_change_feed_vacuum_boundary_raises(spark, tmp_path):
+    """ADVICE r7 (high): a consumer whose watermark is exactly
+    cutoff-1 passes the resolvability check (from_version == cutoff IS
+    a live version) but the diff for the cutoff version needs the
+    VACUUMED cutoff-1 snapshot. An empty base there would re-emit the
+    entire cutoff snapshot as inserts and corrupt downstream IVM /
+    replication — it must fail loudly instead, and v == 0 stays the
+    only legitimate empty-base case."""
+    root = str(tmp_path / "tvb")
+    t = TxLogTable.create(root, _df(spark, 0, 5, "v0"))
+    for i in range(1, 6):
+        t.append(_df(spark, i * 10, i * 10 + 2, f"v{i}"), spark)
+    res = t.vacuum(retain_versions=2, min_age_s=0.0)
+    cutoff = res["cutoff"]
+    assert t.versions() == [cutoff, cutoff + 1]
+
+    # watermark == cutoff-1: from_version = cutoff resolves, but its
+    # diff base is gone -> loud failure, never duplicated inserts
+    with pytest.raises(ValueError, match="vacuum-truncated"):
+        t.change_feed(spark, ["k"], from_version=cutoff)
+    state = str(tmp_path / "boundary.json")
+    TxLogTable.commit_progress(state, cutoff - 1)
+    with pytest.raises(ValueError, match="vacuum-truncated"):
+        t.read_changes_since(spark, ["k"], state)
+
+    # one version later the base survives: the feed works and carries
+    # only genuine changes for that commit (2 inserted keys)
+    feed = t.change_feed(spark, ["k"], from_version=cutoff + 1)
+    rows = feed.collect()
+    assert {r["_commit_version"] for r in rows} == {cutoff + 1}
+    assert sorted((r["op"], r["k"]) for r in rows) == [("I", 50), ("I", 51)]
+
+
+def test_schema_evolution_type_change_rejected(spark, tmp_path):
+    """ADVICE r7: merge_schema=True must also reject a same-named
+    column arriving with a DIFFERENT type — otherwise the append
+    commits fine and every subsequent read blows up inside Spark's
+    mergeSchema footer merge, far from the offending write."""
+    root = str(tmp_path / "tst")
+    t = TxLogTable.create(
+        root, spark.range(0, 5).selectExpr("id AS k", "id * 2 AS a")
+    )
+    bad = spark.range(5, 10).selectExpr("id AS k", "CAST(id AS STRING) AS a")
+    with pytest.raises(ValueError, match="change column types"):
+        t.append(bad, spark, merge_schema=True)
+    # the table is untouched and still readable
+    assert t.versions() == [0]
+    assert t.read(spark).count() == 5

@@ -109,6 +109,11 @@ def test_wet_conversion_records(spark, tmp_path):
     assert r["warc_type"] == "conversion"
     assert r["content_type"] == "text/plain"
     assert r["refers_to"] == "<urn:uuid:1>"
+    # conversion id is a VALID ISO 28500 '<uri>': the source id's
+    # brackets are stripped before embedding (ADVICE r7 — nested
+    # '<urn:wet:<urn:uuid:...>>' is not a legal WARC-Record-ID)
+    assert r["record_id"] == "<urn:wet:urn:uuid:1>"
+    assert "<urn:wet:<" not in r["record_id"]
     assert bytes(r["payload"]).decode("utf-8") == "Hello & wörld.\nTwo."
     assert r["content_length"] == len("Hello & wörld.\nTwo.".encode("utf-8"))
 
