@@ -279,6 +279,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     verify_threshold: float | None = 0.5,
     materialize: bool = True,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, optionally
     verified with exact shingle Jaccard.
@@ -290,6 +291,22 @@ def minhash_lsh_candidates(
     ``verify_threshold`` set, candidates are confirmed against the
     exact Jaccard of their shingle sets (join back to the posting
     lists), eliminating LSH false positives.
+
+    ``max_bucket`` guards the bucket self-join's quadratic blow-up on
+    degenerate corpora (the same skew class ``max_posting`` caps on
+    the n-gram path): 10⁵ byte-identical boilerplate docs — upstream
+    exact-dedup skipped or keyed differently — share every band and
+    would put 10¹⁰ pairs in one bucket. A bucket larger than the cap
+    degrades to a STAR around its lowest doc id instead of all-pairs:
+    pair count linear in the bucket, and connectivity — what the
+    downstream connected-components clustering actually consumes — is
+    preserved, so the boilerplate group still lands in one cluster.
+    The only pairs not emitted are between two non-representative
+    members of an oversized bucket that collide in no other (small)
+    bucket — for a true near-dup group those pairs are redundant for
+    clustering; nothing is silently dropped from the cluster level.
+    Star pairs flow through the same exact-Jaccard verification as
+    everything else.
 
     ``materialize=True`` (default) eagerly pins the verified pairs via
     :mod:`..materialize` (strategy conf-selectable; use ``reliable``/
@@ -314,7 +331,33 @@ def minhash_lsh_candidates(
 
     buckets = _band_buckets(sig, id_col, num_hashes, bands)
 
-    a = buckets.alias("a")
+    left_side = buckets
+    if max_bucket is not None:
+        # both regimes ride ONE self-join: the LEFT side keeps every
+        # row of a small bucket but only the MIN-doc representative of
+        # an oversized one, the right side is untouched. A small bucket
+        # then yields all its pairs exactly as before; an oversized one
+        # yields (rep, member) for every member > rep — the star —
+        # because rep = min(doc) already satisfies the a.doc < b.doc
+        # join condition against the whole bucket. Join fan-out per
+        # oversized bucket: 1 × n instead of n², and the window's
+        # (band, bhash) exchange doubles as the join-side exchange, so
+        # the capped plan keeps the uncapped plan's shuffle budget
+        # (pinned in test_plan_shapes.test_minhash_lsh_shuffle_budget).
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bhash")
+        left_side = (
+            buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .withColumn("__rep", F.min("doc").over(wb))
+            .filter(
+                (F.col("__bn") <= F.lit(max_bucket))
+                | (F.col("doc") == F.col("__rep"))
+            )
+            .select("doc", "band", "bhash")
+        )
+
+    a = left_side.alias("a")
     b = buckets.alias("b")
     cand = (
         a.join(

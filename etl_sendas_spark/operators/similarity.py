@@ -489,7 +489,7 @@ def ivfpq_cosine_topk(
     m_subspaces: int = 4,
     n_codes: int = 16,
     rerank: int = 0,
-    encode_backend: str = "exact",
+    encode_backend: str = "numpy",
     pq_lloyd_iters: int = 0,
     query_id_col: str | None = None,
     exclude_self: bool = True,
@@ -536,12 +536,14 @@ def ivfpq_cosine_topk(
     then exact. Left at 0 the output is the pure-ADC ranking the SQL
     oracle replays end-to-end.
 
-    ``encode_backend="numpy"`` is the production index-build path: the
-    coarse assignment AND the per-subspace code argmin run as
-    Arrow-batched BLAS instead of interpreted higher-order folds (the
-    CodegenFallback cost the r5 lesson documented) — same tie-breaks,
-    property-pinned equal; ``"exact"`` stays the SQL-replayable oracle
-    default.
+    ``encode_backend="numpy"`` (the DEFAULT — this is the production
+    index-build path): the coarse assignment AND the per-subspace code
+    argmin run as Arrow-batched BLAS instead of interpreted
+    higher-order folds (the CodegenFallback cost the r5 lesson
+    documented; measured 56× at ×100 — BASELINE.md r7/r8) — same
+    tie-breaks, property-pinned equal. ``"exact"`` is the
+    SQL-replayable path, reserved for oracle replay: identical output,
+    built from the literal fold expressions DuckDB re-runs verbatim.
 
     ``pq_lloyd_iters > 0`` k-means-trains the codebooks (how FAISS
     trains its quantizer): each round is ONE Arrow pass over the

@@ -148,6 +148,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction by code lookup, rounded ADC cosine rank — so the
     driver-grade hash covers quantization, encoding, and scoring
     end-to-end, not just the routing.
+
+    This row runs the operator's DEFAULT encode_backend="numpy" (the
+    production Arrow/BLAS index build, 56× faster at ×100) against the
+    oracle's replay of the exact fold math — the backends are
+    property-pinned equal (tests/test_operator_properties.py), so the
+    hash doubles as the cross-backend equality check at sf scale.
     """
     from ..operators.similarity import ivfpq_cosine_topk
 

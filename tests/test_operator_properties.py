@@ -67,6 +67,65 @@ def test_minhash_lsh_matches_bruteforce(spark):
     assert lsh == exact
 
 
+def test_minhash_lsh_bucket_cap_degrades_to_star(spark):
+    """max_bucket guard (VERDICT r7): a planted block of byte-identical
+    boilerplate docs shares every band, so without the cap the bucket
+    self-join goes quadratic in the block. With the cap the oversized
+    buckets degrade to a star around the lowest doc id: pair count is
+    LINEAR in the block (n-1 pairs, all Jaccard 1), the block still
+    forms ONE connected component, and recall on the non-degenerate
+    near-dup pairs (small buckets, untouched by the cap) is identical
+    to the uncapped run."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.dedupe import connected_components
+
+    n_boiler = 400
+    boiler = spark.range(0, n_boiler).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        F.lit(
+            "subscribe to our newsletter for updates terms of service "
+            "privacy policy all rights reserved contact us about careers"
+        ).alias("text"),
+    )
+    docs = _docs(spark).select("doc_id", "text").unionByName(boiler)
+
+    capped = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
+        verify_threshold=0.5, max_bucket=50,
+    ).collect()
+    in_block = [
+        r for r in capped if r["id_a"] >= 100000 and r["id_b"] >= 100000
+    ]
+    # star shape: exactly n-1 pairs, every one anchored at the rep,
+    # every one an exact duplicate
+    assert len(in_block) == n_boiler - 1
+    assert {r["id_a"] for r in in_block} == {100000}
+    assert all(r["jaccard"] == 1.0 for r in in_block)
+    # the block is one cluster downstream
+    pairs = spark.createDataFrame(
+        [(r["id_a"], r["id_b"]) for r in in_block], ["id_a", "id_b"]
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    assert comp.select("cluster").distinct().count() == 1
+
+    # recall law: pairs NOT involving the boiler block are exactly the
+    # uncapped run's pairs on the original corpus
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            _docs(spark), "doc_id", "text", num_hashes=64, bands=16,
+            shingle_n=3, verify_threshold=0.5, max_bucket=None,
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in capped
+        if r["id_a"] < 100000 and r["id_b"] < 100000
+    }
+    assert got == base
+
+
 # ---------------------------------------------------------------------------
 # simhash vs an independent Python vote fold
 # ---------------------------------------------------------------------------
@@ -252,15 +311,23 @@ def test_ivfpq_exactness_and_recall_laws(spark):
     for j in range(n_dups):
         assert top1.get(n + j) == j
 
-    adc1 = ivfpq_cosine_topk(vecs, queries, k=5, n_centroids=16, n_probe=8).collect()
-    adc2 = ivfpq_cosine_topk(vecs, queries, k=5, n_centroids=16, n_probe=8).collect()
+    adc1 = ivfpq_cosine_topk(
+        vecs, queries, k=5, n_centroids=16, n_probe=8,
+        encode_backend="exact",
+    ).collect()
+    adc2 = ivfpq_cosine_topk(
+        vecs, queries, k=5, n_centroids=16, n_probe=8,
+        encode_backend="exact",
+    ).collect()
     assert sorted(map(tuple, adc1)) == sorted(map(tuple, adc2))
 
-    # (4) the production BLAS index build (encode_backend="numpy":
-    # Arrow-batched coarse assign + per-subspace code argmin) must
-    # reproduce the oracle path's output exactly on this corpus
+    # (4) the DEFAULT (production BLAS index build, encode_backend=
+    # "numpy": Arrow-batched coarse assign + per-subspace code argmin)
+    # must reproduce the SQL-replayable exact path on this corpus —
+    # the equality that lets the registered query run the fast path
+    # while the oracle replays the fold expressions
     adc_np = ivfpq_cosine_topk(
-        vecs, queries, k=5, n_centroids=16, n_probe=8, encode_backend="numpy"
+        vecs, queries, k=5, n_centroids=16, n_probe=8
     ).collect()
     assert sorted(map(tuple, adc_np)) == sorted(map(tuple, adc1))
     per_q = {}
