@@ -400,15 +400,27 @@ EXTRA_ORACLES.update(_inv_round7.PART_ORACLES)
 # txlog_time_travel_events, which asserts the pruned scan read fewer
 # files). Streaming rows (5) and Sendas rule rows untouched per the
 # keep-the-window-honest rule.
-# Queued for the NEXT (round-8) swap — new machinery landed after this
-# round's rotation, all already holding the full oracle bar in EXTRA:
+# Round-8 rotation (executes the r7 queue verbatim): IN —
 # ann_ivfpq_topk (product quantization: codebook sampling + subspace
 # argmin encoding + ADC — no other row scores candidates without their
-# vectors), crawl_ingest_pipeline (WARC transport + HTML strip chain +
+# vectors; runs the production numpy encode against the exact-math
+# oracle), crawl_ingest_pipeline (WARC transport + HTML strip chain +
 # quality gate end-to-end; subsumes html_extract_docs and
-# s9_warc_roundtrip if only one slot opens), txlog_change_feed_events
-# (per-commit snapshot-diff composition; the lifecycle row pins the
-# format, this one pins the CDC read path).
+# s9_warc_roundtrip), txlog_change_feed_events (per-commit
+# snapshot-diff composition; the lifecycle row pins the format, this
+# one pins the CDC read path). OUT, each after green driver outings
+# (r7) and keeping the identical oracle bar in EXTRA:
+# graph_triangle_counts (bucket self-join + count machinery — the
+# graph family's driver row stays the iterative graph_hits_entities,
+# and bucket self-joins stay driver-pinned by the minhash and fuzzy
+# rows), dq_profile_events (wide per-column aggregation; the DQ
+# family's driver row stays dq_psi_drift, and wide-agg machinery stays
+# pinned by a_grouping_sets_events + a_exact_quantile_histogram),
+# j_range_bucketed (bucketed range join; the time-conditional join
+# family keeps TWO driver rows — j_asof_events for as-of backward
+# search and j_pit_scd2_enrich for point-in-time interval predicates).
+# Streaming rows (5) and Sendas rule rows untouched per the
+# keep-the-window-honest rule.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
@@ -430,7 +442,7 @@ DRIVER_WINDOW = [
     "sample_group_split_docs",
     "w_window_frames",
     "j_asof_events",
-    "j_range_bucketed",
+    "txlog_change_feed_events",
     "scalar_dates_ages",
     "langid_ngram_docs",
     "r1_capped_mark",
@@ -451,8 +463,8 @@ DRIVER_WINDOW = [
     "dedup_cluster_docs",
     "bpe_pair_counts_docs",
     "txlog_time_travel_events",
-    "dq_profile_events",
-    "graph_triangle_counts",
+    "ann_ivfpq_topk",
+    "crawl_ingest_pipeline",
     "pack_training_sequences",
     "multimodal_features",
     "streaming_matview_counts",
