@@ -1,0 +1,134 @@
+"""Round-8 query-inventory section (see plans/inventory.py for the
+registry discipline). This module is NOT a public entry point —
+plans.inventory star-imports it and owns the DRIVER_WINDOW literal and
+the merged QUERIES/ORACLES registries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+PART_QUERIES: dict = {}
+PART_ORACLES: dict = {}
+
+# ===========================================================================
+# round 8: partitioned txlog table — hive partition spec as the
+# first-order file-skipping lever, zone maps refining within it
+# ===========================================================================
+
+
+def txlog_partitioned_prune_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partitioned TxLogTable (sources/txlog.py, ``partition_by=``,
+    round 8): events land in a table partitioned by ``event_type``
+    with ``event_id`` zone maps, written as create + append (both
+    commits inherit the spec, the Delta/Iceberg partition-column
+    contract). The query reads ONE partition through
+    ``read(prune={"event_type": ...})`` plus an ``event_id`` range,
+    and asserts IN-QUERY (``DataFrame.inputFiles``, the same pattern
+    as ``txlog_time_travel_events``) that
+
+    1. partition pruning alone scanned fewer files than the full
+       table, and
+    2. stacking the zone-map range pruned further within the
+       surviving partition —
+
+    so a silently disabled pruner fails the row with an error, never a
+    lucky hash. Pruning is metadata-only by contract: the row filter
+    is applied verbatim on top, which is why the aggregate can be
+    oracle-exact while the file list shrinks.
+
+    At 100 TB this is the read path's first-order lever: a
+    date/source partition column drops whole directory subtrees from
+    the manifest before Spark plans the scan; zone maps (and a
+    z-order rewrite) refine within partitions.
+
+    ORACLE: replays the same partition + range predicate on the
+    ``events`` view directly — the table round-trip must be lossless
+    and the pruning must not change results.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"txlog_part_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # two commits so appended files provably inherit the spec; range
+    # partitioning on event_id keeps zone maps tight per file
+    t = TxLogTable.create(
+        root,
+        ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(
+            4, "event_id"
+        ),
+        stat_cols=["event_id"],
+        partition_by=["event_type"],
+    )
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(
+            4, "event_id"
+        ),
+        spark,
+    )
+
+    lo, hi = 1000, 2999
+    full = t.read(spark)
+    part_only = t.read(spark, prune={"event_type": ("purchase", "purchase")})
+    both = t.read(
+        spark, prune={"event_type": ("purchase", "purchase"), "event_id": (lo, hi)}
+    )
+    n_full = len(full.inputFiles())
+    n_part = len(part_only.inputFiles())
+    n_both = len(both.inputFiles())
+    if not (n_both < n_part < n_full):
+        raise AssertionError(
+            "partition/zone-map pruning skipped no files: "
+            f"full={n_full} partition={n_part} both={n_both}"
+        )
+
+    return (
+        both.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("event_id").between(lo, hi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+TXLOG_PARTITIONED_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+WHERE event_type = 'purchase' AND event_id BETWEEN 1000 AND 2999
+GROUP BY event_type
+"""
+
+PART_QUERIES["txlog_partitioned_prune_events"] = txlog_partitioned_prune_events
+PART_ORACLES["txlog_partitioned_prune_events"] = TXLOG_PARTITIONED_SQL

@@ -42,7 +42,12 @@ for ``stat_cols`` (harvested from the parquet footers at write time),
 and ``read(prune={col: (lo, hi)})`` drops non-intersecting files
 BEFORE Spark sees them — manifest-level data skipping on top of
 row-group pushdown; pair with a z-order/range layout so ranges cluster
-per file (operators/layout.py). Composes with the CDC operators: ``snapshot_diff(
+per file (operators/layout.py). Tables may also declare a hive-style
+``partition_by`` spec at create time (the Delta/Iceberg partition
+column): every data file then carries exactly one value per partition
+column, the values ride in the commit log, and ``read(prune=...)``
+consults them BEFORE zone maps — at 100 TB a date/source partition is
+the first-order file-skipping lever, zone maps refine within it. Composes with the CDC operators: ``snapshot_diff(
 read(v0), read(v1))`` is change-data-feed between versions
 (tests pin the merge round-trip law).
 """
@@ -72,6 +77,23 @@ def _log_dir(root: str) -> str:
 
 def _commit_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:08d}.json")
+
+
+def _coerce_part(raw: str, bound) -> object | None:
+    """A logged partition value (always a path string) coerced to the
+    prune bound's type for comparison. None = not comparable (e.g. the
+    hive NULL sentinel or a parse failure) — the caller keeps the file,
+    so coercion can never make pruning lossy."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(bound, bool):  # bool is an int subclass — check first
+        return raw.lower() == "true"
+    if isinstance(bound, (int, float)):
+        try:
+            return type(bound)(raw)
+        except ValueError:
+            return None
+    return raw
 
 
 class TxLogTable:
@@ -112,9 +134,12 @@ class TxLogTable:
         with open(_commit_path(self.root, version)) as f:
             return json.load(f)
 
-    def _replay(self, version: int | None) -> tuple[list[str], dict]:
+    def _replay(
+        self, version: int | None
+    ) -> tuple[list[str], dict, dict]:
         """Replay the log to (live root-relative files, per-file column
-        stats) at ``version`` (latest when None)."""
+        stats, per-file partition values) at ``version`` (latest when
+        None)."""
         v = self.latest_version() if version is None else version
         if v not in set(self.versions()):
             raise ValueError(
@@ -122,6 +147,7 @@ class TxLogTable:
             )
         live: list[str] = []
         stats: dict = {}
+        parts: dict = {}
         start = 0
         ckpts = [c for c in self._checkpoints() if c <= v]
         if ckpts:
@@ -131,6 +157,7 @@ class TxLogTable:
             with open(cp) as f:
                 snap = json.load(f)
             live, stats = snap["live"], snap.get("stats", {})
+            parts = snap.get("parts", {})
             start = ckpts[-1] + 1
         for i in range(start, v + 1):
             c = self._read_commit(i)
@@ -138,14 +165,16 @@ class TxLogTable:
             live = [p for p in live if p not in removed]
             for p in removed:
                 stats.pop(p, None)
+                parts.pop(p, None)
             live.extend(c.get("add", []))
             stats.update(c.get("stats", {}))
-        return live, stats
+            parts.update(c.get("parts", {}))
+        return live, stats, parts
 
     def live_files(self, version: int | None = None) -> list[str]:
         """Replay the log to the live file set at ``version`` (latest
         when None). Paths are root-relative in the log, absolute out."""
-        live, _ = self._replay(version)
+        live, _, _ = self._replay(version)
         return [os.path.join(self.root, p) for p in live]
 
     def _try_commit(self, version: int, payload: dict) -> bool:
@@ -170,7 +199,7 @@ class TxLogTable:
         start here instead of commit 0. Deterministic content + O_EXCL
         create make concurrent attempts benign; failure is ignored
         (a checkpoint is an optimization, never required)."""
-        live, stats = self._replay(version)
+        live, stats, parts = self._replay(version)
         path = os.path.join(
             _log_dir(self.root), f"{version:08d}.checkpoint.json"
         )
@@ -184,7 +213,9 @@ class TxLogTable:
                     "version": version,
                     "live": live,
                     "stats": stats,
+                    "parts": parts,
                     "stat_cols": self._stat_cols(),
+                    "partition_by": self._partition_cols(),
                 },
                 f,
             )
@@ -192,30 +223,83 @@ class TxLogTable:
     # -- data plumbing ------------------------------------------------
 
     def _write_data(
-        self, df: DataFrame, stat_cols: list[str] | None = None
-    ) -> tuple[list[str], dict]:
+        self,
+        df: DataFrame,
+        stat_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> tuple[list[str], dict, dict]:
         """Write parquet files for one commit into a fresh subdir;
         returns (root-relative paths, per-file min/max stats for
-        ``stat_cols``, harvested from the parquet footers — the zone
-        maps :meth:`read` prunes with). Files become table data only
-        when a commit file references them."""
+        ``stat_cols`` harvested from the parquet footers — the zone
+        maps :meth:`read` prunes with, per-file partition values parsed
+        from the hive-style ``col=value`` path segments when
+        ``partition_by`` is set). Files become table data only when a
+        commit file references them."""
         from ..operators.layout import parquet_file_minmax
 
         rel_dir = os.path.join("data", uuid.uuid4().hex)
         out_dir = os.path.join(self.root, rel_dir)
-        df.write.mode("error").parquet(out_dir)
-        files = [
-            os.path.join(rel_dir, f)
-            for f in sorted(os.listdir(out_dir))
-            if f.endswith(".parquet")
-        ]
+        w = df.write.mode("error")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out_dir)
+
+        files: list[str] = []
+        for dirpath, _dirs, names in os.walk(out_dir):
+            for f in sorted(names):
+                if f.endswith(".parquet"):
+                    full = os.path.join(dirpath, f)
+                    files.append(os.path.relpath(full, self.root))
+        files.sort()
+
+        parts: dict = {}
+        if partition_by:
+            for rel in files:
+                vals: dict = {}
+                for seg in rel.split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        if k in partition_by:
+                            vals[k] = v
+                parts[rel] = vals
+
         stats: dict = {}
         if stat_cols:
-            for rng in parquet_file_minmax(out_dir, stat_cols):
-                stats[os.path.join(rel_dir, rng["file"])] = {
-                    c: list(rng[c]) for c in stat_cols if rng[c][0] is not None
-                }
-        return files, stats
+            if partition_by:
+                # partitioned files sit in nested col=value dirs — walk
+                # footers per file (parquet_file_minmax is single-level)
+                import pyarrow.parquet as pq
+
+                for rel in files:
+                    md = pq.ParquetFile(
+                        os.path.join(self.root, rel)
+                    ).metadata
+                    rng: dict = {}
+                    for c in stat_cols:
+                        lo, hi = None, None
+                        for rg in range(md.num_row_groups):
+                            for ci in range(md.num_columns):
+                                col = md.row_group(rg).column(ci)
+                                if (
+                                    col.path_in_schema != c
+                                    or col.statistics is None
+                                ):
+                                    continue
+                                s = col.statistics
+                                lo = s.min if lo is None else min(lo, s.min)
+                                hi = s.max if hi is None else max(hi, s.max)
+                        if lo is not None:
+                            rng[c] = [lo, hi]
+                    if rng:
+                        stats[rel] = rng
+            else:
+                for rng in parquet_file_minmax(out_dir, stat_cols):
+                    stats[os.path.join(rel_dir, rng["file"])] = {
+                        c: list(rng[c])
+                        for c in stat_cols
+                        if rng[c][0] is not None
+                    }
+        return files, stats, parts
 
     def _check_schema(
         self, df: DataFrame, spark: SparkSession, merge_schema: bool = False
@@ -256,9 +340,14 @@ class TxLogTable:
                     )
                 )
             return
-        if [f.name for f in df.schema.fields] != [
-            f.name for f in current.fields
-        ]:
+        a = [f.name for f in df.schema.fields]
+        b = [f.name for f in current.fields]
+        if self._partition_cols():
+            # a partitioned read re-attaches partition columns at the
+            # END of the schema regardless of their position in the
+            # appended frame — name SET equality is the stable check
+            a, b = sorted(a), sorted(b)
+        if a != b:
             raise ValueError(
                 f"schema mismatch: table has {current.fieldNames()}, "
                 f"append has {df.schema.fieldNames()} "
@@ -273,19 +362,45 @@ class TxLogTable:
         path: str,
         df: DataFrame,
         stat_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
         extra: dict | None = None,
     ) -> "TxLogTable":
         """Create a new table at ``path`` with ``df`` as version 0.
         ``stat_cols`` opts columns into per-file min/max zone maps
         (recorded in every subsequent commit too) for
-        :meth:`read`-time file skipping; ``extra`` merges application
-        metadata into the commit record, as in :meth:`overwrite`."""
+        :meth:`read`-time file skipping; ``partition_by`` declares a
+        hive-style partition spec (the Delta/Iceberg partition-column
+        idea: every data file carries exactly one value per partition
+        column, recorded in the commit log, and :meth:`read` consults
+        those values BEFORE zone maps — at 100 TB a date/source
+        partition column is the first-order file-skipping lever, with
+        zone maps refining within a partition). The spec is fixed at
+        create time and applied to every subsequent commit's files.
+        ``extra`` merges application metadata into the commit record,
+        as in :meth:`overwrite`."""
         t = cls(path)
         if t.versions():
             raise FileExistsError(f"txlog table already exists at {path}")
         cols = list(stat_cols or [])
-        files, stats = t._write_data(df, cols)
+        pcols = list(partition_by or [])
+        bad = [c for c in pcols if c not in df.columns]
+        if bad:
+            raise ValueError(
+                f"partition_by columns {bad} not in frame "
+                f"({df.columns})"
+            )
+        overlap = [c for c in pcols if c in cols]
+        if overlap:
+            raise ValueError(
+                f"columns {overlap} cannot be both partition_by and "
+                f"stat_cols — a partition column's per-file value IS "
+                f"its (exact) zone map"
+            )
+        files, stats, parts = t._write_data(df, cols, pcols)
         payload = {"op": "create", "add": files, "stat_cols": cols}
+        if pcols:
+            payload["partition_by"] = pcols
+            payload["parts"] = parts
         if stats:
             payload["stats"] = stats
         if extra:
@@ -294,19 +409,26 @@ class TxLogTable:
             raise CommitConflict(f"concurrent create at {path}")
         return t
 
-    def _stat_cols(self) -> list[str]:
-        """Zone-map column list: from commit 0, or (after a vacuum
-        truncated the log) from the oldest surviving checkpoint."""
+    def _table_meta(self, key: str) -> list[str]:
+        """A create-time table property (stat_cols / partition_by):
+        from commit 0, or (after a vacuum truncated the log) from the
+        oldest surviving checkpoint."""
         if os.path.exists(_commit_path(self.root, 0)):
-            return self._read_commit(0).get("stat_cols", [])
+            return self._read_commit(0).get(key, [])
         ckpts = self._checkpoints()
         if ckpts:
             cp = os.path.join(
                 _log_dir(self.root), f"{ckpts[0]:08d}.checkpoint.json"
             )
             with open(cp) as f:
-                return json.load(f).get("stat_cols", [])
+                return json.load(f).get(key, [])
         return []
+
+    def _stat_cols(self) -> list[str]:
+        return self._table_meta("stat_cols")
+
+    def _partition_cols(self) -> list[str]:
+        return self._table_meta("partition_by")
 
     def read(
         self,
@@ -321,17 +443,27 @@ class TxLogTable:
         ``prune`` maps column → (lo, hi): files whose logged zone map
         cannot intersect the range are dropped from the scan BEFORE
         Spark sees them — manifest-level skipping on top of row-group
-        pushdown, the Delta data-skipping idea. A file with no logged
-        stats for a pruned column is kept (safe), so pruning can never
-        change results, only shrink the file list; pair with
+        pushdown, the Delta data-skipping idea. On a partitioned table
+        the logged PARTITION VALUES are consulted first (an exact
+        single-value "zone map", the first-order skipping lever), zone
+        maps refine within the surviving partitions. A file with no
+        logged stats for a pruned column is kept (safe), so pruning can
+        never change results, only shrink the file list; pair with
         zorder-style layout so ranges cluster per file. NOTE: the
         pruning is metadata-only — the caller still applies the actual
         row filter."""
-        rel, stats = self._replay(version)
+        rel, stats, parts = self._replay(version)
+        pcols = self._partition_cols()
         if prune:
             def keep(p: str) -> bool:
+                pv = parts.get(p, {})
                 fs = stats.get(p, {})
                 for col, (lo, hi) in prune.items():
+                    if col in pv:
+                        v = _coerce_part(pv[col], lo)
+                        if v is not None and (v < lo or v > hi):
+                            return False
+                        continue
                     rng = fs.get(col)
                     if rng is None:
                         continue
@@ -346,10 +478,31 @@ class TxLogTable:
                 # every file pruned: empty frame with the table schema
                 return spark.createDataFrame([], self.read(spark, version).schema)
             raise ValueError(f"version has no live files at {self.root}")
-        # mergeSchema: files written before a schema-evolving append
-        # lack the added columns; the merged read backfills them NULL
-        # (one extra footer pass — negligible against the data scan)
-        return spark.read.option("mergeSchema", "true").parquet(*files)
+        if not pcols:
+            # mergeSchema: files written before a schema-evolving append
+            # lack the added columns; the merged read backfills them
+            # NULL (one extra footer pass — negligible vs the data scan)
+            return spark.read.option("mergeSchema", "true").parquet(*files)
+        # partitioned table: the partition columns live in the
+        # hive-style paths, not the files — scan per commit directory
+        # with basePath so Spark re-attaches them typed, then union
+        # (no shuffle; each subtree keeps pushdown and row-group
+        # pruning). Live commit-dir count is bounded by compaction.
+        groups: dict[str, list[str]] = {}
+        for p in rel:
+            segs = p.split(os.sep)
+            base = os.path.join(self.root, *segs[:2])  # data/<uuid>
+            groups.setdefault(base, []).append(os.path.join(self.root, p))
+        scans = [
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(*fs)
+            for base, fs in sorted(groups.items())
+        ]
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+        return out
 
     def append(
         self, df: DataFrame, spark: SparkSession, merge_schema: bool = False
@@ -359,8 +512,12 @@ class TxLogTable:
         evolution): earlier files backfill NULL at read; drops and
         renames still fail loudly."""
         self._check_schema(df, spark, merge_schema=merge_schema)
-        files, stats = self._write_data(df, self._stat_cols())
+        files, stats, parts = self._write_data(
+            df, self._stat_cols(), self._partition_cols()
+        )
         payload = {"op": "append", "add": files}
+        if parts:
+            payload["parts"] = parts
         if stats:
             payload["stats"] = stats
         v = self.latest_version() + 1
@@ -375,13 +532,17 @@ class TxLogTable:
         application metadata into the commit record (e.g. a streaming
         sink's batch id — the Delta txn-identifier idea), readable back
         via :meth:`commit_meta`."""
-        files, stats = self._write_data(df, self._stat_cols())
+        files, stats, parts = self._write_data(
+            df, self._stat_cols(), self._partition_cols()
+        )
         while True:
             head = self.latest_version()
             removes = [
                 os.path.relpath(p, self.root) for p in self.live_files(head)
             ]
             payload = {"op": "overwrite", "add": files, "remove": removes}
+            if parts:
+                payload["parts"] = parts
             if stats:
                 payload["stats"] = stats
             if extra:
@@ -404,12 +565,16 @@ class TxLogTable:
         would silently drop rows a concurrent append added after the
         caller's read. Data files written by a losing attempt are
         unreferenced orphans; VACUUM's age guard collects them."""
-        files, stats = self._write_data(df, self._stat_cols())
+        files, stats, parts = self._write_data(
+            df, self._stat_cols(), self._partition_cols()
+        )
         removes = [
             os.path.relpath(p, self.root)
             for p in self.live_files(expected_head)
         ]
         payload = {"op": "overwrite", "add": files, "remove": removes}
+        if parts:
+            payload["parts"] = parts
         if stats:
             payload["stats"] = stats
         if extra:
@@ -448,7 +613,14 @@ class TxLogTable:
         when ``zorder_by`` is None."""
         head = self.latest_version()
         live = self.live_files(head)
-        src = spark.read.parquet(*live)
+        pcols = self._partition_cols()
+        # partitioned tables must read THROUGH the table so the
+        # partition columns (path-only) re-attach before the rewrite
+        src = (
+            self.read(spark, head)
+            if pcols
+            else spark.read.parquet(*live)
+        )
         if zorder_by:
             from ..operators.layout import zorder_value
 
@@ -460,9 +632,13 @@ class TxLogTable:
             )
         else:
             src = src.coalesce(target_files)
-        compacted, stats = self._write_data(src, self._stat_cols())
+        compacted, stats, parts = self._write_data(
+            src, self._stat_cols(), pcols
+        )
         removes = [os.path.relpath(p, self.root) for p in live]
         payload = {"op": "compact", "add": compacted, "remove": removes}
+        if parts:
+            payload["parts"] = parts
         if zorder_by:
             payload["zorder_by"] = list(zorder_by)
         if stats:
@@ -645,25 +821,27 @@ class TxLogTable:
 
         keep: set[str] = set()
         for v in range(cutoff, latest + 1):
-            live, _ = self._replay(v)
+            live, _, _ = self._replay(v)
             keep.update(live)
 
         now = _time.time()
         deleted_files = 0
         data_root = os.path.join(self.root, "data")
-        for sub in os.listdir(data_root) if os.path.isdir(data_root) else []:
-            subdir = os.path.join(data_root, sub)
-            for f in os.listdir(subdir):
-                rel = os.path.join("data", sub, f)
-                full = os.path.join(subdir, f)
-                if not f.endswith(".parquet"):
-                    continue
-                if rel in keep:
-                    continue
-                if now - os.path.getmtime(full) < min_age_s:
-                    continue
-                os.remove(full)
-                deleted_files += 1
+        if os.path.isdir(data_root):
+            # recursive: partitioned commits nest files under
+            # hive-style col=value subdirectories
+            for dirpath, _dirs, names in os.walk(data_root):
+                for f in names:
+                    if not f.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dirpath, f)
+                    rel = os.path.relpath(full, self.root)
+                    if rel in keep:
+                        continue
+                    if now - os.path.getmtime(full) < min_age_s:
+                        continue
+                    os.remove(full)
+                    deleted_files += 1
 
         deleted_commits = 0
         for v in self.versions():

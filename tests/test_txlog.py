@@ -76,8 +76,8 @@ def test_compact_conflict_raises(spark, tmp_path, monkeypatch):
     t = TxLogTable.create(root, _df(spark, 0, 10, "x"))
     orig = t._write_data
 
-    def raced(df, stat_cols=None):
-        files = orig(df, stat_cols)
+    def raced(df, stat_cols=None, partition_by=None):
+        files = orig(df, stat_cols, partition_by)
         # a concurrent commit claims the next version while compact is
         # still rewriting its (now stale) snapshot
         assert t._try_commit(
@@ -510,3 +510,85 @@ def test_schema_evolution_type_change_rejected(spark, tmp_path):
     # the table is untouched and still readable
     assert t.versions() == [0]
     assert t.read(spark).count() == 5
+
+
+def test_partitioned_table_lifecycle(spark, tmp_path):
+    """Partition spec (round 8): create(partition_by=...) writes
+    hive-style col=value files, records per-file partition values in
+    the commit log, and read() re-attaches the (path-only) partition
+    column typed. read(prune=) consults partition values BEFORE zone
+    maps and provably skips files; appends inherit the spec; compact
+    preserves rows and stays partitioned; vacuum collects the nested
+    files; time travel still resolves."""
+    root = str(tmp_path / "tpart")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS p", "id * 2 AS x"
+        )
+
+    t = TxLogTable.create(
+        root, rows(0, 400).repartition(4, "k"),
+        stat_cols=["k"], partition_by=["p"],
+    )
+    t.append(rows(400, 600).repartition(2, "k"), spark)
+
+    full = t.read(spark)
+    assert set(full.columns) == {"k", "p", "x"}
+    assert full.count() == 600
+    assert dict(full.dtypes)["p"] == "int"  # typed from the path
+    got = sorted((r["k"], r["p"], r["x"]) for r in full.collect())
+    assert got == [(k, k % 4, k * 2) for k in range(600)]
+
+    # partition pruning: only p=2 files scanned, results exact
+    pr = t.read(spark, prune={"p": (2, 2)})
+    assert len(pr.inputFiles()) < len(full.inputFiles())
+    assert {r["p"] for r in pr.collect()} == {2}
+    assert pr.count() == 150
+    # combined partition + zone-map prune shrinks further
+    pz = t.read(spark, prune={"p": (2, 2), "k": (0, 50)})
+    assert len(pz.inputFiles()) < len(pr.inputFiles())
+    assert pz.filter("k <= 50").count() == 13  # p==2, k in 2..50
+
+    # spec is table-level metadata: commit log carries parts; appended
+    # files inherited the spec
+    assert t._partition_cols() == ["p"]
+    assert all("p=" in f for f in t.live_files())
+
+    # column order of an append doesn't matter (partition cols
+    # re-attach at the END of a partitioned read)
+    t.append(
+        spark.range(600, 610).selectExpr(
+            "CAST(id % 4 AS INT) AS p", "id AS k", "id * 2 AS x"
+        ),
+        spark,
+    )
+    assert t.read(spark).count() == 610
+
+    # compact: layout-only, stays partitioned, still prunes
+    before = sorted(map(tuple, t.read(spark).select("k", "p", "x").collect()))
+    n_files = len(t.live_files())
+    v = t.compact(spark, target_files=1)
+    after = sorted(map(tuple, t.read(spark).select("k", "p", "x").collect()))
+    assert after == before
+    assert len(t.live_files()) < n_files
+    assert all("p=" in f for f in t.live_files())
+    pr2 = t.read(spark, prune={"p": (1, 1)})
+    assert len(pr2.inputFiles()) < len(t.read(spark).inputFiles())
+    # time travel to the pre-compact version still resolves
+    assert t.read(spark, v - 1).count() == 610
+
+    # vacuum walks the nested hive layout
+    res = t.vacuum(retain_versions=1, min_age_s=0.0)
+    assert res["deleted_files"] > 0
+    assert t.read(spark).count() == 610
+
+
+def test_partitioned_table_rejects_bad_specs(spark, tmp_path):
+    df = spark.range(0, 10).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p")
+    with pytest.raises(ValueError, match="not in frame"):
+        TxLogTable.create(str(tmp_path / "b1"), df, partition_by=["nope"])
+    with pytest.raises(ValueError, match="both partition_by and"):
+        TxLogTable.create(
+            str(tmp_path / "b2"), df, stat_cols=["p"], partition_by=["p"]
+        )
