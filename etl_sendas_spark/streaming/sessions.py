@@ -724,3 +724,120 @@ def stream_upsert_to_txlog(
         q.processAllAvailable()
         q.stop()
     return q
+
+
+def txlog_cdf_consumer_step(
+    spark,
+    source_path: str,
+    keys: list[str],
+    agg_keys: list[str],
+    sum_cols: list[str],
+    dst_path: str,
+) -> int | None:
+    """ONE transactional step of the continuous txlog → CDF → IVM
+    pipeline (the Delta CDF streaming-source idea): advance the
+    aggregate table at ``dst_path`` to the source table's current
+    head and return the consumed head (None when already caught up or
+    a concurrent consumer won the commit race — the next tick
+    re-reads).
+
+    Progress is NOT a side file: the destination table's newest commit
+    carries ``{"source_version": v}`` (the Delta txn-identifier idea,
+    same as :func:`stream_upsert_to_txlog`'s batch ids), so applying
+    the changes and recording the watermark are ONE atomic commit —
+    a crash anywhere redelivers from the last COMMITTED version and
+    can never double-apply (exactly-once effect without an idempotent
+    sink). Bootstrap (no destination yet) aggregates the full source
+    snapshot at the head; every later step reads only the normalized
+    change feed (U → D(pre)+I(post)) and merges it change-feed-sized
+    through :func:`..operators.ivm.incremental_agg_update` — the
+    source is never rescanned, the property a 100 TB base table
+    requires. ``overwrite_if`` keeps concurrent consumers safe: a lost
+    race leaves the destination untouched.
+
+    A VACUUM on the source that outran this consumer fails loudly
+    inside ``change_feed`` (including the exact cutoff−1 boundary) —
+    re-baseline by deleting the destination table.
+    """
+    from ..operators.ivm import aggregate_state, incremental_agg_update
+    from ..sources.txlog import CommitConflict, TxLogTable
+
+    src = TxLogTable(source_path)
+    head = src.latest_version()
+    dst = TxLogTable(dst_path)
+    if not dst.versions():
+        state = aggregate_state(
+            src.read(spark, head), keys=agg_keys, sum_cols=sum_cols
+        )
+        try:
+            TxLogTable.create(dst_path, state, extra={"source_version": head})
+            return head
+        except (CommitConflict, FileExistsError):
+            return None  # concurrent bootstrap won; next tick continues
+    meta = dst.commit_meta(dst.latest_version())
+    last = int(meta.get("source_version", -1))
+    if last < 0:
+        raise ValueError(
+            f"destination {dst_path} exists but carries no "
+            f"source_version metadata — not a CDF consumer table"
+        )
+    if head <= last:
+        return None  # caught up
+    changes = src.change_feed(
+        spark,
+        keys=keys,
+        from_version=last + 1,
+        to_version=head,
+        normalize_updates=True,
+    ).drop("_commit_version")
+    expected = dst.latest_version()
+    state = incremental_agg_update(
+        dst.read(spark, expected),
+        changes,
+        keys=agg_keys,
+        sum_cols=sum_cols,
+    )
+    if dst.overwrite_if(state, expected, extra={"source_version": head}) is None:
+        return None  # lost the race; destination untouched
+    return head
+
+
+def stream_txlog_cdf_to_agg(
+    spark,
+    source_path: str,
+    keys: list[str],
+    agg_keys: list[str],
+    sum_cols: list[str],
+    dst_path: str,
+    checkpoint: str,
+    tick_seconds: float = 0.5,
+):
+    """The poll loop of :func:`txlog_cdf_consumer_step` hosted inside
+    Structured Streaming: a ``rate`` ticker drives ``foreachBatch``,
+    each tick runs one consumer step — txlog → change feed → IVM as a
+    RUNNING pipeline (Delta's CDF ``readStream`` analogue for the
+    from-scratch table format). The ticker's checkpoint only preserves
+    trigger cadence; correctness state lives entirely in the
+    destination table's atomic ``source_version`` commits, so kill the
+    query anywhere and a restart (same or fresh checkpoint) resumes
+    from the last committed version without loss or double-apply —
+    the stream≡batch equality law is pinned in tests/test_streaming.py
+    across exactly such a restart.
+
+    Returns the started StreamingQuery; callers stop it.
+    """
+
+    def on_tick(_df, _bid) -> None:
+        txlog_cdf_consumer_step(
+            spark, source_path, keys, agg_keys, sum_cols, dst_path
+        )
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{tick_seconds} seconds")
+        .foreachBatch(on_tick)
+        .start()
+    )

@@ -974,3 +974,113 @@ def test_txlog_sink_survives_concurrent_batch_writers(spark, tmp_path, monkeypat
     assert {
         (r["k"], r["v"]) for r in table.read(spark).select("k", "v").collect()
     } == {(1, "a0"), (2, "b1"), (9, "z1"), (8, "y0")}
+
+
+def test_txlog_cdf_streams_into_incremental_agg(spark, tmp_path):
+    """txlog → CDF → IVM as one RUNNING pipeline (round 8): the
+    foreachBatch consumer must keep the destination aggregate equal to
+    aggregate_state(source.read()) at every consumed head, survive a
+    kill-and-restart (fresh checkpoint — progress lives in the
+    destination's atomic source_version commits), never double-apply a
+    redelivered window, and never rescan the source after bootstrap."""
+    import time
+
+    from etl_sendas_spark.operators.ivm import aggregate_state
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import (
+        stream_txlog_cdf_to_agg,
+        txlog_cdf_consumer_step,
+    )
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+
+    def rows(lo, hi, mult=1):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k",
+            "CAST(id % 3 AS BIGINT) AS grp",
+            f"CAST(id * {mult} AS DOUBLE) AS x",
+        )
+
+    def batch_expect():
+        return sorted(
+            map(
+                tuple,
+                aggregate_state(
+                    TxLogTable(src_root).read(spark),
+                    keys=["grp"],
+                    sum_cols=["x"],
+                ).collect(),
+            )
+        )
+
+    def dst_state():
+        return sorted(map(tuple, TxLogTable(dst_root).read(spark).collect()))
+
+    src = TxLogTable.create(src_root, rows(0, 60))
+
+    # --- deterministic step law first (no timing dependence) ---------
+    assert txlog_cdf_consumer_step(
+        spark, src_root, ["k"], ["grp"], ["x"], dst_root
+    ) == 0  # bootstrap consumed head 0
+    assert dst_state() == batch_expect()
+    # caught up -> no-op; a redelivered tick cannot double-apply
+    assert txlog_cdf_consumer_step(
+        spark, src_root, ["k"], ["grp"], ["x"], dst_root
+    ) is None
+    assert dst_state() == batch_expect()
+
+    # inserts + deletes + updates through two commits
+    src.overwrite(rows(0, 40).union(rows(100, 120)))
+    src.overwrite(rows(0, 40, 3).union(rows(100, 120)))
+    assert txlog_cdf_consumer_step(
+        spark, src_root, ["k"], ["grp"], ["x"], dst_root
+    ) == 2
+    assert dst_state() == batch_expect()
+
+    # --- the running pipeline, killed and restarted ------------------
+    q = stream_txlog_cdf_to_agg(
+        spark, src_root, ["k"], ["grp"], ["x"], dst_root,
+        checkpoint=str(tmp_path / "ck1"), tick_seconds=0.25,
+    )
+    try:
+        src.append(rows(200, 230), spark)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            meta = TxLogTable(dst_root).commit_meta(
+                TxLogTable(dst_root).latest_version()
+            )
+            if int(meta.get("source_version", -1)) >= 3:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()  # kill mid-flight: restart must resume, not rewind
+    assert dst_state() == batch_expect()
+
+    # restart with a FRESH checkpoint: watermark is in the table, so
+    # nothing replays and new commits still flow
+    src.append(rows(300, 310), spark)
+    q2 = stream_txlog_cdf_to_agg(
+        spark, src_root, ["k"], ["grp"], ["x"], dst_root,
+        checkpoint=str(tmp_path / "ck2"), tick_seconds=0.25,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            meta = TxLogTable(dst_root).commit_meta(
+                TxLogTable(dst_root).latest_version()
+            )
+            if int(meta.get("source_version", -1)) >= 4:
+                break
+            time.sleep(0.25)
+    finally:
+        q2.stop()
+    assert dst_state() == batch_expect()
+    # every consumed head left ONE atomic commit: source_version strictly
+    # increasing across the destination's history
+    dst = TxLogTable(dst_root)
+    seen = [
+        int(dst.commit_meta(v).get("source_version", -1))
+        for v in dst.versions()
+    ]
+    assert seen == sorted(set(seen)), seen
