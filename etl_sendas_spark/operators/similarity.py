@@ -33,6 +33,7 @@ dense corpus×k kernels offer an Arrow-batched BLAS backend
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -289,6 +290,58 @@ def _assign_nearest_centroid_np(c: DataFrame, cents: DataFrame) -> DataFrame:
     return c.mapInPandas(assign, schema=out_schema)
 
 
+def _ivf_centroids(
+    c: DataFrame,
+    n_centroids: int,
+    lloyd_iters: int = 0,
+    assign_backend: str = "exact",
+    dim: int | None = None,
+) -> DataFrame:
+    """(centroid_id, ce, ce_n) from a normalized (neighbor_id, cv, cn)
+    corpus frame — the deterministic IVF coarse quantizer shared by the
+    inline query path and the at-rest index build. Seeds are the
+    ``n_centroids`` lowest *portable* md5-60 hashes of the id
+    (reproducible cross-engine, no RNG); ``lloyd_iters`` k-means rounds
+    refine them with the element-wise mean expressed as ``dim``
+    map-side-combinable ``avg`` aggregates (one shuffle per round, no
+    posexplode). Labels keep the seed ids so tie-breaks stay
+    deterministic."""
+    from .dedupe import portable_hash60
+
+    cents = (
+        c.withColumn("__h", portable_hash60(F.col("neighbor_id").cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select(
+            F.col("neighbor_id").alias("centroid_id"),
+            F.col("cv").alias("ce"),
+            F.col("cn").alias("ce_n"),
+        )
+    )
+    if lloyd_iters > 0:
+        if dim is None:
+            raise ValueError("_ivf_centroids: lloyd refinement needs dim")
+        for _ in range(lloyd_iters):
+            members = _assign_nearest_centroid(c, cents, backend=assign_backend)
+            cents = (
+                members.groupBy("cluster")
+                .agg(*[F.avg(F.col("cv")[i]).alias(f"__m{i}") for i in range(dim)])
+                .select(
+                    F.col("cluster").alias("centroid_id"),
+                    F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("ce"),
+                )
+                .withColumn("ce_n", _norm(F.col("ce")))
+                .filter(F.col("ce_n") > 0)
+            )
+        # centroid table is tiny — pin it (strategy-pluggable) so the
+        # assign pass and the probe pass don't each recompute
+        # lloyd_iters rounds
+        from ..materialize import materialize as _pin
+
+        cents = F.broadcast(_pin(cents, name="ivf_centroids"))
+    return cents
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -322,7 +375,6 @@ def ivf_cosine_topk(
     the cross-engine SQL oracle; production indexes should use 2-3
     rounds (diminishing returns after — standard IVF practice).
     """
-    from .dedupe import portable_hash60
     qid = query_id_col or id_col
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
@@ -331,41 +383,10 @@ def ivf_cosine_topk(
         F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
 
-    cents = (
-        c.withColumn("__h", portable_hash60(F.col("neighbor_id").cast("string")))
-        .orderBy("__h")
-        .limit(n_centroids)
-        .select(
-            F.col("neighbor_id").alias("centroid_id"),
-            F.col("cv").alias("ce"),
-            F.col("cn").alias("ce_n"),
-        )
+    dim = (
+        len(corpus.select(vec_col).first()[0]) if lloyd_iters > 0 else None
     )
-
-    if lloyd_iters > 0:
-        # k-means refinement. The element-wise mean is expressed as dim
-        # scalar avg() aggregates (JVM, map-side combined) — no
-        # posexplode of |corpus|·dim rows. Empty clusters drop out;
-        # labels keep the seed centroid ids.
-        dim = len(corpus.select(vec_col).first()[0])
-        for _ in range(lloyd_iters):
-            members = _assign_nearest_centroid(c, cents, backend=assign_backend)
-            cents = (
-                members.groupBy("cluster")
-                .agg(*[F.avg(F.col("cv")[i]).alias(f"__m{i}") for i in range(dim)])
-                .select(
-                    F.col("cluster").alias("centroid_id"),
-                    F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("ce"),
-                )
-                .withColumn("ce_n", _norm(F.col("ce")))
-                .filter(F.col("ce_n") > 0)
-            )
-        # centroid table is tiny — pin it (strategy-pluggable) so the
-        # assign pass below and the probe pass don't each recompute
-        # lloyd_iters rounds
-        from ..materialize import materialize as _pin
-
-        cents = F.broadcast(_pin(cents, name="ivf_centroids"))
+    cents = _ivf_centroids(c, n_centroids, lloyd_iters, assign_backend, dim)
 
     # the index build; at rest `assigned` would be written as a
     # `cluster_id`-partitioned table so probes prune whole partitions.
@@ -398,6 +419,160 @@ def ivf_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF index at rest — build once / append / query many (txlog-backed)
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 32,
+    lloyd_iters: int = 0,
+    assign_backend: str = "exact",
+    centroid_source: DataFrame | None = None,
+) -> str:
+    """Materialize an IVF index as TWO txlog tables under ``path`` —
+    the build-once/query-many split :func:`ivf_cosine_topk` rebuilds
+    inline on every call (fine for one-shot queries, wasteful for a
+    query service):
+
+    - ``<path>/centroids``: the coarse quantizer (tiny, broadcast at
+      query time), FROZEN at build — the FAISS train-once contract;
+    - ``<path>/rows``: every corpus vector labeled with its nearest
+      centroid, PARTITIONED BY ``cluster`` (the new txlog partition
+      spec), so :func:`ivf_index_topk` reads only the probed clusters'
+      files — the at-rest realization of IVF's scanned-fraction bound.
+
+    ``centroid_source`` trains the quantizer from a DIFFERENT frame
+    than the indexed corpus (defaults to the corpus) — what makes the
+    append law testable exactly: ``build(A) + append(B)`` must equal
+    ``build(A ∪ B, centroid_source=A)`` row-for-row, because appends
+    assign against the frozen centroids.
+
+    Both tables are ordinary txlog tables: versioned, vacuumable,
+    compactable (a periodic ``compact`` on rows/ keeps per-cluster
+    file counts bounded as appends accumulate).
+    """
+    from ..sources.txlog import TxLogTable
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    if centroid_source is not None:
+        cs = centroid_source.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    else:
+        cs = c
+    dim = (
+        len(corpus.select(vec_col).first()[0]) if lloyd_iters > 0 else None
+    )
+    cents = _ivf_centroids(cs, n_centroids, lloyd_iters, assign_backend, dim)
+    TxLogTable.create(os.path.join(path, "centroids"), cents)
+    assigned = _assign_nearest_centroid(c, cents, backend=assign_backend)
+    TxLogTable.create(
+        os.path.join(path, "rows"),
+        assigned.select("neighbor_id", "cv", "cn", "cluster"),
+        partition_by=["cluster"],
+    )
+    return path
+
+
+def ivf_index_append(
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_backend: str = "exact",
+) -> int:
+    """Add vectors to an at-rest IVF index WITHOUT rebuilding: assign
+    them against the frozen centroid table (one narrow pass — the
+    corpus already indexed is never rescanned, the
+    minhash_index_append property applied to vectors) and append the
+    labeled rows to the partitioned rows table. Returns the rows
+    table's new version."""
+    from ..sources.txlog import TxLogTable
+
+    spark = new_vectors.sparkSession
+    cents = TxLogTable(os.path.join(path, "centroids")).read(spark)
+    c = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    assigned = _assign_nearest_centroid(c, cents, backend=assign_backend)
+    return TxLogTable(os.path.join(path, "rows")).append(
+        assigned.select("neighbor_id", "cv", "cn", "cluster"), spark
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 8,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query an at-rest IVF index: identical scoring/tie-break math to
+    :func:`ivf_cosine_topk` (pytest pins row-for-row equality against
+    the inline build over the same corpus), but the corpus side is the
+    PERSISTED rows table read through partition pruning — only the
+    union of the queries' probed clusters is scanned (the probe set is
+    bounded by n_centroids, driver-side metadata by contract). At
+    100 TB the read is the scanned-fraction bound made physical:
+    non-probed clusters' files never reach Spark."""
+    from ..sources.txlog import TxLogTable
+
+    qid = query_id_col or id_col
+    cents = TxLogTable(os.path.join(path, "centroids")).read(spark)
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
+
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim", _dot(F.col("qv"), F.col("ce")) / (F.col("qn") * F.col("ce_n"))
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("cluster"))
+    )
+    # ≤ n_centroids values by contract — bounded driver-side metadata
+    clusters = [r["cluster"] for r in probes.select("cluster").distinct().collect()]
+    rows = TxLogTable(os.path.join(path, "rows")).read(
+        spark, prune={"cluster": clusters}
+    )
+    # pruning is metadata-only by contract: apply the row predicate too
+    scored = rows.filter(F.col("cluster").isin(clusters)).join(
+        F.broadcast(probes), "cluster"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 # ---------------------------------------------------------------------------

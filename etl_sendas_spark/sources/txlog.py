@@ -440,25 +440,42 @@ class TxLogTable:
         distributed parquet scan of the live files, so pushdown/
         pruning/AQE all apply.
 
-        ``prune`` maps column → (lo, hi): files whose logged zone map
-        cannot intersect the range are dropped from the scan BEFORE
-        Spark sees them — manifest-level skipping on top of row-group
-        pushdown, the Delta data-skipping idea. On a partitioned table
-        the logged PARTITION VALUES are consulted first (an exact
-        single-value "zone map", the first-order skipping lever), zone
-        maps refine within the surviving partitions. A file with no
-        logged stats for a pruned column is kept (safe), so pruning can
-        never change results, only shrink the file list; pair with
-        zorder-style layout so ranges cluster per file. NOTE: the
-        pruning is metadata-only — the caller still applies the actual
-        row filter."""
+        ``prune`` maps column → (lo, hi) for a RANGE, or a list/set for
+        MEMBERSHIP (an IN-list over scattered values — e.g. an ANN
+        probe's cluster ids): files whose logged zone map (or, on a
+        partitioned table, whose logged PARTITION VALUE — consulted
+        first, the exact single-value "zone map" and the first-order
+        skipping lever) cannot satisfy the predicate are dropped from
+        the scan BEFORE Spark sees them — manifest-level skipping on
+        top of row-group pushdown, the Delta data-skipping idea. A
+        file with no logged stats for a pruned column is kept (safe),
+        so pruning can never change results, only shrink the file
+        list; pair with zorder-style layout so ranges cluster per
+        file. NOTE: the pruning is metadata-only — the caller still
+        applies the actual row filter."""
         rel, stats, parts = self._replay(version)
         pcols = self._partition_cols()
         if prune:
             def keep(p: str) -> bool:
                 pv = parts.get(p, {})
                 fs = stats.get(p, {})
-                for col, (lo, hi) in prune.items():
+                for col, spec in prune.items():
+                    if isinstance(spec, (list, set, frozenset)):
+                        vals = list(spec)
+                        if not vals:
+                            return False  # IN () matches nothing
+                        if col in pv:
+                            v = _coerce_part(pv[col], vals[0])
+                            if v is not None and v not in set(vals):
+                                return False
+                            continue
+                        rng = fs.get(col)
+                        if rng is None:
+                            continue
+                        if not any(rng[0] <= x <= rng[1] for x in vals):
+                            return False
+                        continue
+                    lo, hi = spec
                     if col in pv:
                         v = _coerce_part(pv[col], lo)
                         if v is not None and (v < lo or v > hi):

@@ -2443,3 +2443,70 @@ def test_exact_quantiles_histogram_batch_matches_singular(spark):
     # small n: degenerates to the singular path
     tiny = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     assert exact_quantiles_histogram(tiny, "v", [0.5, 1.0]) == [(0.5, 1.0), (1.0, 2.0)]
+
+
+def test_ivf_index_at_rest_build_once_query_many(spark, tmp_path):
+    """At-rest IVF index (round 8): (1) BUILD-ONCE LAW — querying the
+    persisted index returns row-for-row the inline ivf_cosine_topk
+    over the same corpus, for TWO different query sets against one
+    build (no per-call rebuild). (2) The probe read provably scans
+    only the probed clusters' partition files (inputFiles < full).
+    (3) APPEND LAW — build(A) + append(B) equals
+    build(A ∪ B, centroid_source=A) row-for-row: appends assign
+    against the frozen centroids and never rescan A."""
+    from etl_sendas_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    vecs, n, n_dups = _planted_vectors(spark)
+
+    idx = str(tmp_path / "ivf_idx")
+    ivf_index_build(vecs, idx, n_centroids=16)
+
+    for qfilter in ("vec_id >= 200", "vec_id < 10"):
+        queries = vecs.filter(qfilter)
+        got = sorted(
+            map(tuple, ivf_index_topk(
+                spark, idx, queries, k=5, n_probe=8
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, ivf_cosine_topk(
+                vecs, queries, k=5, n_centroids=16, n_probe=8
+            ).collect())
+        )
+        assert got == want and len(got) > 0, qfilter
+
+    # the probe scan is partition-pruned: fewer files than a full read
+    rows_t = TxLogTable(f"{idx}/rows")
+    full_files = len(rows_t.read(spark).inputFiles())
+    one_q = vecs.filter("vec_id = 205")
+    probed = ivf_index_topk(spark, idx, one_q, k=5, n_probe=2)
+    assert len(probed.inputFiles()) < full_files
+    assert probed.count() > 0
+
+    # ---- append law --------------------------------------------------
+    a = vecs.filter("vec_id % 2 = 0")
+    b = vecs.filter("vec_id % 2 = 1")
+    idx_a = str(tmp_path / "ivf_a")
+    ivf_index_build(a, idx_a, n_centroids=16)
+    ivf_index_append(idx_a, b)
+
+    idx_ab = str(tmp_path / "ivf_ab")
+    ivf_index_build(vecs, idx_ab, n_centroids=16, centroid_source=a)
+
+    queries = vecs.filter("vec_id >= 200")
+    got = sorted(
+        map(tuple, ivf_index_topk(spark, idx_a, queries, k=5, n_probe=8).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_index_topk(spark, idx_ab, queries, k=5, n_probe=8).collect())
+    )
+    assert got == want and len(got) > 0
+    # the index tables are ordinary txlog tables: the append left a
+    # new version, history intact
+    assert TxLogTable(f"{idx_a}/rows").versions() == [0, 1]
