@@ -46,6 +46,7 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_near_dup_bucketed",
     "ann_cosine_topk",
+    "corpus_training_manifest",
     "sendas_full_pipeline",
 ]
 
