@@ -549,6 +549,12 @@ def ivf_index_topk(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "qv", "qn", F.col("centroid_id").alias("cluster"))
     )
+    # probes feed TWO consumers (the cluster collect below and the
+    # scoring join) — pin the bounded frame so the crossJoin+window
+    # computes once (strategy-pluggable, same as the lloyd centroids)
+    from ..materialize import materialize as _pin
+
+    probes = _pin(probes, name="ivf_index_probes")
     # ≤ n_centroids values by contract — bounded driver-side metadata
     clusters = [r["cluster"] for r in probes.select("cluster").distinct().collect()]
     rows = TxLogTable(os.path.join(path, "rows")).read(
@@ -575,9 +581,324 @@ def ivf_index_topk(
     )
 
 
+def ivfpq_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 32,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    encode_backend: str = "numpy",
+    pq_lloyd_iters: int = 0,
+    centroid_source: DataFrame | None = None,
+) -> str:
+    """Materialize an IVF-PQ index as THREE txlog tables under
+    ``path`` — :func:`ivf_index_build`'s split applied to the
+    memory-bounded variant, which is where at-rest persistence matters
+    most (the codes table row is m small ints, the ~100× compression
+    that fits a 100 TB embedding corpus in probeable storage):
+
+    - ``<path>/centroids``: the frozen coarse quantizer;
+    - ``<path>/codebook``: (j, code_id, sub) — the per-subspace
+      codewords, tiny, collected to literals at query time exactly as
+      the inline path does;
+    - ``<path>/codes``: (neighbor_id, cluster, codes) PARTITIONED BY
+      ``cluster`` — probes read only their clusters' files, and the
+      original vectors are NOT stored (pure-ADC index; rerank-style
+      exact re-scoring joins back to wherever the vectors live).
+
+    ``centroid_source`` seeds BOTH the coarse centroids and the
+    codebook sample from a different frame (defaults to the corpus),
+    making the append law exact: ``build(A) + append(B)`` ==
+    ``build(A ∪ B, centroid_source=A)``.
+    """
+    from ..sources.txlog import TxLogTable
+    from .dedupe import portable_hash60
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    if centroid_source is not None:
+        cs = centroid_source.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    else:
+        cs = c
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"ivfpq_index_build: dim {dim} not divisible by m={m_subspaces}"
+        )
+    dsub = dim // m_subspaces
+
+    hashed = cs.withColumn(
+        "__h", portable_hash60(F.col("neighbor_id").cast("string"))
+    )
+    cents = (
+        hashed.orderBy("__h")
+        .limit(n_centroids)
+        .select(
+            F.col("neighbor_id").alias("centroid_id"),
+            F.col("cv").alias("ce"),
+            F.col("cn").alias("ce_n"),
+        )
+    )
+    cb_rows = sorted(
+        hashed.orderBy("__h").limit(n_codes).select("neighbor_id", "cv").collect(),
+        key=lambda r: r["neighbor_id"],
+    )
+    if len(cb_rows) < 2:
+        raise ValueError("ivfpq_index_build: corpus too small for a codebook")
+    codebook = [
+        [list(r["cv"])[j * dsub : (j + 1) * dsub] for r in cb_rows]
+        for j in range(m_subspaces)
+    ]
+    if pq_lloyd_iters > 0:
+        codebook = _pq_train_lloyd(c, codebook, dsub, pq_lloyd_iters)
+
+    spark = corpus.sparkSession
+    TxLogTable.create(os.path.join(path, "centroids"), cents)
+    cb_flat = [
+        (j, i, codebook[j][i])
+        for j in range(m_subspaces)
+        for i in range(len(codebook[j]))
+    ]
+    TxLogTable.create(
+        os.path.join(path, "codebook"),
+        spark.createDataFrame(cb_flat, "j int, code_id int, sub array<double>"),
+    )
+    assigned = _assign_nearest_centroid(c, cents, backend=encode_backend)
+    codes = _pq_encode(assigned, codebook, dsub, backend=encode_backend)
+    TxLogTable.create(
+        os.path.join(path, "codes"), codes, partition_by=["cluster"]
+    )
+    return path
+
+
+def _pq_index_parts(spark, path: str):
+    """(centroids df, codebook nested lists, dsub) read back from an
+    at-rest IVF-PQ index — codewords return as the same float doubles
+    the build wrote (parquet round-trip is exact)."""
+    from ..sources.txlog import TxLogTable
+
+    cents = TxLogTable(os.path.join(path, "centroids")).read(spark)
+    cb_rows = TxLogTable(os.path.join(path, "codebook")).read(spark).collect()
+    m = 1 + max(r["j"] for r in cb_rows)
+    codebook: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(cb_rows, key=lambda r: (r["j"], r["code_id"])):
+        codebook[r["j"]].append(list(r["sub"]))
+    return cents, codebook, len(codebook[0][0])
+
+
+def ivfpq_index_append(
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode_backend: str = "numpy",
+) -> int:
+    """Add vectors to an at-rest IVF-PQ index: assign against the
+    frozen centroids, encode against the frozen codebook (one narrow
+    pass — the indexed corpus is never rescanned), append the code
+    rows. Returns the codes table's new version."""
+    from ..sources.txlog import TxLogTable
+
+    spark = new_vectors.sparkSession
+    cents, codebook, dsub = _pq_index_parts(spark, path)
+    c = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
+    assigned = _assign_nearest_centroid(c, cents, backend=encode_backend)
+    codes = _pq_encode(assigned, codebook, dsub, backend=encode_backend)
+    return TxLogTable(os.path.join(path, "codes")).append(codes, spark)
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 8,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query an at-rest IVF-PQ index: same probe routing and pure-ADC
+    scoring as :func:`ivfpq_cosine_topk` (pytest pins row-for-row
+    equality to the inline build), over the persisted codes table read
+    through cluster partition pruning — the probed fraction of a
+    100 TB index is the only I/O, and each candidate costs m ints, not
+    dim doubles."""
+    from ..sources.txlog import TxLogTable
+
+    qid = query_id_col or id_col
+    cents, codebook, _dsub = _pq_index_parts(spark, path)
+    q = queries.select(
+        F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
+
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim", _dot(F.col("qv"), F.col("ce")) / (F.col("qn") * F.col("ce_n"))
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("cluster"))
+    )
+    from ..materialize import materialize as _pin
+
+    probes = _pin(probes, name="ivfpq_index_probes")
+    clusters = [r["cluster"] for r in probes.select("cluster").distinct().collect()]
+    codes = TxLogTable(os.path.join(path, "codes")).read(
+        spark, prune={"cluster": clusters}
+    )
+    index = codes.filter(F.col("cluster").isin(clusters))
+    return _pq_adc_topk(index, probes, codebook, k, exclude_self=exclude_self)
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ — product-quantized inverted file (the memory-bounded ANN path)
 # ---------------------------------------------------------------------------
+
+
+def _pq_lit_vec(vals: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _pq_encode(
+    assigned: DataFrame,
+    codebook: list[list[list[float]]],
+    dsub: int,
+    backend: str = "numpy",
+) -> DataFrame:
+    """(neighbor_id, cluster, codes) from an assigned corpus frame —
+    the PQ encode stage shared by the inline query path and the
+    at-rest index build. Per subspace, argmin ||x_j − c||² expanded as
+    x·x − 2·x·c + c·c; first strictly-smaller wins = lowest code id on
+    ties.
+
+    ``backend="numpy"`` (production): per-batch BLAS argmin — same
+    caveat as :func:`_assign_nearest_centroid`'s numpy backend (BLAS
+    reassociates sums; a code can flip only on two codewords within
+    ~1 ulp, property-pinned equal on the test corpus).
+    ``backend="exact"``: the three dot folds as literal Column
+    expressions the SQL oracle replays verbatim."""
+    m_subspaces = len(codebook)
+    if backend == "numpy":
+        import numpy as np
+        from pyspark.sql.types import ArrayType, IntegerType, StructType
+
+        cb_mats = [
+            np.array(codebook[j], dtype=np.float64) for j in range(m_subspaces)
+        ]
+        idx_schema = StructType(
+            [
+                assigned.schema["neighbor_id"],
+                assigned.schema["cluster"],
+            ]
+        ).add("codes", ArrayType(IntegerType()))
+
+        def encode(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                )
+                codes = np.empty((len(pdf), m_subspaces), dtype=np.int32)
+                for j in range(m_subspaces):
+                    xj = emb[:, j * dsub : (j + 1) * dsub]
+                    d2 = (
+                        (xj * xj).sum(axis=1)[:, None]
+                        - 2.0 * (xj @ cb_mats[j].T)
+                        + (cb_mats[j] * cb_mats[j]).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = d2.argmin(axis=1)  # first min = lowest id
+                out = pdf[["neighbor_id", "cluster"]].copy()
+                out["codes"] = list(codes)
+                yield out
+
+        return assigned.mapInPandas(encode, schema=idx_schema)
+
+    def _argmin_code(j: int):
+        xj = F.slice(F.col("cv"), j * dsub + 1, dsub)
+        xx = _dot(xj, xj)
+        d2s = F.array(
+            *[
+                xx
+                - F.lit(2.0) * _dot(xj, _pq_lit_vec(cw))
+                + _dot(_pq_lit_vec(cw), _pq_lit_vec(cw))
+                for cw in codebook[j]
+            ]
+        )
+        best = F.aggregate(
+            F.sequence(F.lit(0), F.lit(len(codebook[j]) - 1)),
+            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+            lambda acc, i: F.when(
+                F.element_at(d2s, i + 1) < acc["d"],
+                F.struct(F.element_at(d2s, i + 1).alias("d"), i.alias("i")),
+            ).otherwise(acc),
+        )
+        return best["i"].alias(f"__c{j}")
+
+    return assigned.select(
+        "neighbor_id",
+        "cluster",
+        F.array(*[_argmin_code(j) for j in range(m_subspaces)]).alias("codes"),
+        # at rest ONLY (neighbor_id, cluster, codes) persists — cv/cn
+        # are consumed by the encode expressions above and dropped
+    )
+
+
+def _pq_adc_topk(
+    index: DataFrame,
+    probes: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Pure-ADC ranking from a PQ codes frame: reconstruct candidates
+    from the literal codebook (``element_at``, never a join), exact
+    rounded cosine against the reconstruction, top-k per query — the
+    scoring tail shared by the inline path and the at-rest index."""
+    m_subspaces = len(codebook)
+    cb_lits = [
+        F.array(*[_pq_lit_vec(cw) for cw in codebook[j]])
+        for j in range(m_subspaces)
+    ]
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(cb_lits[j], F.col("codes")[j] + 1)
+                for j in range(m_subspaces)
+            ]
+        )
+    )
+    cand = index.join(F.broadcast(probes), "cluster")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    adc = cand.withColumn("__rv", recon).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("__rv"), F.col("qv"))
+            / (_norm(F.col("__rv")) * F.col("qn")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def _pq_train_lloyd(
@@ -791,78 +1112,7 @@ def ivfpq_cosine_topk(
     # (three dot folds, replayed verbatim by the oracle), first
     # strictly-smaller wins = lowest code id on ties
     assigned = _assign_nearest_centroid(c, cents, backend=encode_backend)
-    if encode_backend == "numpy":
-        # production path: per-batch BLAS argmin over each subspace —
-        # ||x-c||² = x·x − 2 x·c + c·c as matrix ops, first-min wins =
-        # lowest code id, the exact path's tie-break. Same caveat as
-        # _assign_nearest_centroid's numpy backend: BLAS reassociates
-        # sums, so a code can flip only on two codewords within ~1 ulp.
-        import numpy as np
-        from pyspark.sql.types import ArrayType, IntegerType, StructType
-
-        cb_mats = [
-            np.array(codebook[j], dtype=np.float64) for j in range(m_subspaces)
-        ]
-        idx_schema = StructType(
-            [
-                assigned.schema["neighbor_id"],
-                assigned.schema["cluster"],
-            ]
-        ).add("codes", ArrayType(IntegerType()))
-
-        def encode(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                emb = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
-                )
-                codes = np.empty((len(pdf), m_subspaces), dtype=np.int32)
-                for j in range(m_subspaces):
-                    xj = emb[:, j * dsub : (j + 1) * dsub]
-                    d2 = (
-                        (xj * xj).sum(axis=1)[:, None]
-                        - 2.0 * (xj @ cb_mats[j].T)
-                        + (cb_mats[j] * cb_mats[j]).sum(axis=1)[None, :]
-                    )
-                    codes[:, j] = d2.argmin(axis=1)  # first min = lowest id
-                out = pdf[["neighbor_id", "cluster"]].copy()
-                out["codes"] = list(codes)
-                yield out
-
-        index = assigned.mapInPandas(encode, schema=idx_schema)
-    else:
-
-        def _argmin_code(j: int):
-            xj = F.slice(F.col("cv"), j * dsub + 1, dsub)
-            xx = _dot(xj, xj)
-            d2s = F.array(
-                *[
-                    xx
-                    - F.lit(2.0) * _dot(xj, _lit_vec(cw))
-                    + _dot(_lit_vec(cw), _lit_vec(cw))
-                    for cw in codebook[j]
-                ]
-            )
-            best = F.aggregate(
-                F.sequence(F.lit(0), F.lit(len(codebook[j]) - 1)),
-                F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
-                lambda acc, i: F.when(
-                    F.element_at(d2s, i + 1) < acc["d"],
-                    F.struct(F.element_at(d2s, i + 1).alias("d"), i.alias("i")),
-                ).otherwise(acc),
-            )
-            return best["i"].alias(f"__c{j}")
-
-        index = assigned.select(
-            "neighbor_id",
-            "cluster",
-            F.array(*[_argmin_code(j) for j in range(m_subspaces)]).alias(
-                "codes"
-            ),
-            # at rest ONLY (neighbor_id, cluster, codes) persists — cv/cn
-            # are consumed by the encode expressions above and dropped
-        )
+    index = _pq_encode(assigned, codebook, dsub, backend=encode_backend)
 
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("centroid_id")

@@ -2510,3 +2510,70 @@ def test_ivf_index_at_rest_build_once_query_many(spark, tmp_path):
     # the index tables are ordinary txlog tables: the append left a
     # new version, history intact
     assert TxLogTable(f"{idx_a}/rows").versions() == [0, 1]
+
+
+def test_ivfpq_index_at_rest_build_once_query_many(spark, tmp_path):
+    """At-rest IVF-PQ index (round 8): persisted codes (m ints per
+    vector, no stored vectors) must reproduce the inline
+    ivfpq_cosine_topk pure-ADC ranking row-for-row across two query
+    sets from ONE build; the probe read scans only probed clusters'
+    partition files; and the append law holds — build(A) + append(B)
+    == build(A ∪ B, centroid_source=A)."""
+    from etl_sendas_spark.operators.similarity import (
+        ivfpq_cosine_topk,
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    vecs, n, n_dups = _planted_vectors(spark)
+
+    idx = str(tmp_path / "pq_idx")
+    ivfpq_index_build(
+        vecs, idx, n_centroids=16, m_subspaces=4, n_codes=16
+    )
+    for qfilter in ("vec_id >= 200", "vec_id < 10"):
+        queries = vecs.filter(qfilter)
+        got = sorted(
+            map(tuple, ivfpq_index_topk(
+                spark, idx, queries, k=5, n_probe=8
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, ivfpq_cosine_topk(
+                vecs, queries, k=5, n_centroids=16, n_probe=8,
+                m_subspaces=4, n_codes=16,
+            ).collect())
+        )
+        assert got == want and len(got) > 0, qfilter
+
+    # probe read is partition-pruned
+    codes_t = TxLogTable(f"{idx}/codes")
+    full_files = len(codes_t.read(spark).inputFiles())
+    probed = ivfpq_index_topk(
+        spark, idx, vecs.filter("vec_id = 205"), k=5, n_probe=2
+    )
+    assert len(probed.inputFiles()) < full_files
+    assert probed.count() > 0
+
+    # append law (centroids AND codebook frozen from A)
+    a = vecs.filter("vec_id % 2 = 0")
+    b = vecs.filter("vec_id % 2 = 1")
+    idx_a = str(tmp_path / "pq_a")
+    ivfpq_index_build(a, idx_a, n_centroids=16, m_subspaces=4, n_codes=16)
+    ivfpq_index_append(idx_a, b)
+    idx_ab = str(tmp_path / "pq_ab")
+    ivfpq_index_build(
+        vecs, idx_ab, n_centroids=16, m_subspaces=4, n_codes=16,
+        centroid_source=a,
+    )
+    queries = vecs.filter("vec_id >= 200")
+    got = sorted(
+        map(tuple, ivfpq_index_topk(spark, idx_a, queries, k=5, n_probe=8).collect())
+    )
+    want = sorted(
+        map(tuple, ivfpq_index_topk(spark, idx_ab, queries, k=5, n_probe=8).collect())
+    )
+    assert got == want and len(got) > 0
+    assert TxLogTable(f"{idx_a}/codes").versions() == [0, 1]
