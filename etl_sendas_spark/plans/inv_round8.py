@@ -132,3 +132,121 @@ GROUP BY event_type
 
 PART_QUERIES["txlog_partitioned_prune_events"] = txlog_partitioned_prune_events
 PART_ORACLES["txlog_partitioned_prune_events"] = TXLOG_PARTITIONED_SQL
+
+
+# ===========================================================================
+# round 8: row-level DML — DELETE / UPDATE / MERGE with file-level
+# copy-on-write, composed under one driver-grade hash
+# ===========================================================================
+
+
+def txlog_dml_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DML ladder on a txlog table (sources/txlog.py, round 8):
+    DELETE (error events in one event_id band — localized in the
+    range-clustered column, so the CoW rewrite skips the other
+    files) → UPDATE (double click
+    values at % 7 = 0, assignments reading the pre-update row) →
+    MERGE (source = the % 11 rows with value −1 plus % 97 rows
+    re-keyed +10M as inserts; matched rows replaced, inserts in the
+    same commit) — then an aggregate over the final state. Each step
+    is file-level copy-on-write: only files containing affected rows
+    rewrite (asserted in-query — the delete must leave some v0 files
+    live by path), which is what makes a 0.1% DELETE on a 100 TB
+    table a 0.1% rewrite.
+
+    ORACLE: replays the three statements as CTEs over the events view
+    (NOT-matching filter, CASE update, anti-join ∪ source merge) — the
+    table round-trip, the CoW file splits, and SQL DML semantics
+    (NULL predicates keep rows, assignments see old values) must all
+    agree for the hash to land.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"txlog_dml_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = TxLogTable.create(
+        root, ev.repartitionByRange(8, "event_id"), stat_cols=["event_id"]
+    )
+    v0_files = set(t.live_files())
+
+    t.delete_where(
+        spark,
+        "event_id BETWEEN 2000 AND 2999 AND event_type = 'error'",
+    )
+    if not (set(t.live_files()) & v0_files):
+        raise AssertionError(
+            "delete rewrote every file — copy-on-write regressed"
+        )
+    t.update_where(
+        spark,
+        {"value": "value * 2"},
+        "event_type = 'click' AND event_id % 7 = 0",
+    )
+
+    cur = t.read(spark)
+    src = (
+        cur.filter(F.col("event_id") % 11 == 0)
+        .withColumn("value", F.lit(-1.0))
+        .unionByName(
+            cur.filter(F.col("event_id") % 97 == 0).withColumn(
+                "event_id", F.col("event_id") + F.lit(10_000_000)
+            ).withColumn("value", F.lit(1.5))
+        )
+    )
+    t.merge_into(spark, src, keys=["event_id"])
+
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+TXLOG_DML_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, value FROM events
+), del AS (
+  SELECT * FROM base
+  WHERE NOT COALESCE(
+    event_id BETWEEN 2000 AND 2999 AND event_type = 'error', FALSE)
+), upd AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN COALESCE(event_type = 'click' AND event_id % 7 = 0, FALSE)
+              THEN value * 2 ELSE value END AS value
+  FROM del
+), src AS (
+  SELECT event_id, user_id, event_type, CAST(-1.0 AS DOUBLE) AS value
+  FROM upd WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT event_id + 10000000, user_id, event_type, CAST(1.5 AS DOUBLE)
+  FROM upd WHERE event_id % 97 = 0
+), merged AS (
+  SELECT u.* FROM upd u ANTI JOIN src s ON u.event_id = s.event_id
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MAX(event_id) AS max_event_id
+FROM merged
+GROUP BY event_type
+"""
+
+PART_QUERIES["txlog_dml_events"] = txlog_dml_events
+PART_ORACLES["txlog_dml_events"] = TXLOG_DML_SQL

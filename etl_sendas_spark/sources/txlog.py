@@ -605,6 +605,178 @@ class TxLogTable:
         any ``extra`` metadata the committer attached)."""
         return self._read_commit(version)
 
+    # -- row-level DML (copy-on-write) ---------------------------------
+
+    def _rewrite_files(
+        self,
+        spark: SparkSession,
+        op: str,
+        head: int,
+        affected_rel: list[str],
+        replacement: DataFrame,
+    ) -> int:
+        """Shared copy-on-write commit: replace ``affected_rel`` with
+        files written from ``replacement``, leaving every other live
+        file untouched — the Delta DML mechanic that makes a DELETE of
+        0.1% of a 100 TB table rewrite 0.1% of its files, not the
+        table. Snapshot-dependent like :meth:`compact`: raises
+        :class:`CommitConflict` if any commit landed past ``head``."""
+        cols = [
+            c for c in self.read(spark, head).columns
+        ]  # table column order, partition cols re-attached last
+        files, stats, parts = self._write_data(
+            replacement.select(*cols),
+            self._stat_cols(),
+            self._partition_cols(),
+        )
+        payload = {"op": op, "add": files, "remove": affected_rel}
+        if parts:
+            payload["parts"] = parts
+        if stats:
+            payload["stats"] = stats
+        if not self._try_commit(head + 1, payload):
+            raise CommitConflict(
+                f"live set moved past version {head} during {op}; retry"
+            )
+        return head + 1
+
+    def _with_file(self, spark: SparkSession, head: int) -> DataFrame:
+        """Snapshot read tagged with each row's root-relative source
+        file (``__f``) — the handle DML uses to split the live set into
+        affected and untouched files. ``input_file_name`` yields a URI
+        (scheme + a varying number of slashes); locating the literal
+        root path inside it sidesteps the scheme entirely."""
+        rootp = os.path.abspath(self.root)
+        rel = F.expr(
+            "substring(input_file_name(), "
+            f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
+        )
+        return self.read(spark, head).withColumn("__f", rel)
+
+    def delete_where(self, spark: SparkSession, condition: str) -> int:
+        """``DELETE FROM t WHERE condition`` with file-level
+        copy-on-write: only files CONTAINING matching rows are
+        rewritten (their non-matching rows are preserved); every other
+        file stays live untouched. Rows where the predicate is NULL
+        are kept (SQL DELETE semantics). Pair with a partition spec or
+        z-order layout so matches cluster into few files. Returns the
+        new version; no-op (head returned) when nothing matches."""
+        head = self.latest_version()
+        cond = F.expr(condition)
+        df = self._with_file(spark, head)
+        affected = sorted(
+            r["__f"]
+            for r in df.filter(cond.isNotNull() & cond)
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return head
+        survivors = df.filter(F.col("__f").isin(affected)).filter(
+            ~(cond.isNotNull() & cond)
+        )
+        return self._rewrite_files(spark, "delete", head, affected, survivors)
+
+    def update_where(
+        self, spark: SparkSession, set_exprs: dict[str, str], condition: str
+    ) -> int:
+        """``UPDATE t SET col = expr, ... WHERE condition`` with
+        file-level copy-on-write (see :meth:`delete_where`). Set
+        expressions are SQL strings evaluated against the PRE-update
+        row (standard UPDATE semantics — all assignments see the old
+        values). Updating a partition column is allowed: rewritten
+        rows land in their new hive directory. Returns the new
+        version; head when nothing matches."""
+        bad = [c for c in set_exprs if c not in self.read(spark).columns]
+        if bad:
+            raise ValueError(f"update_where: unknown columns {bad}")
+        head = self.latest_version()
+        cond = F.expr(condition)
+        hit = cond.isNotNull() & cond
+        df = self._with_file(spark, head)
+        affected = sorted(
+            r["__f"]
+            for r in df.filter(hit).select("__f").distinct().collect()
+        )
+        if not affected:
+            return head
+        sub = df.filter(F.col("__f").isin(affected))
+        updated = sub.select(
+            *[
+                (
+                    F.when(hit, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in sub.columns
+            ]
+        )
+        return self._rewrite_files(spark, "update", head, affected, updated)
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",
+    ) -> int:
+        """``MERGE INTO t USING source ON keys`` with file-level
+        copy-on-write: matched target rows are replaced by their
+        source row (``when_matched="update"``) or removed
+        (``"delete"``); unmatched source rows insert (skipped for
+        delete). Only files containing matched keys rewrite — an
+        upsert of a day's increment against a 100 TB table touches the
+        files that day's keys live in, nothing else; inserts ride the
+        same single commit. PRECONDITION: ``keys`` unique in source
+        (enforced — duplicate source keys would fan out matched rows).
+        Source schema must equal the table schema. Returns the new
+        version."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(
+                f"merge_into: when_matched must be update|delete, "
+                f"got {when_matched!r}"
+            )
+        head = self.latest_version()
+        tbl_cols = self.read(spark, head).columns
+        if sorted(source.columns) != sorted(tbl_cols):
+            raise ValueError(
+                f"merge_into: source columns {sorted(source.columns)} != "
+                f"table columns {sorted(tbl_cols)}"
+            )
+        dup = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+        ).count()
+        if dup:
+            raise ValueError("merge_into: duplicate keys in source")
+        df = self._with_file(spark, head)
+        skeys = source.select(*keys).distinct()
+        affected = sorted(
+            r["__f"]
+            for r in df.join(skeys, keys, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        if not affected and when_matched == "delete":
+            return head  # nothing matched, nothing to delete
+        # unmatched rows of affected files survive the rewrite
+        mask = F.col("__f").isin(affected) if affected else F.lit(False)
+        kept = (
+            df.filter(mask).join(skeys, keys, "left_anti").select(*tbl_cols)
+        )
+        if when_matched == "delete":
+            replacement = kept
+        else:
+            # every source row lands: updates replace their matched
+            # rows (which live only in affected files), inserts are new
+            replacement = kept.unionByName(source.select(*tbl_cols))
+        return self._rewrite_files(
+            spark, "merge", head, affected, replacement
+        )
+
     def compact(
         self,
         spark: SparkSession,

@@ -592,3 +592,121 @@ def test_partitioned_table_rejects_bad_specs(spark, tmp_path):
         TxLogTable.create(
             str(tmp_path / "b2"), df, stat_cols=["p"], partition_by=["p"]
         )
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """DELETE with file-level copy-on-write (round 8): only files
+    containing matching rows rewrite; untouched files stay live under
+    their old paths (the Delta DML mechanic). NULL predicates keep
+    their rows; no match is a no-op version-wise."""
+    root = str(tmp_path / "tdel")
+    df = spark.range(0, 400).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 2 END AS x",
+    )
+    t = TxLogTable.create(
+        root, df.repartitionByRange(8, "k"), stat_cols=["k"]
+    )
+    before = set(t.live_files())
+
+    v = t.delete_where(spark, "k BETWEEN 100 AND 149")
+    assert v == 1
+    after = set(t.live_files())
+    # CoW: the files NOT containing k in 100..149 survive by path
+    assert len(before & after) > 0
+    assert len(before & after) < len(before)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(400) if not (100 <= k <= 149)]
+    # NULL predicate rows are kept (x IS NULL for k % 10 == 0)
+    t.delete_where(spark, "x > 100000")  # matches nothing, x NULL rows kept
+    assert t.latest_version() == 1  # no-op did not commit
+    assert t.read(spark).count() == 350
+
+    # time travel still reaches the pre-delete snapshot
+    assert t.read(spark, 0).count() == 400
+
+
+def test_update_where_and_partition_move(spark, tmp_path):
+    """UPDATE with copy-on-write; assignments see PRE-update values;
+    updating a partition column moves rows to their new hive dir."""
+    root = str(tmp_path / "tupd")
+    t = TxLogTable.create(
+        root,
+        spark.range(0, 100).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS p", "id * 1.0 AS x"
+        ).repartitionByRange(4, "k"),
+        stat_cols=["k"],
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, {"nope": "1"}, "k < 5")
+
+    # swap semantics: both assignments read the old row
+    t.update_where(spark, {"x": "x + k", "k": "k + 1000"}, "k < 10")
+    rows = {r["k"]: r["x"] for r in t.read(spark).collect()}
+    for k in range(10):
+        assert rows[k + 1000] == float(k) + k  # x saw OLD k
+    assert all(k in rows for k in range(10, 100))
+
+    # partition-column update moves rows across hive dirs
+    t.update_where(spark, {"p": "3"}, "k = 1005")
+    moved = t.read(spark).filter("k = 1005").collect()
+    assert moved[0]["p"] == 3
+    pr = t.read(spark, prune={"p": (3, 3)})
+    assert 1005 in {r["k"] for r in pr.collect()}
+
+
+def test_merge_into_upsert_and_delete(spark, tmp_path):
+    """MERGE with copy-on-write: matched rows replaced by source,
+    inserts ride the same commit, only key-containing files rewrite;
+    delete mode removes matches; duplicate source keys and schema
+    drift fail loudly."""
+    root = str(tmp_path / "tmerge")
+    t = TxLogTable.create(
+        root, _df(spark, 0, 100, "old").repartitionByRange(8, "k"),
+    )
+    before = set(t.live_files())
+
+    src = _df(spark, 95, 110, "new")  # 5 updates + 10 inserts
+    v = t.merge_into(spark, src, keys=["k"])
+    assert v == 1
+    after = set(t.live_files())
+    assert len(before & after) > 0  # CoW: untouched files survive
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(k, "old") for k in range(95)} | {
+        (k, "new") for k in range(95, 110)
+    }
+
+    # delete mode
+    t.merge_into(spark, _df(spark, 0, 5, "x"), keys=["k"], when_matched="delete")
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(5, 110))
+
+    # pure-insert merge (no matches) still lands in one commit
+    t.merge_into(spark, _df(spark, 500, 503, "ins"), keys=["k"])
+    assert t.read(spark).filter("k >= 500").count() == 3
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_into(spark, _df(spark, 0, 3, "d").union(_df(spark, 0, 1, "d")), keys=["k"])
+    with pytest.raises(ValueError, match="source columns"):
+        t.merge_into(spark, spark.range(3).selectExpr("id AS k"), keys=["k"])
+
+
+def test_dml_conflict_raises(spark, tmp_path, monkeypatch):
+    """DML is snapshot-dependent like compact: a commit landing between
+    the snapshot read and the claim must abort, never silently drop the
+    interloper's rows."""
+    root = str(tmp_path / "tdmlc")
+    t = TxLogTable.create(root, _df(spark, 0, 20, "x"))
+    orig = t._write_data
+
+    def raced(df, stat_cols=None, partition_by=None):
+        out = orig(df, stat_cols, partition_by)
+        assert t._try_commit(
+            t.latest_version() + 1, {"op": "append", "add": []}
+        )
+        return out
+
+    monkeypatch.setattr(t, "_write_data", raced)
+    with pytest.raises(CommitConflict):
+        t.delete_where(spark, "k < 5")
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(20))
