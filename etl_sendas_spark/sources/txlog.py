@@ -179,7 +179,11 @@ class TxLogTable:
 
     def _try_commit(self, version: int, payload: dict) -> bool:
         """Atomic claim of a version number: O_EXCL create. Returns
-        False when a concurrent writer already owns it."""
+        False when a concurrent writer already owns it. Every commit
+        records its wall-clock ``ts`` (epoch seconds) — the handle
+        timestamp time travel resolves against."""
+        import time as _time
+
         os.makedirs(_log_dir(self.root), exist_ok=True)
         try:
             fd = os.open(
@@ -189,7 +193,7 @@ class TxLogTable:
         except FileExistsError:
             return False
         with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, **payload}, f)
+            json.dump({"version": version, "ts": _time.time(), **payload}, f)
         if version > 0 and version % CHECKPOINT_EVERY == 0:
             self._write_checkpoint(version)
         return True
@@ -430,15 +434,41 @@ class TxLogTable:
     def _partition_cols(self) -> list[str]:
         return self._table_meta("partition_by")
 
+    def version_at(self, ts: float | str) -> int:
+        """Timestamp time travel resolution (Delta's ``TIMESTAMP AS
+        OF``): the LATEST version whose commit wall-clock is ≤ ``ts``
+        (epoch seconds, or an ISO-8601 string). Fails loudly when
+        ``ts`` predates the oldest resolvable commit — including after
+        a VACUUM truncated the history that would have answered it.
+        Commits written before timestamps existed are skipped."""
+        if isinstance(ts, str):
+            from datetime import datetime
+
+            ts = datetime.fromisoformat(ts).timestamp()
+        best = None
+        for v in self.versions():
+            cts = self._read_commit(v).get("ts")
+            if cts is not None and cts <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version at or before timestamp {ts} "
+                f"(resolvable versions: {self.versions()})"
+            )
+        return best
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         prune: dict | None = None,
+        as_of: float | str | None = None,
     ) -> DataFrame:
         """Snapshot read at ``version`` (latest when None) — a plain
         distributed parquet scan of the live files, so pushdown/
-        pruning/AQE all apply.
+        pruning/AQE all apply. ``as_of`` reads the snapshot as of a
+        wall-clock instant instead (:meth:`version_at`); mutually
+        exclusive with ``version``.
 
         ``prune`` maps column → (lo, hi) for a RANGE, or a list/set for
         MEMBERSHIP (an IN-list over scattered values — e.g. an ANN
@@ -453,6 +483,10 @@ class TxLogTable:
         list; pair with zorder-style layout so ranges cluster per
         file. NOTE: the pruning is metadata-only — the caller still
         applies the actual row filter."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("read: pass version OR as_of, not both")
+            version = self.version_at(as_of)
         rel, stats, parts = self._replay(version)
         pcols = self._partition_cols()
         if prune:

@@ -40,15 +40,27 @@ def _table(path: str):
 def cmd_history(args) -> int:
     t = _table(args.path)
     versions = t.versions()[-args.limit :] if args.limit else t.versions()
+    from datetime import datetime
+
     for v in versions:
         meta = t.commit_meta(v)
         extra = {
             k: meta[k]
             for k in meta
-            if k not in ("op", "add", "remove", "stats", "stat_cols")
+            if k
+            not in (
+                "version", "op", "add", "remove", "stats", "stat_cols",
+                "parts", "partition_by", "ts",
+            )
         }
+        ts = meta.get("ts")
+        when = (
+            datetime.fromtimestamp(ts).isoformat(timespec="seconds")
+            if ts
+            else "-"
+        )
         print(
-            f"v{v:06d}  op={meta.get('op', '?'):9s} "
+            f"v{v:06d}  {when}  op={meta.get('op', '?'):9s} "
             f"+{len(meta.get('add', [])):4d} files "
             f"-{len(meta.get('remove', [])):4d} files"
             + (f"  {json.dumps(extra)}" if extra else "")
@@ -78,7 +90,7 @@ def cmd_read(args) -> int:
 
     t = _table(args.path)
     spark = get_spark(app_name="txlog_read")
-    df = t.read(spark, version=args.version)
+    df = t.read(spark, version=args.version, as_of=args.as_of)
     if args.format == "csv":
         df.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)
     else:
@@ -140,10 +152,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("path")
     p.set_defaults(fn=cmd_describe)
 
-    p = sub.add_parser("read", help="export a snapshot (time travel via --version)")
+    p = sub.add_parser(
+        "read",
+        help="export a snapshot (time travel via --version or --as-of)",
+    )
     p.add_argument("path")
     p.add_argument("--out", required=True)
     p.add_argument("--version", type=int, default=None)
+    p.add_argument(
+        "--as-of", default=None,
+        help="ISO-8601 timestamp: read the snapshot as of this instant",
+    )
     p.add_argument("--format", choices=("parquet", "csv"), default="parquet")
     p.set_defaults(fn=cmd_read)
 

@@ -710,3 +710,35 @@ def test_dml_conflict_raises(spark, tmp_path, monkeypatch):
     with pytest.raises(CommitConflict):
         t.delete_where(spark, "k < 5")
     assert {r["k"] for r in t.read(spark).collect()} == set(range(20))
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (round 8): read(as_of=ts) resolves to the
+    latest commit at or before ts; pre-history timestamps and
+    version+as_of together fail loudly; ISO strings accepted."""
+    import time
+    from datetime import datetime
+
+    root = str(tmp_path / "tts")
+    t = TxLogTable.create(root, _df(spark, 0, 5, "v0"))
+    time.sleep(0.05)
+    between_01 = time.time()
+    time.sleep(0.05)
+    t.append(_df(spark, 5, 8, "v1"), spark)
+    time.sleep(0.05)
+    t.overwrite(_df(spark, 100, 103, "v2"))
+
+    assert t.version_at(between_01) == 0
+    assert t.version_at(time.time()) == 2
+    assert t.read(spark, as_of=between_01).count() == 5
+    # ISO string form
+    iso = datetime.fromtimestamp(between_01).isoformat()
+    assert t.read(spark, as_of=iso).count() == 5
+    # exact boundary: a commit's own ts resolves to that commit
+    ts0 = t.commit_meta(0)["ts"]
+    assert t.version_at(ts0) == 0
+
+    with pytest.raises(ValueError, match="no version at or before"):
+        t.version_at(ts0 - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, as_of=between_01)
