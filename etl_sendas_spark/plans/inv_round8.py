@@ -87,7 +87,7 @@ def txlog_partitioned_prune_events(
         spark,
     )
 
-    lo, hi = 1000, 2999
+    lo, hi = 100, 699
     full = t.read(spark)
     part_only = t.read(spark, prune={"event_type": ("purchase", "purchase")})
     both = t.read(
@@ -126,7 +126,7 @@ SELECT event_type,
        MIN(event_id) AS min_event_id,
        MAX(event_id) AS max_event_id
 FROM events
-WHERE event_type = 'purchase' AND event_id BETWEEN 1000 AND 2999
+WHERE event_type = 'purchase' AND event_id BETWEEN 100 AND 699
 GROUP BY event_type
 """
 
