@@ -642,6 +642,7 @@ def stream_upsert_to_txlog(
     keys: list[str],
     seq_col: str,
     run_to_completion: bool = True,
+    partition_by: list[str] | None = None,
 ):
     """Streaming MERGE-by-key into a :class:`~..sources.txlog.
     TxLogTable` — the transactional upgrade of
@@ -696,8 +697,13 @@ def stream_upsert_to_txlog(
                     seq_col=seq_col,
                 )
                 try:
+                    # partition spec is a create-time property; every
+                    # later overwrite_if inherits it from the table
                     TxLogTable.create(
-                        table_path, merged, extra={"batch_id": int(batch_id)}
+                        table_path,
+                        merged,
+                        partition_by=partition_by,
+                        extra={"batch_id": int(batch_id)},
                     )
                     return
                 except (CommitConflict, FileExistsError):

@@ -1084,3 +1084,53 @@ def test_txlog_cdf_streams_into_incremental_agg(spark, tmp_path):
         for v in dst.versions()
     ]
     assert seen == sorted(set(seen)), seen
+
+
+def test_txlog_sink_composes_with_partitioned_table(spark, tmp_path):
+    """The streaming MERGE sink and the partition spec compose: a
+    partitioned destination keeps exactly-once upsert semantics, every
+    committed version's files carry hive dirs, and the finished table
+    partition-prunes."""
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import stream_upsert_to_txlog
+
+    src_dir = str(tmp_path / "in")
+    import os as _os
+
+    _os.makedirs(src_dir)
+    spark.range(0, 40).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS p", "id AS seq", "id * 1.0 AS x"
+    ).coalesce(1).write.mode("append").json(src_dir)
+
+    def run_wave():
+        stream = (
+            spark.readStream.schema("k long, p int, seq long, x double")
+            .json(src_dir)
+        )
+        stream_upsert_to_txlog(
+            stream, root, str(tmp_path / "ck"), keys=["k"], seq_col="seq",
+            partition_by=["p"],
+        )
+
+    root = str(tmp_path / "tbl")
+    run_wave()
+    t = TxLogTable(root)
+    assert t._partition_cols() == ["p"]
+    assert all("p=" in f for f in t.live_files())
+    out = t.read(spark)
+    assert out.count() == 40
+    pr = t.read(spark, prune={"p": (2, 2)})
+    assert len(pr.inputFiles()) < len(out.inputFiles())
+    assert {r["p"] for r in pr.collect()} == {2}
+
+    # a second wave (same checkpoint — batch ids advance, so the
+    # exactly-once guard admits it) upserts through overwrite_if and
+    # stays partitioned
+    spark.range(30, 50).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS p", "id + 100 AS seq", "id * 2.0 AS x"
+    ).coalesce(1).write.mode("append").json(src_dir)
+    run_wave()
+    final = t.read(spark)
+    assert final.count() == 50
+    assert final.filter("k = 35").collect()[0]["x"] == 70.0  # upserted
+    assert all("p=" in f for f in t.live_files())
