@@ -523,16 +523,23 @@ class TxLogTable:
                 return True
 
             rel = [p for p in rel if keep(p)]
-        files = [os.path.join(self.root, p) for p in rel]
-        if not files:
+        if not rel:
             if prune:
                 # every file pruned: empty frame with the table schema
                 return spark.createDataFrame([], self.read(spark, version).schema)
             raise ValueError(f"version has no live files at {self.root}")
-        if not pcols:
+        return self._scan(spark, rel)
+
+    def _scan(self, spark: SparkSession, rel: list[str]) -> DataFrame:
+        """Distributed scan of root-relative live files — the shared
+        read tail for snapshot reads and the DML rewrite passes (which
+        must read ONLY affected files, never filter a full-table scan
+        by filename)."""
+        if not self._partition_cols():
             # mergeSchema: files written before a schema-evolving append
             # lack the added columns; the merged read backfills them
             # NULL (one extra footer pass — negligible vs the data scan)
+            files = [os.path.join(self.root, p) for p in rel]
             return spark.read.option("mergeSchema", "true").parquet(*files)
         # partitioned table: the partition columns live in the
         # hive-style paths, not the files — scan per commit directory
@@ -674,68 +681,88 @@ class TxLogTable:
             )
         return head + 1
 
-    def _with_file(self, spark: SparkSession, head: int) -> DataFrame:
-        """Snapshot read tagged with each row's root-relative source
-        file (``__f``) — the handle DML uses to split the live set into
-        affected and untouched files. ``input_file_name`` yields a URI
-        (scheme + a varying number of slashes); locating the literal
-        root path inside it sidesteps the scheme entirely."""
+    def _affected_files(
+        self,
+        spark: SparkSession,
+        head: int,
+        hit,
+        prune: dict | None,
+    ) -> list[str]:
+        """Root-relative live files containing at least one row where
+        ``hit`` is true — the DML discovery pass. ``prune`` narrows the
+        scan with zone maps/partition values FIRST (the caller asserts
+        the predicate cannot match outside those bounds — exactly how
+        Delta's data skipping serves DML), so a well-clustered 1%
+        DELETE discovers against 1% of the files too, not just
+        rewrites 1%. ``input_file_name`` yields a URI (scheme + a
+        varying number of slashes); locating the literal root path
+        inside it sidesteps the scheme entirely."""
         rootp = os.path.abspath(self.root)
         rel = F.expr(
             "substring(input_file_name(), "
             f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
         )
-        return self.read(spark, head).withColumn("__f", rel)
+        scan = self.read(spark, head, prune=prune).withColumn("__f", rel)
+        return sorted(
+            r["__f"]
+            for r in scan.filter(hit).select("__f").distinct().collect()
+        )
 
-    def delete_where(self, spark: SparkSession, condition: str) -> int:
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        prune: dict | None = None,
+    ) -> int:
         """``DELETE FROM t WHERE condition`` with file-level
         copy-on-write: only files CONTAINING matching rows are
-        rewritten (their non-matching rows are preserved); every other
-        file stays live untouched. Rows where the predicate is NULL
-        are kept (SQL DELETE semantics). Pair with a partition spec or
-        z-order layout so matches cluster into few files. Returns the
-        new version; no-op (head returned) when nothing matches."""
+        rewritten (their non-matching rows are preserved, read back
+        from exactly those files — never a full-table scan filtered by
+        filename); every other file stays live untouched. Rows where
+        the predicate is NULL are kept (SQL DELETE semantics).
+        ``prune`` bounds the DISCOVERY scan the same way
+        :meth:`read`'s pruning works — pass the predicate's value
+        bounds so a well-clustered table discovers against the
+        candidate files only. Pair with a partition spec or z-order
+        layout so matches cluster into few files. Returns the new
+        version; no-op (head returned) when nothing matches."""
         head = self.latest_version()
         cond = F.expr(condition)
-        df = self._with_file(spark, head)
-        affected = sorted(
-            r["__f"]
-            for r in df.filter(cond.isNotNull() & cond)
-            .select("__f")
-            .distinct()
-            .collect()
+        affected = self._affected_files(
+            spark, head, cond.isNotNull() & cond, prune
         )
         if not affected:
             return head
-        survivors = df.filter(F.col("__f").isin(affected)).filter(
+        survivors = self._scan(spark, affected).filter(
             ~(cond.isNotNull() & cond)
         )
         return self._rewrite_files(spark, "delete", head, affected, survivors)
 
     def update_where(
-        self, spark: SparkSession, set_exprs: dict[str, str], condition: str
+        self,
+        spark: SparkSession,
+        set_exprs: dict[str, str],
+        condition: str,
+        prune: dict | None = None,
     ) -> int:
         """``UPDATE t SET col = expr, ... WHERE condition`` with
-        file-level copy-on-write (see :meth:`delete_where`). Set
-        expressions are SQL strings evaluated against the PRE-update
-        row (standard UPDATE semantics — all assignments see the old
-        values). Updating a partition column is allowed: rewritten
-        rows land in their new hive directory. Returns the new
-        version; head when nothing matches."""
+        file-level copy-on-write (see :meth:`delete_where`, including
+        the ``prune`` discovery bound). Set expressions are SQL
+        strings evaluated against the PRE-update row (standard UPDATE
+        semantics — all assignments see the old values). Updating a
+        partition column is allowed: rewritten rows land in their new
+        hive directory. Returns the new version; head when nothing
+        matches."""
         bad = [c for c in set_exprs if c not in self.read(spark).columns]
         if bad:
             raise ValueError(f"update_where: unknown columns {bad}")
         head = self.latest_version()
         cond = F.expr(condition)
         hit = cond.isNotNull() & cond
-        df = self._with_file(spark, head)
-        affected = sorted(
-            r["__f"]
-            for r in df.filter(hit).select("__f").distinct().collect()
-        )
+        affected = self._affected_files(spark, head, hit, prune)
         if not affected:
             return head
-        sub = df.filter(F.col("__f").isin(affected))
+        sub = self._scan(spark, affected)
         updated = sub.select(
             *[
                 (
@@ -785,22 +812,33 @@ class TxLogTable:
         ).count()
         if dup:
             raise ValueError("merge_into: duplicate keys in source")
-        df = self._with_file(spark, head)
         skeys = source.select(*keys).distinct()
+        rootp = os.path.abspath(self.root)
+        relf = F.expr(
+            "substring(input_file_name(), "
+            f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
+        )
         affected = sorted(
             r["__f"]
-            for r in df.join(skeys, keys, "left_semi")
+            for r in self.read(spark, head)
+            .withColumn("__f", relf)
+            .join(skeys, keys, "left_semi")
             .select("__f")
             .distinct()
             .collect()
         )
         if not affected and when_matched == "delete":
             return head  # nothing matched, nothing to delete
-        # unmatched rows of affected files survive the rewrite
-        mask = F.col("__f").isin(affected) if affected else F.lit(False)
-        kept = (
-            df.filter(mask).join(skeys, keys, "left_anti").select(*tbl_cols)
-        )
+        # unmatched rows of affected files survive the rewrite — read
+        # back from exactly those files
+        if affected:
+            kept = (
+                self._scan(spark, affected)
+                .join(skeys, keys, "left_anti")
+                .select(*tbl_cols)
+            )
+        else:
+            kept = spark.createDataFrame([], self.read(spark, head).schema)
         if when_matched == "delete":
             replacement = kept
         else:
