@@ -1,0 +1,129 @@
+"""Native Spark DataSource for the txlog format
+(sources/txlog_source.py): batch parity with TxLogTable.read,
+version-offset streaming with exactly-once across checkpointed
+restarts, append-only enforcement, schema-evolution padding, and the
+partitioned-table plan-time rejection."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sendas_spark.sources.txlog import TxLogTable
+from etl_sendas_spark.sources.txlog_source import register_txlog_source
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id * 2 AS DOUBLE) AS x", "CAST(id AS STRING) AS s"
+    )
+
+
+def _drain(spark, root, ck, out):
+    """availableNow drain into a json file sink (checkpoint-recoverable,
+    unlike the memory sink); returns the CUMULATIVE output rows — under
+    exactly-once they equal the appended history with no duplicates."""
+    q = (
+        spark.readStream.format("txlog")
+        .load(root)
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    df = spark.read.schema("k long, x double, s string").json(out)
+    return sorted(map(tuple, df.collect()))
+
+
+def test_batch_read_parity_and_schema_evolution(spark, tmp_path):
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(root, _rows(spark, 0, 60).repartition(3))
+    # evolved append: older files' missing column pads NULL per batch
+    t.append(
+        _rows(spark, 60, 80).withColumn("tag", F.lit("new")),
+        spark,
+        merge_schema=True,
+    )
+    b = spark.read.format("txlog").load(root)
+    exp = sorted(map(tuple, t.read(spark).select(*b.columns).collect()))
+    assert sorted(map(tuple, b.collect())) == exp
+    assert b.filter("tag IS NULL").count() == 60
+    assert b.filter("tag = 'new'").count() == 20
+
+
+def test_stream_versions_are_offsets_exactly_once(spark, tmp_path):
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    t = TxLogTable.create(root, _rows(spark, 0, 50).repartition(2))
+
+    out = str(tmp_path / "out")
+    got = _drain(spark, root, ck, out)
+    assert got == sorted(map(tuple, t.read(spark).collect()))
+
+    # two more commits; the SAME checkpoint resumes from version 0 —
+    # cumulative output equals the full history, so any snapshot
+    # replay (duplicates) breaks the equality
+    t.append(_rows(spark, 50, 70), spark)
+    t.append(_rows(spark, 70, 90), spark)
+    got2 = _drain(spark, root, ck, out)
+    assert got2 == sorted(map(tuple, _rows(spark, 0, 90).collect()))
+
+    # caught up: a further drain adds nothing
+    assert _drain(spark, root, ck, out) == got2
+
+    # startingVersion: a fresh consumer may skip history
+    v3 = t.append(_rows(spark, 90, 95), spark)
+    fresh = (
+        spark.readStream.format("txlog")
+        .option("startingVersion", v3)
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("ms4")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    fresh.awaitTermination(120)
+    got4 = sorted(map(tuple, spark.sql("SELECT * FROM ms4").collect()))
+    assert got4 == sorted(map(tuple, _rows(spark, 90, 95).collect()))
+
+
+def test_stream_rejects_non_append_commits(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    t = TxLogTable.create(root, _rows(spark, 0, 20).repartition(4))
+    _drain(spark, root, ck, str(tmp_path / "out"))
+    t.compact(spark, target_files=1)  # layout change carries a remove-set
+    q = (
+        spark.readStream.format("txlog")
+        .load(root)
+        .writeStream.format("json")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed on the compact")
+
+
+def test_partitioned_table_rejected(spark, tmp_path):
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    TxLogTable.create(
+        root,
+        spark.range(10).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p"),
+        partition_by=["p"],
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        spark.read.format("txlog").load(root).collect()
