@@ -250,3 +250,105 @@ GROUP BY event_type
 
 PART_QUERIES["txlog_dml_events"] = txlog_dml_events
 PART_ORACLES["txlog_dml_events"] = TXLOG_DML_SQL
+
+
+# ===========================================================================
+# round 8: the native txlog DataSource under an oracle hash — batch
+# parity + a checkpointed streaming drain, one row
+# ===========================================================================
+
+
+def streaming_txlog_source_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The format("txlog") DataSource end-to-end
+    (sources/txlog_source.py): events land in a txlog table as create
+    + two appends (one schema-evolving — older files must pad the new
+    column NULL through the Arrow read), then
+
+    1. BATCH: ``spark.read.format("txlog")`` must agree with the
+       library read (asserted in-query on counts), and
+    2. STREAMING: an availableNow drain through version-offsets into a
+       parquet sink delivers every commit exactly once; the returned
+       aggregate is computed from the SINK's files, so a duplicated or
+       dropped micro-batch breaks the hash.
+
+    ORACLE: the same aggregate straight off the events view — the
+    table round-trip, the Arrow ingest, the offset bookkeeping, and
+    the evolution padding must all be lossless.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+    from ..sources.txlog_source import register_txlog_source
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"txsrc_{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"txsrc_out_{tag}")
+    ck = os.path.join(tempfile.gettempdir(), f"txsrc_ck_{tag}")
+    for d in (root, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = TxLogTable.create(
+        root, ev.filter(F.col("event_id") % 3 == 0).repartition(4)
+    )
+    t.append(ev.filter(F.col("event_id") % 3 == 1).repartition(4), spark)
+    t.append(
+        ev.filter(F.col("event_id") % 3 == 2).withColumn(
+            "flagged", F.col("value") > 50
+        ),
+        spark,
+        merge_schema=True,
+    )
+
+    register_txlog_source(spark)
+    batch = spark.read.format("txlog").load(root)
+    n_lib, n_src = t.read(spark).count(), batch.count()
+    if n_lib != n_src:
+        raise AssertionError(
+            f"txlog source batch read diverged: {n_src} vs {n_lib}"
+        )
+
+    q = (
+        spark.readStream.format("txlog")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.count(F.when(F.col("flagged"), 1)).alias("n_flagged"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+STREAMING_TXLOG_SOURCE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       COUNT(CASE WHEN event_id % 3 = 2 AND value > 50 THEN 1 END)
+         AS n_flagged,
+       MAX(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+PART_QUERIES["streaming_txlog_source_ingest"] = streaming_txlog_source_ingest
+PART_ORACLES["streaming_txlog_source_ingest"] = STREAMING_TXLOG_SOURCE_SQL
