@@ -646,6 +646,56 @@ class TxLogTable:
         any ``extra`` metadata the committer attached)."""
         return self._read_commit(version)
 
+    def restore(
+        self,
+        version: int | None = None,
+        as_of: float | str | None = None,
+    ) -> int:
+        """Delta's ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF``:
+        make the head's CONTENT equal a past snapshot by committing a
+        new version whose add/remove sets are the FILE-LIST DIFF
+        between the target and the current head — a pure metadata
+        commit, zero data rewritten (the restored files are the
+        immutable originals, still on disk unless VACUUM collected
+        them, which fails loudly here with the offending paths). The
+        restore itself is a new history entry, so it is undoable by
+        another restore. Optimistic: recomputes the diff against the
+        new head on a lost version race."""
+        if (version is None) == (as_of is None):
+            raise ValueError("restore: pass exactly one of version/as_of")
+        target = self.version_at(as_of) if as_of is not None else version
+        tgt_live, tgt_stats, tgt_parts = self._replay(target)
+        missing = [
+            p
+            for p in tgt_live
+            if not os.path.exists(os.path.join(self.root, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore: version {target} is not restorable — "
+                f"{len(missing)} of its files were vacuumed "
+                f"(first: {missing[0]})"
+            )
+        while True:
+            head = self.latest_version()
+            cur_live, _, _ = self._replay(head)
+            add = [p for p in tgt_live if p not in set(cur_live)]
+            remove = [p for p in cur_live if p not in set(tgt_live)]
+            payload = {
+                "op": "restore",
+                "add": add,
+                "remove": remove,
+                "restored_version": target,
+            }
+            stats = {p: tgt_stats[p] for p in add if p in tgt_stats}
+            parts = {p: tgt_parts[p] for p in add if p in tgt_parts}
+            if stats:
+                payload["stats"] = stats
+            if parts:
+                payload["parts"] = parts
+            if self._try_commit(head + 1, payload):
+                return head + 1
+
     # -- row-level DML (copy-on-write) ---------------------------------
 
     def _rewrite_files(

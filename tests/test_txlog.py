@@ -742,3 +742,60 @@ def test_timestamp_time_travel(spark, tmp_path):
         t.version_at(ts0 - 10.0)
     with pytest.raises(ValueError, match="not both"):
         t.read(spark, version=1, as_of=between_01)
+
+
+def test_restore_to_version_is_metadata_only(spark, tmp_path):
+    """RESTORE (round 8): head content equals the target snapshot via
+    a pure file-list-diff commit — no data files written; the restore
+    is itself history (undoable); zone maps of re-added files survive;
+    restoring past a vacuum fails loudly with the missing paths."""
+    import os as _os
+
+    root = str(tmp_path / "trst")
+    t = TxLogTable.create(
+        root,
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS x")
+        .repartitionByRange(4, "k"),
+        stat_cols=["k"],
+    )
+    t.delete_where(spark, "k BETWEEN 10 AND 19")
+    t.append(
+        spark.range(100, 120).selectExpr("id AS k", "id * 2 AS x"), spark
+    )
+    assert t.read(spark).count() == 110
+
+    def data_files():
+        n = 0
+        for dp, _d, names in _os.walk(_os.path.join(root, "data")):
+            n += sum(1 for f in names if f.endswith(".parquet"))
+        return n
+
+    before = data_files()
+    v = t.restore(version=0)
+    assert data_files() == before  # metadata-only: nothing written
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(100))
+    assert t.commit_meta(v)["restored_version"] == 0
+    # zone maps came back with the re-added files
+    pruned = t.read(spark, prune={"k": (0, 10)})
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+    # undo: restore to the pre-restore head
+    t.restore(version=v - 1)
+    assert t.read(spark).count() == 110
+    # timestamp form resolves through version_at
+    t.restore(as_of=t.commit_meta(0)["ts"])
+    assert t.read(spark).count() == 100
+
+    with pytest.raises(ValueError, match="exactly one"):
+        t.restore()
+    with pytest.raises(ValueError, match="exactly one"):
+        t.restore(version=0, as_of=1.0)
+
+    # vacuumed target: loud failure (version resolution or missing
+    # files, depending on what the vacuum truncated)
+    for i in range(6):
+        t.overwrite(_df(spark, i * 10, i * 10 + 3, f"w{i}").selectExpr(
+            "k", "CAST(k AS BIGINT) AS x"
+        ))
+    t.vacuum(retain_versions=2, min_age_s=0.0)
+    with pytest.raises(ValueError, match="version 0 does not exist"):
+        t.restore(version=0)
