@@ -25,8 +25,10 @@ added-file lists); data I/O is one pyarrow scan per file on the
 executors, so a micro-batch's parallelism equals the files the commits
 added. Schema comes from the NEWEST live file's parquet footer (widest
 under add-only evolution); older files' missing columns backfill NULL
-per batch. v1 bound: partitioned tables (hive path columns) are
-rejected at plan time — their partition values live outside the files.
+per batch. Partitioned tables work too: each input partition carries
+its file's logged partition values, which materialize as constant
+Arrow columns (typed bigint/double/string by value inference) — the
+same rows TxLogTable.read reconstructs from hive paths.
 """
 
 from __future__ import annotations
@@ -76,39 +78,78 @@ def _arrow_to_ddl(t) -> str:
     raise ValueError(f"txlog source: unsupported arrow type {t}")
 
 
-def _table_schema_ddl(root: str) -> tuple[str, list[str]]:
-    """(DDL schema string, column names) from the newest live file's
-    footer — widest schema under the format's add-only evolution."""
+def _infer_part_type(values: list[str]) -> str:
+    """DDL type of a partition column from its logged path values —
+    bigint when every value parses as int, double when as float,
+    string otherwise (the hive NULL sentinel is ignored)."""
+    real = [v for v in values if v != "__HIVE_DEFAULT_PARTITION__"]
+    if not real:
+        return "string"
+    try:
+        for v in real:
+            int(v)
+        return "bigint"
+    except ValueError:
+        pass
+    try:
+        for v in real:
+            float(v)
+        return "double"
+    except ValueError:
+        pass
+    return "string"
+
+
+def _table_schema_ddl(root: str) -> tuple[str, list[str], dict]:
+    """(DDL schema, column names, partition-col→DDL-type) — data
+    columns from the newest live file's footer (widest under the
+    format's add-only evolution), partition columns appended last and
+    typed from the commit log's recorded values."""
     import pyarrow.parquet as pq
 
     t = TxLogTable(root)
-    if t._partition_cols():
-        raise ValueError(
-            "txlog source: partitioned tables are not supported yet "
-            "(partition values live in paths, not files); read via "
-            "TxLogTable.read instead"
-        )
-    files = t.live_files()
+    live, _stats, parts = t._replay(None)
+    files = [os.path.join(root, p) for p in live]
     best, best_n = None, -1
     for f in (files[0], files[-1]):
         sch = pq.ParquetFile(f).schema_arrow
         if len(sch) > best_n:
             best, best_n = sch, len(sch)
-    ddl = ", ".join(f"{f.name} {_arrow_to_ddl(f.type)}" for f in best)
-    return ddl, [f.name for f in best]
+    fields = [(f.name, _arrow_to_ddl(f.type)) for f in best]
+    ptypes: dict = {}
+    for pc in t._partition_cols():
+        vals = [pv[pc] for pv in parts.values() if pc in pv]
+        ptypes[pc] = _infer_part_type(vals)
+        fields.append((pc, ptypes[pc]))
+    ddl = ", ".join(f"{n} {ty}" for n, ty in fields)
+    return ddl, [n for n, _ in fields], ptypes
+
+
+def _coerce_pv(raw: str | None, ddl: str):
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if ddl == "bigint":
+        return int(raw)
+    if ddl == "double":
+        return float(raw)
+    return raw
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(self, path: str, columns: list[str], pvals: dict):
         self.path = path
         self.columns = columns
+        # {col: (coerced value, ddl type)} — constants for this file
+        self.pvals = pvals
 
 
-def _read_file_batches(path: str, columns: list[str]):
-    """One file → padded/ordered Arrow record batches (executor-side)."""
+def _read_file_batches(path: str, columns: list[str], pvals: dict):
+    """One file → padded/ordered Arrow record batches (executor-side);
+    partition columns materialize as constant arrays per batch."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    _ARROW = {"bigint": pa.int64(), "double": pa.float64(), "string": pa.string()}
     pf = pq.ParquetFile(path)
     have = set(pf.schema_arrow.names)
     for batch in pf.iter_batches():
@@ -116,9 +157,13 @@ def _read_file_batches(path: str, columns: list[str]):
         arrays, fields = [], []
         for name in columns:
             if name in have:
-                col = tbl.column(name)
-                arrays.append(col)
+                arrays.append(tbl.column(name))
                 fields.append(tbl.schema.field(name))
+            elif name in pvals:
+                val, ddl = pvals[name]
+                typ = _ARROW[ddl]
+                arrays.append(pa.array([val] * len(tbl), type=typ))
+                fields.append(pa.field(name, typ))
             else:
                 arrays.append(pa.nulls(len(tbl)))
                 fields.append(pa.field(name, pa.null()))
@@ -126,26 +171,40 @@ def _read_file_batches(path: str, columns: list[str]):
         yield from out.to_batches()
 
 
+def _pvals_for(rel: str, parts: dict, ptypes: dict) -> dict:
+    pv = parts.get(rel, {})
+    return {
+        pc: (_coerce_pv(pv.get(pc), ddl), ddl) for pc, ddl in ptypes.items()
+    }
+
+
 class _TxLogBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"]
-        _ddl, self.columns = _table_schema_ddl(self.root)
+        _ddl, self.columns, self.ptypes = _table_schema_ddl(self.root)
 
     def partitions(self):
+        live, _stats, parts = TxLogTable(self.root)._replay(None)
         return [
-            _FilePartition(f, self.columns)
-            for f in TxLogTable(self.root).live_files()
+            _FilePartition(
+                os.path.join(self.root, rel),
+                self.columns,
+                _pvals_for(rel, parts, self.ptypes),
+            )
+            for rel in live
         ]
 
     def read(self, partition):
-        yield from _read_file_batches(partition.path, partition.columns)
+        yield from _read_file_batches(
+            partition.path, partition.columns, partition.pvals
+        )
 
 
 class _TxLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.starting = int(options.get("startingversion", 0))
-        _ddl, self.columns = _table_schema_ddl(self.root)
+        _ddl, self.columns, self.ptypes = _table_schema_ddl(self.root)
 
     def initialOffset(self) -> dict:
         # offsets are "last delivered version"; the first batch then
@@ -167,14 +226,21 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     f"(op={meta.get('op')}) removed files — consume the "
                     f"change feed for update/delete semantics"
                 )
+            cparts = meta.get("parts", {})
             parts.extend(
-                _FilePartition(os.path.join(self.root, rel), self.columns)
+                _FilePartition(
+                    os.path.join(self.root, rel),
+                    self.columns,
+                    _pvals_for(rel, cparts, self.ptypes),
+                )
                 for rel in meta.get("add", [])
             )
         return parts
 
     def read(self, partition):
-        yield from _read_file_batches(partition.path, partition.columns)
+        yield from _read_file_batches(
+            partition.path, partition.columns, partition.pvals
+        )
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the engine's checkpoint
@@ -191,7 +257,7 @@ class TxLogDataSource(DataSource):
         return "txlog"
 
     def schema(self) -> str:
-        ddl, _cols = _table_schema_ddl(self.options["path"])
+        ddl, _cols, _pt = _table_schema_ddl(self.options["path"])
         return ddl
 
     def reader(self, schema):

@@ -117,13 +117,46 @@ def test_stream_rejects_non_append_commits(spark, tmp_path):
         raise AssertionError("stream should have failed on the compact")
 
 
-def test_partitioned_table_rejected(spark, tmp_path):
+def test_partitioned_table_reads_and_streams(spark, tmp_path):
+    """Partitioned tables through the source: path-borne partition
+    columns come back as typed constant Arrow columns, batch parity
+    with the library read, and the streaming drain carries them too."""
     register_txlog_source(spark)
     root = str(tmp_path / "t")
-    TxLogTable.create(
+    t = TxLogTable.create(
         root,
-        spark.range(10).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p"),
+        spark.range(0, 40).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS p", "id * 1.0 AS x"
+        ),
         partition_by=["p"],
     )
-    with pytest.raises(Exception, match="partitioned"):
-        spark.read.format("txlog").load(root).collect()
+    t.append(
+        spark.range(40, 60).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS p", "id * 1.0 AS x"
+        ),
+        spark,
+    )
+    b = spark.read.format("txlog").load(root)
+    # inferred type for int-valued path segments is bigint
+    assert dict(b.dtypes)["p"] == "bigint"
+    exp = sorted(
+        (r["k"], int(r["p"]), r["x"]) for r in t.read(spark).collect()
+    )
+    got = sorted((r["k"], int(r["p"]), r["x"]) for r in b.collect())
+    assert got == exp
+
+    q = (
+        spark.readStream.format("txlog")
+        .load(root)
+        .writeStream.format("json")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sdf = spark.read.schema("k long, x double, p long").json(
+        str(tmp_path / "out")
+    )
+    got_s = sorted((r["k"], int(r["p"]), r["x"]) for r in sdf.collect())
+    assert got_s == exp
