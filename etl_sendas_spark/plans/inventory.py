@@ -425,6 +425,19 @@ EXTRA_ORACLES.update(_inv_round8.PART_ORACLES)
 # search and j_pit_scd2_enrich for point-in-time interval predicates).
 # Streaming rows (5) and Sendas rule rows untouched per the
 # keep-the-window-honest rule.
+# Queued for the NEXT (round-9) swap — round-8 machinery already
+# holding the full oracle bar in EXTRA (each hash-exact at 2-3 SFs):
+# txlog_dml_events (file-level copy-on-write DELETE→UPDATE→MERGE with
+# an in-query CoW assertion — no other row exercises row-level DML),
+# streaming_txlog_source_ingest (the native format("txlog")
+# DataSource: version offsets, Arrow ingest, checkpointed exactly-once
+# drain — no other row exercises the Python DataSource API),
+# txlog_partitioned_prune_events (partition-first + zone-map pruning
+# asserted in-query via inputFiles). Candidates OUT (machinery now
+# covered elsewhere): txlog_time_travel_events (version replay +
+# zone-map pruning both re-pinned inside the partitioned and DML
+# rows), plus two of the single-shuffle window-family rows whose plan
+# shapes are pinned in test_plan_shapes.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
