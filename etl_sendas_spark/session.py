@@ -53,6 +53,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- Python boundary: Arrow everywhere ---------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # lets Python DataSources (sources/txlog_source.py) receive
+        # Catalyst's pushed predicates for manifest-level file pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- parquet TIMESTAMP(NANOS) (driver testdata) → long ------
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

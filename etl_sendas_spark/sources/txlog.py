@@ -488,47 +488,64 @@ class TxLogTable:
                 raise ValueError("read: pass version OR as_of, not both")
             version = self.version_at(as_of)
         rel, stats, parts = self._replay(version)
-        pcols = self._partition_cols()
         if prune:
-            def keep(p: str) -> bool:
-                pv = parts.get(p, {})
-                fs = stats.get(p, {})
-                for col, spec in prune.items():
-                    if isinstance(spec, (list, set, frozenset)):
-                        vals = list(spec)
-                        if not vals:
-                            return False  # IN () matches nothing
-                        if col in pv:
-                            v = _coerce_part(pv[col], vals[0])
-                            if v is not None and v not in set(vals):
-                                return False
-                            continue
-                        rng = fs.get(col)
-                        if rng is None:
-                            continue
-                        if not any(rng[0] <= x <= rng[1] for x in vals):
-                            return False
-                        continue
-                    lo, hi = spec
-                    if col in pv:
-                        v = _coerce_part(pv[col], lo)
-                        if v is not None and (v < lo or v > hi):
-                            return False
-                        continue
-                    rng = fs.get(col)
-                    if rng is None:
-                        continue
-                    if rng[1] < lo or rng[0] > hi:
-                        return False
-                return True
-
-            rel = [p for p in rel if keep(p)]
+            rel = self._pruned_rel(rel, stats, parts, prune)
         if not rel:
             if prune:
                 # every file pruned: empty frame with the table schema
                 return spark.createDataFrame([], self.read(spark, version).schema)
             raise ValueError(f"version has no live files at {self.root}")
         return self._scan(spark, rel)
+
+    def _pruned_rel(
+        self, rel: list[str], stats: dict, parts: dict, prune: dict
+    ) -> list[str]:
+        """The manifest-pruning core shared by :meth:`read` and the
+        native DataSource's filter pushdown: drop files whose logged
+        partition value (consulted first — exact) or zone map cannot
+        satisfy the spec. Spec per column: (lo, hi) range, or a
+        list/set membership. A file with no logged metadata for a
+        pruned column is kept (safe), so pruning can never change
+        results."""
+
+        def keep(p: str) -> bool:
+            pv = parts.get(p, {})
+            fs = stats.get(p, {})
+            for col, spec in prune.items():
+                if isinstance(spec, (list, set, frozenset)):
+                    vals = list(spec)
+                    if not vals:
+                        return False  # IN () matches nothing
+                    if col in pv:
+                        v = _coerce_part(pv[col], vals[0])
+                        if v is not None and v not in set(vals):
+                            return False
+                        continue
+                    rng = fs.get(col)
+                    if rng is None:
+                        continue
+                    if not any(rng[0] <= x <= rng[1] for x in vals):
+                        return False
+                    continue
+                lo, hi = spec
+                if col in pv:
+                    v = _coerce_part(pv[col], lo if lo is not None else hi)
+                    if v is not None:
+                        if lo is not None and v < lo:
+                            return False
+                        if hi is not None and v > hi:
+                            return False
+                    continue
+                rng = fs.get(col)
+                if rng is None:
+                    continue
+                if lo is not None and rng[1] < lo:
+                    return False
+                if hi is not None and rng[0] > hi:
+                    return False
+            return True
+
+        return [p for p in rel if keep(p)]
 
     def _scan(self, spark: SparkSession, rel: list[str]) -> DataFrame:
         """Distributed scan of root-relative live files — the shared

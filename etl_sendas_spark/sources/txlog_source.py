@@ -182,9 +182,57 @@ class _TxLogBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         _ddl, self.columns, self.ptypes = _table_schema_ddl(self.root)
+        self._prune: dict = {}
+
+    def pushFilters(self, filters):
+        """Catalyst's pushed predicates reach the MANIFEST: comparison
+        and IN filters on any column translate into the table's
+        zone-map / partition-value prune spec, so `df.filter(...)`
+        over a `format("txlog")` scan skips whole files before Spark
+        plans them — the same file-skipping `read(prune=...)` does by
+        hand, now automatic. Every filter is returned to Spark for
+        row-level re-evaluation (manifest pruning is file-granular and
+        can never stand in for the row filter), which also makes the
+        pushdown semantically risk-free: it only shrinks the file
+        list."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def merge(col: str, lo, hi) -> None:
+            if isinstance(self._prune.get(col), list):
+                return  # an IN list is already tighter to verify
+            cur = self._prune.get(col, (None, None))
+            clo, chi = cur
+            if lo is not None:
+                clo = lo if clo is None else max(clo, lo)
+            if hi is not None:
+                chi = hi if chi is None else min(chi, hi)
+            self._prune[col] = (clo, chi)
+
+        for f in filters:
+            if len(getattr(f, "attribute", ())) == 1:
+                col = f.attribute[0]
+                if isinstance(f, EqualTo):
+                    merge(col, f.value, f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    merge(col, f.value, None)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    merge(col, None, f.value)
+                elif isinstance(f, In) and col not in self._prune:
+                    self._prune[col] = list(f.value)
+        return list(filters)  # Spark re-applies every filter row-level
 
     def partitions(self):
-        live, _stats, parts = TxLogTable(self.root)._replay(None)
+        t = TxLogTable(self.root)
+        live, stats, parts = t._replay(None)
+        if self._prune:
+            live = t._pruned_rel(live, stats, parts, self._prune)
         return [
             _FilePartition(
                 os.path.join(self.root, rel),
@@ -269,5 +317,9 @@ class TxLogDataSource(DataSource):
 
 def register_txlog_source(spark) -> None:
     """Register ``format("txlog")`` on this session (Python data
-    sources are per-session; idempotent to call again)."""
+    sources are per-session; idempotent to call again). Also enables
+    Python-data-source filter pushdown so the reader's manifest
+    pruning sees Catalyst's predicates (a plain SQL conf — settable at
+    runtime on sessions not built by this package's factory)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxLogDataSource)
