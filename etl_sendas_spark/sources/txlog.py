@@ -663,6 +663,43 @@ class TxLogTable:
         any ``extra`` metadata the committer attached)."""
         return self._read_commit(version)
 
+    def commit_files(
+        self,
+        add: list[str],
+        op: str = "append",
+        stats: dict | None = None,
+        parts: dict | None = None,
+        extra: dict | None = None,
+    ) -> int:
+        """Commit ALREADY-WRITTEN root-relative data files as one new
+        version — the two-phase-commit half the distributed writers
+        use (executors write files, the driver commits the list).
+        ``op="create"`` claims version 0 (raises
+        :class:`FileExistsError` if the table exists); ``"append"``
+        retries version claims like :meth:`append`. The files must
+        live under this table's root; the caller owns schema
+        discipline (the native writer checks names against the table
+        before calling)."""
+        payload: dict = {"op": op, "add": list(add)}
+        if stats:
+            payload["stats"] = stats
+        if parts:
+            payload["parts"] = parts
+        if extra:
+            payload.update(extra)
+        if op == "create":
+            if self.versions():
+                raise FileExistsError(
+                    f"txlog table already exists at {self.root}"
+                )
+            if not self._try_commit(0, payload):
+                raise CommitConflict(f"concurrent create at {self.root}")
+            return 0
+        v = self.latest_version() + 1
+        while not self._try_commit(v, payload):
+            v += 1
+        return v
+
     def restore(
         self,
         version: int | None = None,

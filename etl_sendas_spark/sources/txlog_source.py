@@ -37,9 +37,13 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .txlog import TxLogTable
@@ -314,6 +318,12 @@ class TxLogDataSource(DataSource):
     def streamReader(self, schema):
         return _TxLogStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return _TxLogBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _TxLogStreamWriter(self.options, schema, overwrite)
+
 
 def register_txlog_source(spark) -> None:
     """Register ``format("txlog")`` on this session (Python data
@@ -323,3 +333,181 @@ def register_txlog_source(spark) -> None:
     runtime on sessions not built by this package's factory)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxLogDataSource)
+
+
+# ---------------------------------------------------------------------------
+# write side — df.write.format("txlog") / writeStream.format("txlog")
+# ---------------------------------------------------------------------------
+
+
+class _FilesCommitMessage(WriterCommitMessage):
+    def __init__(self, rel_files: list[str]):
+        self.rel_files = rel_files
+
+
+def _harvest_stats(root: str, rel_files: list[str], stat_cols: list[str]) -> dict:
+    """Per-file zone maps from parquet footers (driver-side, metadata
+    only) — same harvest the library writer does at write time."""
+    import pyarrow.parquet as pq
+
+    stats: dict = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        rng: dict = {}
+        for c in stat_cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema != c or col.statistics is None:
+                        continue
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                rng[c] = [lo, hi]
+        if rng:
+            stats[rel] = rng
+    return stats
+
+
+class _TxLogWriterBase(DataSourceArrowWriter):
+    """Two-phase transactional append: every task writes ONE parquet
+    file into a fresh staging subdir under the table root (a loser's
+    files are unreferenced garbage — the format's standard orphan
+    story, collected by VACUUM's age guard), its commit message
+    carries the root-relative path, and the DRIVER turns the collected
+    list into a single atomic txlog commit. Executor I/O is pyarrow
+    over the Arrow batches Spark hands the writer — no row-at-a-time
+    Python anywhere."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                'format("txlog") writes are append-only; use '
+                "TxLogTable.overwrite for replace semantics"
+            )
+        self.root = options["path"]
+        self.schema_names = [f.name for f in schema.fields]
+        # one staging dir per write job; files become table data only
+        # when the driver's commit references them
+        import uuid as _uuid
+
+        self.rel_dir = os.path.join("data", _uuid.uuid4().hex)
+        t = TxLogTable(self.root)
+        if t.versions():
+            if t._partition_cols():
+                raise ValueError(
+                    'format("txlog") writes do not support partitioned '
+                    "tables yet; use TxLogTable.append"
+                )
+            _ddl, cols, _pt = _table_schema_ddl(self.root)
+            have = sorted(
+                (n, ty)
+                for n, ty in (f.split(" ", 1) for f in _ddl.split(", "))
+            )
+            want = sorted(
+                (f.name, f.dataType.simpleString()) for f in schema.fields
+            )
+            if have != want:
+                raise ValueError(
+                    f"schema mismatch: table has {have}, write has "
+                    f"{want} — same-name type drift would break every "
+                    f"later mergeSchema read, so it fails here"
+                )
+            self.exists = True
+            self.stat_cols = t._stat_cols()
+        else:
+            self.exists = False
+            # create-time zone-map opt-in rides a writer option
+            raw = options.get("statcols", "")
+            self.stat_cols = [c for c in raw.split(",") if c]
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _FilesCommitMessage([])  # empty task: no file
+        tbl = pa.Table.from_batches(batches)
+        tc = TaskContext.get()
+        name = f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.parquet"
+        rel = os.path.join(self.rel_dir, name)
+        full = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(tbl, full)
+        return _FilesCommitMessage([rel])
+
+    def _collect(self, messages) -> list[str]:
+        files: list[str] = []
+        for m in messages:
+            if m is not None:
+                files.extend(m.rel_files)
+        return sorted(files)
+
+    def abort(self, *a, **kw) -> None:
+        pass  # staged files are unreferenced orphans; VACUUM collects
+
+
+class _TxLogBatchWriter(_TxLogWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        files = self._collect(messages)
+        t = TxLogTable(self.root)
+        stats = (
+            _harvest_stats(self.root, files, self.stat_cols)
+            if self.stat_cols
+            else None
+        )
+        if self.exists:
+            t.commit_files(files, op="append", stats=stats)
+        else:
+            payload_extra = (
+                {"stat_cols": self.stat_cols} if self.stat_cols else
+                {"stat_cols": []}
+            )
+            t.commit_files(
+                files, op="create", stats=stats, extra=payload_extra
+            )
+
+
+class _TxLogStreamWriter(_TxLogWriterBase, DataSourceStreamWriter):
+    """Exactly-once streaming append sink: each epoch's files land in
+    ONE txlog commit carrying the batch id (the txn-identifier idea,
+    same as stream_upsert_to_txlog) — a replayed epoch (crash after
+    the table commit, before the engine checkpoint advanced) is
+    detected by the newest recorded batch id and SKIPPED, so no
+    duplicate version and no double rows."""
+
+    def commit(self, messages, batchId: int) -> None:
+        t = TxLogTable(self.root)
+        if t.versions():
+            for v in reversed(t.versions()):
+                meta = t.commit_meta(v)
+                if "batch_id" in meta:
+                    if int(batchId) <= int(meta["batch_id"]):
+                        return  # replayed epoch: already committed
+                    break
+        files = self._collect(messages)
+        stats = (
+            _harvest_stats(self.root, files, self.stat_cols)
+            if self.stat_cols
+            else None
+        )
+        if self.exists or t.versions():
+            t.commit_files(
+                files, op="append", stats=stats,
+                extra={"batch_id": int(batchId)},
+            )
+        else:
+            t.commit_files(
+                files, op="create", stats=stats,
+                extra={
+                    "batch_id": int(batchId),
+                    "stat_cols": self.stat_cols,
+                },
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        pass

@@ -208,3 +208,95 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     assert n_parts(sel) < n_parts(full2)
     assert {r["p"] for r in sel.collect()} == {2, 5}
     assert sel.count() == 100
+
+
+def test_batch_writer_two_phase_commit(spark, tmp_path):
+    """df.write.format("txlog"): executors stage one parquet file per
+    task, the driver commits the list atomically — create with
+    statCols zone maps, append parity, and type-drift rejection."""
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id * 2.0 AS DOUBLE) AS x"
+    ).repartition(3).write.format("txlog").mode("append").option(
+        "statCols", "k"
+    ).save(root)
+    t = TxLogTable(root)
+    assert t.versions() == [0] and t.commit_meta(0)["op"] == "create"
+    assert t._stat_cols() == ["k"]
+
+    spark.range(100, 150).selectExpr(
+        "id AS k", "CAST(id * 2.0 AS DOUBLE) AS x"
+    ).write.format("txlog").mode("append").save(root)
+    assert t.versions() == [0, 1]
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(150))
+    # the writer harvested zone maps: manifest pruning works
+    pr = t.read(spark, prune={"k": (0, 10)})
+    assert len(pr.inputFiles()) < len(t.read(spark).inputFiles())
+    # round trip through the source's own reader
+    assert spark.read.format("txlog").load(root).count() == 150
+
+    # same-name type drift fails at write planning, not at later reads
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(3).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS x"
+        ).write.format("txlog").mode("append").save(root)
+    # overwrite mode is rejected (append-only writer)
+    with pytest.raises(Exception, match="append-only"):
+        spark.range(3).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS x"
+        ).write.format("txlog").mode("overwrite").save(root)
+
+
+def test_stream_writer_exactly_once_epochs(spark, tmp_path):
+    """writeStream.format("txlog"): each epoch is ONE commit carrying
+    its batch id; a replayed epoch is skipped (no duplicate version,
+    no double rows); two waves on one checkpoint land as ordered
+    appends."""
+    import os as _os
+
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    src_dir = str(tmp_path / "in")
+    _os.makedirs(src_dir)
+    spark.range(0, 30).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS x"
+    ).coalesce(1).write.mode("append").json(src_dir)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, x double")
+            .json(src_dir)
+            .writeStream.format("txlog")
+            .option("path", root)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    t = TxLogTable(root)
+    assert t.read(spark).count() == 30
+    assert t.commit_meta(t.latest_version())["batch_id"] == 0
+
+    spark.range(30, 50).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS x"
+    ).coalesce(1).write.mode("append").json(src_dir)
+    drain()
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(50))
+    # a directly-replayed epoch commit is a no-op (exactly-once)
+    from etl_sendas_spark.sources.txlog_source import (
+        _FilesCommitMessage,
+        _TxLogStreamWriter,
+    )
+
+    w = _TxLogStreamWriter(
+        {"path": root}, t.read(spark).schema, overwrite=False
+    )
+    head = t.latest_version()
+    w.commit([_FilesCommitMessage([])], batchId=0)  # stale epoch
+    assert t.latest_version() == head
+    # caught-up drain adds nothing either
+    drain()
+    assert t.read(spark).count() == 50
