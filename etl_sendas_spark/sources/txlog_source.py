@@ -256,6 +256,22 @@ class _TxLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.starting = int(options.get("startingversion", 0))
+        # Delta's maxFilesPerTrigger: bound each micro-batch to whole
+        # commits totalling at most this many files — how a 100 TB
+        # backfill stays in bounded-memory batches instead of one
+        # giant initial snapshot batch. A single commit larger than
+        # the cap still ships whole (commits are the atomic unit).
+        # NOTE: with Trigger.AvailableNow the engine snapshots
+        # latestOffset ONCE, so a capped source delivers one bounded
+        # batch per run and resumes from the checkpoint next run —
+        # use a processingTime trigger (or repeated availableNow
+        # runs) for a continuous rate-limited backfill; the Python
+        # DataSource API has no multi-batch available-now contract.
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        # last offset this reader advanced to; partitions() resyncs it
+        # from the engine's checkpointed start after a restart
+        self._last = self.starting - 1
         _ddl, self.columns, self.ptypes = _table_schema_ddl(self.root)
 
     def initialOffset(self) -> dict:
@@ -265,9 +281,25 @@ class _TxLogStreamReader(DataSourceStreamReader):
         return {"version": self.starting - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": TxLogTable(self.root).latest_version()}
+        t = TxLogTable(self.root)
+        head = t.latest_version()
+        if self.max_files is None or head <= self._last:
+            self._last = max(self._last, head)
+            return {"version": self._last}
+        # advance by whole commits until the file budget is spent
+        end, budget = self._last, self.max_files
+        for v in range(self._last + 1, head + 1):
+            n = len(t.commit_meta(v).get("add", []))
+            if end > self._last and n > budget:
+                break  # at least one commit per batch, then stop
+            end, budget = v, budget - n
+        self._last = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        # after a checkpoint restart the engine's start is the truth —
+        # resync the rate-limit cursor so latestOffset never rewinds
+        self._last = max(self._last, int(end["version"]))
         t = TxLogTable(self.root)
         parts: list[_FilePartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):

@@ -300,3 +300,57 @@ def test_stream_writer_exactly_once_epochs(spark, tmp_path):
     # caught-up drain adds nothing either
     drain()
     assert t.read(spark).count() == 50
+
+
+def test_stream_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """maxFilesPerTrigger: a backfill over many commits ships in
+    several bounded micro-batches (whole commits, ≥1 per batch)
+    instead of one giant snapshot batch — complete and exactly-once
+    either way."""
+    import os as _os
+
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root, _mk := spark.range(0, 20).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS x"
+        ).repartition(2)
+    )
+    for i in range(1, 5):
+        t.append(
+            spark.range(i * 20, i * 20 + 20).selectExpr(
+                "id AS k", "CAST(id AS DOUBLE) AS x"
+            ).repartition(2),
+            spark,
+        )
+    # 5 commits x 2 files; cap at 2 files/trigger -> >= 5 micro-batches
+    # (processingTime trigger: the cap is per TRIGGER — availableNow
+    # snapshots latestOffset once and would stop after one bounded
+    # batch, documented in the source)
+    import time as _time
+
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog")
+        .option("maxFilesPerTrigger", 2)
+        .load(root)
+        .writeStream.format("json")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        out_schema = "k long, x double"
+        while _time.time() < deadline:
+            got = spark.read.schema(out_schema).json(str(tmp_path / "out"))
+            if got.count() >= 100:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.schema("k long, x double").json(str(tmp_path / "out"))
+    assert sorted(r["k"] for r in got.collect()) == list(range(100))
+    n_batches = len(_os.listdir(_os.path.join(ck, "offsets")))
+    assert n_batches >= 5, f"expected bounded batches, got {n_batches}"
