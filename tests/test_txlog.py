@@ -799,3 +799,36 @@ def test_restore_to_version_is_metadata_only(spark, tmp_path):
     t.vacuum(retain_versions=2, min_age_s=0.0)
     with pytest.raises(ValueError, match="version 0 does not exist"):
         t.restore(version=0)
+
+
+def test_prune_half_open_and_membership_specs(spark, tmp_path):
+    """read(prune=) accepts half-open ranges ((lo, None) / (None, hi) —
+    what the DataSource's strict-comparison pushdown produces) and
+    IN-lists; pruning is metadata-only so filtered results always
+    equal filter-after-full-read."""
+    root = str(tmp_path / "thp")
+    t = TxLogTable.create(
+        root,
+        spark.range(0, 4000)
+        .selectExpr("id AS k", "CAST(id % 5 AS INT) AS p")
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    full = t.read(spark)
+    n_full = len(full.inputFiles())
+
+    lo_open = t.read(spark, prune={"k": (3000, None)})
+    assert len(lo_open.inputFiles()) < n_full
+    assert lo_open.filter("k >= 3000").count() == 1000
+
+    hi_open = t.read(spark, prune={"k": (None, 499)})
+    assert len(hi_open.inputFiles()) < n_full
+    assert hi_open.filter("k <= 499").count() == 500
+
+    member = t.read(spark, prune={"k": [10, 3990]})
+    assert len(member.inputFiles()) < n_full
+    assert member.filter("k IN (10, 3990)").count() == 2
+    # empty IN-list matches nothing, schema preserved
+    none = t.read(spark, prune={"k": []})
+    assert none.count() == 0 and none.columns == ["k", "p"]
