@@ -425,19 +425,24 @@ EXTRA_ORACLES.update(_inv_round8.PART_ORACLES)
 # search and j_pit_scd2_enrich for point-in-time interval predicates).
 # Streaming rows (5) and Sendas rule rows untouched per the
 # keep-the-window-honest rule.
-# Queued for the NEXT (round-9) swap — round-8 machinery already
-# holding the full oracle bar in EXTRA (each hash-exact at 2-3 SFs):
+# Round-9 rotation (executes the r8 queue verbatim): IN —
 # txlog_dml_events (file-level copy-on-write DELETE→UPDATE→MERGE with
 # an in-query CoW assertion — no other row exercises row-level DML),
 # streaming_txlog_source_ingest (the native format("txlog")
 # DataSource: version offsets, Arrow ingest, checkpointed exactly-once
 # drain — no other row exercises the Python DataSource API),
 # txlog_partitioned_prune_events (partition-first + zone-map pruning
-# asserted in-query via inputFiles). Candidates OUT (machinery now
-# covered elsewhere): txlog_time_travel_events (version replay +
-# zone-map pruning both re-pinned inside the partitioned and DML
-# rows), plus two of the single-shuffle window-family rows whose plan
-# shapes are pinned in test_plan_shapes.
+# asserted in-query via inputFiles). OUT, each after green driver
+# outings (r7/r8) and keeping the identical oracle bar in EXTRA:
+# txlog_time_travel_events (version replay + zone-map pruning both
+# re-pinned inside the partitioned and DML rows), w_window_frames and
+# d1_keep_first (the two single-shuffle window-family rows whose plan
+# shapes — single Exchange / map-side WindowGroupLimit — stay pinned
+# in test_plan_shapes:70,157,247; the window family keeps
+# o_topk_per_group as its driver row, and keep-first machinery stays
+# driver-exercised inside sendas_full_pipeline's D1 stage).
+# Streaming rows (5) and Sendas rule rows untouched per the
+# keep-the-window-honest rule.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
@@ -447,7 +452,6 @@ DRIVER_WINDOW = [
     "j_broadcast_enrich",
     "j_anti_all_columns",
     "dedup_substring_spans_docs",
-    "d1_keep_first",
     "j_pit_scd2_enrich",
     "u_union_dedup_files",
     "o_topk_per_group",
@@ -457,7 +461,6 @@ DRIVER_WINDOW = [
     "s5_sink_compact_roundtrip",
     "f1_priority_pick",
     "sample_group_split_docs",
-    "w_window_frames",
     "j_asof_events",
     "txlog_change_feed_events",
     "scalar_dates_ages",
@@ -479,7 +482,9 @@ DRIVER_WINDOW = [
     "decontaminate_docs",
     "dedup_cluster_docs",
     "bpe_pair_counts_docs",
-    "txlog_time_travel_events",
+    "txlog_dml_events",
+    "streaming_txlog_source_ingest",
+    "txlog_partitioned_prune_events",
     "ann_ivfpq_topk",
     "crawl_ingest_pipeline",
     "pack_training_sequences",
