@@ -245,13 +245,24 @@ def _signatures_from_shingles(
 
 
 def _band_buckets(
-    sig_df: DataFrame, id_col: str, num_hashes: int, bands: int
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    with_sigkey: bool = False,
 ) -> DataFrame:
     """(doc, band, bhash) LSH bucket rows from a (id, signature) frame.
 
     Narrow explode of ``bands`` per-band slice hashes — the one shared
     piece between the batch and incremental LSH paths, so both put
     byte-identical bucket keys on the wire.
+
+    ``with_sigkey=True`` carries one extra long per row: a hash of the
+    FULL signature, used by the oversized-bucket chain (see
+    :func:`minhash_lsh_candidates`) as a locality sort key — docs with
+    identical signatures get identical keys and therefore sort
+    adjacent within a bucket. Off by default so the incremental-index
+    path's wire width is unchanged.
     """
     rows_per_band = num_hashes // bands
     band_structs = F.array(
@@ -265,9 +276,12 @@ def _band_buckets(
             for b in range(bands)
         ]
     )
-    return sig_df.select(
-        F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    cols = [F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")]
+    out = ["doc", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")]
+    if with_sigkey:
+        cols.append(F.xxhash64(F.col("signature")).alias("sigkey"))
+        out.append("sigkey")
+    return sig_df.select(*cols).select(*out)
 
 
 def minhash_lsh_candidates(
@@ -297,16 +311,26 @@ def minhash_lsh_candidates(
     the n-gram path): 10⁵ byte-identical boilerplate docs — upstream
     exact-dedup skipped or keyed differently — share every band and
     would put 10¹⁰ pairs in one bucket. A bucket larger than the cap
-    degrades to a STAR around its lowest doc id instead of all-pairs:
-    pair count linear in the bucket, and connectivity — what the
-    downstream connected-components clustering actually consumes — is
-    preserved, so the boilerplate group still lands in one cluster.
-    The only pairs not emitted are between two non-representative
-    members of an oversized bucket that collide in no other (small)
-    bucket — for a true near-dup group those pairs are redundant for
-    clustering; nothing is silently dropped from the cluster level.
-    Star pairs flow through the same exact-Jaccard verification as
-    everything else.
+    degrades to a STAR around the min doc of each identical-signature
+    GROUP (group key: a hash of the full minhash signature), with the
+    group representatives linked by a CHAIN in (group-key, doc id)
+    order: pair count linear in the bucket, and connectivity — what
+    the downstream connected-components clustering actually consumes —
+    is preserved at component diameter 2 per group (a bucket-wide
+    chain would cost min-label propagation one round per member).
+    Grouping by signature makes the cap verification-safe where a
+    bucket-wide min-id star was not (ADVICE r8): every star edge pairs
+    two same-signature docs, so an identical-doc family inside a
+    heterogeneous oversized bucket keeps edges that pass exact-Jaccard
+    verification even when the bucket's global min-id doc is
+    dissimilar to the family — the old star hung every edge off that
+    one representative and verification could silently drop the whole
+    bucket's clusters. Residual (documented, probabilistic): two true
+    near-dups with NON-identical signatures that meet only in an
+    oversized bucket pair up only if their group reps are chain-
+    adjacent there — their signatures hash apart even though the docs
+    are similar. Star and chain pairs flow through the same
+    exact-Jaccard verification as everything else.
 
     ``materialize=True`` (default) eagerly pins the verified pairs via
     :mod:`..materialize` (strategy conf-selectable; use ``reliable``/
@@ -329,46 +353,73 @@ def minhash_lsh_candidates(
         "doc", id_col
     )
 
-    buckets = _band_buckets(sig, id_col, num_hashes, bands)
+    buckets = _band_buckets(
+        sig, id_col, num_hashes, bands, with_sigkey=max_bucket is not None
+    )
 
-    left_side = buckets
+    chain = None
     if max_bucket is not None:
-        # both regimes ride ONE self-join: the LEFT side keeps every
-        # row of a small bucket but only the MIN-doc representative of
-        # an oversized one, the right side is untouched. A small bucket
-        # then yields all its pairs exactly as before; an oversized one
-        # yields (rep, member) for every member > rep — the star —
-        # because rep = min(doc) already satisfies the a.doc < b.doc
-        # join condition against the whole bucket. Join fan-out per
-        # oversized bucket: 1 × n instead of n², and the window's
-        # (band, bhash) exchange doubles as the join-side exchange, so
-        # the capped plan keeps the uncapped plan's shuffle budget
-        # (pinned in test_plan_shapes.test_minhash_lsh_shuffle_budget).
+        # split regimes on the bucket size computed over ONE
+        # (band, bhash) exchange that then feeds both: small buckets
+        # go through the all-pairs self-join exactly as before (both
+        # join sides reuse the windowed exchange — partitioning is
+        # already the join key, pinned in
+        # test_plan_shapes.test_minhash_lsh_shuffle_budget). An
+        # oversized bucket emits a STAR around the min doc of each
+        # identical-signature GROUP plus a CHAIN over the group
+        # representatives in (sigkey, doc) order — linear fan-out, and
+        # crucially component DIAMETER stays 2 within a group (a
+        # bucket-wide chain would hand downstream min-label
+        # connected-components a diameter-n path: 10⁵ propagation
+        # rounds for the 10⁵-doc degenerate bucket this cap exists
+        # for). All window specs cluster on (band, bhash) — the group
+        # window's extra sigkey key is a subset-satisfied
+        # ClusteredDistribution, so everything rides the one exchange,
+        # and the ordered specs only sort rows that survived the
+        # __bn > cap filter.
         from pyspark.sql import Window
 
         wb = Window.partitionBy("band", "bhash")
-        left_side = (
-            buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
-            .withColumn("__rep", F.min("doc").over(wb))
-            .filter(
-                (F.col("__bn") <= F.lit(max_bucket))
-                | (F.col("doc") == F.col("__rep"))
+        wg = Window.partitionBy("band", "bhash", "sigkey")
+        wo = Window.partitionBy("band", "bhash").orderBy("sigkey", "doc")
+        sized = buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
+        buckets = sized.filter(F.col("__bn") <= F.lit(max_bucket)).select(
+            "doc", "band", "bhash"
+        )
+        # star and chain fused into ONE branch (the self-join already
+        # costs two lineages of the bucketed exchange; a third busts
+        # the pinned budget): groups are contiguous in (sigkey, doc)
+        # order, so for a group's rep row lag(__rep) IS the previous
+        # group's rep — the chain edge — while every other row pairs
+        # with its own group's rep — the star edge.
+        chain = (
+            sized.filter(F.col("__bn") > F.lit(max_bucket))
+            .withColumn("__rep", F.min("doc").over(wg))
+            .withColumn("__prevrep", F.lag("__rep").over(wo))
+            .withColumn(
+                "__other",
+                F.when(
+                    F.col("doc") != F.col("__rep"), F.col("__rep")
+                ).otherwise(F.col("__prevrep")),
             )
-            .select("doc", "band", "bhash")
+            .filter(F.col("__other").isNotNull())
+            .select(
+                F.least("__other", "doc").alias("id_a"),
+                F.greatest("__other", "doc").alias("id_b"),
+            )
         )
 
-    a = left_side.alias("a")
+    a = buckets.alias("a")
     b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bhash") == F.col("b.bhash"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+    if chain is not None:
+        cand = cand.unionByName(chain)
+    cand = cand.distinct()
     if verify_threshold is None:
         return cand
 

@@ -79,6 +79,15 @@ def _commit_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:08d}.json")
 
 
+def _schema_pairs(df: DataFrame) -> list[list[str]]:
+    """[[name, ddl-type], ...] — the schema record written into
+    schema-bearing commits (create / merge-schema append / overwrite)
+    so readers resolve the table schema from the LOG, not by probing
+    data-file footers (which is O(files) and order-fragile once
+    compaction/DML reorder the live list)."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
 def _coerce_part(raw: str, bound) -> object | None:
     """A logged partition value (always a path string) coerced to the
     prune bound's type for comparison. None = not comparable (e.g. the
@@ -198,12 +207,41 @@ class TxLogTable:
             self._write_checkpoint(version)
         return True
 
+    def _logged_schema(self, version: int | None = None) -> list | None:
+        """The newest schema record at or below ``version`` (latest
+        when None): [[name, ddl-type], ...], or None for tables whose
+        surviving log never recorded one (pre-schema-record history —
+        readers then fall back to data-file footers). Resolution walks
+        from the nearest checkpoint, which snapshots the schema so
+        VACUUM's log truncation cannot lose it."""
+        v = self.latest_version() if version is None else version
+        schema = None
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= v]
+        if ckpts:
+            with open(
+                os.path.join(
+                    _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
+                )
+            ) as fh:
+                schema = json.load(fh).get("schema")
+            start = ckpts[-1] + 1
+        for i in range(start, v + 1):
+            c = self._read_commit(i)
+            if "schema" in c:
+                schema = c["schema"]
+        return schema
+
     def _write_checkpoint(self, version: int) -> None:
         """Materialize the replay state AT ``version`` so later reads
         start here instead of commit 0. Deterministic content + O_EXCL
         create make concurrent attempts benign; failure is ignored
         (a checkpoint is an optimization, never required)."""
         live, stats, parts = self._replay(version)
+        # resolve BEFORE creating the file: _logged_schema consults
+        # self._checkpoints(), which would see the just-created empty
+        # file and read torn JSON
+        schema = self._logged_schema(version)
         path = os.path.join(
             _log_dir(self.root), f"{version:08d}.checkpoint.json"
         )
@@ -220,6 +258,7 @@ class TxLogTable:
                     "parts": parts,
                     "stat_cols": self._stat_cols(),
                     "partition_by": self._partition_cols(),
+                    "schema": schema,
                 },
                 f,
             )
@@ -401,7 +440,12 @@ class TxLogTable:
                 f"its (exact) zone map"
             )
         files, stats, parts = t._write_data(df, cols, pcols)
-        payload = {"op": "create", "add": files, "stat_cols": cols}
+        payload = {
+            "op": "create",
+            "add": files,
+            "stat_cols": cols,
+            "schema": _schema_pairs(df),
+        }
         if pcols:
             payload["partition_by"] = pcols
             payload["parts"] = parts
@@ -495,7 +539,7 @@ class TxLogTable:
                 # every file pruned: empty frame with the table schema
                 return spark.createDataFrame([], self.read(spark, version).schema)
             raise ValueError(f"version has no live files at {self.root}")
-        return self._scan(spark, rel)
+        return self._scan(spark, rel, version)
 
     def _pruned_rel(
         self, rel: list[str], stats: dict, parts: dict, prune: dict
@@ -506,48 +550,62 @@ class TxLogTable:
         satisfy the spec. Spec per column: (lo, hi) range, or a
         list/set membership. A file with no logged metadata for a
         pruned column is kept (safe), so pruning can never change
-        results."""
+        results — which is also why every comparison tolerates
+        incomparable types (e.g. a datetime.date bound against a
+        string-logged partition value, ADVICE r8): TypeError keeps the
+        file instead of failing the read, mirroring the
+        None-on-parse-failure coercion rule."""
 
         def keep(p: str) -> bool:
             pv = parts.get(p, {})
             fs = stats.get(p, {})
             for col, spec in prune.items():
-                if isinstance(spec, (list, set, frozenset)):
-                    vals = list(spec)
-                    if not vals:
-                        return False  # IN () matches nothing
-                    if col in pv:
-                        v = _coerce_part(pv[col], vals[0])
-                        if v is not None and v not in set(vals):
+                try:
+                    if isinstance(spec, (list, set, frozenset)):
+                        vals = list(spec)
+                        if not vals:
+                            return False  # IN () matches nothing
+                        if col in pv:
+                            v = _coerce_part(pv[col], vals[0])
+                            if v is not None and v not in set(vals):
+                                return False
+                            continue
+                        rng = fs.get(col)
+                        if rng is None:
+                            continue
+                        if not any(rng[0] <= x <= rng[1] for x in vals):
                             return False
+                        continue
+                    lo, hi = spec
+                    if col in pv:
+                        v = _coerce_part(
+                            pv[col], lo if lo is not None else hi
+                        )
+                        if v is not None:
+                            if lo is not None and v < lo:
+                                return False
+                            if hi is not None and v > hi:
+                                return False
                         continue
                     rng = fs.get(col)
                     if rng is None:
                         continue
-                    if not any(rng[0] <= x <= rng[1] for x in vals):
+                    if lo is not None and rng[1] < lo:
                         return False
-                    continue
-                lo, hi = spec
-                if col in pv:
-                    v = _coerce_part(pv[col], lo if lo is not None else hi)
-                    if v is not None:
-                        if lo is not None and v < lo:
-                            return False
-                        if hi is not None and v > hi:
-                            return False
-                    continue
-                rng = fs.get(col)
-                if rng is None:
-                    continue
-                if lo is not None and rng[1] < lo:
-                    return False
-                if hi is not None and rng[0] > hi:
-                    return False
+                    if hi is not None and rng[0] > hi:
+                        return False
+                except TypeError:
+                    continue  # incomparable spec vs logged type: keep
             return True
 
         return [p for p in rel if keep(p)]
 
-    def _scan(self, spark: SparkSession, rel: list[str]) -> DataFrame:
+    def _scan(
+        self,
+        spark: SparkSession,
+        rel: list[str],
+        version: int | None = None,
+    ) -> DataFrame:
         """Distributed scan of root-relative live files — the shared
         read tail for snapshot reads and the DML rewrite passes (which
         must read ONLY affected files, never filter a full-table scan
@@ -557,7 +615,8 @@ class TxLogTable:
             # lack the added columns; the merged read backfills them
             # NULL (one extra footer pass — negligible vs the data scan)
             files = [os.path.join(self.root, p) for p in rel]
-            return spark.read.option("mergeSchema", "true").parquet(*files)
+            out = spark.read.option("mergeSchema", "true").parquet(*files)
+            return self._pad_to_logged_schema(out, version)
         # partitioned table: the partition columns live in the
         # hive-style paths, not the files — scan per commit directory
         # with basePath so Spark re-attaches them typed, then union
@@ -577,6 +636,27 @@ class TxLogTable:
         out = scans[0]
         for s in scans[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
+        return self._pad_to_logged_schema(out, version)
+
+    def _pad_to_logged_schema(
+        self, out: DataFrame, version: int | None = None
+    ) -> DataFrame:
+        """NULL-pad columns of the table's logged schema that no
+        scanned file carries — a subset scan (DML rewrite of files
+        older than a schema-evolving append) otherwise lacks evolved
+        columns entirely, and the rewrite's table-schema projection
+        fails to resolve. mergeSchema only unions the footers it SAW;
+        the log knows the whole schema. Legacy tables without a schema
+        record keep the bare merged scan. Padding resolves the schema
+        AT ``version`` (latest when None) so time travel shows the
+        schema of that snapshot, not today's."""
+        logged = self._logged_schema(version)
+        if not logged:
+            return out
+        have = set(out.columns)
+        for n, ty in logged:
+            if n not in have:
+                out = out.withColumn(n, F.lit(None).cast(ty))
         return out
 
     def append(
@@ -591,6 +671,11 @@ class TxLogTable:
             df, self._stat_cols(), self._partition_cols()
         )
         payload = {"op": "append", "add": files}
+        if merge_schema:
+            # schema may have widened: record the post-append table
+            # schema (the frame carries every current column — the
+            # drop check above enforced it)
+            payload["schema"] = _schema_pairs(df)
         if parts:
             payload["parts"] = parts
         if stats:
@@ -615,7 +700,12 @@ class TxLogTable:
             removes = [
                 os.path.relpath(p, self.root) for p in self.live_files(head)
             ]
-            payload = {"op": "overwrite", "add": files, "remove": removes}
+            payload = {
+                "op": "overwrite",
+                "add": files,
+                "remove": removes,
+                "schema": _schema_pairs(df),
+            }
             if parts:
                 payload["parts"] = parts
             if stats:
@@ -647,7 +737,12 @@ class TxLogTable:
             os.path.relpath(p, self.root)
             for p in self.live_files(expected_head)
         ]
-        payload = {"op": "overwrite", "add": files, "remove": removes}
+        payload = {
+            "op": "overwrite",
+            "add": files,
+            "remove": removes,
+            "schema": _schema_pairs(df),
+        }
         if parts:
             payload["parts"] = parts
         if stats:

@@ -105,23 +105,39 @@ def _infer_part_type(values: list[str]) -> str:
 
 
 def _table_schema_ddl(root: str) -> tuple[str, list[str], dict]:
-    """(DDL schema, column names, partition-col→DDL-type) — data
-    columns from the newest live file's footer (widest under the
-    format's add-only evolution), partition columns appended last and
-    typed from the commit log's recorded values."""
+    """(DDL schema, column names, partition-col→DDL-type). Data
+    columns come from the commit log's schema record (written by
+    create / merge-schema appends / overwrites, snapshotted into
+    checkpoints — O(1) metadata, survives any live-list reordering);
+    tables whose surviving log predates schema records fall back to
+    the UNION of every live file's parquet footer in live order
+    (metadata-only reads — first/last-file sampling is wrong once
+    compaction or DML rewrites park an evolved file mid-list, ADVICE
+    r8). Partition columns are appended last and typed from the commit
+    log's recorded values."""
     import pyarrow.parquet as pq
 
     t = TxLogTable(root)
     live, _stats, parts = t._replay(None)
-    files = [os.path.join(root, p) for p in live]
-    best, best_n = None, -1
-    for f in (files[0], files[-1]):
-        sch = pq.ParquetFile(f).schema_arrow
-        if len(sch) > best_n:
-            best, best_n = sch, len(sch)
-    fields = [(f.name, _arrow_to_ddl(f.type)) for f in best]
+    pcols = t._partition_cols()
+    logged = t._logged_schema()
+    if logged is not None:
+        fields = [(n, ty) for n, ty in logged if n not in pcols]
+    else:
+        if not live:
+            raise ValueError(
+                f"txlog table at {root} has no live data files and no "
+                "schema record in its log — cannot infer a read schema"
+            )
+        fields, seen = [], set()
+        for rel in live:
+            sch = pq.ParquetFile(os.path.join(root, rel)).schema_arrow
+            for f in sch:
+                if f.name not in seen:
+                    seen.add(f.name)
+                    fields.append((f.name, _arrow_to_ddl(f.type)))
     ptypes: dict = {}
-    for pc in t._partition_cols():
+    for pc in pcols:
         vals = [pv[pc] for pv in parts.values() if pc in pv]
         ptypes[pc] = _infer_part_type(vals)
         fields.append((pc, ptypes[pc]))
@@ -237,7 +253,7 @@ class _TxLogBatchReader(DataSourceReader):
         live, stats, parts = t._replay(None)
         if self._prune:
             live = t._pruned_rel(live, stats, parts, self._prune)
-        return [
+        out = [
             _FilePartition(
                 os.path.join(self.root, rel),
                 self.columns,
@@ -245,8 +261,14 @@ class _TxLogBatchReader(DataSourceReader):
             )
             for rel in live
         ]
+        # zero live files (empty create, or everything pruned): the
+        # Python DataSource runner mishandles an empty partition list
+        # (read() gets None) — ship one no-op marker partition instead
+        return out or [_FilePartition(None, self.columns, {})]
 
     def read(self, partition):
+        if partition is None or partition.path is None:
+            return
         yield from _read_file_batches(
             partition.path, partition.columns, partition.pvals
         )
@@ -269,10 +291,49 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # DataSource API has no multi-batch available-now contract.
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
-        # last offset this reader advanced to; partitions() resyncs it
-        # from the engine's checkpointed start after a restart
+        # Rate-limit pacing cursor. Capped pacing must never hand the
+        # engine an offset BEHIND its checkpointed end, and the Python
+        # stream-reader API passes latestOffset() no start offset (the
+        # runner protocol has exactly initialOffset/latestOffset/
+        # partitions/commit), so a cursor restarting at starting-1 in
+        # a new process would pace from behind the checkpoint (ADVICE
+        # r8 high). Spark 4.1.2 happens to mask this by replaying the
+        # offsets log's last entry through partitions() — which
+        # resyncs the cursor — before the first post-restart
+        # latestOffset() (verified by trace), but that call order is
+        # an engine internal, not API contract. The cursor is
+        # therefore DURABLE while the cap is on:
+        # commit(end) — the engine's own batch-completion signal —
+        # persists it under the table's _txlog/rate_limit/ dir
+        # (invisible to log replay and VACUUM, which match commit
+        # filenames by regex), and a new process resumes pacing from
+        # it. The ``rateLimitId`` option names the cursor so
+        # independent capped queries on one table keep separate pace
+        # state (sharing is still SAFE: a shared cursor can only run
+        # AHEAD of a query's checkpoint, never behind, so the failure
+        # mode is one larger-than-cap catch-up batch, not duplicates
+        # or loss).
+        self.rate_id = options.get("ratelimitid", "default")
         self._last = self.starting - 1
+        if self.max_files is not None:
+            c = self._read_cursor()
+            if c is not None:
+                self._last = max(self._last, c)
         _ddl, self.columns, self.ptypes = _table_schema_ddl(self.root)
+
+    def _cursor_path(self) -> str:
+        return os.path.join(
+            self.root, "_txlog", "rate_limit", f"{self.rate_id}.json"
+        )
+
+    def _read_cursor(self) -> int | None:
+        import json
+
+        try:
+            with open(self._cursor_path()) as fh:
+                return int(json.load(fh)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
 
     def initialOffset(self) -> dict:
         # offsets are "last delivered version"; the first batch then
@@ -297,8 +358,10 @@ class _TxLogStreamReader(DataSourceStreamReader):
         return {"version": end}
 
     def partitions(self, start: dict, end: dict):
-        # after a checkpoint restart the engine's start is the truth —
-        # resync the rate-limit cursor so latestOffset never rewinds
+        # the engine's offsets are the truth — a replayed uncommitted
+        # batch resyncs the pacing cursor to its checkpointed end
+        # (covers the crash-between-offset-log-and-commit window where
+        # the durable cursor is one batch stale)
         self._last = max(self._last, int(end["version"]))
         t = TxLogTable(self.root)
         parts: list[_FilePartition] = []
@@ -327,7 +390,33 @@ class _TxLogStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in the engine's checkpoint
+        # engine-confirmed completion: persist the pacing cursor so a
+        # restarted capped reader never paces from behind the
+        # checkpoint (progress itself lives in the engine's
+        # checkpoint; this file only paces rate limiting)
+        if self.max_files is None:
+            return
+        import json
+
+        path = self._cursor_path()
+        v = int(end["version"])
+        cur = self._read_cursor()
+        if cur is not None and cur >= v:
+            return
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump({"version": v}, fh)
+            os.replace(tmp, path)
+        except OSError as e:
+            raise RuntimeError(
+                "txlog streaming source: maxFilesPerTrigger keeps its "
+                f"rate-limit cursor at {path} and could not write it — "
+                "a capped stream restarted without the cursor would "
+                "pace from behind the checkpoint; make the table root "
+                "writable or drop the cap"
+            ) from e
 
     def stop(self) -> None:
         pass
@@ -421,6 +510,11 @@ class _TxLogWriterBase(DataSourceArrowWriter):
             )
         self.root = options["path"]
         self.schema_names = [f.name for f in schema.fields]
+        # schema record for create commits (same shape TxLogTable
+        # writes): readers resolve the table schema from the log
+        self.schema_pairs = [
+            [f.name, f.dataType.simpleString()] for f in schema.fields
+        ]
         # one staging dir per write job; files become table data only
         # when the driver's commit references them
         import uuid as _uuid
@@ -495,12 +589,14 @@ class _TxLogBatchWriter(_TxLogWriterBase, DataSourceWriter):
         if self.exists:
             t.commit_files(files, op="append", stats=stats)
         else:
-            payload_extra = (
-                {"stat_cols": self.stat_cols} if self.stat_cols else
-                {"stat_cols": []}
-            )
             t.commit_files(
-                files, op="create", stats=stats, extra=payload_extra
+                files,
+                op="create",
+                stats=stats,
+                extra={
+                    "stat_cols": self.stat_cols,
+                    "schema": self.schema_pairs,
+                },
             )
 
 
@@ -538,6 +634,7 @@ class _TxLogStreamWriter(_TxLogWriterBase, DataSourceStreamWriter):
                 extra={
                     "batch_id": int(batchId),
                     "stat_cols": self.stat_cols,
+                    "schema": self.schema_pairs,
                 },
             )
 

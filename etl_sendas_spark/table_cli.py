@@ -160,12 +160,52 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def _split_assignments(specs: list[str]) -> dict[str, str]:
+    """col=expr assignments from repeated --set flags, each flag
+    holding one or more comma-separated assignments. Commas inside
+    parentheses/brackets or string literals do NOT split (ADVICE r8:
+    a naive split mangled ``price=greatest(a,b)``), and a doubled
+    quote inside a literal is the SQL escape, not a closer."""
+    sets: dict[str, str] = {}
+    for spec in specs:
+        depth, quote, start = 0, None, 0
+        pieces: list[str] = []
+        i = 0
+        while i < len(spec):
+            ch = spec[i]
+            if quote:
+                if ch == quote:
+                    if i + 1 < len(spec) and spec[i + 1] == quote:
+                        i += 1
+                    else:
+                        quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                pieces.append(spec[start:i])
+                start = i + 1
+            i += 1
+        pieces.append(spec[start:])
+        for kv in pieces:
+            if "=" not in kv:
+                raise SystemExit(
+                    f"--set expects col=expr assignments, got {kv!r}"
+                )
+            k, v = kv.split("=", 1)
+            sets[k.strip()] = v
+    return sets
+
+
 def cmd_update(args) -> int:
     from .session import get_spark
 
     t = _table(args.path)
     spark = get_spark(app_name="txlog_update")
-    sets = dict(kv.split("=", 1) for kv in args.set.split(","))
+    sets = _split_assignments(args.set)
     head = t.latest_version()
     v = t.update_where(spark, sets, args.where)
     print("no rows matched" if v == head else f"updated -> v{v}")
@@ -235,7 +275,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("update", help="UPDATE SET ... WHERE (copy-on-write)")
     p.add_argument("path")
     p.add_argument("--where", required=True)
-    p.add_argument("--set", required=True, help="col=expr[,col=expr...]")
+    p.add_argument(
+        "--set",
+        required=True,
+        action="append",
+        help="col=expr[,col=expr...]; repeatable — commas inside "
+        "parens/quotes do not split",
+    )
     p.set_defaults(fn=cmd_update)
 
     args = ap.parse_args(argv)

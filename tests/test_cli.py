@@ -309,10 +309,24 @@ def test_table_cli_lifecycle(spark, tmp_path, capsys):
         ["update", root, "--set", "a=a+1000", "--where", "k = 20"]
     ) == 0
     assert t.read(spark).filter("k = 20").collect()[0]["a"] == 1040
+    # ADVICE r8: commas inside a function call must not split the
+    # assignment; a second --set flag adds another assignment
+    assert table_main(
+        [
+            "update", root,
+            "--set", "a=greatest(a,b)+least(a, b),b=b+1",
+            "--set", "k=k",
+            "--where", "k = 21",
+        ]
+    ) == 0
+    row = t.read(spark).filter("k = 21").collect()[0]
+    assert row["a"] == 42 + 0 and row["b"] == 1  # 21*2, 21%7=0 pre-update
     pre = t.latest_version()
-    assert table_main(["restore", root, "--version", str(pre - 2)]) == 0
+    # three DML commits since the overwrite: back to the pre-delete
+    # snapshot is pre-3
+    assert table_main(["restore", root, "--version", str(pre - 3)]) == 0
     out = capsys.readouterr().out
-    assert f"restored to v{pre - 2}" in out
+    assert f"restored to v{pre - 3}" in out
     assert t.read(spark).count() == 50  # pre-delete content
     assert table_main(["delete", root, "--where", "k > 1000000000"]) == 0
     assert "no rows matched" in capsys.readouterr().out

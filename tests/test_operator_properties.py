@@ -67,15 +67,23 @@ def test_minhash_lsh_matches_bruteforce(spark):
     assert lsh == exact
 
 
-def test_minhash_lsh_bucket_cap_degrades_to_star(spark):
-    """max_bucket guard (VERDICT r7): a planted block of byte-identical
-    boilerplate docs shares every band, so without the cap the bucket
-    self-join goes quadratic in the block. With the cap the oversized
-    buckets degrade to a star around the lowest doc id: pair count is
-    LINEAR in the block (n-1 pairs, all Jaccard 1), the block still
-    forms ONE connected component, and recall on the non-degenerate
-    near-dup pairs (small buckets, untouched by the cap) is identical
-    to the uncapped run."""
+def test_minhash_lsh_bucket_cap_degrades_to_chain(spark):
+    """max_bucket guard (VERDICT r7, re-shaped r9 per ADVICE): a
+    planted block of byte-identical boilerplate docs shares every
+    band, so without the cap the bucket self-join goes quadratic in
+    the block. With the cap an oversized bucket degrades to per-
+    signature-group STARS linked by a representative chain: pair count
+    is LINEAR in the block (n-1 surviving pairs, all Jaccard 1, each
+    anchored at the family min id since identical docs form one
+    signature group), the block still forms ONE connected component at
+    DIAMETER 2 (so plain min-label propagation converges — a bucket-
+    wide chain would need one round per member), and recall on the
+    non-degenerate near-dup pairs (small buckets, untouched by the
+    cap) is identical to the uncapped run. Two co-planted identical
+    families must each stay internally connected with no verified
+    cross-family pair — the scenario where a bucket-wide min-id star
+    could drop a family's connectivity whenever the bucket
+    representative failed verification against it (ADVICE r8)."""
     from pyspark.sql import functions as F
 
     from etl_sendas_spark.operators.dedupe import connected_components
@@ -88,26 +96,50 @@ def test_minhash_lsh_bucket_cap_degrades_to_star(spark):
             "privacy policy all rights reserved contact us about careers"
         ).alias("text"),
     )
-    docs = _docs(spark).select("doc_id", "text").unionByName(boiler)
+    n_other = 120
+    other = spark.range(0, n_other).select(
+        (F.col("id") + 200000).alias("doc_id"),
+        F.lit(
+            "cookie consent banner accept all manage preferences "
+            "functional analytics advertising partners legal notice"
+        ).alias("text"),
+    )
+    docs = (
+        _docs(spark).select("doc_id", "text")
+        .unionByName(boiler)
+        .unionByName(other)
+    )
 
     capped = minhash_lsh_candidates(
         docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
         verify_threshold=0.5, max_bucket=50,
     ).collect()
     in_block = [
-        r for r in capped if r["id_a"] >= 100000 and r["id_b"] >= 100000
+        r
+        for r in capped
+        if 100000 <= r["id_a"] < 200000 and 100000 <= r["id_b"] < 200000
     ]
-    # star shape: exactly n-1 pairs, every one anchored at the rep,
-    # every one an exact duplicate
+    # grouped-star shape: exactly n-1 pairs, every one anchored at the
+    # family's min id (identical docs = one signature group), every
+    # one an exact duplicate — diameter 2 for downstream CC
     assert len(in_block) == n_boiler - 1
     assert {r["id_a"] for r in in_block} == {100000}
     assert all(r["jaccard"] == 1.0 for r in in_block)
-    # the block is one cluster downstream
+    # each block is one cluster downstream; no verified pair crosses
+    # the two dissimilar families
+    in_other = [r for r in capped if r["id_a"] >= 200000]
+    assert len(in_other) == n_other - 1
+    assert not any(
+        r["id_a"] >= 100000 and (r["id_a"] < 200000) != (r["id_b"] < 200000)
+        for r in capped
+        if r["id_b"] >= 100000
+    )
     pairs = spark.createDataFrame(
-        [(r["id_a"], r["id_b"]) for r in in_block], ["id_a", "id_b"]
+        [(r["id_a"], r["id_b"]) for r in in_block + in_other],
+        ["id_a", "id_b"],
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    assert comp.select("cluster").distinct().count() == 1
+    assert comp.select("cluster").distinct().count() == 2
 
     # recall law: pairs NOT involving the boiler block are exactly the
     # uncapped run's pairs on the original corpus

@@ -832,3 +832,37 @@ def test_prune_half_open_and_membership_specs(spark, tmp_path):
     # empty IN-list matches nothing, schema preserved
     none = t.read(spark, prune={"k": []})
     assert none.count() == 0 and none.columns == ["k", "p"]
+
+
+def test_prune_incomparable_types_keep_files(spark, tmp_path):
+    """Pruning must never fail or change results (ADVICE r8 low): a
+    prune bound whose Python type cannot compare with the logged
+    partition value / zone-map value (datetime.date vs the partition
+    path STRING; date vs string stats) keeps the file instead of
+    raising TypeError — results equal filter-after-full-read."""
+    import datetime
+
+    root = str(tmp_path / "tinc")
+    t = TxLogTable.create(
+        root,
+        spark.range(0, 100).selectExpr(
+            "id AS k",
+            "CAST(date_add(DATE'2024-01-01', CAST(id % 4 AS INT)) "
+            "AS STRING) AS d",
+        ),
+        partition_by=["d"],
+        stat_cols=["k"],
+    )
+    lo = datetime.date(2024, 1, 2)
+    # date bounds against string-logged partition values: incomparable
+    # in the range branch -> every file kept, read succeeds
+    got = t.read(spark, prune={"d": (lo, None)})
+    assert got.count() == 100
+    # membership with a date against string zone maps on a data column
+    got2 = t.read(spark, prune={"k": [datetime.date(2024, 1, 1)]})
+    assert got2.count() == 100
+    # sane types still prune (the guard must not disable pruning)
+    full_files = len(t.read(spark).inputFiles())
+    pruned = t.read(spark, prune={"d": ["2024-01-03"]})
+    assert len(pruned.inputFiles()) < full_files
+    assert pruned.filter("d = '2024-01-03'").count() == 25

@@ -354,3 +354,172 @@ def test_stream_max_files_per_trigger_bounds_batches(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == list(range(100))
     n_batches = len(_os.listdir(_os.path.join(ck, "offsets")))
     assert n_batches >= 5, f"expected bounded batches, got {n_batches}"
+
+
+def test_stream_max_files_per_trigger_restart_no_rewind(spark, tmp_path):
+    """Restart WITH the cap (ADVICE r8 high): a fresh process's
+    in-memory pacing cursor restarts at starting-1 — behind the
+    checkpointed end — so capped pacing must recover the real position
+    or the stream could hand the engine non-advancing/rewound offsets.
+    The fix persists the cursor on commit() (durable, under
+    _txlog/rate_limit/) and resumes pacing from it. NOTE: Spark 4.1.2
+    additionally replays the offsets log's last entry through
+    partitions() before the first post-restart latestOffset(), which
+    masks the stale cursor on this engine version — this test pins the
+    exactly-once-across-capped-restart CONTRACT (and the cursor keeps
+    it independent of that engine internal). Cumulative output across
+    the restart must equal the appended history exactly."""
+    import time as _time
+
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS x"
+        ).repartition(2)
+
+    t = TxLogTable.create(root, mk(0, 20))
+    for i in range(1, 3):
+        t.append(mk(i * 20, i * 20 + 20), spark)
+
+    def run_until(n):
+        q = (
+            spark.readStream.format("txlog")
+            .option("maxFilesPerTrigger", 2)
+            .load(root)
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if (
+                    spark.read.schema("k long, x double").json(out).count()
+                    >= n
+                ):
+                    break
+                _time.sleep(0.5)
+            # one extra tick so the final batch's commit lands before
+            # the stop — the restart then starts with NO replayed
+            # batch, the exact path where the rewind bug lived
+            _time.sleep(1.0)
+        finally:
+            q.stop()
+
+    run_until(60)  # drain the 3-commit backfill in capped batches
+
+    # new commits, then a RESTART in a fresh reader process
+    for i in range(3, 5):
+        t.append(mk(i * 20, i * 20 + 20), spark)
+    run_until(100)
+
+    got = spark.read.schema("k long, x double").json(out)
+    assert sorted(r["k"] for r in got.collect()) == list(range(100)), (
+        "duplicate or missing rows across a capped restart"
+    )
+
+
+def test_schema_from_log_survives_reordering_vacuum_and_legacy(
+    spark, tmp_path
+):
+    """Schema resolution (ADVICE r8 medium): the commit log records the
+    table schema (create / merge-schema append / overwrite), so
+    format("txlog") reads resolve it in O(1) metadata even when (a) a
+    DML rewrite parks the only wide file mid-list — first/last-footer
+    sampling would silently drop the evolved column — and (b) VACUUM
+    truncates the schema-bearing commit (checkpoints snapshot it).
+    Tables whose surviving log never recorded a schema fall back to a
+    union over ALL live files' footers; an empty schemaless table
+    fails with a clear error instead of an IndexError."""
+    import json as _json
+
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(root, _rows(spark, 0, 30).repartition(2))
+    t.append(
+        _rows(spark, 30, 40).withColumn("tag", F.lit("new")),
+        spark,
+        merge_schema=True,
+    )
+    # CoW delete of a row in a PRE-evolution narrow file: the rewrite
+    # scans only that file, which lacks `tag` — _scan must NULL-pad to
+    # the logged schema or the table-schema projection fails to
+    # resolve (found by this test's first draft)
+    t.delete_where(spark, "k = 3")
+    b = spark.read.format("txlog").load(root)
+    assert "tag" in b.columns
+    assert b.filter("tag = 'new'").count() == 10
+    assert b.count() == 39 and b.filter("k = 3").count() == 0
+
+    # vacuum truncates the log below the cutoff; the checkpoint written
+    # at the cutoff carries the schema record forward
+    for i in range(4, 8):
+        t.append(
+            _rows(spark, i * 10, i * 10 + 5).withColumn(
+                "tag", F.lit(f"b{i}")
+            ),
+            spark,
+        )
+    t.vacuum(retain_versions=2, min_age_s=0.0)
+    assert t._logged_schema() is not None
+    assert "tag" in spark.read.format("txlog").load(root).columns
+
+    # legacy table (no schema record anywhere): hand-build the
+    # pathological live list — narrow, WIDE, narrow — via the public
+    # two-phase commit_files API, then strip the schema records. The
+    # reader must union ALL live footers; first/last-file sampling
+    # (the pre-fix code) would silently drop the mid-list column.
+    import glob as _glob
+
+    root_l = str(tmp_path / "legacy")
+    os.makedirs(f"{root_l}/data/m")
+    narrow1 = _rows(spark, 0, 5).toPandas()
+    wide = (
+        _rows(spark, 5, 10).withColumn("tag", F.lit("w")).toPandas()
+    )
+    narrow2 = _rows(spark, 10, 15).toPandas()
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    for name, pdf in [("a", narrow1), ("b", wide), ("c", narrow2)]:
+        _pq.write_table(
+            _pa.Table.from_pandas(pdf, preserve_index=False),
+            f"{root_l}/data/m/{name}.parquet",
+        )
+    tl = TxLogTable(root_l)
+    tl.commit_files(
+        [f"data/m/{n}.parquet" for n in ("a", "b", "c")], op="create",
+        extra={"stat_cols": []},
+    )
+    for f in _glob.glob(f"{root_l}/_txlog/*.json"):
+        meta = _json.load(open(f))
+        meta.pop("schema", None)
+        _json.dump(meta, open(f, "w"))
+    assert tl._logged_schema() is None
+    lb = spark.read.format("txlog").load(root_l)
+    assert "tag" in lb.columns, "fallback must union ALL live footers"
+    assert lb.filter("tag = 'w'").count() == 5 and lb.count() == 15
+
+    # empty schemaless table: clear error, not IndexError
+    root2 = str(tmp_path / "empty")
+    os.makedirs(f"{root2}/_txlog")
+    _json.dump(
+        {"version": 0, "ts": 0.0, "op": "create", "add": [],
+         "stat_cols": []},
+        open(f"{root2}/_txlog/00000000.json", "w"),
+    )
+    with pytest.raises(Exception, match="no live data files"):
+        spark.read.format("txlog").load(root2).collect()
+
+    # empty table WITH a schema record (e.g. a zero-row DataSource
+    # write) reads as an empty frame with the right columns
+    root3 = str(tmp_path / "empty_ok")
+    _rows(spark, 0, 0).write.format("txlog").mode("append").save(root3)
+    e = spark.read.format("txlog").load(root3)
+    assert e.columns == ["k", "x", "s"] and e.count() == 0
