@@ -204,3 +204,105 @@ def write_warc(records: list[tuple[dict, bytes]], path: str, gzip_mode: str | No
         blob = b"".join(frames)
     with open(path, "wb") as fh:
         fh.write(blob)
+
+
+def write_warc_distributed(
+    records: DataFrame,
+    out_dir: str,
+    gzip_mode: str | None = "record",
+    prefix: str = "segment",
+) -> DataFrame:
+    """EXECUTOR-side WARC export: each task frames its partition's
+    records into ONE segment file ``{out_dir}/{prefix}_p{pid}.warc
+    [.gz]`` and emits a one-row manifest (segment, n_records,
+    n_bytes) — no driver collect anywhere, segment count = partition
+    count, so exporting a filtered 100 TB corpus scales with the
+    executors exactly like :func:`..operators.multimodal.
+    write_blob_store_distributed` (same task-owns-its-file pattern,
+    same determinism caveats: a retried task truncates and reproduces
+    identical bytes from its deterministic input partition; keep
+    speculative execution off for the export stage). The driver-side
+    :func:`write_warc` remains for single-segment/test use.
+
+    ``records`` needs the :func:`read_warc` columns (``warc_type
+    record_id target_uri warc_date content_type payload``); a
+    ``refers_to`` column (WET conversion records, :func:`to_wet`)
+    rides along as ``WARC-Refers-To``, so a crawl→WET pipeline writes
+    shards with the same call. ``gzip_mode`` as in :func:`write_warc`
+    ("record" default — the Common Crawl layout, and what
+    :func:`parse_warc_bytes` round-trips member by member).
+
+    Returns the manifest DataFrame — an ACTION-free plan; the caller
+    triggers the export by consuming it (collect/write), which is also
+    what makes the export restartable as a unit.
+    """
+    import gzip as _gzip
+    import os
+
+    import pandas as pd
+
+    if gzip_mode not in (None, "file", "record"):
+        raise ValueError(f"write_warc_distributed: bad gzip_mode {gzip_mode!r}")
+    has_refers = "refers_to" in records.columns
+    cols = [
+        "warc_type",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "payload",
+    ] + (["refers_to"] if has_refers else [])
+    ext = ".warc.gz" if gzip_mode else ".warc"
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"{prefix}_p{pid:05d}{ext}")
+        fh = None
+        n_rec = n_bytes = 0
+        plain: list[bytes] = []  # only used for gzip_mode="file"
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if fh is None:
+                os.makedirs(out_dir, exist_ok=True)
+                fh = open(path, "wb")
+            for row in pdf.itertuples(index=False):
+                headers = {
+                    "WARC-Type": row.warc_type,
+                    "WARC-Record-ID": row.record_id,
+                    "WARC-Target-URI": row.target_uri,
+                    "WARC-Date": row.warc_date,
+                    "Content-Type": row.content_type,
+                }
+                if has_refers:
+                    headers["WARC-Refers-To"] = row.refers_to
+                headers = {k: v for k, v in headers.items() if v is not None}
+                frame = warc_record(headers, bytes(row.payload))
+                if gzip_mode == "record":
+                    blob = _gzip.compress(frame, compresslevel=6, mtime=0)
+                elif gzip_mode == "file":
+                    plain.append(frame)
+                    blob = b""
+                else:
+                    blob = frame
+                fh.write(blob)
+                n_rec += 1
+                n_bytes += len(blob)
+            fh.flush()
+        if fh is not None:
+            if gzip_mode == "file":
+                blob = _gzip.compress(
+                    b"".join(plain), compresslevel=6, mtime=0
+                )
+                fh.write(blob)
+                n_bytes = len(blob)
+            fh.close()
+            yield pd.DataFrame(
+                [{"segment": path, "n_records": n_rec, "n_bytes": n_bytes}]
+            )
+
+    return records.select(*cols).mapInPandas(
+        run, schema="segment string, n_records long, n_bytes long"
+    )

@@ -141,3 +141,84 @@ def test_wet_conversion_records(spark, tmp_path):
     back = read_warc(spark, wet_path).collect()[0]
     assert bytes(back["payload"]) == bytes(r["payload"])
     assert back["warc_type"] == "conversion"
+
+
+def test_write_warc_distributed_roundtrip_and_mechanism(spark, tmp_path):
+    """Distributed WARC export (VERDICT r8 #2): each task writes ONE
+    segment for its partition — manifest row count == non-empty
+    partition count, the plan is a single Arrow mapInPandas over the
+    records (no collect, no driver materialization), and read_warc
+    over the written segments round-trips every record's id/uri/bytes
+    exactly. WET conversion records (refers_to) export through the
+    same call and keep their Refers-To lineage."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.sources.warc import (
+        to_wet,
+        write_warc_distributed,
+    )
+
+    src = str(tmp_path / "src.warc")
+    write_warc(_records(40), src)
+    recs = read_warc(spark, src).repartition(4)
+
+    out_dir = str(tmp_path / "shards")
+    manifest = write_warc_distributed(recs, out_dir)
+    # mechanism: the manifest plan is mapInPandas over the record scan
+    plan = manifest._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Collect" not in plan
+    rows = manifest.collect()  # caller triggers the export
+    assert len(rows) == 4 and sum(r["n_records"] for r in rows) == 41
+    segs = sorted(glob.glob(f"{out_dir}/segment_p*.warc.gz"))
+    assert segs == sorted(r["segment"] for r in rows)
+
+    back = read_warc(spark, f"{out_dir}/*.warc.gz")
+    want = {
+        (r["record_id"], r["target_uri"], bytes(r["payload"]))
+        for r in recs.collect()
+    }
+    got = {
+        (r["record_id"], r["target_uri"], bytes(r["payload"]))
+        for r in back.collect()
+    }
+    assert got == want
+
+    # gzip_mode=None plain segments parse too
+    plain_dir = str(tmp_path / "plain")
+    write_warc_distributed(recs, plain_dir, gzip_mode=None).collect()
+    assert read_warc(spark, f"{plain_dir}/*.warc").count() == 41
+
+    # WET shards through the same writer, lineage preserved
+    html = spark.createDataFrame(
+        [
+            (
+                "s",
+                "response",
+                f"<urn:uuid:h{i}>",
+                f"https://example.org/h{i}",
+                "2026-01-01T00:00:00Z",
+                "text/html",
+                0,
+                f"<html><body><p>hola {i}</p></body></html>".encode(),
+            )
+            for i in range(6)
+        ],
+        "source_file string, warc_type string, record_id string, "
+        "target_uri string, warc_date string, content_type string, "
+        "content_length long, payload binary",
+    )
+    wet_dir = str(tmp_path / "wet")
+    write_warc_distributed(to_wet(html).repartition(2), wet_dir).collect()
+    wet = read_warc(spark, f"{wet_dir}/*.warc.gz")
+    assert wet.count() == 6
+    assert wet.filter(F.col("warc_type") == "conversion").count() == 6
+    texts = {bytes(r["payload"]).decode() for r in wet.collect()}
+    assert any("hola 3" in t for t in texts)
+    # Refers-To lineage survives in the written bytes
+    seg = glob.glob(f"{wet_dir}/*.warc.gz")[0]
+    hdrs = [h for h, _ in parse_warc_bytes(open(seg, "rb").read())]
+    assert all(
+        h.get("WARC-Refers-To", "").startswith("<urn:uuid:h") for h in hdrs
+    )
