@@ -1,0 +1,131 @@
+"""Round-9 query-inventory section (see plans/inventory.py for the
+registry discipline). This module is NOT a public entry point —
+plans.inventory star-imports it and owns the DRIVER_WINDOW literal and
+the merged QUERIES/ORACLES registries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+PART_QUERIES: dict = {}
+PART_ORACLES: dict = {}
+
+# ===========================================================================
+# round 9: merge-on-read DELETION VECTORS — DML without rewriting a
+# byte, vectors absorbed by the next rewrite/compaction, composed
+# under one driver-grade hash
+# ===========================================================================
+
+
+def txlog_dml_dv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion-vector DML ladder (sources/txlog.py round 9, the
+    Delta/Iceberg merge-on-read mechanic): DELETE with ``mode="dv"``
+    (error events in one event_id band) writes a {file: row positions}
+    vector into the commit and NO data file — asserted in-query: the
+    live file set is byte-identical before and after, the
+    files-rewritten == 0 scale term CoW cannot offer — then a second
+    vector accumulates (value outliers), a copy-on-write UPDATE runs
+    over vectored files (its rewrite must NOT resurrect
+    vector-deleted rows — the absorption rule: removing a file drops
+    its vector), and a compaction absorbs every remaining vector back
+    into data files (asserted: no vectors survive). The final
+    aggregate hashes the content.
+
+    ORACLE: replays the statements as CTEs over the events view (two
+    NOT-matching filters, a CASE update) — merge-on-read, vector
+    accumulation, CoW absorption, and compaction must all reproduce
+    plain SQL DML semantics for the hash to land.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"txlog_dv_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = TxLogTable.create(
+        root, ev.repartitionByRange(8, "event_id"), stat_cols=["event_id"]
+    )
+    v0_files = set(t.live_files())
+
+    t.delete_where(
+        spark,
+        "event_id BETWEEN 2000 AND 2999 AND event_type = 'error'",
+        mode="dv",
+    )
+    if set(t.live_files()) != v0_files:
+        raise AssertionError(
+            "dv delete touched the file set — merge-on-read regressed"
+        )
+    t.delete_where(spark, "value > 9000", mode="dv")
+
+    # CoW update over (possibly) vectored files: the rewrite reads the
+    # vector-applied survivors, so absorbed files must not resurrect
+    t.update_where(
+        spark,
+        {"value": "value + 0.5"},
+        "event_type = 'purchase' AND event_id % 13 = 0",
+    )
+
+    t.compact(spark, target_files=4)
+    if t._replay_dvs():
+        raise AssertionError(
+            "compaction left deletion vectors behind — absorption "
+            "regressed"
+        )
+
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+TXLOG_DML_DV_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, value FROM events
+), del1 AS (
+  SELECT * FROM base
+  WHERE NOT COALESCE(
+    event_id BETWEEN 2000 AND 2999 AND event_type = 'error', FALSE)
+), del2 AS (
+  SELECT * FROM del1 WHERE NOT COALESCE(value > 9000, FALSE)
+), upd AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN COALESCE(
+                event_type = 'purchase' AND event_id % 13 = 0, FALSE)
+              THEN value + 0.5 ELSE value END AS value
+  FROM del2
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MAX(event_id) AS max_event_id
+FROM upd
+GROUP BY event_type
+"""
+
+PART_QUERIES["txlog_dml_dv_events"] = txlog_dml_dv_events
+PART_ORACLES["txlog_dml_dv_events"] = TXLOG_DML_DV_SQL

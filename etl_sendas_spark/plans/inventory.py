@@ -289,11 +289,13 @@ from . import inv_round5 as _inv_round5  # noqa: E402
 from . import inv_round6 as _inv_round6  # noqa: E402
 from . import inv_round7 as _inv_round7  # noqa: E402
 from . import inv_round8 as _inv_round8  # noqa: E402
+from . import inv_round9 as _inv_round9  # noqa: E402
 from .inv_round4 import *  # noqa: E402,F401,F403
 from .inv_round5 import *  # noqa: E402,F401,F403
 from .inv_round6 import *  # noqa: E402,F401,F403
 from .inv_round7 import *  # noqa: E402,F401,F403
 from .inv_round8 import *  # noqa: E402,F401,F403
+from .inv_round9 import *  # noqa: E402,F401,F403
 
 EXTRA_QUERIES.update(_inv_round4.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round4.PART_ORACLES)
@@ -305,6 +307,8 @@ EXTRA_QUERIES.update(_inv_round7.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round7.PART_ORACLES)
 EXTRA_QUERIES.update(_inv_round8.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round8.PART_ORACLES)
+EXTRA_QUERIES.update(_inv_round9.PART_QUERIES)
+EXTRA_ORACLES.update(_inv_round9.PART_ORACLES)
 
 # ===========================================================================
 # driver window — SINGLE definition site

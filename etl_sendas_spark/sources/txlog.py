@@ -186,6 +186,42 @@ class TxLogTable:
         live, _, _ = self._replay(version)
         return [os.path.join(self.root, p) for p in live]
 
+    def _replay_dvs(self, version: int | None = None) -> dict:
+        """Replay DELETION-VECTOR state at ``version``: {root-relative
+        file: sorted row positions deleted from it} — the merge-on-read
+        side of DML (:meth:`delete_where` ``mode="dv"``). Rules: a
+        commit's ``dv`` map unions into the state per file; removing a
+        file drops its vector (the rewrite/compact ABSORBED it); a
+        ``dv_snapshot`` (restore) replaces the whole state; checkpoints
+        snapshot it so VACUUM's log truncation keeps it resolvable.
+        Kept separate from :meth:`_replay` so the many 3-tuple call
+        sites stay untouched and append-only readers never pay for
+        it."""
+        v = self.latest_version() if version is None else version
+        dvs: dict[str, list[int]] = {}
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= v]
+        if ckpts:
+            with open(
+                os.path.join(
+                    _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
+                )
+            ) as f:
+                dvs = {
+                    k: list(ps)
+                    for k, ps in json.load(f).get("dvs", {}).items()
+                }
+            start = ckpts[-1] + 1
+        for i in range(start, v + 1):
+            c = self._read_commit(i)
+            for p in c.get("remove", []):
+                dvs.pop(p, None)
+            for p, ps in c.get("dv", {}).items():
+                dvs[p] = sorted(set(dvs.get(p, [])) | set(ps))
+            if "dv_snapshot" in c:
+                dvs = {k: list(ps) for k, ps in c["dv_snapshot"].items()}
+        return dvs
+
     def _try_commit(self, version: int, payload: dict) -> bool:
         """Atomic claim of a version number: O_EXCL create. Returns
         False when a concurrent writer already owns it. Every commit
@@ -238,10 +274,11 @@ class TxLogTable:
         create make concurrent attempts benign; failure is ignored
         (a checkpoint is an optimization, never required)."""
         live, stats, parts = self._replay(version)
-        # resolve BEFORE creating the file: _logged_schema consults
-        # self._checkpoints(), which would see the just-created empty
-        # file and read torn JSON
+        # resolve BEFORE creating the file: _logged_schema/_replay_dvs
+        # consult self._checkpoints(), which would see the just-created
+        # empty file and read torn JSON
         schema = self._logged_schema(version)
+        dvs = self._replay_dvs(version)
         path = os.path.join(
             _log_dir(self.root), f"{version:08d}.checkpoint.json"
         )
@@ -259,6 +296,7 @@ class TxLogTable:
                     "stat_cols": self._stat_cols(),
                     "partition_by": self._partition_cols(),
                     "schema": schema,
+                    "dvs": dvs,
                 },
                 f,
             )
@@ -539,7 +577,7 @@ class TxLogTable:
                 # every file pruned: empty frame with the table schema
                 return spark.createDataFrame([], self.read(spark, version).schema)
             raise ValueError(f"version has no live files at {self.root}")
-        return self._scan(spark, rel, version)
+        return self._scan_live(spark, rel, version)
 
     def _pruned_rel(
         self, rel: list[str], stats: dict, parts: dict, prune: dict
@@ -658,6 +696,59 @@ class TxLogTable:
             if n not in have:
                 out = out.withColumn(n, F.lit(None).cast(ty))
         return out
+
+    def _rel_file_col(self):
+        """Root-relative file of each scanned row, from the hidden
+        ``_metadata.file_path`` (a URI — locate the literal root path
+        inside it to sidestep the scheme, as in _affected_files)."""
+        rootp = os.path.abspath(self.root)
+        return F.expr(
+            "substring(_metadata.file_path, "
+            f"instr(_metadata.file_path, '{rootp}/') + {len(rootp) + 1})"
+        )
+
+    def _dv_filter(
+        self,
+        spark: SparkSession,
+        out: DataFrame,
+        rel: list[str],
+        dvs: dict,
+    ) -> DataFrame:
+        """Anti-apply deletion vectors to a scan of ``rel``: rows whose
+        (file, physical row index) pair is in a vector drop at read
+        time — the merge-on-read half of ``delete_where(mode="dv")``.
+        Physical row indices come from the parquet reader's
+        ``_metadata.row_index``; the vector pairs are bounded driver
+        metadata (capped at write by ``max_dv_rows``) so the anti-join
+        broadcasts. No vectors on the scanned files → the plan is
+        untouched."""
+        pairs = [
+            (r, int(p)) for r in rel for p in dvs.get(r, [])
+        ]
+        if not pairs:
+            return out
+        dv_df = spark.createDataFrame(pairs, "___dvf string, ___dvp long")
+        cols = out.columns
+        return (
+            out.withColumn("___dvf", self._rel_file_col())
+            .withColumn("___dvp", F.col("_metadata.row_index"))
+            .join(F.broadcast(dv_df), ["___dvf", "___dvp"], "left_anti")
+            .select(*cols)
+        )
+
+    def _scan_live(
+        self,
+        spark: SparkSession,
+        rel: list[str],
+        version: int | None = None,
+    ) -> DataFrame:
+        """:meth:`_scan` with the version's deletion vectors applied —
+        what every LOGICAL read (snapshot reads, DML survivor scans,
+        compaction) must use; raw :meth:`_scan` is physical bytes."""
+        return self._dv_filter(
+            spark, self._scan(spark, rel, version), rel,
+            self._replay_dvs(version),
+        )
 
     def append(
         self, df: DataFrame, spark: SparkSession, merge_schema: bool = False
@@ -835,6 +926,10 @@ class TxLogTable:
                 "add": add,
                 "remove": remove,
                 "restored_version": target,
+                # content equality needs the target's DELETION-VECTOR
+                # state too (vectors change content without touching
+                # the file list); replay REPLACES state on this key
+                "dv_snapshot": self._replay_dvs(target),
             }
             stats = {p: tgt_stats[p] for p in add if p in tgt_stats}
             parts = {p: tgt_parts[p] for p in add if p in tgt_parts}
@@ -912,29 +1007,86 @@ class TxLogTable:
         spark: SparkSession,
         condition: str,
         prune: dict | None = None,
+        mode: str = "cow",
+        max_dv_rows: int = 1_000_000,
     ) -> int:
-        """``DELETE FROM t WHERE condition`` with file-level
-        copy-on-write: only files CONTAINING matching rows are
-        rewritten (their non-matching rows are preserved, read back
-        from exactly those files — never a full-table scan filtered by
-        filename); every other file stays live untouched. Rows where
-        the predicate is NULL are kept (SQL DELETE semantics).
-        ``prune`` bounds the DISCOVERY scan the same way
-        :meth:`read`'s pruning works — pass the predicate's value
-        bounds so a well-clustered table discovers against the
-        candidate files only. Pair with a partition spec or z-order
-        layout so matches cluster into few files. Returns the new
-        version; no-op (head returned) when nothing matches."""
+        """``DELETE FROM t WHERE condition``. Rows where the predicate
+        is NULL are kept (SQL DELETE semantics); ``prune`` bounds the
+        DISCOVERY scan the same way :meth:`read`'s pruning works.
+        Returns the new version; no-op (head returned) when nothing
+        matches.
+
+        ``mode="cow"`` (default): file-level copy-on-write — only
+        files CONTAINING matching rows are rewritten (their
+        non-matching rows preserved, read back from exactly those
+        files); every other file stays live untouched.
+
+        ``mode="dv"``: merge-on-read DELETION VECTORS — the Delta/
+        Iceberg answer to CoW's dominant cost at 100 TB, where
+        deleting one row rewrites a whole wide file. NO data file is
+        written or removed: the commit records {file: [physical row
+        positions]} and every logical read (snapshot, DML, compaction,
+        change feed) anti-applies the vectors via the scan's
+        ``_metadata.row_index``. Vectors are bounded driver metadata —
+        ``max_dv_rows`` caps the matched-row count and the raise tells
+        you to use CoW, which is the right mode for bulk deletes
+        anyway. Compaction and CoW rewrites ABSORB vectors (removing a
+        file drops its vector); zone maps of a vectored file become
+        safe over-approximations (pruning only ever keeps files).
+        Snapshot-dependent like CoW: raises :class:`CommitConflict` on
+        a lost version race (a concurrent compact would re-home the
+        rows the vector points at)."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"delete_where: bad mode {mode!r}")
         head = self.latest_version()
         cond = F.expr(condition)
-        affected = self._affected_files(
-            spark, head, cond.isNotNull() & cond, prune
-        )
+        hit = cond.isNotNull() & cond
+        if mode == "dv":
+            rel0, stats, parts = self._replay(head)
+            if prune:
+                rel0 = self._pruned_rel(rel0, stats, parts, prune)
+            if not rel0:
+                return head
+            scan = (
+                self._scan(spark, rel0, head)
+                .withColumn("___dvf", self._rel_file_col())
+                .withColumn("___dvp", F.col("_metadata.row_index"))
+            )
+            # don't re-delete already-vectored rows (harmless but
+            # would grow vectors without bound under repeated deletes)
+            scan = self._dv_filter(spark, scan, rel0, self._replay_dvs(head))
+            hits = (
+                scan.filter(hit)
+                .select("___dvf", "___dvp")
+                .limit(max_dv_rows + 1)
+                .collect()
+            )
+            if not hits:
+                return head
+            if len(hits) > max_dv_rows:
+                raise ValueError(
+                    f"delete_where(mode='dv'): more than {max_dv_rows} "
+                    "matched rows — a vector that large belongs in a "
+                    "rewrite; use mode='cow' (or raise max_dv_rows)"
+                )
+            dv: dict[str, list[int]] = {}
+            for r in hits:
+                dv.setdefault(r["___dvf"], []).append(int(r["___dvp"]))
+            payload = {
+                "op": "delete",
+                "dv": {k: sorted(v) for k, v in dv.items()},
+                "dv_rows": len(hits),
+            }
+            if not self._try_commit(head + 1, payload):
+                raise CommitConflict(
+                    f"live set moved past version {head} during dv "
+                    "delete; retry"
+                )
+            return head + 1
+        affected = self._affected_files(spark, head, hit, prune)
         if not affected:
             return head
-        survivors = self._scan(spark, affected).filter(
-            ~(cond.isNotNull() & cond)
-        )
+        survivors = self._scan_live(spark, affected, head).filter(~hit)
         return self._rewrite_files(spark, "delete", head, affected, survivors)
 
     def update_where(
@@ -961,7 +1113,7 @@ class TxLogTable:
         affected = self._affected_files(spark, head, hit, prune)
         if not affected:
             return head
-        sub = self._scan(spark, affected)
+        sub = self._scan_live(spark, affected, head)
         updated = sub.select(
             *[
                 (
@@ -1032,7 +1184,7 @@ class TxLogTable:
         # back from exactly those files
         if affected:
             kept = (
-                self._scan(spark, affected)
+                self._scan_live(spark, affected, head)
                 .join(skeys, keys, "left_anti")
                 .select(*tbl_cols)
             )
@@ -1074,13 +1226,12 @@ class TxLogTable:
         head = self.latest_version()
         live = self.live_files(head)
         pcols = self._partition_cols()
-        # partitioned tables must read THROUGH the table so the
-        # partition columns (path-only) re-attach before the rewrite
-        src = (
-            self.read(spark, head)
-            if pcols
-            else spark.read.parquet(*live)
-        )
+        # read THROUGH the table: partitioned tables re-attach their
+        # path-only partition columns, and deletion vectors anti-apply
+        # — a raw file read here would RESURRECT dv-deleted rows into
+        # the compacted files (the compact commit is exactly how
+        # vectors get absorbed back into data)
+        src = self.read(spark, head)
         if zorder_by:
             from ..operators.layout import zorder_value
 

@@ -156,24 +156,52 @@ def _coerce_pv(raw: str | None, ddl: str):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str], pvals: dict):
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        pvals: dict,
+        dv: list[int] | None = None,
+    ):
         self.path = path
         self.columns = columns
         # {col: (coerced value, ddl type)} — constants for this file
         self.pvals = pvals
+        # deletion vector: physical row positions to drop at read
+        self.dv = dv
 
 
-def _read_file_batches(path: str, columns: list[str], pvals: dict):
+def _read_file_batches(
+    path: str,
+    columns: list[str],
+    pvals: dict,
+    dv: list[int] | None = None,
+):
     """One file → padded/ordered Arrow record batches (executor-side);
-    partition columns materialize as constant arrays per batch."""
+    partition columns materialize as constant arrays per batch; a
+    deletion vector drops its physical row positions while streaming
+    (pyarrow reads a file's batches in order, so a running offset maps
+    global positions to batch-local indices — merge-on-read without
+    materializing the file)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     _ARROW = {"bigint": pa.int64(), "double": pa.float64(), "string": pa.string()}
     pf = pq.ParquetFile(path)
     have = set(pf.schema_arrow.names)
+    dv_set = set(dv) if dv else None
+    off = 0
     for batch in pf.iter_batches():
         tbl = pa.Table.from_batches([batch])
+        if dv_set is not None:
+            n = len(tbl)
+            local = [i for i in range(n) if off + i in dv_set]
+            off += n
+            if local:
+                mask = [i not in set(local) for i in range(n)]
+                tbl = tbl.filter(pa.array(mask))
+                if len(tbl) == 0:
+                    continue
         arrays, fields = [], []
         for name in columns:
             if name in have:
@@ -251,6 +279,7 @@ class _TxLogBatchReader(DataSourceReader):
     def partitions(self):
         t = TxLogTable(self.root)
         live, stats, parts = t._replay(None)
+        dvs = t._replay_dvs(None)
         if self._prune:
             live = t._pruned_rel(live, stats, parts, self._prune)
         out = [
@@ -258,6 +287,7 @@ class _TxLogBatchReader(DataSourceReader):
                 os.path.join(self.root, rel),
                 self.columns,
                 _pvals_for(rel, parts, self.ptypes),
+                dvs.get(rel),
             )
             for rel in live
         ]
@@ -270,7 +300,8 @@ class _TxLogBatchReader(DataSourceReader):
         if partition is None or partition.path is None:
             return
         yield from _read_file_batches(
-            partition.path, partition.columns, partition.pvals
+            partition.path, partition.columns, partition.pvals,
+            partition.dv,
         )
 
 
@@ -367,11 +398,12 @@ class _TxLogStreamReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             meta = t.commit_meta(v)
-            if meta.get("remove"):
+            if meta.get("remove") or meta.get("dv") or "dv_snapshot" in meta:
                 raise ValueError(
                     f"txlog streaming source is append-only: version {v} "
-                    f"(op={meta.get('op')}) removed files — consume the "
-                    f"change feed for update/delete semantics"
+                    f"(op={meta.get('op')}) removed files or carried a "
+                    f"deletion vector — consume the change feed for "
+                    f"update/delete semantics"
                 )
             cparts = meta.get("parts", {})
             parts.extend(

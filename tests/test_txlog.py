@@ -866,3 +866,109 @@ def test_prune_incomparable_types_keep_files(spark, tmp_path):
     pruned = t.read(spark, prune={"d": ["2024-01-03"]})
     assert len(pruned.inputFiles()) < full_files
     assert pruned.filter("d = '2024-01-03'").count() == 25
+
+
+def _dv_rows(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id * 2 AS DOUBLE) AS x"
+    )
+
+
+def test_delete_where_dv_merge_on_read(spark, tmp_path):
+    """delete_where(mode='dv') — merge-on-read deletion vectors
+    (VERDICT r8 #3): the commit writes NO data file and removes none
+    (files-rewritten == 0), every logical read anti-applies the
+    vector, content equals the same delete in CoW mode, repeated
+    vectors accumulate without re-deleting, and time travel still sees
+    the pre-delete snapshot."""
+    root_dv = str(tmp_path / "dv")
+    root_cow = str(tmp_path / "cow")
+    for r in (root_dv, root_cow):
+        t = TxLogTable.create(r, _dv_rows(spark, 0, 100).repartition(4))
+        t.append(_dv_rows(spark, 100, 200).repartition(4), spark)
+    tdv, tcow = TxLogTable(root_dv), TxLogTable(root_cow)
+
+    files_before = set(tdv.live_files())
+    v = tdv.delete_where(spark, "k % 10 = 3", mode="dv")
+    assert v == 2
+    # files untouched: no rewrite, no remove, no add
+    assert set(tdv.live_files()) == files_before
+    meta = tdv.commit_meta(v)
+    assert not meta.get("add") and not meta.get("remove")
+    assert meta["dv_rows"] == 20 and meta["op"] == "delete"
+
+    tcow.delete_where(spark, "k % 10 = 3", mode="cow")
+    got = sorted(map(tuple, tdv.read(spark).collect()))
+    assert got == sorted(map(tuple, tcow.read(spark).collect()))
+    assert len(got) == 180
+    # time travel: pre-delete snapshot intact
+    assert tdv.read(spark, 1).count() == 200
+
+    # second vector unions with the first; re-deleting vectored rows
+    # is a no-op (vector does not grow)
+    v2 = tdv.delete_where(spark, "k < 5", mode="dv")
+    assert tdv.read(spark).count() == 176  # only k in {0,1,2,4} newly gone
+    assert sum(len(p) for p in tdv._replay_dvs().values()) == 24
+    v3 = tdv.delete_where(spark, "k < 5", mode="dv")
+    assert v3 == v2  # nothing newly matched -> no commit
+
+    # no-match delete no-ops too
+    assert tdv.delete_where(spark, "k > 1000000000", mode="dv") == v2
+
+    # CoW UPDATE of vectored files must not resurrect deleted rows
+    tdv.update_where(spark, {"x": "x + 1000"}, "k = 10")
+    assert tdv.read(spark).filter("k IN (3, 13)").count() == 0
+    assert tdv.read(spark).filter("k = 10").collect()[0]["x"] == 1020.0
+    # the rewrite absorbed the rewritten files' vectors: every
+    # remaining vector still points at a live file
+    live_rel = {os.path.relpath(p, root_dv) for p in tdv.live_files()}
+    assert set(tdv._replay_dvs()).issubset(live_rel)
+
+    # compact absorbs ALL vectors back into data files
+    n_before = tdv.read(spark).count()
+    content = sorted(map(tuple, tdv.read(spark).collect()))
+    tdv.compact(spark, target_files=2)
+    assert tdv._replay_dvs() == {}
+    assert sorted(map(tuple, tdv.read(spark).collect())) == content
+    assert tdv.read(spark).count() == n_before
+
+    # max_dv_rows guard points at CoW
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode='cow'"):
+        tdv.delete_where(spark, "k >= 0", mode="dv", max_dv_rows=10)
+
+
+def test_dv_restore_vacuum_and_change_feed(spark, tmp_path):
+    """DV state composes with the rest of the lifecycle: RESTORE
+    across a vector commit restores content in both directions
+    (dv_snapshot replay), VACUUM's checkpoint carries vectors past log
+    truncation, and the change feed emits the vector delete as D
+    rows."""
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(root, _dv_rows(spark, 0, 50).repartition(2))
+    t.append(_dv_rows(spark, 50, 100).repartition(2), spark)  # v1
+    v_dv = t.delete_where(spark, "k < 10", mode="dv")  # v2
+    assert t.read(spark).count() == 90
+
+    # change feed over the vector commit: 10 pure deletes
+    feed = t.change_feed(spark, keys=["k"], from_version=v_dv)
+    assert feed.filter("op = 'D'").count() == 10
+    assert feed.filter("op != 'D'").count() == 0
+
+    # restore BACK before the vector: content is the full table again
+    t.restore(version=1)  # v3
+    assert t.read(spark).count() == 100
+    # restore FORWARD to the vector version: vector state reapplies
+    t.restore(version=v_dv)  # v4
+    assert t.read(spark).count() == 90
+    assert t.read(spark).filter("k < 10").count() == 0
+
+    # vacuum truncates the log below the cutoff; the checkpoint at the
+    # cutoff must carry the vectors
+    for i in range(5):
+        t.append(_dv_rows(spark, 100 + i * 10, 110 + i * 10), spark)
+    t.vacuum(retain_versions=2, min_age_s=0.0)
+    assert t._replay_dvs() != {}
+    assert t.read(spark).filter("k < 10").count() == 0
+    assert t.read(spark).count() == 140

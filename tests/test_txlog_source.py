@@ -523,3 +523,49 @@ def test_schema_from_log_survives_reordering_vacuum_and_legacy(
     _rows(spark, 0, 0).write.format("txlog").mode("append").save(root3)
     e = spark.read.format("txlog").load(root3)
     assert e.columns == ["k", "x", "s"] and e.count() == 0
+
+
+def test_dv_through_native_source(spark, tmp_path):
+    """Deletion vectors through format("txlog"): the batch reader
+    drops vectored physical rows executor-side while streaming Arrow
+    batches (parity with TxLogTable.read), and the streaming reader
+    fails loudly on a vector commit (append-only contract, same as
+    removes)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(root, _rows(spark, 0, 80).repartition(4))
+
+    # stream consumes the clean prefix first
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txlog").load(root)
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    t.delete_where(spark, "k % 4 = 1", mode="dv")
+    b = spark.read.format("txlog").load(root)
+    assert sorted(r["k"] for r in b.collect()) == sorted(
+        r["k"] for r in t.read(spark).collect()
+    )
+    assert b.count() == 60 and b.filter("k % 4 = 1").count() == 0
+
+    # pushdown prune still composes with vectors
+    assert spark.read.format("txlog").load(root).filter("k = 1").count() == 0
+    assert spark.read.format("txlog").load(root).filter("k = 2").count() == 1
+
+    # the stream must now fail loudly at the vector commit
+    q2 = (
+        spark.readStream.format("txlog").load(root)
+        .writeStream.format("json").option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        q2.awaitTermination(120)
+        raise AssertionError("stream should have failed on the dv commit")
