@@ -162,13 +162,18 @@ class _FilePartition(InputPartition):
         columns: list[str],
         pvals: dict,
         dv: list[int] | None = None,
+        take: list[int] | None = None,
     ):
         self.path = path
         self.columns = columns
         # {col: (coerced value, ddl type)} — constants for this file
+        # (partition values, and the change feed's _change_type /
+        # _commit_version ride the same mechanism)
         self.pvals = pvals
         # deletion vector: physical row positions to drop at read
         self.dv = dv
+        # keep-only positions (change feed: a vector commit's D rows)
+        self.take = take
 
 
 def _read_file_batches(
@@ -176,13 +181,15 @@ def _read_file_batches(
     columns: list[str],
     pvals: dict,
     dv: list[int] | None = None,
+    take: list[int] | None = None,
 ):
     """One file → padded/ordered Arrow record batches (executor-side);
     partition columns materialize as constant arrays per batch; a
-    deletion vector drops its physical row positions while streaming
-    (pyarrow reads a file's batches in order, so a running offset maps
-    global positions to batch-local indices — merge-on-read without
-    materializing the file)."""
+    deletion vector (``dv``) DROPS its physical row positions while
+    streaming, ``take`` KEEPS only those positions (the change-feed
+    reader materializing exactly a vector's deleted rows) — pyarrow
+    reads a file's batches in order, so a running offset maps global
+    positions to batch-local indices without materializing the file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -190,18 +197,21 @@ def _read_file_batches(
     pf = pq.ParquetFile(path)
     have = set(pf.schema_arrow.names)
     dv_set = set(dv) if dv else None
+    take_set = set(take) if take is not None else None
     off = 0
     for batch in pf.iter_batches():
         tbl = pa.Table.from_batches([batch])
-        if dv_set is not None:
+        if dv_set is not None or take_set is not None:
             n = len(tbl)
-            local = [i for i in range(n) if off + i in dv_set]
+            if take_set is not None:
+                mask = [off + i in take_set for i in range(n)]
+            else:
+                mask = [off + i not in dv_set for i in range(n)]
             off += n
-            if local:
-                mask = [i not in set(local) for i in range(n)]
+            if not all(mask):
                 tbl = tbl.filter(pa.array(mask))
-                if len(tbl) == 0:
-                    continue
+            if len(tbl) == 0:
+                continue
         arrays, fields = [], []
         for name in columns:
             if name in have:
@@ -351,6 +361,16 @@ class _TxLogStreamReader(DataSourceStreamReader):
             if c is not None:
                 self._last = max(self._last, c)
         _ddl, self.columns, self.ptypes = _table_schema_ddl(self.root)
+        # readChangeFeed: emit per-commit I/D change rows instead of
+        # raw appended rows — the Delta CDF streaming-source idea, so
+        # DML-mutated tables stream through the ENGINE's checkpoints
+        # instead of the side-band poll loop. See _cdf_partitions for
+        # the file-level diff algebra.
+        self.cdf = (
+            options.get("readchangefeed", "false").lower() == "true"
+        )
+        if self.cdf:
+            self.columns = self.columns + ["_change_type", "_commit_version"]
 
     def _cursor_path(self) -> str:
         return os.path.join(
@@ -395,6 +415,10 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # the durable cursor is one batch stale)
         self._last = max(self._last, int(end["version"]))
         t = TxLogTable(self.root)
+        if self.cdf:
+            return self._cdf_partitions(
+                t, int(start["version"]), int(end["version"])
+            )
         parts: list[_FilePartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             meta = t.commit_meta(v)
@@ -402,8 +426,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"txlog streaming source is append-only: version {v} "
                     f"(op={meta.get('op')}) removed files or carried a "
-                    f"deletion vector — consume the change feed for "
-                    f"update/delete semantics"
+                    f"deletion vector — consume the change feed "
+                    f"(option('readChangeFeed','true')) for update/"
+                    f"delete semantics"
                 )
             cparts = meta.get("parts", {})
             parts.extend(
@@ -416,9 +441,80 @@ class _TxLogStreamReader(DataSourceStreamReader):
             )
         return parts
 
+    def _cdf_partitions(self, t: TxLogTable, start_v: int, end_v: int):
+        """File-level change-data-feed partitions for commits
+        (start_v, end_v]: per version, diff the (live files, deletion
+        vectors) metadata against the previous version — pure log
+        replay, NO SparkSession needed (this code runs in the
+        DataSource's Python worker) — and read only the changed bytes
+        executor-side:
+
+        - removed file → D rows (its v-1-live rows: the file minus its
+          v-1 vector),
+        - added file → I rows (minus its v vector),
+        - file live in both with a GROWN vector → D rows at exactly
+          the new positions (``take``); a SHRUNK vector (restore) → I
+          rows at the re-instated positions.
+
+        A CoW UPDATE therefore emits rewrite-sized D(pre)+I(post) —
+        unchanged survivor rows appear as self-cancelling D+I pairs,
+        which downstream {I,D}-algebra consumers (incremental_agg_
+        update) absorb as no-ops; Delta's keyed CDF is change-sized
+        instead, and TxLogTable.change_feed offers that when volume
+        matters. Content-preserving layout commits (compact / zorder)
+        emit NOTHING — the dataChange=false idea. Version 0 (or
+        startingVersion) streams the snapshot as pure I, matching
+        change_feed's create semantics."""
+        parts: list[_FilePartition] = []
+        for v in range(start_v + 1, end_v + 1):
+            meta = t.commit_meta(v)
+            if meta.get("op") == "compact":
+                continue  # layout-only: content unchanged by contract
+            if v == 0:
+                prev_live, prev_parts, prev_dvs = [], {}, {}
+            else:
+                pl, _ps, pp = t._replay(v - 1)
+                prev_live, prev_parts = pl, pp
+                prev_dvs = t._replay_dvs(v - 1)
+            cl, _cs, cp = t._replay(v)
+            cur_dvs = t._replay_dvs(v)
+            prev_set, cur_set = set(prev_live), set(cl)
+
+            def emit(rel, pmap, change, version, dv=None, take=None):
+                pv = _pvals_for(rel, pmap, self.ptypes)
+                pv["_change_type"] = (change, "string")
+                pv["_commit_version"] = (version, "bigint")
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self.root, rel),
+                        self.columns,
+                        pv,
+                        dv=dv,
+                        take=take,
+                    )
+                )
+
+            for rel in prev_live:
+                if rel not in cur_set:
+                    emit(rel, prev_parts, "D", v, dv=prev_dvs.get(rel))
+            for rel in cl:
+                if rel not in prev_set:
+                    emit(rel, cp, "I", v, dv=cur_dvs.get(rel))
+                else:
+                    was = set(prev_dvs.get(rel, []))
+                    now = set(cur_dvs.get(rel, []))
+                    grown = sorted(now - was)
+                    shrunk = sorted(was - now)
+                    if grown:
+                        emit(rel, cp, "D", v, take=grown)
+                    if shrunk:
+                        emit(rel, cp, "I", v, take=shrunk)
+        return parts
+
     def read(self, partition):
         yield from _read_file_batches(
-            partition.path, partition.columns, partition.pvals
+            partition.path, partition.columns, partition.pvals,
+            partition.dv, partition.take,
         )
 
     def commit(self, end: dict) -> None:
@@ -463,6 +559,8 @@ class TxLogDataSource(DataSource):
 
     def schema(self) -> str:
         ddl, _cols, _pt = _table_schema_ddl(self.options["path"])
+        if self.options.get("readchangefeed", "false").lower() == "true":
+            ddl += ", _change_type string, _commit_version bigint"
         return ddl
 
     def reader(self, schema):
