@@ -105,6 +105,38 @@ def _coerce_part(raw: str, bound) -> object | None:
     return raw
 
 
+_BLOOM_DEFAULT_SPEC = [1024, 3]  # [m_words of 63 bits, k hashes]
+
+
+def _bloom_positions_py(value, k: int, total_bits: int) -> list[int]:
+    """Bit positions of ``value`` in a per-file Bloom filter — PURE
+    Python, byte-identical to the Spark build expression in
+    :meth:`TxLogTable._harvest_blooms` (md5 over the value's string
+    cast, split into two 60-bit halves, Kirsch-Mitzenmacher double
+    hashing). Pure Python because the native DataSource's pushFilters
+    consults the index inside a worker that has NO SparkSession; md5
+    (not xxhash64) because both engines must hash identical bytes to
+    identical digests. Exact for int/string keys — the stringification
+    of floats is engine-sensitive, so don't declare float bloom_cols."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    a = int(h[0:15], 16)
+    b = int(h[15:30], 16) or 1
+    return [(a + i * b) % total_bits for i in range(k)]
+
+
+def _bloom_might_contain(words: dict, value, spec: list) -> bool:
+    """Probe one file's bloom word map ({word(str): bits}) — absent
+    word = all-zero word; every one of the k bits must be set."""
+    m_words, k = int(spec[0]), int(spec[1])
+    for pos in _bloom_positions_py(value, k, 63 * m_words):
+        bits = words.get(str(pos // 63), 0)
+        if not (int(bits) >> (pos % 63)) & 1:
+            return False
+    return True
+
+
 class TxLogTable:
     """Handle to a transaction-log table rooted at ``path``."""
 
@@ -222,6 +254,120 @@ class TxLogTable:
                 dvs = {k: list(ps) for k, ps in c["dv_snapshot"].items()}
         return dvs
 
+    def _replay_blooms(self, version: int | None = None) -> dict:
+        """Replay the per-file Bloom index at ``version``:
+        {root-relative file: {column: {word: bits}}} — the equality-
+        probe complement to zone maps (which prune RANGES but admit
+        every file for a high-cardinality point lookup on an
+        unclustered column). Commits harvest blooms for the files they
+        add; removing a file drops its entry; checkpoints snapshot the
+        state past VACUUM truncation."""
+        v = self.latest_version() if version is None else version
+        blooms: dict = {}
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= v]
+        if ckpts:
+            with open(
+                os.path.join(
+                    _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
+                )
+            ) as f:
+                blooms = json.load(f).get("blooms", {})
+            start = ckpts[-1] + 1
+        for i in range(start, v + 1):
+            c = self._read_commit(i)
+            for p in c.get("remove", []):
+                blooms.pop(p, None)
+            blooms.update(c.get("blooms", {}))
+        return blooms
+
+    def _bloom_cols(self) -> list[str]:
+        if hasattr(self, "_bloom_boot"):
+            return self._bloom_boot[0]
+        return self._table_meta("bloom_cols")
+
+    def _bloom_spec(self) -> list:
+        if hasattr(self, "_bloom_boot"):
+            return self._bloom_boot[1]
+        return self._table_meta("bloom_spec") or list(_BLOOM_DEFAULT_SPEC)
+
+    def _harvest_blooms(
+        self, spark: SparkSession, rel_files: list[str]
+    ) -> dict:
+        """Per-file Bloom word maps for freshly-written files — ONE
+        distributed scan of exactly those files (commit-time cost,
+        like the footer stat harvest but over data bytes; bloom_cols
+        is opt-in for that reason). The hash expression mirrors
+        :func:`_bloom_positions_py` exactly."""
+        cols = [
+            c for c in self._bloom_cols()
+            if c not in self._partition_cols()
+        ]
+        if not cols or not rel_files:
+            return {}
+        m_words, k = self._bloom_spec()
+        total_bits = 63 * int(m_words)
+        files = [os.path.join(self.root, r) for r in rel_files]
+        df = spark.read.parquet(*files)
+        cols = [c for c in cols if c in df.columns]
+        if not cols:
+            return {}
+        rootp = os.path.abspath(self.root)
+        relf = F.expr(
+            "substring(input_file_name(), "
+            f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
+        )
+
+        def pos_exprs(c: str) -> list:
+            a = (
+                f"CAST(conv(substring(md5(CAST({c} AS STRING)), 1, 15), "
+                "16, 10) AS BIGINT)"
+            )
+            b0 = (
+                f"CAST(conv(substring(md5(CAST({c} AS STRING)), 16, 15), "
+                "16, 10) AS BIGINT)"
+            )
+            b = f"(CASE WHEN {b0} = 0 THEN 1 ELSE {b0} END)"
+            return [
+                F.expr(f"pmod({a} + {i} * {b}, {total_bits})")
+                for i in range(int(k))
+            ]
+
+        structs = F.array(
+            *[
+                F.struct(F.lit(c).alias("c"), p.alias("p"))
+                for c in cols
+                for p in pos_exprs(c)
+            ]
+        )
+        rows = (
+            df.select(relf.alias("f"), F.explode(structs).alias("cp"))
+            .select("f", F.col("cp.c").alias("c"), F.col("cp.p").alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy("f", "c", (F.col("p") / 63).cast("int").alias("w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(p % 63 AS INT)))"
+                ).alias("bits")
+            )
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["f"], {}).setdefault(r["c"], {})[
+                str(r["w"])
+            ] = int(r["bits"])
+        return out
+
+    def _maybe_blooms(self, spark, rel_files: list[str]) -> dict:
+        """{"blooms": ...} payload fragment, or {} when the table has
+        no bloom_cols (or no session to harvest with)."""
+        if not self._bloom_cols() or spark is None:
+            return {}
+        bl = self._harvest_blooms(spark, rel_files)
+        return {"blooms": bl} if bl else {}
+
     def _try_commit(self, version: int, payload: dict) -> bool:
         """Atomic claim of a version number: O_EXCL create. Returns
         False when a concurrent writer already owns it. Every commit
@@ -279,6 +425,7 @@ class TxLogTable:
         # empty file and read torn JSON
         schema = self._logged_schema(version)
         dvs = self._replay_dvs(version)
+        blooms = self._replay_blooms(version)
         path = os.path.join(
             _log_dir(self.root), f"{version:08d}.checkpoint.json"
         )
@@ -297,6 +444,9 @@ class TxLogTable:
                     "partition_by": self._partition_cols(),
                     "schema": schema,
                     "dvs": dvs,
+                    "blooms": blooms,
+                    "bloom_cols": self._bloom_cols(),
+                    "bloom_spec": self._bloom_spec(),
                 },
                 f,
             )
@@ -445,6 +595,8 @@ class TxLogTable:
         stat_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
         extra: dict | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_spec: list | None = None,
     ) -> "TxLogTable":
         """Create a new table at ``path`` with ``df`` as version 0.
         ``stat_cols`` opts columns into per-file min/max zone maps
@@ -477,6 +629,14 @@ class TxLogTable:
                 f"stat_cols — a partition column's per-file value IS "
                 f"its (exact) zone map"
             )
+        bcols = list(bloom_cols or [])
+        bad_b = [c for c in bcols if c in pcols]
+        if bad_b:
+            raise ValueError(
+                f"columns {bad_b} cannot be both partition_by and "
+                f"bloom_cols — a partition column's per-file value is "
+                f"already an exact membership test"
+            )
         files, stats, parts = t._write_data(df, cols, pcols)
         payload = {
             "op": "create",
@@ -484,6 +644,17 @@ class TxLogTable:
             "stat_cols": cols,
             "schema": _schema_pairs(df),
         }
+        if bcols:
+            # bloom_cols opts columns into a per-file Bloom index
+            # (equality-probe file skipping where zone maps are blind);
+            # [m_words, k] tunes the (1 - e^{-kn/m})^k FP rate
+            payload["bloom_cols"] = bcols
+            payload["bloom_spec"] = list(
+                bloom_spec or _BLOOM_DEFAULT_SPEC
+            )
+            t._bloom_boot = (bcols, payload["bloom_spec"])
+            payload.update(t._maybe_blooms(df.sparkSession, files))
+            del t._bloom_boot
         if pcols:
             payload["partition_by"] = pcols
             payload["parts"] = parts
@@ -571,7 +742,10 @@ class TxLogTable:
             version = self.version_at(as_of)
         rel, stats, parts = self._replay(version)
         if prune:
-            rel = self._pruned_rel(rel, stats, parts, prune)
+            rel = self._pruned_rel(
+                rel, stats, parts, prune,
+                blooms=self._replay_blooms(version),
+            )
         if not rel:
             if prune:
                 # every file pruned: empty frame with the table schema
@@ -580,7 +754,12 @@ class TxLogTable:
         return self._scan_live(spark, rel, version)
 
     def _pruned_rel(
-        self, rel: list[str], stats: dict, parts: dict, prune: dict
+        self,
+        rel: list[str],
+        stats: dict,
+        parts: dict,
+        prune: dict,
+        blooms: dict | None = None,
     ) -> list[str]:
         """The manifest-pruning core shared by :meth:`read` and the
         native DataSource's filter pushdown: drop files whose logged
@@ -592,7 +771,24 @@ class TxLogTable:
         incomparable types (e.g. a datetime.date bound against a
         string-logged partition value, ADVICE r8): TypeError keeps the
         file instead of failing the read, mirroring the
-        None-on-parse-failure coercion rule."""
+        None-on-parse-failure coercion rule.
+
+        ``blooms`` adds the per-file Bloom index as a THIRD pruning
+        tier for equality/membership specs: zone maps prune ranges but
+        admit every file on a high-cardinality point probe over an
+        unclustered column (every file's [min,max] spans the domain);
+        the bloom answers "is this exact value possibly in this file"
+        at the logged (1-e^{-kn/m})^k FP rate. A false positive only
+        keeps a file (correctness never depends on the index)."""
+        bspec = self._bloom_spec()
+
+        def bloom_rejects(p: str, col: str, vals: list) -> bool:
+            bm = (blooms or {}).get(p, {}).get(col)
+            if bm is None:
+                return False  # no index for this file/col: keep
+            return not any(
+                _bloom_might_contain(bm, v, bspec) for v in vals
+            )
 
         def keep(p: str) -> bool:
             pv = parts.get(p, {})
@@ -608,6 +804,8 @@ class TxLogTable:
                             if v is not None and v not in set(vals):
                                 return False
                             continue
+                        if bloom_rejects(p, col, vals):
+                            return False
                         rng = fs.get(col)
                         if rng is None:
                             continue
@@ -615,6 +813,13 @@ class TxLogTable:
                             return False
                         continue
                     lo, hi = spec
+                    if (
+                        lo is not None
+                        and hi is not None
+                        and lo == hi
+                        and bloom_rejects(p, col, [lo])
+                    ):
+                        return False  # equality range probes the bloom
                     if col in pv:
                         v = _coerce_part(
                             pv[col], lo if lo is not None else hi
@@ -762,6 +967,7 @@ class TxLogTable:
             df, self._stat_cols(), self._partition_cols()
         )
         payload = {"op": "append", "add": files}
+        payload.update(self._maybe_blooms(spark, files))
         if merge_schema:
             # schema may have widened: record the post-append table
             # schema (the frame carries every current column — the
@@ -797,6 +1003,7 @@ class TxLogTable:
                 "remove": removes,
                 "schema": _schema_pairs(df),
             }
+            payload.update(self._maybe_blooms(df.sparkSession, files))
             if parts:
                 payload["parts"] = parts
             if stats:
@@ -834,6 +1041,7 @@ class TxLogTable:
             "remove": removes,
             "schema": _schema_pairs(df),
         }
+        payload.update(self._maybe_blooms(df.sparkSession, files))
         if parts:
             payload["parts"] = parts
         if stats:
@@ -867,6 +1075,13 @@ class TxLogTable:
         discipline (the native writer checks names against the table
         before calling)."""
         payload: dict = {"op": op, "add": list(add)}
+        # bloom_cols tables: harvest for the committed files when a
+        # session is around — the DataSource writers commit on the
+        # Spark driver, so that's the common case; with no session the
+        # files simply carry no bloom and are always kept by pruning
+        spark = SparkSession.getActiveSession()
+        if op != "create" and spark is not None:
+            payload.update(self._maybe_blooms(spark, list(add)))
         if stats:
             payload["stats"] = stats
         if parts:
@@ -931,6 +1146,10 @@ class TxLogTable:
                 # the file list); replay REPLACES state on this key
                 "dv_snapshot": self._replay_dvs(target),
             }
+            tgt_blooms = self._replay_blooms(target)
+            bl = {p: tgt_blooms[p] for p in add if p in tgt_blooms}
+            if bl:
+                payload["blooms"] = bl
             stats = {p: tgt_stats[p] for p in add if p in tgt_stats}
             parts = {p: tgt_parts[p] for p in add if p in tgt_parts}
             if stats:
@@ -965,6 +1184,7 @@ class TxLogTable:
             self._partition_cols(),
         )
         payload = {"op": op, "add": files, "remove": affected_rel}
+        payload.update(self._maybe_blooms(spark, files))
         if parts:
             payload["parts"] = parts
         if stats:
@@ -1248,6 +1468,7 @@ class TxLogTable:
         )
         removes = [os.path.relpath(p, self.root) for p in live]
         payload = {"op": "compact", "add": compacted, "remove": removes}
+        payload.update(self._maybe_blooms(spark, compacted))
         if parts:
             payload["parts"] = parts
         if zorder_by:

@@ -291,7 +291,10 @@ class _TxLogBatchReader(DataSourceReader):
         live, stats, parts = t._replay(None)
         dvs = t._replay_dvs(None)
         if self._prune:
-            live = t._pruned_rel(live, stats, parts, self._prune)
+            live = t._pruned_rel(
+                live, stats, parts, self._prune,
+                blooms=t._replay_blooms(None),
+            )
         out = [
             _FilePartition(
                 os.path.join(self.root, rel),

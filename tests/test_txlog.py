@@ -972,3 +972,88 @@ def test_dv_restore_vacuum_and_change_feed(spark, tmp_path):
     assert t._replay_dvs() != {}
     assert t.read(spark).filter("k < 10").count() == 0
     assert t.read(spark).count() == 140
+
+
+def test_bloom_file_index_point_lookups(spark, tmp_path):
+    """Per-file Bloom index (VERDICT r8 #6): zone maps prune ranges
+    but admit EVERY file on a high-cardinality equality probe over an
+    unclustered column (each file's [min,max] spans the domain). With
+    bloom_cols, an equality/IN prune consults the per-file filter:
+    strict file subset, result parity, never a false negative; absorbed
+    commits (append/compact/CoW rewrite) harvest blooms for their new
+    files; checkpoints carry the index past VACUUM."""
+    root = str(tmp_path / "t")
+    # UNCLUSTERED: hash-partitioned so every file spans the key domain
+    base = (
+        spark.range(0, 20000)
+        .selectExpr("id AS k", "CAST(id % 97 AS DOUBLE) AS x")
+        .repartition(16, "k")
+    )
+    t = TxLogTable.create(root, base, stat_cols=["k"], bloom_cols=["k"])
+    n_all = len(t.read(spark).inputFiles())
+    assert n_all == 16
+
+    # zone maps alone are blind here: every file spans [0, 20000)
+    # (bloom_rejects is what shrinks the list); equality via (v, v)
+    # range and via IN-list both probe the index
+    import random
+
+    rnd = random.Random(7)
+    for probe in [rnd.randrange(20000) for _ in range(10)]:
+        got = t.read(spark, prune={"k": (probe, probe)})
+        n = len(got.inputFiles())
+        assert n < n_all, f"bloom did not prune for k={probe}"
+        # no false negative: the row is in the kept subset
+        assert got.filter(f"k = {probe}").count() == 1
+    got = t.read(spark, prune={"k": [3, 19999]})
+    assert len(got.inputFiles()) < n_all
+    assert got.filter("k IN (3, 19999)").count() == 2
+
+    # absent values: typically prunes everything (FP rate applies);
+    # parity holds regardless
+    miss = t.read(spark, prune={"k": (777777, 777777)})
+    assert miss.filter("k = 777777").count() == 0
+
+    # appends harvest blooms for their files too
+    t.append(
+        spark.range(100000, 101000).selectExpr(
+            "id AS k", "CAST(0.0 AS DOUBLE) AS x"
+        ).repartition(2, "k"),
+        spark,
+    )
+    got2 = t.read(spark, prune={"k": (100500, 100500)})
+    assert len(got2.inputFiles()) <= 3  # old files bloom-pruned
+    assert got2.filter("k = 100500").count() == 1
+
+    # pushFilters consults the index through format("txlog")
+    from etl_sendas_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    full = spark.read.format("txlog").load(root)
+    sel = spark.read.format("txlog").load(root).filter("k = 12345")
+    assert (
+        sel._jdf.rdd().getNumPartitions()
+        < full._jdf.rdd().getNumPartitions()
+    )
+    assert sel.count() == 1
+
+    # compact re-harvests; vacuum's checkpoint carries the index
+    t.compact(spark, target_files=4)
+    t.vacuum(retain_versions=1, min_age_s=0.0)
+    assert t._replay_blooms() != {}
+    got3 = t.read(spark, prune={"k": (12345, 12345)})
+    assert len(got3.inputFiles()) < 4 + 1
+    assert got3.filter("k = 12345").count() == 1
+
+    # measured FP behavior, documented: count files kept for absent
+    # probes (expected ~ n_files * (1 - e^{-kn/m})^k; with n=1250/file,
+    # m=63*1024 bits, k=3 -> ~0.04% per file)
+    kept = sum(
+        len(
+            t.read(
+                spark, prune={"k": (probe + 10**9, probe + 10**9)}
+            ).inputFiles()
+        )
+        for probe in [rnd.randrange(10**9) for _ in range(20)]
+    )
+    assert kept <= 4  # 20 absent probes x 4-5 files: FPs are rare
