@@ -37,7 +37,9 @@ def txlog_dml_dv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector accumulates (value outliers), a copy-on-write UPDATE runs
     over vectored files (its rewrite must NOT resurrect
     vector-deleted rows — the absorption rule: removing a file drops
-    its vector), and a compaction absorbs every remaining vector back
+    its vector), a merge-on-read UPDATE vectors its pre-images and
+    appends only the post-update rows (asserted: prior files all stay
+    live), and a compaction absorbs every remaining vector back
     into data files (asserted: no vectors survive). The final
     aggregate hashes the content.
 
@@ -83,6 +85,20 @@ def txlog_dml_dv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type = 'purchase' AND event_id % 13 = 0",
     )
 
+    # merge-on-read UPDATE: one commit vectors the pre-images and
+    # appends only the post-update rows — prior files untouched
+    pre_files = set(t.live_files())
+    t.update_where(
+        spark,
+        {"value": "value * 2"},
+        "event_type = 'click' AND event_id % 31 = 0",
+        mode="dv",
+    )
+    if not pre_files <= set(t.live_files()):
+        raise AssertionError(
+            "dv update removed files — merge-on-read regressed"
+        )
+
     t.compact(spark, target_files=4)
     if t._replay_dvs():
         raise AssertionError(
@@ -118,12 +134,18 @@ WITH base AS (
                 event_type = 'purchase' AND event_id % 13 = 0, FALSE)
               THEN value + 0.5 ELSE value END AS value
   FROM del2
+), upd2 AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN COALESCE(
+                event_type = 'click' AND event_id % 31 = 0, FALSE)
+              THEN value * 2 ELSE value END AS value
+  FROM upd
 )
 SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        MAX(event_id) AS max_event_id
-FROM upd
+FROM upd2
 GROUP BY event_type
 """
 

@@ -1315,37 +1315,115 @@ class TxLogTable:
         set_exprs: dict[str, str],
         condition: str,
         prune: dict | None = None,
+        mode: str = "cow",
+        max_dv_rows: int = 1_000_000,
     ) -> int:
-        """``UPDATE t SET col = expr, ... WHERE condition`` with
-        file-level copy-on-write (see :meth:`delete_where`, including
-        the ``prune`` discovery bound). Set expressions are SQL
-        strings evaluated against the PRE-update row (standard UPDATE
-        semantics — all assignments see the old values). Updating a
-        partition column is allowed: rewritten rows land in their new
-        hive directory. Returns the new version; head when nothing
-        matches."""
+        """``UPDATE t SET col = expr, ... WHERE condition``. Set
+        expressions are SQL strings evaluated against the PRE-update
+        row (standard UPDATE semantics — all assignments see the old
+        values); ``prune`` bounds the discovery scan as in
+        :meth:`delete_where`. Returns the new version; head when
+        nothing matches.
+
+        ``mode="cow"`` (default): file-level copy-on-write — files
+        containing matches rewrite whole. Updating a partition column
+        is allowed: rewritten rows land in their new hive directory.
+
+        ``mode="dv"``: merge-on-read — ONE commit vectors the matched
+        rows out of their files (positions only, nothing rewritten)
+        and appends new files holding just the POST-update rows, so a
+        10-row update of a 100 TB table writes 10 rows instead of the
+        matched files (the Delta DV-update mechanic). Same
+        ``max_dv_rows`` bound and conflict rule as the dv delete; the
+        appended rows' files harvest stats/blooms like any add, and
+        the change-feed source emits the commit as position-exact D
+        plus the appended I."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"update_where: bad mode {mode!r}")
         bad = [c for c in set_exprs if c not in self.read(spark).columns]
         if bad:
             raise ValueError(f"update_where: unknown columns {bad}")
         head = self.latest_version()
         cond = F.expr(condition)
         hit = cond.isNotNull() & cond
+
+        def apply_set(df: DataFrame, cols: list[str]) -> DataFrame:
+            return df.select(
+                *[
+                    (
+                        F.when(hit, F.expr(set_exprs[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set_exprs
+                        else F.col(c)
+                    )
+                    for c in cols
+                ]
+            )
+
+        if mode == "dv":
+            rel0, stats0, parts0 = self._replay(head)
+            if prune:
+                rel0 = self._pruned_rel(
+                    rel0, stats0, parts0, prune,
+                    blooms=self._replay_blooms(head),
+                )
+            if not rel0:
+                return head
+            scan = (
+                self._scan(spark, rel0, head)
+                .withColumn("___dvf", self._rel_file_col())
+                .withColumn("___dvp", F.col("_metadata.row_index"))
+            )
+            scan = self._dv_filter(
+                spark, scan, rel0, self._replay_dvs(head)
+            )
+            matched = scan.filter(hit)
+            pos = matched.select("___dvf", "___dvp").limit(
+                max_dv_rows + 1
+            ).collect()
+            if not pos:
+                return head
+            if len(pos) > max_dv_rows:
+                raise ValueError(
+                    f"update_where(mode='dv'): more than {max_dv_rows} "
+                    "matched rows — use mode='cow' (or raise "
+                    "max_dv_rows)"
+                )
+            data_cols = [
+                c for c in matched.columns
+                if c not in ("___dvf", "___dvp")
+            ]
+            post = apply_set(matched, data_cols)
+            files, stats, parts = self._write_data(
+                post, self._stat_cols(), self._partition_cols()
+            )
+            dv: dict[str, list[int]] = {}
+            for r in pos:
+                dv.setdefault(r["___dvf"], []).append(int(r["___dvp"]))
+            payload = {
+                "op": "update",
+                "add": files,
+                "dv": {k: sorted(v) for k, v in dv.items()},
+                "dv_rows": len(pos),
+            }
+            payload.update(self._maybe_blooms(spark, files))
+            if parts:
+                payload["parts"] = parts
+            if stats:
+                payload["stats"] = stats
+            if not self._try_commit(head + 1, payload):
+                raise CommitConflict(
+                    f"live set moved past version {head} during dv "
+                    "update; retry"
+                )
+            return head + 1
+
         affected = self._affected_files(spark, head, hit, prune)
         if not affected:
             return head
         sub = self._scan_live(spark, affected, head)
-        updated = sub.select(
-            *[
-                (
-                    F.when(hit, F.expr(set_exprs[c]))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in set_exprs
-                    else F.col(c)
-                )
-                for c in sub.columns
-            ]
-        )
+        updated = apply_set(sub, sub.columns)
         return self._rewrite_files(spark, "update", head, affected, updated)
 
     def merge_into(
@@ -1478,6 +1556,75 @@ class TxLogTable:
         if not self._try_commit(head + 1, payload):
             raise CommitConflict(
                 f"live set moved past version {head} during compact; retry"
+            )
+        return head + 1
+
+    def bin_pack(
+        self,
+        spark: SparkSession,
+        target_mb: int = 128,
+        min_files: int = 2,
+    ) -> int:
+        """Delta's ``OPTIMIZE``-style INCREMENTAL compaction: rewrite
+        only files SMALLER than ``target_mb`` (the small-files debris
+        streaming sinks and frequent small appends accumulate), packed
+        to ~``target_mb`` outputs, leaving every right-sized file
+        untouched — :meth:`compact` rewrites the ENTIRE live set,
+        which at 100 TB is a full-table I/O pass no one schedules;
+        this touches only the debris, so its cost tracks the debris,
+        not the table. Partitioned tables pack within a partition
+        value (hive files must not merge across their directories).
+        Small files' deletion vectors are absorbed by the rewrite
+        (the pack reads DV-applied content); right-sized files keep
+        their vectors. Content-preserving like compact (same op tag,
+        so the CDF source emits nothing for it). No-op (head
+        returned) when fewer than ``min_files`` small files share a
+        partition group. Conflict rule as :meth:`compact`."""
+        head = self.latest_version()
+        rel, _stats, parts = self._replay(head)
+        cutoff = target_mb * 1024 * 1024
+        small = [
+            r
+            for r in rel
+            if os.path.getsize(os.path.join(self.root, r)) < cutoff
+        ]
+        # group by partition-value tuple ({} for unpartitioned tables)
+        pcols = self._partition_cols()
+        groups: dict[tuple, list[str]] = {}
+        for r in small:
+            key = tuple(
+                sorted((parts.get(r) or {}).items())
+            ) if pcols else ()
+            groups.setdefault(key, []).append(r)
+        todo = [g for g in groups.values() if len(g) >= min_files]
+        if not todo:
+            return head
+        packed = sorted(r for g in todo for r in g)
+        src = self._scan_live(spark, packed, head)
+        total = sum(
+            os.path.getsize(os.path.join(self.root, r)) for r in packed
+        )
+        n_out = max(1, -(-total // cutoff))  # ceil
+        if pcols:
+            # the hive write below re-splits by partition value; the
+            # coalesce just bounds files per value
+            src = src.repartition(int(n_out), *pcols)
+        else:
+            src = src.coalesce(int(n_out))
+        files, stats, new_parts = self._write_data(
+            src, self._stat_cols(), pcols
+        )
+        payload = {"op": "compact", "add": files, "remove": packed,
+                   "bin_pack_mb": target_mb}
+        payload.update(self._maybe_blooms(spark, files))
+        if new_parts:
+            payload["parts"] = new_parts
+        if stats:
+            payload["stats"] = stats
+        if not self._try_commit(head + 1, payload):
+            raise CommitConflict(
+                f"live set moved past version {head} during bin_pack; "
+                "retry"
             )
         return head + 1
 

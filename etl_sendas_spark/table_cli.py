@@ -116,6 +116,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_bin_pack(args) -> int:
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_bin_pack")
+    head = t.latest_version()
+    v = t.bin_pack(spark, target_mb=args.target_mb)
+    print(
+        "nothing to pack" if v == head else f"bin-packed -> v{v}"
+    )
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     t = _table(args.path)
     out = t.vacuum(retain_versions=args.retain, min_age_s=args.min_age_s)
@@ -155,7 +168,7 @@ def cmd_delete(args) -> int:
     t = _table(args.path)
     spark = get_spark(app_name="txlog_delete")
     head = t.latest_version()
-    v = t.delete_where(spark, args.where)
+    v = t.delete_where(spark, args.where, mode=args.mode)
     print("no rows matched" if v == head else f"deleted -> v{v}")
     return 0
 
@@ -207,7 +220,7 @@ def cmd_update(args) -> int:
     spark = get_spark(app_name="txlog_update")
     sets = _split_assignments(args.set)
     head = t.latest_version()
-    v = t.update_where(spark, sets, args.where)
+    v = t.update_where(spark, sets, args.where, mode=args.mode)
     print("no rows matched" if v == head else f"updated -> v{v}")
     return 0
 
@@ -247,6 +260,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--zorder", default=None, help="comma-separated columns")
     p.set_defaults(fn=cmd_compact)
 
+    p = sub.add_parser(
+        "bin-pack",
+        help="OPTIMIZE-style incremental compaction of small files only",
+    )
+    p.add_argument("path")
+    p.add_argument("--target-mb", type=int, default=128)
+    p.set_defaults(fn=cmd_bin_pack)
+
     p = sub.add_parser("vacuum", help="GC dead files + truncate the log")
     p.add_argument("path")
     p.add_argument("--retain", type=int, default=2)
@@ -267,14 +288,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--as-of", default=None)
     p.set_defaults(fn=cmd_restore)
 
-    p = sub.add_parser("delete", help="DELETE WHERE (file-level copy-on-write)")
+    p = sub.add_parser("delete", help="DELETE WHERE (copy-on-write or dv)")
     p.add_argument("path")
     p.add_argument("--where", required=True)
+    p.add_argument(
+        "--mode", choices=["cow", "dv"], default="cow",
+        help="dv = merge-on-read deletion vector (no file rewritten)",
+    )
     p.set_defaults(fn=cmd_delete)
 
-    p = sub.add_parser("update", help="UPDATE SET ... WHERE (copy-on-write)")
+    p = sub.add_parser("update", help="UPDATE SET ... WHERE (cow or dv)")
     p.add_argument("path")
     p.add_argument("--where", required=True)
+    p.add_argument(
+        "--mode", choices=["cow", "dv"], default="cow",
+        help="dv = vector pre-images, append only the post-update rows",
+    )
     p.add_argument(
         "--set",
         required=True,

@@ -331,7 +331,24 @@ def test_table_cli_lifecycle(spark, tmp_path, capsys):
     assert table_main(["delete", root, "--where", "k > 1000000000"]) == 0
     assert "no rows matched" in capsys.readouterr().out
 
+    # merge-on-read modes + incremental bin-pack through the CLI
+    files_pre = set(t.live_files())
+    assert table_main(
+        ["delete", root, "--mode", "dv", "--where", "k = 11"]
+    ) == 0
+    assert set(t.live_files()) == files_pre  # vector, not rewrite
+    assert t.read(spark).filter("k = 11").count() == 0
+    assert table_main(
+        ["update", root, "--mode", "dv", "--set", "a=a+5", "--where",
+         "k = 12"]
+    ) == 0
+    assert t.read(spark).filter("k = 12").collect()[0]["a"] == 29
+    assert table_main(["bin-pack", root, "--target-mb", "64"]) == 0
+    assert t._replay_dvs() == {}  # pack absorbed the vectors
+    assert t.read(spark).count() == 49
+
     assert table_main(["vacuum", root, "--retain", "1", "--min-age-s", "0"]) == 0
     out = capsys.readouterr().out
     assert "cutoff v" in out
-    assert t.read(spark).count() == 50  # head still readable post-GC
+    # head still readable post-GC (50 restored - the dv-deleted k=11)
+    assert t.read(spark).count() == 49

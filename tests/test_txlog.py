@@ -1057,3 +1057,117 @@ def test_bloom_file_index_point_lookups(spark, tmp_path):
         for probe in [rnd.randrange(10**9) for _ in range(20)]
     )
     assert kept <= 4  # 20 absent probes x 4-5 files: FPs are rare
+
+
+def test_bin_pack_rewrites_only_small_files(spark, tmp_path):
+    """Incremental OPTIMIZE (round 9): bin_pack rewrites only
+    sub-threshold files — right-sized files stay live BY PATH (the
+    scale property: cost tracks the debris, not the table) — packs
+    within partition values, absorbs the packed files' deletion
+    vectors, and preserves content exactly."""
+    root = str(tmp_path / "t")
+    # one big file + a trickle of small appends (streaming-sink shape)
+    big = spark.range(0, 200000).selectExpr(
+        "id AS k", "repeat(uuid(), 8) AS pad"
+    ).coalesce(1)
+    t = TxLogTable.create(root, big)
+    big_files = set(t.live_files())
+    for i in range(6):
+        t.append(
+            spark.range(200000 + i * 10, 200000 + i * 10 + 10).selectExpr(
+                "id AS k", "repeat(uuid(), 8) AS pad"
+            ).coalesce(1),
+            spark,
+        )
+    # a vector on one small file, absorbed by the pack
+    t.delete_where(spark, "k = 200001", mode="dv")
+    n_live = len(t.live_files())
+    content = sorted(r["k"] for r in t.read(spark).collect())
+
+    v = t.bin_pack(spark, target_mb=8)
+    assert v == t.latest_version()
+    live_after = set(t.live_files())
+    assert big_files <= live_after, "right-sized file must stay by path"
+    assert len(live_after) < n_live
+    assert sorted(r["k"] for r in t.read(spark).collect()) == content
+    assert t._replay_dvs() == {}  # packed files' vectors absorbed
+    # idempotent: nothing small left in numbers worth packing
+    assert t.bin_pack(spark, target_mb=8) == v
+
+    # partitioned: packs within partition values only
+    root2 = str(tmp_path / "tp")
+    t2 = TxLogTable.create(
+        root2,
+        spark.range(0, 40).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p"),
+        partition_by=["p"],
+    )
+    for i in range(4):
+        t2.append(
+            spark.range(40 + i, 41 + i).selectExpr(
+                "id AS k", "CAST(id % 2 AS INT) AS p"
+            ),
+            spark,
+        )
+    before = sorted((r["k"], r["p"]) for r in t2.read(spark).collect())
+    t2.bin_pack(spark, target_mb=64)
+    after = sorted((r["k"], r["p"]) for r in t2.read(spark).collect())
+    assert after == before
+    # every live file still lives under exactly one p=value dir
+    for f in t2.live_files():
+        assert "/p=" in f
+
+
+def test_update_where_dv_merge_on_read(spark, tmp_path):
+    """update_where(mode='dv'): one commit vectors the pre-images and
+    appends files holding ONLY the post-update rows — prior live files
+    untouched by path, content parity with the same update in CoW
+    mode, standard UPDATE semantics (assignments see old values), and
+    the change feed shows position-exact D plus the appended I."""
+    root_dv = str(tmp_path / "dv")
+    root_cow = str(tmp_path / "cow")
+    for r in (root_dv, root_cow):
+        TxLogTable.create(r, _dv_rows(spark, 0, 1000).repartition(4))
+    tdv, tcow = TxLogTable(root_dv), TxLogTable(root_cow)
+
+    before = set(tdv.live_files())
+    v = tdv.update_where(
+        spark, {"x": "x + k", "k": "k + 100000"}, "k % 100 = 7",
+        mode="dv",
+    )
+    after = set(tdv.live_files())
+    assert before <= after, "dv update must not remove files"
+    added = after - before
+    assert added, "dv update appends post-image files"
+    meta = tdv.commit_meta(v)
+    assert meta["dv_rows"] == 10 and meta["add"]
+
+    tcow.update_where(
+        spark, {"x": "x + k", "k": "k + 100000"}, "k % 100 = 7",
+    )
+    assert sorted(map(tuple, tdv.read(spark).collect())) == sorted(
+        map(tuple, tcow.read(spark).collect())
+    )
+    # assignments saw the OLD k (x = old_x + old_k, k moved after)
+    row = tdv.read(spark).filter("k = 100007").collect()[0]
+    assert row["x"] == 7 * 2.0 + 7
+
+    # change feed: 10 D (pre-images) + 10 I (post-images)
+    feed = tdv.change_feed(spark, keys=["k"], from_version=v)
+    assert feed.filter("op = 'D'").count() == 10
+    assert feed.filter("op = 'I'").count() == 10
+
+    # no-match and guard behave like the dv delete
+    assert tdv.update_where(
+        spark, {"x": "0.0"}, "k > 2000000000", mode="dv"
+    ) == v
+    with pytest.raises(ValueError, match="mode='cow'"):
+        tdv.update_where(
+            spark, {"x": "0.0"}, "k >= 0", mode="dv", max_dv_rows=5
+        )
+
+    # compact absorbs the update's vectors too
+    tdv.compact(spark, target_files=2)
+    assert tdv._replay_dvs() == {}
+    assert sorted(map(tuple, tdv.read(spark).collect())) == sorted(
+        map(tuple, tcow.read(spark).collect())
+    )
