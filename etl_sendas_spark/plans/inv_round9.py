@@ -151,3 +151,187 @@ GROUP BY event_type
 
 PART_QUERIES["txlog_dml_dv_events"] = txlog_dml_dv_events
 PART_ORACLES["txlog_dml_dv_events"] = TXLOG_DML_DV_SQL
+
+
+# ===========================================================================
+# round 9: per-file Bloom index under the oracle hash — equality-probe
+# file skipping where zone maps are blind
+# ===========================================================================
+
+
+def txlog_bloom_probe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups through the per-file Bloom index
+    (sources/txlog.py round 9): events land UNCLUSTERED (hash-
+    partitioned on user_id, so every file's event_id zone map spans
+    the whole domain and range skipping is blind), bloom_cols=
+    ["event_id"] indexes each file at commit, and a batch of equality
+    probes reads a strict subset of files — asserted in-query via
+    inputFiles, the 100 TB point-lookup scale term. The aggregate over
+    the probed rows is what hashes; a Bloom false positive only
+    widens the scan, never the result.
+
+    ORACLE: plain IN-filter aggregate over the events view — index
+    routing must be invisible to results.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"txlog_bloom_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = TxLogTable.create(
+        root,
+        ev.repartition(16, "user_id"),
+        stat_cols=["event_id"],
+        bloom_cols=["event_id"],
+    )
+    probes = [17, 1017, 4017, 9017]
+    full_files = len(t.read(spark).inputFiles())
+    probed = t.read(spark, prune={"event_id": probes})
+    if not len(probed.inputFiles()) < full_files:
+        raise AssertionError(
+            "bloom probe read every file — index skipping regressed"
+        )
+    return (
+        probed.filter(F.col("event_id").isin(probes))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+TXLOG_BLOOM_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_id IN (17, 1017, 4017, 9017)
+GROUP BY event_type
+"""
+
+PART_QUERIES["txlog_bloom_probe_events"] = txlog_bloom_probe_events
+PART_ORACLES["txlog_bloom_probe_events"] = TXLOG_BLOOM_SQL
+
+
+# ===========================================================================
+# round 9: the CDF STREAMING source driving incremental view
+# maintenance, under the oracle hash
+# ===========================================================================
+
+
+def streaming_txlog_cdf_ivm_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The native change-feed source end-to-end
+    (sources/txlog_source.py round 9): a DML'd events table — append,
+    merge-on-read DELETE, CoW UPDATE — streams per-commit I/D rows
+    through ``option("readChangeFeed","true")`` with engine
+    checkpointing (one availableNow drain), and the feed folds through
+    ``incremental_agg_update`` into a per-type aggregate state. The
+    hashed result is the IVM state, so the file-level CDF algebra
+    (vector positions as D, rewrite pre-images as self-cancelling
+    D+I pairs) must compose to exactly the batch aggregate.
+
+    ORACLE: the DML replayed as CTEs, then the same aggregate —
+    equivalently the batch aggregate of the final snapshot.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.ivm import aggregate_state, incremental_agg_update
+    from ..sources.txlog import TxLogTable
+    from ..sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"txlog_cdfivm_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    root = os.path.join(work, "t")
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = TxLogTable.create(
+        root,
+        ev.filter(F.col("event_id") % 2 == 0).repartition(4),
+        stat_cols=["event_id"],
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 1).repartition(4), spark)
+    t.delete_where(spark, "event_type = 'error' AND event_id % 5 = 0",
+                   mode="dv")
+    t.update_where(spark, {"value": "value + 1.0"},
+                   "event_type = 'click' AND event_id % 17 = 0")
+
+    feed_dir = os.path.join(work, "feed")
+    q = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(root)
+        .writeStream.format("json")
+        .option("path", feed_dir)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    feed = spark.read.schema(
+        "event_id long, event_type string, value double, "
+        "_change_type string, _commit_version long"
+    ).json(feed_dir)
+    empty = aggregate_state(
+        spark.createDataFrame(
+            [], "event_id long, event_type string, value double"
+        ),
+        keys=["event_type"],
+        sum_cols=["value"],
+    )
+    state = incremental_agg_update(
+        empty,
+        feed.withColumnRenamed("_change_type", "op").select(
+            "event_id", "event_type", "value", "op"
+        ),
+        keys=["event_type"],
+        sum_cols=["value"],
+    )
+    return state.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+STREAMING_CDF_IVM_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+), del AS (
+  SELECT * FROM base
+  WHERE NOT COALESCE(event_type = 'error' AND event_id % 5 = 0, FALSE)
+), upd AS (
+  SELECT event_id, event_type,
+         CASE WHEN COALESCE(
+                event_type = 'click' AND event_id % 17 = 0, FALSE)
+              THEN value + 1.0 ELSE value END AS value
+  FROM del
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM upd
+GROUP BY event_type
+"""
+
+PART_QUERIES["streaming_txlog_cdf_ivm_events"] = streaming_txlog_cdf_ivm_events
+PART_ORACLES["streaming_txlog_cdf_ivm_events"] = STREAMING_CDF_IVM_SQL
