@@ -335,3 +335,91 @@ GROUP BY event_type
 
 PART_QUERIES["streaming_txlog_cdf_ivm_events"] = streaming_txlog_cdf_ivm_events
 PART_ORACLES["streaming_txlog_cdf_ivm_events"] = STREAMING_CDF_IVM_SQL
+
+
+# ===========================================================================
+# round 9: DSIR — importance-resampled data selection (Xie et al.
+# 2023), the published "make the corpus look like the target" recipe
+# ===========================================================================
+
+
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection over the documents corpus (operators/dsir.py):
+    target = the src0-src2 slice, raw = everything; hashed uni+bigram
+    bag (md5-60 bins), add-1 smoothed importance log-weights, per-doc
+    scores, Gumbel-top-50 resampling (without replacement ∝
+    exp(score), seed-deterministic). The hash covers the bin algebra,
+    the smoothing, the score sums, AND the exact selected set.
+
+    ORACLE: full SQL replay — same bins, same smoothing, same Gumbel
+    variates from the same md5 bytes, same rounded-key cut.
+    """
+    from ..operators.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    sel = dsir_resample(
+        docs, "doc_id", "text", target, k=50,
+        buckets=4096, alpha=1.0, seed=0,
+    )
+    return sel.select("doc_id", "source", "dsir_score", "dsir_key")
+
+
+DSIR_SQL = """
+WITH docs AS (
+  SELECT doc_id, source,
+         string_split(
+           regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest(list_concat(
+      toks,
+      CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+           ELSE list_transform(range(1, len(toks)),
+                               i -> toks[i] || '_' || toks[i + 1]) END
+  )) AS g
+  FROM docs
+),
+occ AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(g), 1, 15))::BIGINT % 4096) AS bucket
+  FROM grams
+),
+q AS (SELECT bucket, COUNT(*) AS qc FROM occ GROUP BY 1),
+p AS (
+  SELECT bucket, COUNT(*) AS tc FROM occ
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+),
+np AS (SELECT COALESCE(SUM(tc), 0) AS n FROM p),
+nq AS (SELECT COALESCE(SUM(qc), 0) AS n FROM q),
+w AS (
+  SELECT bucket,
+         ln((COALESCE(tc, 0) + 1.0) / (np.n + 1.0 * 4096))
+           - ln((COALESCE(qc, 0) + 1.0) / (nq.n + 1.0 * 4096)) AS log_w
+  FROM p FULL OUTER JOIN q USING (bucket) CROSS JOIN np CROSS JOIN nq
+),
+scores AS (
+  SELECT o.doc_id, ROUND(SUM(w.log_w), 6) AS dsir_score
+  FROM occ o JOIN w USING (bucket) GROUP BY 1
+),
+keys AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(s.dsir_score, 0.0) AS dsir_score,
+         ROUND(
+           COALESCE(s.dsir_score, 0.0)
+           + -ln(-ln(
+               ((('0x' || substr(md5(d.doc_id::VARCHAR || '_0'), 1, 15)
+                 )::BIGINT)::DOUBLE + 0.5) / 1152921504606846976.0
+             )),
+           6) AS dsir_key
+  FROM docs d LEFT JOIN scores s USING (doc_id)
+)
+SELECT doc_id, source, dsir_score, dsir_key
+FROM keys
+ORDER BY dsir_key DESC, doc_id
+LIMIT 50
+"""
+
+PART_QUERIES["dsir_select_docs"] = dsir_select_docs
+PART_ORACLES["dsir_select_docs"] = DSIR_SQL
