@@ -447,6 +447,24 @@ EXTRA_ORACLES.update(_inv_round9.PART_ORACLES)
 # driver-exercised inside sendas_full_pipeline's D1 stage).
 # Streaming rows (5) and Sendas rule rows untouched per the
 # keep-the-window-honest rule.
+# Queued for the NEXT (round-10) swap — round-9 machinery already
+# holding the full oracle bar in EXTRA (each hash-exact at 2 SFs):
+# txlog_dml_dv_events (merge-on-read deletion vectors: dv delete +
+# dv update + CoW-over-dv + compaction absorption — no other row
+# exercises vectors, and it re-pins CoW DML machinery in the same
+# ladder), streaming_txlog_cdf_ivm_events (the readChangeFeed
+# DataSource option draining a DML ladder through engine checkpoints
+# into incremental_agg_update — CDF algebra + IVM composition under
+# one hash), dsir_select_docs (importance resampling: hashed-bin
+# likelihood-ratio weights + Gumbel-top-k — a selection family no
+# current row covers). Candidates OUT: txlog_dml_events (CoW
+# DELETE/UPDATE/MERGE — delete/update machinery re-pinned inside the
+# DV ladder; MERGE stays oracle-checked in EXTRA + j_merge_upsert
+# pytest), ivm_minmax_incremental (IVM update algebra driver-pinned
+# end-to-end by the CDF-IVM row; the minmax affected-key recompute
+# variant keeps its EXTRA oracle), sample_group_split_docs (sampling
+# family's driver slot passes to DSIR; the leakage-safe group split
+# keeps its EXTRA oracle + property tests).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
