@@ -108,6 +108,138 @@ def incremental_agg_update(
     return merged.filter(F.col("n") != 0)
 
 
+def join_view_state(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    a_cols: Sequence[str],
+    b_cols: Sequence[str],
+) -> DataFrame:
+    """Initial state of the materialized inner equi-join view
+    ``V = A ⋈_keys B``, represented as a Z-set (DBSP / Materialize
+    style): one row per DISTINCT joined tuple ``(keys, a_cols,
+    b_cols)`` with its multiplicity ``n``.  The Z-set form is what
+    makes deletes maintainable — a retraction just decrements ``n``,
+    no base lookup needed to know how many copies existed."""
+    v = a.select(*keys, *a_cols).join(b.select(*keys, *b_cols), list(keys))
+    return v.groupBy(*keys, *a_cols, *b_cols).agg(F.count("*").alias("n"))
+
+
+def incremental_join_update(
+    state: DataFrame,
+    a_changes: DataFrame,
+    b_changes: DataFrame,
+    a_new: DataFrame,
+    b_new: DataFrame,
+    keys: Sequence[str],
+    a_cols: Sequence[str],
+    b_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Maintain a join view built by :func:`join_view_state` from the
+    two sides' CDC feeds — the bilinear delta rule of incremental
+    view maintenance (join is bilinear over Z-sets, so its delta has
+    exactly three terms):
+
+        ΔV = ΔA ⋈ B_new  ⊕  A_new ⋈ ΔB  ⊖  ΔA ⋈ ΔB
+
+    written against the POST-change base tables because that is what
+    the storage layer holds when maintenance runs (same convention as
+    :func:`incremental_minmax_update`'s ``effective_base``); the
+    ``⊖ ΔA ⋈ ΔB`` term removes the double count the two ``_new``
+    probes introduce.  ``a_changes``/``b_changes`` carry the side's
+    ``keys + cols`` plus ``op_col`` in {'I','D'} (normalize updates to
+    D+I upstream, the CDC normal form used everywhere in this module).
+
+    Scale shape — the whole point: NEITHER base table is scanned in
+    full.  Each probe side is semi-join-pruned to the OTHER feed's key
+    set before grouping, so with the bases partitioned/bucketed on the
+    join key the maintenance I/O is change-feed-key-sized, not
+    base-sized; the three delta terms are all change-feed-sized
+    joins; and the final merge is one keyed full-outer against the
+    state (state-sized shuffle only if the state store isn't already
+    co-partitioned on the view key, as the stream-upsert/txlog sinks
+    arrange).  A full recompute — the law the oracle enforces — would
+    instead re-shuffle both bases.
+
+    Multiplicity correctness falls out of the Z-set algebra: every
+    term multiplies its inputs' weights (feed rows collapse to signed
+    weights first, so a +1/-1 churn on the same tuple cancels before
+    it ever probes a base).  Rows whose merged multiplicity reaches 0
+    leave the view; negative multiplicities (deleting never-inserted
+    rows) stay visible, intentionally unmasked, matching
+    :func:`incremental_agg_update`."""
+    keys = list(keys)
+
+    def zset(changes: DataFrame, cols: Sequence[str]) -> DataFrame:
+        sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+        return (
+            changes.groupBy(*keys, *cols)
+            .agg(F.sum(sign).alias("w"))
+            .filter(F.col("w") != 0)
+        )
+
+    w_a = zset(a_changes, a_cols)
+    w_b = zset(b_changes, b_cols)
+
+    # Key-pruned post-change base probes: only partitions holding the
+    # other feed's keys are read (Z-set weight = row multiplicity).
+    b_probe = (
+        b_new.select(*keys, *b_cols)
+        .join(w_a.select(*keys).distinct(), keys, "left_semi")
+        .groupBy(*keys, *b_cols)
+        .agg(F.count("*").alias("w"))
+    )
+    a_probe = (
+        a_new.select(*keys, *a_cols)
+        .join(w_b.select(*keys).distinct(), keys, "left_semi")
+        .groupBy(*keys, *a_cols)
+        .agg(F.count("*").alias("w"))
+    )
+
+    view_cols = [*keys, *a_cols, *b_cols]
+    t1 = (
+        w_a.alias("l")
+        .join(b_probe.alias("r"), keys)
+        .select(*view_cols, (F.col("l.w") * F.col("r.w")).alias("w"))
+    )
+    t2 = (
+        a_probe.alias("l")
+        .join(w_b.alias("r"), keys)
+        .select(*view_cols, (F.col("l.w") * F.col("r.w")).alias("w"))
+    )
+    t3 = (
+        w_a.alias("l")
+        .join(w_b.alias("r"), keys)
+        .select(*view_cols, (-F.col("l.w") * F.col("r.w")).alias("w"))
+    )
+    delta = (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .groupBy(*view_cols)
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+    s = state.alias("s")
+    d = delta.alias("d")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in view_cols],
+    )
+    merged = s.join(d, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"d.{c}"), F.col(f"s.{c}")).alias(c)
+            for c in view_cols
+        ],
+        (
+            F.coalesce(F.col("s.n"), F.lit(0))
+            + F.coalesce(F.col("d.w"), F.lit(0))
+        ).alias("n"),
+    )
+    return merged.filter(F.col("n") != 0)
+
+
 def minmax_state(
     df: DataFrame, keys: Sequence[str], val_col: str
 ) -> DataFrame:

@@ -423,3 +423,102 @@ LIMIT 50
 
 PART_QUERIES["dsir_select_docs"] = dsir_select_docs
 PART_ORACLES["dsir_select_docs"] = DSIR_SQL
+
+# ===========================================================================
+# round 9 (cont.): JOIN-view IVM — the bilinear delta rule; nothing
+# else in the registry maintains a JOIN without recomputing it
+# ===========================================================================
+
+
+def ivm_join_view_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view
+    (operators/ivm.join_view_state / incremental_join_update): the
+    events⋈customer enrichment view, kept current through CDC feeds on
+    BOTH sides — new events insert, every base event_id % 10 == 0
+    retracts, customers c_custkey % 13 == 0 churn out entirely, and
+    c_custkey % 7 == 0 re-segment to 'MOVED' (update as D+I, the CDC
+    normal form). The delta is the three-term bilinear rule
+    ΔA⋈B_new ⊕ A_new⋈ΔB ⊖ ΔA⋈ΔB with key-pruned base probes — the
+    dim-churn × new-event overlap makes the correction term
+    load-bearing: drop it and multiplicities double.
+
+    ORACLE: full recompute of the final view from scratch — equality
+    between "maintained incrementally" and "rebuilt from the effective
+    bases" IS the IVM law, per-row multiplicities included."""
+    from ..operators.ivm import incremental_join_update, join_view_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    split = F.lit("2024-01-16")
+    a_old = ev.filter(F.col("ts") < split)
+    state = join_view_state(
+        a_old, cust, keys=["user_id"], a_cols=["event_type"],
+        b_cols=["segment"],
+    )
+
+    a_changes = (
+        ev.filter(F.col("ts") >= split)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            a_old.filter(F.col("event_id") % 10 == 0)
+            .withColumn("op", F.lit("D"))
+        )
+        .select("user_id", "event_type", "op")
+    )
+    leave = cust.filter(F.col("user_id") % 13 == 0)
+    move = cust.filter(
+        (F.col("user_id") % 7 == 0) & (F.col("user_id") % 13 != 0)
+    )
+    b_changes = (
+        leave.withColumn("op", F.lit("D"))
+        .unionByName(move.withColumn("op", F.lit("D")))
+        .unionByName(
+            move.withColumn("segment", F.lit("MOVED"))
+            .withColumn("op", F.lit("I"))
+        )
+        .select("user_id", "segment", "op")
+    )
+
+    a_new = ev.filter(
+        (F.col("ts") >= split) | (F.col("event_id") % 10 != 0)
+    )
+    b_new = cust.filter(F.col("user_id") % 13 != 0).withColumn(
+        "segment",
+        F.when(F.col("user_id") % 7 == 0, F.lit("MOVED")).otherwise(
+            F.col("segment")
+        ),
+    )
+    new_state = incremental_join_update(
+        state, a_changes, b_changes, a_new, b_new,
+        keys=["user_id"], a_cols=["event_type"], b_cols=["segment"],
+    )
+    return new_state.select(
+        "user_id", "event_type", "segment",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+IVM_JOIN_VIEW_SQL = """
+WITH a_eff AS (
+  SELECT user_id, event_type FROM events WHERE ts >= '2024-01-16'
+  UNION ALL
+  SELECT user_id, event_type FROM events
+  WHERE ts < '2024-01-16' AND event_id % 10 <> 0
+), b_eff AS (
+  SELECT c_custkey AS user_id,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS segment
+  FROM customer WHERE c_custkey % 13 <> 0
+)
+SELECT a.user_id, a.event_type, b.segment, CAST(COUNT(*) AS BIGINT) AS n
+FROM a_eff a JOIN b_eff b USING (user_id)
+GROUP BY 1, 2, 3
+"""
+
+PART_QUERIES["ivm_join_view_events"] = ivm_join_view_events
+PART_ORACLES["ivm_join_view_events"] = IVM_JOIN_VIEW_SQL

@@ -2609,3 +2609,80 @@ def test_ivfpq_index_at_rest_build_once_query_many(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert TxLogTable(f"{idx_a}/codes").versions() == [0, 1]
+
+
+def test_ivm_join_view_bilinear_law_and_edges(spark):
+    """JOIN-view IVM (operators/ivm.incremental_join_update): the
+    bilinear delta rule maintained state equals a full recompute with
+    per-row MULTIPLICITIES under churn on BOTH sides — with the
+    ΔA-key/ΔB-key overlap planted so the ⊖ ΔA⋈ΔB correction term is
+    load-bearing (drop it and the overlap rows double-count).  Edges:
+    a dim key fully retracted removes every view row it fed; an update
+    modeled as D+I swaps the payload; multiplicities > 1 decrement,
+    not vanish, on a single retraction."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.ivm import (
+        incremental_join_update,
+        join_view_state,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (3, "z"), (4, "w")],
+        ["k", "a"],
+    )
+    b_old = spark.createDataFrame(
+        [(1, "P"), (2, "P"), (3, "Q"), (5, "R")], ["k", "b"]
+    )
+    state = join_view_state(a_old, b_old, ["k"], ["a"], ["b"])
+    got0 = {(r.k, r.a, r.b): r.n for r in state.collect()}
+    assert got0[(1, "x", "P")] == 2 and got0[(3, "z", "Q")] == 1
+    assert (4, "w", None) not in got0  # inner join: unmatched A absent
+
+    # ΔA: insert k=5 (joins ΔB-churned side too? no — 5 stays R),
+    # insert k=2 twice, retract ONE copy of (1,'x'); ΔB: k=2 resegments
+    # P→S (D+I: the ΔA inserts on k=2 overlap ΔB — correction term
+    # territory), k=3 churns out entirely, k=4 appears (joins old
+    # unmatched A rows).
+    a_changes = spark.createDataFrame(
+        [(5, "v", "I"), (2, "x", "I"), (2, "x", "I"), (1, "x", "D")],
+        ["k", "a", "op"],
+    )
+    b_changes = spark.createDataFrame(
+        [(2, "P", "D"), (2, "S", "I"), (3, "Q", "D"), (4, "T", "I")],
+        ["k", "b", "op"],
+    )
+    a_new = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "x"), (2, "x"), (3, "z"),
+         (4, "w"), (5, "v")],
+        ["k", "a"],
+    )
+    b_new = spark.createDataFrame(
+        [(1, "P"), (2, "S"), (4, "T"), (5, "R")], ["k", "b"]
+    )
+    maintained = incremental_join_update(
+        state, a_changes, b_changes, a_new, b_new, ["k"], ["a"], ["b"]
+    )
+    full = join_view_state(a_new, b_new, ["k"], ["a"], ["b"])
+    got = sorted((r.k, r.a, r.b, r.n) for r in maintained.collect())
+    want = sorted((r.k, r.a, r.b, r.n) for r in full.collect())
+    assert got == want
+    d = {(k, a, b): n for k, a, b, n in got}
+    assert d[(1, "x", "P")] == 1        # multiplicity decremented, kept
+    assert d[(2, "x", "S")] == 3        # D+I reseg + 2 inserts (overlap)
+    assert all(k != 3 for k, _, _, _ in got)   # churned dim key gone
+    assert d[(4, "w", "T")] == 1        # new dim key joins old A rows
+    assert d[(5, "v", "R")] == 1        # new A row joins untouched dim
+
+    # feed-churn cancellation: an I+D pair for the same tuple is a
+    # no-op (weights cancel before any base probe)
+    noop_a = spark.createDataFrame(
+        [(1, "x", "I"), (1, "x", "D")], ["k", "a", "op"]
+    )
+    empty_b = spark.createDataFrame([], "k INT, b STRING, op STRING")
+    unchanged = incremental_join_update(
+        state, noop_a, empty_b, a_old, b_old, ["k"], ["a"], ["b"]
+    )
+    assert sorted((r.k, r.a, r.b, r.n) for r in unchanged.collect()) == sorted(
+        (r.k, r.a, r.b, r.n) for r in state.collect()
+    )
