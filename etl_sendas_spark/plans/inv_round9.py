@@ -522,3 +522,114 @@ GROUP BY 1, 2, 3
 
 PART_QUERIES["ivm_join_view_events"] = ivm_join_view_events
 PART_ORACLES["ivm_join_view_events"] = IVM_JOIN_VIEW_SQL
+
+# ===========================================================================
+# round 9 (cont.): trained linear quality classifier — closed-form
+# least squares, the one model family the registry TRAINS end-to-end
+# in exact integer arithmetic (moments + Cramer), oracle-replayable
+# ===========================================================================
+
+
+def quality_lsq_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score of the least-squares quality discriminant
+    (operators/classify.py): integer features (bias, token count,
+    stopword hits) over every document, weak teacher label from the
+    nonlinear prose rule, ONE distributed moment aggregate, exact
+    Cramer solve on the driver, and the det-scaled integer margin as
+    a pure Column — per-doc output (teacher label, margin, predicted
+    label). The margin is an exact integer both engines cast to
+    DOUBLE identically.
+
+    ORACLE: replays the WHOLE training in SQL — same features, same
+    teacher, the same nine moment sums in HUGEINT, the same three
+    Cramer numerators and determinant, the same sign-folded margin —
+    so the hash pins the trained MODEL, not just the scoring pass.
+    """
+    from ..operators.classify import (
+        lsq_margin,
+        lsq_train,
+        quality_feature_exprs,
+        weak_quality_label,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fx = quality_feature_exprs("text")
+    feats = docs.select(
+        "doc_id", *[e.alias(k) for k, e in fx.items()]
+    ).withColumn(
+        "y", weak_quality_label({k: F.col(k) for k in fx})
+    ).persist()
+    try:
+        cols = ["bias", "n_tokens", "n_stop"]
+        nums, _det = lsq_train(feats, cols, "y")
+        margin = lsq_margin(nums, cols)
+        return feats.select(
+            "doc_id",
+            "y",
+            margin.cast("double").alias("margin"),
+            F.when(margin > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("pred"),
+        )
+    finally:
+        feats.unpersist()
+
+
+QUALITY_LSQ_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+), feats AS (
+  SELECT doc_id,
+         CAST(1 AS BIGINT) AS bias,
+         CAST(CASE WHEN norm = '' THEN 0
+                   ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(norm, ' '),
+              x -> x IN ('the','and','of','to','a','in','is','that')))
+              AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM base
+), lab AS (
+  SELECT doc_id, bias, n_tokens, n_stop,
+         CAST(CASE WHEN n_tokens >= 20 AND n_stop * 10 >= n_tokens
+                        AND n_digits * 4 <= n_chars
+                   THEN 1 ELSE -1 END AS BIGINT) AS y
+  FROM feats
+), mom AS (
+  SELECT CAST(SUM(bias * bias) AS HUGEINT) AS m00,
+         CAST(SUM(bias * n_tokens) AS HUGEINT) AS m01,
+         CAST(SUM(bias * n_stop) AS HUGEINT) AS m02,
+         CAST(SUM(n_tokens * n_tokens) AS HUGEINT) AS m11,
+         CAST(SUM(n_tokens * n_stop) AS HUGEINT) AS m12,
+         CAST(SUM(n_stop * n_stop) AS HUGEINT) AS m22,
+         CAST(SUM(bias * y) AS HUGEINT) AS v0,
+         CAST(SUM(n_tokens * y) AS HUGEINT) AS v1,
+         CAST(SUM(n_stop * y) AS HUGEINT) AS v2
+  FROM lab
+), solve AS (
+  SELECT
+    m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02)
+      + m02*(m01*m12 - m11*m02) AS det,
+    v0*(m11*m22 - m12*m12) - m01*(v1*m22 - m12*v2)
+      + m02*(v1*m12 - m11*v2) AS n0,
+    m00*(v1*m22 - m12*v2) - v0*(m01*m22 - m12*m02)
+      + m02*(m01*v2 - v1*m02) AS n1,
+    m00*(m11*v2 - v1*m12) - m01*(m01*v2 - v1*m02)
+      + v0*(m01*m12 - m11*m02) AS n2
+  FROM mom
+)
+SELECT l.doc_id, l.y,
+       CAST((CASE WHEN s.det < 0 THEN -1 ELSE 1 END)
+            * (s.n0*l.bias + s.n1*l.n_tokens + s.n2*l.n_stop)
+            AS DOUBLE) AS margin,
+       CAST(CASE WHEN (CASE WHEN s.det < 0 THEN -1 ELSE 1 END)
+                      * (s.n0*l.bias + s.n1*l.n_tokens + s.n2*l.n_stop) > 0
+                 THEN 1 ELSE -1 END AS BIGINT) AS pred
+FROM lab l CROSS JOIN solve s
+"""
+
+PART_QUERIES["quality_lsq_classifier_docs"] = quality_lsq_classifier_docs
+PART_ORACLES["quality_lsq_classifier_docs"] = QUALITY_LSQ_SQL
