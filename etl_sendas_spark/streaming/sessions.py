@@ -808,6 +808,109 @@ def txlog_cdf_consumer_step(
     return head
 
 
+def txlog_join_view_step(
+    spark,
+    a_path: str,
+    b_path: str,
+    a_keys: list[str],
+    b_keys: list[str],
+    join_keys: list[str],
+    a_cols: list[str],
+    b_cols: list[str],
+    dst_path: str,
+) -> tuple[int, int] | None:
+    """ONE transactional step maintaining a materialized JOIN view over
+    TWO independently-mutating txlog tables — the two-source extension
+    of :func:`txlog_cdf_consumer_step`: advance the Z-set view at
+    ``dst_path`` (built by :func:`..operators.ivm.join_view_state`) to
+    both sources' current heads and return ``(a_head, b_head)``
+    (None when already caught up on both, or a concurrent consumer won
+    the commit race).
+
+    The destination commit carries ``{"a_version", "b_version"}`` —
+    BOTH watermarks in the ONE atomic commit that applies the delta,
+    so a crash between reading feed A and feed B cannot split the
+    view's consistency: either the commit lands with both cursors
+    advanced or nothing happened.  ``a_keys``/``b_keys`` are each
+    side's unique row keys (change_feed's diffing contract — distinct
+    from ``join_keys``, the view's equi-join columns).
+
+    The delta is the bilinear rule of
+    :func:`..operators.ivm.incremental_join_update` probing the HEAD
+    snapshots key-pruned — changes on side A read only B's partitions
+    holding ΔA's join keys and vice versa; neither base nor the view
+    is rescanned after bootstrap.  At 100 TB this is the difference
+    between "enriched matview kept current for the cost of the churn"
+    and "re-join the world every refresh"."""
+    from ..operators.ivm import incremental_join_update, join_view_state
+    from ..sources.txlog import CommitConflict, TxLogTable
+
+    a, b = TxLogTable(a_path), TxLogTable(b_path)
+    a_head, b_head = a.latest_version(), b.latest_version()
+    dst = TxLogTable(dst_path)
+    if not dst.versions():
+        state = join_view_state(
+            a.read(spark, a_head), b.read(spark, b_head),
+            join_keys, a_cols, b_cols,
+        )
+        try:
+            TxLogTable.create(
+                dst_path, state,
+                extra={"a_version": a_head, "b_version": b_head},
+            )
+            return (a_head, b_head)
+        except (CommitConflict, FileExistsError):
+            return None  # concurrent bootstrap won; next tick continues
+    meta = dst.commit_meta(dst.latest_version())
+    last_a = int(meta.get("a_version", -1))
+    last_b = int(meta.get("b_version", -1))
+    if last_a < 0 or last_b < 0:
+        raise ValueError(
+            f"destination {dst_path} exists but carries no "
+            f"a_version/b_version metadata — not a join-view table"
+        )
+    if a_head <= last_a and b_head <= last_b:
+        return None  # caught up on both sides
+
+    def feed(t, last, head, keys, cols):
+        sel = [*join_keys, *cols, "op"]
+        if head <= last:  # this side idle: empty feed, right schema
+            return (
+                t.read(spark, head)
+                .select(*join_keys, *cols)
+                .withColumn("op", F.lit("I"))
+                .limit(0)
+                .select(*sel)
+            )
+        return t.change_feed(
+            spark, keys=keys, from_version=last + 1, to_version=head,
+            normalize_updates=True,
+        ).select(*sel)
+
+    a_changes = feed(a, last_a, a_head, a_keys, a_cols)
+    b_changes = feed(b, last_b, b_head, b_keys, b_cols)
+    expected = dst.latest_version()
+    state = incremental_join_update(
+        dst.read(spark, expected),
+        a_changes,
+        b_changes,
+        a.read(spark, a_head),
+        b.read(spark, b_head),
+        join_keys,
+        a_cols,
+        b_cols,
+    )
+    if (
+        dst.overwrite_if(
+            state, expected,
+            extra={"a_version": a_head, "b_version": b_head},
+        )
+        is None
+    ):
+        return None  # lost the race; destination untouched
+    return (a_head, b_head)
+
+
 def stream_txlog_cdf_to_agg(
     spark,
     source_path: str,

@@ -1134,3 +1134,86 @@ def test_txlog_sink_composes_with_partitioned_table(spark, tmp_path):
     assert final.count() == 50
     assert final.filter("k = 35").collect()[0]["x"] == 70.0  # upserted
     assert all("p=" in f for f in t.live_files())
+
+
+def test_txlog_join_view_step_maintains_two_source_matview(spark, tmp_path):
+    """Two-source join-view maintenance (round 9): the Z-set view at
+    the destination must equal join_view_state(A.read(), B.read())
+    after EVERY step — through A-only churn (append + dv delete),
+    B-only churn (CoW update, row deletes), and both-sides commits in
+    one step (the bilinear correction term live against real CDC
+    feeds); both watermarks ride ONE atomic commit; caught-up ticks
+    are no-ops."""
+    from etl_sendas_spark.operators.ivm import join_view_state
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import txlog_join_view_step
+
+    a_root = str(tmp_path / "facts")
+    b_root = str(tmp_path / "dim")
+    dst_root = str(tmp_path / "view")
+
+    def facts(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k",
+            "CAST(id % 5 AS BIGINT) AS j",
+            "CAST(id % 3 AS STRING) AS a",
+        )
+
+    def dim(ids, tag):
+        return spark.createDataFrame(
+            [(int(i), f"{tag}{i}") for i in ids], "j LONG, b STRING"
+        )
+
+    a = TxLogTable.create(a_root, facts(0, 40))
+    b = TxLogTable.create(b_root, dim(range(4), "s"))  # j=4 unmatched
+
+    def expect():
+        return sorted(
+            map(
+                tuple,
+                join_view_state(
+                    TxLogTable(a_root).read(spark),
+                    TxLogTable(b_root).read(spark),
+                    ["j"], ["a"], ["b"],
+                ).collect(),
+            )
+        )
+
+    def got():
+        return sorted(map(tuple, TxLogTable(dst_root).read(spark).collect()))
+
+    step = lambda: txlog_join_view_step(
+        spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"], dst_root
+    )
+
+    assert step() == (0, 0)  # bootstrap
+    assert got() == expect()
+    assert step() is None  # caught up on both
+
+    # A-only churn: append (j=4 rows now exist but still unmatched)
+    # + dv delete; B idle — its empty feed must leave B terms zero
+    a.append(facts(100, 120), spark)
+    a.delete_where(spark, "k % 4 = 1", mode="dv")
+    assert step() == (2, 0)
+    assert got() == expect()
+
+    # B-only churn: payload update (D+I through the normalized feed)
+    # and a dim-key exit — every view row it fed must cascade out
+    b.update_where(spark, {"b": "'moved'"}, "j = 2")
+    b.delete_where(spark, "j = 0")
+    assert step() == (2, 2)  # consumed heads (A idle at 2, B at 2)
+    assert got() == expect()
+
+    # both sides in ONE step: new facts land on a dim key that changes
+    # in the same window — the ΔA⋈ΔB correction term against real feeds
+    a.append(facts(200, 210), spark)
+    b.update_where(spark, {"b": "'hot'"}, "j = 3")
+    assert step() == (3, 3)
+    assert got() == expect()
+    assert step() is None
+
+    # watermarks live in the destination commit, not a side file
+    meta = TxLogTable(dst_root).commit_meta(
+        TxLogTable(dst_root).latest_version()
+    )
+    assert (int(meta["a_version"]), int(meta["b_version"])) == (3, 3)
