@@ -633,3 +633,118 @@ FROM lab l CROSS JOIN solve s
 
 PART_QUERIES["quality_lsq_classifier_docs"] = quality_lsq_classifier_docs
 PART_ORACLES["quality_lsq_classifier_docs"] = QUALITY_LSQ_SQL
+
+# ===========================================================================
+# round 9 (cont.): at-rest inverted index — BM25 served from a
+# bucket-partitioned postings table, no corpus access at query time
+# ===========================================================================
+
+_IDX_QUERIES = [
+    (1, "spark hash join fast"),
+    (2, "window sort batch"),
+    (3, "key value table row"),
+]
+
+
+def search_bm25_index_at_rest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query served from the AT-REST inverted index
+    (operators/search.py round 9): postings built ONCE into a txlog
+    table hive-partitioned by md5-60 term bucket, corpus stats riding
+    the commit metadata; the probe partition-prunes to the query
+    terms' buckets — asserted in-query via inputFiles: every scanned
+    file must live under a hit bucket's directory — and never touches
+    the corpus. Results must equal the inline bm25_topk algebra, which
+    is exactly what the ORACLE replays in SQL (same tokenizer, same
+    tf/df/dl integers, same rounding) — so the hash pins the index
+    build, the metadata stats, the partition routing, AND the scoring.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.search import (
+        _py_bucket,
+        _py_tokens,
+        text_index_build,
+        text_index_topk,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"textidx_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    text_index_build(docs, root, buckets=16)
+
+    out = text_index_topk(spark, root, _IDX_QUERIES, k=10)
+
+    hit = {
+        _py_bucket(tok, 16)
+        for _, q in _IDX_QUERIES
+        for tok in _py_tokens(q)
+    }
+    from ..sources.txlog import TxLogTable
+
+    probe = TxLogTable(root).read(spark, prune={"bucket": sorted(hit)})
+    bad = [
+        f
+        for f in probe.inputFiles()
+        if not any(f"bucket={bk}/" in f for bk in hit)
+    ]
+    if bad or not probe.inputFiles():
+        raise AssertionError(
+            f"index probe escaped its buckets: {bad[:3]}"
+        )
+    return out
+
+
+_IDX_QS_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _IDX_QUERIES)
+
+SEARCH_IDX_SQL = f"""
+WITH qs(query_id, qtext) AS (VALUES {_IDX_QS_VALUES}),
+qterm AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split(trim(regexp_replace(lower(qtext),
+                '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS token
+  FROM qs
+),
+docs AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+  WHERE token IN (SELECT DISTINCT token FROM qterm)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         ROUND(SUM(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM qterm q
+  JOIN tf t USING (token)
+  JOIN dfreq d USING (token)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+PART_QUERIES["search_bm25_index_at_rest_docs"] = search_bm25_index_at_rest_docs
+PART_ORACLES["search_bm25_index_at_rest_docs"] = SEARCH_IDX_SQL

@@ -956,17 +956,25 @@ class TxLogTable:
         )
 
     def append(
-        self, df: DataFrame, spark: SparkSession, merge_schema: bool = False
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        merge_schema: bool = False,
+        extra: dict | None = None,
     ) -> int:
         """Blind insert; retries version claims until one lands.
         ``merge_schema=True`` permits ADDING columns (Delta-style
         evolution): earlier files backfill NULL at read; drops and
-        renames still fail loudly."""
+        renames still fail loudly. ``extra`` merges application
+        metadata into the commit record (readable via
+        :meth:`commit_meta`), as in :meth:`overwrite`."""
         self._check_schema(df, spark, merge_schema=merge_schema)
         files, stats, parts = self._write_data(
             df, self._stat_cols(), self._partition_cols()
         )
         payload = {"op": "append", "add": files}
+        if extra:
+            payload.update(extra)
         payload.update(self._maybe_blooms(spark, files))
         if merge_schema:
             # schema may have widened: record the post-append table

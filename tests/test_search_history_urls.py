@@ -17,6 +17,8 @@ from etl_sendas_spark.functions.urls import (
 from etl_sendas_spark.operators.relational import scd2_history
 from etl_sendas_spark.operators.search import bm25_topk
 
+from conftest import SF_ORACLE
+
 
 def test_bm25_hand_computed(spark):
     """3-doc corpus, 1 query: scores match the Okapi formula computed
@@ -744,3 +746,79 @@ def test_hybrid_rrf_ivf_path_matches_exact_fusion(spark):
     # n_probe=8 of 16 scans ~half the corpus; fused overlap is higher
     # than raw dense recall because the keyword branch is exact
     assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
+
+
+def test_text_index_at_rest_build_once_query_many(spark, tmp_path):
+    """At-rest inverted index (round 9): (1) the equality law — index
+    top-k row-for-row equal to the inline bm25_topk on the same corpus
+    for two query sets; (2) the prune law — a probe reads ONLY the
+    partitions its terms' buckets name (inputFiles strict subset, with
+    result parity against an unpruned read); (3) the append law —
+    build(A)+append(B) ≡ build(A∪B), with cumulative stats riding the
+    commit metadata and the append writing only B's postings."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.search import (
+        _py_bucket,
+        bm25_topk,
+        text_index_append,
+        text_index_build,
+        text_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b_side = docs.filter(F.col("doc_id") % 3 == 0)
+
+    q1 = [(1, "spark hash join"), (2, "table scan fast")]
+    q2 = [(7, "window sort merge"), (8, "batch value row")]
+
+    root = str(tmp_path / "fullidx")
+    text_index_build(docs, root, buckets=16)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for qs in (q1, q2):
+        assert rows(text_index_topk(spark, root, qs)) == rows(
+            bm25_topk(docs, qs)
+        )
+
+    # prune law: the probe's scan names only the hit buckets' files
+    t = TxLogTable(root)
+    hit = {_py_bucket(tok, 16) for tok in
+           ("spark", "hash", "join")}
+    pruned_files = set(
+        t.read(spark, prune={"bucket": sorted(hit)}).inputFiles()
+    )
+    all_files = set(t.read(spark).inputFiles())
+    assert pruned_files < all_files
+    for f in pruned_files:
+        assert any(f"bucket={bk}/" in f for bk in hit)
+
+    # append law: build(A)+append(B) == build(A∪B) on results AND stats
+    inc_root = str(tmp_path / "incidx")
+    text_index_build(a, inc_root, buckets=16)
+    v = text_index_append(b_side, inc_root)
+    assert v == 1
+    for qs in (q1, q2):
+        assert rows(text_index_topk(spark, inc_root, qs)) == rows(
+            text_index_topk(spark, root, qs)
+        )
+    ti = TxLogTable(inc_root)
+    meta_full = TxLogTable(root).commit_meta(0)
+    meta_inc = ti.commit_meta(ti.latest_version())
+    assert int(meta_inc["idx_n_docs"]) == int(meta_full["idx_n_docs"])
+    assert int(meta_inc["idx_sum_dl"]) == int(meta_full["idx_sum_dl"])
+    # the append's commit holds only B's postings (no corpus rescan)
+    import os
+
+    added = [os.path.join(inc_root, f) for f in ti._read_commit(v)["add"]]
+    appended = spark.read.parquet(*added)
+    assert appended.filter(F.col("doc_id") % 3 != 0).count() == 0
+    assert appended.count() > 0
