@@ -184,32 +184,38 @@ def incremental_join_update(
 
     # Key-pruned post-change base probes: only partitions holding the
     # other feed's keys are read (Z-set weight = row multiplicity).
+    # The feed-key sides are EXPLICITLY broadcast — they are small by
+    # the CDC contract, and without the hint a conservative session
+    # (autoBroadcastJoinThreshold=-1) would sort-merge the semi join,
+    # shuffling the whole base and destroying the feed-sized cost
+    # claim (measured: the probe's 5M-row shuffle WAS the maintenance
+    # cost until the hint pinned it map-side).
     b_probe = (
         b_new.select(*keys, *b_cols)
-        .join(w_a.select(*keys).distinct(), keys, "left_semi")
+        .join(F.broadcast(w_a.select(*keys).distinct()), keys, "left_semi")
         .groupBy(*keys, *b_cols)
         .agg(F.count("*").alias("w"))
     )
     a_probe = (
         a_new.select(*keys, *a_cols)
-        .join(w_b.select(*keys).distinct(), keys, "left_semi")
+        .join(F.broadcast(w_b.select(*keys).distinct()), keys, "left_semi")
         .groupBy(*keys, *a_cols)
         .agg(F.count("*").alias("w"))
     )
 
     view_cols = [*keys, *a_cols, *b_cols]
     t1 = (
-        w_a.alias("l")
+        F.broadcast(w_a).alias("l")
         .join(b_probe.alias("r"), keys)
         .select(*view_cols, (F.col("l.w") * F.col("r.w")).alias("w"))
     )
     t2 = (
         a_probe.alias("l")
-        .join(w_b.alias("r"), keys)
+        .join(F.broadcast(w_b).alias("r"), keys)
         .select(*view_cols, (F.col("l.w") * F.col("r.w")).alias("w"))
     )
     t3 = (
-        w_a.alias("l")
+        F.broadcast(w_a).alias("l")
         .join(w_b.alias("r"), keys)
         .select(*view_cols, (-F.col("l.w") * F.col("r.w")).alias("w"))
     )
