@@ -125,8 +125,7 @@ def join_view_state(
     return v.groupBy(*keys, *a_cols, *b_cols).agg(F.count("*").alias("n"))
 
 
-def incremental_join_update(
-    state: DataFrame,
+def join_view_delta(
     a_changes: DataFrame,
     b_changes: DataFrame,
     a_new: DataFrame,
@@ -136,39 +135,14 @@ def incremental_join_update(
     b_cols: Sequence[str],
     op_col: str = "op",
 ) -> DataFrame:
-    """Maintain a join view built by :func:`join_view_state` from the
-    two sides' CDC feeds — the bilinear delta rule of incremental
-    view maintenance (join is bilinear over Z-sets, so its delta has
-    exactly three terms):
-
-        ΔV = ΔA ⋈ B_new  ⊕  A_new ⋈ ΔB  ⊖  ΔA ⋈ ΔB
-
-    written against the POST-change base tables because that is what
-    the storage layer holds when maintenance runs (same convention as
-    :func:`incremental_minmax_update`'s ``effective_base``); the
-    ``⊖ ΔA ⋈ ΔB`` term removes the double count the two ``_new``
-    probes introduce.  ``a_changes``/``b_changes`` carry the side's
-    ``keys + cols`` plus ``op_col`` in {'I','D'} (normalize updates to
-    D+I upstream, the CDC normal form used everywhere in this module).
-
-    Scale shape — the whole point: NEITHER base table is scanned in
-    full.  Each probe side is semi-join-pruned to the OTHER feed's key
-    set before grouping, so with the bases partitioned/bucketed on the
-    join key the maintenance I/O is change-feed-key-sized, not
-    base-sized; the three delta terms are all change-feed-sized
-    joins; and the final merge is one keyed full-outer against the
-    state (state-sized shuffle only if the state store isn't already
-    co-partitioned on the view key, as the stream-upsert/txlog sinks
-    arrange).  A full recompute — the law the oracle enforces — would
-    instead re-shuffle both bases.
-
-    Multiplicity correctness falls out of the Z-set algebra: every
-    term multiplies its inputs' weights (feed rows collapse to signed
-    weights first, so a +1/-1 churn on the same tuple cancels before
-    it ever probes a base).  Rows whose merged multiplicity reaches 0
-    leave the view; negative multiplicities (deleting never-inserted
-    rows) stay visible, intentionally unmasked, matching
-    :func:`incremental_agg_update`."""
+    """The signed Z-set delta of a join view — the bilinear rule of
+    :func:`incremental_join_update`, exposed separately so callers can
+    APPLY it their own way: the in-plan full-outer merge (that
+    function), or a keyed storage merge that rewrites only affected
+    files (``streaming.sessions.txlog_join_view_step(apply="merge")``).
+    Returns ``(keys..., a_cols..., b_cols..., w)`` with ``w != 0``
+    (see :func:`incremental_join_update` for the algebra, the
+    key-pruned probe shape, and the broadcast contract)."""
     keys = list(keys)
 
     def zset(changes: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -219,12 +193,65 @@ def incremental_join_update(
         .join(w_b.alias("r"), keys)
         .select(*view_cols, (-F.col("l.w") * F.col("r.w")).alias("w"))
     )
-    delta = (
+    return (
         t1.unionByName(t2)
         .unionByName(t3)
         .groupBy(*view_cols)
         .agg(F.sum("w").alias("w"))
         .filter(F.col("w") != 0)
+    )
+
+
+def incremental_join_update(
+    state: DataFrame,
+    a_changes: DataFrame,
+    b_changes: DataFrame,
+    a_new: DataFrame,
+    b_new: DataFrame,
+    keys: Sequence[str],
+    a_cols: Sequence[str],
+    b_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Maintain a join view built by :func:`join_view_state` from the
+    two sides' CDC feeds — the bilinear delta rule of incremental
+    view maintenance (join is bilinear over Z-sets, so its delta has
+    exactly three terms):
+
+        ΔV = ΔA ⋈ B_new  ⊕  A_new ⋈ ΔB  ⊖  ΔA ⋈ ΔB
+
+    written against the POST-change base tables because that is what
+    the storage layer holds when maintenance runs (same convention as
+    :func:`incremental_minmax_update`'s ``effective_base``); the
+    ``⊖ ΔA ⋈ ΔB`` term removes the double count the two ``_new``
+    probes introduce.  ``a_changes``/``b_changes`` carry the side's
+    ``keys + cols`` plus ``op_col`` in {'I','D'} (normalize updates to
+    D+I upstream, the CDC normal form used everywhere in this module).
+
+    Scale shape — the whole point: NEITHER base table is scanned in
+    full.  Each probe side is semi-join-pruned to the OTHER feed's key
+    set before grouping — with the feed frames EXPLICITLY broadcast
+    (small by the CDC contract; without the hint a conservative
+    session sort-merges the semi join and shuffles the whole base,
+    measured in BASELINE.md r9) — so with the bases
+    partitioned/bucketed on the join key the maintenance I/O is
+    change-feed-key-sized, not base-sized; the three delta terms are
+    all change-feed-sized joins; and the final merge is one keyed
+    full-outer against the state (state-sized shuffle only if the
+    state store isn't already co-partitioned on the view key, as the
+    stream-upsert/txlog sinks arrange).  A full recompute — the law
+    the oracle enforces — would instead re-shuffle both bases.
+
+    Multiplicity correctness falls out of the Z-set algebra: every
+    term multiplies its inputs' weights (feed rows collapse to signed
+    weights first, so a +1/-1 churn on the same tuple cancels before
+    it ever probes a base).  Rows whose merged multiplicity reaches 0
+    leave the view; negative multiplicities (deleting never-inserted
+    rows) stay visible, intentionally unmasked, matching
+    :func:`incremental_agg_update`."""
+    view_cols = [*keys, *a_cols, *b_cols]
+    delta = join_view_delta(
+        a_changes, b_changes, a_new, b_new, keys, a_cols, b_cols, op_col
     )
 
     s = state.alias("s")

@@ -1176,6 +1176,7 @@ class TxLogTable:
         head: int,
         affected_rel: list[str],
         replacement: DataFrame,
+        extra: dict | None = None,
     ) -> int:
         """Shared copy-on-write commit: replace ``affected_rel`` with
         files written from ``replacement``, leaving every other live
@@ -1197,6 +1198,8 @@ class TxLogTable:
             payload["parts"] = parts
         if stats:
             payload["stats"] = stats
+        if extra:
+            payload.update(extra)
         if not self._try_commit(head + 1, payload):
             raise CommitConflict(
                 f"live set moved past version {head} during {op}; retry"
@@ -1440,6 +1443,8 @@ class TxLogTable:
         source: DataFrame,
         keys: list[str],
         when_matched: str = "update",
+        delete_when: str | None = None,
+        extra: dict | None = None,
     ) -> int:
         """``MERGE INTO t USING source ON keys`` with file-level
         copy-on-write: matched target rows are replaced by their
@@ -1451,11 +1456,28 @@ class TxLogTable:
         same single commit. PRECONDITION: ``keys`` unique in source
         (enforced — duplicate source keys would fan out matched rows).
         Source schema must equal the table schema. Returns the new
-        version."""
+        version.
+
+        ``delete_when`` (update mode only): a SQL predicate over the
+        SOURCE row — source rows satisfying it DELETE their matched
+        target rows instead of replacing them, and never insert (the
+        Delta ``WHEN MATCHED AND cond THEN DELETE`` arm, in the same
+        single atomic commit as the updates/inserts — which is what
+        lets an IVM consumer apply upserts AND zero-multiplicity
+        retractions with one watermark).  NOTE: matching is by plain
+        equi-join, so NULL key values never match (standard MERGE
+        semantics) — callers merging Z-set view rows must not have
+        NULLs in the view key columns.  ``extra`` merges application
+        metadata into the commit record, as in :meth:`overwrite`."""
         if when_matched not in ("update", "delete"):
             raise ValueError(
                 f"merge_into: when_matched must be update|delete, "
                 f"got {when_matched!r}"
+            )
+        if delete_when is not None and when_matched != "update":
+            raise ValueError(
+                "merge_into: delete_when composes with "
+                "when_matched='update' only"
             )
         head = self.latest_version()
         tbl_cols = self.read(spark, head).columns
@@ -1499,11 +1521,16 @@ class TxLogTable:
         if when_matched == "delete":
             replacement = kept
         else:
-            # every source row lands: updates replace their matched
-            # rows (which live only in affected files), inserts are new
-            replacement = kept.unionByName(source.select(*tbl_cols))
+            # every surviving source row lands: updates replace their
+            # matched rows (which live only in affected files),
+            # inserts are new; delete_when-flagged rows vanish (their
+            # matches are already excluded from `kept`)
+            src_rows = source.select(*tbl_cols)
+            if delete_when is not None:
+                src_rows = src_rows.filter(~F.expr(delete_when))
+            replacement = kept.unionByName(src_rows)
         return self._rewrite_files(
-            spark, "merge", head, affected, replacement
+            spark, "merge", head, affected, replacement, extra=extra
         )
 
     def compact(

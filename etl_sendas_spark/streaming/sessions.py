@@ -732,6 +732,20 @@ def stream_upsert_to_txlog(
     return q
 
 
+def _latest_meta_with(t, meta_keys: list[str]) -> dict | None:
+    """Newest commit metadata carrying ALL of ``meta_keys`` — walked
+    back from the head, because maintenance commits are not the only
+    writers of a consumer/view table: a compact/bin-pack/vacuum lands
+    its own commit WITHOUT the watermark keys, and reading strictly
+    the head would break the consumer chain after any layout pass.
+    Driver-side log metadata only; None when no commit carries them."""
+    for v in sorted(t.versions(), reverse=True):
+        m = t.commit_meta(v)
+        if all(k in m for k in meta_keys):
+            return m
+    return None
+
+
 def txlog_cdf_consumer_step(
     spark,
     source_path: str,
@@ -780,13 +794,13 @@ def txlog_cdf_consumer_step(
             return head
         except (CommitConflict, FileExistsError):
             return None  # concurrent bootstrap won; next tick continues
-    meta = dst.commit_meta(dst.latest_version())
-    last = int(meta.get("source_version", -1))
-    if last < 0:
+    meta = _latest_meta_with(dst, ["source_version"])
+    if meta is None:
         raise ValueError(
             f"destination {dst_path} exists but carries no "
             f"source_version metadata — not a CDF consumer table"
         )
+    last = int(meta["source_version"])
     if head <= last:
         return None  # caught up
     changes = src.change_feed(
@@ -818,6 +832,7 @@ def txlog_join_view_step(
     a_cols: list[str],
     b_cols: list[str],
     dst_path: str,
+    apply: str = "overwrite",
 ) -> tuple[int, int] | None:
     """ONE transactional step maintaining a materialized JOIN view over
     TWO independently-mutating txlog tables — the two-source extension
@@ -841,9 +856,34 @@ def txlog_join_view_step(
     holding ΔA's join keys and vice versa; neither base nor the view
     is rescanned after bootstrap.  At 100 TB this is the difference
     between "enriched matview kept current for the cost of the churn"
-    and "re-join the world every refresh"."""
-    from ..operators.ivm import incremental_join_update, join_view_state
+    and "re-join the world every refresh".
+
+    ``apply`` picks how the delta lands in storage:
+
+    - ``"overwrite"`` (default): in-plan full-outer merge + whole-view
+      rewrite (``overwrite_if``) — simplest, view-sized WRITE per step.
+    - ``"merge"``: the delta alone (Z-set, churn-sized) joins the
+      current view for final multiplicities and lands via
+      ``merge_into(delete_when="n = 0")`` — updates, inserts, AND
+      zero-multiplicity retractions in ONE atomic commit carrying the
+      watermarks, rewriting ONLY the files holding affected view rows
+      (CoW write amplification bounded by the churn, the mode a
+      100 TB view wants).  Constraints: view columns must be NULL-free
+      (MERGE equi-join semantics — NULL keys never match), and the
+      mode assumes a SINGLE maintenance writer per view (the CAS is
+      merge-internal, so a racing consumer between the state read and
+      the merge commit interleaves instead of losing cleanly — the
+      overwrite mode keeps the strict expected-version CAS);
+      bootstrap and caught-up behavior are identical."""
+    from ..operators.ivm import (
+        incremental_join_update,
+        join_view_delta,
+        join_view_state,
+    )
     from ..sources.txlog import CommitConflict, TxLogTable
+
+    if apply not in ("overwrite", "merge"):
+        raise ValueError(f"txlog_join_view_step: bad apply={apply!r}")
 
     a, b = TxLogTable(a_path), TxLogTable(b_path)
     a_head, b_head = a.latest_version(), b.latest_version()
@@ -861,14 +901,14 @@ def txlog_join_view_step(
             return (a_head, b_head)
         except (CommitConflict, FileExistsError):
             return None  # concurrent bootstrap won; next tick continues
-    meta = dst.commit_meta(dst.latest_version())
-    last_a = int(meta.get("a_version", -1))
-    last_b = int(meta.get("b_version", -1))
-    if last_a < 0 or last_b < 0:
+    meta = _latest_meta_with(dst, ["a_version", "b_version"])
+    if meta is None:
         raise ValueError(
             f"destination {dst_path} exists but carries no "
             f"a_version/b_version metadata — not a join-view table"
         )
+    last_a = int(meta["a_version"])
+    last_b = int(meta["b_version"])
     if a_head <= last_a and b_head <= last_b:
         return None  # caught up on both sides
 
@@ -890,6 +930,37 @@ def txlog_join_view_step(
     a_changes = feed(a, last_a, a_head, a_keys, a_cols)
     b_changes = feed(b, last_b, b_head, b_keys, b_cols)
     expected = dst.latest_version()
+    extra = {"a_version": a_head, "b_version": b_head}
+    if apply == "merge":
+        view_cols = [*join_keys, *a_cols, *b_cols]
+        delta = join_view_delta(
+            a_changes, b_changes,
+            a.read(spark, a_head), b.read(spark, b_head),
+            join_keys, a_cols, b_cols,
+        )
+        # final multiplicities for JUST the delta's view rows: old n
+        # (0 when new) + w; n == 0 rows become delete_when retractions.
+        # The view scan is semi-restricted to delta rows FIRST (broadcast
+        # the churn-sized delta; a preserved small side can't broadcast
+        # in an outer join directly), so both joins stay map-side over
+        # one view scan.
+        old = dst.read(spark, expected)
+        old_hit = old.join(
+            F.broadcast(delta.select(*view_cols)), view_cols, "left_semi"
+        )
+        src = delta.join(
+            F.broadcast(old_hit), view_cols, "left_outer"
+        ).select(
+            *view_cols,
+            (F.coalesce(F.col("n"), F.lit(0)) + F.col("w")).alias("n"),
+        )
+        try:
+            dst.merge_into(
+                spark, src, view_cols, delete_when="n = 0", extra=extra
+            )
+        except CommitConflict:
+            return None  # lost the race; destination untouched
+        return (a_head, b_head)
     state = incremental_join_update(
         dst.read(spark, expected),
         a_changes,

@@ -1217,3 +1217,93 @@ def test_txlog_join_view_step_maintains_two_source_matview(spark, tmp_path):
         TxLogTable(dst_root).latest_version()
     )
     assert (int(meta["a_version"]), int(meta["b_version"])) == (3, 3)
+
+
+def test_txlog_join_view_step_merge_apply_mode(spark, tmp_path):
+    """apply="merge" (round 9): same maintained view as the overwrite
+    mode through the same churn ladder, but each step lands via
+    merge_into(delete_when='n = 0') — updates, inserts, AND
+    zero-multiplicity retractions in ONE commit that also carries the
+    watermarks; the commit's remove-set is a STRICT subset of the live
+    files (write amplification bounded by the churn, unlike the
+    whole-view overwrite)."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.ivm import join_view_state
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import txlog_join_view_step
+
+    a_root = str(tmp_path / "facts")
+    b_root = str(tmp_path / "dim")
+    dst_root = str(tmp_path / "view")
+
+    def facts(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k",
+            "CAST(id % 50 AS BIGINT) AS j",
+            "CAST(id % 3 AS STRING) AS a",
+        )
+
+    a = TxLogTable.create(a_root, facts(0, 2000))
+    b = TxLogTable.create(
+        b_root,
+        spark.createDataFrame(
+            [(i, f"s{i % 7}") for i in range(50)], "j LONG, b STRING"
+        ),
+    )
+
+    def expect():
+        return sorted(
+            map(
+                tuple,
+                join_view_state(
+                    TxLogTable(a_root).read(spark),
+                    TxLogTable(b_root).read(spark),
+                    ["j"], ["a"], ["b"],
+                ).collect(),
+            )
+        )
+
+    step = lambda: txlog_join_view_step(
+        spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"],
+        dst_root, apply="merge",
+    )
+    assert step() == (0, 0)  # bootstrap (same as overwrite mode)
+    dst = TxLogTable(dst_root)
+    assert sorted(map(tuple, dst.read(spark).collect())) == expect()
+
+    # a layout pass between steps: its commit carries NO watermarks —
+    # the consumer must walk back to the newest commit that does
+    # (j-clustered files also localize the next merge's rewrite)
+    dst.compact(spark, target_files=8, zorder_by=["j"])
+
+    # LOCALIZED churn: only j=7 and j=11 view rows are touched
+    a.append(
+        spark.range(5000, 5400).selectExpr(
+            "id AS k", "CAST(id % 50 AS BIGINT) AS j",
+            "CAST(id % 3 AS STRING) AS a",
+        ).filter("j IN (7, 23)"),
+        spark,
+    )
+    a.delete_where(spark, "k % 50 = 7 AND k < 100")
+    b.update_where(spark, {"b": "'hot'"}, "j = 7")
+    b.delete_where(spark, "j = 11")
+    live_before = set(dst.live_files())
+    assert step() == (2, 2)
+    assert sorted(map(tuple, dst.read(spark).collect())) == expect()
+    assert step() is None
+
+    # the merge commit carries the watermarks AND bounded its rewrite
+    v = dst.latest_version()
+    meta = dst.commit_meta(v)
+    assert (int(meta["a_version"]), int(meta["b_version"])) == (2, 2)
+    rec = dst._read_commit(v)
+    assert rec["op"] == "merge"
+    removed = set(rec.get("remove", []))
+    import os as _os
+
+    live_rel = {_os.path.relpath(p, dst_root) for p in live_before}
+    assert removed < live_rel  # strict subset: untouched files survive
+
+    # zero-multiplicity retraction actually leaves no n == 0 tombstone
+    assert dst.read(spark).filter(F.col("n") == 0).count() == 0

@@ -1171,3 +1171,38 @@ def test_update_where_dv_merge_on_read(spark, tmp_path):
     assert sorted(map(tuple, tdv.read(spark).collect())) == sorted(
         map(tuple, tcow.read(spark).collect())
     )
+
+
+def test_merge_into_delete_when_arm(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN DELETE (round 9): one merge commit
+    updates, inserts, AND deletes — source rows satisfying delete_when
+    remove their matches and never insert; composes with update mode
+    only; extra metadata rides the same commit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k LONG, n LONG"
+        ),
+    )
+    src = spark.createDataFrame(
+        [(2, 25), (3, 0), (4, 40), (5, 0)], "k LONG, n LONG"
+    )
+    v = t.merge_into(
+        spark, src, ["k"], delete_when="n = 0", extra={"wm": 7}
+    )
+    got = sorted(map(tuple, t.read(spark).collect()))
+    # k=1 untouched, k=2 updated, k=3 deleted, k=4 inserted,
+    # k=5 delete-flagged + unmatched -> nothing
+    assert got == [(1, 10), (2, 25), (4, 40)]
+    assert int(t.commit_meta(v)["wm"]) == 7
+
+    with pytest.raises(ValueError, match="delete_when"):
+        t.merge_into(
+            spark, src, ["k"], when_matched="delete", delete_when="n = 0"
+        )
