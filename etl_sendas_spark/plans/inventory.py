@@ -465,6 +465,13 @@ EXTRA_ORACLES.update(_inv_round9.PART_ORACLES)
 # variant keeps its EXTRA oracle), sample_group_split_docs (sampling
 # family's driver slot passes to DSIR; the leakage-safe group split
 # keeps its EXTRA oracle + property tests).
+# Round-9 late additions already holding the full oracle bar in EXTRA
+# (hash-exact 2 SFs each), queued BEHIND the r10 swap as r11 rotation
+# candidates: ivm_join_view_events (bilinear join-IVM — a maintenance
+# algebra no current row covers), quality_lsq_classifier_docs (the
+# registry's one TRAINED model whose training itself is under the
+# hash: integer moments + Cramer), search_bm25_index_at_rest_docs
+# (at-rest inverted index with in-query partition-prune assertion).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
