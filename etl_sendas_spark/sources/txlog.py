@@ -1529,6 +1529,10 @@ class TxLogTable:
             if delete_when is not None:
                 src_rows = src_rows.filter(~F.expr(delete_when))
             replacement = kept.unionByName(src_rows)
+        # A churn-sized merge must not shatter into shuffle-partition-
+        # many small files: bound the replacement's file count by the
+        # affected-file count (+1 for inserts) — coalesce, no shuffle.
+        replacement = replacement.coalesce(max(1, len(affected)))
         return self._rewrite_files(
             spark, "merge", head, affected, replacement, extra=extra
         )

@@ -954,12 +954,21 @@ def txlog_join_view_step(
             *view_cols,
             (F.coalesce(F.col("n"), F.lit(0)) + F.col("w")).alias("n"),
         )
+        # merge_into drives several actions over its source (dup
+        # check, affected-file discovery, replacement write); without
+        # pinning, each re-executes the whole delta plan INCLUDING its
+        # base probes — measured 2.5× slower than the overwrite path
+        # until this persist made the delta compute once.
+        src = src.persist()
         try:
+            src.count()
             dst.merge_into(
                 spark, src, view_cols, delete_when="n = 0", extra=extra
             )
         except CommitConflict:
             return None  # lost the race; destination untouched
+        finally:
+            src.unpersist()
         return (a_head, b_head)
     state = incremental_join_update(
         dst.read(spark, expected),

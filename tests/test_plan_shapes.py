@@ -489,3 +489,100 @@ def test_minhash_incremental_corpus_side_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     # probe (index x wave), wave self-join, and both verification joins
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_join_ivm_delta_broadcasts_feeds_even_without_auto(spark):
+    """The join-IVM delta's feed-derived frames are EXPLICITLY
+    broadcast (BASELINE r9: without the hint a conservative session
+    sort-merges the feed-key semi joins, shuffling the whole base and
+    inverting the feed-sized cost claim). Pinned by compiling the plan
+    with autoBroadcastJoinThreshold=-1: every join must still be a
+    broadcast variant — no SortMergeJoin anywhere in the delta."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.ivm import join_view_delta
+
+    a_new = spark.range(10000).selectExpr(
+        "id % 500 AS j", "CAST(id % 3 AS STRING) AS a"
+    )
+    b_new = spark.range(500).selectExpr(
+        "id AS j", "CAST(id % 7 AS STRING) AS b"
+    )
+    ach = spark.range(20).selectExpr(
+        "id % 500 AS j", "CAST(id % 3 AS STRING) AS a", "'I' AS op"
+    )
+    bch = spark.range(5).selectExpr(
+        "id AS j", "CAST(id % 7 AS STRING) AS b", "'D' AS op"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            join_view_delta(ach, bch, a_new, b_new, ["j"], ["a"], ["b"])
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_text_index_probe_stays_query_bounded(spark, tmp_path):
+    """The at-rest index probe compiles to a query-bounded plan: the
+    postings scan carries the pushed token-IN filter, every join
+    against query-derived frames broadcasts, and the only shuffles are
+    the df aggregate and the per-query score/top-k — a budget that
+    does not grow with the index."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.search import (
+        text_index_build,
+        text_index_topk,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    root = str(tmp_path / "idx")
+    text_index_build(docs, root, buckets=8)
+    plan = _plan(
+        text_index_topk(spark, root, [(1, "spark join"), (2, "fast scan")])
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "In(token" in plan or "token IN" in plan, plan  # pushed filter
+    # qterms distinct + df agg + score agg + top-k window — each
+    # bounded by query vocab/candidates, none index-sized
+    assert _shuffles(plan) <= 4, plan
+
+
+def test_lsq_training_moments_are_one_scan_no_shuffle(spark):
+    """The classifier's whole training aggregate (XᵀX + Xᵀy moments)
+    compiles to ONE scan with a partial/final hash aggregate and no
+    hash-partitioning exchange at all (global aggregate → single
+    exchange to one partition, not a keyed shuffle) — training cost is
+    literally one pass over the features."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.classify import (
+        quality_feature_exprs,
+        weak_quality_label,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    fx = quality_feature_exprs("text")
+    feats = docs.select(
+        *[e.alias(k) for k, e in fx.items()]
+    ).withColumn("y", weak_quality_label({k: F.col(k) for k in fx}))
+    cols = ["bias", "n_tokens", "n_stop"]
+    aggs = [
+        F.sum(F.col(a).cast("long") * F.col(b).cast("long")).alias(f"m{a}{b}")
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ] + [F.sum(F.col(c).cast("long") * F.col("y")).alias(f"v{c}") for c in cols]
+    plan = _plan(feats.select(*aggs))
+    assert _shuffles(plan) == 0, plan  # only SinglePartition exchange
+    assert "HashAggregate" in plan
