@@ -1233,6 +1233,57 @@ class TxLogTable:
             for r in scan.filter(hit).select("__f").distinct().collect()
         )
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        condition: str,
+        prune: dict | None = None,
+        extra: dict | None = None,
+    ) -> int:
+        """Delta's ``replaceWhere``: atomically replace exactly the
+        rows matching ``condition`` with ``df``'s rows — the backfill
+        primitive (recompute one month/source/partition and swap it in
+        ONE commit, while :meth:`overwrite` would replace the whole
+        table and DELETE+append would be two commits with a torn state
+        between them).
+
+        Every ``df`` row must satisfy ``condition`` (validated, like
+        Delta — one action over ``df``; a violating row would silently
+        leak data outside the replaced scope).  Target rows where the
+        predicate is NULL are KEPT (SQL DML semantics, matching
+        :meth:`delete_where`).  ``prune`` bounds the discovery scan;
+        on a hive-partitioned table with ``condition`` over partition
+        columns the discovery prunes at the manifest, so a partition
+        backfill touches that partition's files and nothing else
+        (file-level CoW: non-matching rows of affected files are
+        preserved).  ``extra`` merges commit metadata as elsewhere."""
+        self._check_schema(df, spark)
+        hit = F.expr(condition)
+        bad = df.filter(~hit.eqNullSafe(F.lit(True))).limit(1).count()
+        if bad:
+            raise ValueError(
+                "replace_where: df contains rows NOT matching "
+                f"{condition!r} — they would leak outside the "
+                "replaced scope"
+            )
+        head = self.latest_version()
+        affected = self._affected_files(spark, head, hit, prune)
+        cols = self.read(spark, head).columns
+        if affected:
+            kept = (
+                self._scan_live(spark, affected, head)
+                .filter(~hit.eqNullSafe(F.lit(True)))
+                .select(*cols)
+            )
+            replacement = kept.unionByName(df.select(*cols))
+        else:
+            replacement = df.select(*cols)
+        return self._rewrite_files(
+            spark, "replace_where", head, affected, replacement,
+            extra=extra,
+        )
+
     def delete_where(
         self,
         spark: SparkSession,

@@ -225,6 +225,17 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_replace_where(args) -> int:
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_replace_where")
+    df = spark.read.parquet(args.src)
+    v = t.replace_where(spark, df, args.where)
+    print(f"replaced scope {args.where!r} -> v{v}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="etl_sendas_spark.table_cli", description=__doc__
@@ -296,6 +307,16 @@ def main(argv: list[str] | None = None) -> int:
         help="dv = merge-on-read deletion vector (no file rewritten)",
     )
     p.set_defaults(fn=cmd_delete)
+
+    p = sub.add_parser(
+        "replace-where",
+        help="atomic scoped overwrite: swap WHERE-matching rows for a "
+        "parquet source (the backfill primitive)",
+    )
+    p.add_argument("path")
+    p.add_argument("--src", required=True, help="parquet path of new rows")
+    p.add_argument("--where", required=True)
+    p.set_defaults(fn=cmd_replace_where)
 
     p = sub.add_parser("update", help="UPDATE SET ... WHERE (cow or dv)")
     p.add_argument("path")

@@ -1206,3 +1206,56 @@ def test_merge_into_delete_when_arm(spark, tmp_path):
         t.merge_into(
             spark, src, ["k"], when_matched="delete", delete_when="n = 0"
         )
+
+
+def test_replace_where_partition_backfill(spark, tmp_path):
+    """replaceWhere (round 9): a partition backfill swaps exactly the
+    matching rows in ONE commit — discovery prunes to the partition's
+    files (remove-set strictly under its hive dir), non-matching rows
+    of affected files survive, NULL-predicate rows are kept, and a df
+    row outside the scope fails loudly before anything commits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(100)]
+        + [(900, None, 0.5)],
+        "k LONG, part STRING, v DOUBLE",
+    )
+    t = TxLogTable.create(
+        root, df.repartition(4, "k"), partition_by=["part"]
+    )
+
+    new_b = spark.createDataFrame(
+        [(1000 + i, "b", -1.0) for i in range(10)],
+        "k LONG, part STRING, v DOUBLE",
+    )
+    v = t.replace_where(
+        spark, new_b, "part = 'b'", prune={"part": ["b"]}
+    )
+    rec = t._read_commit(v)
+    assert rec["op"] == "replace_where"
+    assert rec["remove"] and all("part=b/" in f for f in rec["remove"])
+    got = t.read(spark)
+    assert got.filter(F.col("part") == "b").count() == 10
+    assert got.filter((F.col("part") == "b") & (F.col("v") >= 0)).count() == 0
+    assert got.filter(F.col("part") == "a").count() == 50  # untouched
+    assert got.filter(F.col("part").isNull()).count() == 1  # NULL kept
+
+    # scope-violation: a row outside the predicate fails loudly
+    leak = spark.createDataFrame(
+        [(1, "a", 0.0)], "k LONG, part STRING, v DOUBLE"
+    )
+    head = t.latest_version()
+    with pytest.raises(ValueError, match="leak"):
+        t.replace_where(spark, leak, "part = 'b'")
+    assert t.latest_version() == head  # nothing committed
+
+    # change feed of the backfill: D for every replaced row, I for new
+    feed = t.change_feed(spark, keys=["k"], from_version=v, to_version=v)
+    ops = {r["op"] for r in feed.collect()}
+    assert ops == {"I", "D"}
+    assert feed.filter((F.col("op") == "D") & (F.col("part") != "b")).count() == 0
