@@ -495,6 +495,20 @@ class TxLogTable:
                 parts[rel] = vals
 
         stats: dict = {}
+        # Per-file row counts ride the stats map under "__rows__" —
+        # always, not just with stat_cols: they cost one footer read
+        # per new file at write time and buy a METADATA-ONLY
+        # :meth:`row_count` (the Delta stats-based COUNT(*)) that
+        # never scans data. Pruning code looks stats up by column
+        # name, so the extra key is inert there.
+        import pyarrow.parquet as _pq
+
+        for rel in files:
+            stats[rel] = {
+                "__rows__": _pq.ParquetFile(
+                    os.path.join(self.root, rel)
+                ).metadata.num_rows
+            }
         if stat_cols:
             if partition_by:
                 # partitioned files sit in nested col=value dirs — walk
@@ -522,14 +536,18 @@ class TxLogTable:
                         if lo is not None:
                             rng[c] = [lo, hi]
                     if rng:
-                        stats[rel] = rng
+                        stats.setdefault(rel, {}).update(rng)
             else:
                 for rng in parquet_file_minmax(out_dir, stat_cols):
-                    stats[os.path.join(rel_dir, rng["file"])] = {
-                        c: list(rng[c])
-                        for c in stat_cols
-                        if rng[c][0] is not None
-                    }
+                    stats.setdefault(
+                        os.path.join(rel_dir, rng["file"]), {}
+                    ).update(
+                        {
+                            c: list(rng[c])
+                            for c in stat_cols
+                            if rng[c][0] is not None
+                        }
+                    )
         return files, stats, parts
 
     def _check_schema(
@@ -709,6 +727,30 @@ class TxLogTable:
                 f"(resolvable versions: {self.versions()})"
             )
         return best
+
+    def row_count(self, version: int | None = None) -> int:
+        """METADATA-ONLY ``COUNT(*)`` of a snapshot — the Delta
+        stats-based count: per-file row counts logged at write time
+        (``__rows__`` in the stats map) sum driver-side, deletion-
+        vector positions subtract, and no data file is scanned.  Files
+        from commits predating the row-count logging (or written by an
+        external committer via :meth:`commit_files` without it) fall
+        back to a parquet FOOTER read — still no data pages.  At
+        100 TB this answers the most common query of all from the
+        commit log alone."""
+        rel, stats, _parts = self._replay(version)
+        dvs = self._replay_dvs(version)
+        import pyarrow.parquet as _pq
+
+        total = 0
+        for f in rel:
+            n = stats.get(f, {}).get("__rows__")
+            if n is None:
+                n = _pq.ParquetFile(
+                    os.path.join(self.root, f)
+                ).metadata.num_rows
+            total += int(n)
+        return total - sum(len(ps) for ps in dvs.values())
 
     def read(
         self,

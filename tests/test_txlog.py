@@ -1259,3 +1259,32 @@ def test_replace_where_partition_backfill(spark, tmp_path):
     ops = {r["op"] for r in feed.collect()}
     assert ops == {"I", "D"}
     assert feed.filter((F.col("op") == "D") & (F.col("part") != "b")).count() == 0
+
+
+def test_row_count_is_metadata_only_and_dml_exact(spark, tmp_path):
+    """Stats-based COUNT(*) (round 9): row_count() equals the scanned
+    count at every point of a DML ladder — create, append, CoW delete,
+    dv delete (vector positions subtract), merge, compact, and time
+    travel to every version — while reading zero data pages (pinned by
+    deleting the data files' pages... structurally: the method takes
+    no SparkSession at all)."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root,
+        spark.range(1000).selectExpr("id AS k", "id % 7 AS g"),
+    )
+    t.append(spark.range(1000, 1300).selectExpr("id AS k", "id % 7 AS g"), spark)
+    t.delete_where(spark, "k % 10 = 3")
+    t.delete_where(spark, "k % 17 = 5", mode="dv")
+    t.merge_into(
+        spark,
+        spark.range(2000, 2050).selectExpr("id AS k", "id % 7 AS g"),
+        ["k"],
+    )
+    t.compact(spark, target_files=2)
+    for v in t.versions():
+        assert t.row_count(v) == t.read(spark, v).count(), f"v{v}"
