@@ -991,6 +991,45 @@ def txlog_join_view_step(
     return (a_head, b_head)
 
 
+def stream_txlog_join_view(
+    spark,
+    a_path: str,
+    b_path: str,
+    a_keys: list[str],
+    b_keys: list[str],
+    join_keys: list[str],
+    a_cols: list[str],
+    b_cols: list[str],
+    dst_path: str,
+    checkpoint: str,
+    tick_seconds: float = 0.5,
+    apply: str = "overwrite",
+):
+    """The running host for :func:`txlog_join_view_step` — the same
+    rate-ticker/foreachBatch pattern as :func:`stream_txlog_cdf_to_agg`
+    (whose restart/exactly-once behavior is pinned in tests and lives
+    entirely in the destination's atomic watermark commits, not the
+    ticker checkpoint): a join matview over two mutating txlog tables
+    kept continuously current.  Returns the started StreamingQuery;
+    callers stop it."""
+
+    def on_tick(_df, _bid) -> None:
+        txlog_join_view_step(
+            spark, a_path, b_path, a_keys, b_keys, join_keys,
+            a_cols, b_cols, dst_path, apply=apply,
+        )
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{tick_seconds} seconds")
+        .foreachBatch(on_tick)
+        .start()
+    )
+
+
 def stream_txlog_cdf_to_agg(
     spark,
     source_path: str,

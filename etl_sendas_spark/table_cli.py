@@ -80,6 +80,7 @@ def cmd_describe(args) -> int:
     print(f"path:      {args.path}")
     print(f"head:      v{head} ({len(t.versions())} resolvable versions)")
     print(f"live:      {len(live)} data files")
+    print(f"rows:      {t.row_count(head)} (metadata-only)")
     print(f"stat_cols: {t._stat_cols() or '(none)'}")
     print(f"partition: {t._partition_cols() or '(none)'}")
     from .session import get_spark

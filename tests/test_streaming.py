@@ -1307,3 +1307,73 @@ def test_txlog_join_view_step_merge_apply_mode(spark, tmp_path):
 
     # zero-multiplicity retraction actually leaves no n == 0 tombstone
     assert dst.read(spark).filter(F.col("n") == 0).count() == 0
+
+
+def test_stream_txlog_join_view_runs_and_catches_up(spark, tmp_path):
+    """The running join-view host: commits landing on BOTH sources
+    while the ticker runs are folded into the view, which converges to
+    the batch recompute (progress lives in the destination watermark
+    commits — the restart law is the step's, pinned above and in the
+    agg-consumer's running test)."""
+    import time
+
+    from etl_sendas_spark.operators.ivm import join_view_state
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import (
+        stream_txlog_join_view,
+        txlog_join_view_step,
+    )
+
+    a_root = str(tmp_path / "facts")
+    b_root = str(tmp_path / "dim")
+    dst_root = str(tmp_path / "view")
+
+    def facts(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id % 20 AS BIGINT) AS j",
+            "CAST(id % 3 AS STRING) AS a",
+        )
+
+    a = TxLogTable.create(a_root, facts(0, 500))
+    b = TxLogTable.create(
+        b_root,
+        spark.createDataFrame(
+            [(i, f"s{i % 4}") for i in range(20)], "j LONG, b STRING"
+        ),
+    )
+    # bootstrap synchronously so the stream only has increments to do
+    txlog_join_view_step(
+        spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"], dst_root
+    )
+
+    q = stream_txlog_join_view(
+        spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"],
+        dst_root, checkpoint=str(tmp_path / "ck"), tick_seconds=0.25,
+    )
+    try:
+        a.append(facts(1000, 1100), spark)
+        b.update_where(spark, {"b": "'hot'"}, "j = 5")
+        deadline = time.time() + 60
+        from etl_sendas_spark.streaming.sessions import _latest_meta_with
+
+        while time.time() < deadline:
+            meta = _latest_meta_with(
+                TxLogTable(dst_root), ["a_version", "b_version"]
+            )
+            if meta and int(meta["a_version"]) >= 1 and int(meta["b_version"]) >= 1:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, TxLogTable(dst_root).read(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            join_view_state(
+                TxLogTable(a_root).read(spark),
+                TxLogTable(b_root).read(spark),
+                ["j"], ["a"], ["b"],
+            ).collect(),
+        )
+    )
+    assert got == want
