@@ -1,0 +1,179 @@
+"""Incremental corpus refresh: the nightly training-data pipeline as
+ONE idempotent step over txlog state.
+
+The batch flagship (``corpus_training_manifest``) recomputes the whole
+quality→dedup ladder per run — correct, and the right shape for a
+one-shot build. Production corpora instead GROW: every day a wave of
+new documents must pass the quality gate, dedup against everything
+already accepted (exactly and near), and land in the corpus — WITHOUT
+rescanning or re-shingling the accepted corpus. This module composes
+the engine's existing incremental machinery into that step:
+
+- quality gate: :func:`..functions.text.gopher_quality_flags` — pure
+  Column panel, prunes the wave BEFORE any dedup shuffle;
+- exact dedup: :func:`..operators.dedupe.incremental_dedup` against a
+  stored fingerprint index (one md5 per accepted doc — the corpus
+  text is never re-read);
+- near dedup: :func:`..operators.dedupe.minhash_lsh_incremental`
+  probing the stored MinHash index (history canonical, wave buckets
+  broadcast — zero index shuffle), survivor policy of
+  :func:`..operators.dedupe.minhash_index_append`;
+- state: three txlog tables under one root — ``docs`` (accepted
+  rows), ``fps`` (fingerprint index), ``mh`` (MinHash index) — each
+  wave commit tagged ``{"wave_id": ...}``.
+
+**Exactly-once across three tables via time travel.** A crash can
+leave a wave committed to some tables and not others.  Re-running the
+step is safe because the survivor set is recomputed against each
+table's snapshot as of the version BEFORE that wave's commit (txlog
+time travel; the wave's commit is found by its ``wave_id`` tag), so a
+partially-landed wave replays deterministically: tables that already
+carry the wave are skipped, missing ones receive exactly the rows the
+original run would have written.  Single maintenance writer per root
+(the usual deployment), same contract as the join-view merge mode.
+
+Scale shape: per wave, the accepted corpus contributes ONE
+fingerprint-index anti-join (index-side hash join, co-locatable) and
+ONE index-side bucket scan probed by broadcast wave buckets; the wave
+contributes its own narrow shingle/signature pass.  Nothing
+corpus-text-sized ever recomputes — the property a 100 TB corpus
+needs from its nightly refresh.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import doc_fingerprint, gopher_quality_flags
+from ..operators.dedupe import (
+    minhash_index_append,
+    minhash_lsh_incremental,
+    minhash_lsh_index,
+)
+from ..sources.txlog import TxLogTable
+
+
+def _wave_base_version(t: TxLogTable, wave_id: str) -> tuple[int | None, bool]:
+    """(base_version, already_committed): the snapshot version the
+    wave's inputs must be read at.  If the wave already committed to
+    this table, base = the version just before that commit (time
+    travel makes redelivery deterministic); else base = head."""
+    versions = sorted(t.versions()) if os.path.isdir(t.root) else []
+    for v in versions:
+        if t.commit_meta(v).get("wave_id") == wave_id:
+            return (v - 1 if v > 0 else None), True
+    return (versions[-1] if versions else None), False
+
+
+def corpus_refresh_step(
+    spark: SparkSession,
+    root: str,
+    wave_df: DataFrame,
+    wave_id: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    with_near_dup: bool = True,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    verify_threshold: float = 0.5,
+) -> dict:
+    """Run one wave through quality → exact dedup → near dedup and
+    commit the survivors to the three state tables (see module doc).
+    Returns a summary dict with per-stage reject counts and, per
+    table, either the new version or ``"already"`` (idempotent
+    redelivery)."""
+    keep_cols = list(keep_cols or [])
+    docs_t = TxLogTable(os.path.join(root, "docs"))
+    fps_t = TxLogTable(os.path.join(root, "fps"))
+    mh_t = TxLogTable(os.path.join(root, "mh"))
+
+    docs_base, docs_done = _wave_base_version(docs_t, wave_id)
+    fps_base, fps_done = _wave_base_version(fps_t, wave_id)
+    mh_base, mh_done = _wave_base_version(mh_t, wave_id)
+
+    wave = wave_df.filter(F.col(text_col).isNotNull()).select(
+        id_col, *keep_cols, text_col
+    )
+    n_wave = wave.count()
+    flags = gopher_quality_flags(text_col)
+    wave_q = wave.filter(flags["gopher_keep"] == 1)
+    n_quality = wave_q.count()
+
+    # exact dedup vs the PRE-WAVE fingerprint index + in-wave keep-min
+    if fps_base is not None:
+        fp_index = fps_t.read(spark, fps_base)
+    else:
+        fp_index = spark.createDataFrame([], "fp STRING")
+    fp = doc_fingerprint(F.col(text_col))
+    fresh = wave_q.withColumn("fp", fp).join(
+        fp_index.select("fp").distinct(), "fp", "left_anti"
+    )
+    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    wave_e = fresh.join(keep, id_col, "left_semi")
+
+    # near dedup vs the PRE-WAVE MinHash index (history canonical)
+    if with_near_dup:
+        if mh_base is not None:
+            mh_index = mh_t.read(spark, mh_base)
+        else:
+            mh_index = spark.createDataFrame(
+                [], f"{id_col} LONG, sh ARRAY<STRING>, signature ARRAY<BIGINT>"
+            )
+        pairs = minhash_lsh_incremental(
+            mh_index, wave_e,
+            id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            verify_threshold=verify_threshold,
+        )
+        wave_idx = minhash_lsh_index(
+            wave_e, id_col, text_col, num_hashes, shingle_n
+        )
+        new_index = minhash_index_append(
+            mh_index, wave_idx, pairs, id_col=id_col
+        )
+        survivor_idx = new_index.join(
+            mh_index.select(id_col), id_col, "left_anti"
+        )
+        wave_s = wave_e.join(
+            survivor_idx.select(id_col), id_col, "left_semi"
+        ).persist()
+    else:
+        survivor_idx = None
+        wave_s = wave_e.persist()
+    n_final = wave_s.count()
+
+    extra = {"wave_id": wave_id}
+    out: dict = {
+        "wave_id": wave_id,
+        "wave_rows": n_wave,
+        "rejected_quality": n_wave - n_quality,
+        "rejected_exact": n_quality - (wave_e.count()),
+        "accepted": n_final,
+    }
+    out["rejected_near"] = n_quality - out["rejected_exact"] - n_final
+
+    def land(t: TxLogTable, df: DataFrame, done: bool, key: str) -> None:
+        if done:
+            out[key] = "already"
+        elif not t.versions():
+            TxLogTable.create(t.root, df, extra=extra)
+            out[key] = 0
+        else:
+            out[key] = t.append(df, spark, extra=extra)
+
+    land(docs_t, wave_s.select(id_col, *keep_cols, text_col), docs_done, "docs_version")
+    land(fps_t, wave_s.select("fp"), fps_done, "fps_version")
+    if with_near_dup:
+        land(
+            mh_t,
+            survivor_idx.select(id_col, "sh", "signature"),
+            mh_done,
+            "mh_version",
+        )
+    wave_s.unpersist()
+    return out

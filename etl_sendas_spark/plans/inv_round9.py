@@ -748,3 +748,123 @@ SELECT query_id, doc_id, score FROM (
 
 PART_QUERIES["search_bm25_index_at_rest_docs"] = search_bm25_index_at_rest_docs
 PART_ORACLES["search_bm25_index_at_rest_docs"] = SEARCH_IDX_SQL
+
+# ===========================================================================
+# round 9 (cont.): incremental corpus refresh — the nightly pipeline
+# as idempotent txlog steps; sequential-wave semantics under one hash
+# ===========================================================================
+
+
+def corpus_refresh_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three refresh waves through plans/corpus_refresh.py (quality
+    gate + exact dedup vs the accumulated fingerprint index; near-dup
+    off so the oracle is exact): sources src0+src1, then src2+src3,
+    then a POISONED wave of src0 copies under shifted ids (planted
+    cross-wave duplicates — the corpus has none naturally) plus fresh
+    src4 docs. The copies must ALL reject against the wave-0
+    fingerprints; the final accepted table hashes. In-query
+    assertions: redelivering wave 1 is a no-op on every state table
+    (idempotence), and the docs table's metadata-only row_count equals
+    its scanned count.
+
+    ORACLE: the sequential-wave law in SQL — a doc is kept iff it
+    passes the Gopher panel AND its fingerprint first appears in its
+    own wave AND it is the min-id holder of that fingerprint there.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+    from .corpus_refresh import corpus_refresh_step
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"crefresh_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    waves = [
+        ("w0", docs.filter(F.col("source").isin("src0", "src1"))),
+        ("w1", docs.filter(F.col("source").isin("src2", "src3"))),
+        (
+            "w2",
+            docs.filter(F.col("source") == "src0")
+            .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+            .unionByName(docs.filter(F.col("source") == "src4")),
+        ),
+    ]
+    for wid, wdf in waves:
+        corpus_refresh_step(
+            spark, root, wdf, wid,
+            keep_cols=["source"], with_near_dup=False,
+        )
+
+    replay = corpus_refresh_step(
+        spark, root, waves[1][1], "w1",
+        keep_cols=["source"], with_near_dup=False,
+    )
+    if replay["docs_version"] != "already" or replay["fps_version"] != "already":
+        raise AssertionError(f"wave redelivery was not a no-op: {replay}")
+    t = TxLogTable(os.path.join(root, "docs"))
+    out = t.read(spark)
+    if t.row_count() != out.count():
+        raise AssertionError("metadata row_count drifted from scan")
+    from ..functions.text import doc_fingerprint
+
+    return out.select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+CORPUS_REFRESH_SQL = """
+WITH wav AS (
+  SELECT doc_id, source, text, 0 AS w FROM documents
+  WHERE source IN ('src0', 'src1')
+  UNION ALL
+  SELECT doc_id, source, text, 1 FROM documents
+  WHERE source IN ('src2', 'src3')
+  UNION ALL
+  SELECT doc_id + 1000000, source, text, 2 FROM documents
+  WHERE source = 'src0'
+  UNION ALL
+  SELECT doc_id, source, text, 2 FROM documents WHERE source = 'src4'
+), feat AS (
+  SELECT doc_id, source, w,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN 0
+              ELSE len(string_split(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), ' ')) END AS n_words,
+         CAST(length(replace(trim(regexp_replace(lower(text),
+              '[^a-z0-9]+', ' ', 'g')), ' ', '')) AS DOUBLE) AS n_alpha_chars,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+         len(list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' '),
+             x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+         len(list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' '),
+             x -> list_contains(['the','and','of','to','in','is','that','for','with','on'], x)
+               OR list_contains(['el','la','de','que','y','en','los','del','se','por'], x)))
+           AS stop_hits
+  FROM wav WHERE text IS NOT NULL
+), q AS (
+  SELECT doc_id, source, fp, w FROM feat
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND (CASE WHEN n_words > 0 THEN n_alpha_chars / n_words ELSE 0.0 END)
+        BETWEEN 3.0 AND 10.0
+    AND (CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / n_words
+              ELSE 0.0 END) < 0.1
+    AND (CASE WHEN n_words > 0 THEN CAST(n_alpha_words AS DOUBLE) / n_words
+              ELSE 0.0 END) > 0.80
+    AND stop_hits >= 2
+), fw AS (SELECT fp, MIN(w) AS w FROM q GROUP BY fp),
+kept AS (
+  SELECT q.doc_id, q.source, q.fp,
+         ROW_NUMBER() OVER (PARTITION BY q.fp ORDER BY q.doc_id) AS rn
+  FROM q JOIN fw ON q.fp = fw.fp AND q.w = fw.w
+)
+SELECT doc_id, source, fp FROM kept WHERE rn = 1
+"""
+
+PART_QUERIES["corpus_refresh_incremental_docs"] = corpus_refresh_incremental_docs
+PART_ORACLES["corpus_refresh_incremental_docs"] = CORPUS_REFRESH_SQL

@@ -559,3 +559,77 @@ def test_minhash_incremental_matches_batch_and_append_law(spark):
             dropped.add(r["id_a"] if r["id_a"] in wave_ids else r["id_b"])
     got_ids = {r["doc_id"] for r in appended.select("doc_id").collect()}
     assert got_ids == old_ids | (wave_ids - dropped)
+
+
+def test_corpus_refresh_crash_recovery_and_near_dup(spark, tmp_path):
+    """Incremental corpus refresh (round 9, plans/corpus_refresh.py):
+    (1) a wave that crashed after committing to ONE state table
+    replays deterministically — time travel reads each table's
+    pre-wave snapshot, so the completed state equals a clean run's on
+    a parallel copy; (2) with near-dup on, a planted near-copy of an
+    indexed doc rejects while a fresh doc survives."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.functions.text import doc_fingerprint
+    from etl_sendas_spark.plans.corpus_refresh import corpus_refresh_step
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "chases the fox around the field for hours in the warm sun "
+    ) * 4
+    near_text = base_text + "with one extra trailing clause at the end"
+    fresh_text = (
+        "completely different subject matter about database engines and "
+        "the storage layouts that make large scans fast in practice "
+    ) * 4
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    wave1 = df([(1, base_text), (2, fresh_text)])
+    other_text = (
+        "meanwhile the harbor town prepared for the winter festival "
+        "with lanterns strung between the masts of the fishing boats "
+    ) * 4
+    wave2 = df([(10, near_text), (11, other_text)])
+
+    # --- near-dup rejection against the index -----------------------
+    root = str(tmp_path / "nd")
+    s1 = corpus_refresh_step(spark, root, wave1, "w1")
+    assert s1["accepted"] == 2
+    s2 = corpus_refresh_step(spark, root, wave2, "w2")
+    assert s2["rejected_near"] == 1 and s2["accepted"] == 1
+    kept = {r.doc_id for r in TxLogTable(f"{root}/docs").read(spark).collect()}
+    assert kept == {1, 2, 11}
+
+    # --- crash recovery: wave partially landed (fps only) -----------
+    clean = str(tmp_path / "clean")
+    crash = str(tmp_path / "crash")
+    for r in (clean, crash):
+        corpus_refresh_step(spark, r, wave1, "w1")
+    # simulate the crash: wave2's fps land, docs/mh do not
+    wave2_q = wave2  # both rows pass quality by construction
+    fps_rows = wave2_q.filter(F.col("doc_id") == 11).select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    )
+    TxLogTable(f"{crash}/fps").append(
+        fps_rows, spark, extra={"wave_id": "w2"}
+    )
+    # redelivery completes the missing tables with the SAME survivors
+    corpus_refresh_step(spark, clean, wave2, "w2")
+    s_crash = corpus_refresh_step(spark, crash, wave2, "w2")
+    assert s_crash["fps_version"] == "already"
+    assert s_crash["docs_version"] != "already"
+    for sub in ("docs", "fps", "mh"):
+        a = sorted(
+            map(tuple, TxLogTable(f"{clean}/{sub}").read(spark)
+                .select(TxLogTable(f"{clean}/{sub}").read(spark).columns[0])
+                .collect())
+        )
+        b = sorted(
+            map(tuple, TxLogTable(f"{crash}/{sub}").read(spark)
+                .select(TxLogTable(f"{crash}/{sub}").read(spark).columns[0])
+                .collect())
+        )
+        assert a == b, sub
