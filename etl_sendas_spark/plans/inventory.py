@@ -471,7 +471,10 @@ EXTRA_ORACLES.update(_inv_round9.PART_ORACLES)
 # algebra no current row covers), quality_lsq_classifier_docs (the
 # registry's one TRAINED model whose training itself is under the
 # hash: integer moments + Cramer), search_bm25_index_at_rest_docs
-# (at-rest inverted index with in-query partition-prune assertion).
+# (at-rest inverted index with in-query partition-prune
+# assertion), corpus_refresh_incremental_docs (the idempotent
+# nightly-refresh composite: sequential-wave law + planted poisoned
+# wave under one hash).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
