@@ -201,3 +201,78 @@ def funnel_steps(
     return spark.createDataFrame(
         rows, "step_idx int, step string, n_users bigint, conversion double"
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid
+    with forward fill — the resample/gap-fill every monitoring,
+    feature-engineering, and as-of pipeline needs before windowed
+    math (a rolling mean over irregular samples is biased by sampling
+    density; the grid fixes the denominator).
+
+    Buckets are ``floor(epoch/step)*step``; per ``(keys, bucket)`` the
+    value aggregates (``avg``/``min``/``max``/``last`` by event time);
+    each key's grid spans ITS OWN min..max bucket (``sequence`` +
+    explode — no global calendar join), empty buckets carry ``n = 0``
+    and forward-fill their value from the most recent populated
+    bucket.  The first bucket of every key is populated by
+    construction, so the fill is total.
+
+    Returns ``(keys..., bucket_ts, n, value, filled)`` with ``value``
+    rounded to 6 (cross-engine float discipline).
+
+    Scale shape: one hash aggregate on ``(keys, bucket)``, one
+    per-key window for the fill (second exchange, keys-only), and the
+    grid explode is output-sized — nothing depends on the raw event
+    count beyond the first aggregate.  Skewed keys skew only their
+    own grid length (bounded by time span / step, not event count).
+    """
+    from pyspark.sql import Window, functions as F
+
+    if agg not in ("avg", "min", "max", "last"):
+        raise ValueError(f"resample_ffill: unsupported agg {agg!r}")
+    keys = list(keys)
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+        * step_seconds
+    ).cast("long")
+    base = df.select(*keys, bucket.alias("__b"), F.col(value_col).alias("__v"), F.col(ts_col).alias("__ts"))
+    if agg == "last":
+        val = F.max_by("__v", "__ts")
+    else:
+        val = getattr(F, agg)("__v")
+    per_bucket = base.groupBy(*keys, "__b").agg(
+        F.count(F.lit(1)).alias("n"), val.alias("__val")
+    )
+    spans = per_bucket.groupBy(*keys).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_seconds))
+        ).alias("__b"),
+    )
+    joined = grid.join(per_bucket, [*keys, "__b"], "left_outer")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *keys,
+        F.col("__b").cast("timestamp").alias("bucket_ts"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.round(
+            F.last(F.col("__val"), ignorenulls=True).over(w).cast("double"),
+            6,
+        ).alias("value"),
+        F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("filled"),
+    )

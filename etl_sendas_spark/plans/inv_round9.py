@@ -868,3 +868,71 @@ SELECT doc_id, source, fp FROM kept WHERE rn = 1
 
 PART_QUERIES["corpus_refresh_incremental_docs"] = corpus_refresh_incremental_docs
 PART_ORACLES["corpus_refresh_incremental_docs"] = CORPUS_REFRESH_SQL
+
+# ===========================================================================
+# round 9 (cont.): time-series regularization — grid resample + ffill
+# ===========================================================================
+
+
+def ts_resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour grid resample of the events value stream with
+    forward fill (operators/timeseries.resample_ffill): every user's
+    irregular samples land on their own min..max bucket grid, empty
+    buckets carry n=0 and inherit the last populated bucket's value,
+    filled flags them. The hash covers the bucket math, each key's
+    span derivation, the grid expansion, the aggregate, AND the fill.
+
+    ORACLE: same buckets via epoch arithmetic, per-key
+    generate_series grid, and the portable gaps-and-islands fill
+    (count-non-null running group + max-per-group) instead of any
+    engine's IGNORE NULLS window extension."""
+    from ..operators.timeseries import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = resample_ffill(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        step_seconds=21600, agg="avg",
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket_ts").cast("long").alias("bucket_epoch"),
+        "n",
+        "value",
+        F.col("filled").cast("long").alias("filled"),
+    )
+
+
+TS_RESAMPLE_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS b,
+         value
+  FROM events
+), pb AS (
+  SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS val
+  FROM base GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM pb GROUP BY 1
+), grid AS (
+  SELECT s.user_id, CAST(g.g AS BIGINT) AS b
+  FROM spans s, LATERAL unnest(generate_series(s.lo, s.hi, 21600)) AS g(g)
+), j AS (
+  SELECT g.user_id, g.b, pb.n, pb.val
+  FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b
+), grp AS (
+  SELECT user_id, b, n, val,
+         COUNT(CASE WHEN val IS NOT NULL THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM j
+)
+SELECT user_id,
+       b AS bucket_epoch,
+       COALESCE(n, 0) AS n,
+       ROUND(MAX(val) OVER (PARTITION BY user_id, isl), 6) AS value,
+       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+FROM grp
+"""
+
+PART_QUERIES["ts_resample_ffill_events"] = ts_resample_ffill_events
+PART_ORACLES["ts_resample_ffill_events"] = TS_RESAMPLE_SQL

@@ -2686,3 +2686,51 @@ def test_ivm_join_view_bilinear_law_and_edges(spark):
     assert sorted((r.k, r.a, r.b, r.n) for r in unchanged.collect()) == sorted(
         (r.k, r.a, r.b, r.n) for r in state.collect()
     )
+
+
+def test_resample_ffill_grid_and_fill_semantics(spark):
+    """Gap-fill resample edges: each key's grid spans its OWN min..max
+    bucket; empty buckets carry n=0, filled=1, and the last populated
+    value; a populated bucket whose values are all NULL keeps n>0 /
+    filled=0 but still inherits the previous value (the fill skips
+    null aggregates, not just missing buckets); agg='last' picks the
+    latest-by-ts sample in the bucket."""
+    import datetime as dt
+
+    from etl_sendas_spark.operators.timeseries import resample_ffill
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        ("a", ts(0, 5), 10.0),
+        ("a", ts(0, 40), 20.0),   # same bucket as above (1h grid)
+        ("a", ts(3, 10), 7.0),    # 2 gap buckets before this
+        ("b", ts(5, 0), 1.0),
+        ("b", ts(6, 0), None),    # populated bucket, null value
+        ("b", ts(7, 0), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, t TIMESTAMP, v DOUBLE")
+    out = {
+        (r.k, r.bucket_ts.hour): (r.n, r.value, r.filled)
+        for r in resample_ffill(
+            df, ["k"], "t", "v", 3600, agg="avg"
+        ).collect()
+    }
+    assert out[("a", 0)] == (2, 15.0, 0)       # avg of the 2 samples
+    assert out[("a", 1)] == (0, 15.0, 1)       # gap, ffilled
+    assert out[("a", 2)] == (0, 15.0, 1)
+    assert out[("a", 3)] == (1, 7.0, 0)
+    assert ("a", 4) not in out                  # grid ends at a's max
+    assert ("b", 4) not in out                  # grid starts at b's min
+    assert out[("b", 5)] == (1, 1.0, 0)
+    assert out[("b", 6)] == (1, 1.0, 0)        # null agg inherits, n=1
+    assert out[("b", 7)] == (1, 3.0, 0)
+
+    last = {
+        (r.k, r.bucket_ts.hour): r.value
+        for r in resample_ffill(
+            df, ["k"], "t", "v", 3600, agg="last"
+        ).collect()
+    }
+    assert last[("a", 0)] == 20.0               # latest-by-ts wins
