@@ -177,3 +177,43 @@ def corpus_refresh_step(
         )
     wave_s.unpersist()
     return out
+
+
+def stream_corpus_refresh(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    with_near_dup: bool = True,
+    **refresh_kwargs,
+):
+    """Host :func:`corpus_refresh_step` inside Structured Streaming:
+    every micro-batch of arriving documents is one refresh wave, with
+    ``wave_id = batch-<epoch id>`` — so the engine's checkpointed
+    batch ids become the idempotence keys, and a batch replayed after
+    a crash hits the step's time-travel redelivery path instead of
+    double-ingesting (the same Delta txn-identifier discipline as the
+    stream-upsert sink, here spanning THREE state tables).
+
+    Continuous ingest → quality gate → exact + near dedup → corpus,
+    with the accepted corpus never re-read per batch.  Returns the
+    started StreamingQuery; callers stop it."""
+    spark = stream_df.sparkSession
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        corpus_refresh_step(
+            spark, root, batch_df, f"batch-{batch_id}",
+            id_col=id_col, text_col=text_col, keep_cols=keep_cols,
+            with_near_dup=with_near_dup, **refresh_kwargs,
+        )
+
+    return (
+        stream_df.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(on_batch)
+        .start()
+    )
