@@ -416,3 +416,59 @@ def profile_table(
             (-F.col("__top.neg_cnt")).alias("top_count"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    thresh: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags via the median/MAD rule
+    (Iglewicz–Hoaglin modified z-score): ``z = 0.6745·(x − med) /
+    MAD`` with ``MAD = median(|x − med|)``; ``|z| > thresh`` flags.
+    Mean/stddev gates break on the very outliers they hunt (one wild
+    value inflates σ until nothing flags); medians don't — this is
+    the standard data-quality gate for skewed telemetry/billing
+    values.
+
+    Degenerate groups are explicit, not NaN: ``MAD = 0`` (half the
+    group at the median — common in integer-ish data) flags exactly
+    the values ≠ median when any exist, via z = ±inf represented as
+    NULL z with ``is_outlier`` still computed; singleton groups never
+    flag.
+
+    Two grouped passes over the frame (median, then MAD around it),
+    both exact percentiles, both shuffling only on ``keys`` — the
+    second pass input carries (keys, value, med), nothing wider.
+
+    Returns the input columns plus ``med``, ``mad``, ``mad_z``
+    (rounded 6, NULL when MAD = 0), ``is_outlier`` (int)."""
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(med, keys)
+    mad = (
+        with_med.groupBy(*keys)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+        )
+    )
+    out = with_med.join(mad, keys)
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    return out.select(
+        *df.columns,
+        F.round(F.col("med").cast("double"), 6).alias("med"),
+        F.round(F.col("mad").cast("double"), 6).alias("mad"),
+        F.round(
+            F.when(F.col("mad") != 0, z).cast("double"), 6
+        ).alias("mad_z"),
+        F.when(
+            F.col("mad") != 0,
+            (F.abs(z) > F.lit(thresh)).cast("int"),
+        )
+        .otherwise(
+            (F.col(value_col) != F.col("med")).cast("int")
+        )
+        .alias("is_outlier"),
+    )

@@ -936,3 +936,115 @@ FROM grp
 
 PART_QUERIES["ts_resample_ffill_events"] = ts_resample_ffill_events
 PART_ORACLES["ts_resample_ffill_events"] = TS_RESAMPLE_SQL
+
+# ===========================================================================
+# round 9 (cont.): privacy gates + robust outlier gating
+# ===========================================================================
+
+
+def privacy_k_anonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression-based k-anonymity with an l-diversity floor
+    (operators/privacy.py): quasi-identifiers (user_id, event_type,
+    day), sensitive attribute = the value's hundred-bucket; release
+    only rows whose combination has k >= 3 rows AND >= 2 distinct
+    sensitive values. The fine day-grained quasi set makes most
+    combinations rare, so the suppression is real — the hash pins the
+    exact released set.
+
+    ORACLE: same grouping + thresholds in SQL; the released table is
+    k-anonymous and l-diverse by construction in both engines."""
+    from ..operators.privacy import k_anonymize
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / 100).cast("long").alias("vb"),
+        )
+    )
+    out = k_anonymize(
+        ev, ["user_id", "event_type", "day"], k=3,
+        sensitive_col="vb", min_l=2,
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+    )
+
+
+PRIVACY_K_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value / 100) AS BIGINT) AS vb
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+), g AS (
+  SELECT user_id, event_type, day,
+         COUNT(*) AS k, COUNT(DISTINCT vb) AS l
+  FROM base GROUP BY 1, 2, 3
+)
+SELECT b.event_id, b.user_id, b.event_type,
+       strftime(b.day, '%Y-%m-%d') AS day
+FROM base b JOIN g USING (user_id, event_type, day)
+WHERE g.k >= 3 AND g.l >= 2
+"""
+
+PART_QUERIES["privacy_k_anonymize_events"] = privacy_k_anonymize_events
+PART_ORACLES["privacy_k_anonymize_events"] = PRIVACY_K_SQL
+
+
+def quality_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier flags via the median/MAD modified
+    z-score (operators/quality_checks.mad_outliers) — the gate that
+    survives the outliers it hunts (mean/σ inflates, medians don't).
+    Output: every flagged event plus its group's med/MAD and rounded
+    z; the hash pins the exact flag set and the percentile math.
+
+    ORACLE: interpolated medians (quantile_cont) + the same rule."""
+    from ..operators.quality_checks import mad_outliers
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    out = mad_outliers(ev, ["event_type"], "value", thresh=3.5)
+    return out.filter(F.col("is_outlier") == 1).select(
+        "event_id", "event_type", "med", "mad", "mad_z"
+    )
+
+
+QUALITY_MAD_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM base GROUP BY 1
+), mad AS (
+  SELECT b.event_type, quantile_cont(abs(b.value - m.med), 0.5) AS mad
+  FROM base b JOIN med m USING (event_type) GROUP BY 1
+), z AS (
+  SELECT b.event_id, b.event_type,
+         ROUND(m.med, 6) AS med, ROUND(d.mad, 6) AS mad,
+         CASE WHEN d.mad <> 0
+              THEN ROUND(0.6745 * (b.value - m.med) / d.mad, 6) END AS mad_z,
+         CASE WHEN d.mad <> 0
+              THEN CASE WHEN abs(0.6745 * (b.value - m.med) / d.mad) > 3.5
+                        THEN 1 ELSE 0 END
+              ELSE CASE WHEN b.value <> m.med THEN 1 ELSE 0 END
+         END AS is_outlier
+  FROM base b JOIN med m USING (event_type) JOIN mad d USING (event_type)
+)
+SELECT event_id, event_type, med, mad, mad_z FROM z WHERE is_outlier = 1
+"""
+
+PART_QUERIES["quality_mad_outliers_events"] = quality_mad_outliers_events
+PART_ORACLES["quality_mad_outliers_events"] = QUALITY_MAD_SQL

@@ -2734,3 +2734,72 @@ def test_resample_ffill_grid_and_fill_semantics(spark):
         ).collect()
     }
     assert last[("a", 0)] == 20.0               # latest-by-ts wins
+
+
+def test_k_anonymize_suppression_properties(spark):
+    """Release-gate laws: the released table is k-anonymous and
+    l-diverse BY CONSTRUCTION (every surviving combination has >= k
+    rows and >= l distinct sensitive values IN THE RELEASE); NULL
+    quasi values form a combination like any other (null-safe
+    membership); suppression only removes rows, never mutates."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymize,
+    )
+
+    rows = [
+        # (zip, age_band, disease)
+        ("111", "30s", "flu"), ("111", "30s", "cold"), ("111", "30s", "flu"),
+        ("222", "40s", "flu"), ("222", "40s", "flu"), ("222", "40s", "flu"),
+        ("333", "50s", "rare"),                       # k=1: suppressed
+        (None, "30s", "flu"), (None, "30s", "cold"), (None, "30s", "flu"),
+    ]
+    df = spark.createDataFrame(rows, "zip STRING, age STRING, dx STRING")
+
+    out = k_anonymize(df, ["zip", "age"], k=3, sensitive_col="dx", min_l=2)
+    rep = k_anonymity_report(out, ["zip", "age"], "dx").collect()
+    assert len(rep) > 0
+    for r in rep:
+        assert r["k"] >= 3 and r["l"] >= 2
+    got = {(r.zip, r.age) for r in out.collect()}
+    assert ("333", "50s") not in got          # under-k suppressed
+    assert ("222", "40s") not in got          # k ok but uniform dx (l=1)
+    assert (None, "30s") in got               # NULL combination passes
+    assert ("111", "30s") in got
+    # suppression never mutates surviving rows
+    key = lambda t: tuple("" if x is None else x for x in t)
+    kept = sorted(map(tuple, out.collect()), key=key)
+    orig = sorted(
+        map(
+            tuple,
+            df.filter(
+                F.col("zip").eqNullSafe(F.lit("111")) | F.col("zip").isNull()
+            ).collect(),
+        ),
+        key=key,
+    )
+    assert kept == orig
+
+
+def test_mad_outliers_degenerate_groups(spark):
+    """MAD edges: a wild value flags while the mean/σ rule would have
+    been inflated past it; MAD=0 groups flag exactly the values off
+    the median (NULL z); singletons never flag."""
+    from etl_sendas_spark.operators.quality_checks import mad_outliers
+
+    rows = (
+        [("a", float(v)) for v in (10, 11, 12, 11, 10, 12, 11, 1000)]
+        + [("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0)]  # MAD = 0
+        + [("c", 42.0)]                                      # singleton
+    )
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    out = mad_outliers(df, ["k"], "v", thresh=3.5).collect()
+    flags = {(r.k, r.v): (r.is_outlier, r.mad_z) for r in out}
+    assert flags[("a", 1000.0)][0] == 1
+    assert all(f == 0 for (k, v), (f, _) in flags.items()
+               if k == "a" and v != 1000.0)
+    assert flags[("b", 9.0)] == (1, None)      # MAD=0: off-median flags
+    assert flags[("b", 5.0)][0] == 0
+    assert flags[("c", 42.0)][0] == 0          # singleton never flags
