@@ -474,7 +474,9 @@ EXTRA_ORACLES.update(_inv_round9.PART_ORACLES)
 # (at-rest inverted index with in-query partition-prune
 # assertion), corpus_refresh_incremental_docs (the idempotent
 # nightly-refresh composite: sequential-wave law + planted poisoned
-# wave under one hash).
+# wave under one hash), ts_resample_ffill_events (grid resample +
+# gaps-and-islands fill), privacy_k_anonymize_events (suppression
+# release gate), quality_mad_outliers_events (median/MAD gate).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
