@@ -142,7 +142,14 @@ def lsq_train(
     for whatever frame they see.  Feature-magnitude contract: the
     SQL-oracle replay holds while every 3×3 determinant fits HUGEINT
     (|moment| ≲ 1e12 keeps det ≲ 1e37) — counts-sized features at
-    corpus scale are orders of magnitude inside it."""
+    corpus scale are orders of magnitude inside it.
+
+    Overflow is LOUD, not silent: per-row products are computed in
+    DECIMAL(38,0) (two 19-digit factors always fit 38 digits, so the
+    product itself cannot wrap) and summed in DECIMAL(38,0); a sum
+    that exceeds 38 digits becomes NULL, which — on a non-empty frame
+    — raises ``OverflowError`` instead of silently training a wrong
+    model the way BIGINT wraparound would."""
     cols = list(feature_cols)
     k = len(cols)
     y = F.col(label_col).cast("long")
@@ -154,18 +161,42 @@ def lsq_train(
         )
     else:
         t = y
+
+    def _d19(c: Column) -> Column:
+        return c.cast("long").cast("decimal(19,0)")
+
     aggs = [
-        F.sum(F.col(a).cast("long") * F.col(b).cast("long")).alias(
-            f"m_{i}_{j}"
-        )
+        F.sum(
+            (_d19(F.col(a)) * _d19(F.col(b))).cast("decimal(38,0)")
+        ).alias(f"m_{i}_{j}")
         for i, a in enumerate(cols)
         for j, b in enumerate(cols)
         if i <= j
     ] + [
-        F.sum(F.col(c).cast("long") * t).alias(f"v_{j}")
+        F.sum((_d19(F.col(c)) * _d19(t)).cast("decimal(38,0)")).alias(
+            f"v_{j}"
+        )
         for j, c in enumerate(cols)
-    ]
-    row = feats.select(*aggs).collect()[0].asDict()
+    ] + [F.count(F.lit(1)).alias("__n_rows")]
+    try:
+        row = feats.select(*aggs).collect()[0].asDict()
+    except Exception as exc:  # ANSI mode: overflow raises JVM-side
+        if "NUMERIC_VALUE_OUT_OF_RANGE" in str(exc):
+            raise OverflowError(
+                "lsq_train: moment sum exceeded DECIMAL(38,0) — "
+                "feature magnitudes break the exactness contract; "
+                "clip or rescale features upstream"
+            ) from exc
+        raise
+    n_rows = int(row.pop("__n_rows"))
+    if n_rows > 0:
+        nulled = sorted(key for key, val in row.items() if val is None)
+        if nulled:
+            raise OverflowError(
+                "lsq_train: moment sum exceeded DECIMAL(38,0) for "
+                f"{nulled} — feature magnitudes break the exactness "
+                "contract; clip or rescale features upstream"
+            )
     m = [
         [int(row[f"m_{min(i, j)}_{max(i, j)}"] or 0) for j in range(k)]
         for i in range(k)
@@ -195,9 +226,27 @@ def lsq_margin(
     sign is the exact prediction; its value is the raw score times the
     positive determinant, so ranking/thresholding semantics are
     unchanged.  Apply to any frame carrying the feature columns —
-    scan-speed corpus scoring, no UDF, no model object at runtime."""
+    scan-speed corpus scoring, no UDF, no model object at runtime.
+
+    Magnitude contract (ENFORCED, because non-ANSI decimal overflow
+    would silently NULL every margin and make every prediction -1):
+    each numerator must satisfy ``|num| < 1e30`` — checked here,
+    raises ``ValueError`` — and each feature value must satisfy
+    ``|x| < 1e7`` at scoring time (the ``decimal(7,0)`` cast; a
+    larger value nulls that row's margin, so clip features like
+    ``n_chars`` upstream for multi-MB documents).  The numerator
+    bound holds whenever lsq_train's documented |moment| ≲ 1e12
+    contract held during training (det ≲ 1e37 / margin headroom
+    1e30·1e7 < 1e38)."""
     margin = None
     for nj, c in zip(numerators, feature_cols):
+        if abs(int(nj)) >= 10**30:
+            raise ValueError(
+                f"lsq_margin: numerator for {c!r} is {int(nj):e}, "
+                "outside the decimal(30,0) scoring split — training "
+                "feature magnitudes exceeded the |moment| <= ~1e12 "
+                "contract; rescale features and retrain"
+            )
         term = F.lit(Decimal(int(nj))).cast("decimal(30,0)") * F.col(
             c
         ).cast("decimal(7,0)")

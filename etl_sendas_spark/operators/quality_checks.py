@@ -443,32 +443,41 @@ def mad_outliers(
     second pass input carries (keys, value, med), nothing wider.
 
     Returns the input columns plus ``med``, ``mad``, ``mad_z``
-    (rounded 6, NULL when MAD = 0), ``is_outlier`` (int)."""
+    (rounded 6, NULL when MAD = 0), ``is_outlier`` (int).  Input
+    columns may not collide with those four output names (or the
+    ``__med``/``__mad`` internals) — raises ``ValueError`` rather
+    than silently producing ambiguous/duplicate columns."""
+    reserved = {"med", "mad", "mad_z", "is_outlier", "__med", "__mad"}
+    clash = sorted(set(df.columns) & reserved)
+    if clash:
+        raise ValueError(
+            f"mad_outliers: input columns collide with outputs: {clash}"
+        )
     med = df.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )
     with_med = df.join(med, keys)
     mad = (
         with_med.groupBy(*keys)
         .agg(
-            F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+            F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
         )
     )
     out = with_med.join(mad, keys)
-    z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")
     return out.select(
         *df.columns,
-        F.round(F.col("med").cast("double"), 6).alias("med"),
-        F.round(F.col("mad").cast("double"), 6).alias("mad"),
+        F.round(F.col("__med").cast("double"), 6).alias("med"),
+        F.round(F.col("__mad").cast("double"), 6).alias("mad"),
         F.round(
-            F.when(F.col("mad") != 0, z).cast("double"), 6
+            F.when(F.col("__mad") != 0, z).cast("double"), 6
         ).alias("mad_z"),
         F.when(
-            F.col("mad") != 0,
+            F.col("__mad") != 0,
             (F.abs(z) > F.lit(thresh)).cast("int"),
         )
         .otherwise(
-            (F.col(value_col) != F.col("med")).cast("int")
+            (F.col(value_col) != F.col("__med")).cast("int")
         )
         .alias("is_outlier"),
     )

@@ -1557,10 +1557,14 @@ class TxLogTable:
         Delta ``WHEN MATCHED AND cond THEN DELETE`` arm, in the same
         single atomic commit as the updates/inserts — which is what
         lets an IVM consumer apply upserts AND zero-multiplicity
-        retractions with one watermark).  NOTE: matching is by plain
-        equi-join, so NULL key values never match (standard MERGE
-        semantics) — callers merging Z-set view rows must not have
-        NULLs in the view key columns.  ``extra`` merges application
+        retractions with one watermark).  A NULL ``delete_when``
+        result is NOT a delete: like Delta's ``WHEN MATCHED AND cond
+        THEN DELETE``, only rows where the predicate is TRUE delete;
+        NULL/FALSE rows fall through to the update arm (their source
+        row replaces the matched target row).  NOTE: matching is by
+        plain equi-join, so NULL key values never match (standard
+        MERGE semantics) — callers merging Z-set view rows must not
+        have NULLs in the view key columns.  ``extra`` merges application
         metadata into the commit record, as in :meth:`overwrite`."""
         if when_matched not in ("update", "delete"):
             raise ValueError(
@@ -1620,12 +1624,25 @@ class TxLogTable:
             # matches are already excluded from `kept`)
             src_rows = source.select(*tbl_cols)
             if delete_when is not None:
-                src_rows = src_rows.filter(~F.expr(delete_when))
+                # Delete only when the predicate is TRUE — a NULL
+                # result must fall through to update, so filter with
+                # null-safe equality rather than plain negation
+                # (plain ~pred drops NULL rows, silently losing them).
+                src_rows = src_rows.filter(
+                    ~F.expr(delete_when).eqNullSafe(F.lit(True))
+                )
             replacement = kept.unionByName(src_rows)
         # A churn-sized merge must not shatter into shuffle-partition-
         # many small files: bound the replacement's file count by the
-        # affected-file count (+1 for inserts) — coalesce, no shuffle.
-        replacement = replacement.coalesce(max(1, len(affected)))
+        # affected-file count — but never below the SOURCE's own
+        # parallelism, or an insert-heavy merge touching 0-1 existing
+        # files would funnel the whole write through one task.
+        # (Empty coalesce partitions emit no parquet files, so the
+        # source-partition bound cannot shatter a tiny merge.)
+        src_parts = source.rdd.getNumPartitions()
+        replacement = replacement.coalesce(
+            max(1, len(affected), src_parts)
+        )
         return self._rewrite_files(
             spark, "merge", head, affected, replacement, extra=extra
         )

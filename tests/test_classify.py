@@ -127,3 +127,65 @@ def test_lsq_margin_matches_rational_weights(spark):
             )
     finally:
         feats.unpersist()
+
+
+def test_lsq_train_overflow_is_loud(spark):
+    """Moment sums that exceed DECIMAL(38,0) raise OverflowError
+    (round-10 ADVICE fix) instead of silently wrapping BIGINT into a
+    wrong model: two rows of ~9e18 features make Σx² ≈ 1.6e38 > 38
+    digits."""
+    big = 9_200_000_000_000_000_000
+    df = spark.createDataFrame(
+        [(1, big, 1), (1, big, -1)], "bias LONG, x LONG, y LONG"
+    )
+    with pytest.raises(OverflowError, match="DECIMAL"):
+        lsq_train(df, ["bias", "x"], "y")
+
+
+def test_lsq_train_decimal_path_matches_small_scale(spark):
+    """The decimal-summed moments are integer-exact: same model as
+    before the overflow-hardening on ordinary count-sized features."""
+    rows = [(1, 3, 9, 1), (1, 5, 1, -1), (1, 4, 7, 1), (1, 6, 2, -1)]
+    df = spark.createDataFrame(
+        rows, "bias LONG, n_tokens LONG, n_stop LONG, y LONG"
+    )
+    nums, det = lsq_train(df, COLS, "y")
+    # replay the normal equations in pure Python for the 4-row frame
+    import itertools
+
+    X = [r[:3] for r in rows]
+    yv = [r[3] for r in rows]
+    k = 3
+    M = [
+        [sum(x[i] * x[j] for x in X) for j in range(k)]
+        for i in range(k)
+    ]
+    V = [sum(x[i] * t for x, t in zip(X, yv)) for i in range(k)]
+
+    def det3(m):
+        s = 0
+        for p in itertools.permutations(range(3)):
+            sign = 1
+            for a in range(3):
+                for b in range(a + 1, 3):
+                    if p[a] > p[b]:
+                        sign = -sign
+            s += sign * m[0][p[0]] * m[1][p[1]] * m[2][p[2]]
+        return s
+
+    d = det3(M)
+    sgn = 1 if d > 0 else -1
+    exp_nums = []
+    for j in range(k):
+        mj = [row[:] for row in M]
+        for i in range(k):
+            mj[i][j] = V[i]
+        exp_nums.append(det3(mj) * sgn)
+    assert (nums, det) == (exp_nums, d * sgn)
+
+
+def test_lsq_margin_rejects_oversized_numerators():
+    """Numerators at/past 1e30 would silently NULL every margin in the
+    decimal(30,0) scoring split — lsq_margin raises instead."""
+    with pytest.raises(ValueError, match="decimal\\(30,0\\)"):
+        lsq_margin([10**30, 1], ["a", "b"])

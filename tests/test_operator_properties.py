@@ -2803,3 +2803,18 @@ def test_mad_outliers_degenerate_groups(spark):
     assert flags[("b", 9.0)] == (1, None)      # MAD=0: off-median flags
     assert flags[("b", 5.0)][0] == 0
     assert flags[("c", 42.0)][0] == 0          # singleton never flags
+
+
+def test_mad_outliers_rejects_colliding_input_columns(spark):
+    """mad_outliers raises on input columns that would collide with
+    its med/mad/mad_z/is_outlier outputs (round-10 ADVICE fix) rather
+    than producing ambiguous or duplicate columns."""
+    import pytest
+
+    from etl_sendas_spark.operators.quality_checks import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 9.0)], "g STRING, x DOUBLE, mad DOUBLE"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        mad_outliers(df, ["g"], "x")

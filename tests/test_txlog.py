@@ -1288,3 +1288,54 @@ def test_row_count_is_metadata_only_and_dml_exact(spark, tmp_path):
     t.compact(spark, target_files=2)
     for v in t.versions():
         assert t.row_count(v) == t.read(spark, v).count(), f"v{v}"
+
+
+def test_merge_into_delete_when_null_falls_through_to_update(spark, tmp_path):
+    """Delta NULL semantics for the delete arm (round-10 ADVICE fix):
+    a source row whose delete_when predicate evaluates to NULL is NOT
+    a delete — it falls through to the update arm and replaces its
+    matched target row, rather than silently vanishing."""
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k LONG, n LONG"
+        ),
+    )
+    # n NULL for k=2 -> predicate "n = 0" is NULL -> update, not delete
+    src = spark.createDataFrame(
+        [(2, None), (3, 0)], "k LONG, n LONG"
+    )
+    t.merge_into(spark, src, ["k"], delete_when="n = 0")
+    got = sorted(
+        (r["k"], r["n"]) for r in t.read(spark).collect()
+    )
+    # k=1 untouched, k=2 UPDATED to NULL (not lost), k=3 deleted
+    assert got == [(1, 10), (2, None)]
+
+
+def test_merge_into_insert_heavy_keeps_source_parallelism(spark, tmp_path):
+    """An insert-heavy merge touching zero existing files must not
+    funnel the whole write through one task (round-10 ADVICE fix):
+    the commit's add-set carries at least as many files as the source
+    had non-empty partitions, up to the coalesce bound."""
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root, spark.createDataFrame([(0, 0)], "k LONG, n LONG")
+    )
+    src = (
+        spark.range(1, 4001)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("n"))
+        .repartition(4)
+    )
+    v = t.merge_into(spark, src, ["k"])
+    adds = t._read_commit(v)["add"]
+    assert len(adds) >= 4, (
+        f"insert-heavy merge wrote {len(adds)} file(s); expected the "
+        "source's 4 partitions to write in parallel"
+    )
+    assert t.read(spark).count() == 4001
