@@ -447,36 +447,37 @@ EXTRA_ORACLES.update(_inv_round9.PART_ORACLES)
 # driver-exercised inside sendas_full_pipeline's D1 stage).
 # Streaming rows (5) and Sendas rule rows untouched per the
 # keep-the-window-honest rule.
-# Queued for the NEXT (round-10) swap — round-9 machinery already
-# holding the full oracle bar in EXTRA (each hash-exact at 2 SFs):
-# txlog_dml_dv_events (merge-on-read deletion vectors: dv delete +
-# dv update + CoW-over-dv + compaction absorption — no other row
-# exercises vectors, and it re-pins CoW DML machinery in the same
-# ladder), streaming_txlog_cdf_ivm_events (the readChangeFeed
-# DataSource option draining a DML ladder through engine checkpoints
-# into incremental_agg_update — CDF algebra + IVM composition under
-# one hash), dsir_select_docs (importance resampling: hashed-bin
-# likelihood-ratio weights + Gumbel-top-k — a selection family no
-# current row covers). Candidates OUT: txlog_dml_events (CoW
-# DELETE/UPDATE/MERGE — delete/update machinery re-pinned inside the
-# DV ladder; MERGE stays oracle-checked in EXTRA + j_merge_upsert
-# pytest), ivm_minmax_incremental (IVM update algebra driver-pinned
-# end-to-end by the CDF-IVM row; the minmax affected-key recompute
-# variant keeps its EXTRA oracle), sample_group_split_docs (sampling
-# family's driver slot passes to DSIR; the leakage-safe group split
-# keeps its EXTRA oracle + property tests).
-# Round-9 late additions already holding the full oracle bar in EXTRA
-# (hash-exact 2 SFs each), queued BEHIND the r10 swap as r11 rotation
-# candidates: ivm_join_view_events (bilinear join-IVM — a maintenance
-# algebra no current row covers), quality_lsq_classifier_docs (the
-# registry's one TRAINED model whose training itself is under the
-# hash: integer moments + Cramer), search_bm25_index_at_rest_docs
-# (at-rest inverted index with in-query partition-prune
-# assertion), corpus_refresh_incremental_docs (the idempotent
-# nightly-refresh composite: sequential-wave law + planted poisoned
-# wave under one hash), ts_resample_ffill_events (grid resample +
-# gaps-and-islands fill), privacy_k_anonymize_events (suppression
-# release gate), quality_mad_outliers_events (median/MAD gate).
+# Round-10 rotation (executes the r9 verdict's item 1 verbatim —
+# all ELEVEN late round-9 rows in). IN: txlog_dml_dv_events
+# (merge-on-read deletion vectors: dv delete + dv update +
+# CoW-over-dv + compaction absorption), streaming_txlog_cdf_ivm_events
+# (readChangeFeed DataSource draining a DML ladder through engine
+# checkpoints into incremental_agg_update), dsir_select_docs
+# (hashed-bin importance weights + Gumbel-top-k), ivm_join_view_events
+# (bilinear join-IVM delta algebra), quality_lsq_classifier_docs (the
+# registry's one TRAINED model — integer moments + Cramer under the
+# hash), search_bm25_index_at_rest_docs (at-rest inverted index with
+# in-query partition-prune assertion), corpus_refresh_incremental_docs
+# (idempotent nightly-refresh composite with planted poisoned wave),
+# txlog_bloom_probe_events (Bloom file-index point lookups),
+# privacy_k_anonymize_events (k-anonymity suppression gate),
+# quality_mad_outliers_events (median/MAD outlier gate),
+# ts_resample_ffill_events (grid resample + gaps-and-islands fill).
+# OUT, each after >=1 green driver outing and keeping the identical
+# oracle bar in EXTRA (verdict's sibling-pins rule):
+# txlog_dml_events (CoW delete/update re-pinned inside the DV ladder;
+# MERGE stays in EXTRA + j9_update_then_merge stays driver),
+# txlog_change_feed_events (CDF read path re-pinned by the CDF-IVM
+# streaming row), ivm_minmax_incremental (IVM update algebra pinned by
+# join-IVM + CDF-IVM rows), sample_group_split_docs (sampling slot
+# passes to DSIR; group split keeps EXTRA oracle + property tests),
+# dedup_substring_spans_docs (fingerprint-join machinery pinned by the
+# minhash family), j_pit_scd2_enrich (interval-predicate joins pinned
+# by j_asof_events), a_association_rules, graph_hits_entities,
+# dq_psi_drift (quality family's driver slots pass to MAD + LSQ),
+# langid_ngram_docs (text family keeps text_features),
+# streaming_dedup_events (streaming family keeps 5 driver rows incl.
+# the incoming CDF-IVM row; dedup-in-stream keeps its EXTRA oracle).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
@@ -485,8 +486,6 @@ DRIVER_WINDOW = [
     "p_filter_project",
     "j_broadcast_enrich",
     "j_anti_all_columns",
-    "dedup_substring_spans_docs",
-    "j_pit_scd2_enrich",
     "u_union_dedup_files",
     "o_topk_per_group",
     "a1_latest_partition",
@@ -494,29 +493,21 @@ DRIVER_WINDOW = [
     "geo_radius_join_events",
     "s5_sink_compact_roundtrip",
     "f1_priority_pick",
-    "sample_group_split_docs",
     "j_asof_events",
-    "txlog_change_feed_events",
     "scalar_dates_ages",
-    "langid_ngram_docs",
     "r1_capped_mark",
     "r7_gap_mark",
     "r4_invoice_zeroing",
     "sendas_full_pipeline",
     "text_features",
-    "dq_psi_drift",
     "corpus_training_manifest",
     "search_hybrid_rrf_ivf_docs",
     "fuzzy_match_part_names",
-    "a_association_rules",
-    "ivm_minmax_incremental",
     "dedup_semantic_docs",
-    "graph_hits_entities",
     "dedup_minhash_incremental_docs",
     "decontaminate_docs",
     "dedup_cluster_docs",
     "bpe_pair_counts_docs",
-    "txlog_dml_events",
     "streaming_txlog_source_ingest",
     "txlog_partitioned_prune_events",
     "ann_ivfpq_topk",
@@ -526,8 +517,18 @@ DRIVER_WINDOW = [
     "streaming_matview_counts",
     "streaming_session_windows",
     "streaming_gap_anchor_mark",
-    "streaming_dedup_events",
     "streaming_enriched_counts",
+    "txlog_dml_dv_events",
+    "dsir_select_docs",
+    "ivm_join_view_events",
+    "quality_lsq_classifier_docs",
+    "search_bm25_index_at_rest_docs",
+    "corpus_refresh_incremental_docs",
+    "txlog_bloom_probe_events",
+    "streaming_txlog_cdf_ivm_events",
+    "privacy_k_anonymize_events",
+    "quality_mad_outliers_events",
+    "ts_resample_ffill_events",
 ]
 
 _ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
