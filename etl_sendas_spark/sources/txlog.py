@@ -1211,6 +1211,88 @@ class TxLogTable:
 
     # -- row-level DML (copy-on-write) ---------------------------------
 
+    def _commit_occ(
+        self,
+        spark: SparkSession,
+        head: int,
+        payload: dict,
+        sensitive: set[str],
+        add_check,
+        op: str,
+        max_retries: int = 5,
+    ) -> int:
+        """Optimistic commit with Delta's disjoint-conflict retry:
+        claim ``head + 1``; when a concurrent commit got there first,
+        re-validate instead of aborting. The already-written payload
+        (add/remove/dv sets) commits unchanged at a LATER version iff
+        serializing this DML *after* every concurrent commit provably
+        yields the same table — the two file-level OCC rules:
+
+        1. no concurrent commit removed or deletion-vectored any file
+           in ``sensitive`` (the files this DML rewrites/vectors —
+           touching them would make this commit resurrect or double-
+           process their rows), and
+        2. every concurrently ADDED file contains zero rows this DML
+           would have matched — checked by ``add_check(rel_files)``,
+           a distributed scan of just the added (increment-sized)
+           files; a match means the remove/rewrite set is stale.
+
+        Two writers backfilling disjoint months both commit; true
+        overlap still raises :class:`CommitConflict` (the caller may
+        re-run the whole operation against the new head). Whole-table
+        ops (overwrite, compact) remove every live file, so rule 1
+        aborts them naturally — no op allowlist needed."""
+        attempt = head
+        for _ in range(max_retries):
+            if self._try_commit(attempt + 1, payload):
+                return attempt + 1
+            new_head = self.latest_version()
+            for v in range(attempt + 1, new_head + 1):
+                c = self._read_commit(v)
+                removed = set(c.get("remove", [])) | set(
+                    c.get("dv", {}).keys()
+                )
+                overlap = sorted(removed & sensitive)
+                if overlap:
+                    raise CommitConflict(
+                        f"{op} vs concurrent {c.get('op')} at version "
+                        f"{v}: both touch {overlap[:3]}"
+                        f"{'...' if len(overlap) > 3 else ''}; re-run "
+                        f"{op} against the new head"
+                    )
+                added = list(c.get("add", []))
+                if added:
+                    if add_check is None:
+                        raise CommitConflict(
+                            f"{op}: concurrent {c.get('op')} at "
+                            f"version {v} added files and this "
+                            f"operation cannot re-validate them; "
+                            f"re-run against the new head"
+                        )
+                    if add_check(added):
+                        raise CommitConflict(
+                            f"{op}: concurrent {c.get('op')} at "
+                            f"version {v} added rows this operation "
+                            f"would have matched; re-run against the "
+                            f"new head"
+                        )
+            attempt = new_head
+        raise CommitConflict(
+            f"{op}: gave up after {max_retries} version-claim attempts"
+        )
+
+    def _hit_in_files(self, spark: SparkSession, hit):
+        """add_check factory for predicate DML: does any row in the
+        concurrently-added ``rel`` files satisfy ``hit``? One bounded
+        scan of just those files (increment-sized), pushdown intact."""
+
+        def check(rel: list[str]) -> bool:
+            return (
+                self._scan(spark, rel).filter(hit).limit(1).count() > 0
+            )
+
+        return check
+
     def _rewrite_files(
         self,
         spark: SparkSession,
@@ -1219,13 +1301,17 @@ class TxLogTable:
         affected_rel: list[str],
         replacement: DataFrame,
         extra: dict | None = None,
+        add_check=None,
     ) -> int:
         """Shared copy-on-write commit: replace ``affected_rel`` with
         files written from ``replacement``, leaving every other live
         file untouched — the Delta DML mechanic that makes a DELETE of
         0.1% of a 100 TB table rewrite 0.1% of its files, not the
-        table. Snapshot-dependent like :meth:`compact`: raises
-        :class:`CommitConflict` if any commit landed past ``head``."""
+        table. Snapshot-dependent like :meth:`compact`, but with the
+        disjoint-conflict retry of :meth:`_commit_occ`: a concurrent
+        commit over OTHER files (validated via ``add_check``) slides
+        this commit to the next version; true overlap raises
+        :class:`CommitConflict`."""
         cols = [
             c for c in self.read(spark, head).columns
         ]  # table column order, partition cols re-attached last
@@ -1242,11 +1328,9 @@ class TxLogTable:
             payload["stats"] = stats
         if extra:
             payload.update(extra)
-        if not self._try_commit(head + 1, payload):
-            raise CommitConflict(
-                f"live set moved past version {head} during {op}; retry"
-            )
-        return head + 1
+        return self._commit_occ(
+            spark, head, payload, set(affected_rel), add_check, op
+        )
 
     def _affected_files(
         self,
@@ -1324,6 +1408,9 @@ class TxLogTable:
         return self._rewrite_files(
             spark, "replace_where", head, affected, replacement,
             extra=extra,
+            add_check=self._hit_in_files(
+                spark, hit.eqNullSafe(F.lit(True))
+            ),
         )
 
     def delete_where(
@@ -1401,17 +1488,18 @@ class TxLogTable:
                 "dv": {k: sorted(v) for k, v in dv.items()},
                 "dv_rows": len(hits),
             }
-            if not self._try_commit(head + 1, payload):
-                raise CommitConflict(
-                    f"live set moved past version {head} during dv "
-                    "delete; retry"
-                )
-            return head + 1
+            return self._commit_occ(
+                spark, head, payload, set(dv.keys()),
+                self._hit_in_files(spark, hit), "dv delete",
+            )
         affected = self._affected_files(spark, head, hit, prune)
         if not affected:
             return head
         survivors = self._scan_live(spark, affected, head).filter(~hit)
-        return self._rewrite_files(spark, "delete", head, affected, survivors)
+        return self._rewrite_files(
+            spark, "delete", head, affected, survivors,
+            add_check=self._hit_in_files(spark, hit),
+        )
 
     def update_where(
         self,
@@ -1516,19 +1604,20 @@ class TxLogTable:
                 payload["parts"] = parts
             if stats:
                 payload["stats"] = stats
-            if not self._try_commit(head + 1, payload):
-                raise CommitConflict(
-                    f"live set moved past version {head} during dv "
-                    "update; retry"
-                )
-            return head + 1
+            return self._commit_occ(
+                spark, head, payload, set(dv.keys()),
+                self._hit_in_files(spark, hit), "dv update",
+            )
 
         affected = self._affected_files(spark, head, hit, prune)
         if not affected:
             return head
         sub = self._scan_live(spark, affected, head)
         updated = apply_set(sub, sub.columns)
-        return self._rewrite_files(spark, "update", head, affected, updated)
+        return self._rewrite_files(
+            spark, "update", head, affected, updated,
+            add_check=self._hit_in_files(spark, hit),
+        )
 
     def merge_into(
         self,
@@ -1643,8 +1732,18 @@ class TxLogTable:
         replacement = replacement.coalesce(
             max(1, len(affected), src_parts)
         )
+        def _keys_in_files(rel: list[str]) -> bool:
+            return (
+                self._scan(spark, rel)
+                .join(skeys, keys, "left_semi")
+                .limit(1)
+                .count()
+                > 0
+            )
+
         return self._rewrite_files(
-            spark, "merge", head, affected, replacement, extra=extra
+            spark, "merge", head, affected, replacement, extra=extra,
+            add_check=_keys_in_files,
         )
 
     def compact(

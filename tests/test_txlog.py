@@ -692,24 +692,168 @@ def test_merge_into_upsert_and_delete(spark, tmp_path):
 
 
 def test_dml_conflict_raises(spark, tmp_path, monkeypatch):
-    """DML is snapshot-dependent like compact: a commit landing between
-    the snapshot read and the claim must abort, never silently drop the
-    interloper's rows."""
+    """True-overlap conflicts still abort (round-10 OCC refinement):
+    a concurrent append whose rows MATCH the delete predicate lands
+    between snapshot and claim — committing the stale remove set would
+    silently miss those rows, so the delete raises; the interloper's
+    rows survive."""
     root = str(tmp_path / "tdmlc")
     t = TxLogTable.create(root, _df(spark, 0, 20, "x"))
     orig = t._write_data
+    fired = []
 
     def raced(df, stat_cols=None, partition_by=None):
         out = orig(df, stat_cols, partition_by)
-        assert t._try_commit(
-            t.latest_version() + 1, {"op": "append", "add": []}
-        )
+        if not fired:
+            fired.append(1)
+            files, _, _ = orig(_df(spark, 0, 3, "zz"), None, None)
+            assert t._try_commit(
+                t.latest_version() + 1, {"op": "append", "add": files}
+            )
         return out
 
     monkeypatch.setattr(t, "_write_data", raced)
-    with pytest.raises(CommitConflict):
+    with pytest.raises(CommitConflict, match="matched"):
         t.delete_where(spark, "k < 5")
-    assert {r["k"] for r in t.read(spark).collect()} == set(range(20))
+    got = [r["k"] for r in t.read(spark).collect()]
+    assert sorted(got) == sorted(list(range(20)) + [0, 1, 2])
+
+
+def test_dml_conflict_overlapping_remove_aborts(spark, tmp_path, monkeypatch):
+    """A concurrent commit that removes files this DML plans to
+    rewrite is a true overlap: committing would resurrect the
+    concurrently-removed rows — abort, never retry."""
+    root = str(tmp_path / "tdmlo")
+    t = TxLogTable.create(root, _df(spark, 0, 20, "x"))
+    all_rel = [os.path.relpath(p, root) for p in t.live_files()]
+    orig = t._write_data
+    fired = []
+
+    def raced(df, stat_cols=None, partition_by=None):
+        out = orig(df, stat_cols, partition_by)
+        if not fired:
+            fired.append(1)
+            assert t._try_commit(
+                t.latest_version() + 1,
+                {"op": "overwrite", "add": [], "remove": all_rel},
+            )
+        return out
+
+    monkeypatch.setattr(t, "_write_data", raced)
+    with pytest.raises(CommitConflict, match="both touch"):
+        t.delete_where(spark, "k < 5")
+    assert t.live_files() == []  # the overwrite won
+
+
+def test_dml_disjoint_concurrent_append_retries(spark, tmp_path, monkeypatch):
+    """The Delta OCC rule (round 10): a concurrent blind append of
+    NON-matching rows is disjoint from the delete's remove set — the
+    delete re-validates and commits at the next version instead of
+    aborting; both writers' effects survive."""
+    root = str(tmp_path / "tdmld")
+    t = TxLogTable.create(root, _df(spark, 0, 20, "x"))
+    orig = t._write_data
+    fired = []
+
+    def raced(df, stat_cols=None, partition_by=None):
+        out = orig(df, stat_cols, partition_by)
+        if not fired:
+            fired.append(1)
+            files, _, _ = orig(_df(spark, 100, 103, "y"), None, None)
+            assert t._try_commit(
+                t.latest_version() + 1, {"op": "append", "add": files}
+            )
+        return out
+
+    monkeypatch.setattr(t, "_write_data", raced)
+    v = t.delete_where(spark, "k < 5")
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == sorted(list(range(5, 20)) + [100, 101, 102])
+    # the delete slid past the interloper's version
+    assert v == t.latest_version() and v >= 2
+
+
+def test_merge_disjoint_and_overlapping_concurrent_commits(
+    spark, tmp_path, monkeypatch
+):
+    """merge_into's OCC validation is key-based: a concurrent append
+    with DISJOINT keys slides the merge to the next version; one
+    whose keys intersect the source aborts (the merge would insert a
+    duplicate key)."""
+    root = str(tmp_path / "tmocc")
+    t = TxLogTable.create(
+        root, spark.createDataFrame([(1, "a"), (2, "b")], "k LONG, v STRING")
+    )
+    orig = t._write_data
+
+    def race_with(rows):
+        fired = []
+
+        def raced(df, stat_cols=None, partition_by=None):
+            out = orig(df, stat_cols, partition_by)
+            if not fired:
+                fired.append(1)
+                files, _, _ = orig(
+                    spark.createDataFrame(rows, "k LONG, v STRING"),
+                    None,
+                    None,
+                )
+                assert t._try_commit(
+                    t.latest_version() + 1,
+                    {"op": "append", "add": files},
+                )
+            return out
+
+        return raced
+
+    src = spark.createDataFrame([(2, "B"), (3, "C")], "k LONG, v STRING")
+    # disjoint concurrent key -> retry succeeds, all rows present
+    monkeypatch.setattr(t, "_write_data", race_with([(9, "z")]))
+    t.merge_into(spark, src, ["k"])
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "C"), (9, "z")]
+    # overlapping concurrent key -> abort
+    src2 = spark.createDataFrame([(5, "E")], "k LONG, v STRING")
+    monkeypatch.setattr(t, "_write_data", race_with([(5, "dup")]))
+    with pytest.raises(CommitConflict, match="matched"):
+        t.merge_into(spark, src2, ["k"])
+
+
+def test_replace_where_disjoint_backfills_both_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The verdict's two-writers scenario: two backfills of DIFFERENT
+    key ranges interleave — the second's commit claim loses the race
+    but re-validates as disjoint and lands at the next version; both
+    backfills' rows are present afterward."""
+    root = str(tmp_path / "trwd")
+    t = TxLogTable.create(root, _df(spark, 0, 20, "x"))
+    orig = t._write_data
+    fired = []
+
+    def raced(df, stat_cols=None, partition_by=None):
+        out = orig(df, stat_cols, partition_by)
+        if not fired:
+            fired.append(1)
+            # writer B backfills k >= 100 (no current rows match:
+            # pure-insert replace_where -> empty remove set)
+            files, _, _ = orig(_df(spark, 100, 105, "B"), None, None)
+            assert t._try_commit(
+                t.latest_version() + 1,
+                {"op": "replace_where", "add": files, "remove": []},
+            )
+        return out
+
+    monkeypatch.setattr(t, "_write_data", raced)
+    # writer A backfills k in [0, 5) with fresh rows
+    t.replace_where(spark, _df(spark, 0, 5, "A"), "k < 5")
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    exp = sorted(
+        [(k, "A") for k in range(5)]
+        + [(k, "x") for k in range(5, 20)]
+        + [(k, "B") for k in range(100, 105)]
+    )
+    assert got == exp
 
 
 def test_timestamp_time_travel(spark, tmp_path):
