@@ -1627,6 +1627,7 @@ class TxLogTable:
         when_matched: str = "update",
         delete_when: str | None = None,
         extra: dict | None = None,
+        prune: dict | None = None,
     ) -> int:
         """``MERGE INTO t USING source ON keys`` with file-level
         copy-on-write: matched target rows are replaced by their
@@ -1672,20 +1673,39 @@ class TxLogTable:
                 f"merge_into: source columns {sorted(source.columns)} != "
                 f"table columns {sorted(tbl_cols)}"
             )
-        dup = (
-            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
-        ).count()
-        if dup:
+        key_stats = (
+            source.groupBy(*keys)
+            .agg(F.count("*").alias("__c"))
+            .agg(
+                F.count("*").alias("__nk"), F.max("__c").alias("__mx")
+            )
+            .collect()[0]
+        )
+        if (key_stats["__mx"] or 0) > 1:
             raise ValueError("merge_into: duplicate keys in source")
+        n_keys = int(key_stats["__nk"] or 0)
         skeys = source.select(*keys).distinct()
+        if n_keys <= 4_000_000:
+            # a bounded key set rides the discovery semi-join and the
+            # survivor anti-join map-side — without the hint a
+            # broadcast-averse session sort-merges both, shuffling the
+            # pruned scan (view-sized) instead of the keys
+            skeys = F.broadcast(skeys)
         rootp = os.path.abspath(self.root)
         relf = F.expr(
             "substring(input_file_name(), "
             f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
         )
+        # ``prune`` bounds the matched-key DISCOVERY scan with the
+        # manifest (partition values -> blooms -> zone maps), exactly
+        # like delete_where: the caller asserts no source key can
+        # match rows outside the pruned file set (e.g. a view table
+        # hive-partitioned on a key hash, with the spec derived from
+        # the source's own key hashes). A 100 TB merge then reads the
+        # partitions its keys live in, not the table.
         affected = sorted(
             r["__f"]
-            for r in self.read(spark, head)
+            for r in self.read(spark, head, prune=prune)
             .withColumn("__f", relf)
             .join(skeys, keys, "left_semi")
             .select("__f")
@@ -1729,9 +1749,18 @@ class TxLogTable:
         # (Empty coalesce partitions emit no parquet files, so the
         # source-partition bound cannot shatter a tiny merge.)
         src_parts = source.rdd.getNumPartitions()
-        replacement = replacement.coalesce(
-            max(1, len(affected), src_parts)
-        )
+        target = max(1, len(affected), src_parts)
+        if self._partition_cols():
+            # hive-partitioned: co-locate each partition value's rows
+            # first (one shuffle of the bounded replacement), so the
+            # partitionBy write emits one file per touched hive dir —
+            # a plain coalesce would interleave partition values
+            # across tasks and shatter into (#tasks x #values) files
+            replacement = replacement.repartition(
+                target, *self._partition_cols()
+            )
+        else:
+            replacement = replacement.coalesce(target)
         def _keys_in_files(rel: list[str]) -> bool:
             return (
                 self._scan(spark, rel)
@@ -1876,6 +1905,49 @@ class TxLogTable:
             )
         return head + 1
 
+    def _commit_scoped_pair(self, spark: SparkSession, v: int):
+        """The (cur, prev) sub-snapshots whose diff IS commit ``v``'s
+        change feed: prev = rows of the files the commit removed or
+        re-vectored (read at v−1 with v−1's vectors), cur = rows of
+        the files it added or re-vectored (read at v with v's
+        vectors). Files the commit left alone are byte-identical in
+        both snapshots and — keys being unique per snapshot, so no key
+        can also appear in a touched file without violating the
+        contract — contribute no I/U/D. Returns ``(None, None)`` for
+        a metadata-only commit (nothing touched). An empty side
+        borrows the other side's (limit-0) frame so a pure append
+        diffs against nothing and a pure whole-file delete against
+        its removed rows only."""
+        c = self._read_commit(v)
+        removed = set(c.get("remove", []))
+        added = set(c.get("add", []))
+        dv_prev = self._replay_dvs(v - 1)
+        dv_cur = self._replay_dvs(v)
+        dv_touched = {
+            f
+            for f in set(dv_prev) | set(dv_cur)
+            if dv_prev.get(f) != dv_cur.get(f)
+        }
+        live_prev = set(self._replay(v - 1)[0])
+        live_cur = set(self._replay(v)[0])
+        prev_scope = sorted((removed | dv_touched) & live_prev)
+        cur_scope = sorted((added | dv_touched) & live_cur)
+        if not prev_scope and not cur_scope:
+            return None, None
+        prev = (
+            self._scan_live(spark, prev_scope, v - 1)
+            if prev_scope
+            else None
+        )
+        cur = (
+            self._scan_live(spark, cur_scope, v) if cur_scope else None
+        )
+        if cur is None:
+            cur = prev.limit(0)
+        if prev is None:
+            prev = cur.limit(0)
+        return cur, prev
+
     def change_feed(
         self,
         spark: SparkSession,
@@ -1908,13 +1980,17 @@ class TxLogTable:
         law pinned in tests/test_txlog.py). Costs one extra U-key-sized
         join per version.
 
-        Scale note: this RECONSTRUCTS changes by diffing adjacent
-        snapshots — one keyed shuffle per requested version, each
-        change-sized on output but snapshot-sized on input. It is the
-        right tool for occasional catch-up over a few commits; a
-        consumer that needs every batch's changes should take them at
-        write time (the streaming sink's per-batch time travel), which
-        is free.
+        Scale note (round 10): reconstruction is COMMIT-SCOPED, not
+        snapshot-scoped — rows living in files a commit did not touch
+        are bit-identical in the two adjacent snapshots and cannot
+        produce I/U/D, so each version's diff reads only the commit's
+        removed∪added files plus files whose deletion-vector state
+        changed (exact under the keyed precondition: a key cannot
+        occupy two live files of one snapshot, so it cannot "move"
+        into an untouched file). An append's feed therefore reads the
+        appended files only; a 20-key update of a 100 TB table reads
+        the handful of files the CoW rewrite touched. The keyed
+        shuffle per version is commit-sized on BOTH input and output.
         """
         from ..operators.relational import snapshot_diff
 
@@ -1931,12 +2007,14 @@ class TxLogTable:
             )
         parts = []
         for v in range(from_version, to_version + 1):
-            cur = self.read(spark, v)
             if v == 0:
                 # a create commit diffs against nothing: pure inserts
+                cur = self.read(spark, v)
                 prev = spark.createDataFrame([], cur.schema)
             elif (v - 1) in known:
-                prev = self.read(spark, v - 1)
+                cur, prev = self._commit_scoped_pair(spark, v)
+                if cur is None:
+                    continue  # metadata-only commit: no changes
             else:
                 # v itself survived vacuum but its predecessor did not:
                 # an empty base here would re-emit the ENTIRE snapshot
@@ -1962,6 +2040,16 @@ class TxLogTable:
                 )
             parts.append(
                 diff.withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        if not parts:
+            # every requested commit was metadata-only
+            return (
+                self.read(spark, to_version)
+                .limit(0)
+                .withColumn("op", F.lit("I"))
+                .withColumn(
+                    "_commit_version", F.lit(to_version).cast("long")
+                )
             )
         out = parts[0]
         for p in parts[1:]:

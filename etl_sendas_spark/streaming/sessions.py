@@ -833,6 +833,7 @@ def txlog_join_view_step(
     b_cols: list[str],
     dst_path: str,
     apply: str = "overwrite",
+    state_buckets: int | None = None,
 ) -> tuple[int, int] | None:
     """ONE transactional step maintaining a materialized JOIN view over
     TWO independently-mutating txlog tables — the two-source extension
@@ -874,7 +875,22 @@ def txlog_join_view_step(
       merge-internal, so a racing consumer between the state read and
       the merge commit interleaves instead of losing cleanly — the
       overwrite mode keeps the strict expected-version CAS);
-      bootstrap and caught-up behavior are identical."""
+      bootstrap and caught-up behavior are identical.
+
+    ``state_buckets`` (merge mode only) keys-partitions the VIEW
+    STATE: the bootstrap creates the destination hive-partitioned on
+    ``__kb = pmod(xxhash64(join_keys), state_buckets)`` and every
+    maintenance step derives the delta's bucket set and passes it as
+    ``merge_into``'s ``prune`` spec, so BOTH the matched-row discovery
+    scan and the old-multiplicity read open only the files under the
+    churn's buckets (manifest partition pruning, no data I/O outside
+    them).  This closes join-IVM's one irreducible base-sized term —
+    the state merge — at 100 TB view sizes: maintenance I/O becomes
+    affected-partition-sized.  Same-key rows hash to the same bucket
+    (xxhash64 is seed-stable across sessions), so no matched view row
+    can live outside the pruned set — the precondition merge_into's
+    ``prune`` contract requires.  Consumers reading the view should
+    drop the ``__kb`` column."""
     from ..operators.ivm import (
         incremental_join_update,
         join_view_delta,
@@ -884,6 +900,16 @@ def txlog_join_view_step(
 
     if apply not in ("overwrite", "merge"):
         raise ValueError(f"txlog_join_view_step: bad apply={apply!r}")
+    if state_buckets is not None and apply != "merge":
+        raise ValueError(
+            "txlog_join_view_step: state_buckets requires apply='merge'"
+        )
+
+    def kbucket():
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in join_keys]),
+            F.lit(state_buckets),
+        ).cast("long")
 
     a, b = TxLogTable(a_path), TxLogTable(b_path)
     a_head, b_head = a.latest_version(), b.latest_version()
@@ -894,10 +920,23 @@ def txlog_join_view_step(
             join_keys, a_cols, b_cols,
         )
         try:
-            TxLogTable.create(
-                dst_path, state,
-                extra={"a_version": a_head, "b_version": b_head},
-            )
+            if state_buckets is not None:
+                TxLogTable.create(
+                    dst_path,
+                    state.withColumn("__kb", kbucket())
+                    # co-locate each bucket's rows before the
+                    # partitionBy write: one file per non-empty
+                    # bucket instead of (#input partitions x
+                    # #buckets) fragments
+                    .repartition(state_buckets, "__kb"),
+                    partition_by=["__kb"],
+                    extra={"a_version": a_head, "b_version": b_head},
+                )
+            else:
+                TxLogTable.create(
+                    dst_path, state,
+                    extra={"a_version": a_head, "b_version": b_head},
+                )
             return (a_head, b_head)
         except (CommitConflict, FileExistsError):
             return None  # concurrent bootstrap won; next tick continues
@@ -927,10 +966,37 @@ def txlog_join_view_step(
             normalize_updates=True,
         ).select(*sel)
 
-    a_changes = feed(a, last_a, a_head, a_keys, a_cols)
-    b_changes = feed(b, last_b, b_head, b_keys, b_cols)
+    # The feeds are referenced several times inside the delta (signed
+    # weights, both broadcast probes) — persist them so the commit-
+    # scoped change-feed reconstruction runs ONCE per side, not once
+    # per reference (measured: the unpersisted feeds dominated the
+    # step's wall-clock at 5M-row bases).
+    a_changes = feed(a, last_a, a_head, a_keys, a_cols).persist()
+    b_changes = feed(b, last_b, b_head, b_keys, b_cols).persist()
     expected = dst.latest_version()
     extra = {"a_version": a_head, "b_version": b_head}
+    try:
+        return _apply_join_view_delta(
+            spark, a, b, dst, a_head, b_head, expected, extra,
+            a_changes, b_changes, join_keys, a_cols, b_cols, apply,
+            state_buckets, kbucket,
+        )
+    finally:
+        a_changes.unpersist()
+        b_changes.unpersist()
+
+
+def _apply_join_view_delta(
+    spark, a, b, dst, a_head, b_head, expected, extra,
+    a_changes, b_changes, join_keys, a_cols, b_cols, apply,
+    state_buckets, kbucket,
+):
+    from ..operators.ivm import (
+        incremental_join_update,
+        join_view_delta,
+    )
+    from ..sources.txlog import CommitConflict
+
     if apply == "merge":
         view_cols = [*join_keys, *a_cols, *b_cols]
         delta = join_view_delta(
@@ -938,37 +1004,66 @@ def txlog_join_view_step(
             a.read(spark, a_head), b.read(spark, b_head),
             join_keys, a_cols, b_cols,
         )
-        # final multiplicities for JUST the delta's view rows: old n
-        # (0 when new) + w; n == 0 rows become delete_when retractions.
-        # The view scan is semi-restricted to delta rows FIRST (broadcast
-        # the churn-sized delta; a preserved small side can't broadcast
-        # in an outer join directly), so both joins stay map-side over
-        # one view scan.
-        old = dst.read(spark, expected)
-        old_hit = old.join(
-            F.broadcast(delta.select(*view_cols)), view_cols, "left_semi"
-        )
-        src = delta.join(
-            F.broadcast(old_hit), view_cols, "left_outer"
-        ).select(
-            *view_cols,
-            (F.coalesce(F.col("n"), F.lit(0)) + F.col("w")).alias("n"),
-        )
-        # merge_into drives several actions over its source (dup
+        # The delta feeds several consumers (bucket collect, dup
         # check, affected-file discovery, replacement write); without
         # pinning, each re-executes the whole delta plan INCLUDING its
         # base probes — measured 2.5× slower than the overwrite path
         # until this persist made the delta compute once.
-        src = src.persist()
+        delta = delta.persist()
         try:
-            src.count()
-            dst.merge_into(
-                spark, src, view_cols, delete_when="n = 0", extra=extra
+            delta.count()
+            prune = None
+            if state_buckets is not None:
+                # the churn's bucket set (bounded by state_buckets):
+                # the manifest prune spec for BOTH view reads below
+                hit_kb = sorted(
+                    r["__kb"]
+                    for r in delta.select(
+                        F.pmod(
+                            F.xxhash64(*[F.col(k) for k in join_keys]),
+                            F.lit(state_buckets),
+                        ).cast("long").alias("__kb")
+                    ).distinct().collect()
+                )
+                prune = {"__kb": hit_kb}
+            # final multiplicities for JUST the delta's view rows: old
+            # n (0 when new) + w; n == 0 rows become delete_when
+            # retractions. The view scan is semi-restricted to delta
+            # rows FIRST (broadcast the churn-sized delta; a preserved
+            # small side can't broadcast in an outer join directly),
+            # so both joins stay map-side over one view scan — a scan
+            # that opens only the churn's bucket partitions when the
+            # state is key-partitioned.
+            old = dst.read(spark, expected, prune=prune)
+            old_hit = old.join(
+                F.broadcast(delta.select(*view_cols)), view_cols,
+                "left_semi",
             )
-        except CommitConflict:
-            return None  # lost the race; destination untouched
+            src = delta.join(
+                F.broadcast(old_hit.select(*view_cols, "n")),
+                view_cols,
+                "left_outer",
+            ).select(
+                *view_cols,
+                (F.coalesce(F.col("n"), F.lit(0)) + F.col("w")).alias(
+                    "n"
+                ),
+            )
+            if state_buckets is not None:
+                src = src.withColumn("__kb", kbucket())
+            src = src.persist()
+            try:
+                src.count()
+                dst.merge_into(
+                    spark, src, view_cols, delete_when="n = 0",
+                    extra=extra, prune=prune,
+                )
+            except CommitConflict:
+                return None  # lost the race; destination untouched
+            finally:
+                src.unpersist()
         finally:
-            src.unpersist()
+            delta.unpersist()
         return (a_head, b_head)
     state = incremental_join_update(
         dst.read(spark, expected),
@@ -1004,6 +1099,7 @@ def stream_txlog_join_view(
     checkpoint: str,
     tick_seconds: float = 0.5,
     apply: str = "overwrite",
+    state_buckets: int | None = None,
 ):
     """The running host for :func:`txlog_join_view_step` — the same
     rate-ticker/foreachBatch pattern as :func:`stream_txlog_cdf_to_agg`
@@ -1017,6 +1113,7 @@ def stream_txlog_join_view(
         txlog_join_view_step(
             spark, a_path, b_path, a_keys, b_keys, join_keys,
             a_cols, b_cols, dst_path, apply=apply,
+            state_buckets=state_buckets,
         )
 
     return (

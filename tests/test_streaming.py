@@ -1377,3 +1377,125 @@ def test_stream_txlog_join_view_runs_and_catches_up(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_txlog_join_view_step_key_partitioned_state(spark, tmp_path):
+    """state_buckets (round 10): the view state is hive-partitioned on
+    pmod(xxhash64(join_keys), B) and each maintenance step prunes BOTH
+    view reads (old-multiplicity scan + merge discovery) to the
+    churn's buckets at the MANIFEST — the view stays exactly the batch
+    recompute through a localized churn ladder, while the pruned read
+    opens a strict subset of the view's files and the merge commit's
+    remove-set stays strictly under the hit buckets' hive dirs."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.ivm import join_view_state
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import txlog_join_view_step
+
+    a_root = str(tmp_path / "facts")
+    b_root = str(tmp_path / "dim")
+    dst_root = str(tmp_path / "view")
+    B = 16
+
+    def facts(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k",
+            "CAST(id % 50 AS BIGINT) AS j",
+            "CAST(id % 3 AS STRING) AS a",
+        )
+
+    a = TxLogTable.create(a_root, facts(0, 2000))
+    b = TxLogTable.create(
+        b_root,
+        spark.createDataFrame(
+            [(i, f"s{i % 7}") for i in range(50)], "j LONG, b STRING"
+        ),
+    )
+
+    def expect():
+        return sorted(
+            map(
+                tuple,
+                join_view_state(
+                    TxLogTable(a_root).read(spark),
+                    TxLogTable(b_root).read(spark),
+                    ["j"], ["a"], ["b"],
+                ).collect(),
+            )
+        )
+
+    step = lambda: txlog_join_view_step(
+        spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"],
+        dst_root, apply="merge", state_buckets=B,
+    )
+    # buckets require merge mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="state_buckets"):
+        txlog_join_view_step(
+            spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"],
+            dst_root, apply="overwrite", state_buckets=B,
+        )
+
+    assert step() == (0, 0)  # bootstrap: partitioned create
+    dst = TxLogTable(dst_root)
+    view = dst.read(spark)
+    assert "__kb" in view.columns
+    got = sorted(
+        map(tuple, view.select("j", "a", "b", "n").collect())
+    )
+    assert got == expect()
+    # one hive dir per non-empty bucket
+    kbs = {r["__kb"] for r in view.select("__kb").distinct().collect()}
+    assert kbs <= set(range(B)) and len(kbs) > 1
+
+    # LOCALIZED churn on two join keys
+    a.append(
+        spark.range(5000, 5400).selectExpr(
+            "id AS k", "CAST(id % 50 AS BIGINT) AS j",
+            "CAST(id % 3 AS STRING) AS a",
+        ).filter("j IN (7, 23)"),
+        spark,
+    )
+    b.update_where(spark, {"b": "'hot'"}, "j = 7")
+    live_before = set(dst.live_files())
+
+    # the pruned read the step performs opens a STRICT SUBSET of the
+    # view's files: pin via inputFiles on the same prune spec
+    hit_kb = sorted(
+        {
+            r["__kb"]
+            for r in spark.createDataFrame([(7,), (23,)], "j LONG")
+            .select(
+                F.pmod(F.xxhash64("j"), F.lit(B)).cast("long").alias("__kb")
+            )
+            .collect()
+        }
+    )
+    pruned_files = set(
+        dst.read(spark, prune={"__kb": hit_kb}).inputFiles()
+    )
+    all_files = set(dst.read(spark).inputFiles())
+    assert pruned_files and pruned_files < all_files
+
+    assert step() == (1, 1)
+    assert sorted(
+        map(
+            tuple,
+            dst.read(spark).select("j", "a", "b", "n").collect(),
+        )
+    ) == expect()
+    assert step() is None
+
+    # the merge commit's remove-set lives strictly under hit buckets
+    rec = dst._read_commit(dst.latest_version())
+    assert rec["op"] == "merge"
+    removed = set(rec.get("remove", []))
+    assert removed, "localized churn must rewrite at least one file"
+    for p in removed:
+        assert any(f"__kb={kb}{_os.sep}" in p or f"__kb={kb}/" in p for kb in hit_kb), p
+    live_rel = {_os.path.relpath(f, dst_root) for f in live_before}
+    assert removed < live_rel  # untouched buckets' files survive
