@@ -442,6 +442,7 @@ def text_index_build(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 16,
+    src_version: int | None = None,
 ):
     """Build the at-rest inverted index: postings as a txlog table
     hive-PARTITIONED by term bucket (md5-60(token) mod ``buckets``),
@@ -462,15 +463,20 @@ def text_index_build(
     from ..sources.txlog import TxLogTable
 
     post, n_docs, sum_dl = _postings(docs, text_col, id_col, buckets)
+    extra = {
+        "idx_n_docs": n_docs,
+        "idx_sum_dl": sum_dl,
+        "idx_buckets": buckets,
+    }
+    if src_version is not None:
+        # the indexed corpus's txlog version — the change-feed
+        # watermark :func:`text_index_refresh` advances
+        extra["idx_src_version"] = int(src_version)
     return TxLogTable.create(
         root,
         post.repartition("bucket"),
         partition_by=["bucket"],
-        extra={
-            "idx_n_docs": n_docs,
-            "idx_sum_dl": sum_dl,
-            "idx_buckets": buckets,
-        },
+        extra=extra,
     )
 
 
@@ -480,6 +486,7 @@ def text_index_append(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    src_version: int | None = None,
 ) -> int:
     """Add NEW documents to an existing index: tokenizes only the new
     docs, appends their postings into the same bucket partitions, and
@@ -494,15 +501,152 @@ def text_index_append(
     meta = t.commit_meta(t.latest_version())
     buckets = int(meta["idx_buckets"])
     post, n_docs, sum_dl = _postings(docs, text_col, id_col, buckets)
+    extra = {
+        "idx_n_docs": int(meta["idx_n_docs"]) + n_docs,
+        "idx_sum_dl": int(meta["idx_sum_dl"]) + sum_dl,
+        "idx_buckets": buckets,
+    }
+    if src_version is not None:
+        extra["idx_src_version"] = int(src_version)
+    elif "idx_src_version" in meta:
+        extra["idx_src_version"] = int(meta["idx_src_version"])
     return t.append(
         post.repartition("bucket"),
         docs.sparkSession,
-        extra={
-            "idx_n_docs": int(meta["idx_n_docs"]) + n_docs,
-            "idx_sum_dl": int(meta["idx_sum_dl"]) + sum_dl,
-            "idx_buckets": buckets,
-        },
+        extra=extra,
     )
+
+
+def text_index_refresh(
+    spark,
+    root: str,
+    corpus_root: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    to_version: int | None = None,
+    max_touched_ids: int = 10_000,
+) -> int | None:
+    """Maintain the at-rest index under CORPUS DML (the round-9
+    verdict's stale-postings gap): consume the corpus txlog table's
+    change feed from the index's ``idx_src_version`` watermark to
+    ``to_version`` (head when None) and land the whole sync as ONE
+    atomic ``replace_where`` commit on the postings table — delete
+    the touched docs' old postings, insert the final live images'
+    postings, advance the cumulative stats AND the watermark in the
+    same commit metadata.  After a refresh, :func:`text_index_topk`
+    is row-for-row the fresh build of the corpus head (the law the
+    tests pin).  Returns the postings table's new version, or None
+    when already synced.
+
+    Everything is FEED-SIZED — the corpus is never rescanned:
+
+    - the touched-id set and each doc's FINAL live image come from
+      the normalized feed itself (per id, the newest commit's rows;
+      an I row there means live-with-that-image — updates normalize
+      to D+I at the same version, so I wins; a bare D means deleted);
+    - the stats delta telescopes over the signed feed
+      (I → +1/+dl, D → −1/−dl of the pre-image), exactly matching
+      :func:`_postings`'s accounting (docs with NULL text excluded,
+      zero-token docs count with dl = 0);
+    - the replace condition is a bounded ``doc_id IN (...)`` literal —
+      ``max_touched_ids`` caps it (raise it, chunk your refreshes, or
+      rebuild when a single sync touches more docs than that; an
+      id-set beyond the ten-thousands is a rebuild-sized change).
+
+    Requires the index to carry the watermark — build/append with
+    ``src_version=`` (indexes built from bare DataFrames have no
+    corpus version to sync from; loud error, not a guess)."""
+    from pyspark.sql import Window
+
+    from ..sources.txlog import TxLogTable, sql_in_condition
+
+    t = TxLogTable(root)
+    meta = t.commit_meta(t.latest_version())
+    if "idx_src_version" not in meta:
+        raise ValueError(
+            "text_index_refresh: index carries no idx_src_version "
+            "watermark — build/append with src_version= to enable "
+            "incremental refresh"
+        )
+    last = int(meta["idx_src_version"])
+    corpus = TxLogTable(corpus_root)
+    head = corpus.latest_version() if to_version is None else to_version
+    if head <= last:
+        return None
+    buckets = int(meta["idx_buckets"])
+    feed = corpus.change_feed(
+        spark,
+        keys=[id_col],
+        from_version=last + 1,
+        to_version=head,
+        normalize_updates=True,
+    ).persist()
+    try:
+        touched = [
+            r[0] for r in feed.select(id_col).distinct().collect()
+        ]
+        if not touched:
+            # metadata-only commits: advance the watermark alone
+            return t.append(
+                t.read(spark).limit(0),
+                spark,
+                extra={
+                    "idx_n_docs": int(meta["idx_n_docs"]),
+                    "idx_sum_dl": int(meta["idx_sum_dl"]),
+                    "idx_buckets": buckets,
+                    "idx_src_version": head,
+                },
+            )
+        if len(touched) > max_touched_ids:
+            raise ValueError(
+                f"text_index_refresh: {len(touched)} touched ids "
+                f"exceed max_touched_ids={max_touched_ids} — chunk "
+                "the refresh (to_version=) or rebuild"
+            )
+        # stats delta: signed telescope over the feed
+        sgn = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
+        srow = (
+            feed.filter(F.col(text_col).isNotNull())
+            .select(
+                sgn.alias("s"),
+                F.size(_tokens(F.col(text_col))).alias("dl"),
+            )
+            .agg(
+                F.sum("s").alias("dn"),
+                F.sum(F.col("s") * F.col("dl")).alias("ddl"),
+            )
+            .collect()[0]
+        )
+        dn, ddl = int(srow["dn"] or 0), int(srow["ddl"] or 0)
+        # final live image per touched id: newest commit's rows; an I
+        # row there wins (update = D+I at the same version)
+        w = Window.partitionBy(id_col)
+        final_live = (
+            feed.withColumn(
+                "__mv", F.max("_commit_version").over(w)
+            )
+            .filter(
+                (F.col("_commit_version") == F.col("__mv"))
+                & (F.col("op") == "I")
+            )
+            .select(id_col, text_col)
+        )
+        new_post, _, _ = _postings(final_live, text_col, id_col, buckets)
+        cond = sql_in_condition("doc_id", touched)
+        return t.replace_where(
+            spark,
+            new_post.repartition("bucket"),
+            cond,
+            extra={
+                "idx_n_docs": int(meta["idx_n_docs"]) + dn,
+                "idx_sum_dl": int(meta["idx_sum_dl"]) + ddl,
+                "idx_buckets": buckets,
+                "idx_src_version": head,
+            },
+        )
+    finally:
+        feed.unpersist()
 
 
 def text_index_topk(

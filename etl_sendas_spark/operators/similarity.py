@@ -435,6 +435,7 @@ def ivf_index_build(
     lloyd_iters: int = 0,
     assign_backend: str = "exact",
     centroid_source: DataFrame | None = None,
+    src_version: int | None = None,
 ) -> str:
     """Materialize an IVF index as TWO txlog tables under ``path`` —
     the build-once/query-many split :func:`ivf_cosine_topk` rebuilds
@@ -480,6 +481,11 @@ def ivf_index_build(
         os.path.join(path, "rows"),
         assigned.select("neighbor_id", "cv", "cn", "cluster"),
         partition_by=["cluster"],
+        extra=(
+            {"idx_src_version": int(src_version)}
+            if src_version is not None
+            else None
+        ),
     )
     return path
 
@@ -490,6 +496,7 @@ def ivf_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_backend: str = "exact",
+    src_version: int | None = None,
 ) -> int:
     """Add vectors to an at-rest IVF index WITHOUT rebuilding: assign
     them against the frozen centroid table (one narrow pass — the
@@ -505,9 +512,120 @@ def ivf_index_append(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
     assigned = _assign_nearest_centroid(c, cents, backend=assign_backend)
-    return TxLogTable(os.path.join(path, "rows")).append(
-        assigned.select("neighbor_id", "cv", "cn", "cluster"), spark
+    rows_t = TxLogTable(os.path.join(path, "rows"))
+    extra = None
+    if src_version is not None:
+        extra = {"idx_src_version": int(src_version)}
+    else:
+        meta = rows_t.commit_meta(rows_t.latest_version())
+        if "idx_src_version" in meta:
+            extra = {"idx_src_version": int(meta["idx_src_version"])}
+    return rows_t.append(
+        assigned.select("neighbor_id", "cv", "cn", "cluster"), spark,
+        extra=extra,
     )
+
+
+def ivf_index_refresh(
+    spark,
+    path: str,
+    corpus_root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_backend: str = "exact",
+    to_version: int | None = None,
+    max_touched_ids: int = 10_000,
+) -> int | None:
+    """Maintain the at-rest IVF index under CORPUS DML — the vector
+    twin of :func:`..operators.search.text_index_refresh`: consume the
+    corpus txlog table's change feed from the rows table's
+    ``idx_src_version`` watermark, derive each touched id's FINAL live
+    vector from the feed itself (newest commit per id; I row wins over
+    the same-version D of a normalized update), assign the live ones
+    against the FROZEN centroids (the train-once contract — a refresh
+    never moves the quantizer), and land delete+insert as ONE atomic
+    ``replace_where`` on the rows table carrying the advanced
+    watermark.  After a refresh, :func:`ivf_index_topk` equals a fresh
+    build against the corpus head with the same frozen centroids (the
+    law the tests pin).  Returns the rows table's new version, or
+    None when already synced.
+
+    Feed-sized end to end — neither the corpus nor the already-
+    indexed rows are rescanned (the replace's CoW rewrite touches the
+    files holding the touched ids' rows; vectors that changed cluster
+    land in their new hive dir).  Zero-norm updated vectors drop out
+    of the index, matching the build's ``cn > 0`` filter.  The
+    bounded ``IN`` literal is capped by ``max_touched_ids``, as in
+    the text refresh."""
+    from pyspark.sql import Window
+
+    from ..sources.txlog import TxLogTable, sql_in_condition
+
+    rows_t = TxLogTable(os.path.join(path, "rows"))
+    meta = rows_t.commit_meta(rows_t.latest_version())
+    if "idx_src_version" not in meta:
+        raise ValueError(
+            "ivf_index_refresh: rows table carries no idx_src_version "
+            "watermark — build/append with src_version= to enable "
+            "incremental refresh"
+        )
+    last = int(meta["idx_src_version"])
+    corpus = TxLogTable(corpus_root)
+    head = corpus.latest_version() if to_version is None else to_version
+    if head <= last:
+        return None
+    feed = corpus.change_feed(
+        spark,
+        keys=[id_col],
+        from_version=last + 1,
+        to_version=head,
+        normalize_updates=True,
+    ).persist()
+    try:
+        touched = [
+            r[0] for r in feed.select(id_col).distinct().collect()
+        ]
+        if not touched:
+            return rows_t.append(
+                rows_t.read(spark).limit(0),
+                spark,
+                extra={"idx_src_version": head},
+            )
+        if len(touched) > max_touched_ids:
+            raise ValueError(
+                f"ivf_index_refresh: {len(touched)} touched ids "
+                f"exceed max_touched_ids={max_touched_ids} — chunk "
+                "the refresh (to_version=) or rebuild"
+            )
+        w = Window.partitionBy(id_col)
+        final_live = (
+            feed.withColumn("__mv", F.max("_commit_version").over(w))
+            .filter(
+                (F.col("_commit_version") == F.col("__mv"))
+                & (F.col("op") == "I")
+            )
+            .select(id_col, vec_col)
+        )
+        cents = TxLogTable(os.path.join(path, "centroids")).read(spark)
+        c = (
+            final_live.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            )
+            .withColumn("cn", _norm(F.col("cv")))
+            .filter(F.col("cn") > 0)
+        )
+        assigned = _assign_nearest_centroid(
+            c, cents, backend=assign_backend
+        ).select("neighbor_id", "cv", "cn", "cluster")
+        cond = sql_in_condition("neighbor_id", touched)
+        return rows_t.replace_where(
+            spark, assigned, cond,
+            extra={"idx_src_version": head},
+        )
+    finally:
+        feed.unpersist()
 
 
 def ivf_index_topk(

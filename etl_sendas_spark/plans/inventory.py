@@ -290,6 +290,7 @@ from . import inv_round6 as _inv_round6  # noqa: E402
 from . import inv_round7 as _inv_round7  # noqa: E402
 from . import inv_round8 as _inv_round8  # noqa: E402
 from . import inv_round9 as _inv_round9  # noqa: E402
+from . import inv_round10 as _inv_round10  # noqa: E402
 from .inv_round4 import *  # noqa: E402,F401,F403
 from .inv_round5 import *  # noqa: E402,F401,F403
 from .inv_round6 import *  # noqa: E402,F401,F403
@@ -309,6 +310,8 @@ EXTRA_QUERIES.update(_inv_round8.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round8.PART_ORACLES)
 EXTRA_QUERIES.update(_inv_round9.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round9.PART_ORACLES)
+EXTRA_QUERIES.update(_inv_round10.PART_QUERIES)
+EXTRA_ORACLES.update(_inv_round10.PART_ORACLES)
 
 # ===========================================================================
 # driver window — SINGLE definition site

@@ -108,6 +108,29 @@ def _coerce_part(raw: str, bound) -> object | None:
 _BLOOM_DEFAULT_SPEC = [1024, 3]  # [m_words of 63 bits, k hashes]
 
 
+def sql_in_condition(col: str, values) -> str:
+    """``col IN (...)`` as a SQL predicate string for the DML entry
+    points (delete_where / replace_where), with literal quoting for
+    int/str values — the bounded-id-set form index maintenance uses.
+    Raises on empty sets (IN () matches nothing — a caller bug) and on
+    value types without a safe literal form."""
+    vals = list(values)
+    if not vals:
+        raise ValueError("sql_in_condition: empty value set")
+    lits = []
+    for v in vals:
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise ValueError(
+                f"sql_in_condition: unsupported literal type "
+                f"{type(v).__name__}"
+            )
+        if isinstance(v, int):
+            lits.append(str(v))
+        else:
+            lits.append("'" + v.replace("'", "''") + "'")
+    return f"{col} IN ({', '.join(lits)})"
+
+
 def _bloom_positions_py(value, k: int, total_bits: int) -> list[int]:
     """Bit positions of ``value`` in a per-file Bloom filter — PURE
     Python, byte-identical to the Spark build expression in

@@ -2818,3 +2818,80 @@ def test_mad_outliers_rejects_colliding_input_columns(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         mad_outliers(df, ["g"], "x")
+
+
+def test_ivf_index_refresh_tracks_corpus_dml(spark, tmp_path):
+    """CDF-driven IVF maintenance (round 10): corpus deletes, a vector
+    rewrite, and appends land as ONE replace_where on the rows table —
+    the refreshed index answers row-for-row like a fresh build of the
+    corpus head against the SAME frozen centroids, and the watermark
+    advances in the refresh commit. Second refresh: no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_refresh,
+        ivf_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    vecs, n, n_dups = _planted_vectors(spark)
+    corpus_root = str(tmp_path / "vcorpus")
+    corpus = TxLogTable.create(corpus_root, vecs)
+
+    idx = str(tmp_path / "ivf_idx")
+    ivf_index_build(
+        corpus.read(spark), idx, n_centroids=16, src_version=0
+    )
+    assert ivf_index_refresh(spark, idx, corpus_root) is None
+
+    # DML: delete a slice, rewrite one vector, append two new ones
+    corpus.delete_where(spark, "vec_id % 9 = 3")
+    dim = len(vecs.select("embedding").first()[0])
+    corpus.update_where(
+        spark,
+        {"embedding": f"array({', '.join(['0.5D'] * dim)})"},
+        "vec_id = 4",
+    )
+    new_rows = (
+        vecs.filter("vec_id IN (10, 11)")
+        .select(
+            (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+        )
+    )
+    corpus.append(new_rows, spark)
+
+    v = ivf_index_refresh(spark, idx, corpus_root)
+    assert v is not None
+    rows_t = TxLogTable(f"{idx}/rows")
+    assert rows_t._read_commit(v)["op"] == "replace_where"
+    assert (
+        int(rows_t.commit_meta(v)["idx_src_version"])
+        == corpus.latest_version()
+    )
+
+    # equality law vs a fresh build sharing the FROZEN quantizer
+    # (centroid_source = the original corpus frame, deterministic)
+    fresh = str(tmp_path / "ivf_fresh")
+    ivf_index_build(
+        corpus.read(spark), fresh, n_centroids=16,
+        centroid_source=vecs,
+    )
+    queries = vecs.filter("vec_id >= 200")
+    got = sorted(
+        map(
+            tuple,
+            ivf_index_topk(spark, idx, queries, k=5, n_probe=8).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_index_topk(
+                spark, fresh, queries, k=5, n_probe=8
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    assert ivf_index_refresh(spark, idx, corpus_root) is None

@@ -822,3 +822,88 @@ def test_text_index_at_rest_build_once_query_many(spark, tmp_path):
     appended = spark.read.parquet(*added)
     assert appended.filter(F.col("doc_id") % 3 != 0).count() == 0
     assert appended.count() > 0
+
+
+def test_text_index_refresh_tracks_corpus_dml(spark, tmp_path):
+    """CDF-driven index maintenance (round 10): deletes, updates, and
+    appends on the indexed corpus TABLE flow into the at-rest index as
+    ONE atomic replace_where per refresh — after which the probe is
+    row-for-row a fresh build of the corpus head, cumulative stats
+    equal the fresh build's, and the watermark advanced in the same
+    commit. A second refresh with nothing new is a no-op (None)."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.search import (
+        text_index_build,
+        text_index_refresh,
+        text_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    corpus_root = str(tmp_path / "corpus")
+    corpus = TxLogTable.create(corpus_root, docs)
+
+    root = str(tmp_path / "idx")
+    text_index_build(
+        corpus.read(spark), root, buckets=16, src_version=0
+    )
+
+    # refresh before any corpus commit: already synced
+    assert text_index_refresh(spark, root, corpus_root) is None
+
+    # DML ladder: delete a slice, rewrite one doc, append new docs
+    corpus.delete_where(spark, "doc_id % 7 = 0")
+    corpus.update_where(
+        spark,
+        {"text": "'replacement text about spark hash join tables'"},
+        "doc_id % 7 = 1",
+    )
+    corpus.append(
+        spark.createDataFrame(
+            [
+                (900001, "fresh spark document about hash tables"),
+                (900002, "another fresh document about sort merge"),
+            ],
+            "doc_id LONG, text STRING",
+        ),
+        spark,
+    )
+
+    v = text_index_refresh(spark, root, corpus_root)
+    assert v is not None
+    t = TxLogTable(root)
+    rec = t._read_commit(v)
+    assert rec["op"] == "replace_where"
+
+    # equality law: refreshed index == fresh build of the corpus head
+    fresh_root = str(tmp_path / "fresh")
+    text_index_build(corpus.read(spark), fresh_root, buckets=16)
+    qs = [(1, "spark hash join"), (2, "sort merge document")]
+    got = sorted(map(tuple, text_index_topk(spark, root, qs).collect()))
+    want = sorted(
+        map(tuple, text_index_topk(spark, fresh_root, qs).collect())
+    )
+    assert got == want and len(got) > 0
+
+    meta = t.commit_meta(v)
+    fresh_meta = TxLogTable(fresh_root).commit_meta(0)
+    assert int(meta["idx_n_docs"]) == int(fresh_meta["idx_n_docs"])
+    assert int(meta["idx_sum_dl"]) == int(fresh_meta["idx_sum_dl"])
+    assert int(meta["idx_src_version"]) == corpus.latest_version()
+
+    # synced again: no-op
+    assert text_index_refresh(spark, root, corpus_root) is None
+
+    # an index without the watermark refuses to guess
+    import pytest as _pytest
+
+    nowm = str(tmp_path / "nowm")
+    text_index_build(corpus.read(spark), nowm, buckets=16)
+    with _pytest.raises(ValueError, match="idx_src_version"):
+        text_index_refresh(spark, nowm, corpus_root)
