@@ -52,19 +52,23 @@ from ..operators.dedupe import (
     minhash_lsh_incremental,
     minhash_lsh_index,
 )
-from ..sources.txlog import TxLogTable
+from ..sources.txlog import MetaLog, TxLogTable
 
 
-def _wave_base_version(t: TxLogTable, wave_id: str) -> tuple[int | None, bool]:
-    """(base_version, already_committed): the snapshot version the
-    wave's inputs must be read at.  If the wave already committed to
-    this table, base = the version just before that commit (time
-    travel makes redelivery deterministic); else base = head."""
+def _wave_base_version(
+    t: TxLogTable, wave_id: str
+) -> tuple[int | None, bool, int | None]:
+    """(base_version, already_committed, wave_version): the snapshot
+    version the wave's inputs must be read at.  If the wave already
+    committed to this table, base = the version just before that
+    commit (time travel makes redelivery deterministic) and
+    wave_version = the commit itself (the manifest pointer needs it);
+    else base = head."""
     versions = sorted(t.versions()) if os.path.isdir(t.root) else []
     for v in versions:
         if t.commit_meta(v).get("wave_id") == wave_id:
-            return (v - 1 if v > 0 else None), True
-    return (versions[-1] if versions else None), False
+            return (v - 1 if v > 0 else None), True, v
+    return (versions[-1] if versions else None), False, None
 
 
 def corpus_refresh_step(
@@ -92,9 +96,9 @@ def corpus_refresh_step(
     fps_t = TxLogTable(os.path.join(root, "fps"))
     mh_t = TxLogTable(os.path.join(root, "mh"))
 
-    docs_base, docs_done = _wave_base_version(docs_t, wave_id)
-    fps_base, fps_done = _wave_base_version(fps_t, wave_id)
-    mh_base, mh_done = _wave_base_version(mh_t, wave_id)
+    docs_base, docs_done, docs_wv = _wave_base_version(docs_t, wave_id)
+    fps_base, fps_done, fps_wv = _wave_base_version(fps_t, wave_id)
+    mh_base, mh_done, mh_wv = _wave_base_version(mh_t, wave_id)
 
     wave = wave_df.filter(F.col(text_col).isNotNull()).select(
         id_col, *keep_cols, text_col
@@ -157,26 +161,71 @@ def corpus_refresh_step(
     }
     out["rejected_near"] = n_quality - out["rejected_exact"] - n_final
 
-    def land(t: TxLogTable, df: DataFrame, done: bool, key: str) -> None:
+    landed: dict[str, int] = {}
+
+    def land(
+        t: TxLogTable, df: DataFrame, done: bool, wv: int | None,
+        key: str,
+    ) -> None:
         if done:
             out[key] = "already"
+            landed[key] = int(wv)
         elif not t.versions():
             TxLogTable.create(t.root, df, extra=extra)
             out[key] = 0
+            landed[key] = 0
         else:
             out[key] = t.append(df, spark, extra=extra)
+            landed[key] = int(out[key])
 
-    land(docs_t, wave_s.select(id_col, *keep_cols, text_col), docs_done, "docs_version")
-    land(fps_t, wave_s.select("fp"), fps_done, "fps_version")
+    land(
+        docs_t, wave_s.select(id_col, *keep_cols, text_col),
+        docs_done, docs_wv, "docs_version",
+    )
+    land(fps_t, wave_s.select("fp"), fps_done, fps_wv, "fps_version")
     if with_near_dup:
         land(
             mh_t,
             survivor_idx.select(id_col, "sh", "signature"),
-            mh_done,
-            "mh_version",
+            mh_done, mh_wv, "mh_version",
         )
     wave_s.unpersist()
+    # The wave becomes VISIBLE only now: one atomic manifest record
+    # pinning the three tables' wave versions (the root-level catalog
+    # pointer — VERDICT r9 #7).  A crash anywhere above leaves the
+    # manifest unadvanced, so corpus_snapshot readers keep seeing the
+    # previous consistent triple; redelivery completes the missing
+    # table commits (time-travel recovery above) and THEN publishes.
+    manifest = MetaLog(os.path.join(root, "_manifest"))
+    if manifest.find("wave_id", wave_id) is not None:
+        out["manifest_version"] = "already"
+    else:
+        out["manifest_version"] = manifest.commit(
+            {
+                "wave_id": wave_id,
+                "docs": landed["docs_version"],
+                "fps": landed["fps_version"],
+                "mh": landed.get("mh_version"),
+            }
+        )
     return out
+
+
+def corpus_snapshot(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame, dict]:
+    """The READER's consistent view of the refresh state: resolve the
+    root manifest's newest record and time-travel the docs table to
+    its pinned version — a wave whose table commits landed but whose
+    manifest pointer did not is invisible (never a torn multi-table
+    read).  Returns ``(docs_df, pins)`` where ``pins`` is the manifest
+    record ({} for a legacy root without a manifest — head reads, the
+    pre-round-10 behavior)."""
+    docs_t = TxLogTable(os.path.join(root, "docs"))
+    rec = MetaLog(os.path.join(root, "_manifest")).latest()
+    if rec is None:
+        return docs_t.read(spark), {}
+    return docs_t.read(spark, int(rec["docs"])), rec
 
 
 def stream_corpus_refresh(

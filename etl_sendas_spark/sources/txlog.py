@@ -108,6 +108,77 @@ def _coerce_part(raw: str, bound) -> object | None:
 _BLOOM_DEFAULT_SPEC = [1024, 3]  # [m_words of 63 bits, k hashes]
 
 
+class MetaLog:
+    """Data-less atomic commit log — the one-file catalog idea: a
+    versioned sequence of JSON records claimed by O_EXCL create, used
+    as a ROOT-LEVEL MANIFEST tying several txlog tables' versions into
+    one atomic unit (e.g. the corpus-refresh wave across docs/fps/mh:
+    readers resolve the manifest head and time-travel each table to
+    its pinned version, so a crash between table commits can never
+    expose a torn multi-table state — the Iceberg-catalog-pointer
+    role, reduced to one directory of numbered JSON files).
+
+    Same durability mechanics as the txlog commit claim (O_EXCL is
+    atomic on POSIX filesystems); no data files, no checkpoints —
+    records are app-sized pointers, not manifests of manifests."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.root, f"{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for f in os.listdir(self.root):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read(self, version: int) -> dict:
+        with open(self._path(version)) as f:
+            return json.load(f)
+
+    def latest(self) -> dict | None:
+        vs = self.versions()
+        return self.read(vs[-1]) if vs else None
+
+    def find(self, key: str, value) -> dict | None:
+        """Newest record whose payload carries ``key == value``."""
+        for v in reversed(self.versions()):
+            rec = self.read(v)
+            if rec.get(key) == value:
+                return rec
+        return None
+
+    def commit(self, payload: dict) -> int:
+        """Append ``payload`` as the next version (blind-append
+        semantics: claims retry past concurrent committers)."""
+        import time as _time
+
+        os.makedirs(self.root, exist_ok=True)
+        while True:
+            vs = self.versions()
+            v = (vs[-1] + 1) if vs else 0
+            try:
+                fd = os.open(
+                    self._path(v),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"version": v, "ts": _time.time(), **payload}, f
+                )
+            return v
+
+
 def sql_in_condition(col: str, values) -> str:
     """``col IN (...)`` as a SQL predicate string for the DML entry
     points (delete_where / replace_where), with literal quoting for

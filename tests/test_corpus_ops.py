@@ -688,3 +688,98 @@ def test_stream_corpus_refresh_ingests_waves_exactly_once(spark, tmp_path):
     drain(str(tmp_path / "ck2"))
     again = sorted(r.doc_id for r in TxLogTable(f"{root}/docs").read(spark).collect())
     assert again == first
+
+
+def test_corpus_refresh_manifest_never_exposes_torn_wave(spark, tmp_path):
+    """Root-level manifest (round 10, VERDICT r9 #7): a wave is
+    VISIBLE to corpus_snapshot readers only when its one atomic
+    manifest record lands — a crash between table commits (docs
+    landed, fps raised) leaves the snapshot at the previous consistent
+    triple even though the docs table's HEAD already carries the
+    wave's rows; redelivery completes the missing commits and
+    publishes, after which the snapshot shows exactly one copy of the
+    wave. Legacy roots without a manifest fall back to head reads."""
+    import pytest as _pytest
+
+    from etl_sendas_spark.plans.corpus_refresh import (
+        corpus_refresh_step,
+        corpus_snapshot,
+    )
+    from etl_sendas_spark.sources.txlog import MetaLog, TxLogTable
+
+    text_a = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "chases the fox around the field for hours in the warm sun "
+    ) * 4
+    text_b = (
+        "completely different subject matter about database engines and "
+        "the storage layouts that make large scans fast in practice "
+    ) * 4
+    text_c = (
+        "meanwhile the harbor town prepared for the winter festival "
+        "with lanterns strung between the masts of the fishing boats "
+    ) * 4
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    root = str(tmp_path / "m")
+    s1 = corpus_refresh_step(spark, root, df([(1, text_a), (2, text_b)]), "w1")
+    assert s1["manifest_version"] == 0
+    snap1, pins1 = corpus_snapshot(spark, root)
+    assert {r.doc_id for r in snap1.collect()} == {1, 2}
+    assert pins1["wave_id"] == "w1"
+
+    # crash injection: wave-2's fps append raises AFTER docs landed
+    orig_append = TxLogTable.append
+    crash_on = [True]
+
+    def crashing(self, df_, spark_, **kw):
+        if crash_on[0] and self.root.endswith("fps"):
+            raise RuntimeError("injected crash before fps commit")
+        return orig_append(self, df_, spark_, **kw)
+
+    TxLogTable.append = crashing
+    try:
+        with _pytest.raises(RuntimeError, match="injected"):
+            corpus_refresh_step(spark, root, df([(3, text_c)]), "w2")
+    finally:
+        TxLogTable.append = orig_append
+
+    # torn state on disk: docs head has w2, manifest does not
+    docs_t = TxLogTable(f"{root}/docs")
+    assert {r.doc_id for r in docs_t.read(spark).collect()} == {1, 2, 3}
+    snap_torn, pins_torn = corpus_snapshot(spark, root)
+    assert {r.doc_id for r in snap_torn.collect()} == {1, 2}  # w2 invisible
+    assert pins_torn["wave_id"] == "w1"
+
+    # redelivery completes fps/mh and publishes the wave atomically
+    s2 = corpus_refresh_step(spark, root, df([(3, text_c)]), "w2")
+    assert s2["docs_version"] == "already"
+    assert s2["fps_version"] != "already"
+    assert isinstance(s2["manifest_version"], int)
+    snap2, pins2 = corpus_snapshot(spark, root)
+    assert {r.doc_id for r in snap2.collect()} == {1, 2, 3}
+    assert pins2["wave_id"] == "w2"
+    # exactly one w2 commit per table
+    for sub in ("docs", "fps", "mh"):
+        t = TxLogTable(f"{root}/{sub}")
+        tagged = [
+            v for v in t.versions()
+            if t.commit_meta(v).get("wave_id") == "w2"
+        ]
+        assert len(tagged) == 1, sub
+
+    # idempotent redelivery of a PUBLISHED wave: everything "already"
+    s3 = corpus_refresh_step(spark, root, df([(3, text_c)]), "w2")
+    assert s3["manifest_version"] == "already"
+    assert s3["docs_version"] == "already"
+
+    # legacy root (no manifest): snapshot falls back to head reads
+    legacy = str(tmp_path / "legacy")
+    corpus_refresh_step(spark, legacy, df([(7, text_a)]), "w1")
+    import shutil
+
+    shutil.rmtree(f"{legacy}/_manifest")
+    snap_l, pins_l = corpus_snapshot(spark, legacy)
+    assert pins_l == {} and {r.doc_id for r in snap_l.collect()} == {7}
