@@ -51,6 +51,30 @@ def aggregate_state(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def aggregate_delta(
+    changes: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """The signed per-key delta of a CDC feed against
+    :func:`aggregate_state`: ``(keys..., d_n, d_sum_<c>...)`` —
+    feed-key-sized, exact decimal sums, I/D churn on the same key
+    partially cancels inside the aggregate.  Exposed separately so
+    storage-merge consumers (``txlog_cdf_consumer_step(apply=
+    "merge")``) can apply it without materializing the merged state
+    in-plan."""
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    return changes.groupBy(*keys).agg(
+        F.sum(sign).alias("d_n"),
+        *[
+            F.sum(sign.cast("decimal(28,6)") * F.col(c).cast("decimal(28,6)"))
+            .alias(f"d_sum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
 def incremental_agg_update(
     state: DataFrame,
     changes: DataFrame,
@@ -67,15 +91,7 @@ def incremental_agg_update(
     Deleting rows that were never inserted is the caller's contract
     violation (counts go negative and stay visible — intentionally not
     masked)."""
-    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
-    delta = changes.groupBy(*keys).agg(
-        F.sum(sign).alias("d_n"),
-        *[
-            F.sum(sign.cast("decimal(28,6)") * F.col(c).cast("decimal(28,6)"))
-            .alias(f"d_sum_{c}")
-            for c in sum_cols
-        ],
-    )
+    delta = aggregate_delta(changes, keys, sum_cols, op_col)
     s = state.alias("s")
     d = delta.alias("d")
     cond = functools.reduce(
@@ -106,6 +122,80 @@ def incremental_agg_update(
         ],
     )
     return merged.filter(F.col("n") != 0)
+
+
+def distinct_state(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Support state for incremental ``COUNT(DISTINCT value)`` — the
+    aggregate the plain count/sum state CANNOT maintain (a delete may
+    or may not remove a key's LAST copy of a value; the count alone
+    cannot tell).  The DBSP/Materialize answer is a per-(key, value)
+    multiplicity table: ``(keys..., value, m)`` with ``m`` = how many
+    base rows carry that value.  NULL values are excluded, matching
+    SQL's COUNT(DISTINCT) semantics.  State size is the number of
+    DISTINCT (key, value) pairs — the irreducible information content
+    of the aggregate, not the base size."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count("*").alias("m"))
+    )
+
+
+def incremental_distinct_update(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Merge a CDC feed into :func:`distinct_state`: feed rows collapse
+    to signed multiplicity deltas per (key, value) — an I/D churn on
+    the same value cancels before touching the state — then ONE keyed
+    full-outer merge; pairs whose multiplicity reaches zero leave.
+    Maintenance is feed-key-sized; the base is never consulted
+    (COUNT DISTINCT is self-maintainable GIVEN the support state —
+    that is the whole point of storing multiplicities).  Deleting
+    never-inserted rows leaves negative multiplicities, intentionally
+    visible, as in :func:`incremental_agg_update`."""
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        changes.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.sum(sign).alias("dm"))
+        .filter(F.col("dm") != 0)
+    )
+    s = state.alias("s")
+    d = delta.alias("d")
+    cols = [*keys, value_col]
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in cols],
+    )
+    merged = s.join(d, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"d.{c}"), F.col(f"s.{c}")).alias(c)
+            for c in cols
+        ],
+        (
+            F.coalesce(F.col("s.m"), F.lit(0))
+            + F.coalesce(F.col("d.dm"), F.lit(0))
+        ).alias("m"),
+    )
+    return merged.filter(F.col("m") != 0)
+
+
+def distinct_counts(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """``COUNT(DISTINCT value)`` per key, read off the support state:
+    one narrow aggregate over (key, value) pairs with positive
+    multiplicity (negative pairs are contract-violation tombstones and
+    must not count)."""
+    return (
+        state.filter(F.col("m") > 0)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_distinct"))
+    )
 
 
 def join_view_state(

@@ -166,3 +166,66 @@ SELECT query_id, doc_id, score FROM (
 
 PART_QUERIES["search_index_refresh_docs"] = search_index_refresh_docs
 PART_ORACLES["search_index_refresh_docs"] = SEARCH_IDX_REFRESH_SQL
+
+
+# ===========================================================================
+# round 10: incremental COUNT(DISTINCT) — the aggregate plain
+# count/sum IVM cannot maintain, via the per-(key, value)
+# multiplicity support state; equality with recompute is the law
+# ===========================================================================
+
+
+def ivm_count_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) COUNT(DISTINCT user_id) maintained
+    through the standard insert+delete CDC scenario
+    (operators/ivm.distinct_state / incremental_distinct_update /
+    distinct_counts): the support state stores per-(key, user)
+    multiplicities, so a delete that removes ONE of a user's rows
+    decrements without changing the distinct count, while a delete
+    removing the user's LAST row drops them — the case a count-only
+    state cannot decide.  The delete set (event_id % 10 == 0) hits
+    both cases by construction.  Feed churn collapses to signed
+    deltas; maintenance never reads the base.  The oracle recomputes
+    COUNT(DISTINCT) from scratch over the effective rows — equality
+    is the IVM law under the driver hash."""
+    from ..operators.ivm import (
+        distinct_counts,
+        distinct_state,
+        incremental_distinct_update,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    split = F.lit("2024-01-16")
+    base = ev.filter(F.col("ts") < split)
+    keys = ["event_type", "dt"]
+    state = distinct_state(base, keys, "user_id")
+    inserts = ev.filter(F.col("ts") >= split).withColumn("op", F.lit("I"))
+    deletes = base.filter(F.col("event_id") % 10 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    changes = inserts.unionByName(deletes)
+    new_state = incremental_distinct_update(state, changes, keys, "user_id")
+    return distinct_counts(new_state, keys).select(
+        "event_type", "dt", F.col("n_distinct").cast("long").alias("n_distinct")
+    )
+
+
+IVM_COUNT_DISTINCT_SQL = """
+WITH eff AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt, user_id
+  FROM events WHERE ts >= '2024-01-16'
+  UNION ALL
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt, user_id
+  FROM events
+  WHERE ts < '2024-01-16' AND event_id % 10 <> 0
+)
+SELECT event_type, dt, COUNT(DISTINCT user_id) AS n_distinct
+FROM eff
+WHERE user_id IS NOT NULL
+GROUP BY event_type, dt
+"""
+
+PART_QUERIES["ivm_count_distinct_events"] = ivm_count_distinct_events
+PART_ORACLES["ivm_count_distinct_events"] = IVM_COUNT_DISTINCT_SQL

@@ -753,6 +753,8 @@ def txlog_cdf_consumer_step(
     agg_keys: list[str],
     sum_cols: list[str],
     dst_path: str,
+    apply: str = "overwrite",
+    state_buckets: int | None = None,
 ) -> int | None:
     """ONE transactional step of the continuous txlog → CDF → IVM
     pipeline (the Delta CDF streaming-source idea): advance the
@@ -778,9 +780,38 @@ def txlog_cdf_consumer_step(
     A VACUUM on the source that outran this consumer fails loudly
     inside ``change_feed`` (including the exact cutoff−1 boundary) —
     re-baseline by deleting the destination table.
+
+    ``apply="merge"`` lands each step via
+    ``merge_into(delete_when="n = 0")`` — updates, inserts, and
+    zero-count retractions in ONE commit rewriting only the files
+    holding affected agg rows (write amplification bounded by the
+    churn's key set, not the state size); ``state_buckets=B``
+    additionally hive-partitions the state on
+    ``pmod(xxhash64(agg_keys), B)`` and prunes both the old-state
+    read and the merge discovery to the churn's buckets — the same
+    100 TB-state treatment as ``txlog_join_view_step``, with the same
+    constraints (NULL-free agg keys, single maintenance writer).
     """
-    from ..operators.ivm import aggregate_state, incremental_agg_update
+    from ..operators.ivm import (
+        aggregate_delta,
+        aggregate_state,
+        incremental_agg_update,
+    )
     from ..sources.txlog import CommitConflict, TxLogTable
+
+    if apply not in ("overwrite", "merge"):
+        raise ValueError(f"txlog_cdf_consumer_step: bad apply={apply!r}")
+    if state_buckets is not None and apply != "merge":
+        raise ValueError(
+            "txlog_cdf_consumer_step: state_buckets requires "
+            "apply='merge'"
+        )
+
+    def kbucket():
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in agg_keys]),
+            F.lit(state_buckets),
+        ).cast("long")
 
     src = TxLogTable(source_path)
     head = src.latest_version()
@@ -790,7 +821,18 @@ def txlog_cdf_consumer_step(
             src.read(spark, head), keys=agg_keys, sum_cols=sum_cols
         )
         try:
-            TxLogTable.create(dst_path, state, extra={"source_version": head})
+            if state_buckets is not None:
+                TxLogTable.create(
+                    dst_path,
+                    state.withColumn("__kb", kbucket())
+                    .repartition(state_buckets, "__kb"),
+                    partition_by=["__kb"],
+                    extra={"source_version": head},
+                )
+            else:
+                TxLogTable.create(
+                    dst_path, state, extra={"source_version": head}
+                )
             return head
         except (CommitConflict, FileExistsError):
             return None  # concurrent bootstrap won; next tick continues
@@ -811,13 +853,80 @@ def txlog_cdf_consumer_step(
         normalize_updates=True,
     ).drop("_commit_version")
     expected = dst.latest_version()
+    extra = {"source_version": head}
+    if apply == "merge":
+        delta = aggregate_delta(
+            changes, keys=agg_keys, sum_cols=sum_cols
+        ).persist()
+        try:
+            delta.count()
+            prune = None
+            if state_buckets is not None:
+                hit_kb = sorted(
+                    r["__kb"]
+                    for r in delta.select(
+                        F.pmod(
+                            F.xxhash64(*[F.col(k) for k in agg_keys]),
+                            F.lit(state_buckets),
+                        ).cast("long").alias("__kb")
+                    ).distinct().collect()
+                )
+                prune = {"__kb": hit_kb}
+            state_cols = [
+                *agg_keys, "n", *[f"sum_{c}" for c in sum_cols]
+            ]
+            old = dst.read(spark, expected, prune=prune)
+            old_hit = old.join(
+                F.broadcast(delta.select(*agg_keys)), agg_keys,
+                "left_semi",
+            )
+            src_rows = delta.join(
+                F.broadcast(old_hit.select(*state_cols)), agg_keys,
+                "left_outer",
+            ).select(
+                *agg_keys,
+                (
+                    F.coalesce(F.col("n"), F.lit(0)) + F.col("d_n")
+                ).alias("n"),
+                *[
+                    (
+                        F.coalesce(
+                            F.col(f"sum_{c}"),
+                            F.lit(0).cast("decimal(28,6)"),
+                        )
+                        + F.coalesce(
+                            F.col(f"d_sum_{c}"),
+                            F.lit(0).cast("decimal(28,6)"),
+                        )
+                    )
+                    .cast("decimal(28,6)")
+                    .alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+            if state_buckets is not None:
+                src_rows = src_rows.withColumn("__kb", kbucket())
+            src_rows = src_rows.persist()
+            try:
+                src_rows.count()
+                dst.merge_into(
+                    spark, src_rows, agg_keys, delete_when="n = 0",
+                    extra=extra, prune=prune,
+                )
+            except CommitConflict:
+                return None  # lost the race; destination untouched
+            finally:
+                src_rows.unpersist()
+        finally:
+            delta.unpersist()
+        return head
     state = incremental_agg_update(
         dst.read(spark, expected),
         changes,
         keys=agg_keys,
         sum_cols=sum_cols,
     )
-    if dst.overwrite_if(state, expected, extra={"source_version": head}) is None:
+    if dst.overwrite_if(state, expected, extra=extra) is None:
         return None  # lost the race; destination untouched
     return head
 
@@ -1115,6 +1224,47 @@ def stream_txlog_join_view(
             a_cols, b_cols, dst_path, apply=apply,
             state_buckets=state_buckets,
         )
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{tick_seconds} seconds")
+        .foreachBatch(on_tick)
+        .start()
+    )
+
+
+def stream_index_refresh(
+    spark,
+    index_root: str,
+    corpus_root: str,
+    checkpoint: str,
+    *,
+    kind: str = "text",
+    tick_seconds: float = 1.0,
+    **refresh_kwargs,
+):
+    """Keep an at-rest index continuously synced to its mutating
+    corpus table — the running host for
+    :func:`..operators.search.text_index_refresh` /
+    :func:`..operators.similarity.ivf_index_refresh` (round 10), on
+    the same rate-ticker/foreachBatch pattern as the other txlog
+    consumers: progress lives entirely in the index's atomic
+    ``idx_src_version`` watermark commits (a caught-up tick is a
+    no-op; a crashed tick redelivers from the committed watermark),
+    the ticker checkpoint is cadence only.  Returns the started
+    StreamingQuery; callers stop it."""
+    if kind == "text":
+        from ..operators.search import text_index_refresh as _refresh
+    elif kind == "ivf":
+        from ..operators.similarity import ivf_index_refresh as _refresh
+    else:
+        raise ValueError(f"stream_index_refresh: bad kind={kind!r}")
+
+    def on_tick(_df, _bid) -> None:
+        _refresh(spark, index_root, corpus_root, **refresh_kwargs)
 
     return (
         spark.readStream.format("rate")

@@ -2895,3 +2895,62 @@ def test_ivf_index_refresh_tracks_corpus_dml(spark, tmp_path):
     assert got == want and len(got) > 0
 
     assert ivf_index_refresh(spark, idx, corpus_root) is None
+
+
+def test_incremental_distinct_update_multiplicity_cases(spark):
+    """Distinct-count IVM (round 10): (1) deleting ONE of a user's two
+    rows leaves the distinct count unchanged; (2) deleting the LAST
+    row drops the user; (3) I/D churn on the same (key, value) cancels
+    to a no-op; (4) NULL values never count; incremental state always
+    equals recompute."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.ivm import (
+        distinct_counts,
+        distinct_state,
+        incremental_distinct_update,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3), ("b", None)],
+        "k STRING, u INT",
+    )
+    state = distinct_state(base, ["k"], "u")
+    got0 = {
+        (r["k"], r["n_distinct"])
+        for r in distinct_counts(state, ["k"]).collect()
+    }
+    assert got0 == {("a", 2), ("b", 1)}
+
+    changes = spark.createDataFrame(
+        [
+            ("a", 1, "D"),   # one of two copies: count unchanged
+            ("a", 2, "D"),   # last copy: a loses u=2
+            ("b", 3, "D"),   # churn pair...
+            ("b", 3, "I"),   # ...cancels before the state merge
+            ("b", 9, "I"),   # new distinct value
+            ("b", None, "I"),  # NULL: ignored
+        ],
+        "k STRING, u INT, op STRING",
+    )
+    new_state = incremental_distinct_update(state, changes, ["k"], "u")
+    got = {
+        (r["k"], r["n_distinct"])
+        for r in distinct_counts(new_state, ["k"]).collect()
+    }
+    # recompute oracle: apply the same changes to the base rows
+    eff = spark.createDataFrame(
+        [("a", 1), ("b", 3), ("b", 9)], "k STRING, u INT"
+    )
+    want = {
+        (r["k"], r["n_distinct"])
+        for r in eff.groupBy("k")
+        .agg(F.countDistinct("u").alias("n_distinct"))
+        .collect()
+    }
+    assert got == want == {("a", 1), ("b", 2)}
+    # multiplicity detail: (a, 1) survives with m == 1
+    m = {
+        (r["k"], r["u"]): r["m"] for r in new_state.collect()
+    }
+    assert m[("a", 1)] == 1 and ("a", 2) not in m

@@ -1499,3 +1499,166 @@ def test_txlog_join_view_step_key_partitioned_state(spark, tmp_path):
         assert any(f"__kb={kb}{_os.sep}" in p or f"__kb={kb}/" in p for kb in hit_kb), p
     live_rel = {_os.path.relpath(f, dst_root) for f in live_before}
     assert removed < live_rel  # untouched buckets' files survive
+
+
+def test_txlog_cdf_consumer_step_bucketed_merge_state(spark, tmp_path):
+    """apply="merge" + state_buckets on the AGG consumer (round 10):
+    each step lands via merge_into(delete_when='n = 0') pruned to the
+    churn's key-hash buckets — the state stays equal to
+    aggregate_state(source.read()) through an insert/delete/update
+    churn ladder, the pruned read opens a strict subset of the state's
+    files, and the merge commit's remove-set lives under the hit
+    buckets' hive dirs."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.ivm import aggregate_state
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import txlog_cdf_consumer_step
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    B = 16
+
+    def rows(lo, hi, mult=1):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k",
+            "CAST(id % 40 AS BIGINT) AS grp",
+            f"CAST(id * {mult} AS DOUBLE) AS x",
+        )
+
+    def expect():
+        return sorted(
+            map(
+                tuple,
+                aggregate_state(
+                    TxLogTable(src_root).read(spark),
+                    keys=["grp"],
+                    sum_cols=["x"],
+                ).collect(),
+            )
+        )
+
+    src = TxLogTable.create(src_root, rows(0, 4000))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="state_buckets"):
+        txlog_cdf_consumer_step(
+            spark, src_root, ["k"], ["grp"], ["x"], dst_root,
+            apply="overwrite", state_buckets=B,
+        )
+
+    step = lambda: txlog_cdf_consumer_step(
+        spark, src_root, ["k"], ["grp"], ["x"], dst_root,
+        apply="merge", state_buckets=B,
+    )
+    assert step() == 0  # bootstrap: partitioned create
+    dst = TxLogTable(dst_root)
+    assert "__kb" in dst.read(spark).columns
+    assert sorted(
+        map(
+            tuple,
+            dst.read(spark).select("grp", "n", "sum_x").collect(),
+        )
+    ) == expect()
+    assert step() is None  # caught up
+
+    # localized churn: only grp 7 and 23 rows change
+    src.append(
+        rows(10000, 10200).filter("grp IN (7, 23)"), spark
+    )
+    src.delete_where(spark, "grp = 7 AND k < 100")
+    live_before = set(dst.live_files())
+
+    hit_kb = sorted(
+        {
+            r["__kb"]
+            for r in spark.createDataFrame([(7,), (23,)], "grp LONG")
+            .select(
+                F.pmod(F.xxhash64("grp"), F.lit(B)).cast("long").alias("__kb")
+            )
+            .collect()
+        }
+    )
+    pruned = set(dst.read(spark, prune={"__kb": hit_kb}).inputFiles())
+    assert pruned and pruned < set(dst.read(spark).inputFiles())
+
+    assert step() == 2
+    assert sorted(
+        map(
+            tuple,
+            dst.read(spark).select("grp", "n", "sum_x").collect(),
+        )
+    ) == expect()
+    assert step() is None
+
+    rec = dst._read_commit(dst.latest_version())
+    assert rec["op"] == "merge"
+    removed = set(rec.get("remove", []))
+    assert removed
+    for p in removed:
+        assert any(f"__kb={kb}{_os.sep}" in p or f"__kb={kb}/" in p for kb in hit_kb), p
+    live_rel = {_os.path.relpath(f, dst_root) for f in live_before}
+    assert removed < live_rel
+
+
+def test_stream_index_refresh_keeps_index_synced(spark, tmp_path):
+    """The running index-refresh host: corpus DML landing while the
+    ticker runs flows into the at-rest text index; the watermark
+    converges to the corpus head and the probe equals a fresh build."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.search import (
+        text_index_build,
+        text_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import stream_index_refresh
+
+    corpus_root = str(tmp_path / "corpus")
+    root = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash join over large tables"),
+            (2, "sort merge join for sorted inputs"),
+            (3, "columnar scan with predicate pushdown"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    corpus = TxLogTable.create(corpus_root, docs)
+    text_index_build(corpus.read(spark), root, buckets=8, src_version=0)
+
+    q = stream_index_refresh(
+        spark, root, corpus_root,
+        checkpoint=str(tmp_path / "ck"), tick_seconds=0.25,
+    )
+    try:
+        corpus.delete_where(spark, "doc_id = 2")
+        corpus.append(
+            spark.createDataFrame(
+                [(4, "hash aggregation with spill to disk")],
+                "doc_id LONG, text STRING",
+            ),
+            spark,
+        )
+        head = corpus.latest_version()
+        t = TxLogTable(root)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            meta = t.commit_meta(t.latest_version())
+            if int(meta.get("idx_src_version", -1)) >= head:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+
+    fresh = str(tmp_path / "fresh")
+    text_index_build(corpus.read(spark), fresh, buckets=8)
+    qs = [(1, "spark hash"), (2, "sorted merge join")]
+    got = sorted(map(tuple, text_index_topk(spark, root, qs).collect()))
+    want = sorted(map(tuple, text_index_topk(spark, fresh, qs).collect()))
+    assert got == want and len(got) > 0
