@@ -364,11 +364,21 @@ def bigram_lm_scores(
         F.transform(
             toks, lambda t: F.coalesce(F.element_at(vmap, t), F.lit("<unk>"))
         ).alias("mt"),
-    ).filter(F.size("mt") >= 2)
+    )
+    # <2-token docs are guarded INSIDE the explode expression instead
+    # of a size(mt) >= 2 Filter: predicate pushdown would substitute
+    # the whole vocab-map transform into that filter and re-map every
+    # row a second time (the round-10 DSIR shape finding,
+    # operators/dsir._gram_rows). Empty arrays explode to nothing, so
+    # the semantics are identical.
     bigrams = mapped.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(mt)-2), i -> struct(mt[i] AS w1, mt[i+1] AS w2))")
+            F.expr(
+                "CASE WHEN size(mt) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(mt)-2), "
+                "i -> struct(mt[i] AS w1, mt[i+1] AS w2)) END"
+            )
         ).alias("z"),
     ).select("doc_id", "z.w1", "z.w2")
 

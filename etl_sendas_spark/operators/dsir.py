@@ -30,34 +30,49 @@ way the reference DSIR implementation's hashed featurization is.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 _MD60_MAX = float(1 << 60)
 
 
-def _with_grams(df: DataFrame, text_col: str) -> DataFrame:
-    """``__grams`` = unigrams + '_'-joined bigrams of the whitespace-
-    normalized, lowercased text — pure column algebra, no UDF. The
-    tokenization regex is HOISTED into its own projected column so the
-    bigram expression's three references don't re-run it per row
-    (CollapseProject keeps a non-cheap multiply-referenced alias
-    materialized — the round-6 codegen finding). Spark's sequence()
-    DESCENDS when start > stop, so the <2-token case returns an empty
-    slice instead (typed array<string>, safe to concat)."""
+def _gram_rows(
+    df: DataFrame, text_col: str, keep_cols: Sequence[str] = ()
+) -> DataFrame:
+    """One row per gram occurrence: ``keep_cols... , __g`` where the
+    grams are unigrams + '_'-joined bigrams of the whitespace-
+    normalized, lowercased text — pure column algebra, no UDF.
+    Spark's sequence() DESCENDS when start > stop, so the <2-token
+    case returns an empty slice instead (typed array<string>, safe to
+    concat).
+
+    SHAPE MATTERS (round-10 ×10 finding, 25× wall-clock): the gram
+    array must be built INLINE inside the explode's own select.
+    Materializing it as a named column first makes
+    InferFiltersFromGenerate add ``size(__grams) > 0`` on the (cheap)
+    attribute, and predicate pushdown then substitutes the FULL
+    tokenize expression into that filter — whose higher-order-function
+    lambda re-runs ``split(regexp_replace(...))`` per ELEMENT access,
+    quadratic in tokens per doc (the SPARK-36715 class, reintroduced
+    through the attribute-input shape; measured 55 s vs 2 s on 50k
+    docs). With the expensive expression inline, the rule's own
+    cheapness guard skips the inference."""
     d = df.withColumn(
         "__toks",
         F.split(
             F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "
         ),
     )
-    bigrams = F.expr(
-        "CASE WHEN size(__toks) < 2 THEN slice(__toks, 1, 0) "
-        "ELSE transform(sequence(0, size(__toks) - 2), "
-        "i -> concat(__toks[i], '_', __toks[i + 1])) END"
+    grams = F.concat(
+        F.col("__toks"),
+        F.expr(
+            "CASE WHEN size(__toks) < 2 THEN slice(__toks, 1, 0) "
+            "ELSE transform(sequence(0, size(__toks) - 2), "
+            "i -> concat(__toks[i], '_', __toks[i + 1])) END"
+        ),
     )
-    return d.withColumn(
-        "__grams", F.concat(F.col("__toks"), bigrams)
-    ).drop("__toks")
+    return d.select(*keep_cols, F.explode(grams).alias("__g"))
 
 
 def _bucket(gram: "F.Column", buckets: int) -> "F.Column":
@@ -75,8 +90,7 @@ def hashed_ngram_counts(
     rows out regardless of corpus size; partial aggregation makes the
     count map-side combinable."""
     return (
-        _with_grams(df, text_col)
-        .select(F.explode("__grams").alias("__g"))
+        _gram_rows(df, text_col)
         .select(_bucket(F.col("__g"), buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -135,10 +149,8 @@ def dsir_scores(
     aggregate covers every such doc and no corpus-sized zero-fill
     join is needed; NULL-text rows drop (filter upstream if they must
     score)."""
-    occ = (
-        _with_grams(df, text_col)
-        .select(F.col(id_col), F.explode("__grams").alias("__g"))
-        .select(id_col, _bucket(F.col("__g"), buckets).alias("bucket"))
+    occ = _gram_rows(df, text_col, [id_col]).select(
+        id_col, _bucket(F.col("__g"), buckets).alias("bucket")
     )
     return (
         occ.join(F.broadcast(weights), "bucket")

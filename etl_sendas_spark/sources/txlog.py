@@ -222,13 +222,32 @@ def _bloom_positions_py(value, k: int, total_bits: int) -> list[int]:
 
 def _bloom_might_contain(words: dict, value, spec: list) -> bool:
     """Probe one file's bloom word map ({word(str): bits}) — absent
-    word = all-zero word; every one of the k bits must be set."""
+    word = all-zero word; every one of the k bits must be set.
+    ``spec`` is THIS FILE's [m_words, k] (auto-sized per file since
+    round 10; the table-level spec is only the floor)."""
     m_words, k = int(spec[0]), int(spec[1])
     for pos in _bloom_positions_py(value, k, 63 * m_words):
         bits = words.get(str(pos // 63), 0)
         if not (int(bits) >> (pos % 63)) & 1:
             return False
     return True
+
+
+def _bloom_auto_m(n_rows: int, floor_words: int, k: int) -> int:
+    """Per-file Bloom size: the smallest power-of-two word count whose
+    bit budget keeps the false-positive rate near 1% for ``n_rows``
+    keys at the configured ``k`` ((1−e^{−kn/m})^k ≈ 0.01 needs
+    m ≈ 13·n bits at k=3) — the round-10 ×10 finding: a FIXED spec
+    saturates once files outgrow it (kn/m ≫ 1 ⇒ FP → 1 ⇒ zero
+    skipping), so the FILE's row count must size the filter, exactly
+    as parquet/Delta bloom writers do. Floored at the table spec,
+    capped at 2^22 words (33 MB worst-case sidecar for a ~20M-row
+    file — files that large should be split anyway)."""
+    target_bits = max(63 * floor_words, int(n_rows * 13.2))
+    m = max(1024, int(floor_words))
+    while 63 * m < target_bits and m < (1 << 22):
+        m *= 2
+    return m
 
 
 class TxLogTable:
@@ -399,8 +418,7 @@ class TxLogTable:
         ]
         if not cols or not rel_files:
             return {}
-        m_words, k = self._bloom_spec()
-        total_bits = 63 * int(m_words)
+        floor_m, k = self._bloom_spec()
         files = [os.path.join(self.root, r) for r in rel_files]
         df = spark.read.parquet(*files)
         cols = [c for c in cols if c in df.columns]
@@ -410,6 +428,26 @@ class TxLogTable:
         relf = F.expr(
             "substring(input_file_name(), "
             f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
+        )
+        # per-FILE filter size from the file's row count (round 10):
+        # one footer-driven count pass, then the position expressions
+        # take their modulus from the file's own bit budget
+        counts = {
+            r["f"]: int(r["n"])
+            for r in df.groupBy(relf.alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        m_of = {
+            f: _bloom_auto_m(n, int(floor_m), int(k))
+            for f, n in counts.items()
+        }
+        bits_map = F.create_map(
+            *[
+                x
+                for f, m in m_of.items()
+                for x in (F.lit(f), F.lit(63 * m))
+            ]
         )
 
         def pos_exprs(c: str) -> list:
@@ -423,7 +461,7 @@ class TxLogTable:
             )
             b = f"(CASE WHEN {b0} = 0 THEN 1 ELSE {b0} END)"
             return [
-                F.expr(f"pmod({a} + {i} * {b}, {total_bits})")
+                F.expr(f"pmod({a} + {i} * {b}, __bits)")
                 for i in range(int(k))
             ]
 
@@ -435,7 +473,9 @@ class TxLogTable:
             ]
         )
         rows = (
-            df.select(relf.alias("f"), F.explode(structs).alias("cp"))
+            df.select(relf.alias("f"), *cols)
+            .withColumn("__bits", F.element_at(bits_map, F.col("f")))
+            .select("f", F.explode(structs).alias("cp"))
             .select("f", F.col("cp.c").alias("c"), F.col("cp.p").alias("p"))
             .filter(F.col("p").isNotNull())
             .groupBy("f", "c", (F.col("p") / 63).cast("int").alias("w"))
@@ -452,15 +492,79 @@ class TxLogTable:
             out.setdefault(r["f"], {}).setdefault(r["c"], {})[
                 str(r["w"])
             ] = int(r["bits"])
-        return out
+        return {
+            f: {
+                c: {"m": m_of.get(f, int(floor_m)), "k": int(k), "w": w}
+                for c, w in colmap.items()
+            }
+            for f, colmap in out.items()
+        }
 
     def _maybe_blooms(self, spark, rel_files: list[str]) -> dict:
         """{"blooms": ...} payload fragment, or {} when the table has
-        no bloom_cols (or no session to harvest with)."""
+        no bloom_cols (or no session to harvest with). Big word maps
+        go to a SIDECAR file under ``_txlog/bloom/`` (uuid-named, so
+        an OCC version slide can't orphan-collide) with only
+        {"m","k","ref"} riding the commit — auto-sized filters for
+        large files would otherwise bloat the JSON log that every
+        replay parses; small maps stay inline."""
         if not self._bloom_cols() or spark is None:
             return {}
         bl = self._harvest_blooms(spark, rel_files)
-        return {"blooms": bl} if bl else {}
+        if not bl:
+            return {}
+        n_entries = sum(
+            len(rec["w"])
+            for colmap in bl.values()
+            for rec in colmap.values()
+        )
+        if n_entries <= 50_000:
+            return {"blooms": bl}
+        import uuid as _uuid
+
+        ref = os.path.join("bloom", f"{_uuid.uuid4().hex}.json")
+        path = os.path.join(_log_dir(self.root), ref)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(bl, f)
+        slim = {
+            fp: {
+                c: {"m": rec["m"], "k": rec["k"], "ref": ref}
+                for c, rec in colmap.items()
+            }
+            for fp, colmap in bl.items()
+        }
+        return {"blooms": slim}
+
+    def _resolve_bloom(self, bm, p: str, col: str, table_spec):
+        """(words, [m, k]) for one file/col bloom record, lazily
+        loading sidecars (cached per handle); None = keep the file
+        (missing sidecar entry — the index is advisory, never
+        load-bearing). Three formats: legacy inline {word: bits}
+        probed with the table spec, inline {"m","k","w"}, and sidecar
+        {"m","k","ref"} (round 10 auto-sized filters)."""
+        if isinstance(bm, dict) and "m" in bm and (
+            "w" in bm or "ref" in bm
+        ):
+            spec = [int(bm["m"]), int(bm["k"])]
+            if "w" in bm:
+                return bm["w"], spec
+            cache = self.__dict__.setdefault("_bloom_sidecar_cache", {})
+            side = cache.get(bm["ref"])
+            if side is None:
+                try:
+                    with open(
+                        os.path.join(_log_dir(self.root), bm["ref"])
+                    ) as f:
+                        side = json.load(f)
+                except OSError:
+                    side = {}
+                cache[bm["ref"]] = side
+            rec = side.get(p, {}).get(col)
+            if rec is None:
+                return None
+            return rec.get("w", {}), spec
+        return bm, [int(table_spec[0]), int(table_spec[1])]
 
     def _try_commit(self, version: int, payload: dict) -> bool:
         """Atomic claim of a version number: O_EXCL create. Returns
@@ -922,8 +1026,12 @@ class TxLogTable:
             bm = (blooms or {}).get(p, {}).get(col)
             if bm is None:
                 return False  # no index for this file/col: keep
+            resolved = self._resolve_bloom(bm, p, col, bspec)
+            if resolved is None:
+                return False  # unresolvable sidecar: keep (advisory)
+            words, spec = resolved
             return not any(
-                _bloom_might_contain(bm, v, bspec) for v in vals
+                _bloom_might_contain(words, v, spec) for v in vals
             )
 
         def keep(p: str) -> bool:
@@ -2251,6 +2359,26 @@ class TxLogTable:
                         continue
                     os.remove(full)
                     deleted_files += 1
+
+        # GC bloom sidecars no retained version references (the same
+        # age guard as data files: an in-flight commit writes its
+        # sidecar BEFORE claiming a version)
+        refs: set[str] = set()
+        for v in range(cutoff, latest + 1):
+            for colmap in self._replay_blooms(v).values():
+                for rec in colmap.values():
+                    if isinstance(rec, dict) and "ref" in rec:
+                        refs.add(rec["ref"])
+        bdir = os.path.join(_log_dir(self.root), "bloom")
+        if os.path.isdir(bdir):
+            for fn in os.listdir(bdir):
+                rel = os.path.join("bloom", fn)
+                full = os.path.join(bdir, fn)
+                if rel in refs:
+                    continue
+                if now - os.path.getmtime(full) < min_age_s:
+                    continue
+                os.remove(full)
 
         deleted_commits = 0
         for v in self.versions():

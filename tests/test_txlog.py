@@ -1483,3 +1483,60 @@ def test_merge_into_insert_heavy_keeps_source_parallelism(spark, tmp_path):
         "source's 4 partitions to write in parallel"
     )
     assert t.read(spark).count() == 4001
+
+
+def test_bloom_auto_sizing_and_sidecars_at_scale(spark, tmp_path):
+    """Round-10 ×10 finding: a FIXED bloom spec saturates once files
+    outgrow it (kn/m >> 1 -> FP -> 1 -> zero skipping). Filters are
+    now auto-sized per file from the file's row count, big word maps
+    go to _txlog/bloom/ sidecars with only {m,k,ref} in the commit,
+    and vacuum GCs sidecars no retained version references."""
+    import json as _json
+
+    root = str(tmp_path / "tb")
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "id AS event_id", "CAST(id % 997 AS BIGINT) AS user_id"
+    ).repartition(4, "user_id")
+    t = TxLogTable.create(
+        root, df, stat_cols=["event_id"], bloom_cols=["event_id"]
+    )
+
+    # commit carries sidecar refs, not inline word maps
+    blooms = t._read_commit(0)["blooms"]
+    recs = [rec for colmap in blooms.values() for rec in colmap.values()]
+    assert recs and all("ref" in r and "w" not in r for r in recs)
+    assert all(int(r["m"]) > 1024 for r in recs), "auto-sizing inactive"
+    ref_path = os.path.join(root, "_txlog", recs[0]["ref"])
+    assert os.path.exists(ref_path)
+    side = _json.load(open(ref_path))
+    assert any("w" in c.get("event_id", {}) for c in side.values())
+
+    # skipping works at this file size (the saturation regression)
+    probes = [17, 50_017, 150_017]
+    full = set(t.read(spark).inputFiles())
+    pruned = set(t.read(spark, prune={"event_id": probes}).inputFiles())
+    assert pruned < full and pruned
+    got = sorted(
+        r["event_id"]
+        for r in t.read(spark, prune={"event_id": probes})
+        .filter(F.col("event_id").isin(probes))
+        .collect()
+    )
+    assert got == probes
+
+    # overwrite, then vacuum: the old commit's sidecar is unreferenced
+    # and GC'd (age guard zeroed), the new one survives
+    t.overwrite(df.limit(10))
+    v = t.latest_version()
+    t.append(df.limit(5), spark)  # another commit so cutoff > 0
+    import time as _time
+
+    old_sidecars = set(os.listdir(os.path.join(root, "_txlog", "bloom")))
+    t.vacuum(retain_versions=1, min_age_s=0.0)
+    left = set(os.listdir(os.path.join(root, "_txlog", "bloom")))
+    assert left < old_sidecars or not left, (
+        "unreferenced sidecars must be GC'd"
+    )
+    # retained reads still prune through whatever sidecars remain
+    t.read(spark, prune={"event_id": [1]}).count()
