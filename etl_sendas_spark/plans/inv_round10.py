@@ -229,3 +229,96 @@ GROUP BY event_type, dt
 
 PART_QUERIES["ivm_count_distinct_events"] = ivm_count_distinct_events
 PART_ORACLES["ivm_count_distinct_events"] = IVM_COUNT_DISTINCT_SQL
+
+
+# ===========================================================================
+# round 10: hidden partitioning — Iceberg-style partition transforms
+# (day(ts) + bucket(N, user_id)); predicates on the SOURCE columns
+# prune at the manifest, DML re-derives, the logical schema never
+# shows the derived columns
+# ===========================================================================
+
+
+def txlog_hidden_partition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stored as a txlog table partitioned by the TRANSFORMS
+    day(ts) + bucket(8, user_id) (sources/txlog.py round 10): the
+    derived values live only in the hive paths and commit manifest —
+    the logical schema stays (event_id, user_id, event_type, ts,
+    value).  A CoW DELETE of one calendar day runs with a ts-range
+    prune that the manifest translates to day-partition pruning; the
+    final aggregate reads through a ts-range prune and asserts
+    in-query that every scanned file lies under a matching ts_day
+    directory (hidden partitioning must actually route the scan, not
+    just decorate paths).  The ORACLE replays the post-delete
+    aggregate in SQL — routing must be invisible to results."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"txlog_hp_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        # co-locate each day before the partitionBy write: one task
+        # per day -> files = days x buckets, not x input partitions
+        .repartition(F.to_date("ts"))
+    )
+    t = TxLogTable.create(
+        root, ev, partition_by=["day(ts)", "bucket(8, user_id)"]
+    )
+
+    t.delete_where(
+        spark,
+        "ts >= '2024-01-05' AND ts < '2024-01-06'",
+        prune={"ts": ("2024-01-05", "2024-01-06")},
+    )
+
+    lo, hi = "2024-01-10", "2024-01-20"
+    pruned = t.read(spark, prune={"ts": (lo, hi)})
+    bad = [
+        f
+        for f in pruned.inputFiles()
+        if not any(
+            f"ts_day=2024-01-{d:02d}" in f for d in range(10, 21)
+        )
+    ]
+    if bad or not pruned.inputFiles():
+        raise AssertionError(
+            f"hidden partition prune escaped its days: {bad[:3]}"
+        )
+    if len(pruned.inputFiles()) >= len(t.read(spark).inputFiles()):
+        raise AssertionError("ts-range prune dropped no files")
+    return (
+        pruned.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+TXLOG_HIDDEN_PART_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+  AND NOT (ts >= '2024-01-05' AND ts < '2024-01-06')
+  AND ts >= '2024-01-10' AND ts < '2024-01-20'
+GROUP BY 1, 2
+"""
+
+PART_QUERIES["txlog_hidden_partition_events"] = txlog_hidden_partition_events
+PART_ORACLES["txlog_hidden_partition_events"] = TXLOG_HIDDEN_PART_SQL

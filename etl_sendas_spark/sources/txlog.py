@@ -202,6 +202,114 @@ def sql_in_condition(col: str, values) -> str:
     return f"{col} IN ({', '.join(lits)})"
 
 
+_TRANSFORM_UNARY = ("year", "month", "day", "hour")
+_TRANSFORM_RE_UNARY = re.compile(r"^(year|month|day|hour)\((\w+)\)$")
+_TRANSFORM_RE_BINARY = re.compile(r"^(bucket|trunc)\((\d+)\s*,\s*(\w+)\)$")
+_TRANSFORM_FMT = {
+    "year": "yyyy",
+    "month": "yyyy-MM",
+    "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd-HH",
+}
+
+
+def parse_partition_spec(specs: list[str]):
+    """Iceberg-style partition spec: each entry is a plain column name
+    or a TRANSFORM — ``year(ts)``/``month(ts)``/``day(ts)``/
+    ``hour(ts)`` (string-formatted, lexicographically monotone),
+    ``bucket(N, col)`` (md5-60 hash mod N — the engine-portable hash
+    family, so the driver can translate probe values to buckets
+    without a session), ``trunc(N, col)`` (integer width truncation).
+    Returns ``(partition_col_names, transforms)`` where transforms is
+    a list of {"name", "fn", "src", "n"} dicts and derived names are
+    ``<src>_<fn>`` — hidden from the logical schema, derived at every
+    write, pruned against automatically by predicates on the SOURCE
+    column (the hidden-partitioning contract)."""
+    names: list[str] = []
+    transforms: list[dict] = []
+    for spec in specs:
+        m = _TRANSFORM_RE_UNARY.match(spec.strip())
+        if m:
+            fn, src = m.group(1), m.group(2)
+            name = f"{src}_{fn}"
+            names.append(name)
+            transforms.append(
+                {"name": name, "fn": fn, "src": src, "n": None}
+            )
+            continue
+        m = _TRANSFORM_RE_BINARY.match(spec.strip())
+        if m:
+            fn, n, src = m.group(1), int(m.group(2)), m.group(3)
+            if n < 1:
+                raise ValueError(f"partition transform {spec!r}: n >= 1")
+            name = f"{src}_{fn}"
+            names.append(name)
+            transforms.append({"name": name, "fn": fn, "src": src, "n": n})
+            continue
+        if "(" in spec:
+            raise ValueError(
+                f"unsupported partition transform {spec!r} — supported: "
+                "year/month/day/hour(col), bucket(N, col), trunc(N, col)"
+            )
+        names.append(spec)
+    return names, transforms
+
+
+def _transform_expr(tr: dict):
+    """The Spark Column deriving a transform's partition value."""
+    fn, src, n = tr["fn"], tr["src"], tr["n"]
+    if fn in _TRANSFORM_UNARY:
+        return F.date_format(F.col(src), _TRANSFORM_FMT[fn])
+    if fn == "bucket":
+        return F.expr(
+            f"pmod(CAST(conv(substring(md5(CAST({src} AS STRING)), 1, "
+            f"15), 16, 10) AS BIGINT), {n})"
+        )
+    if fn == "trunc":
+        return F.expr(f"CAST(floor({src} / {n}) * {n} AS BIGINT)")
+    raise ValueError(f"unknown transform {fn!r}")
+
+
+def _transform_py(tr: dict, value):
+    """Driver-side mirror of :func:`_transform_expr` for prune
+    translation — a probe/bound on the SOURCE column becomes a value
+    of the derived partition column. None = untranslatable (keep the
+    file; pruning is advisory)."""
+    import datetime as _dt
+    import hashlib as _hashlib
+
+    fn, n = tr["fn"], tr["n"]
+    if value is None:
+        return None
+    if fn in _TRANSFORM_UNARY:
+        if isinstance(value, _dt.datetime):
+            sv = value.strftime("%Y-%m-%d %H:%M:%S")
+        elif isinstance(value, _dt.date):
+            sv = value.strftime("%Y-%m-%d")
+        elif isinstance(value, str):
+            sv = value.replace("T", " ")
+        else:
+            return None
+        sv = sv.ljust(13, "0")
+        if fn == "year":
+            return sv[:4]
+        if fn == "month":
+            return sv[:7]
+        if fn == "day":
+            return sv[:10]
+        return sv[:10] + "-" + sv[11:13]  # hour
+    if fn == "bucket":
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            return None
+        h = _hashlib.md5(str(value).encode("utf-8")).hexdigest()
+        return int(h[:15], 16) % int(n)
+    if fn == "trunc":
+        if isinstance(value, bool) or not isinstance(value, int):
+            return None
+        return (value // int(n)) * int(n)
+    return None
+
+
 def _bloom_positions_py(value, k: int, total_bits: int) -> list[int]:
     """Bit positions of ``value`` in a per-file Bloom filter — PURE
     Python, byte-identical to the Spark build expression in
@@ -640,6 +748,7 @@ class TxLogTable:
                     "parts": parts,
                     "stat_cols": self._stat_cols(),
                     "partition_by": self._partition_cols(),
+                    "partition_transforms": self._partition_transforms(),
                     "schema": schema,
                     "dvs": dvs,
                     "blooms": blooms,
@@ -668,6 +777,13 @@ class TxLogTable:
 
         rel_dir = os.path.join("data", uuid.uuid4().hex)
         out_dir = os.path.join(self.root, rel_dir)
+        if partition_by:
+            # hidden partitioning: derive transform columns for the
+            # partitionBy write (they live in the hive paths only —
+            # the logical schema never carries them)
+            for tr in self._partition_transforms():
+                if tr["name"] in partition_by and tr["name"] not in df.columns:
+                    df = df.withColumn(tr["name"], _transform_expr(tr))
         w = df.write.mode("error")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -831,12 +947,27 @@ class TxLogTable:
         if t.versions():
             raise FileExistsError(f"txlog table already exists at {path}")
         cols = list(stat_cols or [])
-        pcols = list(partition_by or [])
-        bad = [c for c in pcols if c not in df.columns]
+        pcols, ptrans = parse_partition_spec(list(partition_by or []))
+        plain = [c for c in pcols if c not in {x["name"] for x in ptrans}]
+        bad = [c for c in plain if c not in df.columns]
         if bad:
             raise ValueError(
                 f"partition_by columns {bad} not in frame "
                 f"({df.columns})"
+            )
+        bad_src = [
+            x["src"] for x in ptrans if x["src"] not in df.columns
+        ]
+        if bad_src:
+            raise ValueError(
+                f"partition transform source columns {bad_src} not in "
+                f"frame ({df.columns})"
+            )
+        clash = [x["name"] for x in ptrans if x["name"] in df.columns]
+        if clash:
+            raise ValueError(
+                f"derived partition column names {clash} collide with "
+                "frame columns — rename the data columns"
             )
         overlap = [c for c in pcols if c in cols]
         if overlap:
@@ -853,13 +984,19 @@ class TxLogTable:
                 f"bloom_cols — a partition column's per-file value is "
                 f"already an exact membership test"
             )
-        files, stats, parts = t._write_data(df, cols, pcols)
+        t._ptrans_boot = ptrans
+        try:
+            files, stats, parts = t._write_data(df, cols, pcols)
+        finally:
+            del t._ptrans_boot
         payload = {
             "op": "create",
             "add": files,
             "stat_cols": cols,
             "schema": _schema_pairs(df),
         }
+        if ptrans:
+            payload["partition_transforms"] = ptrans
         if bcols:
             # bloom_cols opts columns into a per-file Bloom index
             # (equality-probe file skipping where zone maps are blind);
@@ -902,6 +1039,48 @@ class TxLogTable:
 
     def _partition_cols(self) -> list[str]:
         return self._table_meta("partition_by")
+
+    def _partition_transforms(self) -> list:
+        if hasattr(self, "_ptrans_boot"):
+            return self._ptrans_boot
+        return self._table_meta("partition_transforms")
+
+    def _expand_prune(self, prune: dict | None) -> dict | None:
+        """Hidden-partitioning prune translation: a spec on a
+        transform's SOURCE column grows a spec on the derived
+        partition column (kept alongside the original, which still
+        prunes zone maps on the source). Monotone transforms
+        (year/month/day/hour/trunc) map ranges to ranges; bucket maps
+        only equality/membership. Untranslatable values drop the
+        derived spec (pruning stays advisory)."""
+        trs = self._partition_transforms()
+        if not trs or not prune:
+            return prune
+        out = dict(prune)
+        for tr in trs:
+            src, name = tr["src"], tr["name"]
+            if src not in prune or name in out:
+                continue
+            spec = prune[src]
+            if isinstance(spec, (list, set, frozenset)):
+                vals = [_transform_py(tr, v) for v in spec]
+                if vals and all(v is not None for v in vals):
+                    out[name] = vals
+                continue
+            lo, hi = spec
+            if tr["fn"] == "bucket":
+                if lo is not None and lo == hi:
+                    b = _transform_py(tr, lo)
+                    if b is not None:
+                        out[name] = [b]
+                continue
+            tlo = _transform_py(tr, lo) if lo is not None else None
+            thi = _transform_py(tr, hi) if hi is not None else None
+            if (lo is None or tlo is not None) and (
+                hi is None or thi is not None
+            ):
+                out[name] = (tlo, thi)
+        return out
 
     def version_at(self, ts: float | str) -> int:
         """Timestamp time travel resolution (Delta's ``TIMESTAMP AS
@@ -1021,6 +1200,7 @@ class TxLogTable:
         at the logged (1-e^{-kn/m})^k FP rate. A false positive only
         keeps a file (correctness never depends on the index)."""
         bspec = self._bloom_spec()
+        prune = self._expand_prune(prune) or {}
 
         def bloom_rejects(p: str, col: str, vals: list) -> bool:
             bm = (blooms or {}).get(p, {}).get(col)
@@ -1194,10 +1374,16 @@ class TxLogTable:
         """:meth:`_scan` with the version's deletion vectors applied —
         what every LOGICAL read (snapshot reads, DML survivor scans,
         compaction) must use; raw :meth:`_scan` is physical bytes."""
-        return self._dv_filter(
+        out = self._dv_filter(
             spark, self._scan(spark, rel, version), rel,
             self._replay_dvs(version),
         )
+        hidden = [
+            t["name"]
+            for t in self._partition_transforms()
+            if t["name"] in out.columns
+        ]
+        return out.drop(*hidden) if hidden else out
 
     def append(
         self,

@@ -1540,3 +1540,81 @@ def test_bloom_auto_sizing_and_sidecars_at_scale(spark, tmp_path):
     )
     # retained reads still prune through whatever sidecars remain
     t.read(spark, prune={"event_id": [1]}).count()
+
+
+def test_partition_transforms_hidden_partitioning(spark, tmp_path):
+    """Iceberg-style partition transforms (round 10): day(ts) +
+    bucket(N, user_id) derive hive partition values at every write
+    while staying OUT of the logical schema; predicates on the SOURCE
+    columns prune at the manifest (range -> day range, equality ->
+    bucket); DML, append, change feed, and compaction all re-derive
+    and never leak the hidden columns; spec errors are loud."""
+    root = str(tmp_path / "tp")
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-{(i % 10) + 1:02d} 08:30:00", i % 50, float(i))
+            for i in range(1000)
+        ],
+        "event_id LONG, ts STRING, user_id LONG, value DOUBLE",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "value"
+    ).repartition(4)
+    t = TxLogTable.create(
+        root, ev, stat_cols=["event_id"],
+        partition_by=["day(ts)", "bucket(8, user_id)"],
+    )
+
+    df = t.read(spark)
+    assert sorted(df.columns) == ["event_id", "ts", "user_id", "value"]
+    full = set(df.inputFiles())
+
+    # range on the SOURCE column prunes to the matching day dirs
+    pr = t.read(spark, prune={"ts": ("2024-01-03", "2024-01-05")})
+    pf = set(pr.inputFiles())
+    assert pf and pf < full
+    for f in pf:
+        assert any(f"ts_day=2024-01-0{d}" in f for d in (3, 4, 5)), f
+    want = df.filter("ts >= '2024-01-03' AND ts < '2024-01-06'").count()
+    assert pr.filter(
+        "ts >= '2024-01-03' AND ts < '2024-01-06'"
+    ).count() == want
+
+    # equality on the bucket source prunes to one bucket's dirs
+    pu = t.read(spark, prune={"user_id": [17]})
+    uf = set(pu.inputFiles())
+    assert uf and uf < full
+    import hashlib as _h
+
+    kb = int(_h.md5(b"17").hexdigest()[:15], 16) % 8
+    for f in uf:
+        assert f"user_id_bucket={kb}" in f, f
+    assert pu.filter("user_id = 17").count() == df.filter(
+        "user_id = 17"
+    ).count()
+
+    # DML + append + compact keep deriving; schema stays clean
+    t.delete_where(spark, "user_id = 17")
+    t.append(ev.filter("event_id < 7"), spark)
+    t.compact(spark, target_files=4)
+    out = t.read(spark)
+    assert sorted(out.columns) == ["event_id", "ts", "user_id", "value"]
+    assert out.filter("user_id = 17").count() == 0
+    assert out.count() == 1000 - 20 + 7
+    feed = t.change_feed(spark, keys=["event_id"], from_version=1, to_version=2)
+    assert "ts_day" not in feed.columns
+
+    # loud spec errors
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        TxLogTable.create(
+            str(tmp_path / "bad1"), ev, partition_by=["century(ts)"]
+        )
+    with pytest.raises(ValueError, match="source columns"):
+        TxLogTable.create(
+            str(tmp_path / "bad2"), ev, partition_by=["day(nope)"]
+        )
+    with pytest.raises(ValueError, match="collide"):
+        TxLogTable.create(
+            str(tmp_path / "bad3"),
+            ev.withColumn("ts_day", F.lit("x")),
+            partition_by=["day(ts)"],
+        )
