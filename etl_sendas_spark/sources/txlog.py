@@ -2016,6 +2016,7 @@ class TxLogTable:
         delete_when: str | None = None,
         extra: dict | None = None,
         prune: dict | None = None,
+        when_not_matched_by_source: str | None = None,
     ) -> int:
         """``MERGE INTO t USING source ON keys`` with file-level
         copy-on-write: matched target rows are replaced by their
@@ -2042,7 +2043,18 @@ class TxLogTable:
         row replaces the matched target row).  NOTE: matching is by
         plain equi-join, so NULL key values never match (standard
         MERGE semantics) — callers merging Z-set view rows must not
-        have NULLs in the view key columns.  ``extra`` merges application
+        have NULLs in the view key columns.
+
+        ``when_not_matched_by_source="delete"`` (update mode only)
+        completes the Delta merge grammar: TARGET rows whose key has
+        no source row are deleted in the same commit — the one-step
+        snapshot-sync (``MERGE`` a dimension's new full snapshot:
+        updates matched, inserts new, drops vanished). Write
+        amplification is then TABLE-sized by definition (every file
+        rewrites — use it for dim-sized tables, not a 100 TB fact
+        table; it deliberately does NOT compose with ``prune``,
+        because a pruned file can span the scope boundary and scoped
+        snapshot swaps are :meth:`replace_where`'s job).  ``extra`` merges application
         metadata into the commit record, as in :meth:`overwrite`."""
         if when_matched not in ("update", "delete"):
             raise ValueError(
@@ -2053,6 +2065,25 @@ class TxLogTable:
             raise ValueError(
                 "merge_into: delete_when composes with "
                 "when_matched='update' only"
+            )
+        if when_not_matched_by_source not in (None, "delete"):
+            raise ValueError(
+                "merge_into: when_not_matched_by_source must be None "
+                f"or 'delete', got {when_not_matched_by_source!r}"
+            )
+        if when_not_matched_by_source and when_matched != "update":
+            raise ValueError(
+                "merge_into: when_not_matched_by_source composes with "
+                "when_matched='update' only"
+            )
+        if when_not_matched_by_source and prune is not None:
+            # a pruned file can span the scope boundary; dropping its
+            # unmatched rows would delete rows OUTSIDE the sync scope.
+            # Scoped snapshot swaps are replace_where's job.
+            raise ValueError(
+                "merge_into: when_not_matched_by_source does not "
+                "compose with prune — use replace_where for a scoped "
+                "snapshot swap"
             )
         head = self.latest_version()
         tbl_cols = self.read(spark, head).columns
@@ -2091,25 +2122,42 @@ class TxLogTable:
         # hive-partitioned on a key hash, with the spec derived from
         # the source's own key hashes). A 100 TB merge then reads the
         # partitions its keys live in, not the table.
-        affected = sorted(
-            r["__f"]
-            for r in self.read(spark, head, prune=prune)
-            .withColumn("__f", relf)
-            .join(skeys, keys, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
-        )
+        if when_not_matched_by_source:
+            # every file holding a matched OR unmatched row rewrites —
+            # i.e. every (pruned) file with rows at all
+            affected = sorted(
+                r["__f"]
+                for r in self.read(spark, head, prune=prune)
+                .withColumn("__f", relf)
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+        else:
+            affected = sorted(
+                r["__f"]
+                for r in self.read(spark, head, prune=prune)
+                .withColumn("__f", relf)
+                .join(skeys, keys, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            )
         if not affected and when_matched == "delete":
             return head  # nothing matched, nothing to delete
         # unmatched rows of affected files survive the rewrite — read
         # back from exactly those files
-        if affected:
+        if affected and not when_not_matched_by_source:
             kept = (
                 self._scan_live(spark, affected, head)
                 .join(skeys, keys, "left_anti")
                 .select(*tbl_cols)
             )
+        elif affected:
+            # snapshot-sync: unmatched target rows delete; OUT-of-scope
+            # rows of affected files still survive when pruned (they
+            # are outside the sync scope by the prune contract)
+            kept = spark.createDataFrame([], self.read(spark, head).schema)
         else:
             kept = spark.createDataFrame([], self.read(spark, head).schema)
         if when_matched == "delete":

@@ -1618,3 +1618,37 @@ def test_partition_transforms_hidden_partitioning(spark, tmp_path):
             ev.withColumn("ts_day", F.lit("x")),
             partition_by=["day(ts)"],
         )
+
+
+def test_merge_when_not_matched_by_source_snapshot_sync(spark, tmp_path):
+    """The full Delta merge grammar (round 10): merging a dimension's
+    NEW SNAPSHOT with when_not_matched_by_source='delete' updates
+    matched keys, inserts new ones, and drops vanished ones in ONE
+    commit; composes with delete_when; refuses prune (scoped swaps
+    are replace_where's job)."""
+    root = str(tmp_path / "tsync")
+    t = TxLogTable.create(
+        root,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k LONG, v STRING"
+        ),
+    )
+    snap = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k LONG, v STRING"
+    )
+    t.merge_into(
+        spark, snap, ["k"], when_not_matched_by_source="delete"
+    )
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(2, "B"), (4, "d")]  # 1,3 dropped; 2 updated; 4 new
+
+    with pytest.raises(ValueError, match="replace_where"):
+        t.merge_into(
+            spark, snap, ["k"],
+            when_not_matched_by_source="delete", prune={"k": [1]},
+        )
+    with pytest.raises(ValueError, match="update"):
+        t.merge_into(
+            spark, snap, ["k"], when_matched="delete",
+            when_not_matched_by_source="delete",
+        )
