@@ -710,6 +710,7 @@ def ivfpq_index_build(
     encode_backend: str = "numpy",
     pq_lloyd_iters: int = 0,
     centroid_source: DataFrame | None = None,
+    src_version: int | None = None,
 ) -> str:
     """Materialize an IVF-PQ index as THREE txlog tables under
     ``path`` — :func:`ivf_index_build`'s split applied to the
@@ -790,7 +791,12 @@ def ivfpq_index_build(
     assigned = _assign_nearest_centroid(c, cents, backend=encode_backend)
     codes = _pq_encode(assigned, codebook, dsub, backend=encode_backend)
     TxLogTable.create(
-        os.path.join(path, "codes"), codes, partition_by=["cluster"]
+        os.path.join(path, "codes"), codes, partition_by=["cluster"],
+        extra=(
+            {"idx_src_version": int(src_version)}
+            if src_version is not None
+            else None
+        ),
     )
     return path
 
@@ -816,6 +822,7 @@ def ivfpq_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encode_backend: str = "numpy",
+    src_version: int | None = None,
 ) -> int:
     """Add vectors to an at-rest IVF-PQ index: assign against the
     frozen centroids, encode against the frozen codebook (one narrow
@@ -830,7 +837,110 @@ def ivfpq_index_append(
     ).withColumn("cn", _norm(F.col("cv"))).filter(F.col("cn") > 0)
     assigned = _assign_nearest_centroid(c, cents, backend=encode_backend)
     codes = _pq_encode(assigned, codebook, dsub, backend=encode_backend)
-    return TxLogTable(os.path.join(path, "codes")).append(codes, spark)
+    codes_t = TxLogTable(os.path.join(path, "codes"))
+    extra = None
+    if src_version is not None:
+        extra = {"idx_src_version": int(src_version)}
+    else:
+        meta = codes_t.commit_meta(codes_t.latest_version())
+        if "idx_src_version" in meta:
+            extra = {"idx_src_version": int(meta["idx_src_version"])}
+    return codes_t.append(codes, spark, extra=extra)
+
+
+def ivfpq_index_refresh(
+    spark,
+    path: str,
+    corpus_root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode_backend: str = "numpy",
+    to_version: int | None = None,
+    max_touched_ids: int = 10_000,
+) -> int | None:
+    """Maintain the at-rest IVF-PQ index under CORPUS DML — the
+    compressed twin of :func:`ivf_index_refresh`, completing the
+    at-rest-index refresh family: consume the corpus table's
+    commit-scoped change feed from the codes table's
+    ``idx_src_version`` watermark, derive each touched id's FINAL
+    live vector from the feed, assign against the FROZEN centroids
+    and encode against the FROZEN codebook (the train-once contract —
+    a refresh never moves the quantizer or the codewords), and land
+    delete+insert as ONE atomic ``replace_where`` on the codes table
+    carrying the advanced watermark.  After a refresh,
+    :func:`ivfpq_index_topk` equals a fresh build of the corpus head
+    with the same frozen quantizer+codebook (the law the tests pin)."""
+    from pyspark.sql import Window
+
+    from ..sources.txlog import TxLogTable, sql_in_condition
+
+    codes_t = TxLogTable(os.path.join(path, "codes"))
+    meta = codes_t.commit_meta(codes_t.latest_version())
+    if "idx_src_version" not in meta:
+        raise ValueError(
+            "ivfpq_index_refresh: codes table carries no "
+            "idx_src_version watermark — build/append with "
+            "src_version= to enable incremental refresh"
+        )
+    last = int(meta["idx_src_version"])
+    corpus = TxLogTable(corpus_root)
+    head = corpus.latest_version() if to_version is None else to_version
+    if head <= last:
+        return None
+    feed = corpus.change_feed(
+        spark,
+        keys=[id_col],
+        from_version=last + 1,
+        to_version=head,
+        normalize_updates=True,
+    ).persist()
+    try:
+        touched = [
+            r[0] for r in feed.select(id_col).distinct().collect()
+        ]
+        if not touched:
+            return codes_t.append(
+                codes_t.read(spark).limit(0),
+                spark,
+                extra={"idx_src_version": head},
+            )
+        if len(touched) > max_touched_ids:
+            raise ValueError(
+                f"ivfpq_index_refresh: {len(touched)} touched ids "
+                f"exceed max_touched_ids={max_touched_ids} — chunk "
+                "the refresh (to_version=) or rebuild"
+            )
+        w = Window.partitionBy(id_col)
+        final_live = (
+            feed.withColumn("__mv", F.max("_commit_version").over(w))
+            .filter(
+                (F.col("_commit_version") == F.col("__mv"))
+                & (F.col("op") == "I")
+            )
+            .select(id_col, vec_col)
+        )
+        cents, codebook, dsub = _pq_index_parts(spark, path)
+        c = (
+            final_live.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            )
+            .withColumn("cn", _norm(F.col("cv")))
+            .filter(F.col("cn") > 0)
+        )
+        assigned = _assign_nearest_centroid(
+            c, cents, backend=encode_backend
+        )
+        codes = _pq_encode(
+            assigned, codebook, dsub, backend=encode_backend
+        )
+        cond = sql_in_condition("neighbor_id", touched)
+        return codes_t.replace_where(
+            spark, codes, cond, extra={"idx_src_version": head}
+        )
+    finally:
+        feed.unpersist()
 
 
 def ivfpq_index_topk(

@@ -2954,3 +2954,76 @@ def test_incremental_distinct_update_multiplicity_cases(spark):
         (r["k"], r["u"]): r["m"] for r in new_state.collect()
     }
     assert m[("a", 1)] == 1 and ("a", 2) not in m
+
+
+def test_ivfpq_index_refresh_tracks_corpus_dml(spark, tmp_path):
+    """IVF-PQ refresh (round 10): after corpus deletes + a rewrite +
+    appends, one replace_where on the codes table makes the probe
+    equal a fresh build with the SAME frozen quantizer+codebook."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_refresh,
+        ivfpq_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    vecs, n, n_dups = _planted_vectors(spark)
+    corpus_root = str(tmp_path / "vcorpus")
+    corpus = TxLogTable.create(corpus_root, vecs)
+
+    idx = str(tmp_path / "pq_idx")
+    ivfpq_index_build(
+        corpus.read(spark), idx, n_centroids=16, m_subspaces=4,
+        n_codes=16, src_version=0,
+    )
+    assert ivfpq_index_refresh(spark, idx, corpus_root) is None
+
+    corpus.delete_where(spark, "vec_id % 9 = 3")
+    dim = len(vecs.select("embedding").first()[0])
+    corpus.update_where(
+        spark,
+        {"embedding": f"array({', '.join(['0.5D'] * dim)})"},
+        "vec_id = 4",
+    )
+    corpus.append(
+        vecs.filter("vec_id IN (10, 11)").select(
+            (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+        ),
+        spark,
+    )
+
+    v = ivfpq_index_refresh(spark, idx, corpus_root)
+    assert v is not None
+    codes_t = TxLogTable(f"{idx}/codes")
+    assert codes_t._read_commit(v)["op"] == "replace_where"
+    assert (
+        int(codes_t.commit_meta(v)["idx_src_version"])
+        == corpus.latest_version()
+    )
+
+    fresh = str(tmp_path / "pq_fresh")
+    ivfpq_index_build(
+        corpus.read(spark), fresh, n_centroids=16, m_subspaces=4,
+        n_codes=16, centroid_source=vecs,
+    )
+    queries = vecs.filter("vec_id >= 200")
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, idx, queries, k=5, n_probe=8
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, fresh, queries, k=5, n_probe=8
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert ivfpq_index_refresh(spark, idx, corpus_root) is None
