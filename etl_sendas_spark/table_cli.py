@@ -82,7 +82,24 @@ def cmd_describe(args) -> int:
     print(f"live:      {len(live)} data files")
     print(f"rows:      {t.row_count(head)} (metadata-only)")
     print(f"stat_cols: {t._stat_cols() or '(none)'}")
-    print(f"partition: {t._partition_cols() or '(none)'}")
+    trs = t._partition_transforms()
+    if trs:
+        shown = [
+            (
+                f"{x['fn']}({x['n']}, {x['src']})"
+                if x["n"] is not None
+                else f"{x['fn']}({x['src']})"
+            )
+            for x in trs
+        ]
+        plain = [
+            c
+            for c in t._partition_cols()
+            if c not in {x["name"] for x in trs}
+        ]
+        print(f"partition: {plain + shown} (transforms hidden from schema)")
+    else:
+        print(f"partition: {t._partition_cols() or '(none)'}")
     from .session import get_spark
 
     spark = get_spark(app_name="txlog_describe")
@@ -214,6 +231,27 @@ def _split_assignments(specs: list[str]) -> dict[str, str]:
     return sets
 
 
+def cmd_merge(args) -> int:
+    """MERGE a parquet source into the table (upsert; optionally the
+    full Delta grammar: conditional delete arm, snapshot-sync)."""
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_merge")
+    src = spark.read.parquet(args.source)
+    v = t.merge_into(
+        spark,
+        src,
+        [k.strip() for k in args.on.split(",")],
+        delete_when=args.delete_when,
+        when_not_matched_by_source=(
+            "delete" if args.sync_deletes else None
+        ),
+    )
+    print(f"merged {args.source} -> v{v}")
+    return 0
+
+
 def cmd_update(args) -> int:
     from .session import get_spark
 
@@ -318,6 +356,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", required=True, help="parquet path of new rows")
     p.add_argument("--where", required=True)
     p.set_defaults(fn=cmd_replace_where)
+
+    p = sub.add_parser(
+        "merge", help="MERGE a parquet source (upsert / snapshot sync)"
+    )
+    p.add_argument("path")
+    p.add_argument("source", help="parquet path with the source rows")
+    p.add_argument(
+        "--on", required=True, help="comma-separated merge key columns"
+    )
+    p.add_argument(
+        "--delete-when", default=None,
+        help="WHEN MATCHED AND <pred> THEN DELETE (over source rows)",
+    )
+    p.add_argument(
+        "--sync-deletes", action="store_true",
+        help="WHEN NOT MATCHED BY SOURCE THEN DELETE (snapshot sync)",
+    )
+    p.set_defaults(fn=cmd_merge)
 
     p = sub.add_parser("update", help="UPDATE SET ... WHERE (cow or dv)")
     p.add_argument("path")
