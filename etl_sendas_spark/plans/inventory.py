@@ -481,6 +481,22 @@ EXTRA_ORACLES.update(_inv_round10.PART_ORACLES)
 # langid_ngram_docs (text family keeps text_features),
 # streaming_dedup_events (streaming family keeps 5 driver rows incl.
 # the incoming CDF-IVM row; dedup-in-stream keeps its EXTRA oracle).
+# Queued for the NEXT (round-11) swap — round-10 machinery already
+# holding the full oracle bar in EXTRA (each hash-exact at 2 SFs,
+# 4-executor plan/row parity measured, BASELINE r10):
+# search_index_refresh_docs (CDF-driven at-rest index maintenance —
+# delete/update/append ladder on the indexed corpus, one atomic
+# replace_where sync, in-query watermark/no-op assertions),
+# txlog_hidden_partition_events (Iceberg-style partition transforms:
+# day+bucket hidden partitioning with in-query scan-routing
+# assertions), ivm_count_distinct_events (the COUNT DISTINCT
+# support-state algebra no current row covers). Candidates OUT:
+# txlog_partitioned_prune_events (partition-first pruning re-pinned
+# inside the hidden-partitioning row), search_bm25_index_at_rest_docs
+# (index build+probe machinery re-pinned inside the refresh row,
+# which composes it with DML), dedup_minhash_incremental_docs
+# (incremental near-dup stays driver-pinned inside
+# corpus_refresh_incremental_docs's wave ladder).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
