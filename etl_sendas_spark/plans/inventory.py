@@ -481,16 +481,16 @@ EXTRA_ORACLES.update(_inv_round10.PART_ORACLES)
 # langid_ngram_docs (text family keeps text_features),
 # streaming_dedup_events (streaming family keeps 5 driver rows incl.
 # the incoming CDF-IVM row; dedup-in-stream keeps its EXTRA oracle).
-# Queued for the NEXT (round-11) swap — round-10 machinery already
-# holding the full oracle bar in EXTRA (each hash-exact at 2 SFs,
-# 4-executor plan/row parity measured, BASELINE r10):
-# search_index_refresh_docs (CDF-driven at-rest index maintenance —
-# delete/update/append ladder on the indexed corpus, one atomic
-# replace_where sync, in-query watermark/no-op assertions),
-# txlog_hidden_partition_events (Iceberg-style partition transforms:
-# day+bucket hidden partitioning with in-query scan-routing
-# assertions), ivm_count_distinct_events (the COUNT DISTINCT
-# support-state algebra no current row covers). Candidates OUT:
+# Round-11 rotation (executes the r10 verdict's item 1 verbatim —
+# the three queued r10 rows in). IN: search_index_refresh_docs
+# (CDF-driven at-rest index maintenance — delete/update/append ladder
+# on the indexed corpus, one atomic replace_where sync, in-query
+# watermark/no-op assertions), txlog_hidden_partition_events
+# (Iceberg-style partition transforms: day+bucket hidden partitioning
+# with in-query scan-routing assertions), ivm_count_distinct_events
+# (the COUNT DISTINCT support-state algebra no other row covers).
+# OUT, each after green driver outings and keeping the identical
+# oracle bar in EXTRA (verdict's sibling-pins rule):
 # txlog_partitioned_prune_events (partition-first pruning re-pinned
 # inside the hidden-partitioning row), search_bm25_index_at_rest_docs
 # (index build+probe machinery re-pinned inside the refresh row,
@@ -523,12 +523,12 @@ DRIVER_WINDOW = [
     "search_hybrid_rrf_ivf_docs",
     "fuzzy_match_part_names",
     "dedup_semantic_docs",
-    "dedup_minhash_incremental_docs",
+    "search_index_refresh_docs",
     "decontaminate_docs",
     "dedup_cluster_docs",
     "bpe_pair_counts_docs",
     "streaming_txlog_source_ingest",
-    "txlog_partitioned_prune_events",
+    "txlog_hidden_partition_events",
     "ann_ivfpq_topk",
     "crawl_ingest_pipeline",
     "pack_training_sequences",
@@ -541,7 +541,7 @@ DRIVER_WINDOW = [
     "dsir_select_docs",
     "ivm_join_view_events",
     "quality_lsq_classifier_docs",
-    "search_bm25_index_at_rest_docs",
+    "ivm_count_distinct_events",
     "corpus_refresh_incremental_docs",
     "txlog_bloom_probe_events",
     "streaming_txlog_cdf_ivm_events",

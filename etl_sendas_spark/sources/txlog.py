@@ -198,7 +198,13 @@ def sql_in_condition(col: str, values) -> str:
         if isinstance(v, int):
             lits.append(str(v))
         else:
-            lits.append("'" + v.replace("'", "''") + "'")
+            # Backslashes must be escaped too: with Spark's default
+            # escapedStringLiterals=false a value ending in '\' would
+            # escape the closing quote and change the predicate's
+            # scope (ADVICE r10) — corpus-supplied doc ids reach here.
+            lits.append(
+                "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+            )
     return f"{col} IN ({', '.join(lits)})"
 
 
@@ -270,6 +276,23 @@ def _transform_expr(tr: dict):
     raise ValueError(f"unknown transform {fn!r}")
 
 
+def _session_tzinfo():
+    """The active Spark session's ``spark.sql.session.timeZone`` as a
+    tzinfo, or None when no session is reachable (e.g. inside a
+    DataSource worker). Naive datetimes need no conversion — Spark
+    interprets them in the session zone at ingest and ``date_format``
+    renders in the same zone, so wall-clock fields round-trip."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        return ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return None
+
+
 def _transform_py(tr: dict, value):
     """Driver-side mirror of :func:`_transform_expr` for prune
     translation — a probe/bound on the SOURCE column becomes a value
@@ -282,12 +305,30 @@ def _transform_py(tr: dict, value):
     if value is None:
         return None
     if fn in _TRANSFORM_UNARY:
+        # Parse strings instead of blind slicing: an unpadded bound
+        # like '2024-1-5' sliced to '2024-1-5'[:10] would
+        # lexicographically exclude every 'yyyy-MM-dd' directory and
+        # silently drop live rows (ADVICE r10). fromisoformat rejects
+        # malformed/unpadded forms -> None keeps pruning advisory.
+        if isinstance(value, str):
+            try:
+                value = _dt.datetime.fromisoformat(
+                    value.strip().replace("T", " ").replace("Z", "+00:00")
+                )
+            except ValueError:
+                return None
         if isinstance(value, _dt.datetime):
+            if value.tzinfo is not None:
+                # date_format renders in the SESSION timezone; mirror
+                # it, or refuse (None = keep the file) when no session
+                # is reachable rather than guess a wall clock.
+                tz = _session_tzinfo()
+                if tz is None:
+                    return None
+                value = value.astimezone(tz).replace(tzinfo=None)
             sv = value.strftime("%Y-%m-%d %H:%M:%S")
         elif isinstance(value, _dt.date):
             sv = value.strftime("%Y-%m-%d")
-        elif isinstance(value, str):
-            sv = value.replace("T", " ")
         else:
             return None
         sv = sv.ljust(13, "0")
@@ -2092,11 +2133,22 @@ class TxLogTable:
                 f"merge_into: source columns {sorted(source.columns)} != "
                 f"table columns {sorted(tbl_cols)}"
             )
+        key_width = None
+        for k in keys:
+            w = F.coalesce(
+                F.octet_length(F.col(k).cast("string")), F.lit(8)
+            ) + F.lit(16)
+            key_width = w if key_width is None else key_width + w
         key_stats = (
             source.groupBy(*keys)
-            .agg(F.count("*").alias("__c"))
             .agg(
-                F.count("*").alias("__nk"), F.max("__c").alias("__mx")
+                F.count("*").alias("__c"),
+                F.first(key_width).alias("__w"),
+            )
+            .agg(
+                F.count("*").alias("__nk"),
+                F.max("__c").alias("__mx"),
+                F.sum("__w").alias("__bytes"),
             )
             .collect()[0]
         )
@@ -2104,11 +2156,14 @@ class TxLogTable:
             raise ValueError("merge_into: duplicate keys in source")
         n_keys = int(key_stats["__nk"] or 0)
         skeys = source.select(*keys).distinct()
-        if n_keys <= 4_000_000:
-            # a bounded key set rides the discovery semi-join and the
-            # survivor anti-join map-side — without the hint a
-            # broadcast-averse session sort-merges both, shuffling the
-            # pruned scan (view-sized) instead of the keys
+        # a bounded key set rides the discovery semi-join and the
+        # survivor anti-join map-side — without the hint a
+        # broadcast-averse session sort-merges both, shuffling the
+        # pruned scan (view-sized) instead of the keys. Gate on the
+        # MEASURED key-set bytes (rows x per-row key width), not rows
+        # alone: 4M multi-column string keys can be GBs (ADVICE r10).
+        # Above the cutoff, leave the choice to AQE.
+        if int(key_stats["__bytes"] or 0) <= 64 << 20:
             skeys = F.broadcast(skeys)
         rootp = os.path.abspath(self.root)
         relf = F.expr(
@@ -2191,10 +2246,20 @@ class TxLogTable:
             # first (one shuffle of the bounded replacement), so the
             # partitionBy write emits one file per touched hive dir —
             # a plain coalesce would interleave partition values
-            # across tasks and shatter into (#tasks x #values) files
-            replacement = replacement.repartition(
-                target, *self._partition_cols()
-            )
+            # across tasks and shatter into (#tasks x #values) files.
+            # Hidden transform-derived names (e.g. ts_day) are NOT
+            # columns of the replacement (read() drops them, ADVICE
+            # r10): repartition on the transform EXPRESSION over the
+            # source column instead — same co-location, no unresolved-
+            # column error on transform-partitioned tables.
+            trs = {
+                t["name"]: t for t in (self._partition_transforms() or [])
+            }
+            part_exprs = [
+                _transform_expr(trs[c]) if c in trs else F.col(c)
+                for c in self._partition_cols()
+            ]
+            replacement = replacement.repartition(target, *part_exprs)
         else:
             replacement = replacement.coalesce(target)
         def _keys_in_files(rel: list[str]) -> bool:

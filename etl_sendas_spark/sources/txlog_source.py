@@ -119,7 +119,14 @@ def _table_schema_ddl(root: str) -> tuple[str, list[str], dict]:
 
     t = TxLogTable(root)
     live, _stats, parts = t._replay(None)
-    pcols = t._partition_cols()
+    # Hidden-partitioning contract: transform-derived columns
+    # (ts_day, <src>_bucket, ...) are layout, not schema —
+    # TxLogTable.read() drops them, so the native format('txlog')
+    # reader must too, or the two paths return different schemas for
+    # the same table (ADVICE r10). They stay derivable from the
+    # source column; only plain partition columns join the schema.
+    hidden = {tr["name"] for tr in (t._partition_transforms() or [])}
+    pcols = [c for c in t._partition_cols() if c not in hidden]
     logged = t._logged_schema()
     if logged is not None:
         fields = [(n, ty) for n, ty in logged if n not in pcols]
@@ -215,8 +222,17 @@ def _read_file_batches(
         arrays, fields = [], []
         for name in columns:
             if name in have:
-                arrays.append(tbl.column(name))
-                fields.append(tbl.schema.field(name))
+                col = tbl.column(name)
+                typ = col.type
+                # Spark's Arrow bridge rejects nanosecond timestamps
+                # (UNSUPPORTED_ARROWTYPE); parquet files written with
+                # ns precision must come back as microseconds — the
+                # same truncation Spark itself applies at write time.
+                if pa.types.is_timestamp(typ) and typ.unit == "ns":
+                    typ = pa.timestamp("us", tz=typ.tz)
+                    col = col.cast(typ)
+                arrays.append(col)
+                fields.append(pa.field(name, typ))
             elif name in pvals:
                 val, ddl = pvals[name]
                 typ = _ARROW[ddl]

@@ -1652,3 +1652,97 @@ def test_merge_when_not_matched_by_source_snapshot_sync(spark, tmp_path):
             spark, snap, ["k"], when_matched="delete",
             when_not_matched_by_source="delete",
         )
+
+
+# ---------------------------------------------------------------- r11
+# Regression tests for the five round-10 ADVICE defects.
+
+
+def test_merge_into_hidden_partitioned_table(spark, tmp_path):
+    """ADVICE r10 (medium): merge_into repartitioned the replacement
+    on _partition_cols(), which for a transform-partitioned table
+    names hidden derived columns (ts_day) absent from the
+    replacement -> unresolved-column error. Now it repartitions on
+    the transform EXPRESSION over the source column."""
+    root = str(tmp_path / "tmergehp")
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-{(i % 5) + 1:02d} 08:30:00", float(i))
+            for i in range(100)
+        ],
+        "event_id LONG, ts STRING, value DOUBLE",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    t = TxLogTable.create(root, ev, partition_by=["day(ts)"])
+    upd = t.read(spark).filter("event_id < 10").withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    ins = spark.createDataFrame(
+        [(200, "2024-02-01 09:00:00", 7.0)],
+        "event_id LONG, ts STRING, value DOUBLE",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    t.merge_into(spark, upd.unionByName(ins), ["event_id"])
+    out = t.read(spark)
+    assert out.count() == 101
+    assert out.filter("event_id < 10 AND value < 1000").count() == 0
+    assert out.filter("event_id = 200").count() == 1
+    # the derived dir keeps routing: new row landed under its day
+    f = set(
+        t.read(spark, prune={"ts": ("2024-02-01", "2024-02-01")})
+        .inputFiles()
+    )
+    assert f and all("ts_day=2024-02-01" in p for p in f)
+    assert sorted(out.columns) == ["event_id", "ts", "value"]
+
+
+def test_transform_py_rejects_malformed_bounds(spark, tmp_path):
+    """ADVICE r10 (medium): unpadded string bounds like '2024-1-5'
+    were blindly sliced into lexicographically-broken derived bounds
+    that silently excluded every day directory. Now strings parse via
+    fromisoformat (None on failure keeps pruning advisory)."""
+    from etl_sendas_spark.sources.txlog import _transform_py
+
+    tr = {"name": "ts_day", "fn": "day", "src": "ts", "n": None}
+    assert _transform_py(tr, "2024-01-05") == "2024-01-05"
+    assert _transform_py(tr, "2024-01-05T08:30:00") == "2024-01-05"
+    assert _transform_py(tr, "2024-1-5") is None
+    assert _transform_py(tr, "not a date") is None
+    trh = {"name": "ts_hour", "fn": "hour", "src": "ts", "n": None}
+    assert _transform_py(trh, "2024-01-05 08:30:00") == "2024-01-05-08"
+
+    # end-to-end: a malformed bound keeps every file (advisory), so
+    # the filtered count is still exact
+    root = str(tmp_path / "tmal")
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-{(i % 5) + 1:02d} 08:30:00", float(i))
+            for i in range(100)
+        ],
+        "event_id LONG, ts STRING, value DOUBLE",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    t = TxLogTable.create(root, ev, partition_by=["day(ts)"])
+    full = set(t.read(spark).inputFiles())
+    pr = t.read(spark, prune={"ts": ("2024-1-2", "2024-1-4")})
+    assert set(pr.inputFiles()) == full  # untranslatable -> no prune
+    # well-formed bounds still prune
+    pr2 = t.read(spark, prune={"ts": ("2024-01-02", "2024-01-04")})
+    assert set(pr2.inputFiles()) < full
+
+
+def test_sql_in_condition_escapes_backslashes(spark, tmp_path):
+    """ADVICE r10 (low): a value ending in a backslash escaped the
+    closing quote under escapedStringLiterals=false, changing the
+    predicate's scope. Backslashes are now doubled."""
+    from etl_sendas_spark.sources.txlog import sql_in_condition
+
+    root = str(tmp_path / "tbsl")
+    t = TxLogTable.create(
+        root,
+        spark.createDataFrame(
+            [("a\\", 1), ("a", 2), ("b'c\\", 3), ("d", 4)],
+            "doc_id STRING, n LONG",
+        ),
+    )
+    cond = sql_in_condition("doc_id", ["a\\", "b'c\\"])
+    t.delete_where(spark, cond)
+    got = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert got == ["a", "d"]

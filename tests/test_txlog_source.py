@@ -658,3 +658,37 @@ def test_stream_read_change_feed_drives_ivm_through_restart(
     got = sorted(map(tuple, state.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_transform_partitioned_table_schema_stays_hidden(spark, tmp_path):
+    """ADVICE r10 (medium): the native format('txlog') reader appended
+    EVERY manifest partition column to the read schema, including
+    hidden transform-derived ones (ts_day) — breaking the
+    hidden-partitioning contract TxLogTable.read() enforces, so the
+    two paths returned different schemas for the same table. Derived
+    names are now filtered out; batch parity holds row-for-row."""
+    register_txlog_source(spark)
+    root = str(tmp_path / "thp")
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-{(i % 5) + 1:02d} 08:30:00", i % 7, float(i))
+            for i in range(200)
+        ],
+        "event_id LONG, ts STRING, user_id LONG, value DOUBLE",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "value"
+    )
+    t = TxLogTable.create(
+        root, ev, partition_by=["day(ts)", "bucket(4, user_id)"]
+    )
+    lib = t.read(spark)
+    b = spark.read.format("txlog").load(root)
+    assert sorted(b.columns) == sorted(lib.columns)
+    assert "ts_day" not in b.columns and "user_id_bucket" not in b.columns
+    exp = sorted(
+        (r["event_id"], r["user_id"], r["value"]) for r in lib.collect()
+    )
+    got = sorted(
+        (r["event_id"], r["user_id"], r["value"]) for r in b.collect()
+    )
+    assert got == exp
