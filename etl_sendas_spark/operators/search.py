@@ -561,16 +561,26 @@ def text_index_refresh(
       :func:`_postings`'s accounting (docs with NULL text excluded,
       zero-token docs count with dl = 0);
     - the replace condition is a bounded ``doc_id IN (...)`` literal —
-      ``max_touched_ids`` caps it (raise it, chunk your refreshes, or
-      rebuild when a single sync touches more docs than that; an
-      id-set beyond the ten-thousands is a rebuild-sized change).
+      ``max_touched_ids`` caps each commit's literal; a wave touching
+      more ids than that AUTO-CHUNKS into id-sorted bounded
+      ``replace_where`` commits (round 11). Only the last chunk
+      advances the watermark; earlier chunks carry an ``idx_wave``
+      cursor, so a crash mid-wave redelivers idempotently and the
+      re-run skips committed slices. Queries between chunks see a
+      mixed-but-self-consistent index (each id fully old or fully
+      new); the fresh-build law holds once the watermark reaches
+      ``to_version``.
 
     Requires the index to carry the watermark — build/append with
     ``src_version=`` (indexes built from bare DataFrames have no
     corpus version to sync from; loud error, not a guess)."""
     from pyspark.sql import Window
 
-    from ..sources.txlog import TxLogTable, sql_in_condition
+    from ..sources.txlog import (
+        TxLogTable,
+        plan_refresh_wave,
+        sql_in_condition,
+    )
 
     t = TxLogTable(root)
     meta = t.commit_meta(t.latest_version())
@@ -609,13 +619,10 @@ def text_index_refresh(
                     "idx_src_version": head,
                 },
             )
-        if len(touched) > max_touched_ids:
-            raise ValueError(
-                f"text_index_refresh: {len(touched)} touched ids "
-                f"exceed max_touched_ids={max_touched_ids} — chunk "
-                "the refresh (to_version=) or rebuild"
-            )
-        # stats delta: signed telescope over the feed
+        # stats delta: signed telescope over the feed. Computed ONCE
+        # over the whole wave — the chunked path's non-final commits
+        # carry the PRE-wave stats unchanged, so a crash-resume
+        # recomputes the identical absolute targets (idempotent).
         sgn = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
         srow = (
             feed.filter(F.col(text_col).isNotNull())
@@ -643,19 +650,47 @@ def text_index_refresh(
             )
             .select(id_col, text_col)
         )
-        new_post, _, _ = _postings(final_live, text_col, id_col, buckets)
-        cond = sql_in_condition("doc_id", touched)
-        return t.replace_where(
-            spark,
-            new_post.repartition("bucket"),
-            cond,
-            extra={
-                "idx_n_docs": int(meta["idx_n_docs"]) + dn,
-                "idx_sum_dl": int(meta["idx_sum_dl"]) + ddl,
-                "idx_buckets": buckets,
-                "idx_src_version": head,
-            },
+        # A wave above max_touched_ids auto-chunks into bounded
+        # replace_where commits (round 11 — the r10 "raise and tell
+        # the user to chunk" gap): only the LAST chunk advances the
+        # watermark; earlier chunks carry an idx_wave cursor so a
+        # crash mid-wave resumes without re-doing committed slices.
+        chunks, start = plan_refresh_wave(
+            meta, last, head, touched, max_touched_ids
         )
+        base_n = int(meta["idx_n_docs"])
+        base_dl = int(meta["idx_sum_dl"])
+        v = None
+        for i in range(start, len(chunks)):
+            chunk = chunks[i]
+            chunk_live = final_live.filter(F.col(id_col).isin(chunk))
+            new_post, _, _ = _postings(
+                chunk_live, text_col, id_col, buckets
+            )
+            if i == len(chunks) - 1:
+                extra = {
+                    "idx_n_docs": base_n + dn,
+                    "idx_sum_dl": base_dl + ddl,
+                    "idx_buckets": buckets,
+                    "idx_src_version": head,
+                }
+            else:
+                extra = {
+                    "idx_n_docs": base_n,
+                    "idx_sum_dl": base_dl,
+                    "idx_buckets": buckets,
+                    "idx_src_version": last,
+                    "idx_wave": {
+                        "from": last, "to": head, "done_upto": chunk[-1]
+                    },
+                }
+            v = t.replace_where(
+                spark,
+                new_post.repartition("bucket"),
+                sql_in_condition("doc_id", chunk),
+                extra=extra,
+            )
+        return v
     finally:
         feed.unpersist()
 

@@ -560,7 +560,11 @@ def ivf_index_refresh(
     the text refresh."""
     from pyspark.sql import Window
 
-    from ..sources.txlog import TxLogTable, sql_in_condition
+    from ..sources.txlog import (
+        TxLogTable,
+        plan_refresh_wave,
+        sql_in_condition,
+    )
 
     rows_t = TxLogTable(os.path.join(path, "rows"))
     meta = rows_t.commit_meta(rows_t.latest_version())
@@ -592,12 +596,6 @@ def ivf_index_refresh(
                 spark,
                 extra={"idx_src_version": head},
             )
-        if len(touched) > max_touched_ids:
-            raise ValueError(
-                f"ivf_index_refresh: {len(touched)} touched ids "
-                f"exceed max_touched_ids={max_touched_ids} — chunk "
-                "the refresh (to_version=) or rebuild"
-            )
         w = Window.partitionBy(id_col)
         final_live = (
             feed.withColumn("__mv", F.max("_commit_version").over(w))
@@ -619,11 +617,32 @@ def ivf_index_refresh(
         assigned = _assign_nearest_centroid(
             c, cents, backend=assign_backend
         ).select("neighbor_id", "cv", "cn", "cluster")
-        cond = sql_in_condition("neighbor_id", touched)
-        return rows_t.replace_where(
-            spark, assigned, cond,
-            extra={"idx_src_version": head},
+        # oversized waves auto-chunk into bounded replace_where
+        # commits with a crash cursor — see plan_refresh_wave and the
+        # text twin's docstring (round 11)
+        chunks, start = plan_refresh_wave(
+            meta, last, head, touched, max_touched_ids
         )
+        v = None
+        for i in range(start, len(chunks)):
+            chunk = chunks[i]
+            extra = (
+                {"idx_src_version": head}
+                if i == len(chunks) - 1
+                else {
+                    "idx_src_version": last,
+                    "idx_wave": {
+                        "from": last, "to": head, "done_upto": chunk[-1]
+                    },
+                }
+            )
+            v = rows_t.replace_where(
+                spark,
+                assigned.filter(F.col("neighbor_id").isin(chunk)),
+                sql_in_condition("neighbor_id", chunk),
+                extra=extra,
+            )
+        return v
     finally:
         feed.unpersist()
 
@@ -873,7 +892,11 @@ def ivfpq_index_refresh(
     with the same frozen quantizer+codebook (the law the tests pin)."""
     from pyspark.sql import Window
 
-    from ..sources.txlog import TxLogTable, sql_in_condition
+    from ..sources.txlog import (
+        TxLogTable,
+        plan_refresh_wave,
+        sql_in_condition,
+    )
 
     codes_t = TxLogTable(os.path.join(path, "codes"))
     meta = codes_t.commit_meta(codes_t.latest_version())
@@ -905,12 +928,6 @@ def ivfpq_index_refresh(
                 spark,
                 extra={"idx_src_version": head},
             )
-        if len(touched) > max_touched_ids:
-            raise ValueError(
-                f"ivfpq_index_refresh: {len(touched)} touched ids "
-                f"exceed max_touched_ids={max_touched_ids} — chunk "
-                "the refresh (to_version=) or rebuild"
-            )
         w = Window.partitionBy(id_col)
         final_live = (
             feed.withColumn("__mv", F.max("_commit_version").over(w))
@@ -935,10 +952,31 @@ def ivfpq_index_refresh(
         codes = _pq_encode(
             assigned, codebook, dsub, backend=encode_backend
         )
-        cond = sql_in_condition("neighbor_id", touched)
-        return codes_t.replace_where(
-            spark, codes, cond, extra={"idx_src_version": head}
+        # oversized waves auto-chunk with a crash cursor, as in the
+        # IVF and text twins (round 11)
+        chunks, start = plan_refresh_wave(
+            meta, last, head, touched, max_touched_ids
         )
+        v = None
+        for i in range(start, len(chunks)):
+            chunk = chunks[i]
+            extra = (
+                {"idx_src_version": head}
+                if i == len(chunks) - 1
+                else {
+                    "idx_src_version": last,
+                    "idx_wave": {
+                        "from": last, "to": head, "done_upto": chunk[-1]
+                    },
+                }
+            )
+            v = codes_t.replace_where(
+                spark,
+                codes.filter(F.col("neighbor_id").isin(chunk)),
+                sql_in_condition("neighbor_id", chunk),
+                extra=extra,
+            )
+        return v
     finally:
         feed.unpersist()
 

@@ -26,9 +26,11 @@ Delta's, simplified:
                  anything),
 - ``overwrite``— recomputes its remove-set against the new head and
                  retries (last-writer-wins on the logical content),
-- ``compact``  — pure layout change; aborts with ``CommitConflict`` if
-                 the live set moved under it (rewriting stale files
-                 would resurrect deleted rows).
+- ``compact``  — pure layout change; concurrent APPENDS are disjoint
+                 (the version slides, their files wait for the next
+                 pass); aborts with ``CommitConflict`` only when a
+                 concurrent commit removed or deletion-vectored a file
+                 being rewritten (rewriting it would resurrect rows).
 
 Scale notes: all metadata is driver-side; snapshot resolution replays
 from the newest log CHECKPOINT (written every ``CHECKPOINT_EVERY``
@@ -206,6 +208,36 @@ def sql_in_condition(col: str, values) -> str:
                 "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
             )
     return f"{col} IN ({', '.join(lits)})"
+
+
+def plan_refresh_wave(meta: dict, last: int, head: int, touched, max_ids: int):
+    """Chunk plan for an index-refresh wave (round 11): the touched-id
+    set splits into id-sorted slices of ``max_ids``, each landing as
+    its own bounded ``replace_where`` commit. Every NON-final chunk
+    commit carries an ``idx_wave`` cursor ``{"from", "to",
+    "done_upto"}`` and leaves the watermark at ``last``; the final
+    chunk advances the watermark and drops the cursor — so a crash
+    mid-wave redelivers idempotently: the re-run recomputes the SAME
+    feed (the version range is pinned by from/to), the same sorted
+    chunks, and skips the slices the cursor proves committed. A
+    cursor from a DIFFERENT wave (head moved before the re-run) is
+    ignored and the whole wave re-applies — per-chunk replace_where
+    writes each id's final image, so re-application converges.
+
+    Returns ``(chunks, start)``: apply ``chunks[start:]``."""
+    touched = sorted(touched)
+    if not touched:
+        return [], 0
+    chunks = [
+        touched[i : i + max_ids] for i in range(0, len(touched), max_ids)
+    ]
+    cur = meta.get("idx_wave") or {}
+    start = 0
+    if cur.get("from") == last and cur.get("to") == head:
+        done = cur.get("done_upto")
+        while start < len(chunks) and chunks[start][-1] <= done:
+            start += 1
+    return chunks, start
 
 
 _TRANSFORM_UNARY = ("year", "month", "day", "hour")
@@ -2058,6 +2090,7 @@ class TxLogTable:
         extra: dict | None = None,
         prune: dict | None = None,
         when_not_matched_by_source: str | None = None,
+        not_matched_by_source_set: dict[str, str] | None = None,
     ) -> int:
         """``MERGE INTO t USING source ON keys`` with file-level
         copy-on-write: matched target rows are replaced by their
@@ -2095,8 +2128,20 @@ class TxLogTable:
         rewrites — use it for dim-sized tables, not a 100 TB fact
         table; it deliberately does NOT compose with ``prune``,
         because a pruned file can span the scope boundary and scoped
-        snapshot swaps are :meth:`replace_where`'s job).  ``extra`` merges application
-        metadata into the commit record, as in :meth:`overwrite`."""
+        snapshot swaps are :meth:`replace_where`'s job).
+
+        ``when_not_matched_by_source="update"`` is Delta's other
+        by-source arm: TARGET rows whose key has no source row get
+        ``not_matched_by_source_set`` applied (``{col: sql_expr}``,
+        each expression evaluated over the target row and cast to the
+        column's current type) instead of being deleted — the
+        soft-delete snapshot sync (``active=false`` for vanished dim
+        rows). Key columns may not be SET (a rewritten key could
+        collide with an insert inside the same commit). Same
+        composition rules as the delete arm: update-mode only, no
+        prune, write amplification table-sized by design.  ``extra``
+        merges application metadata into the commit record, as in
+        :meth:`overwrite`."""
         if when_matched not in ("update", "delete"):
             raise ValueError(
                 f"merge_into: when_matched must be update|delete, "
@@ -2107,10 +2152,28 @@ class TxLogTable:
                 "merge_into: delete_when composes with "
                 "when_matched='update' only"
             )
-        if when_not_matched_by_source not in (None, "delete"):
+        if when_not_matched_by_source not in (None, "delete", "update"):
             raise ValueError(
-                "merge_into: when_not_matched_by_source must be None "
-                f"or 'delete', got {when_not_matched_by_source!r}"
+                "merge_into: when_not_matched_by_source must be None, "
+                f"'delete' or 'update', got {when_not_matched_by_source!r}"
+            )
+        if when_not_matched_by_source == "update":
+            if not not_matched_by_source_set:
+                raise ValueError(
+                    "merge_into: when_not_matched_by_source='update' "
+                    "requires not_matched_by_source_set={col: sql_expr}"
+                )
+            bad = sorted(set(not_matched_by_source_set) & set(keys))
+            if bad:
+                raise ValueError(
+                    "merge_into: not_matched_by_source_set may not SET "
+                    f"key columns {bad} — a rewritten key could collide "
+                    "with an insert in the same commit"
+                )
+        elif not_matched_by_source_set:
+            raise ValueError(
+                "merge_into: not_matched_by_source_set requires "
+                "when_not_matched_by_source='update'"
             )
         if when_not_matched_by_source and when_matched != "update":
             raise ValueError(
@@ -2208,6 +2271,28 @@ class TxLogTable:
                 .join(skeys, keys, "left_anti")
                 .select(*tbl_cols)
             )
+        elif affected and when_not_matched_by_source == "update":
+            # soft-delete sync: unmatched target rows survive with the
+            # SET applied (each expr over the target row, cast back to
+            # the column's current type so the schema cannot drift)
+            schema = {
+                f.name: f.dataType
+                for f in self.read(spark, head).schema.fields
+            }
+            missing = sorted(
+                c for c in not_matched_by_source_set if c not in schema
+            )
+            if missing:
+                raise ValueError(
+                    "merge_into: not_matched_by_source_set names "
+                    f"unknown columns {missing}"
+                )
+            kept = self._scan_live(spark, affected, head).join(
+                skeys, keys, "left_anti"
+            )
+            for c, e in not_matched_by_source_set.items():
+                kept = kept.withColumn(c, F.expr(e).cast(schema[c]))
+            kept = kept.select(*tbl_cols)
         elif affected:
             # snapshot-sync: unmatched target rows delete; OUT-of-scope
             # rows of affected files still survive when pruned (they
@@ -2271,9 +2356,19 @@ class TxLogTable:
                 > 0
             )
 
+        if when_not_matched_by_source:
+            # by-source arms process EVERY target row: any concurrently
+            # added file holds rows this merge should have synced
+            # (matched or not), so no concurrent add is disjoint
+            def _any_add(rel: list[str]) -> bool:
+                return bool(rel)
+
+            add_check = _any_add
+        else:
+            add_check = _keys_in_files
         return self._rewrite_files(
             spark, "merge", head, affected, replacement, extra=extra,
-            add_check=_keys_in_files,
+            add_check=add_check,
         )
 
     def compact(
@@ -2284,9 +2379,12 @@ class TxLogTable:
         zorder_bits: int = 10,
     ) -> int:
         """Layout-only rewrite of the current live set into
-        ``target_files`` files. Raises :class:`CommitConflict` if any
-        commit lands between snapshot and claim — compacting a stale
-        snapshot would resurrect overwritten rows.
+        ``target_files`` files. OCC like the DML paths: a concurrent
+        APPEND is disjoint (its files stay uncompacted this round,
+        the version slides); a concurrent commit that removed or
+        deletion-vectored a file being rewritten raises
+        :class:`CommitConflict` — compacting that stale snapshot
+        would resurrect its rows.
 
         ``zorder_by`` re-clusters the live set on the Morton key of
         those columns before writing (Delta/Iceberg ``OPTIMIZE ZORDER
@@ -2331,11 +2429,15 @@ class TxLogTable:
             payload["zorder_by"] = list(zorder_by)
         if stats:
             payload["stats"] = stats
-        if not self._try_commit(head + 1, payload):
-            raise CommitConflict(
-                f"live set moved past version {head} during compact; retry"
-            )
-        return head + 1
+        # OCC (r11): a concurrent APPEND is disjoint from a compaction
+        # of PRE-EXISTING files — its files simply stay uncompacted
+        # this round (add_check always passes); any concurrent commit
+        # that removed or deletion-vectored a file being rewritten
+        # still aborts (the rewrite would resurrect its rows).
+        return self._commit_occ(
+            spark, head, payload, set(removes),
+            lambda _rel: False, "compact",
+        )
 
     def bin_pack(
         self,
@@ -2399,12 +2501,13 @@ class TxLogTable:
             payload["parts"] = new_parts
         if stats:
             payload["stats"] = stats
-        if not self._try_commit(head + 1, payload):
-            raise CommitConflict(
-                f"live set moved past version {head} during bin_pack; "
-                "retry"
-            )
-        return head + 1
+        # OCC (r11): same disjointness rule as compact — concurrent
+        # appends survive beside the pack (their debris waits for the
+        # next pass); concurrent removes/DVs of a packed file abort.
+        return self._commit_occ(
+            spark, head, payload, set(packed),
+            lambda _rel: False, "bin_pack",
+        )
 
     def _commit_scoped_pair(self, spark: SparkSession, v: int):
         """The (cur, prev) sub-snapshots whose diff IS commit ``v``'s

@@ -3027,3 +3027,80 @@ def test_ivfpq_index_refresh_tracks_corpus_dml(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert ivfpq_index_refresh(spark, idx, corpus_root) is None
+
+
+def test_ivf_index_refresh_auto_chunks_through_crash(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11: the IVF twin of the text auto-chunk law — a wave
+    touching 3x the cap lands as bounded replace_where commits; a
+    crash between chunks leaves the idx_wave cursor; the re-run skips
+    the committed slice and the refreshed index equals a fresh build
+    against the SAME frozen centroids."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_refresh,
+        ivf_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    vecs, n, n_dups = _planted_vectors(spark)
+    corpus_root = str(tmp_path / "vcorpus")
+    corpus = TxLogTable.create(corpus_root, vecs)
+    idx = str(tmp_path / "ivf_idx")
+    ivf_index_build(corpus.read(spark), idx, n_centroids=16, src_version=0)
+
+    # wave: rewrite a third of the vectors (scale each), delete a slice
+    dim = len(vecs.select("embedding").first()[0])
+    corpus.update_where(
+        spark,
+        {"embedding": "transform(embedding, x -> x * CAST(1.1 AS FLOAT))"},
+        "vec_id % 3 = 0",
+    )
+    corpus.delete_where(spark, "vec_id % 9 = 4")
+    n_touched = vecs.filter("vec_id % 3 = 0 OR vec_id % 9 = 4").count()
+    cap = max(1, n_touched // 3 - 1)
+    expected_chunks = -(-n_touched // cap)
+    assert expected_chunks >= 3
+
+    rows_t = TxLogTable(f"{idx}/rows")
+    pre_wm = int(rows_t.commit_meta(rows_t.latest_version())["idx_src_version"])
+    orig = TxLogTable.replace_where
+    calls = []
+
+    def crashing(self, *a, **k):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("simulated mid-wave crash")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(TxLogTable, "replace_where", crashing)
+    with pytest.raises(RuntimeError, match="mid-wave"):
+        ivf_index_refresh(spark, idx, corpus_root, max_touched_ids=cap)
+    monkeypatch.setattr(TxLogTable, "replace_where", orig)
+
+    mid = rows_t.commit_meta(rows_t.latest_version())
+    assert int(mid["idx_src_version"]) == pre_wm
+    assert mid["idx_wave"]["to"] == corpus.latest_version()
+
+    n_before = rows_t.latest_version()
+    v = ivf_index_refresh(spark, idx, corpus_root, max_touched_ids=cap)
+    assert v is not None and v - n_before == expected_chunks - 1
+    meta = rows_t.commit_meta(v)
+    assert "idx_wave" not in meta
+    assert int(meta["idx_src_version"]) == corpus.latest_version()
+
+    fresh = str(tmp_path / "ivf_fresh")
+    ivf_index_build(
+        corpus.read(spark), fresh, n_centroids=16, centroid_source=vecs
+    )
+    queries = vecs.filter("vec_id >= 200")
+    got = sorted(map(tuple, ivf_index_topk(
+        spark, idx, queries, k=5, n_probe=8).collect()))
+    want = sorted(map(tuple, ivf_index_topk(
+        spark, fresh, queries, k=5, n_probe=8).collect()))
+    assert got == want and len(got) > 0

@@ -907,3 +907,116 @@ def test_text_index_refresh_tracks_corpus_dml(spark, tmp_path):
     text_index_build(corpus.read(spark), nowm, buckets=16)
     with _pytest.raises(ValueError, match="idx_src_version"):
         text_index_refresh(spark, nowm, corpus_root)
+
+
+def test_text_index_refresh_auto_chunks_through_crash(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11: a DML wave touching 3x max_touched_ids auto-chunks
+    into bounded replace_where commits instead of raising. A crash
+    after the first chunk leaves the watermark un-advanced and an
+    idx_wave cursor behind; the re-run skips the committed slice and
+    converges to EXACTLY the fresh-build state (probe, stats,
+    watermark)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.search import (
+        text_index_build,
+        text_index_refresh,
+        text_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    corpus_root = str(tmp_path / "corpus")
+    corpus = TxLogTable.create(corpus_root, docs)
+    root = str(tmp_path / "idx")
+    text_index_build(corpus.read(spark), root, buckets=16, src_version=0)
+
+    # one wave touching ~3x the cap: update a third, delete a slice,
+    # append two fresh docs
+    corpus.update_where(
+        spark,
+        {"text": "concat(text, ' chunked wave marker')"},
+        "doc_id % 3 = 0",
+    )
+    corpus.delete_where(spark, "doc_id % 15 = 1")
+    corpus.append(
+        spark.createDataFrame(
+            [
+                (910001, "fresh spark document about hash tables"),
+                (910002, "another fresh document about sort merge"),
+            ],
+            "doc_id LONG, text STRING",
+        ),
+        spark,
+    )
+    t = TxLogTable(root)
+    pre_meta = t.commit_meta(t.latest_version())
+    cap = 40  # touched ids ~ 100+20+2 >> 2 chunks at 40
+
+    # crash after the FIRST chunk commit
+    orig = TxLogTable.replace_where
+    calls = []
+
+    def crashing(self, *a, **k):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("simulated mid-wave crash")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(TxLogTable, "replace_where", crashing)
+    with pytest.raises(RuntimeError, match="mid-wave"):
+        text_index_refresh(
+            spark, root, corpus_root, max_touched_ids=cap
+        )
+    monkeypatch.setattr(TxLogTable, "replace_where", orig)
+
+    # mid-wave state: watermark NOT advanced, cursor present, stats
+    # still the pre-wave values
+    mid = t.commit_meta(t.latest_version())
+    assert int(mid["idx_src_version"]) == int(pre_meta["idx_src_version"])
+    assert mid["idx_wave"]["to"] == corpus.latest_version()
+    assert int(mid["idx_n_docs"]) == int(pre_meta["idx_n_docs"])
+
+    # re-run: resumes AFTER the committed slice. Prove the skip by
+    # counting commits: the wave has ceil(touched/cap) chunks, one
+    # already landed, so the resume lands exactly chunks-1.
+    n_touched = (
+        docs.filter("doc_id % 3 = 0 OR doc_id % 15 = 1").count() + 2
+    )
+    expected_chunks = -(-n_touched // cap)
+    assert expected_chunks >= 3  # the wave really is >= 3x the cap
+    n_before = t.latest_version()
+    v = text_index_refresh(spark, root, corpus_root, max_touched_ids=cap)
+    assert v is not None and v == t.latest_version()
+    assert v - n_before == expected_chunks - 1
+    meta = t.commit_meta(v)
+    assert "idx_wave" not in meta
+    assert int(meta["idx_src_version"]) == corpus.latest_version()
+
+    # equality law: refreshed == fresh build of the corpus head
+    fresh_root = str(tmp_path / "fresh")
+    text_index_build(corpus.read(spark), fresh_root, buckets=16)
+    qs = [(1, "spark hash join"), (2, "chunked wave marker")]
+    got = sorted(map(tuple, text_index_topk(spark, root, qs).collect()))
+    want = sorted(
+        map(tuple, text_index_topk(spark, fresh_root, qs).collect())
+    )
+    assert got == want and len(got) > 0
+    fresh_meta = TxLogTable(fresh_root).commit_meta(0)
+    assert int(meta["idx_n_docs"]) == int(fresh_meta["idx_n_docs"])
+    assert int(meta["idx_sum_dl"]) == int(fresh_meta["idx_sum_dl"])
+
+    # a fully-synced table no-ops even with a tiny cap
+    assert (
+        text_index_refresh(spark, root, corpus_root, max_touched_ids=5)
+        is None
+    )

@@ -71,25 +71,83 @@ def test_overwrite_conflict_recomputes_remove_set(spark, tmp_path):
     assert {r["k"] for r in t.read(spark, 1).collect()} == set(range(6))
 
 
-def test_compact_conflict_raises(spark, tmp_path, monkeypatch):
+def test_compact_occ_append_is_disjoint(spark, tmp_path, monkeypatch):
+    """Layout OCC (round 11): an append landing mid-compaction is
+    disjoint from a rewrite of PRE-EXISTING files — both commits
+    survive (the appended file just stays uncompacted this round);
+    live rows exact."""
     root = str(tmp_path / "t5")
     t = TxLogTable.create(root, _df(spark, 0, 10, "x"))
     orig = t._write_data
+    fired = []
 
     def raced(df, stat_cols=None, partition_by=None):
-        files = orig(df, stat_cols, partition_by)
-        # a concurrent commit claims the next version while compact is
-        # still rewriting its (now stale) snapshot
-        assert t._try_commit(
-            t.latest_version() + 1, {"op": "append", "add": []}
-        )
-        return files
+        out = orig(df, stat_cols, partition_by)
+        if not fired:
+            fired.append(1)
+            files, _, _ = orig(
+                _df(spark, 10, 13, "new").coalesce(1), None, None
+            )
+            assert t._try_commit(
+                t.latest_version() + 1, {"op": "append", "add": files}
+            )
+        return out
 
     monkeypatch.setattr(t, "_write_data", raced)
-    with pytest.raises(CommitConflict):
+    v = t.compact(spark, target_files=1)
+    assert v == t.latest_version()
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(13))
+    # the interloper's file survived the compaction's remove set
+    assert len(t.live_files()) == 2
+
+
+def test_compact_occ_concurrent_remove_aborts(spark, tmp_path, monkeypatch):
+    """Layout OCC (round 11): a concurrent DELETE that rewrote a file
+    the compaction is also rewriting is a true overlap — committing
+    the stale snapshot would resurrect the deleted rows; abort."""
+    root = str(tmp_path / "t5b")
+    t = TxLogTable.create(root, _df(spark, 0, 10, "x"))
+    orig = t._write_data
+    fired = []
+
+    def raced(df, stat_cols=None, partition_by=None):
+        out = orig(df, stat_cols, partition_by)
+        if not fired:
+            fired.append(1)
+            t.delete_where(spark, "k < 3")
+        return out
+
+    monkeypatch.setattr(t, "_write_data", raced)
+    with pytest.raises(CommitConflict, match="both touch"):
         t.compact(spark)
-    # the interloper's commit stands; the table is uncorrupted
-    assert {r["k"] for r in t.read(spark).collect()} == set(range(10))
+    # the delete won; the table is uncorrupted
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(3, 10))
+
+
+def test_bin_pack_occ_append_is_disjoint(spark, tmp_path, monkeypatch):
+    """Layout OCC (round 11): bin_pack's rule mirrors compact — a
+    concurrent append's debris waits for the next pass, both commits
+    survive."""
+    root = str(tmp_path / "t5c")
+    t = TxLogTable.create(root, _df(spark, 0, 5, "a").repartition(3))
+    t.append(_df(spark, 5, 10, "b").repartition(2), spark)
+    orig = t._write_data
+    fired = []
+
+    def raced(df, stat_cols=None, partition_by=None):
+        out = orig(df, stat_cols, partition_by)
+        if not fired:
+            fired.append(1)
+            files, _, _ = orig(_df(spark, 10, 12, "c"), None, None)
+            assert t._try_commit(
+                t.latest_version() + 1, {"op": "append", "add": files}
+            )
+        return out
+
+    monkeypatch.setattr(t, "_write_data", raced)
+    v = t.bin_pack(spark, target_mb=128, min_files=2)
+    assert v == t.latest_version()
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(12))
 
 
 def test_schema_mismatch_raises_and_create_twice_raises(spark, tmp_path):
@@ -1746,3 +1804,86 @@ def test_sql_in_condition_escapes_backslashes(spark, tmp_path):
     t.delete_where(spark, cond)
     got = sorted(r["doc_id"] for r in t.read(spark).collect())
     assert got == ["a", "d"]
+
+
+def test_merge_when_not_matched_by_source_update(spark, tmp_path):
+    """Round-11: the other Delta by-source arm — target rows absent
+    from the source get not_matched_by_source_set applied (soft
+    delete) instead of dropping; matched rows update, new rows insert,
+    all one commit. Composition rules mirror the delete arm."""
+    root = str(tmp_path / "tsoft")
+    t = TxLogTable.create(
+        root,
+        spark.createDataFrame(
+            [(1, "a", True), (2, "b", True), (3, "c", True)],
+            "k LONG, v STRING, active BOOLEAN",
+        ),
+    )
+    snap = spark.createDataFrame(
+        [(2, "B", True), (4, "d", True)], "k LONG, v STRING, active BOOLEAN"
+    )
+    v = t.merge_into(
+        spark, snap, ["k"],
+        when_not_matched_by_source="update",
+        not_matched_by_source_set={"active": "false"},
+    )
+    got = sorted(
+        (r["k"], r["v"], r["active"]) for r in t.read(spark).collect()
+    )
+    assert got == [
+        (1, "a", False),  # vanished -> soft-deleted
+        (2, "B", True),   # matched -> updated
+        (3, "c", False),  # vanished -> soft-deleted
+        (4, "d", True),   # new -> inserted
+    ]
+    assert v == t.latest_version()
+
+    # composition rules mirrored from the delete arm
+    with pytest.raises(ValueError, match="requires"):
+        t.merge_into(spark, snap, ["k"], when_not_matched_by_source="update")
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge_into(
+            spark, snap, ["k"], when_not_matched_by_source="update",
+            not_matched_by_source_set={"k": "k + 100"},
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge_into(
+            spark, snap, ["k"], when_not_matched_by_source="update",
+            not_matched_by_source_set={"nope": "1"},
+        )
+    with pytest.raises(ValueError, match="replace_where"):
+        t.merge_into(
+            spark, snap, ["k"], when_not_matched_by_source="update",
+            not_matched_by_source_set={"active": "false"},
+            prune={"k": [1]},
+        )
+    with pytest.raises(ValueError, match="update"):
+        t.merge_into(
+            spark, snap, ["k"], when_matched="delete",
+            when_not_matched_by_source="update",
+            not_matched_by_source_set={"active": "false"},
+        )
+    with pytest.raises(ValueError, match="requires"):
+        t.merge_into(
+            spark, snap, ["k"],
+            not_matched_by_source_set={"active": "false"},
+        )
+
+    # SET expression can reference the target row itself
+    snap2 = spark.createDataFrame(
+        [(2, "B2", True)], "k LONG, v STRING, active BOOLEAN"
+    )
+    t.merge_into(
+        spark, snap2, ["k"],
+        when_not_matched_by_source="update",
+        not_matched_by_source_set={"v": "concat(v, '!')", "active": "false"},
+    )
+    got = sorted(
+        (r["k"], r["v"], r["active"]) for r in t.read(spark).collect()
+    )
+    assert got == [
+        (1, "a!", False),
+        (2, "B2", True),
+        (3, "c!", False),
+        (4, "d!", False),
+    ]
