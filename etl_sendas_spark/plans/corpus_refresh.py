@@ -52,7 +52,7 @@ from ..operators.dedupe import (
     minhash_lsh_incremental,
     minhash_lsh_index,
 )
-from ..sources.txlog import MetaLog, TxLogTable
+from ..sources.txlog import Catalog, TxLogTable
 
 
 def _wave_base_version(
@@ -190,23 +190,26 @@ def corpus_refresh_step(
             mh_done, mh_wv, "mh_version",
         )
     wave_s.unpersist()
-    # The wave becomes VISIBLE only now: one atomic manifest record
+    # The wave becomes VISIBLE only now: one atomic catalog record
     # pinning the three tables' wave versions (the root-level catalog
-    # pointer — VERDICT r9 #7).  A crash anywhere above leaves the
-    # manifest unadvanced, so corpus_snapshot readers keep seeing the
-    # previous consistent triple; redelivery completes the missing
+    # pointer — VERDICT r9 #7, generalized to the first-class
+    # :class:`..sources.txlog.Catalog` in round 11; this step is now
+    # a thin wrapper over its publish).  A crash anywhere above leaves
+    # the catalog unadvanced, so corpus_snapshot readers keep seeing
+    # the previous consistent triple; redelivery completes the missing
     # table commits (time-travel recovery above) and THEN publishes.
-    manifest = MetaLog(os.path.join(root, "_manifest"))
+    manifest = Catalog(os.path.join(root, "_manifest"))
     if manifest.find("wave_id", wave_id) is not None:
         out["manifest_version"] = "already"
     else:
-        out["manifest_version"] = manifest.commit(
-            {
-                "wave_id": wave_id,
-                "docs": landed["docs_version"],
-                "fps": landed["fps_version"],
-                "mh": landed.get("mh_version"),
-            }
+        pins = {
+            "docs": landed["docs_version"],
+            "fps": landed["fps_version"],
+        }
+        if landed.get("mh_version") is not None:
+            pins["mh"] = landed["mh_version"]
+        out["manifest_version"] = manifest.publish(
+            pins, extra={"wave_id": wave_id}
         )
     return out
 
@@ -222,10 +225,13 @@ def corpus_snapshot(
     record ({} for a legacy root without a manifest — head reads, the
     pre-round-10 behavior)."""
     docs_t = TxLogTable(os.path.join(root, "docs"))
-    rec = MetaLog(os.path.join(root, "_manifest")).latest()
+    rec = Catalog(os.path.join(root, "_manifest")).latest()
     if rec is None:
         return docs_t.read(spark), {}
-    return docs_t.read(spark, int(rec["docs"])), rec
+    # round-11 records carry {"pins": {...}}; pre-Catalog records
+    # stored the table versions at top level — read either
+    docs_v = rec.get("pins", rec)["docs"]
+    return docs_t.read(spark, int(docs_v)), rec
 
 
 def stream_corpus_refresh(

@@ -291,6 +291,7 @@ from . import inv_round7 as _inv_round7  # noqa: E402
 from . import inv_round8 as _inv_round8  # noqa: E402
 from . import inv_round9 as _inv_round9  # noqa: E402
 from . import inv_round10 as _inv_round10  # noqa: E402
+from . import inv_round11 as _inv_round11  # noqa: E402
 from .inv_round4 import *  # noqa: E402,F401,F403
 from .inv_round5 import *  # noqa: E402,F401,F403
 from .inv_round6 import *  # noqa: E402,F401,F403
@@ -312,6 +313,8 @@ EXTRA_QUERIES.update(_inv_round9.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round9.PART_ORACLES)
 EXTRA_QUERIES.update(_inv_round10.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round10.PART_ORACLES)
+EXTRA_QUERIES.update(_inv_round11.PART_QUERIES)
+EXTRA_ORACLES.update(_inv_round11.PART_ORACLES)
 
 # ===========================================================================
 # driver window — SINGLE definition site
@@ -497,6 +500,19 @@ EXTRA_ORACLES.update(_inv_round10.PART_ORACLES)
 # which composes it with DML), dedup_minhash_incremental_docs
 # (incremental near-dup stays driver-pinned inside
 # corpus_refresh_incremental_docs's wave ladder).
+# Round-12 rotation QUEUE (candidates built+strict-audited in r11,
+# to be swapped in next round after their EXTRA outing): IN —
+# txlog_column_mapping_events (Delta-style metadata-only RENAME/DROP
+# mid-DML-ladder with zone-map-through-rename and no-resurrection
+# assertions; no other row exercises the name→physical mapping),
+# catalog_snapshot_events (the multi-table Catalog's atomic pins:
+# torn-state-invisible + pointer-CAS asserted in-query). OUT
+# candidates, each with a sibling pinning its machinery:
+# txlog_bloom_probe_events (bloom sidecar probing re-pinned inside
+# txlog_column_mapping_events's pruned-read assertion and the
+# format-level pruning tests), txlog_dml_dv_events (dv ladder keeps
+# its EXTRA oracle; CoW DML is re-pinned by the column-mapping row's
+# update/delete-under-rename ladder).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",

@@ -181,6 +181,119 @@ class MetaLog:
             return v
 
 
+class Catalog(MetaLog):
+    """First-class multi-table transaction — :class:`MetaLog` promoted
+    from the corpus-refresh-specific manifest (VERDICT r10 #4) to the
+    general Iceberg catalog-pointer: each record carries ``{"pins":
+    {table_name: version}, ...app metadata}``, and the MERGED pin view
+    at a catalog version is the one consistent cross-table snapshot.
+    Writers commit each txlog table independently (those commits stay
+    invisible), then PUBLISH the moved tables' versions in one atomic
+    catalog record — a crash between table commits can never expose a
+    torn multi-table state, and a reader resolving ``pins()`` once and
+    time-traveling each table to its pin cannot see read skew no
+    matter how commits interleave.
+
+    ``publish(expected=...)`` is the conditional pointer swap (CAS):
+    it claims exactly ``expected + 1`` and raises
+    :class:`CommitConflict` when another publisher got there first —
+    the losing transaction must re-validate against the new pins
+    instead of blindly overwriting them. ``expected=None`` is a blind
+    append for single-publisher pipelines (the corpus-refresh wave).
+
+    Records store only the tables a publish MOVED; ``pins()`` merges
+    forward, so one catalog can pin a growing table group and a
+    publish stays O(its own churn)."""
+
+    def pins(self, version: int | None = None) -> dict:
+        """The merged {table name: pinned version} view at catalog
+        ``version`` (latest when None) — what a consistent reader
+        resolves ONCE and then time-travels every table with."""
+        vs = self.versions()
+        if not vs:
+            return {}
+        v = vs[-1] if version is None else version
+        out: dict = {}
+        for i in vs:
+            if i > v:
+                break
+            out.update(self.read(i).get("pins", {}))
+        return out
+
+    def publish(
+        self,
+        pins: dict,
+        expected: int | None = None,
+        extra: dict | None = None,
+    ) -> int:
+        """Atomically publish ``pins`` ({table name: version}) as the
+        next catalog record. With ``expected``, commit succeeds only
+        as version ``expected + 1`` (compare-and-swap on the catalog
+        head — O_EXCL is the comparison); a lost race raises
+        :class:`CommitConflict` so the caller re-reads the new pins
+        and re-validates its transaction. ``extra`` merges app
+        metadata (e.g. a wave id) into the record."""
+        payload = {"pins": {k: int(v) for k, v in pins.items()}}
+        if extra:
+            payload.update(extra)
+        if expected is None:
+            return self.commit(payload)
+        vs = self.versions()
+        head = vs[-1] if vs else -1
+        if head != expected:
+            raise CommitConflict(
+                f"catalog publish: expected head {expected}, "
+                f"found {head} — re-validate against the new pins"
+            )
+        import time as _time
+
+        os.makedirs(self.root, exist_ok=True)
+        try:
+            fd = os.open(
+                self._path(expected + 1),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"catalog publish: lost the claim for version "
+                f"{expected + 1} — re-validate against the new pins"
+            )
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "version": expected + 1,
+                    "ts": _time.time(),
+                    **payload,
+                },
+                f,
+            )
+        return expected + 1
+
+    def snapshot(
+        self,
+        spark: SparkSession,
+        tables: dict[str, str],
+        version: int | None = None,
+    ) -> dict:
+        """Consistent multi-table read: resolve the pin view ONCE at
+        catalog ``version`` and time-travel each named table (``name
+        → txlog root path``) to its pin. Interleaved table commits
+        after the resolved catalog record are invisible — cross-table
+        read skew is structurally impossible. A table the catalog has
+        never pinned fails loudly (reading its head here would
+        reintroduce exactly the skew this class exists to prevent)."""
+        p = self.pins(version)
+        out = {}
+        for name, path in tables.items():
+            if name not in p:
+                raise KeyError(
+                    f"catalog at {self.root} has no pin for table "
+                    f"{name!r} (pinned: {sorted(p)})"
+                )
+            out[name] = TxLogTable(path).read(spark, int(p[name]))
+        return out
+
+
 def sql_in_condition(col: str, values) -> str:
     """``col IN (...)`` as a SQL predicate string for the DML entry
     points (delete_where / replace_where), with literal quoting for
@@ -793,6 +906,40 @@ class TxLogTable:
                 schema = c["schema"]
         return schema
 
+    def _column_mapping(self, version: int | None = None) -> dict | None:
+        """The newest COLUMN-MAPPING record at or below ``version``
+        (latest when None): ``{"map": {logical: physical}, "retired":
+        [physical, ...]}`` — the Delta column-mapping indirection
+        (name mode). Physical names are what data files carry and
+        NEVER change once assigned; :meth:`rename_column` /
+        :meth:`drop_column` rewrite only this record, so renames and
+        drops are metadata-only commits with zero files rewritten.
+        ``retired`` holds physicals of dropped (or superseded) columns
+        still present in old files — reads project them away, and new
+        logical columns must never reuse them. None = the table never
+        activated mapping (logical == physical everywhere; the fast
+        path pays nothing). Checkpoint-aware like
+        :meth:`_logged_schema`."""
+        if not self.versions():
+            return None
+        v = self.latest_version() if version is None else version
+        m = None
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= v]
+        if ckpts:
+            with open(
+                os.path.join(
+                    _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
+                )
+            ) as fh:
+                m = json.load(fh).get("column_mapping")
+            start = ckpts[-1] + 1
+        for i in range(start, v + 1):
+            c = self._read_commit(i)
+            if "column_mapping" in c:
+                m = c["column_mapping"]
+        return m
+
     def _write_checkpoint(self, version: int) -> None:
         """Materialize the replay state AT ``version`` so later reads
         start here instead of commit 0. Deterministic content + O_EXCL
@@ -803,6 +950,7 @@ class TxLogTable:
         # consult self._checkpoints(), which would see the just-created
         # empty file and read torn JSON
         schema = self._logged_schema(version)
+        colmap = self._column_mapping(version)
         dvs = self._replay_dvs(version)
         blooms = self._replay_blooms(version)
         path = os.path.join(
@@ -823,6 +971,7 @@ class TxLogTable:
                     "partition_by": self._partition_cols(),
                     "partition_transforms": self._partition_transforms(),
                     "schema": schema,
+                    "column_mapping": colmap,
                     "dvs": dvs,
                     "blooms": blooms,
                     "bloom_cols": self._bloom_cols(),
@@ -845,8 +994,42 @@ class TxLogTable:
         maps :meth:`read` prunes with, per-file partition values parsed
         from the hive-style ``col=value`` path segments when
         ``partition_by`` is set). Files become table data only when a
-        commit file references them."""
+        commit file references them.
+
+        On a column-mapped table (:meth:`rename_column` /
+        :meth:`drop_column` activated the indirection) the frame
+        arrives with LOGICAL names and the files are written with
+        PHYSICAL names — the one write-side boundary of the mapping;
+        :meth:`_scan` is the read-side one. A frame column with no
+        mapping entry means the caller raced a concurrent rename/drop
+        between its snapshot read and this write: fail loudly instead
+        of writing a stray physical name that reads would silently
+        drop as retired."""
         from ..operators.layout import parquet_file_minmax
+
+        m = getattr(self, "_colmap_boot", None) or self._column_mapping()
+        if m:
+            mp = m["map"]
+            derived = {t["name"] for t in self._partition_transforms()}
+            unmapped = [
+                c for c in df.columns if c not in mp and c not in derived
+            ]
+            if unmapped:
+                raise ValueError(
+                    f"write: columns {unmapped} are not in the table's "
+                    f"logical schema (current: {sorted(mp)}) — a "
+                    "concurrent rename/drop may have landed; re-run "
+                    "against the new head"
+                )
+            if any(mp.get(c, c) != c for c in df.columns):
+                df = df.select(
+                    *[
+                        F.col(c).alias(mp[c])
+                        if mp.get(c, c) != c
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
 
         rel_dir = os.path.join("data", uuid.uuid4().hex)
         out_dir = os.path.join(self.root, rel_dir)
@@ -1273,6 +1456,18 @@ class TxLogTable:
         at the logged (1-e^{-kn/m})^k FP rate. A false positive only
         keeps a file (correctness never depends on the index)."""
         bspec = self._bloom_spec()
+        m = self._column_mapping()
+        if m and prune:
+            # prune specs arrive in LOGICAL names; stats/blooms/parts
+            # are keyed by the PHYSICAL names harvested from the files.
+            # Physical names never change, so the head mapping is
+            # correct for any version; a logical name the mapping does
+            # not know (e.g. pruning an old version by a since-renamed
+            # column's old name) passes through and simply matches no
+            # file metadata — pruning stays advisory, never wrong.
+            prune = {
+                m["map"].get(c, c): spec for c, spec in prune.items()
+            }
         prune = self._expand_prune(prune) or {}
 
         def bloom_rejects(p: str, col: str, vals: list) -> bool:
@@ -1356,7 +1551,7 @@ class TxLogTable:
             # NULL (one extra footer pass — negligible vs the data scan)
             files = [os.path.join(self.root, p) for p in rel]
             out = spark.read.option("mergeSchema", "true").parquet(*files)
-            return self._pad_to_logged_schema(out, version)
+            return self._to_logical(out, version)
         # partitioned table: the partition columns live in the
         # hive-style paths, not the files — scan per commit directory
         # with basePath so Spark re-attaches them typed, then union
@@ -1376,6 +1571,36 @@ class TxLogTable:
         out = scans[0]
         for s in scans[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
+        return self._to_logical(out, version)
+
+    def _to_logical(
+        self, out: DataFrame, version: int | None = None
+    ) -> DataFrame:
+        """The read-side column-mapping boundary: rename each PHYSICAL
+        file column to its LOGICAL name under the mapping at
+        ``version`` and project away retired physicals (dropped
+        columns still present in old files), then NULL-pad evolved
+        columns (:meth:`_pad_to_logged_schema`). Unmapped tables pass
+        straight to padding — zero plan change. Derived transform
+        partition columns survive untouched; :meth:`_scan_live` owns
+        dropping them (and the ``_metadata`` hidden column stays
+        resolvable through this projection, which the deletion-vector
+        filter depends on — verified against Spark 4.1)."""
+        m = self._column_mapping(version)
+        if m:
+            phys_to_log = {p: l for l, p in m["map"].items()}
+            derived = {t["name"] for t in self._partition_transforms()}
+            exprs = []
+            for c in out.columns:
+                log = phys_to_log.get(c)
+                if log is not None:
+                    exprs.append(
+                        F.col(c).alias(log) if log != c else F.col(c)
+                    )
+                elif c in derived:
+                    exprs.append(F.col(c))
+                # else: retired physical (dropped column) — project away
+            out = out.select(*exprs)
         return self._pad_to_logged_schema(out, version)
 
     def _pad_to_logged_schema(
@@ -1472,9 +1697,41 @@ class TxLogTable:
         metadata into the commit record (readable via
         :meth:`commit_meta`), as in :meth:`overwrite`."""
         self._check_schema(df, spark, merge_schema=merge_schema)
-        files, stats, parts = self._write_data(
-            df, self._stat_cols(), self._partition_cols()
-        )
+        new_mapping = None
+        if merge_schema:
+            m = self._column_mapping()
+            if m:
+                # mapped table gaining columns: each NEW logical name
+                # needs a physical that no file has ever carried —
+                # reusing a retired physical (a dropped column's) would
+                # make old files' dead bytes resurrect under the new
+                # name at read. Uniquify on collision only, so the
+                # common case stays name == physical.
+                used = (
+                    set(m["map"])
+                    | set(m["map"].values())
+                    | set(m.get("retired", []))
+                )
+                newmap = dict(m["map"])
+                for fschema in df.schema.fields:
+                    if fschema.name not in newmap:
+                        phys = fschema.name
+                        if phys in used:
+                            phys = f"{phys}__{uuid.uuid4().hex[:8]}"
+                        newmap[fschema.name] = phys
+                if newmap != m["map"]:
+                    new_mapping = {
+                        "map": newmap,
+                        "retired": m.get("retired", []),
+                    }
+                    self._colmap_boot = new_mapping
+        try:
+            files, stats, parts = self._write_data(
+                df, self._stat_cols(), self._partition_cols()
+            )
+        finally:
+            if new_mapping is not None:
+                del self._colmap_boot
         payload = {"op": "append", "add": files}
         if extra:
             payload.update(extra)
@@ -1484,14 +1741,161 @@ class TxLogTable:
             # schema (the frame carries every current column — the
             # drop check above enforced it)
             payload["schema"] = _schema_pairs(df)
+        if new_mapping is not None:
+            payload["column_mapping"] = new_mapping
         if parts:
             payload["parts"] = parts
         if stats:
             payload["stats"] = stats
         v = self.latest_version() + 1
         while not self._try_commit(v, payload):
+            if "schema" in payload or "column_mapping" in payload:
+                # this commit would re-record the table schema; a
+                # concurrent rename/drop/evolving-append landing first
+                # would be silently REVERTED by our stale record —
+                # fail loudly instead of losing their metadata commit
+                head = self.latest_version()
+                for i in range(v, head + 1):
+                    c = self._read_commit(i)
+                    if "schema" in c or "column_mapping" in c:
+                        raise CommitConflict(
+                            f"append(merge_schema=True): concurrent "
+                            f"schema change at version {i} "
+                            f"(op={c.get('op')}); re-run against the "
+                            f"new head"
+                        )
             v += 1
         return v
+
+    def _mapping_guard(self, name: str, op: str) -> None:
+        """Shared refusals for :meth:`rename_column` /
+        :meth:`drop_column`: partition columns (plain or a transform's
+        SOURCE) are layout-bearing — their names live in hive paths,
+        transform specs, and every writer's partitionBy — so mutating
+        them is a table rewrite, not a metadata commit. Refuse loudly;
+        Delta applies the same restriction to column mapping on
+        partition columns of existing layouts."""
+        hidden = {t["name"] for t in self._partition_transforms()}
+        plain = [c for c in self._partition_cols() if c not in hidden]
+        srcs = {t["src"] for t in self._partition_transforms()}
+        if name in plain or name in srcs:
+            raise ValueError(
+                f"{op}: {name!r} is a partition column (or a partition "
+                "transform's source) — its name is baked into the "
+                "table layout; repartition into a new table to change "
+                "it"
+            )
+
+    def _mapping_at_head(self, head: int) -> tuple[list, dict]:
+        """(logged schema, column mapping) at ``head``, bootstrapping
+        an identity mapping for tables that never activated one.
+        Requires a schema record (every table created since schema
+        records exist has one; a pre-record legacy log cannot map
+        names it never recorded)."""
+        logged = self._logged_schema(head)
+        if logged is None:
+            raise ValueError(
+                "column mapping requires a schema record in the log — "
+                f"this table at {self.root} predates schema records; "
+                "re-create it (or append once with merge_schema=True) "
+                "first"
+            )
+        m = self._column_mapping(head)
+        if m is None:
+            m = {"map": {n: n for n, _ in logged}, "retired": []}
+        return logged, m
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Delta-style metadata-only RENAME COLUMN: data files carry
+        PHYSICAL names that never change; this commit rewrites only
+        the logical schema record and the name→physical mapping, so
+        ZERO data files are rewritten — on a 100 TB table the rename
+        costs one JSON commit. Readers map physicals back to the
+        logical names of the version they read, so time travel below
+        this commit still shows ``old``; zone-map / Bloom / partition
+        pruning keeps working because the stats stay keyed by the
+        (unchanged) physical name and :meth:`read` translates prune
+        specs through the mapping. Recomputed against the new head on
+        a lost claim race (the commit is metadata-sized)."""
+        if old == new:
+            raise ValueError("rename_column: old and new are the same")
+        self._mapping_guard(old, "rename_column")
+        while True:
+            head = self.latest_version()
+            logged, m = self._mapping_at_head(head)
+            names = [n for n, _ in logged]
+            if old not in names:
+                raise ValueError(
+                    f"rename_column: no column {old!r} "
+                    f"(have {names})"
+                )
+            if new in names:
+                raise ValueError(
+                    f"rename_column: column {new!r} already exists"
+                )
+            used = set(m["map"].values()) | set(m.get("retired", []))
+            if new in used:
+                raise ValueError(
+                    f"rename_column: {new!r} collides with a physical "
+                    "column name still present in data files (a "
+                    "previous column's storage name) — pick another "
+                    "name"
+                )
+            newmap = dict(m["map"])
+            newmap[new] = newmap.pop(old)
+            payload = {
+                "op": "rename_column",
+                "rename": [old, new],
+                "schema": [
+                    [new if n == old else n, ty] for n, ty in logged
+                ],
+                "column_mapping": {
+                    "map": newmap,
+                    "retired": m.get("retired", []),
+                },
+            }
+            if self._try_commit(head + 1, payload):
+                return head + 1
+
+    def drop_column(self, name: str) -> int:
+        """Delta-style metadata-only DROP COLUMN: the physical column
+        stays in existing files (retired — reads project it away and
+        no future logical column may reuse its storage name), the
+        logical schema loses the name, and zero data files are
+        rewritten. Time travel below this commit still shows the
+        column; VACUUM never reclaims the dead bytes (that is
+        compaction's job, incidentally, since rewritten files carry
+        only live logical columns). A later ``append(merge_schema=
+        True)`` may re-add the same logical name — it gets a FRESH
+        physical, so the old bytes cannot resurrect."""
+        self._mapping_guard(name, "drop_column")
+        while True:
+            head = self.latest_version()
+            logged, m = self._mapping_at_head(head)
+            names = [n for n, _ in logged]
+            if name not in names:
+                raise ValueError(
+                    f"drop_column: no column {name!r} (have {names})"
+                )
+            if len(names) == 1:
+                raise ValueError(
+                    "drop_column: cannot drop the table's only column"
+                )
+            newmap = dict(m["map"])
+            phys = newmap.pop(name)
+            payload = {
+                "op": "drop_column",
+                "drop": name,
+                "schema": [
+                    [n, ty] for n, ty in logged if n != name
+                ],
+                "column_mapping": {
+                    "map": newmap,
+                    "retired": [*m.get("retired", []), phys],
+                },
+            }
+            if self._try_commit(head + 1, payload):
+                return head + 1
 
     def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         """Replace the table's logical content. On conflict, the
@@ -2552,6 +2956,35 @@ class TxLogTable:
             prev = cur.limit(0)
         return cur, prev
 
+    def _upgrade_names(
+        self, df: DataFrame, at_version: int, to_version: int
+    ) -> DataFrame:
+        """Rename a snapshot frame read at ``at_version`` (logical
+        names of THAT version) to the logical names of ``to_version``
+        — the Delta-CDF rule that a feed is emitted in the END
+        version's schema, so a feed spanning a rename stays
+        one-schema unionable. Columns dropped by ``to_version`` are
+        projected away; columns added after ``at_version`` are the
+        caller's padding concern (snapshot_diff never needs them).
+        No mapping, or identical mappings → the frame passes through
+        untouched."""
+        m_to = self._column_mapping(to_version)
+        if not m_to:
+            return df
+        m_at = self._column_mapping(at_version)
+        if m_at == m_to:
+            return df
+        at_map = (m_at or {"map": {}})["map"]
+        phys_to_new = {p: l for l, p in m_to["map"].items()}
+        exprs = []
+        for c in df.columns:
+            phys = at_map.get(c, c)
+            new = phys_to_new.get(phys)
+            if new is None:
+                continue  # dropped by to_version
+            exprs.append(F.col(c).alias(new) if new != c else F.col(c))
+        return df.select(*exprs)
+
     def change_feed(
         self,
         spark: SparkSession,
@@ -2613,12 +3046,20 @@ class TxLogTable:
         for v in range(from_version, to_version + 1):
             if v == 0:
                 # a create commit diffs against nothing: pure inserts
-                cur = self.read(spark, v)
+                cur = self._upgrade_names(
+                    self.read(spark, v), 0, to_version
+                )
                 prev = spark.createDataFrame([], cur.schema)
             elif (v - 1) in known:
                 cur, prev = self._commit_scoped_pair(spark, v)
                 if cur is None:
                     continue  # metadata-only commit: no changes
+                # feed schema = END version's logical names (the Delta
+                # CDF rule): rename/drop commits are metadata-only
+                # (skipped above), so a data commit v shares one
+                # mapping with v-1 and both sides upgrade identically
+                cur = self._upgrade_names(cur, v, to_version)
+                prev = self._upgrade_names(prev, v, to_version)
             else:
                 # v itself survived vacuum but its predecessor did not:
                 # an empty base here would re-emit the ENTIRE snapshot
@@ -2657,7 +3098,10 @@ class TxLogTable:
             )
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # versions predating a schema-evolving append lack the
+            # added columns — NULL-pad them (the rows genuinely had
+            # no value), exactly like the snapshot read's padding
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def read_changes_since(

@@ -104,8 +104,12 @@ def _infer_part_type(values: list[str]) -> str:
     return "string"
 
 
-def _table_schema_ddl(root: str) -> tuple[str, list[str], dict]:
-    """(DDL schema, column names, partition-col→DDL-type). Data
+def _table_schema_ddl(root: str) -> tuple[str, list[str], dict, dict]:
+    """(DDL schema, column names, partition-col→DDL-type,
+    logical→PHYSICAL column map for column-mapped tables — empty when
+    the table never renamed/dropped a column; the batch reader fetches
+    Arrow columns by physical name and emits them under the logical
+    one, mirroring TxLogTable._to_logical). Data
     columns come from the commit log's schema record (written by
     create / merge-schema appends / overwrites, snapshotted into
     checkpoints — O(1) metadata, survives any live-list reordering);
@@ -149,7 +153,11 @@ def _table_schema_ddl(root: str) -> tuple[str, list[str], dict]:
         ptypes[pc] = _infer_part_type(vals)
         fields.append((pc, ptypes[pc]))
     ddl = ", ".join(f"{n} {ty}" for n, ty in fields)
-    return ddl, [n for n, _ in fields], ptypes
+    m = t._column_mapping()
+    colmap = (
+        {l: p for l, p in m["map"].items() if p != l} if m else {}
+    )
+    return ddl, [n for n, _ in fields], ptypes, colmap
 
 
 def _coerce_pv(raw: str | None, ddl: str):
@@ -170,9 +178,13 @@ class _FilePartition(InputPartition):
         pvals: dict,
         dv: list[int] | None = None,
         take: list[int] | None = None,
+        colmap: dict | None = None,
     ):
         self.path = path
         self.columns = columns
+        # logical→physical name map for column-mapped tables (renames
+        # keep file columns under their original storage names)
+        self.colmap = colmap or {}
         # {col: (coerced value, ddl type)} — constants for this file
         # (partition values, and the change feed's _change_type /
         # _commit_version ride the same mechanism)
@@ -189,6 +201,7 @@ def _read_file_batches(
     pvals: dict,
     dv: list[int] | None = None,
     take: list[int] | None = None,
+    colmap: dict | None = None,
 ):
     """One file → padded/ordered Arrow record batches (executor-side);
     partition columns materialize as constant arrays per batch; a
@@ -221,8 +234,11 @@ def _read_file_batches(
                 continue
         arrays, fields = [], []
         for name in columns:
-            if name in have:
-                col = tbl.column(name)
+            # column-mapped tables: the file stores the column under
+            # its PHYSICAL name; emit it under the logical one
+            phys = (colmap or {}).get(name, name)
+            if phys in have:
+                col = tbl.column(phys)
                 typ = col.type
                 # Spark's Arrow bridge rejects nanosecond timestamps
                 # (UNSUPPORTED_ARROWTYPE); parquet files written with
@@ -255,20 +271,48 @@ def _pvals_for(rel: str, parts: dict, ptypes: dict) -> dict:
 class _TxLogBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"]
-        _ddl, self.columns, self.ptypes = _table_schema_ddl(self.root)
+        _ddl, self.columns, self.ptypes, self.colmap = _table_schema_ddl(
+            self.root
+        )
         self._prune: dict = {}
+        # Manifest pruning from pushed filters is OPT-IN per load
+        # (round 11): Spark 4.1's Python-DataSource planning caches
+        # the LAST planned scan per loaded DataFrame and reuses it for
+        # filter-less re-queries WITHOUT calling pushFilters or
+        # partitions() again (pinned by a minimal-source repro:
+        # filtered action then df.count() on the same DataFrame
+        # returned the pruned row set — silent row loss, engine-side,
+        # unfixable from this layer because the reuse never re-enters
+        # Python). Default is therefore SAFE: filters are still
+        # returned to Spark for row-level evaluation, no file is
+        # skipped. A caller whose DataFrame is single-use (load →
+        # filter → aggregate in one action — the common pipeline
+        # shape) opts into file skipping with
+        # .option("manifestPruning", "true").
+        self.pruning = (
+            options.get("manifestpruning", "false").lower() == "true"
+        )
 
     def pushFilters(self, filters):
         """Catalyst's pushed predicates reach the MANIFEST: comparison
         and IN filters on any column translate into the table's
         zone-map / partition-value prune spec, so `df.filter(...)`
-        over a `format("txlog")` scan skips whole files before Spark
+        over a `format("txlog")` scan with .option("manifestPruning",
+        "true") skips whole files before Spark
         plans them — the same file-skipping `read(prune=...)` does by
         hand, now automatic. Every filter is returned to Spark for
         row-level re-evaluation (manifest pruning is file-granular and
-        can never stand in for the row filter), which also makes the
-        pushdown semantically risk-free: it only shrinks the file
-        list."""
+        can never stand in for the row filter). See __init__ for why
+        the skipping is opt-in: a filter-less RE-query of the same
+        loaded DataFrame reuses the engine's cached scan without
+        re-planning, so the default never drops files.
+
+        The spec is reset here and CONSUMED by partitions(); a re-plan
+        that skips pushFilters scans unpruned — conservative, never
+        wrong."""
+        self._prune = {}
+        if not self.pruning:
+            return list(filters)
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -306,9 +350,12 @@ class _TxLogBatchReader(DataSourceReader):
         t = TxLogTable(self.root)
         live, stats, parts = t._replay(None)
         dvs = t._replay_dvs(None)
-        if self._prune:
+        # consume the pushed prune spec: it belongs to THIS planning
+        # pass only (see pushFilters lifecycle note)
+        prune, self._prune = self._prune, {}
+        if prune:
             live = t._pruned_rel(
-                live, stats, parts, self._prune,
+                live, stats, parts, prune,
                 blooms=t._replay_blooms(None),
             )
         out = [
@@ -317,6 +364,7 @@ class _TxLogBatchReader(DataSourceReader):
                 self.columns,
                 _pvals_for(rel, parts, self.ptypes),
                 dvs.get(rel),
+                colmap=self.colmap,
             )
             for rel in live
         ]
@@ -330,7 +378,7 @@ class _TxLogBatchReader(DataSourceReader):
             return
         yield from _read_file_batches(
             partition.path, partition.columns, partition.pvals,
-            partition.dv,
+            partition.dv, colmap=partition.colmap,
         )
 
 
@@ -379,7 +427,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
             c = self._read_cursor()
             if c is not None:
                 self._last = max(self._last, c)
-        _ddl, self.columns, self.ptypes = _table_schema_ddl(self.root)
+        _ddl, self.columns, self.ptypes, self.colmap = _table_schema_ddl(
+            self.root
+        )
         # readChangeFeed: emit per-commit I/D change rows instead of
         # raw appended rows — the Delta CDF streaming-source idea, so
         # DML-mutated tables stream through the ENGINE's checkpoints
@@ -455,6 +505,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     os.path.join(self.root, rel),
                     self.columns,
                     _pvals_for(rel, cparts, self.ptypes),
+                    colmap=self.colmap,
                 )
                 for rel in meta.get("add", [])
             )
@@ -510,6 +561,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                         pv,
                         dv=dv,
                         take=take,
+                        colmap=self.colmap,
                     )
                 )
 
@@ -533,7 +585,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
     def read(self, partition):
         yield from _read_file_batches(
             partition.path, partition.columns, partition.pvals,
-            partition.dv, partition.take,
+            partition.dv, partition.take, colmap=partition.colmap,
         )
 
     def commit(self, end: dict) -> None:
@@ -577,7 +629,7 @@ class TxLogDataSource(DataSource):
         return "txlog"
 
     def schema(self) -> str:
-        ddl, _cols, _pt = _table_schema_ddl(self.options["path"])
+        ddl, _cols, _pt, _cm = _table_schema_ddl(self.options["path"])
         if self.options.get("readchangefeed", "false").lower() == "true":
             ddl += ", _change_type string, _commit_version bigint"
         return ddl
@@ -676,7 +728,9 @@ class _TxLogWriterBase(DataSourceArrowWriter):
                     'format("txlog") writes do not support partitioned '
                     "tables yet; use TxLogTable.append"
                 )
-            _ddl, cols, _pt = _table_schema_ddl(self.root)
+            _ddl, cols, _pt, self.colmap = _table_schema_ddl(
+                self.root
+            )
             have = sorted(
                 (n, ty)
                 for n, ty in (f.split(" ", 1) for f in _ddl.split(", "))
@@ -694,6 +748,7 @@ class _TxLogWriterBase(DataSourceArrowWriter):
             self.stat_cols = t._stat_cols()
         else:
             self.exists = False
+            self.colmap = {}
             # create-time zone-map opt-in rides a writer option
             raw = options.get("statcols", "")
             self.stat_cols = [c for c in raw.split(",") if c]
@@ -707,6 +762,11 @@ class _TxLogWriterBase(DataSourceArrowWriter):
         if not batches or sum(b.num_rows for b in batches) == 0:
             return _FilesCommitMessage([])  # empty task: no file
         tbl = pa.Table.from_batches(batches)
+        if self.colmap:
+            # column-mapped table: files store PHYSICAL names
+            tbl = tbl.rename_columns(
+                [self.colmap.get(n, n) for n in tbl.column_names]
+            )
         tc = TaskContext.get()
         name = f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.parquet"
         rel = os.path.join(self.rel_dir, name)

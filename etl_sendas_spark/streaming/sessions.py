@@ -943,6 +943,8 @@ def txlog_join_view_step(
     dst_path: str,
     apply: str = "overwrite",
     state_buckets: int | None = None,
+    catalog=None,
+    catalog_names: tuple[str, str] = ("a", "b"),
 ) -> tuple[int, int] | None:
     """ONE transactional step maintaining a materialized JOIN view over
     TWO independently-mutating txlog tables — the two-source extension
@@ -999,7 +1001,15 @@ def txlog_join_view_step(
     (xxhash64 is seed-stable across sessions), so no matched view row
     can live outside the pruned set — the precondition merge_into's
     ``prune`` contract requires.  Consumers reading the view should
-    drop the ``__kb`` column."""
+    drop the ``__kb`` column.
+
+    ``catalog`` (round 11): a :class:`..sources.txlog.Catalog` whose
+    pins name both sources (``catalog_names`` maps pin names to the
+    a/b sides). When set, the step advances to the PINNED versions
+    instead of each table's head — so a multi-table writer that
+    commits A and B separately and publishes atomically can never
+    hand this consumer a torn (new A, old B) pair, no matter how the
+    commits interleave with the step."""
     from ..operators.ivm import (
         incremental_join_update,
         join_view_delta,
@@ -1021,7 +1031,23 @@ def txlog_join_view_step(
         ).cast("long")
 
     a, b = TxLogTable(a_path), TxLogTable(b_path)
-    a_head, b_head = a.latest_version(), b.latest_version()
+    if catalog is not None:
+        # consistent two-source heads: resolve the catalog's pin view
+        # ONCE (the Iceberg catalog-pointer read) — a writer that
+        # committed table A but crashed before publishing can never
+        # hand this consumer the torn (new A, old B) pair, because
+        # unpublished table commits are invisible through the pins.
+        pins = catalog.pins()
+        missing = [n for n in catalog_names if n not in pins]
+        if missing:
+            raise KeyError(
+                f"txlog_join_view_step: catalog has no pins for "
+                f"{missing} (pinned: {sorted(pins)})"
+            )
+        a_head = int(pins[catalog_names[0]])
+        b_head = int(pins[catalog_names[1]])
+    else:
+        a_head, b_head = a.latest_version(), b.latest_version()
     dst = TxLogTable(dst_path)
     if not dst.versions():
         state = join_view_state(

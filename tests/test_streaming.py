@@ -1662,3 +1662,71 @@ def test_stream_index_refresh_keeps_index_synced(spark, tmp_path):
     got = sorted(map(tuple, text_index_topk(spark, root, qs).collect()))
     want = sorted(map(tuple, text_index_topk(spark, fresh, qs).collect()))
     assert got == want and len(got) > 0
+
+
+def test_txlog_join_view_step_reads_through_catalog(spark, tmp_path):
+    """Catalog-wired two-source consumer (VERDICT r10 #4): with a
+    Catalog pinning both sources, the step advances to the PINNED
+    versions — a writer that committed table A but crashed before
+    publishing cannot hand the consumer the torn (new A, old B) pair;
+    after the atomic publish, one step consumes both moves and the
+    view equals the recompute at the pinned heads."""
+    from etl_sendas_spark.operators.ivm import join_view_state
+    from etl_sendas_spark.sources.txlog import Catalog, TxLogTable
+    from etl_sendas_spark.streaming.sessions import txlog_join_view_step
+
+    a_root = str(tmp_path / "facts")
+    b_root = str(tmp_path / "dim")
+    dst_root = str(tmp_path / "view")
+
+    def facts(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id % 4 AS BIGINT) AS j",
+            "CAST(id % 3 AS STRING) AS a",
+        )
+
+    def dim(ids, tag):
+        return spark.createDataFrame(
+            [(int(i), f"{tag}{i}") for i in ids], "j LONG, b STRING"
+        )
+
+    a = TxLogTable.create(a_root, facts(0, 30))
+    b = TxLogTable.create(b_root, dim(range(4), "s"))
+    cat = Catalog(str(tmp_path / "_catalog"))
+    cat.publish({"facts": 0, "dim": 0}, expected=-1)
+
+    step = lambda: txlog_join_view_step(
+        spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"],
+        dst_root, catalog=cat, catalog_names=("facts", "dim"),
+    )
+
+    def expect(av, bv):
+        return sorted(map(tuple, join_view_state(
+            a.read(spark, av), b.read(spark, bv), ["j"], ["a"], ["b"],
+        ).collect()))
+
+    def got():
+        return sorted(map(tuple, TxLogTable(dst_root).read(spark).collect()))
+
+    assert step() == (0, 0)
+    assert got() == expect(0, 0)
+
+    # torn write: A moves, catalog NOT published → step must not see it
+    a.append(facts(100, 110), spark)
+    assert step() is None  # pinned heads unchanged: caught up
+    assert got() == expect(0, 0)
+
+    # the writer finishes B and publishes both moves atomically
+    b.update_where(spark, {"b": "'moved'"}, "j = 2")
+    cat.publish({"facts": 1, "dim": 1}, expected=0)
+    assert step() == (1, 1)  # both consumed in ONE step
+    assert got() == expect(1, 1)
+    assert step() is None
+
+    # missing pin fails loudly instead of silently reading a head
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="no pins"):
+        txlog_join_view_step(
+            spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"],
+            dst_root, catalog=cat, catalog_names=("facts", "nope"),
+        )

@@ -1232,7 +1232,14 @@ def test_bloom_file_index_point_lookups(spark, tmp_path):
 
     register_txlog_source(spark)
     full = spark.read.format("txlog").load(root)
-    sel = spark.read.format("txlog").load(root).filter("k = 12345")
+    # file skipping from pushed filters is opt-in (engine-side scan
+    # reuse makes it unsafe on reused DataFrames — see pushFilters)
+    sel = (
+        spark.read.format("txlog")
+        .option("manifestPruning", "true")
+        .load(root)
+        .filter("k = 12345")
+    )
     assert (
         sel._jdf.rdd().getNumPartitions()
         < full._jdf.rdd().getNumPartitions()
@@ -1887,3 +1894,263 @@ def test_merge_when_not_matched_by_source_update(spark, tmp_path):
         (3, "c!", False),
         (4, "d!", False),
     ]
+
+
+def test_column_mapping_rename_is_metadata_only(spark, tmp_path):
+    """Delta-style column mapping (VERDICT r10 #3): RENAME COLUMN is
+    one JSON commit — ZERO data files rewritten (on 100 TB the rename
+    costs nothing), time travel below the rename shows the OLD name,
+    and zone-map + Bloom pruning keep working on the renamed column
+    because stats stay keyed by the unchanged PHYSICAL name and prune
+    specs translate through the mapping."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.concat(F.lit("v"), F.col("id")).alias("txt"),
+    ).repartition(4)
+    t = TxLogTable.create(root, df, stat_cols=["id"], bloom_cols=["txt"])
+    t.append(df.withColumn("id", F.col("id") + 2000), spark)
+    files_before = sorted(t.live_files())
+
+    v = t.rename_column("txt", "body")
+    # metadata-only: the live file set is bit-identical
+    assert sorted(t.live_files()) == files_before
+    assert t.read(spark).columns == ["id", "body"]
+    # time travel below the rename shows the old name
+    assert t.read(spark, v - 1).columns == ["id", "txt"]
+    # content unchanged under the new name (both appends carry v7)
+    assert t.read(spark).filter(F.col("body") == "v7").count() == 2
+
+    # zone maps prune by the NEW logical name (id untouched here,
+    # body probes the bloom sidecars through the mapping)
+    rel, stats, parts = t._replay(None)
+    blooms = t._replay_blooms(None)
+    kept = t._pruned_rel(rel, stats, parts, {"body": ["v7"]}, blooms=blooms)
+    assert len(kept) < len(rel)
+    kept2 = t._pruned_rel(rel, stats, parts, {"id": (100, 110)})
+    assert len(kept2) < len(rel)
+
+    # appends and DML speak the new name; files stay physical
+    t.append(
+        spark.range(5).select(
+            (F.col("id") + 9000).alias("id"),
+            F.lit("fresh").alias("body"),
+        ),
+        spark,
+    )
+    t.update_where(spark, {"body": "'patched'"}, "id = 3")
+    t.delete_where(spark, "id = 4")
+    got = t.read(spark)
+    assert got.filter(F.col("body") == "patched").count() == 1
+    assert got.filter(F.col("id") == 4).count() == 0
+    assert got.filter(F.col("body") == "fresh").count() == 5
+    # physical name in the files is still the original
+    import pyarrow.parquet as pq
+
+    newest = sorted(t.live_files())[-1]
+    cols_in_file = set(pq.ParquetFile(newest).schema_arrow.names)
+    assert "txt" in cols_in_file and "body" not in cols_in_file
+
+    # refusals: partition columns are layout-bearing
+    root2 = str(tmp_path / "tp")
+    t2 = TxLogTable.create(
+        root2,
+        spark.range(20).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        t2.rename_column("p", "q")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("id", "body")
+    with pytest.raises(ValueError, match="physical"):
+        t.rename_column("id", "txt")  # collides with retained physical
+
+
+def test_column_mapping_drop_and_readd(spark, tmp_path):
+    """DROP COLUMN is metadata-only (the physical column retires in
+    place — reads project it away, old snapshots still show it), and
+    re-adding the same logical name via merge_schema gets a FRESH
+    physical so the dropped column's dead bytes can never resurrect
+    under the new name."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root,
+        spark.range(100).selectExpr(
+            "id", "id % 7 AS k", "concat('v', id) AS body"
+        ),
+    )
+    files_before = sorted(t.live_files())
+    v_drop = t.drop_column("k")
+    assert sorted(t.live_files()) == files_before
+    assert t.read(spark).columns == ["id", "body"]
+    # time travel below the drop still shows the column
+    assert "k" in t.read(spark, v_drop - 1).columns
+
+    # re-add the same logical name: fresh physical, NULL history
+    t.append(
+        spark.range(3).selectExpr(
+            "id + 500 AS id", "'x' AS body", "CAST(9 AS BIGINT) AS k"
+        ),
+        spark,
+        merge_schema=True,
+    )
+    got = t.read(spark)
+    assert got.filter((F.col("id") < 500) & F.col("k").isNotNull()).count() == 0
+    assert got.filter(F.col("k") == 9).count() == 3
+    m = t._column_mapping()
+    assert m["map"]["k"] != "k" and "k" in m["retired"]
+
+    # change feed over the whole ladder speaks the END schema
+    cf = t.change_feed(spark, keys=["id"], from_version=0)
+    assert set(cf.columns) >= {"id", "body", "k", "op", "_commit_version"}
+    assert cf.filter("op = 'I'").count() >= 103
+
+    # compaction rewrites only live logical columns (dead bytes gone)
+    t.compact(spark)
+    import pyarrow.parquet as pq
+
+    for f in t.live_files():
+        names = set(pq.ParquetFile(f).schema_arrow.names)
+        assert "k" not in names  # retired physical absorbed
+    # guard-rails
+    with pytest.raises(ValueError, match="only column"):
+        TxLogTable.create(
+            str(tmp_path / "one"), spark.range(3)
+        ).drop_column("id")
+
+
+def test_column_mapping_native_source_parity(spark, tmp_path):
+    """The format('txlog') native reader returns the SAME schema and
+    rows as TxLogTable.read on a column-mapped table (renamed +
+    dropped + re-added columns), and the native writer lands frames
+    with logical names as physical file columns."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.sources.txlog_source import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root,
+        spark.range(50).selectExpr(
+            "id", "id % 5 AS k", "concat('v', id) AS body0"
+        ),
+    )
+    t.rename_column("body0", "body")
+    t.drop_column("k")
+    t.append(
+        spark.range(4).selectExpr(
+            "id + 100 AS id", "'n' AS body", "CAST(1 AS BIGINT) AS k"
+        ),
+        spark,
+        merge_schema=True,
+    )
+    want = t.read(spark)
+    got = spark.read.format("txlog").load(root)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # native writer: logical frame → physical file columns
+    spark.createDataFrame(
+        [(200, "w", 2)], "id LONG, body STRING, k LONG"
+    ).write.format("txlog").mode("append").save(root)
+    after = t.read(spark)
+    assert after.filter(
+        (F.col("id") == 200) & (F.col("body") == "w") & (F.col("k") == 2)
+    ).count() == 1
+
+
+def test_native_source_pushdown_state_never_leaks(spark, tmp_path):
+    """Regression (round 11): Spark 4.1's Python-DataSource planning
+    caches the last planned scan per loaded DataFrame and reuses it
+    for filter-less re-queries WITHOUT re-entering Python — so
+    manifest pruning from pushed filters must be opt-in, or a
+    .filter() probe followed by a full scan of the SAME DataFrame
+    silently drops the pruned files' rows (measured before the fix).
+    Default: full row set survives any query order; opt-in load:
+    fewer planned partitions under a filter."""
+    from etl_sendas_spark.sources.txlog_source import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    root = str(tmp_path / "t")
+    TxLogTable.create(
+        root,
+        spark.range(4000)
+        .selectExpr("id AS k", "id * 2 AS x")
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    df = spark.read.format("txlog").load(root)
+    assert df.count() == 4000
+    assert df.filter("k < 500").count() == 500  # would prune if opted in
+    # the poisoning sequence: full scan AFTER the filtered action
+    assert df.count() == 4000
+    assert len(df.collect()) == 4000
+
+    # opt-in load prunes planned partitions under a filter
+    opt = (
+        spark.read.format("txlog")
+        .option("manifestPruning", "true")
+        .load(root)
+    )
+    full_parts = df._jdf.rdd().getNumPartitions()
+    sel_parts = (
+        opt.filter("k BETWEEN 100 AND 199")._jdf.rdd().getNumPartitions()
+    )
+    assert sel_parts < full_parts
+    assert opt.filter("k BETWEEN 100 AND 199").count() == 100
+
+
+def test_catalog_multi_table_transaction(spark, tmp_path):
+    """Catalog (VERDICT r10 #4): {table → version} pins published as
+    ONE atomic record; a reader resolving pins once cannot see
+    cross-table skew no matter how table commits interleave; the
+    conditional publish (CAS on the catalog head) makes racing
+    publishers lose loudly instead of overwriting each other."""
+    from etl_sendas_spark.sources.txlog import Catalog, CommitConflict
+
+    a_root = str(tmp_path / "a")
+    b_root = str(tmp_path / "b")
+    ta = TxLogTable.create(a_root, spark.range(10).selectExpr("id", "id AS va"))
+    tb = TxLogTable.create(b_root, spark.range(10).selectExpr("id", "id AS vb"))
+    cat = Catalog(str(tmp_path / "_catalog"))
+    v0 = cat.publish({"a": 0, "b": 0}, expected=-1)
+    assert v0 == 0 and cat.pins() == {"a": 0, "b": 0}
+
+    # writer advances table a but crashes before publishing: the new
+    # commit is INVISIBLE through the catalog (no torn (1, 0) read)
+    ta.append(spark.range(5).selectExpr("id + 10 AS id", "id AS va"), spark)
+    snap = cat.snapshot(spark, {"a": a_root, "b": b_root})
+    assert snap["a"].count() == 10 and snap["b"].count() == 10
+
+    # redelivery finishes table b and publishes BOTH moves atomically
+    vb = tb.append(
+        spark.range(5).selectExpr("id + 10 AS id", "id AS vb"), spark
+    )
+    cat.publish({"a": 1, "b": vb}, expected=0)
+    snap2 = cat.snapshot(spark, {"a": a_root, "b": b_root})
+    assert snap2["a"].count() == 15 and snap2["b"].count() == 15
+
+    # partial publish merges over previous pins
+    ta.append(spark.range(1).selectExpr("id + 99 AS id", "id AS va"), spark)
+    cat.publish({"a": 2})
+    assert cat.pins() == {"a": 2, "b": vb}
+    # historical pin view (time travel over the catalog itself)
+    assert cat.pins(version=0) == {"a": 0, "b": 0}
+
+    # CAS: stale expected head loses loudly
+    with pytest.raises(CommitConflict, match="expected head"):
+        cat.publish({"a": 0}, expected=0)
+    # unpinned table fails loudly instead of reading its head
+    with pytest.raises(KeyError, match="no pin"):
+        cat.snapshot(spark, {"zzz": a_root})

@@ -182,8 +182,11 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     )
     base = spark.read.format("txlog").load(root)
     full_rows = sorted(map(tuple, base.collect()))
-    filtered = spark.read.format("txlog").load(root).filter(
-        "k BETWEEN 1000 AND 1999"
+    filtered = (
+        spark.read.format("txlog")
+        .option("manifestPruning", "true")  # single-use scan: opt in
+        .load(root)
+        .filter("k BETWEEN 1000 AND 1999")
     )
     assert len(filtered.inputFiles()) == 0  # python source: no files API
     got = sorted(map(tuple, filtered.collect()))
@@ -204,7 +207,12 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
         partition_by=["p"],
     )
     full2 = spark.read.format("txlog").load(root2)
-    sel = spark.read.format("txlog").load(root2).filter("p IN (2, 5)")
+    sel = (
+        spark.read.format("txlog")
+        .option("manifestPruning", "true")
+        .load(root2)
+        .filter("p IN (2, 5)")
+    )
     assert n_parts(sel) < n_parts(full2)
     assert {r["p"] for r in sel.collect()} == {2, 5}
     assert sel.count() == 100
