@@ -275,6 +275,20 @@ def cmd_replace_where(args) -> int:
     return 0
 
 
+def cmd_rename_column(args) -> int:
+    t = _table(args.path)
+    v = t.rename_column(args.old, args.new)
+    print(f"renamed {args.old} -> {args.new} at v{v} (metadata-only)")
+    return 0
+
+
+def cmd_drop_column(args) -> int:
+    t = _table(args.path)
+    v = t.drop_column(args.name)
+    print(f"dropped {args.name} at v{v} (metadata-only)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="etl_sendas_spark.table_cli", description=__doc__
@@ -374,6 +388,23 @@ def main(argv: list[str] | None = None) -> int:
         help="WHEN NOT MATCHED BY SOURCE THEN DELETE (snapshot sync)",
     )
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "rename-column",
+        help="ALTER TABLE RENAME COLUMN (metadata-only, zero rewrite)",
+    )
+    p.add_argument("path")
+    p.add_argument("old")
+    p.add_argument("new")
+    p.set_defaults(fn=cmd_rename_column)
+
+    p = sub.add_parser(
+        "drop-column",
+        help="ALTER TABLE DROP COLUMN (metadata-only, zero rewrite)",
+    )
+    p.add_argument("path")
+    p.add_argument("name")
+    p.set_defaults(fn=cmd_drop_column)
 
     p = sub.add_parser("update", help="UPDATE SET ... WHERE (cow or dv)")
     p.add_argument("path")

@@ -352,3 +352,12 @@ def test_table_cli_lifecycle(spark, tmp_path, capsys):
     assert "cutoff v" in out
     # head still readable post-GC (50 restored - the dv-deleted k=11)
     assert t.read(spark).count() == 49
+
+    # metadata-only schema evolution through the CLI (round 11)
+    files_pre = sorted(t.live_files())
+    assert table_main(["rename-column", root, "a", "amount"]) == 0
+    assert "metadata-only" in capsys.readouterr().out
+    assert table_main(["drop-column", root, "b"]) == 0
+    assert sorted(t.live_files()) == files_pre  # zero files rewritten
+    assert t.read(spark).columns == ["k", "amount"]
+    assert t.read(spark).filter("k = 12").collect()[0]["amount"] == 29

@@ -10,7 +10,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from etl_sendas_spark.sources.txlog import CommitConflict, TxLogTable
+from etl_sendas_spark.sources.txlog import (
+    CommitConflict,
+    TxLogTable,
+    _commit_path,
+)
 
 
 def _df(spark, lo, hi, tag):
@@ -2154,3 +2158,45 @@ def test_catalog_multi_table_transaction(spark, tmp_path):
     # unpinned table fails loudly instead of reading its head
     with pytest.raises(KeyError, match="no pin"):
         cat.snapshot(spark, {"zzz": a_root})
+
+
+def test_column_mapping_survives_vacuum_and_merge(spark, tmp_path):
+    """The mapping record rides checkpoints, so VACUUM's log
+    truncation below the rename cannot lose it (reads after vacuum
+    still map physicals to the current logical names); merge_into
+    speaks the post-rename logical schema end to end."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root,
+        spark.range(60).selectExpr("id AS k", "concat('v', id) AS txt"),
+    )
+    t.rename_column("txt", "body")
+    # MERGE under the new name: update one, insert one
+    t.merge_into(
+        spark,
+        spark.createDataFrame(
+            [(5, "merged"), (999, "inserted")], "k LONG, body STRING"
+        ),
+        ["k"],
+    )
+    got = t.read(spark)
+    assert got.filter(F.col("body") == "merged").count() == 1
+    assert got.filter(F.col("k") == 999).count() == 1
+
+    # push the log past a checkpoint, then truncate below the rename
+    for i in range(12):
+        t.append(
+            spark.range(1).selectExpr(
+                f"CAST(2000 + {i} AS BIGINT) AS k", "'x' AS body"
+            ),
+            spark,
+        )
+    t.vacuum(retain_versions=2, min_age_s=0.0)
+    assert not os.path.exists(_commit_path(root, 0))  # log truncated
+    after = t.read(spark)
+    assert after.columns == ["k", "body"]
+    assert after.filter(F.col("body") == "merged").count() == 1
+    m = t._column_mapping()
+    assert m is not None and m["map"]["body"] == "txt"
