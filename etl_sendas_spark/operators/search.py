@@ -483,6 +483,16 @@ def text_index_build(
         # the indexed corpus's txlog version — the change-feed
         # watermark :func:`text_index_refresh` advances
         extra["idx_src_version"] = int(src_version)
+    # Measured negative (round 11, kept for the record): a per-file
+    # doc_id Bloom index here looked like it would spare the refresh's
+    # replace_where discovery scan, but every postings file holds
+    # ~10^4-10^5 DISTINCT doc ids, so at 500k docs the harvest DOUBLED
+    # the build (50.7 s -> 102.3 s), the rebuild wave paid the same
+    # re-harvest (47.5 s -> 111.4 s), and even the 1-id wave got
+    # SLOWER (14.7 s -> 41.2 s: driver-side sidecar resolution beat
+    # the scan it avoided). Blooms pay off for point probes over
+    # many-file tables with narrow per-file key sets — not for a
+    # wholesale-rewritten postings table.
     return TxLogTable.create(
         root,
         post.repartition("bucket"),
@@ -537,6 +547,7 @@ def text_index_refresh(
     id_col: str = "doc_id",
     to_version: int | None = None,
     max_touched_ids: int = 10_000,
+    rebuild_fraction: float = 0.05,
 ) -> int | None:
     """Maintain the at-rest index under CORPUS DML (the round-9
     verdict's stale-postings gap): consume the corpus txlog table's
@@ -617,6 +628,37 @@ def text_index_refresh(
                     "idx_sum_dl": int(meta["idx_sum_dl"]),
                     "idx_buckets": buckets,
                     "idx_src_version": head,
+                },
+            )
+        # REBUILD fallback (round 11, measured): chunked refresh pays
+        # one replace_where DISCOVERY + CoW rewrite per chunk, and
+        # when the touched ids are spread uniformly over the id space
+        # (every posting file holds ids from the whole range) each
+        # chunk rewrites nearly the ENTIRE postings table — a 23%-of-
+        # corpus wave at 500k docs read 209 s chunked vs 42.8 s for a
+        # full rebuild (×100 attribution run, BASELINE.md r11). When
+        # the wave both exceeds the per-commit id cap AND touches at
+        # least ``rebuild_fraction`` of the indexed corpus, re-derive
+        # the postings from the corpus head snapshot in ONE overwrite
+        # commit instead: same end state, same watermark law, cost
+        # bounded by one build. A stale idx_wave cursor from a
+        # crashed chunk wave is superseded by the overwrite.
+        if (
+            len(touched) > max_touched_ids
+            and len(touched)
+            >= rebuild_fraction * max(int(meta["idx_n_docs"]), 1)
+        ):
+            post, n_docs, sum_dl = _postings(
+                corpus.read(spark, head), text_col, id_col, buckets
+            )
+            return t.overwrite(
+                post.repartition("bucket"),
+                extra={
+                    "idx_n_docs": n_docs,
+                    "idx_sum_dl": sum_dl,
+                    "idx_buckets": buckets,
+                    "idx_src_version": head,
+                    "idx_rebuild": True,
                 },
             )
         # stats delta: signed telescope over the feed. Computed ONCE

@@ -536,6 +536,7 @@ def ivf_index_refresh(
     assign_backend: str = "exact",
     to_version: int | None = None,
     max_touched_ids: int = 10_000,
+    rebuild_fraction: float = 0.05,
 ) -> int | None:
     """Maintain the at-rest IVF index under CORPUS DML — the vector
     twin of :func:`..operators.search.text_index_refresh`: consume the
@@ -596,6 +597,35 @@ def ivf_index_refresh(
                 spark,
                 extra={"idx_src_version": head},
             )
+        # REBUILD fallback (round 11, same law as the text twin): a
+        # wave that both exceeds the per-commit id cap and touches at
+        # least ``rebuild_fraction`` of the indexed rows would pay one
+        # near-full CoW rewrite PER CHUNK when the ids are spread over
+        # the id space — re-assign ALL live vectors against the FROZEN
+        # centroids in ONE overwrite instead (cost = one build minus
+        # the training; the quantizer still never moves).
+        cents = TxLogTable(os.path.join(path, "centroids")).read(spark)
+        if (
+            len(touched) > max_touched_ids
+            and len(touched)
+            >= rebuild_fraction * max(rows_t.row_count(), 1)
+        ):
+            c_all = (
+                corpus.read(spark, head)
+                .select(
+                    F.col(id_col).alias("neighbor_id"),
+                    _as_double(F.col(vec_col)).alias("cv"),
+                )
+                .withColumn("cn", _norm(F.col("cv")))
+                .filter(F.col("cn") > 0)
+            )
+            all_assigned = _assign_nearest_centroid(
+                c_all, cents, backend=assign_backend
+            ).select("neighbor_id", "cv", "cn", "cluster")
+            return rows_t.overwrite(
+                all_assigned,
+                extra={"idx_src_version": head, "idx_rebuild": True},
+            )
         w = Window.partitionBy(id_col)
         final_live = (
             feed.withColumn("__mv", F.max("_commit_version").over(w))
@@ -605,7 +635,6 @@ def ivf_index_refresh(
             )
             .select(id_col, vec_col)
         )
-        cents = TxLogTable(os.path.join(path, "centroids")).read(spark)
         c = (
             final_live.select(
                 F.col(id_col).alias("neighbor_id"),
@@ -877,6 +906,7 @@ def ivfpq_index_refresh(
     encode_backend: str = "numpy",
     to_version: int | None = None,
     max_touched_ids: int = 10_000,
+    rebuild_fraction: float = 0.05,
 ) -> int | None:
     """Maintain the at-rest IVF-PQ index under CORPUS DML — the
     compressed twin of :func:`ivf_index_refresh`, completing the
@@ -928,6 +958,37 @@ def ivfpq_index_refresh(
                 spark,
                 extra={"idx_src_version": head},
             )
+        cents, codebook, dsub = _pq_index_parts(spark, path)
+        # REBUILD fallback (round 11, same law as the text/IVF twins):
+        # an oversized spread-out wave re-encodes ALL live vectors
+        # against the FROZEN centroids+codebook in ONE overwrite
+        # instead of paying a near-full CoW rewrite per chunk.
+        if (
+            len(touched) > max_touched_ids
+            and len(touched)
+            >= rebuild_fraction * max(codes_t.row_count(), 1)
+        ):
+            c_all = (
+                corpus.read(spark, head)
+                .select(
+                    F.col(id_col).alias("neighbor_id"),
+                    _as_double(F.col(vec_col)).alias("cv"),
+                )
+                .withColumn("cn", _norm(F.col("cv")))
+                .filter(F.col("cn") > 0)
+            )
+            all_codes = _pq_encode(
+                _assign_nearest_centroid(
+                    c_all, cents, backend=encode_backend
+                ),
+                codebook,
+                dsub,
+                backend=encode_backend,
+            )
+            return codes_t.overwrite(
+                all_codes,
+                extra={"idx_src_version": head, "idx_rebuild": True},
+            )
         w = Window.partitionBy(id_col)
         final_live = (
             feed.withColumn("__mv", F.max("_commit_version").over(w))
@@ -937,7 +998,6 @@ def ivfpq_index_refresh(
             )
             .select(id_col, vec_col)
         )
-        cents, codebook, dsub = _pq_index_parts(spark, path)
         c = (
             final_live.select(
                 F.col(id_col).alias("neighbor_id"),

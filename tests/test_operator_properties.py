@@ -3080,7 +3080,7 @@ def test_ivf_index_refresh_auto_chunks_through_crash(
 
     monkeypatch.setattr(TxLogTable, "replace_where", crashing)
     with pytest.raises(RuntimeError, match="mid-wave"):
-        ivf_index_refresh(spark, idx, corpus_root, max_touched_ids=cap)
+        ivf_index_refresh(spark, idx, corpus_root, max_touched_ids=cap, rebuild_fraction=2.0)
     monkeypatch.setattr(TxLogTable, "replace_where", orig)
 
     mid = rows_t.commit_meta(rows_t.latest_version())
@@ -3088,7 +3088,7 @@ def test_ivf_index_refresh_auto_chunks_through_crash(
     assert mid["idx_wave"]["to"] == corpus.latest_version()
 
     n_before = rows_t.latest_version()
-    v = ivf_index_refresh(spark, idx, corpus_root, max_touched_ids=cap)
+    v = ivf_index_refresh(spark, idx, corpus_root, max_touched_ids=cap, rebuild_fraction=2.0)
     assert v is not None and v - n_before == expected_chunks - 1
     meta = rows_t.commit_meta(v)
     assert "idx_wave" not in meta
@@ -3103,4 +3103,63 @@ def test_ivf_index_refresh_auto_chunks_through_crash(
         spark, idx, queries, k=5, n_probe=8).collect()))
     want = sorted(map(tuple, ivf_index_topk(
         spark, fresh, queries, k=5, n_probe=8).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_refresh_rebuild_fallback(spark, tmp_path):
+    """Round-11 rebuild fallback for the vector twin: an oversized
+    spread-out wave re-assigns ALL live vectors against the FROZEN
+    centroids in ONE overwrite; the result must equal the chunked
+    refresh of an identical index copy (both claim equality with the
+    fresh build under the frozen quantizer)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_refresh,
+        ivf_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    vecs = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(150)
+    )
+    corpus_root = str(tmp_path / "corpus")
+    corpus = TxLogTable.create(corpus_root, vecs)
+    idx = str(tmp_path / "idx")
+    ivf_index_build(
+        corpus.read(spark), idx, n_centroids=8, src_version=0
+    )
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(idx, idx2)
+
+    # wave touching ~half the corpus, spread over the id space
+    corpus.update_where(
+        spark,
+        {"embedding": "transform(embedding, x -> x * CAST(2.0 AS FLOAT))"},
+        "vec_id % 2 = 0",
+    )
+    corpus.delete_where(spark, "vec_id % 15 = 1")
+
+    t = TxLogTable(os.path.join(idx, "rows"))
+    before = t.latest_version()
+    v = ivf_index_refresh(spark, idx, corpus_root, max_touched_ids=10)
+    assert v == before + 1  # ONE overwrite, not ~8 chunks
+    meta = t.commit_meta(v)
+    assert meta["op"] == "overwrite" and meta.get("idx_rebuild") is True
+    assert int(meta["idx_src_version"]) == corpus.latest_version()
+
+    # chunked path on the identical copy must land the same index
+    ivf_index_refresh(
+        spark, idx2, corpus_root, max_touched_ids=10,
+        rebuild_fraction=2.0,
+    )
+    q = vecs.limit(5)
+    got = sorted(map(tuple, ivf_index_topk(spark, idx, q, k=3).collect()))
+    want = sorted(map(tuple, ivf_index_topk(spark, idx2, q, k=3).collect()))
     assert got == want and len(got) > 0

@@ -975,7 +975,7 @@ def test_text_index_refresh_auto_chunks_through_crash(
     monkeypatch.setattr(TxLogTable, "replace_where", crashing)
     with pytest.raises(RuntimeError, match="mid-wave"):
         text_index_refresh(
-            spark, root, corpus_root, max_touched_ids=cap
+            spark, root, corpus_root, max_touched_ids=cap, rebuild_fraction=2.0
         )
     monkeypatch.setattr(TxLogTable, "replace_where", orig)
 
@@ -995,7 +995,7 @@ def test_text_index_refresh_auto_chunks_through_crash(
     expected_chunks = -(-n_touched // cap)
     assert expected_chunks >= 3  # the wave really is >= 3x the cap
     n_before = t.latest_version()
-    v = text_index_refresh(spark, root, corpus_root, max_touched_ids=cap)
+    v = text_index_refresh(spark, root, corpus_root, max_touched_ids=cap, rebuild_fraction=2.0)
     assert v is not None and v == t.latest_version()
     assert v - n_before == expected_chunks - 1
     meta = t.commit_meta(v)
@@ -1017,6 +1017,65 @@ def test_text_index_refresh_auto_chunks_through_crash(
 
     # a fully-synced table no-ops even with a tiny cap
     assert (
-        text_index_refresh(spark, root, corpus_root, max_touched_ids=5)
+        text_index_refresh(spark, root, corpus_root, max_touched_ids=5, rebuild_fraction=2.0)
         is None
     )
+
+
+def test_text_index_refresh_rebuild_fallback(spark, tmp_path):
+    """Round-11 rebuild fallback: a wave that exceeds the per-commit
+    id cap AND touches >= rebuild_fraction of the corpus lands as ONE
+    overwrite re-derived from the corpus head (measured at x100: the
+    chunked path paid a near-full CoW rewrite PER CHUNK on spread-out
+    ids — 209 s vs 42.8 s for the rebuild). End state must equal the
+    fresh build exactly: probe rows, stats, watermark; a second
+    refresh is a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.search import (
+        text_index_build,
+        text_index_refresh,
+        text_index_topk,
+    )
+    from etl_sendas_spark.sources.txlog import TxLogTable
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    corpus_root = str(tmp_path / "corpus")
+    corpus = TxLogTable.create(corpus_root, docs)
+    root = str(tmp_path / "idx")
+    text_index_build(corpus.read(spark), root, buckets=16, src_version=0)
+
+    corpus.update_where(
+        spark,
+        {"text": "concat(text, ' rebuild wave marker')"},
+        "doc_id % 3 = 0",
+    )
+    corpus.delete_where(spark, "doc_id % 15 = 1")
+
+    t = TxLogTable(root)
+    before = t.latest_version()
+    # wave ~70 ids > cap 10 and > 5% of 200 docs -> rebuild path
+    v = text_index_refresh(spark, root, corpus_root, max_touched_ids=10)
+    assert v == before + 1  # ONE commit, not ceil(70/10) chunks
+    meta = t.commit_meta(v)
+    assert meta["op"] == "overwrite" and meta.get("idx_rebuild") is True
+    assert int(meta["idx_src_version"]) == corpus.latest_version()
+
+    fresh_root = str(tmp_path / "fresh")
+    text_index_build(corpus.read(spark), fresh_root, buckets=16)
+    qs = [(1, "spark hash join"), (2, "rebuild wave marker")]
+    got = sorted(map(tuple, text_index_topk(spark, root, qs).collect()))
+    want = sorted(
+        map(tuple, text_index_topk(spark, fresh_root, qs).collect())
+    )
+    assert got == want and len(got) > 0
+    fresh_meta = TxLogTable(fresh_root).commit_meta(0)
+    assert int(meta["idx_n_docs"]) == int(fresh_meta["idx_n_docs"])
+    assert int(meta["idx_sum_dl"]) == int(fresh_meta["idx_sum_dl"])
+
+    assert text_index_refresh(spark, root, corpus_root) is None
