@@ -3,7 +3,7 @@ registry discipline). This module is NOT a public entry point —
 plans.inventory star-imports it and owns the DRIVER_WINDOW literal and
 the merged QUERIES/ORACLES registries.
 
-Two rows pin the round's table-format machinery end to end:
+Three rows pin the round's table-format machinery end to end:
 
 - ``txlog_column_mapping_events`` — Delta-style column mapping
   (``sources/txlog.py`` ``rename_column``/``drop_column``): a rename
@@ -16,6 +16,10 @@ Two rows pin the round's table-format machinery end to end:
   visible only through one atomic pin record; the torn intermediate
   state is asserted invisible in-query and the published snapshot's
   join is hash-checked against SQL.
+- ``txlog_type_widening_events`` — metadata-only TYPE WIDENING
+  (int→bigint, float→double): mixed-width files upcast through the
+  explicit-schema read, with the narrow-type time-travel law asserted
+  in-query and the float32 round-trip replayed by the oracle.
 """
 
 from __future__ import annotations
@@ -288,3 +292,112 @@ GROUP BY d.segment
 
 PART_QUERIES["catalog_snapshot_events"] = catalog_snapshot_events
 PART_ORACLES["catalog_snapshot_events"] = CATALOG_SNAPSHOT_SQL
+
+# ===========================================================================
+# round 11: type widening — lossless type promotion as metadata
+# ===========================================================================
+
+
+def txlog_type_widening_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style TYPE WIDENING mid-ladder (sources/txlog.py round
+    11): an events-derived table is created with value stored as
+    FLOAT and a day-of-month stored as INT, then widened to
+    double/bigint by two METADATA-ONLY commits (asserted in-query:
+    live file set bit-identical, no add/remove), appended to with
+    wide-typed rows (mixed-width files now coexist — Spark's footer
+    merge would refuse them; the explicit-schema read upcasts each
+    file), mutated under the wide schema, and finally aggregated.
+    Time travel below the widen must show the NARROW types. The
+    ORACLE replays the ladder with the same float round-trip
+    (CAST(value AS REAL) then back to DOUBLE — IEEE float32
+    truncation is engine-identical), so the hash pins the upcast read
+    path and the narrow-to-wide value identity at once."""
+    from ..sources.txlog import TxLogTable
+
+    base = _scratch(sf_dir, "widen")
+    root = os.path.join(base, "t")
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("float").alias("val"),
+        F.dayofmonth("ts").cast("int").alias("dom"),
+    )
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    odd = ev.filter(F.col("event_id") % 2 == 1)
+    t = TxLogTable.create(root, even, stat_cols=["event_id"])
+
+    live0 = sorted(t.live_files())
+    v1 = t.widen_column("val", "double")
+    v2 = t.widen_column("dom", "bigint")
+    if sorted(t.live_files()) != live0:
+        raise AssertionError("widen must rewrite zero data files")
+    for v in (v1, v2):
+        c = t.commit_meta(v)
+        if c.get("add") or c.get("remove"):
+            raise AssertionError("widen commits must be metadata-only")
+    narrow = t.read(spark, v1 - 1).schema
+    if (
+        narrow["val"].dataType.simpleString() != "float"
+        or narrow["dom"].dataType.simpleString() != "int"
+    ):
+        raise AssertionError(
+            "time travel below the widen must show the narrow types"
+        )
+
+    # wide-typed append: mixed-width files in one table
+    t.append(
+        odd.select(
+            "event_id",
+            "event_type",
+            F.col("val").cast("double").alias("val"),
+            F.col("dom").cast("bigint").alias("dom"),
+        ),
+        spark,
+    )
+    # DML under the wide schema
+    t.update_where(
+        spark, {"val": "val * 2"}, "event_type = 'purchase'"
+    )
+    t.delete_where(spark, "dom = 31")
+
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("val").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("val_sum"),
+            F.sum("dom").alias("dom_sum"),
+        )
+    )
+
+
+TXLOG_TYPE_WIDENING_SQL = """
+WITH narrow AS (
+  -- the create stored value as FLOAT: replay the same float32
+  -- truncation before widening back to double
+  SELECT event_id, event_type,
+         CAST(CAST(value AS REAL) AS DOUBLE) AS val,
+         CAST(EXTRACT(day FROM ts) AS BIGINT) AS dom
+  FROM events
+), updated AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN val * 2
+              ELSE val END AS val,
+         dom
+  FROM narrow
+), deleted AS (
+  SELECT * FROM updated WHERE dom <> 31 OR dom IS NULL
+)
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS val_sum,
+       CAST(SUM(dom) AS BIGINT) AS dom_sum
+FROM deleted
+GROUP BY event_type
+"""
+
+PART_QUERIES["txlog_type_widening_events"] = txlog_type_widening_events
+PART_ORACLES["txlog_type_widening_events"] = TXLOG_TYPE_WIDENING_SQL

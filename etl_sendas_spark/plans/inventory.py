@@ -506,7 +506,9 @@ EXTRA_ORACLES.update(_inv_round11.PART_ORACLES)
 # mid-DML-ladder with zone-map-through-rename and no-resurrection
 # assertions; no other row exercises the name→physical mapping),
 # catalog_snapshot_events (the multi-table Catalog's atomic pins:
-# torn-state-invisible + pointer-CAS asserted in-query). OUT
+# torn-state-invisible + pointer-CAS asserted in-query); third
+# candidate txlog_type_widening_events (metadata-only type promotion
+# with mixed-width upcast reads) if a third slot opens. OUT
 # candidates, each with a sibling pinning its machinery:
 # txlog_bloom_probe_events (bloom sidecar probing re-pinned inside
 # txlog_column_mapping_events's pruned-read assertion and the

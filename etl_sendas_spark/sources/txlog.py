@@ -549,6 +549,15 @@ class TxLogTable:
 
     def __init__(self, path: str):
         self.root = path
+        # Per-handle JSON caches (round 11): one logical operation
+        # replays the log SIX times (live set, dvs, blooms, schema,
+        # column mapping, widened flag) — commit and checkpoint files
+        # are IMMUTABLE once written (O_EXCL claim), so memoizing
+        # their parse per handle removes five of the six passes'
+        # file-open/parse cost. New versions appear as cache misses;
+        # handles are per-operation, so memory is bounded by one op.
+        self._commit_cache: dict[int, dict] = {}
+        self._ckpt_cache: dict[int, dict] = {}
 
     # -- log plumbing -------------------------------------------------
 
@@ -579,8 +588,25 @@ class TxLogTable:
         return vs[-1]
 
     def _read_commit(self, version: int) -> dict:
-        with open(_commit_path(self.root, version)) as f:
-            return json.load(f)
+        c = self._commit_cache.get(version)
+        if c is None:
+            with open(_commit_path(self.root, version)) as f:
+                c = json.load(f)
+            self._commit_cache[version] = c
+        return c
+
+    def _read_checkpoint(self, version: int) -> dict:
+        c = self._ckpt_cache.get(version)
+        if c is None:
+            with open(
+                os.path.join(
+                    _log_dir(self.root),
+                    f"{version:08d}.checkpoint.json",
+                )
+            ) as f:
+                c = json.load(f)
+            self._ckpt_cache[version] = c
+        return c
 
     def _replay(
         self, version: int | None
@@ -599,11 +625,7 @@ class TxLogTable:
         start = 0
         ckpts = [c for c in self._checkpoints() if c <= v]
         if ckpts:
-            cp = os.path.join(
-                _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
-            )
-            with open(cp) as f:
-                snap = json.load(f)
+            snap = self._read_checkpoint(ckpts[-1])
             live, stats = snap["live"], snap.get("stats", {})
             parts = snap.get("parts", {})
             start = ckpts[-1] + 1
@@ -641,15 +663,12 @@ class TxLogTable:
         start = 0
         ckpts = [c for c in self._checkpoints() if c <= v]
         if ckpts:
-            with open(
-                os.path.join(
-                    _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
-                )
-            ) as f:
-                dvs = {
-                    k: list(ps)
-                    for k, ps in json.load(f).get("dvs", {}).items()
-                }
+            dvs = {
+                k: list(ps)
+                for k, ps in self._read_checkpoint(ckpts[-1])
+                .get("dvs", {})
+                .items()
+            }
             start = ckpts[-1] + 1
         for i in range(start, v + 1):
             c = self._read_commit(i)
@@ -674,12 +693,7 @@ class TxLogTable:
         start = 0
         ckpts = [c for c in self._checkpoints() if c <= v]
         if ckpts:
-            with open(
-                os.path.join(
-                    _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
-                )
-            ) as f:
-                blooms = json.load(f).get("blooms", {})
+            blooms = self._read_checkpoint(ckpts[-1]).get("blooms", {})
             start = ckpts[-1] + 1
         for i in range(start, v + 1):
             c = self._read_commit(i)
@@ -893,12 +907,7 @@ class TxLogTable:
         start = 0
         ckpts = [c for c in self._checkpoints() if c <= v]
         if ckpts:
-            with open(
-                os.path.join(
-                    _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
-                )
-            ) as fh:
-                schema = json.load(fh).get("schema")
+            schema = self._read_checkpoint(ckpts[-1]).get("schema")
             start = ckpts[-1] + 1
         for i in range(start, v + 1):
             c = self._read_commit(i)
@@ -927,18 +936,33 @@ class TxLogTable:
         start = 0
         ckpts = [c for c in self._checkpoints() if c <= v]
         if ckpts:
-            with open(
-                os.path.join(
-                    _log_dir(self.root), f"{ckpts[-1]:08d}.checkpoint.json"
-                )
-            ) as fh:
-                m = json.load(fh).get("column_mapping")
+            m = self._read_checkpoint(ckpts[-1]).get("column_mapping")
             start = ckpts[-1] + 1
         for i in range(start, v + 1):
             c = self._read_commit(i)
             if "column_mapping" in c:
                 m = c["column_mapping"]
         return m
+
+    def _widened(self, version: int | None = None) -> bool:
+        """True when any type-widening commit exists at or below
+        ``version`` — the switch that routes :meth:`_scan` onto the
+        explicit-schema read path (Spark's parquet footer merge
+        refuses int32-vs-int64 drift; an explicit wide schema upcasts
+        per file instead, verified against Spark 4.1). Checkpoint-
+        aware like the other replays so VACUUM cannot lose it."""
+        if not self.versions():
+            return False
+        v = self.latest_version() if version is None else version
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= v]
+        if ckpts:
+            if self._read_checkpoint(ckpts[-1]).get("type_widened"):
+                return True
+            start = ckpts[-1] + 1
+        return any(
+            "widen" in self._read_commit(i) for i in range(start, v + 1)
+        )
 
     def _write_checkpoint(self, version: int) -> None:
         """Materialize the replay state AT ``version`` so later reads
@@ -951,6 +975,7 @@ class TxLogTable:
         # empty file and read torn JSON
         schema = self._logged_schema(version)
         colmap = self._column_mapping(version)
+        widened = self._widened(version)
         dvs = self._replay_dvs(version)
         blooms = self._replay_blooms(version)
         path = os.path.join(
@@ -972,6 +997,7 @@ class TxLogTable:
                     "partition_transforms": self._partition_transforms(),
                     "schema": schema,
                     "column_mapping": colmap,
+                    "type_widened": widened,
                     "dvs": dvs,
                     "blooms": blooms,
                     "bloom_cols": self._bloom_cols(),
@@ -1283,11 +1309,7 @@ class TxLogTable:
             return self._read_commit(0).get(key, [])
         ckpts = self._checkpoints()
         if ckpts:
-            cp = os.path.join(
-                _log_dir(self.root), f"{ckpts[0]:08d}.checkpoint.json"
-            )
-            with open(cp) as f:
-                return json.load(f).get(key, [])
+            return self._read_checkpoint(ckpts[0]).get(key, [])
         return []
 
     def _stat_cols(self) -> list[str]:
@@ -1544,13 +1566,38 @@ class TxLogTable:
         """Distributed scan of root-relative live files — the shared
         read tail for snapshot reads and the DML rewrite passes (which
         must read ONLY affected files, never filter a full-table scan
-        by filename)."""
+        by filename).
+
+        Tables with a TYPE-WIDENING commit at or below ``version``
+        read through an EXPLICIT schema instead of mergeSchema —
+        Spark's footer merge refuses int32-vs-int64 drift between
+        files, while an explicit wide schema upcasts each file's
+        narrow column on read (and NULL-fills evolved columns, making
+        the padding a no-op). The schema is the logged one at
+        ``version``, translated to PHYSICAL column names; derived
+        transform partition columns are layout, never in it."""
+        explicit = None
+        if self._widened(version):
+            logged = self._logged_schema(version)
+            m = self._column_mapping(version)
+            mp = (m or {"map": {}})["map"]
+            hidden = {t["name"] for t in self._partition_transforms()}
+            explicit = ", ".join(
+                f"`{mp.get(n, n)}` {ty}"
+                for n, ty in logged
+                if n not in hidden
+            )
         if not self._partition_cols():
             # mergeSchema: files written before a schema-evolving append
             # lack the added columns; the merged read backfills them
             # NULL (one extra footer pass — negligible vs the data scan)
             files = [os.path.join(self.root, p) for p in rel]
-            out = spark.read.option("mergeSchema", "true").parquet(*files)
+            if explicit is not None:
+                out = spark.read.schema(explicit).parquet(*files)
+            else:
+                out = spark.read.option("mergeSchema", "true").parquet(
+                    *files
+                )
             return self._to_logical(out, version)
         # partitioned table: the partition columns live in the
         # hive-style paths, not the files — scan per commit directory
@@ -1562,12 +1609,20 @@ class TxLogTable:
             segs = p.split(os.sep)
             base = os.path.join(self.root, *segs[:2])  # data/<uuid>
             groups.setdefault(base, []).append(os.path.join(self.root, p))
-        scans = [
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", base)
-            .parquet(*fs)
-            for base, fs in sorted(groups.items())
-        ]
+        def one(base, fs):
+            if explicit is not None:
+                return (
+                    spark.read.schema(explicit)
+                    .option("basePath", base)
+                    .parquet(*fs)
+                )
+            return (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*fs)
+            )
+
+        scans = [one(base, fs) for base, fs in sorted(groups.items())]
         out = scans[0]
         for s in scans[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
@@ -1893,6 +1948,67 @@ class TxLogTable:
                     "map": newmap,
                     "retired": [*m.get("retired", []), phys],
                 },
+            }
+            if self._try_commit(head + 1, payload):
+                return head + 1
+
+    # Safe type widenings (Delta's type-widening idea, narrowed to the
+    # pairs whose parquet physical values upcast losslessly on read):
+    # integer family upward, float→double. Decimals and date→timestamp
+    # change physical encodings and stay refused for now.
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Delta-style metadata-only TYPE WIDENING: promote a column's
+        logical type along a lossless axis (int→bigint, float→double,
+        …) with ZERO files rewritten — old files keep the narrow
+        physical values and :meth:`_scan` upcasts them on read through
+        an explicit wide schema; new writes land wide. Time travel
+        below this commit reads the old (narrow) type. Bloom indexes
+        stay exact across the widening because their hashes go through
+        a string cast (``5`` stringifies identically at every width);
+        zone-map comparisons are value-level and width-blind.
+        Partition columns refuse (layout-bearing), and narrowing or
+        any lossy pair refuses loudly."""
+        new_type = new_type.strip().lower()
+        self._mapping_guard(name, "widen_column")
+        while True:
+            head = self.latest_version()
+            logged = self._logged_schema(head)
+            if logged is None:
+                raise ValueError(
+                    "widen_column requires a schema record in the log"
+                )
+            types = {n: ty for n, ty in logged}
+            if name not in types:
+                raise ValueError(
+                    f"widen_column: no column {name!r} "
+                    f"(have {sorted(types)})"
+                )
+            old = types[name].lower()
+            if new_type == old:
+                raise ValueError(
+                    f"widen_column: {name!r} is already {old}"
+                )
+            if new_type not in self._WIDENINGS.get(old, ()):
+                raise ValueError(
+                    f"widen_column: {old} -> {new_type} is not a "
+                    "lossless widening (supported: "
+                    "tinyint/smallint/int -> wider ints, "
+                    "float -> double)"
+                )
+            payload = {
+                "op": "widen_column",
+                "widen": [name, old, new_type],
+                "schema": [
+                    [n, new_type if n == name else ty]
+                    for n, ty in logged
+                ],
             }
             if self._try_commit(head + 1, payload):
                 return head + 1

@@ -160,6 +160,18 @@ def _table_schema_ddl(root: str) -> tuple[str, list[str], dict, dict]:
     return ddl, [n for n, _ in fields], ptypes, colmap
 
 
+def _widened_coltypes(root: str, ddl: str) -> dict:
+    """{column: DDL type} for TYPE-WIDENED tables (empty otherwise —
+    the common case pays nothing): drives the batch reader's per-file
+    Arrow upcast."""
+    if not TxLogTable(root)._widened():
+        return {}
+    return {
+        f.rsplit(" ", 1)[0].strip("`"): f.rsplit(" ", 1)[1]
+        for f in ddl.split(", ")
+    }
+
+
 def _coerce_pv(raw: str | None, ddl: str):
     if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
@@ -179,12 +191,17 @@ class _FilePartition(InputPartition):
         dv: list[int] | None = None,
         take: list[int] | None = None,
         colmap: dict | None = None,
+        coltypes: dict | None = None,
     ):
         self.path = path
         self.columns = columns
         # logical→physical name map for column-mapped tables (renames
         # keep file columns under their original storage names)
         self.colmap = colmap or {}
+        # {logical name: DDL type} on TYPE-WIDENED tables only: old
+        # files carry the narrow physical type; the reader upcasts
+        # the Arrow column to the declared type (int→bigint etc.)
+        self.coltypes = coltypes or {}
         # {col: (coerced value, ddl type)} — constants for this file
         # (partition values, and the change feed's _change_type /
         # _commit_version ride the same mechanism)
@@ -195,6 +212,16 @@ class _FilePartition(InputPartition):
         self.take = take
 
 
+_DDL_ARROW_SCALARS = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+}
+
+
 def _read_file_batches(
     path: str,
     columns: list[str],
@@ -202,6 +229,7 @@ def _read_file_batches(
     dv: list[int] | None = None,
     take: list[int] | None = None,
     colmap: dict | None = None,
+    coltypes: dict | None = None,
 ):
     """One file → padded/ordered Arrow record batches (executor-side);
     partition columns materialize as constant arrays per batch; a
@@ -247,6 +275,16 @@ def _read_file_batches(
                 if pa.types.is_timestamp(typ) and typ.unit == "ns":
                     typ = pa.timestamp("us", tz=typ.tz)
                     col = col.cast(typ)
+                # type-widened table: upcast the file's narrow column
+                # to the declared logical type (lossless by the
+                # widen_column whitelist; Spark's Arrow ingest rejects
+                # a narrower batch column than the schema declares)
+                want = _DDL_ARROW_SCALARS.get(
+                    (coltypes or {}).get(name, "")
+                )
+                if want is not None and str(typ) != want:
+                    typ = getattr(pa, want)()
+                    col = col.cast(typ)
                 arrays.append(col)
                 fields.append(pa.field(name, typ))
             elif name in pvals:
@@ -274,6 +312,7 @@ class _TxLogBatchReader(DataSourceReader):
         _ddl, self.columns, self.ptypes, self.colmap = _table_schema_ddl(
             self.root
         )
+        self.coltypes = _widened_coltypes(self.root, _ddl)
         self._prune: dict = {}
         # Manifest pruning from pushed filters is OPT-IN per load
         # (round 11): Spark 4.1's Python-DataSource planning caches
@@ -365,6 +404,7 @@ class _TxLogBatchReader(DataSourceReader):
                 _pvals_for(rel, parts, self.ptypes),
                 dvs.get(rel),
                 colmap=self.colmap,
+                coltypes=self.coltypes,
             )
             for rel in live
         ]
@@ -379,6 +419,7 @@ class _TxLogBatchReader(DataSourceReader):
         yield from _read_file_batches(
             partition.path, partition.columns, partition.pvals,
             partition.dv, colmap=partition.colmap,
+            coltypes=partition.coltypes,
         )
 
 
@@ -430,6 +471,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         _ddl, self.columns, self.ptypes, self.colmap = _table_schema_ddl(
             self.root
         )
+        self.coltypes = _widened_coltypes(self.root, _ddl)
         # readChangeFeed: emit per-commit I/D change rows instead of
         # raw appended rows — the Delta CDF streaming-source idea, so
         # DML-mutated tables stream through the ENGINE's checkpoints
@@ -506,6 +548,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     self.columns,
                     _pvals_for(rel, cparts, self.ptypes),
                     colmap=self.colmap,
+                    coltypes=self.coltypes,
                 )
                 for rel in meta.get("add", [])
             )
@@ -562,6 +605,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                         dv=dv,
                         take=take,
                         colmap=self.colmap,
+                        coltypes=self.coltypes,
                     )
                 )
 
@@ -586,6 +630,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         yield from _read_file_batches(
             partition.path, partition.columns, partition.pvals,
             partition.dv, partition.take, colmap=partition.colmap,
+            coltypes=partition.coltypes,
         )
 
     def commit(self, end: dict) -> None:

@@ -282,6 +282,13 @@ def cmd_rename_column(args) -> int:
     return 0
 
 
+def cmd_widen_column(args) -> int:
+    t = _table(args.path)
+    v = t.widen_column(args.name, args.new_type)
+    print(f"widened {args.name} -> {args.new_type} at v{v} (metadata-only)")
+    return 0
+
+
 def cmd_drop_column(args) -> int:
     t = _table(args.path)
     v = t.drop_column(args.name)
@@ -397,6 +404,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("old")
     p.add_argument("new")
     p.set_defaults(fn=cmd_rename_column)
+
+    p = sub.add_parser(
+        "widen-column",
+        help="ALTER TABLE widen a column type (metadata-only, zero rewrite)",
+    )
+    p.add_argument("path")
+    p.add_argument("name")
+    p.add_argument("new_type")
+    p.set_defaults(fn=cmd_widen_column)
 
     p = sub.add_parser(
         "drop-column",

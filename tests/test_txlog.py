@@ -2200,3 +2200,86 @@ def test_column_mapping_survives_vacuum_and_merge(spark, tmp_path):
     assert after.filter(F.col("body") == "merged").count() == 1
     m = t._column_mapping()
     assert m is not None and m["map"]["body"] == "txt"
+
+
+def test_type_widening_is_metadata_only(spark, tmp_path):
+    """Delta-style type widening (round 11): int->bigint and
+    float->double are metadata-only commits — zero files rewritten,
+    old files upcast on read through the explicit wide schema, time
+    travel below the widen shows the narrow type, zone maps keep
+    pruning, DML and compaction work across mixed-width files, and
+    the native reader returns the widened schema with identical
+    rows. Narrowing and lossy pairs refuse."""
+    from etl_sendas_spark.sources.txlog_source import (
+        register_txlog_source,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").cast("int").alias("k"),
+        F.rand(7).cast("float").alias("x"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    t = TxLogTable.create(root, df, stat_cols=["k"])
+    files0 = sorted(t.live_files())
+    v1 = t.widen_column("k", "bigint")
+    t.widen_column("x", "double")
+    assert sorted(t.live_files()) == files0
+    cur = t.read(spark)
+    assert {
+        f.name: f.dataType.simpleString() for f in cur.schema.fields
+    } == {"k": "bigint", "x": "double", "s": "string"}
+    old = t.read(spark, v1 - 1)
+    assert [f.dataType.simpleString() for f in old.schema.fields] == [
+        "int", "float", "string",
+    ]
+
+    # wide append + DML across mixed-width files
+    t.append(
+        spark.range(5).select(
+            (F.col("id") + 100).alias("k"),
+            F.lit(1.25).alias("x"),
+            F.lit("new").alias("s"),
+        ),
+        spark,
+    )
+    t.update_where(spark, {"s": "'patched'"}, "k = 3")
+    t.delete_where(spark, "k = 4")
+    got = t.read(spark)
+    assert got.filter("s = 'patched'").count() == 1
+    assert got.filter("k = 4").count() == 0
+
+    # zone maps prune across the widen
+    rel, stats, parts = t._replay(None)
+    assert len(t._pruned_rel(rel, stats, parts, {"k": (100, 200)})) < len(rel)
+
+    for bad in [("k", "int"), ("s", "bigint"), ("x", "float")]:
+        with pytest.raises(ValueError):
+            t.widen_column(*bad)
+
+    # native parity + widen/rename composition + compaction
+    register_txlog_source(spark)
+    nd = spark.read.format("txlog").load(root)
+    assert nd.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted((r.k, r.s) for r in nd.select("k", "s").collect()) == sorted(
+        (r.k, r.s) for r in got.select("k", "s").collect()
+    )
+    t.rename_column("k", "key")
+    assert t.read(spark).schema["key"].dataType.simpleString() == "bigint"
+    pre = sorted((r.key, r.s) for r in t.read(spark).select("key", "s").collect())
+    t.compact(spark)
+    assert sorted(
+        (r.key, r.s) for r in t.read(spark).select("key", "s").collect()
+    ) == pre
+    # the widen survives checkpoint + vacuum truncation
+    for i in range(12):
+        t.append(
+            spark.range(1).selectExpr(
+                f"CAST(900 + {i} AS BIGINT) AS key",
+                "CAST(0.5 AS DOUBLE) AS x", "'z' AS s",
+            ),
+            spark,
+        )
+    t.vacuum(retain_versions=2, min_age_s=0.0)
+    assert t._widened() is True
+    assert t.read(spark).schema["key"].dataType.simpleString() == "bigint"
