@@ -100,6 +100,17 @@ def cmd_describe(args) -> int:
         print(f"partition: {plain + shown} (transforms hidden from schema)")
     else:
         print(f"partition: {t._partition_cols() or '(none)'}")
+    m = t._column_mapping()
+    if m:
+        renames = {
+            log: phys for log, phys in m["map"].items() if log != phys
+        }
+        if renames:
+            print(f"mapping:   {renames} (logical -> storage name)")
+        if m.get("retired"):
+            print(f"retired:   {m['retired']} (dropped storage columns)")
+    if t._widened():
+        print("widened:   yes (mixed-width files upcast on read)")
     from .session import get_spark
 
     spark = get_spark(app_name="txlog_describe")

@@ -361,3 +361,13 @@ def test_table_cli_lifecycle(spark, tmp_path, capsys):
     assert sorted(t.live_files()) == files_pre  # zero files rewritten
     assert t.read(spark).columns == ["k", "amount"]
     assert t.read(spark).filter("k = 12").collect()[0]["amount"] == 29
+    # k is already bigint in this fixture: widen must refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already"):
+        table_main(["widen-column", root, "k", "bigint"])
+    # describe surfaces the evolution state
+    assert table_main(["describe", root]) == 0
+    out = capsys.readouterr().out
+    assert "mapping:" in out and "'amount': 'a'" in out
+    assert "retired:" in out and "'b'" in out

@@ -2283,3 +2283,60 @@ def test_type_widening_is_metadata_only(spark, tmp_path):
     t.vacuum(retain_versions=2, min_age_s=0.0)
     assert t._widened() is True
     assert t.read(spark).schema["key"].dataType.simpleString() == "bigint"
+
+
+def test_merge_schema_append_refuses_concurrent_rename(spark, tmp_path):
+    """A merge-schema append carries a schema record computed BEFORE
+    its commit claim; a rename landing in between would be silently
+    REVERTED by that stale record. The append's retry loop must detect
+    the intervening schema commit and raise CommitConflict instead —
+    and the rename must survive."""
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root, spark.range(20).selectExpr("id AS k", "concat('v', id) AS s")
+    )
+    wide = spark.range(3).selectExpr(
+        "id + 100 AS k", "concat('n', id) AS s", "CAST(1 AS BIGINT) AS extra"
+    )
+
+    orig = TxLogTable._try_commit
+    injected = [False]
+
+    def racing(self, version, payload):
+        if (
+            payload.get("op") == "append"
+            and "schema" in payload
+            and not injected[0]
+        ):
+            injected[0] = True
+            # a second writer renames between the append's schema
+            # computation and its claim (separate handle, original
+            # commit path so the injection does not recurse)
+            TxLogTable._try_commit = orig
+            try:
+                TxLogTable(self.root).rename_column("s", "body")
+            finally:
+                TxLogTable._try_commit = racing
+        return orig(self, version, payload)
+
+    TxLogTable._try_commit = racing
+    try:
+        with pytest.raises(CommitConflict, match="schema change"):
+            t.append(wide, spark, merge_schema=True)
+    finally:
+        TxLogTable._try_commit = orig
+
+    # the rename survived; the table is consistent and re-runnable
+    t2 = TxLogTable(root)
+    assert t2.read(spark).columns == ["k", "body"]
+    t2.append(
+        spark.range(3).selectExpr(
+            "id + 100 AS k", "concat('n', id) AS body",
+            "CAST(1 AS BIGINT) AS extra",
+        ),
+        spark,
+        merge_schema=True,
+    )
+    got = t2.read(spark)
+    assert set(got.columns) == {"k", "body", "extra"}
+    assert got.filter("extra = 1").count() == 3
