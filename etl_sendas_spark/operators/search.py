@@ -589,6 +589,7 @@ def text_index_refresh(
 
     from ..sources.txlog import (
         TxLogTable,
+        decide_refresh_wave,
         plan_refresh_wave,
         sql_in_condition,
     )
@@ -615,10 +616,19 @@ def text_index_refresh(
         normalize_updates=True,
     ).persist()
     try:
-        touched = [
-            r[0] for r in feed.select(id_col).distinct().collect()
-        ]
-        if not touched:
+        # Decide BEFORE any driver materialization (round 12 — the
+        # r11 verdict's scale-killer: collecting 100M touched ids on
+        # the way to the very fallback built for oversized waves).
+        # One cluster-side distinct count picks the strategy; the id
+        # list is collected only when the chunked path will use it.
+        strategy, touched = decide_refresh_wave(
+            feed,
+            id_col,
+            max_touched_ids=max_touched_ids,
+            rebuild_fraction=rebuild_fraction,
+            base_count=int(meta["idx_n_docs"]),
+        )
+        if strategy == "noop":
             # metadata-only commits: advance the watermark alone
             return t.append(
                 t.read(spark).limit(0),
@@ -643,11 +653,7 @@ def text_index_refresh(
         # commit instead: same end state, same watermark law, cost
         # bounded by one build. A stale idx_wave cursor from a
         # crashed chunk wave is superseded by the overwrite.
-        if (
-            len(touched) > max_touched_ids
-            and len(touched)
-            >= rebuild_fraction * max(int(meta["idx_n_docs"]), 1)
-        ):
+        if strategy == "rebuild":
             post, n_docs, sum_dl = _postings(
                 corpus.read(spark, head), text_col, id_col, buckets
             )

@@ -563,6 +563,7 @@ def ivf_index_refresh(
 
     from ..sources.txlog import (
         TxLogTable,
+        decide_refresh_wave,
         plan_refresh_wave,
         sql_in_condition,
     )
@@ -588,10 +589,16 @@ def ivf_index_refresh(
         normalize_updates=True,
     ).persist()
     try:
-        touched = [
-            r[0] for r in feed.select(id_col).distinct().collect()
-        ]
-        if not touched:
+        # count-first strategy pick — no driver collect before the
+        # rebuild decision (round 12, see decide_refresh_wave)
+        strategy, touched = decide_refresh_wave(
+            feed,
+            id_col,
+            max_touched_ids=max_touched_ids,
+            rebuild_fraction=rebuild_fraction,
+            base_count=rows_t.row_count(),
+        )
+        if strategy == "noop":
             return rows_t.append(
                 rows_t.read(spark).limit(0),
                 spark,
@@ -605,11 +612,7 @@ def ivf_index_refresh(
         # centroids in ONE overwrite instead (cost = one build minus
         # the training; the quantizer still never moves).
         cents = TxLogTable(os.path.join(path, "centroids")).read(spark)
-        if (
-            len(touched) > max_touched_ids
-            and len(touched)
-            >= rebuild_fraction * max(rows_t.row_count(), 1)
-        ):
+        if strategy == "rebuild":
             c_all = (
                 corpus.read(spark, head)
                 .select(
@@ -924,6 +927,7 @@ def ivfpq_index_refresh(
 
     from ..sources.txlog import (
         TxLogTable,
+        decide_refresh_wave,
         plan_refresh_wave,
         sql_in_condition,
     )
@@ -949,10 +953,16 @@ def ivfpq_index_refresh(
         normalize_updates=True,
     ).persist()
     try:
-        touched = [
-            r[0] for r in feed.select(id_col).distinct().collect()
-        ]
-        if not touched:
+        # count-first strategy pick — no driver collect before the
+        # rebuild decision (round 12, see decide_refresh_wave)
+        strategy, touched = decide_refresh_wave(
+            feed,
+            id_col,
+            max_touched_ids=max_touched_ids,
+            rebuild_fraction=rebuild_fraction,
+            base_count=codes_t.row_count(),
+        )
+        if strategy == "noop":
             return codes_t.append(
                 codes_t.read(spark).limit(0),
                 spark,
@@ -963,11 +973,7 @@ def ivfpq_index_refresh(
         # an oversized spread-out wave re-encodes ALL live vectors
         # against the FROZEN centroids+codebook in ONE overwrite
         # instead of paying a near-full CoW rewrite per chunk.
-        if (
-            len(touched) > max_touched_ids
-            and len(touched)
-            >= rebuild_fraction * max(codes_t.row_count(), 1)
-        ):
+        if strategy == "rebuild":
             c_all = (
                 corpus.read(spark, head)
                 .select(
