@@ -515,6 +515,29 @@ EXTRA_ORACLES.update(_inv_round11.PART_ORACLES)
 # format-level pruning tests), txlog_dml_dv_events (dv ladder keeps
 # its EXTRA oracle; CoW DML is re-pinned by the column-mapping row's
 # update/delete-under-rename ladder).
+# Round-12 rotation (executes the r11 verdict's item 2 verbatim —
+# the three r11 rows in, after their strict-audited EXTRA outing).
+# IN: txlog_column_mapping_events (metadata-only RENAME/DROP
+# mid-DML-ladder, zone-maps translating through the mapping,
+# no-resurrection + time-travel-across-rename assertions),
+# catalog_snapshot_events (multi-table Catalog pins: CAS publish,
+# torn-state-invisible snapshot isolation asserted in-query),
+# txlog_type_widening_events (metadata-only int-family/float→double
+# promotion with mixed-width upcast reads — round 12 adds decimal
+# precision growth and date→timestamp to the lattice). OUT, each
+# after green driver outings (bloom r10+r11, dv r10+r11, MAD
+# r10+r11) and keeping the identical oracle bar in EXTRA
+# (verdict's sibling-pins rule): txlog_bloom_probe_events (bloom
+# sidecar probing re-pinned inside the column-mapping row's
+# pruned-read-through-rename assertion + format-level pruning
+# tests), txlog_dml_dv_events (DV ladder keeps its EXTRA oracle;
+# CoW row-level DML re-pinned by the column-mapping row's
+# update/delete-under-rename ladder), quality_mad_outliers_events
+# (its ×100 perf watch CLOSED at 0.68× in r11 so it no longer needs
+# a driver reading — unlike privacy_k_anonymize_events which stays
+# in-window for its watch; exact-quantile machinery stays driver-
+# pinned by a_exact_quantile_histogram and the quality family keeps
+# quality_lsq_classifier_docs).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
@@ -555,16 +578,16 @@ DRIVER_WINDOW = [
     "streaming_session_windows",
     "streaming_gap_anchor_mark",
     "streaming_enriched_counts",
-    "txlog_dml_dv_events",
+    "txlog_column_mapping_events",
     "dsir_select_docs",
     "ivm_join_view_events",
     "quality_lsq_classifier_docs",
     "ivm_count_distinct_events",
     "corpus_refresh_incremental_docs",
-    "txlog_bloom_probe_events",
+    "catalog_snapshot_events",
     "streaming_txlog_cdf_ivm_events",
     "privacy_k_anonymize_events",
-    "quality_mad_outliers_events",
+    "txlog_type_widening_events",
     "ts_resample_ffill_events",
 ]
 
