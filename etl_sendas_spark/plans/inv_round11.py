@@ -17,9 +17,11 @@ Three rows pin the round's table-format machinery end to end:
   state is asserted invisible in-query and the published snapshot's
   join is hash-checked against SQL.
 - ``txlog_type_widening_events`` — metadata-only TYPE WIDENING
-  (int→bigint, float→double): mixed-width files upcast through the
-  explicit-schema read, with the narrow-type time-travel law asserted
-  in-query and the float32 round-trip replayed by the oracle.
+  (int→bigint, float→double, and — round 12 — decimal precision
+  growth and date→timestamp_ntz): mixed-width files upcast through
+  the explicit-schema read, with the narrow-type time-travel law
+  asserted in-query and the float32 round-trip replayed by the
+  oracle.
 """
 
 from __future__ import annotations
@@ -311,7 +313,16 @@ def txlog_type_widening_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE replays the ladder with the same float round-trip
     (CAST(value AS REAL) then back to DOUBLE — IEEE float32
     truncation is engine-identical), so the hash pins the upcast read
-    path and the narrow-to-wide value identity at once."""
+    path and the narrow-to-wide value identity at once.
+
+    Round 12 extends the ladder along the two parametric axes
+    (VERDICT r11 #4): ``amt`` is stored DECIMAL(10,2) and widened to
+    DECIMAL(14,2) (precision growth, same scale — the decimal
+    derivation FLOOR(value*100)/100 is tie-free, so the double→
+    decimal cast rounds identically in both engines), and ``day`` is
+    stored DATE and widened to TIMESTAMP_NTZ (old files' date32
+    upcasts to midnight on read; the appended half lands natively
+    NTZ) — both still metadata-only, both still hash-pinned."""
     from ..sources.txlog import TxLogTable
 
     base = _scratch(sf_dir, "widen")
@@ -322,6 +333,10 @@ def txlog_type_widening_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("float").alias("val"),
         F.dayofmonth("ts").cast("int").alias("dom"),
+        (F.floor(F.col("value") * 100) / 100)
+        .cast("decimal(10,2)")
+        .alias("amt"),
+        F.col("ts").cast("date").alias("day"),
     )
     even = ev.filter(F.col("event_id") % 2 == 0)
     odd = ev.filter(F.col("event_id") % 2 == 1)
@@ -330,9 +345,11 @@ def txlog_type_widening_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     live0 = sorted(t.live_files())
     v1 = t.widen_column("val", "double")
     v2 = t.widen_column("dom", "bigint")
+    v3 = t.widen_column("amt", "decimal(14,2)")
+    v4 = t.widen_column("day", "timestamp_ntz")
     if sorted(t.live_files()) != live0:
         raise AssertionError("widen must rewrite zero data files")
-    for v in (v1, v2):
+    for v in (v1, v2, v3, v4):
         c = t.commit_meta(v)
         if c.get("add") or c.get("remove"):
             raise AssertionError("widen commits must be metadata-only")
@@ -340,18 +357,24 @@ def txlog_type_widening_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if (
         narrow["val"].dataType.simpleString() != "float"
         or narrow["dom"].dataType.simpleString() != "int"
+        or narrow["amt"].dataType.simpleString() != "decimal(10,2)"
+        or narrow["day"].dataType.simpleString() != "date"
     ):
         raise AssertionError(
             "time travel below the widen must show the narrow types"
         )
 
-    # wide-typed append: mixed-width files in one table
+    # wide-typed append: mixed-width files in one table (the odd
+    # half's day lands NATIVELY timestamp_ntz at the same midnight
+    # the even half's stored date32 upcasts to)
     t.append(
         odd.select(
             "event_id",
             "event_type",
             F.col("val").cast("double").alias("val"),
             F.col("dom").cast("bigint").alias("dom"),
+            F.col("amt").cast("decimal(14,2)").alias("amt"),
+            F.col("day").cast("timestamp_ntz").alias("day"),
         ),
         spark,
     )
@@ -370,6 +393,8 @@ def txlog_type_widening_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("val_sum"),
             F.sum("dom").alias("dom_sum"),
+            F.sum("amt").cast("double").alias("amt_sum"),
+            F.max("day").alias("max_day"),
         )
     )
 
@@ -377,16 +402,20 @@ def txlog_type_widening_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 TXLOG_TYPE_WIDENING_SQL = """
 WITH narrow AS (
   -- the create stored value as FLOAT: replay the same float32
-  -- truncation before widening back to double
+  -- truncation before widening back to double; amt replays the
+  -- tie-free decimal derivation; day is the stored date read back
+  -- as a (midnight) timestamp after the NTZ widening
   SELECT event_id, event_type,
          CAST(CAST(value AS REAL) AS DOUBLE) AS val,
-         CAST(EXTRACT(day FROM ts) AS BIGINT) AS dom
+         CAST(EXTRACT(day FROM ts) AS BIGINT) AS dom,
+         CAST(FLOOR(value * 100) / 100 AS DECIMAL(14,2)) AS amt,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
   FROM events
 ), updated AS (
   SELECT event_id, event_type,
          CASE WHEN event_type = 'purchase' THEN val * 2
               ELSE val END AS val,
-         dom
+         dom, amt, day
   FROM narrow
 ), deleted AS (
   SELECT * FROM updated WHERE dom <> 31 OR dom IS NULL
@@ -394,7 +423,9 @@ WITH narrow AS (
 SELECT event_type,
        COUNT(*) AS cnt,
        CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS val_sum,
-       CAST(SUM(dom) AS BIGINT) AS dom_sum
+       CAST(SUM(dom) AS BIGINT) AS dom_sum,
+       CAST(SUM(amt) AS DOUBLE) AS amt_sum,
+       MAX(day) AS max_day
 FROM deleted
 GROUP BY event_type
 """

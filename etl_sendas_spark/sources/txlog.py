@@ -2120,14 +2120,99 @@ class TxLogTable:
 
     # Safe type widenings (Delta's type-widening idea, narrowed to the
     # pairs whose parquet physical values upcast losslessly on read):
-    # integer family upward, float→double. Decimals and date→timestamp
-    # change physical encodings and stay refused for now.
+    # integer family upward, float→double, plus the two parametric
+    # axes (round 12 — VERDICT r11 #4, verified against Spark 4.1's
+    # parquet vectorized reader): decimal PRECISION growth at the SAME
+    # scale, and date→timestamp_ntz. See _widening_allowed for the
+    # refusal rationale on the near-miss pairs (decimal scale change,
+    # date→timestamp LTZ).
     _WIDENINGS = {
         "tinyint": {"smallint", "int", "bigint"},
         "smallint": {"int", "bigint"},
         "int": {"bigint"},
         "float": {"double"},
     }
+
+    _DECIMAL_RE = re.compile(r"^decimal\((\d+)\s*,\s*(\d+)\)$")
+
+    def _widening_allowed(self, name: str, old: str, new: str) -> None:
+        """Raise (with the reason — the refusals are FINAL, not
+        unimplemented) unless ``old → new`` is a lossless metadata-only
+        widening.  Beyond losslessness, the bar is that every derived
+        artifact stays EXACT across the width change:
+
+        - Bloom sidecars hash values through a string cast, so the
+          stringified form must be width-invariant.  ``5`` is "5" at
+          every integer width and ``12.34`` is "12.34" at every
+          decimal PRECISION — but a decimal SCALE change restringifies
+          ("12.34" → "12.3400"), and date→timestamp changes the form
+          ("2024-03-05" → "2024-03-05 00:00:00"): a probe at the wide
+          type against old files' filters would FALSE-SKIP (silent row
+          loss).  Scale changes therefore refuse always; date→
+          timestamp_ntz refuses only when the column carries a Bloom
+          index (drop the index, widen, re-index).
+        - Zone maps are value-level: decimal compares numerically at
+          any precision, and an incomparable probe (datetime vs a
+          date-logged stat) raises TypeError inside the pruner, which
+          KEEPS the file — pruning degrades, correctness holds.
+        - date → timestamp (LTZ) refuses permanently: a zoneless
+          stored day has no instant semantics without a session zone,
+          and Spark's vectorized reader rejects the conversion
+          (Delta's lattice widens to TIMESTAMP_NTZ only, same reason).
+        """
+        if new in self._WIDENINGS.get(old, ()):
+            return
+        mo = self._DECIMAL_RE.match(old)
+        mn = self._DECIMAL_RE.match(new)
+        if mo and mn:
+            po, so = int(mo.group(1)), int(mo.group(2))
+            pn, sn = int(mn.group(1)), int(mn.group(2))
+            if sn != so:
+                raise ValueError(
+                    f"widen_column: {old} -> {new} changes the SCALE — "
+                    "refused (final): rescaling restringifies stored "
+                    "values ('12.34' becomes '12.3400'), so Bloom "
+                    "probes against existing files would false-skip; "
+                    "widen precision at the same scale, or rewrite "
+                    "into a new table to rescale"
+                )
+            if pn <= po:
+                raise ValueError(
+                    f"widen_column: {old} -> {new} does not grow the "
+                    "precision — only lossless widening is supported"
+                )
+            if pn > 38:
+                raise ValueError(
+                    f"widen_column: {new} exceeds decimal(38) — "
+                    "Spark's maximum decimal precision"
+                )
+            return
+        if old == "date" and new == "timestamp_ntz":
+            if name in (self._bloom_cols() or []):
+                raise ValueError(
+                    f"widen_column: {name!r} is Bloom-indexed — a "
+                    "date stringifies '2024-03-05' but a timestamp_ntz "
+                    "probe stringifies '2024-03-05 00:00:00', so the "
+                    "existing sidecars would false-skip files (silent "
+                    "row loss); drop the Bloom index, widen, then "
+                    "re-index"
+                )
+            return
+        if old == "date" and new == "timestamp":
+            raise ValueError(
+                "widen_column: date -> timestamp (LTZ) is refused "
+                "(final): a stored day carries no zone, so mapping it "
+                "to an instant depends on the reading session's zone — "
+                "Spark's parquet reader rejects the conversion and "
+                "Delta widens to TIMESTAMP_NTZ only; use "
+                "timestamp_ntz"
+            )
+        raise ValueError(
+            f"widen_column: {old} -> {new} is not a lossless "
+            "widening (supported: tinyint/smallint/int -> wider "
+            "ints, float -> double, decimal(p,s) -> decimal(p+,s), "
+            "date -> timestamp_ntz)"
+        )
 
     def widen_column(self, name: str, new_type: str) -> int:
         """Delta-style metadata-only TYPE WIDENING: promote a column's
@@ -2139,9 +2224,20 @@ class TxLogTable:
         stay exact across the widening because their hashes go through
         a string cast (``5`` stringifies identically at every width);
         zone-map comparisons are value-level and width-blind.
+        Round 12 extends the lattice along the two parametric axes
+        users hit next (VERDICT r11 #4): decimal PRECISION growth at
+        the same scale (a 100 TB table outgrowing decimal(10,2) is a
+        metadata commit, not a rewrite) and date → timestamp_ntz.
+        The near-miss pairs refuse FINALLY with the reason in the
+        error (see :meth:`_widening_allowed`): decimal scale changes
+        and date→timestamp_ntz-on-a-Bloom-indexed-column restringify
+        values out from under the Bloom sidecars (false skips = silent
+        row loss), and date→timestamp LTZ has no zone to interpret the
+        stored day in.
+
         Partition columns refuse (layout-bearing), and narrowing or
         any lossy pair refuses loudly."""
-        new_type = new_type.strip().lower()
+        new_type = re.sub(r"\s+", "", new_type.strip().lower())
         self._mapping_guard(name, "widen_column")
         while True:
             head = self.latest_version()
@@ -2156,18 +2252,12 @@ class TxLogTable:
                     f"widen_column: no column {name!r} "
                     f"(have {sorted(types)})"
                 )
-            old = types[name].lower()
+            old = re.sub(r"\s+", "", types[name].lower())
             if new_type == old:
                 raise ValueError(
                     f"widen_column: {name!r} is already {old}"
                 )
-            if new_type not in self._WIDENINGS.get(old, ()):
-                raise ValueError(
-                    f"widen_column: {old} -> {new_type} is not a "
-                    "lossless widening (supported: "
-                    "tinyint/smallint/int -> wider ints, "
-                    "float -> double)"
-                )
+            self._widening_allowed(name, old, new_type)
             payload = {
                 "op": "widen_column",
                 "widen": [name, old, new_type],

@@ -34,6 +34,7 @@ same rows TxLogTable.read reconstructs from hive paths.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -221,6 +222,29 @@ _DDL_ARROW_SCALARS = {
     "double": "float64",
 }
 
+_DDL_DECIMAL_RE = re.compile(r"^decimal\((\d+)\s*,\s*(\d+)\)$")
+
+
+def _arrow_type_for_ddl(ddl: str):
+    """Arrow type for a widened column's declared DDL type, or None
+    when the DDL names no upcast target this reader understands —
+    covers the whole widen_column lattice: integer family, float→
+    double, decimal precision growth (parametric), date→
+    timestamp_ntz (zoneless microseconds, matching Spark's NTZ
+    Arrow bridge)."""
+    import pyarrow as pa
+
+    ddl = ddl.strip().lower()
+    scalar = _DDL_ARROW_SCALARS.get(ddl)
+    if scalar is not None:
+        return getattr(pa, scalar)()
+    m = _DDL_DECIMAL_RE.match(ddl)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    if ddl == "timestamp_ntz":
+        return pa.timestamp("us")
+    return None
+
 
 def _read_file_batches(
     path: str,
@@ -279,11 +303,11 @@ def _read_file_batches(
                 # to the declared logical type (lossless by the
                 # widen_column whitelist; Spark's Arrow ingest rejects
                 # a narrower batch column than the schema declares)
-                want = _DDL_ARROW_SCALARS.get(
+                want = _arrow_type_for_ddl(
                     (coltypes or {}).get(name, "")
                 )
-                if want is not None and str(typ) != want:
-                    typ = getattr(pa, want)()
+                if want is not None and typ != want:
+                    typ = want
                     col = col.cast(typ)
                 arrays.append(col)
                 fields.append(pa.field(name, typ))

