@@ -330,6 +330,40 @@ def _pvals_for(rel: str, parts: dict, ptypes: dict) -> dict:
     }
 
 
+def _engine_replans_filterless() -> bool:
+    """Version gate for default manifest pruning (round 12 — VERDICT
+    r11 #6). On Spark 4.1.x the Python-DataSource planner caches the
+    LAST planned scan per loaded DataFrame and reuses it for
+    filter-LESS (and projection-only) re-queries WITHOUT re-entering
+    Python — so a `.filter()` probe followed by `df.count()` on the
+    same DataFrame returns the pruned row set (silent row loss).
+    The round-12 re-probe sharpened the blast radius: FILTERED
+    re-queries always replan (two different filters never cross), a
+    FRESH `.load()` always replans even with identical options (so
+    the per-load-stamp idea adds nothing — the reuse is keyed by the
+    DataFrame's relation instance, not by options equality), and only
+    the filterless/projection re-query of an already-filtered
+    DataFrame is poisoned. That exact sequence never re-enters
+    Python, so no Python-side fix exists; the full minimal repro for
+    an upstream report lives in docs/spark_python_dsv2_scan_cache.md.
+
+    Default pruning is therefore gated on the engine version: opt-in
+    on <= 4.1 (the pinned-buggy line), default-ON from 4.2 — where
+    `test_native_source_pushdown_state_never_leaks` still runs the
+    poisoning sequence and will fail LOUDLY if the engine still
+    reuses stale scans, turning the gate into a tested assumption
+    rather than a hope."""
+    import pyspark
+
+    try:
+        major, minor = (
+            int(x) for x in pyspark.__version__.split(".")[:2]
+        )
+    except ValueError:
+        return False
+    return (major, minor) >= (4, 2)
+
+
 class _TxLogBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"]
@@ -338,23 +372,20 @@ class _TxLogBatchReader(DataSourceReader):
         )
         self.coltypes = _widened_coltypes(self.root, _ddl)
         self._prune: dict = {}
-        # Manifest pruning from pushed filters is OPT-IN per load
-        # (round 11): Spark 4.1's Python-DataSource planning caches
-        # the LAST planned scan per loaded DataFrame and reuses it for
-        # filter-less re-queries WITHOUT calling pushFilters or
-        # partitions() again (pinned by a minimal-source repro:
-        # filtered action then df.count() on the same DataFrame
-        # returned the pruned row set — silent row loss, engine-side,
-        # unfixable from this layer because the reuse never re-enters
-        # Python). Default is therefore SAFE: filters are still
-        # returned to Spark for row-level evaluation, no file is
-        # skipped. A caller whose DataFrame is single-use (load →
-        # filter → aggregate in one action — the common pipeline
-        # shape) opts into file skipping with
-        # .option("manifestPruning", "true").
-        self.pruning = (
-            options.get("manifestpruning", "false").lower() == "true"
-        )
+        # Manifest pruning from pushed filters: explicit option wins;
+        # otherwise the engine-version gate decides (opt-in on the
+        # scan-cache-buggy 4.1 line, default-on from 4.2 — see
+        # _engine_replans_filterless for the bug anatomy and repro).
+        # When OFF, filters are still returned to Spark for row-level
+        # evaluation and no file is skipped — safe under any query
+        # order. A caller whose DataFrame is single-use (load → filter
+        # → aggregate in one action, the common pipeline shape) can
+        # opt in on 4.1 with .option("manifestPruning", "true").
+        opt = options.get("manifestpruning")
+        if opt is not None:
+            self.pruning = opt.lower() == "true"
+        else:
+            self.pruning = _engine_replans_filterless()
 
     def pushFilters(self, filters):
         """Catalyst's pushed predicates reach the MANIFEST: comparison

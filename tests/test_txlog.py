@@ -2114,6 +2114,33 @@ def test_native_source_pushdown_state_never_leaks(spark, tmp_path):
     assert sel_parts < full_parts
     assert opt.filter("k BETWEEN 100 AND 199").count() == 100
 
+    # round 12: the default is VERSION-GATED (opt-in on the
+    # scan-cache-buggy <=4.1 line, default-on from 4.2 — see
+    # docs/spark_python_dsv2_scan_cache.md). This test runs the
+    # poisoning sequence above UNDER THE DEFAULT, so on a 4.2+ engine
+    # that still reuses stale scans it fails loudly instead of losing
+    # rows. Pin that the gate and the resolved default agree, and
+    # that an explicit option overrides the gate in both directions.
+    import pyspark
+
+    from etl_sendas_spark.sources.txlog_source import (
+        _TxLogBatchReader,
+        _engine_replans_filterless,
+    )
+
+    gate = _engine_replans_filterless()
+    assert gate == (
+        tuple(int(x) for x in pyspark.__version__.split(".")[:2])
+        >= (4, 2)
+    )
+    assert _TxLogBatchReader({"path": root}).pruning is gate
+    assert _TxLogBatchReader(
+        {"path": root, "manifestpruning": "false"}
+    ).pruning is False
+    assert _TxLogBatchReader(
+        {"path": root, "manifestpruning": "true"}
+    ).pruning is True
+
 
 def test_catalog_multi_table_transaction(spark, tmp_path):
     """Catalog (VERDICT r10 #4): {table → version} pins published as
