@@ -572,9 +572,13 @@ def parse_partition_spec(specs: list[str]):
     return names, transforms
 
 
-def _transform_expr(tr: dict):
-    """The Spark Column deriving a transform's partition value."""
-    fn, src, n = tr["fn"], tr["src"], tr["n"]
+def _transform_expr(tr: dict, col: str | None = None):
+    """The Spark Column deriving a transform's partition value.
+    ``col`` overrides the spec's source name for frames that still
+    carry LOGICAL names (the spec's ``src`` is the PHYSICAL name —
+    immutable — so on a table whose source column was renamed, a
+    logical frame must pass the current logical name)."""
+    fn, src, n = tr["fn"], col or tr["src"], tr["n"]
     if fn in _TRANSFORM_UNARY:
         return F.date_format(F.col(src), _TRANSFORM_FMT[fn])
     if fn == "bucket":
@@ -1988,23 +1992,55 @@ class TxLogTable:
             v += 1
         return v
 
-    def _mapping_guard(self, name: str, op: str) -> None:
+    def _mapping_guard(
+        self, name: str, op: str, allow_transform_src: bool = False
+    ) -> None:
         """Shared refusals for :meth:`rename_column` /
-        :meth:`drop_column`: partition columns (plain or a transform's
-        SOURCE) are layout-bearing — their names live in hive paths,
-        transform specs, and every writer's partitionBy — so mutating
-        them is a table rewrite, not a metadata commit. Refuse loudly;
-        Delta applies the same restriction to column mapping on
-        partition columns of existing layouts."""
+        :meth:`drop_column` / :meth:`widen_column`: PLAIN partition
+        columns are layout-bearing — their names live in hive paths
+        and every writer's partitionBy — so mutating them is a table
+        rewrite, not a metadata commit. Refuse loudly; Delta applies
+        the same restriction to column mapping on partition columns
+        of existing layouts.
+
+        A partition TRANSFORM's source column is different (round 12,
+        VERDICT r11 #8): the hive paths carry the DERIVED name
+        (``ts_day``), never the source's, and the spec's ``src`` is
+        interpreted as the PHYSICAL name — immutable by construction.
+        Every consumer already speaks physical at the point of use
+        (writes derive transform values AFTER the logical→physical
+        select; prune specs translate to physical BEFORE
+        ``_expand_prune``), so RENAMING the source is a pure metadata
+        commit with no spec rewrite at all — ``rename_column`` passes
+        ``allow_transform_src=True``. DROP and WIDEN of a transform
+        source still refuse: dropping it breaks every future write's
+        derive, and widening changes the derive input type out from
+        under the layout (a day() over date vs timestamp_ntz formats
+        the same, but bucket()/trunc() hash/arithmetic the stored
+        physical values — not worth the per-pair audit)."""
         hidden = {t["name"] for t in self._partition_transforms()}
         plain = [c for c in self._partition_cols() if c not in hidden]
-        srcs = {t["src"] for t in self._partition_transforms()}
-        if name in plain or name in srcs:
+        if name in plain:
             raise ValueError(
-                f"{op}: {name!r} is a partition column (or a partition "
-                "transform's source) — its name is baked into the "
-                "table layout; repartition into a new table to change "
-                "it"
+                f"{op}: {name!r} is a partition column — its name is "
+                "baked into the table layout; repartition into a new "
+                "table to change it"
+            )
+        if allow_transform_src:
+            return
+        srcs = {t["src"] for t in self._partition_transforms()}
+        # post-rename, the spec's src is the PHYSICAL name: guard the
+        # CURRENT LOGICAL name that maps to it
+        m = self._column_mapping()
+        if m:
+            inv = {v: k for k, v in m["map"].items()}
+            srcs = {inv.get(s, s) for s in srcs}
+        if name in srcs:
+            raise ValueError(
+                f"{op}: {name!r} is a partition transform's source "
+                "column — dropping or retyping it would break the "
+                "layout's derive; rename is allowed, everything else "
+                "needs a repartition into a new table"
             )
 
     def _mapping_at_head(self, head: int) -> tuple[list, dict]:
@@ -2040,7 +2076,7 @@ class TxLogTable:
         a lost claim race (the commit is metadata-sized)."""
         if old == new:
             raise ValueError("rename_column: old and new are the same")
-        self._mapping_guard(old, "rename_column")
+        self._mapping_guard(old, "rename_column", allow_transform_src=True)
         while True:
             head = self.latest_version()
             logged, m = self._mapping_at_head(head)
@@ -3116,8 +3152,17 @@ class TxLogTable:
             trs = {
                 t["name"]: t for t in (self._partition_transforms() or [])
             }
+            # the replacement frame carries LOGICAL names; the spec's
+            # src is the PHYSICAL name (immutable under rename) — map
+            # it back so the transform expr resolves post-rename
+            m = self._column_mapping()
+            inv = (
+                {v: k for k, v in m["map"].items()} if m else {}
+            )
             part_exprs = [
-                _transform_expr(trs[c]) if c in trs else F.col(c)
+                _transform_expr(trs[c], col=inv.get(trs[c]["src"]))
+                if c in trs
+                else F.col(c)
                 for c in self._partition_cols()
             ]
             replacement = replacement.repartition(target, *part_exprs)

@@ -2565,3 +2565,87 @@ def test_type_widening_decimal_and_date(spark, tmp_path):
     )
     tc.widen_column("d", "decimal(16,2)")
     assert tc.read(spark).schema["d"].dataType.simpleString() == "decimal(16,2)"
+
+
+def test_rename_of_partition_transform_source(spark, tmp_path):
+    """Round-12 (VERDICT r11 #8): renaming a partition TRANSFORM's
+    source column is a pure metadata commit — the hive paths carry the
+    DERIVED name (ts_day), and the spec's src is the PHYSICAL name
+    (immutable), so no spec rewrite is needed: writes derive transform
+    values AFTER the logical->physical select, and prune specs
+    translate to physical BEFORE the transform expansion. Pins:
+    zero-rewrite rename, post-rename append routed to the right hive
+    dirs, pruning by the NEW logical name, replace_where's transform
+    repartition on a logical frame, time travel below the rename, and
+    the surviving refusals (drop/widen of the source, plain partition
+    columns)."""
+    root = str(tmp_path / "tp")
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-{(i % 10) + 1:02d} 08:30:00", i % 50, float(i))
+            for i in range(500)
+        ],
+        "event_id LONG, ts STRING, user_id LONG, value DOUBLE",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "value"
+    ).repartition(4)
+    t = TxLogTable.create(
+        root, ev, stat_cols=["event_id"],
+        partition_by=["day(ts)", "bucket(8, user_id)"],
+    )
+    full0 = sorted(t.live_files())
+
+    v = t.rename_column("ts", "event_ts")
+    assert sorted(t.live_files()) == full0  # zero rewrites
+    c = t.commit_meta(v)
+    assert not c.get("add") and not c.get("remove")
+    assert "ts" in t.read(spark, v - 1).columns  # time travel: old name
+    assert sorted(t.read(spark).columns) == [
+        "event_id", "event_ts", "user_id", "value",
+    ]
+
+    # post-rename append (logical name) derives the SAME hive layout
+    extra = spark.createDataFrame(
+        [(9001, "2024-01-03 09:00:00", 17, 1.0)],
+        "event_id LONG, event_ts STRING, user_id LONG, value DOUBLE",
+    ).selectExpr(
+        "event_id", "CAST(event_ts AS TIMESTAMP) AS event_ts",
+        "user_id", "value",
+    )
+    t.append(extra, spark)
+    newest = sorted(t.live_files(), key=lambda p: os.path.getmtime(p))[-1]
+    assert "ts_day=2024-01-03" in newest  # derived name unchanged
+    import hashlib as _h
+
+    kb = int(_h.md5(b"17").hexdigest()[:15], 16) % 8
+    assert f"user_id_bucket={kb}" in newest
+
+    # pruning by the NEW logical name routes through the transform
+    df = t.read(spark)
+    full = set(df.inputFiles())
+    pr = t.read(spark, prune={"event_ts": ("2024-01-03", "2024-01-03")})
+    pf = set(pr.inputFiles())
+    assert pf and pf < full
+    for f in pf:
+        assert "ts_day=2024-01-03" in f, f
+
+    # replace_where repartitions the (logical) replacement frame by
+    # the transform expr — the physical->logical translation site
+    repl = df.filter("user_id = 17").withColumn("value", F.lit(0.0))
+    t.replace_where(spark, repl, "user_id = 17")
+    got = t.read(spark)
+    assert got.filter("user_id = 17 AND value <> 0.0").count() == 0
+    assert got.filter("user_id = 17").count() == df.filter(
+        "user_id = 17"
+    ).count()
+
+    # DML under the renamed source keeps deriving
+    t.delete_where(spark, "event_ts >= '2024-01-10'")
+    assert t.read(spark).filter("event_ts >= '2024-01-10'").count() == 0
+
+    # surviving refusals: drop/widen of the source (by its NEW name),
+    # rename of a plain partition column elsewhere
+    with pytest.raises(ValueError, match="transform's source"):
+        t.drop_column("event_ts")
+    with pytest.raises(ValueError, match="transform's source"):
+        t.widen_column("event_ts", "timestamp_ntz")
