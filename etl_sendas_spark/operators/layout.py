@@ -92,6 +92,39 @@ def zorder_layout(
     return z.repartitionByRange(num_files, "zval").sortWithinPartitions("zval")
 
 
+def footer_stat_min_max(col_meta) -> tuple:
+    """(min, max) from one parquet column-chunk's statistics, robust
+    to the types pyarrow cannot convert (round 12 — date/decimal zone
+    maps previously CRASHED the commit harvest):
+
+    - decimals stored on INT32/INT64 physicals raise
+      ArrowNotImplementedError from ``.min``/``.max``, but the raw
+      order-preserving unscaled ints plus the logical type's scale
+      reconstruct the exact ``Decimal`` bounds (FIXED_LEN_BYTE_ARRAY
+      decimals convert fine on the normal path);
+    - INT96 timestamps carry no usable stats → ``(None, None)``,
+      which the caller records as "no zone map" — pruning keeps the
+      file, correctness never depends on a bound existing."""
+    s = col_meta.statistics
+    if s is None or not s.has_min_max:
+        return None, None
+    try:
+        return s.min, s.max
+    except Exception:
+        lt = s.logical_type
+        if lt is not None and str(lt.type).upper() == "DECIMAL":
+            import decimal
+            import json as _json
+
+            scale = _json.loads(lt.to_json())["scale"]
+            if isinstance(s.min_raw, int) and isinstance(s.max_raw, int):
+                return (
+                    decimal.Decimal(s.min_raw).scaleb(-scale),
+                    decimal.Decimal(s.max_raw).scaleb(-scale),
+                )
+        return None, None
+
+
 def parquet_file_minmax(path: str, cols: list[str]) -> list[dict]:
     """Per-file [min, max] ranges from parquet footers (no data read) —
     exactly the stats a scan planner prunes with. Local pyarrow walk;
@@ -113,9 +146,11 @@ def parquet_file_minmax(path: str, cols: list[str]) -> list[dict]:
                     col = md.row_group(rg).column(ci)
                     if col.path_in_schema != c or col.statistics is None:
                         continue
-                    s = col.statistics
-                    lo = s.min if lo is None else min(lo, s.min)
-                    hi = s.max if hi is None else max(hi, s.max)
+                    clo, chi = footer_stat_min_max(col)
+                    if clo is None:
+                        continue
+                    lo = clo if lo is None else min(lo, clo)
+                    hi = chi if hi is None else max(hi, chi)
             rng[c] = (lo, hi)
         out.append(rng)
     return out

@@ -107,6 +107,45 @@ def _coerce_part(raw: str, bound) -> object | None:
     return raw
 
 
+def _json_stat(v):
+    """A harvested zone-map bound made JSON-safe for the commit log
+    (round 12 — date/decimal stat columns previously CRASHED
+    json.dump): dates/datetimes serialize as ISO strings (ISO order =
+    chronological order, so string-probe comparisons stay correct),
+    Decimals as exact decimal strings. :func:`_coerce_stat_bound`
+    recovers the typed value at prune time when the probe is typed."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _coerce_stat_bound(bound, probe):
+    """The read-side twin of :func:`_json_stat`: a logged zone-map
+    bound (an ISO/decimal STRING after the JSON round trip) coerced to
+    the probe value's type for comparison. Raises ValueError /
+    InvalidOperation on unparseable bounds — the pruner's
+    incomparable-types handler keeps the file, so coercion can never
+    make pruning lossy. String probes against string bounds pass
+    through untouched (ISO order = chronological for date strings)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(bound, str):
+        # datetime before date: datetime IS a date subclass
+        if isinstance(probe, _dt.datetime):
+            return _dt.datetime.fromisoformat(bound)
+        if isinstance(probe, _dt.date):
+            return _dt.date.fromisoformat(bound)
+        if isinstance(probe, _decimal.Decimal):
+            return _decimal.Decimal(bound)
+    return bound
+
+
 _BLOOM_DEFAULT_SPEC = [1024, 3]  # [m_words of 63 bits, k hashes]
 
 
@@ -1281,6 +1320,8 @@ class TxLogTable:
                 # footers per file (parquet_file_minmax is single-level)
                 import pyarrow.parquet as pq
 
+                from ..operators.layout import footer_stat_min_max
+
                 for rel in files:
                     md = pq.ParquetFile(
                         os.path.join(self.root, rel)
@@ -1296,11 +1337,13 @@ class TxLogTable:
                                     or col.statistics is None
                                 ):
                                     continue
-                                s = col.statistics
-                                lo = s.min if lo is None else min(lo, s.min)
-                                hi = s.max if hi is None else max(hi, s.max)
+                                clo, chi = footer_stat_min_max(col)
+                                if clo is None:
+                                    continue
+                                lo = clo if lo is None else min(lo, clo)
+                                hi = chi if hi is None else max(hi, chi)
                         if lo is not None:
-                            rng[c] = [lo, hi]
+                            rng[c] = [_json_stat(lo), _json_stat(hi)]
                     if rng:
                         stats.setdefault(rel, {}).update(rng)
             else:
@@ -1309,7 +1352,10 @@ class TxLogTable:
                         os.path.join(rel_dir, rng["file"]), {}
                     ).update(
                         {
-                            c: list(rng[c])
+                            c: [
+                                _json_stat(rng[c][0]),
+                                _json_stat(rng[c][1]),
+                            ]
                             for c in stat_cols
                             if rng[c][0] is not None
                         }
@@ -1693,7 +1739,9 @@ class TxLogTable:
                         rng = fs.get(col)
                         if rng is None:
                             continue
-                        if not any(rng[0] <= x <= rng[1] for x in vals):
+                        rlo = _coerce_stat_bound(rng[0], vals[0])
+                        rhi = _coerce_stat_bound(rng[1], vals[0])
+                        if not any(rlo <= x <= rhi for x in vals):
                             return False
                         continue
                     lo, hi = spec
@@ -1717,12 +1765,21 @@ class TxLogTable:
                     rng = fs.get(col)
                     if rng is None:
                         continue
-                    if lo is not None and rng[1] < lo:
+                    probe = lo if lo is not None else hi
+                    if (
+                        lo is not None
+                        and _coerce_stat_bound(rng[1], probe) < lo
+                    ):
                         return False
-                    if hi is not None and rng[0] > hi:
+                    if (
+                        hi is not None
+                        and _coerce_stat_bound(rng[0], probe) > hi
+                    ):
                         return False
-                except TypeError:
-                    continue  # incomparable spec vs logged type: keep
+                except (TypeError, ValueError, ArithmeticError):
+                    # incomparable or unparseable spec vs logged
+                    # bound: keep the file — pruning stays advisory
+                    continue
             return True
 
         return [p for p in rel if keep(p)]

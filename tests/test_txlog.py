@@ -2649,3 +2649,82 @@ def test_rename_of_partition_transform_source(spark, tmp_path):
         t.drop_column("event_ts")
     with pytest.raises(ValueError, match="transform's source"):
         t.widen_column("event_ts", "timestamp_ntz")
+
+
+def test_zone_maps_on_date_decimal_columns(spark, tmp_path):
+    """Round-12: date/decimal stat columns previously CRASHED the
+    commit harvest (pyarrow cannot convert INT32/INT64-backed decimal
+    stats — recovered from the raw unscaled ints — and date bounds are
+    not JSON-serializable — stored as ISO strings, coerced back at
+    prune time). Pins: create works, pruning by Decimal / date /
+    ISO-string probes skips files and never loses rows, timestamp
+    stat cols degrade to no-stats (INT96 footers) instead of crashing,
+    and the decimal zone map keeps pruning after a precision widen."""
+    import datetime
+    from decimal import Decimal
+
+    root = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT CAST(id AS INT) AS k, "
+        "CAST(id + 0.25 AS DECIMAL(10,2)) AS d, "
+        "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS dt, "
+        "TIMESTAMP'2024-01-01 00:00:00' "
+        "  + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts "
+        "FROM range(400)"
+    ).repartitionByRange(8, "k").sortWithinPartitions("k")
+    t = TxLogTable.create(root, df, stat_cols=["d", "dt", "ts"])
+    rel, stats, parts = t._replay(None)
+    assert len(rel) == 8
+    # bounds landed JSON-safe and exact
+    some = next(iter(stats.values()))
+    assert isinstance(some["d"][0], str) and isinstance(some["dt"][0], str)
+
+    # Decimal range probe prunes, and the pruned read loses no rows
+    pruned = t._pruned_rel(
+        rel, stats, parts, {"d": (Decimal("100.00"), Decimal("149.99"))}
+    )
+    assert 0 < len(pruned) < len(rel)
+    got = t.read(
+        spark, prune={"d": (Decimal("100.00"), Decimal("149.99"))}
+    ).filter("d BETWEEN 100.00 AND 149.99")
+    assert got.count() == 50
+
+    # date probe (typed) and ISO-string probe both prune
+    lo, hi = datetime.date(2024, 3, 1), datetime.date(2024, 3, 10)
+    p_date = t._pruned_rel(rel, stats, parts, {"dt": (lo, hi)})
+    p_str = t._pruned_rel(
+        rel, stats, parts, {"dt": ("2024-03-01", "2024-03-10")}
+    )
+    assert 0 < len(p_date) < len(rel) and p_date == p_str
+    assert t.read(spark, prune={"dt": (lo, hi)}).filter(
+        "dt BETWEEN '2024-03-01' AND '2024-03-10'"
+    ).count() == 10
+
+    # membership probe on dates
+    p_in = t._pruned_rel(
+        rel, stats, parts, {"dt": [datetime.date(2024, 2, 1)]}
+    )
+    assert 0 < len(p_in) < len(rel)
+
+    # timestamp column: INT96 footers carry no usable stats — the
+    # harvest records nothing and a ts probe keeps every file (safe)
+    if "ts" not in some:
+        p_ts = t._pruned_rel(
+            rel, stats, parts,
+            {"ts": (datetime.datetime(2024, 1, 1), None)},
+        )
+        assert p_ts == rel
+
+    # decimal zone map keeps pruning across a precision widen
+    t.widen_column("d", "decimal(14,2)")
+    rel2, stats2, parts2 = t._replay(None)
+    p2 = t._pruned_rel(
+        rel2, stats2, parts2,
+        {"d": (Decimal("100.00"), Decimal("149.99"))},
+    )
+    assert 0 < len(p2) < len(rel2)
+
+    # garbage probe type against the string bounds: kept, not crashed
+    assert t._pruned_rel(
+        rel2, stats2, parts2, {"dt": (object(), None)}
+    ) == rel2
