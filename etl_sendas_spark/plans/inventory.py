@@ -292,6 +292,7 @@ from . import inv_round8 as _inv_round8  # noqa: E402
 from . import inv_round9 as _inv_round9  # noqa: E402
 from . import inv_round10 as _inv_round10  # noqa: E402
 from . import inv_round11 as _inv_round11  # noqa: E402
+from . import inv_round12 as _inv_round12  # noqa: E402
 from .inv_round4 import *  # noqa: E402,F401,F403
 from .inv_round5 import *  # noqa: E402,F401,F403
 from .inv_round6 import *  # noqa: E402,F401,F403
@@ -315,6 +316,8 @@ EXTRA_QUERIES.update(_inv_round10.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round10.PART_ORACLES)
 EXTRA_QUERIES.update(_inv_round11.PART_QUERIES)
 EXTRA_ORACLES.update(_inv_round11.PART_ORACLES)
+EXTRA_QUERIES.update(_inv_round12.PART_QUERIES)
+EXTRA_ORACLES.update(_inv_round12.PART_ORACLES)
 
 # ===========================================================================
 # driver window — SINGLE definition site
@@ -538,6 +541,17 @@ EXTRA_ORACLES.update(_inv_round11.PART_ORACLES)
 # in-window for its watch; exact-quantile machinery stays driver-
 # pinned by a_exact_quantile_histogram and the quality family keeps
 # quality_lsq_classifier_docs).
+# Round-13 rotation QUEUE (candidates built+oracle-green in r12 EXTRA,
+# to be swapped in after their outing): IN — txlog_clone_events
+# (shallow-clone reference isolation + CoW remove-by-absolute law; no
+# other row exercises cross-table file references),
+# txlog_date_zone_map_events (typed date/decimal zone-map bounds
+# through the JSON log with in-query strict-subset pruning). OUT
+# candidates, each with a sibling pinning its machinery:
+# ivm_count_distinct_events (IVM family keeps ivm_join_view_events +
+# streaming_txlog_cdf_ivm_events driver rows), ts_resample_ffill_events
+# (gaps-and-islands window machinery pinned by r7_gap_mark +
+# sessionize family; its own oracle stays in EXTRA).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",

@@ -856,6 +856,36 @@ class TxLogTable:
         live, _, _ = self._replay(version)
         return [os.path.join(self.root, p) for p in live]
 
+    def _logref(self, path: str) -> str:
+        """Manifest reference for a data file path: root-relative for
+        the table's own files, ABSOLUTE for external files referenced
+        by a shallow clone (round 12). Replay matches ``remove``
+        entries against ``add`` entries VERBATIM, so every remove
+        list must normalize through this — a relpath of an external
+        file would silently fail to remove it (duplicate rows after
+        a CoW rewrite)."""
+        ap = os.path.abspath(path)
+        rootp = os.path.abspath(self.root)
+        if ap == rootp or ap.startswith(rootp + os.sep):
+            return os.path.relpath(ap, rootp)
+        return ap
+
+    def _fileref_expr(self):
+        """``input_file_name()`` → manifest-reference Column — the
+        distributed twin of :meth:`_logref` for the DML discovery
+        scans: root-relativize paths under this table's root (by
+        locating the literal root inside the URI, scheme-agnostic),
+        and strip external (shallow-cloned) paths down to the plain
+        absolute path the manifest logged."""
+        rootp = os.path.abspath(self.root)
+        return F.expr(
+            f"CASE WHEN instr(input_file_name(), '{rootp}/') > 0 "
+            "THEN substring(input_file_name(), "
+            f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1}) "
+            "ELSE regexp_replace(input_file_name(), '^file:/+', '/') "
+            "END"
+        )
+
     def _replay_dvs(self, version: int | None = None) -> dict:
         """Replay DELETION-VECTOR state at ``version``: {root-relative
         file: sorted row positions deleted from it} — the merge-on-read
@@ -941,11 +971,7 @@ class TxLogTable:
         cols = [c for c in cols if c in df.columns]
         if not cols:
             return {}
-        rootp = os.path.abspath(self.root)
-        relf = F.expr(
-            "substring(input_file_name(), "
-            f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
-        )
+        relf = self._fileref_expr()
         # per-FILE filter size from the file's row count (round 10):
         # one footer-driven count pass, then the position expressions
         # take their modulus from the file's own bit budget
@@ -1170,7 +1196,10 @@ class TxLogTable:
                 return True
             start = ckpts[-1] + 1
         return any(
-            "widen" in self._read_commit(i) for i in range(start, v + 1)
+            "widen" in c or c.get("type_widened")
+            for c in (
+                self._read_commit(i) for i in range(start, v + 1)
+            )
         )
 
     def _write_checkpoint(self, version: int) -> None:
@@ -1833,6 +1862,15 @@ class TxLogTable:
         # pruning). Live commit-dir count is bounded by compaction.
         groups: dict[str, list[str]] = {}
         for p in rel:
+            if os.path.isabs(p):
+                # external (shallow-cloned) file: the commit dir is
+                # the ".../data/<uuid>" ancestor inside the SOURCE
+                # table — locate the last "/data/" marker
+                i = p.rfind(os.sep + "data" + os.sep)
+                tail = p[i + 1 :].split(os.sep)  # ["data", uuid, ...]
+                base = p[:i] + os.sep + os.path.join(*tail[:2])
+                groups.setdefault(base, []).append(p)
+                continue
             segs = p.split(os.sep)
             base = os.path.join(self.root, *segs[:2])  # data/<uuid>
             groups.setdefault(base, []).append(os.path.join(self.root, p))
@@ -1907,13 +1945,18 @@ class TxLogTable:
         return out
 
     def _rel_file_col(self):
-        """Root-relative file of each scanned row, from the hidden
-        ``_metadata.file_path`` (a URI — locate the literal root path
-        inside it to sidestep the scheme, as in _affected_files)."""
+        """Manifest reference of each scanned row's file, from the
+        hidden ``_metadata.file_path`` (a URI — locate the literal
+        root path inside it to sidestep the scheme, as in
+        _affected_files); external (shallow-cloned) files reduce to
+        their plain absolute path, matching :meth:`_logref`."""
         rootp = os.path.abspath(self.root)
         return F.expr(
-            "substring(_metadata.file_path, "
-            f"instr(_metadata.file_path, '{rootp}/') + {len(rootp) + 1})"
+            f"CASE WHEN instr(_metadata.file_path, '{rootp}/') > 0 "
+            "THEN substring(_metadata.file_path, "
+            f"instr(_metadata.file_path, '{rootp}/') + {len(rootp) + 1}) "
+            "ELSE regexp_replace(_metadata.file_path, '^file:/+', '/') "
+            "END"
         )
 
     def _dv_filter(
@@ -2375,7 +2418,7 @@ class TxLogTable:
         while True:
             head = self.latest_version()
             removes = [
-                os.path.relpath(p, self.root) for p in self.live_files(head)
+                self._logref(p) for p in self.live_files(head)
             ]
             payload = {
                 "op": "overwrite",
@@ -2412,8 +2455,7 @@ class TxLogTable:
             df, self._stat_cols(), self._partition_cols()
         )
         removes = [
-            os.path.relpath(p, self.root)
-            for p in self.live_files(expected_head)
+            self._logref(p) for p in self.live_files(expected_head)
         ]
         payload = {
             "op": "overwrite",
@@ -2538,6 +2580,100 @@ class TxLogTable:
                 payload["parts"] = parts
             if self._try_commit(head + 1, payload):
                 return head + 1
+
+    def clone(
+        self, dest: str, version: int | None = None
+    ) -> "TxLogTable":
+        """Delta-style SHALLOW CLONE: a new table at ``dest`` whose
+        version 0 REFERENCES this table's live data files (logged as
+        absolute paths) instead of copying them — at 100 TB a clone
+        for an experiment/backfill/dev branch costs one metadata
+        commit, not a table copy. The clone copies the full metadata
+        state at ``version`` (latest when None): schema, column
+        mapping, type-widening flag, stat/partition/bloom specs,
+        per-file zone maps and partition values, deletion vectors,
+        and the Bloom sidecars (small JSON, copied into the clone's
+        log so probes resolve locally).
+
+        The clone then evolves INDEPENDENTLY: appends/DML write new
+        files under the clone's own root; a CoW rewrite of a source
+        file writes the surviving rows locally and removes the
+        absolute reference (the source file itself is never touched
+        — removal is manifest-level); ``compact()`` fully
+        materializes the clone (absorbs every external reference),
+        after which it no longer depends on the source. The clone's
+        own VACUUM only ever deletes files under the clone's
+        ``data/`` directory, so shared source files are structurally
+        safe from it. The one lifecycle hazard is Delta's too:
+        VACUUM **on the source** can delete files a clone still
+        references — reads then fail with the missing path; run
+        ``compact()`` on clones you need to outlive the source's
+        retention."""
+        v = self.latest_version() if version is None else version
+        live, stats, parts = self._replay(v)
+        dvs = self._replay_dvs(v)
+        blooms = self._replay_blooms(v)
+        srcroot = os.path.abspath(self.root)
+
+        def absref(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(srcroot, p)
+
+        out = TxLogTable(dest)
+        if out.versions():
+            raise FileExistsError(f"txlog table already exists at {dest}")
+        payload: dict = {
+            "op": "clone",
+            "source": srcroot,
+            "source_version": v,
+            "add": [absref(p) for p in live],
+            "stat_cols": self._stat_cols(),
+        }
+        logged = self._logged_schema(v)
+        if logged is not None:
+            payload["schema"] = logged
+        if stats:
+            payload["stats"] = {absref(p): s for p, s in stats.items()}
+        pcols = self._partition_cols()
+        if pcols:
+            payload["partition_by"] = pcols
+            payload["parts"] = {absref(p): x for p, x in parts.items()}
+        ptrans = self._partition_transforms()
+        if ptrans:
+            payload["partition_transforms"] = ptrans
+        if dvs:
+            payload["dv"] = {absref(p): ps for p, ps in dvs.items()}
+        m = self._column_mapping(v)
+        if m:
+            payload["column_mapping"] = m
+        if self._widened(v):
+            payload["type_widened"] = True
+        bcols = self._bloom_cols()
+        if bcols:
+            payload["bloom_cols"] = bcols
+            payload["bloom_spec"] = self._bloom_spec()
+        if blooms:
+            payload["blooms"] = {
+                absref(p): bm for p, bm in blooms.items()
+            }
+            # sidecars are addressed relative to the LOG dir: copy
+            # them so the clone resolves probes without the source
+            import shutil as _shutil
+
+            refs = {
+                rec.get("ref")
+                for colmap in blooms.values()
+                for rec in colmap.values()
+                if isinstance(rec, dict) and rec.get("ref")
+            }
+            for ref in sorted(r for r in refs if r):
+                src_p = os.path.join(_log_dir(self.root), ref)
+                dst_p = os.path.join(_log_dir(dest), ref)
+                if os.path.exists(src_p):
+                    os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+                    _shutil.copyfile(src_p, dst_p)
+        if not out._try_commit(0, payload):
+            raise CommitConflict(f"concurrent create at {dest}")
+        return out
 
     # -- row-level DML (copy-on-write) ---------------------------------
 
@@ -2678,12 +2814,9 @@ class TxLogTable:
         rewrites 1%. ``input_file_name`` yields a URI (scheme + a
         varying number of slashes); locating the literal root path
         inside it sidesteps the scheme entirely."""
-        rootp = os.path.abspath(self.root)
-        rel = F.expr(
-            "substring(input_file_name(), "
-            f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
+        scan = self.read(spark, head, prune=prune).withColumn(
+            "__f", self._fileref_expr()
         )
-        scan = self.read(spark, head, prune=prune).withColumn("__f", rel)
         return sorted(
             r["__f"]
             for r in scan.filter(hit).select("__f").distinct().collect()
@@ -3097,11 +3230,7 @@ class TxLogTable:
         # Above the cutoff, leave the choice to AQE.
         if int(key_stats["__bytes"] or 0) <= 64 << 20:
             skeys = F.broadcast(skeys)
-        rootp = os.path.abspath(self.root)
-        relf = F.expr(
-            "substring(input_file_name(), "
-            f"instr(input_file_name(), '{rootp}/') + {len(rootp) + 1})"
-        )
+        relf = self._fileref_expr()
         # ``prune`` bounds the matched-key DISCOVERY scan with the
         # manifest (partition values -> blooms -> zone maps), exactly
         # like delete_where: the caller asserts no source key can
@@ -3298,7 +3427,7 @@ class TxLogTable:
         compacted, stats, parts = self._write_data(
             src, self._stat_cols(), pcols
         )
-        removes = [os.path.relpath(p, self.root) for p in live]
+        removes = [self._logref(p) for p in live]
         payload = {"op": "compact", "add": compacted, "remove": removes}
         payload.update(self._maybe_blooms(spark, compacted))
         if parts:

@@ -2728,3 +2728,122 @@ def test_zone_maps_on_date_decimal_columns(spark, tmp_path):
     assert t._pruned_rel(
         rel2, stats2, parts2, {"dt": (object(), None)}
     ) == rel2
+
+
+def test_shallow_clone_zero_copy(spark, tmp_path):
+    """Round-12 SHALLOW CLONE: version 0 of the clone references the
+    source's live files absolutely — zero data copied — and the clone
+    then evolves independently: append, CoW DML (rewrites land under
+    the clone, the external reference is removed by its absolute
+    path — the _logref law), compact materializes the clone fully,
+    and the clone's vacuum never deletes source files. Cloned
+    metadata: schema, zone maps (pruning works through external
+    refs), deletion vectors, bloom sidecars, stat cols."""
+    src_root = str(tmp_path / "src")
+    df = spark.range(400).selectExpr(
+        "id AS k", "id * 2 AS x", "concat('v', id) AS s"
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    src = TxLogTable.create(
+        src_root, df, stat_cols=["k"], bloom_cols=["s"]
+    )
+    src.delete_where(spark, "k = 7", mode="dv")  # a DV to inherit
+
+    clone_root = str(tmp_path / "clone")
+    cl = src.clone(clone_root)
+
+    # zero copy: no data files under the clone
+    assert not os.path.isdir(os.path.join(clone_root, "data")) or not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(os.path.join(clone_root, "data"))
+        for f in fs
+    )
+    got = cl.read(spark)
+    assert got.count() == 399  # DV inherited
+    assert got.filter("k = 7").count() == 0
+    assert sorted(got.columns) == ["k", "s", "x"]
+
+    # zone maps prune through external refs; bloom sidecars resolve
+    rel, stats, parts = cl._replay(None)
+    assert all(os.path.isabs(p) for p in rel)
+    pruned = cl._pruned_rel(rel, stats, parts, {"k": (0, 50)})
+    assert 0 < len(pruned) < len(rel)
+    b = cl._pruned_rel(
+        rel, stats, parts, {"s": ["v123"]},
+        blooms=cl._replay_blooms(None),
+    )
+    assert 0 < len(b) < len(rel)
+
+    # independent evolution: append + CoW update on the clone
+    cl.append(
+        spark.createDataFrame([(9001, 2, "new")], "k LONG, x LONG, s STRING"),
+        spark,
+    )
+    cl.update_where(spark, {"s": "'patched'"}, "k = 100")
+    got2 = cl.read(spark)
+    assert got2.count() == 400  # 399 + 1
+    assert got2.filter("s = 'patched'").count() == 1
+    # no duplicate rows: the external file's absolute ref was removed
+    assert got2.filter("k = 100").count() == 1
+    # source untouched by the clone's DML
+    sgot = src.read(spark)
+    assert sgot.filter("s = 'patched'").count() == 0
+    assert sgot.count() == 399
+
+    # source evolves independently of the clone
+    src.delete_where(spark, "k < 200")
+    assert cl.read(spark).filter("k < 100").count() > 0
+
+    # compact fully materializes: no external refs remain, rows equal
+    before = sorted(map(tuple, cl.read(spark).collect()))
+    cl.compact(spark)
+    rel3, _, _ = cl._replay(None)
+    assert all(not os.path.isabs(p) for p in rel3)
+    assert sorted(map(tuple, cl.read(spark).collect())) == before
+
+    # clone's vacuum never deleted source files (source still reads
+    # its full post-delete content: 399 - 199 rows with k in 0..199)
+    cl.vacuum(retain_versions=1, min_age_s=0.0)
+    assert TxLogTable(src_root).read(spark).count() == 200
+
+    # refusal: clone onto an existing table
+    with pytest.raises(FileExistsError):
+        src.clone(clone_root)
+
+
+def test_shallow_clone_partitioned_table(spark, tmp_path):
+    """Clone of a hidden-partitioned table: the partitioned scan
+    groups external absolute refs by their SOURCE commit dir (the
+    basePath ancestor), partition values re-attach, source-column
+    pruning routes through the transform, and DML on the clone
+    rewrites only the clone's files."""
+    src_root = str(tmp_path / "src")
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-{(i % 5) + 1:02d} 08:00:00", float(i))
+            for i in range(300)
+        ],
+        "event_id LONG, ts STRING, value DOUBLE",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    ).repartition(3)
+    src = TxLogTable.create(
+        src_root, ev, stat_cols=["event_id"], partition_by=["day(ts)"]
+    )
+    cl = src.clone(str(tmp_path / "clone"))
+    got = cl.read(spark)
+    assert got.count() == 300
+    assert sorted(got.columns) == ["event_id", "ts", "value"]
+
+    # transform pruning through external refs
+    full = set(got.inputFiles())
+    pr = cl.read(spark, prune={"ts": ("2024-01-02", "2024-01-02")})
+    pf = set(pr.inputFiles())
+    assert pf and pf < full
+    assert pr.filter(
+        "ts >= '2024-01-02' AND ts < '2024-01-03'"
+    ).count() == 60
+
+    # CoW delete on the clone: source unchanged, clone correct
+    cl.delete_where(spark, "event_id % 3 = 0")
+    assert cl.read(spark).count() == 200
+    assert src.read(spark).count() == 300
