@@ -2298,6 +2298,60 @@ class TxLogTable:
         """
         if new in self._WIDENINGS.get(old, ()):
             return
+        # integer family → double (Delta parity; every int32 is exact
+        # in a float64 — bigint is NOT: values past 2^53 would round,
+        # so it stays refused). Stringified forms differ ("5" vs
+        # "5.0"), so a Bloom-indexed column refuses.
+        if old in ("tinyint", "smallint", "int") and new == "double":
+            if name in (self._bloom_cols() or []):
+                raise ValueError(
+                    f"widen_column: {name!r} is Bloom-indexed — an "
+                    "integer stringifies '5' but a double probe "
+                    "stringifies '5.0', so the existing sidecars "
+                    "would false-skip files; drop the Bloom index, "
+                    "widen, then re-index"
+                )
+            return
+        if old == "bigint" and new == "double":
+            raise ValueError(
+                "widen_column: bigint -> double is refused (final): "
+                "values past 2^53 round in a float64 — not lossless; "
+                "use decimal(20,0) or wider"
+            )
+        # integer family → decimal(p, 0) (Delta parity). Scale must be
+        # 0: the stringified form then stays width-invariant ("5" at
+        # every precision), so Bloom sidecars remain exact. The
+        # minimum precision follows the PHYSICAL storage type, not
+        # the logical one (probed on Spark 4.1's vectorized reader):
+        # tinyint/smallint/int store as parquet INT32, which upcasts
+        # only to decimals that hold every int32 (p >= 10); bigint
+        # stores as INT64 and needs p >= 20 (19 is refused by the
+        # reader — it cannot hold every int64 either).
+        _DEC_MIN_P = {"tinyint": 10, "smallint": 10, "int": 10,
+                      "bigint": 20}
+        mn0 = self._DECIMAL_RE.match(new)
+        if old in _DEC_MIN_P and mn0:
+            pn, sn = int(mn0.group(1)), int(mn0.group(2))
+            if sn != 0:
+                raise ValueError(
+                    f"widen_column: {old} -> {new} adds SCALE — "
+                    "refused (final): '5' would restringify '5.00' "
+                    "out from under the Bloom sidecars; widen to "
+                    f"decimal(p, 0) with p >= {_DEC_MIN_P[old]}"
+                )
+            if pn < _DEC_MIN_P[old]:
+                raise ValueError(
+                    f"widen_column: decimal({pn},0) cannot hold every "
+                    f"value the stored physical type can (parquet "
+                    f"reader requires precision >= {_DEC_MIN_P[old]} "
+                    f"for {old})"
+                )
+            if pn > 38:
+                raise ValueError(
+                    f"widen_column: {new} exceeds decimal(38) — "
+                    "Spark's maximum decimal precision"
+                )
+            return
         mo = self._DECIMAL_RE.match(old)
         mn = self._DECIMAL_RE.match(new)
         if mo and mn:
@@ -2346,7 +2400,8 @@ class TxLogTable:
         raise ValueError(
             f"widen_column: {old} -> {new} is not a lossless "
             "widening (supported: tinyint/smallint/int -> wider "
-            "ints, float -> double, decimal(p,s) -> decimal(p+,s), "
+            "ints / double / decimal(p,0), bigint -> decimal(20+,0), "
+            "float -> double, decimal(p,s) -> decimal(p+,s), "
             "date -> timestamp_ntz)"
         )
 

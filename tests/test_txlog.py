@@ -2847,3 +2847,76 @@ def test_shallow_clone_partitioned_table(spark, tmp_path):
     cl.delete_where(spark, "event_id % 3 = 0")
     assert cl.read(spark).count() == 200
     assert src.read(spark).count() == 300
+
+
+def test_type_widening_int_to_double_and_decimal(spark, tmp_path):
+    """Round-12 lattice completion: int-family -> double and
+    int-family -> decimal(p,0) are metadata-only widenings (Delta
+    parity), with the minimum decimal precision following the PHYSICAL
+    storage type (int32-stored needs p>=10, int64-stored p>=20 —
+    probed against Spark 4.1's vectorized reader). bigint -> double
+    refuses finally (past 2^53 rounds); int -> double refuses on a
+    Bloom-indexed column ('5' vs '5.0' restringification); native
+    reader upcasts both axes."""
+    from etl_sendas_spark.sources.txlog_source import (
+        register_txlog_source,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT CAST(id AS INT) AS a, CAST(id AS INT) AS b, "
+        "id AS l, concat('v', id) AS s FROM range(30)"
+    )
+    t = TxLogTable.create(root, df, stat_cols=["a"])
+    files0 = sorted(t.live_files())
+    t.widen_column("a", "double")
+    t.widen_column("b", "decimal(12,0)")
+    t.widen_column("l", "decimal(20,0)")
+    assert sorted(t.live_files()) == files0
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in t.read(spark).schema.fields
+    }
+    assert types == {
+        "a": "double", "b": "decimal(12,0)", "l": "decimal(20,0)",
+        "s": "string",
+    }
+    row = t.read(spark).filter("b = 7").collect()[0]
+    assert row.a == 7.0 and str(row.b) == "7" and str(row.l) == "7"
+
+    # mixed-width append + DML + native parity
+    t.append(
+        spark.sql(
+            "SELECT CAST(100.5 AS DOUBLE) AS a, "
+            "CAST(123456789012 AS DECIMAL(12,0)) AS b, "
+            "CAST(99999999999999999999 AS DECIMAL(20,0)) AS l, "
+            "'wide' AS s"
+        ),
+        spark,
+    )
+    t.delete_where(spark, "s = 'v3'")
+    assert t.read(spark).count() == 30
+    register_txlog_source(spark)
+    nd = spark.read.format("txlog").load(root)
+    assert nd.schema["l"].dataType.simpleString() == "decimal(20,0)"
+    assert sorted((r.a, str(r.b)) for r in nd.select("a", "b").collect()) == \
+        sorted((r.a, str(r.b)) for r in t.read(spark).select("a", "b").collect())
+
+    # refusals with reasons
+    t2 = TxLogTable.create(
+        str(tmp_path / "t2"),
+        spark.sql("SELECT id AS l, CAST(id AS INT) AS i FROM range(5)"),
+        bloom_cols=["i"],
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        t2.widen_column("l", "double")
+    with pytest.raises(ValueError, match="precision >= 20"):
+        t2.widen_column("l", "decimal(19,0)")
+    with pytest.raises(ValueError, match="Bloom-indexed"):
+        t2.widen_column("i", "double")
+    with pytest.raises(ValueError, match="SCALE"):
+        t2.widen_column("i", "decimal(12,2)")
+    # int -> decimal(p,0) on a Bloom-indexed column is FINE: the
+    # stringified form is width-invariant
+    t2.widen_column("i", "decimal(10,0)")
+    assert t2.read(spark).schema["i"].dataType.simpleString() == "decimal(10,0)"
