@@ -307,6 +307,18 @@ def cmd_drop_column(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    t = _table(args.path)
+    t.clone(args.dest, version=args.version)
+    v = t.latest_version() if args.version is None else args.version
+    print(
+        f"shallow clone of {args.path}@v{v} -> {args.dest} "
+        "(zero data copied; clone evolves independently — run "
+        "'compact' on it to materialize)"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="etl_sendas_spark.table_cli", description=__doc__
@@ -432,6 +444,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("path")
     p.add_argument("name")
     p.set_defaults(fn=cmd_drop_column)
+
+    p = sub.add_parser(
+        "clone",
+        help="SHALLOW CLONE: zero-copy branch referencing the "
+        "source's files (metadata-only)",
+    )
+    p.add_argument("path")
+    p.add_argument("dest")
+    p.add_argument("--version", type=int, default=None)
+    p.set_defaults(fn=cmd_clone)
 
     p = sub.add_parser("update", help="UPDATE SET ... WHERE (cow or dv)")
     p.add_argument("path")

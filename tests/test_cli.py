@@ -371,3 +371,24 @@ def test_table_cli_lifecycle(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "mapping:" in out and "'amount': 'a'" in out
     assert "retired:" in out and "'b'" in out
+
+
+def test_table_cli_clone(spark, tmp_path, capsys):
+    """The clone subcommand (round 12): zero-copy branch through the
+    CLI, reading back the source content and evolving independently."""
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.table_cli import main as table_main
+
+    root = str(tmp_path / "src")
+    TxLogTable.create(
+        root, spark.range(50).selectExpr("id AS k", "id * 2 AS a")
+    )
+    dest = str(tmp_path / "clone")
+    assert table_main(["clone", root, dest]) == 0
+    out = capsys.readouterr().out
+    assert "zero data copied" in out
+    cl = TxLogTable(dest)
+    assert cl.read(spark).count() == 50
+    assert table_main(["delete", dest, "--where", "k < 10"]) == 0
+    assert cl.read(spark).count() == 40
+    assert TxLogTable(root).read(spark).count() == 50  # source intact
