@@ -3,7 +3,7 @@ registry discipline). This module is NOT a public entry point —
 plans.inventory star-imports it and owns the DRIVER_WINDOW literal and
 the merged QUERIES/ORACLES registries.
 
-Two rows pin the round's new table-format machinery end to end:
+Three rows pin the round's new table-format machinery end to end:
 
 - ``txlog_clone_events`` — Delta-style SHALLOW CLONE
   (``sources/txlog.py`` ``clone``): version 0 of the clone references
@@ -16,6 +16,10 @@ Two rows pin the round's new table-format machinery end to end:
   clustered table prunes files by a date-range probe (strict
   inputFiles-subset asserted in-query) and the pruned read's
   aggregate is hash-checked against SQL.
+- ``txlog_constraint_events`` — Delta-style CHECK constraints:
+  declaration scans existing rows, violating writes refuse atomically
+  (head asserted unchanged), NULL passes (SQL CHECK semantics), and
+  the hash pins exactly the writes the machinery let through.
 """
 
 from __future__ import annotations
@@ -224,3 +228,115 @@ GROUP BY 1
 
 PART_QUERIES["txlog_date_zone_map_events"] = txlog_date_zone_map_events
 PART_ORACLES["txlog_date_zone_map_events"] = TXLOG_DATE_ZONE_MAP_SQL
+
+# ===========================================================================
+# round 12: CHECK constraints — write-time invariants in the commit log
+# ===========================================================================
+
+
+def txlog_constraint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style CHECK constraints end to end (sources/txlog.py
+    round 12): an events-derived table declares two invariants (the
+    declaration scans existing rows — an already-violated constraint
+    REFUSES, asserted in-query), a violating append then fails loudly
+    and commits NOTHING (head asserted unchanged — atomicity of the
+    refusal), a NULL-result row passes (SQL CHECK semantics), a CoW
+    update whose post-image would violate refuses, and after
+    drop_constraint the same write lands. The final aggregate reads
+    the surviving content; the ORACLE replays exactly the ACCEPTED
+    writes, so the hash pins which writes the constraint machinery
+    let through."""
+    from ..sources.txlog import TxLogTable
+
+    base = _scratch(sf_dir, "constraint")
+    root = os.path.join(base, "t")
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = TxLogTable.create(root, ev, stat_cols=["event_id"])
+    t.add_constraint(spark, "value_floor", "value >= 0")
+    t.add_constraint(spark, "id_nonneg", "event_id >= 0")
+
+    try:
+        t.add_constraint(spark, "impossible", "value > 100")
+        raise AssertionError(
+            "declaring an already-violated constraint must refuse"
+        )
+    except ValueError:
+        pass
+
+    head = t.latest_version()
+    try:
+        t.append(
+            spark.sql(
+                "SELECT CAST(900001 AS BIGINT) AS event_id, "
+                "'bad' AS event_type, CAST(-1.0 AS DOUBLE) AS value"
+            ),
+            spark,
+        )
+        raise AssertionError("violating append must refuse")
+    except ValueError:
+        pass
+    if t.latest_version() != head:
+        raise AssertionError("refused append must commit nothing")
+
+    # NULL passes (SQL CHECK semantics); this row is ACCEPTED
+    t.append(
+        spark.sql(
+            "SELECT CAST(900002 AS BIGINT) AS event_id, "
+            "'ok' AS event_type, CAST(NULL AS DOUBLE) AS value"
+        ),
+        spark,
+    )
+    # CoW update post-image violating refuses atomically
+    head = t.latest_version()
+    try:
+        t.update_where(
+            spark, {"value": "-value - 1"}, "event_type = 'click'"
+        )
+        raise AssertionError("violating update must refuse")
+    except ValueError:
+        pass
+    if t.latest_version() != head:
+        raise AssertionError("refused update must commit nothing")
+
+    # dropping the constraint releases enforcement; the write lands
+    t.drop_constraint("value_floor")
+    t.append(
+        spark.sql(
+            "SELECT CAST(900003 AS BIGINT) AS event_id, "
+            "'late' AS event_type, CAST(-7.5 AS DOUBLE) AS value"
+        ),
+        spark,
+    )
+
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("val_sum"),
+        )
+    )
+
+
+TXLOG_CONSTRAINT_SQL = """
+WITH accepted AS (
+  SELECT event_id, event_type, value FROM events
+  UNION ALL
+  SELECT 900002, 'ok', CAST(NULL AS DOUBLE)
+  UNION ALL
+  SELECT 900003, 'late', -7.5
+)
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+FROM accepted
+GROUP BY event_type
+"""
+
+PART_QUERIES["txlog_constraint_events"] = txlog_constraint_events
+PART_ORACLES["txlog_constraint_events"] = TXLOG_CONSTRAINT_SQL

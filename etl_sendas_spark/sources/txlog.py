@@ -1216,6 +1216,7 @@ class TxLogTable:
         widened = self._widened(version)
         dvs = self._replay_dvs(version)
         blooms = self._replay_blooms(version)
+        cons = self._constraints(version)
         path = os.path.join(
             _log_dir(self.root), f"{version:08d}.checkpoint.json"
         )
@@ -1240,6 +1241,7 @@ class TxLogTable:
                     "blooms": blooms,
                     "bloom_cols": self._bloom_cols(),
                     "bloom_spec": self._bloom_spec(),
+                    "constraints": cons,
                 },
                 f,
             )
@@ -1271,6 +1273,7 @@ class TxLogTable:
         drop as retired."""
         from ..operators.layout import parquet_file_minmax
 
+        self._enforce_constraints(df)
         m = getattr(self, "_colmap_boot", None) or self._column_mapping()
         if m:
             mp = m["map"]
@@ -2143,6 +2146,22 @@ class TxLogTable:
                 "needs a repartition into a new table"
             )
 
+    def _constraint_guard(self, name: str, op: str) -> None:
+        """Refuse rename/drop of a column a CHECK constraint
+        references (Delta parity): the stored SQL expression names the
+        column, so evolving it out from under the constraint would
+        make every subsequent write fail to parse — or worse, validate
+        the wrong thing. Word-boundary match is conservative: a column
+        name appearing only inside a string literal still refuses
+        (drop the constraint, evolve, re-add)."""
+        for cn, expr in self._constraints().items():
+            if re.search(rf"\b{re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"{op}: column {name!r} is referenced by CHECK "
+                    f"constraint {cn!r} ({expr}) — drop the "
+                    "constraint, evolve, then re-add it"
+                )
+
     def _mapping_at_head(self, head: int) -> tuple[list, dict]:
         """(logged schema, column mapping) at ``head``, bootstrapping
         an identity mapping for tables that never activated one.
@@ -2162,6 +2181,123 @@ class TxLogTable:
             m = {"map": {n: n for n, _ in logged}, "retired": []}
         return logged, m
 
+    def _constraints(self, version: int | None = None) -> dict:
+        """CHECK constraints in force at ``version`` (latest when
+        None): {name: sql expression}. Checkpoint-aware like the
+        other metadata replays so VACUUM cannot lose them."""
+        if not self.versions():
+            return {}
+        v = self.latest_version() if version is None else version
+        out: dict = {}
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= v]
+        if ckpts:
+            out = dict(
+                self._read_checkpoint(ckpts[-1]).get("constraints", {})
+            )
+            start = ckpts[-1] + 1
+        for i in range(start, v + 1):
+            c = self._read_commit(i)
+            if "constraints" in c:
+                # bulk snapshot (a clone's commit 0 inheriting the
+                # source's constraint set)
+                out = dict(c["constraints"])
+            if "constraint_add" in c:
+                n, e = c["constraint_add"]
+                out[n] = e
+            if "constraint_drop" in c:
+                out.pop(c["constraint_drop"], None)
+        return out
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """Delta-style CHECK constraint (round 12): ``expr`` is a SQL
+        boolean over the LOGICAL schema; every subsequent write
+        validates it BEFORE committing (SQL CHECK semantics — a NULL
+        result passes, only a strict FALSE violates) and fails loudly
+        with the constraint name and a sample violating row. Adding
+        the constraint first scans the CURRENT table (as Delta's
+        ``ALTER TABLE ADD CONSTRAINT`` does) so an already-violated
+        invariant cannot be declared. The constraint rides the commit
+        log (checkpoint-aware, vacuum-safe); columns it references
+        refuse rename/drop while it exists (the stored expression
+        names them — drop the constraint, evolve, re-add)."""
+        name = name.strip()
+        if not name:
+            raise ValueError("add_constraint: empty name")
+        while True:
+            head = self.latest_version()
+            if name in self._constraints(head):
+                raise ValueError(
+                    f"add_constraint: constraint {name!r} already "
+                    "exists (drop it first to change the expression)"
+                )
+            bad = (
+                self.read(spark, head)
+                .filter(f"NOT ({expr})")
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"add_constraint: existing rows violate "
+                    f"{name!r} ({expr}) — first: {tuple(bad[0])}"
+                )
+            payload = {
+                "op": "add_constraint",
+                "constraint_add": [name, expr],
+            }
+            if self._try_commit(head + 1, payload):
+                return head + 1
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only)."""
+        while True:
+            head = self.latest_version()
+            if name not in self._constraints(head):
+                raise ValueError(
+                    f"drop_constraint: no constraint {name!r} "
+                    f"(have {sorted(self._constraints(head))})"
+                )
+            payload = {
+                "op": "drop_constraint",
+                "constraint_drop": name,
+            }
+            if self._try_commit(head + 1, payload):
+                return head + 1
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Validate every CHECK constraint against a frame about to be
+        written (called from :meth:`_write_data` on the LOGICAL-named
+        frame, before the physical translation): one combined pass —
+        a single filter over the OR of all negated expressions — so N
+        constraints cost one extra job per write, not N. Violation
+        raises with the first failing constraint's name and row."""
+        cons = self._constraints()
+        if not cons:
+            return
+        items = sorted(cons.items())
+        combined = " OR ".join(f"(NOT ({e}))" for _, e in items)
+        bad = df.filter(combined).limit(1).collect()
+        if bad:
+            row = bad[0]
+            for n, e in items:
+                hit = (
+                    df.sparkSession.createDataFrame([row])
+                    .filter(f"NOT ({e})")
+                    .count()
+                )
+                if hit:
+                    raise ValueError(
+                        f"write violates CHECK constraint {n!r} "
+                        f"({e}) — first: {tuple(row)}"
+                    )
+            raise ValueError(
+                f"write violates a CHECK constraint — first row: "
+                f"{tuple(row)}"
+            )
+
     def rename_column(self, old: str, new: str) -> int:
         """Delta-style metadata-only RENAME COLUMN: data files carry
         PHYSICAL names that never change; this commit rewrites only
@@ -2177,6 +2313,7 @@ class TxLogTable:
         if old == new:
             raise ValueError("rename_column: old and new are the same")
         self._mapping_guard(old, "rename_column", allow_transform_src=True)
+        self._constraint_guard(old, "rename_column")
         while True:
             head = self.latest_version()
             logged, m = self._mapping_at_head(head)
@@ -2226,6 +2363,7 @@ class TxLogTable:
         True)`` may re-add the same logical name — it gets a FRESH
         physical, so the old bytes cannot resurrect."""
         self._mapping_guard(name, "drop_column")
+        self._constraint_guard(name, "drop_column")
         while True:
             head = self.latest_version()
             logged, m = self._mapping_at_head(head)
@@ -2706,6 +2844,9 @@ class TxLogTable:
         if bcols:
             payload["bloom_cols"] = bcols
             payload["bloom_spec"] = self._bloom_spec()
+        cons = self._constraints(v)
+        if cons:
+            payload["constraints"] = cons  # bulk snapshot (clone)
         if blooms:
             payload["blooms"] = {
                 absref(p): bm for p, bm in blooms.items()

@@ -307,6 +307,23 @@ def cmd_drop_column(args) -> int:
     return 0
 
 
+def cmd_add_constraint(args) -> int:
+    from .session import get_spark
+
+    t = _table(args.path)
+    spark = get_spark(app_name="txlog_constraint")
+    v = t.add_constraint(spark, args.name, args.expr)
+    print(f"constraint {args.name} added at v{v} (writes now validate)")
+    return 0
+
+
+def cmd_drop_constraint(args) -> int:
+    t = _table(args.path)
+    v = t.drop_constraint(args.name)
+    print(f"constraint {args.name} dropped at v{v}")
+    return 0
+
+
 def cmd_clone(args) -> int:
     t = _table(args.path)
     t.clone(args.dest, version=args.version)
@@ -444,6 +461,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("path")
     p.add_argument("name")
     p.set_defaults(fn=cmd_drop_column)
+
+    p = sub.add_parser(
+        "add-constraint",
+        help="ALTER TABLE ADD CONSTRAINT (CHECK; validates existing "
+        "rows, then every write)",
+    )
+    p.add_argument("path")
+    p.add_argument("name")
+    p.add_argument("expr")
+    p.set_defaults(fn=cmd_add_constraint)
+
+    p = sub.add_parser(
+        "drop-constraint", help="ALTER TABLE DROP CONSTRAINT"
+    )
+    p.add_argument("path")
+    p.add_argument("name")
+    p.set_defaults(fn=cmd_drop_constraint)
 
     p = sub.add_parser(
         "clone",

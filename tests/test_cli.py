@@ -392,3 +392,30 @@ def test_table_cli_clone(spark, tmp_path, capsys):
     assert table_main(["delete", dest, "--where", "k < 10"]) == 0
     assert cl.read(spark).count() == 40
     assert TxLogTable(root).read(spark).count() == 50  # source intact
+
+
+def test_table_cli_constraints(spark, tmp_path, capsys):
+    """add-constraint / drop-constraint through the CLI (round 12)."""
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.table_cli import main as table_main
+
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root, spark.range(20).selectExpr("id AS k", "id * 2 AS a")
+    )
+    assert table_main(["add-constraint", root, "a_even", "a % 2 = 0"]) == 0
+    assert "writes now validate" in capsys.readouterr().out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="a_even"):
+        t.append(
+            spark.sql("SELECT CAST(99 AS BIGINT) AS k, "
+                      "CAST(3 AS BIGINT) AS a"),
+            spark,
+        )
+    assert table_main(["drop-constraint", root, "a_even"]) == 0
+    t.append(
+        spark.sql("SELECT CAST(99 AS BIGINT) AS k, CAST(3 AS BIGINT) AS a"),
+        spark,
+    )
+    assert t.read(spark).count() == 21

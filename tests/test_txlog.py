@@ -2920,3 +2920,104 @@ def test_type_widening_int_to_double_and_decimal(spark, tmp_path):
     # stringified form is width-invariant
     t2.widen_column("i", "decimal(10,0)")
     assert t2.read(spark).schema["i"].dataType.simpleString() == "decimal(10,0)"
+
+
+def test_check_constraints(spark, tmp_path):
+    """Round-12 Delta-style CHECK constraints: declared with a scan of
+    existing rows (an already-violated invariant refuses), enforced on
+    every write path (append, CoW update post-image) with SQL CHECK
+    NULL semantics (NULL passes, only strict FALSE violates), one
+    combined validation job for N constraints, checkpoint+vacuum
+    survival, clone inheritance, and the rename/drop guard on
+    referenced columns."""
+    root = str(tmp_path / "t")
+    t = TxLogTable.create(
+        root,
+        spark.sql(
+            "SELECT id AS k, CAST(id * 2 AS DOUBLE) AS amt, "
+            "CASE WHEN id % 5 = 0 THEN NULL "
+            "ELSE concat('u', id) END AS who FROM range(50)"
+        ),
+    )
+    t.add_constraint(spark, "amt_nonneg", "amt >= 0")
+    t.add_constraint(spark, "k_range", "k < 1000000")
+    assert sorted(t._constraints()) == ["amt_nonneg", "k_range"]
+
+    # declaring over violating data refuses with the evidence
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint(spark, "impossible", "k < 10")
+    # duplicate name refuses
+    with pytest.raises(ValueError, match="already"):
+        t.add_constraint(spark, "k_range", "k < 5")
+
+    # valid append passes; NULL result passes (SQL CHECK semantics)
+    t.append(
+        spark.sql(
+            "SELECT CAST(1000 AS BIGINT) AS k, "
+            "CAST(NULL AS DOUBLE) AS amt, 'x' AS who"
+        ),
+        spark,
+    )
+    assert t.read(spark).count() == 51
+
+    # violating append fails loudly, named, and commits NOTHING
+    head = t.latest_version()
+    with pytest.raises(ValueError, match="amt_nonneg"):
+        t.append(
+            spark.sql(
+                "SELECT CAST(2000 AS BIGINT) AS k, "
+                "CAST(-5.0 AS DOUBLE) AS amt, 'y' AS who"
+            ),
+            spark,
+        )
+    assert t.latest_version() == head
+    assert t.read(spark).filter("amt < 0").count() == 0
+
+    # CoW update post-image validates too
+    with pytest.raises(ValueError, match="amt_nonneg"):
+        t.update_where(spark, {"amt": "-amt - 1"}, "k = 3")
+    assert t.latest_version() == head
+
+    # rename/drop of a referenced column refuses; unreferenced is fine
+    with pytest.raises(ValueError, match="amt_nonneg"):
+        t.rename_column("amt", "amount")
+    with pytest.raises(ValueError, match="k_range"):
+        t.drop_column("k")
+    t.rename_column("who", "user_name")
+
+    # constraints survive checkpoint + vacuum truncation
+    for i in range(12):
+        t.append(
+            spark.sql(
+                f"SELECT CAST(5000 + {i} AS BIGINT) AS k, "
+                "CAST(1.0 AS DOUBLE) AS amt, 'z' AS user_name"
+            ),
+            spark,
+        )
+    t.vacuum(retain_versions=2, min_age_s=0.0)
+    assert sorted(t._constraints()) == ["amt_nonneg", "k_range"]
+    with pytest.raises(ValueError, match="amt_nonneg"):
+        t.append(
+            spark.sql(
+                "SELECT CAST(1 AS BIGINT) AS k, "
+                "CAST(-1.0 AS DOUBLE) AS amt, 'w' AS user_name"
+            ),
+            spark,
+        )
+
+    # clone inherits the constraint set; drop releases enforcement
+    cl = t.clone(str(tmp_path / "clone"))
+    assert sorted(cl._constraints()) == ["amt_nonneg", "k_range"]
+    cl.drop_constraint("amt_nonneg")
+    cl.append(
+        spark.sql(
+            "SELECT CAST(1 AS BIGINT) AS k, "
+            "CAST(-1.0 AS DOUBLE) AS amt, 'w' AS user_name"
+        ),
+        spark,
+    )
+    assert cl.read(spark).filter("amt < 0").count() == 1
+    # the source still enforces (clone divergence is metadata too)
+    assert sorted(t._constraints()) == ["amt_nonneg", "k_range"]
+    with pytest.raises(ValueError, match="no constraint"):
+        cl.drop_constraint("amt_nonneg")
