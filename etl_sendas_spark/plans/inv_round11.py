@@ -394,7 +394,10 @@ def txlog_type_widening_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("val_sum"),
             F.sum("dom").alias("dom_sum"),
             F.sum("amt").cast("double").alias("amt_sum"),
-            F.max("day").alias("max_day"),
+            # string form: pandas renders Spark NTZ as datetime64[ns]
+            # but DuckDB as [us] - the driver hash is dtype-sensitive
+            F.date_format(F.max("day"), "yyyy-MM-dd HH:mm:ss")
+            .alias("max_day"),
         )
     )
 
@@ -425,7 +428,7 @@ SELECT event_type,
        CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS val_sum,
        CAST(SUM(dom) AS BIGINT) AS dom_sum,
        CAST(SUM(amt) AS DOUBLE) AS amt_sum,
-       MAX(day) AS max_day
+       strftime(MAX(day), '%Y-%m-%d %H:%M:%S') AS max_day
 FROM deleted
 GROUP BY event_type
 """
