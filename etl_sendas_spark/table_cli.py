@@ -111,6 +111,17 @@ def cmd_describe(args) -> int:
             print(f"retired:   {m['retired']} (dropped storage columns)")
     if t._widened():
         print("widened:   yes (mixed-width files upcast on read)")
+    cons = t._constraints()
+    if cons:
+        for n, e in sorted(cons.items()):
+            print(f"check:     {n}: {e}")
+    if t.versions() and t.versions()[0] == 0:
+        c0 = t.commit_meta(0)
+        if c0.get("op") == "clone":
+            print(
+                f"clone of:  {c0.get('source')}"
+                f"@v{c0.get('source_version')}"
+            )
     from .session import get_spark
 
     spark = get_spark(app_name="txlog_describe")

@@ -1730,3 +1730,57 @@ def test_txlog_join_view_step_reads_through_catalog(spark, tmp_path):
             spark, a_root, b_root, ["k"], ["j"], ["j"], ["a"], ["b"],
             dst_root, catalog=cat, catalog_names=("facts", "nope"),
         )
+
+
+def test_txlog_sink_respects_check_constraints(spark, tmp_path):
+    """Composition pin (round 12): the exactly-once streaming MERGE
+    sink writes through the same _write_data boundary as batch DML, so
+    a CHECK constraint on the target table makes a violating
+    micro-batch FAIL THE STREAM loudly and commit NOTHING — the table
+    stays at its pre-batch version with only valid rows (the Delta
+    behavior: constraints gate every writer, streaming included)."""
+    import datetime as dt
+    import os
+
+    import pytest
+
+    from etl_sendas_spark.sources.txlog import TxLogTable
+    from etl_sendas_spark.streaming.sessions import stream_upsert_to_txlog
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    sch = "k long, v long, ts timestamp"
+    _land_file(spark, src, "f1.parquet", [(1, 10, t(0)), (2, 20, t(1))], sch, 1000)
+
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+    table_path, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "f*.parquet"))
+        )
+        stream_upsert_to_txlog(
+            stream, table_path, ckpt, keys=["k"], seq_col="ts"
+        )
+
+    run_once()  # batch 0 creates the table with valid rows
+    table = TxLogTable(table_path)
+    table.add_constraint(spark, "v_nonneg", "v >= 0")
+    head = table.latest_version()
+
+    _land_file(spark, src, "f2.parquet", [(3, -5, t(10))], sch, 2000)
+    with pytest.raises(Exception, match="v_nonneg"):
+        run_once()  # violating micro-batch fails the stream
+    assert table.latest_version() == head  # nothing committed
+    assert table.read(spark).filter("v < 0").count() == 0
+
+    # fixing the data lets the stream resume from the checkpoint
+    import shutil
+
+    shutil.rmtree(os.path.join(src, "f2.parquet"))
+    _land_file(spark, src, "f3.parquet", [(3, 5, t(20))], sch, 3000)
+    run_once()
+    assert table.read(spark).filter("k = 3").collect()[0]["v"] == 5
