@@ -125,6 +125,17 @@ def footer_stat_min_max(col_meta) -> tuple:
         return None, None
 
 
+def footer_stat_nulls(col_meta) -> int | None:
+    """Null count from one parquet column-chunk's statistics, or None
+    when the writer did not record it — the caller treats unknown as
+    'no null zone map' and keeps the file (round 12: Delta-style
+    IS NULL / IS NOT NULL file skipping)."""
+    s = col_meta.statistics
+    if s is None or not s.has_null_count:
+        return None
+    return int(s.null_count)
+
+
 def parquet_file_minmax(path: str, cols: list[str]) -> list[dict]:
     """Per-file [min, max] ranges from parquet footers (no data read) —
     exactly the stats a scan planner prunes with. Local pyarrow walk;
@@ -141,17 +152,29 @@ def parquet_file_minmax(path: str, cols: list[str]) -> list[dict]:
         rng: dict = {"file": name}
         for c in cols:
             lo, hi = None, None
+            # a file with NO chunk for c stores the column ABSENT
+            # (reads all-NULL) — that must stay "unknown", not "0
+            # nulls", or an IS NULL probe would wrongly skip it
+            nulls, nulls_known, seen = 0, True, False
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):
                     col = md.row_group(rg).column(ci)
                     if col.path_in_schema != c or col.statistics is None:
                         continue
+                    seen = True
+                    n = footer_stat_nulls(col)
+                    if n is None:
+                        nulls_known = False
+                    else:
+                        nulls += n
                     clo, chi = footer_stat_min_max(col)
                     if clo is None:
                         continue
                     lo = clo if lo is None else min(lo, clo)
                     hi = chi if hi is None else max(hi, chi)
             rng[c] = (lo, hi)
+            if seen and nulls_known:
+                rng[f"{c}__nulls"] = nulls
         out.append(rng)
     return out
 

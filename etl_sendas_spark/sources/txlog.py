@@ -146,6 +146,15 @@ def _coerce_stat_bound(bound, probe):
     return bound
 
 
+# Null-zone-map prune sentinels (round 12 — Delta's nullCount
+# skipping): pass as the SPEC value in read(prune={col: ...}) to skip
+# files by their logged per-file null counts. PRUNE_IS_NULL drops
+# files with zero nulls; PRUNE_NOT_NULL drops files that are ALL null
+# (null_count == row count). Files with no logged null count (or an
+# absent column, which reads all-NULL) are kept — advisory as always.
+PRUNE_IS_NULL = "__prune_is_null__"
+PRUNE_NOT_NULL = "__prune_not_null__"
+
 _BLOOM_DEFAULT_SPEC = [1024, 3]  # [m_words of 63 bits, k hashes]
 
 
@@ -1354,6 +1363,8 @@ class TxLogTable:
 
                 from ..operators.layout import footer_stat_min_max
 
+                from ..operators.layout import footer_stat_nulls
+
                 for rel in files:
                     md = pq.ParquetFile(
                         os.path.join(self.root, rel)
@@ -1361,6 +1372,7 @@ class TxLogTable:
                     rng: dict = {}
                     for c in stat_cols:
                         lo, hi = None, None
+                        nulls, nulls_known, seen = 0, True, False
                         for rg in range(md.num_row_groups):
                             for ci in range(md.num_columns):
                                 col = md.row_group(rg).column(ci)
@@ -1369,6 +1381,12 @@ class TxLogTable:
                                     or col.statistics is None
                                 ):
                                     continue
+                                seen = True
+                                n = footer_stat_nulls(col)
+                                if n is None:
+                                    nulls_known = False
+                                else:
+                                    nulls += n
                                 clo, chi = footer_stat_min_max(col)
                                 if clo is None:
                                     continue
@@ -1376,22 +1394,32 @@ class TxLogTable:
                                 hi = chi if hi is None else max(hi, chi)
                         if lo is not None:
                             rng[c] = [_json_stat(lo), _json_stat(hi)]
+                        # an ABSENT column reads all-NULL: stays
+                        # unknown so IS NULL probes keep the file
+                        if seen and nulls_known:
+                            rng[f"{c}__nulls"] = nulls
                     if rng:
                         stats.setdefault(rel, {}).update(rng)
             else:
                 for rng in parquet_file_minmax(out_dir, stat_cols):
-                    stats.setdefault(
-                        os.path.join(rel_dir, rng["file"]), {}
-                    ).update(
+                    entry = {
+                        c: [
+                            _json_stat(rng[c][0]),
+                            _json_stat(rng[c][1]),
+                        ]
+                        for c in stat_cols
+                        if rng[c][0] is not None
+                    }
+                    entry.update(
                         {
-                            c: [
-                                _json_stat(rng[c][0]),
-                                _json_stat(rng[c][1]),
-                            ]
-                            for c in stat_cols
-                            if rng[c][0] is not None
+                            k: v
+                            for k, v in rng.items()
+                            if k.endswith("__nulls")
                         }
                     )
+                    stats.setdefault(
+                        os.path.join(rel_dir, rng["file"]), {}
+                    ).update(entry)
         return files, stats, parts
 
     def _check_schema(
@@ -1588,6 +1616,8 @@ class TxLogTable:
             if src not in prune or name in out:
                 continue
             spec = prune[src]
+            if spec in (PRUNE_IS_NULL, PRUNE_NOT_NULL):
+                continue  # null probes do not translate to transforms
             if isinstance(spec, (list, set, frozenset)):
                 vals = [_transform_py(tr, v) for v in spec]
                 if vals and all(v is not None for v in vals):
@@ -1757,6 +1787,32 @@ class TxLogTable:
             fs = stats.get(p, {})
             for col, spec in prune.items():
                 try:
+                    if spec in (PRUNE_IS_NULL, PRUNE_NOT_NULL):
+                        # null zone maps (round 12): exact per-file
+                        # null counts; a hive NULL partition value is
+                        # an exact all-null marker for its column
+                        if col in pv:
+                            is_null_part = (
+                                pv[col] == "__HIVE_DEFAULT_PARTITION__"
+                            )
+                            if spec == PRUNE_IS_NULL and not is_null_part:
+                                return False
+                            if spec == PRUNE_NOT_NULL and is_null_part:
+                                return False
+                            continue
+                        nulls = fs.get(f"{col}__nulls")
+                        if nulls is None:
+                            continue  # unknown: keep (advisory)
+                        if spec == PRUNE_IS_NULL and int(nulls) == 0:
+                            return False
+                        rows = fs.get("__rows__")
+                        if (
+                            spec == PRUNE_NOT_NULL
+                            and rows is not None
+                            and int(nulls) == int(rows)
+                        ):
+                            return False
+                        continue
                     if isinstance(spec, (list, set, frozenset)):
                         vals = list(spec)
                         if not vals:

@@ -412,14 +412,21 @@ class _TxLogBatchReader(DataSourceReader):
             GreaterThan,
             GreaterThanOrEqual,
             In,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
         )
+
+        from .txlog import PRUNE_IS_NULL, PRUNE_NOT_NULL
 
         def merge(col: str, lo, hi) -> None:
             if isinstance(self._prune.get(col), list):
                 return  # an IN list is already tighter to verify
             cur = self._prune.get(col, (None, None))
+            if cur in (PRUNE_IS_NULL, PRUNE_NOT_NULL):
+                # a range/equality bound subsumes NOT NULL; replace
+                cur = (None, None)
             clo, chi = cur
             if lo is not None:
                 clo = lo if clo is None else max(clo, lo)
@@ -438,6 +445,14 @@ class _TxLogBatchReader(DataSourceReader):
                     merge(col, None, f.value)
                 elif isinstance(f, In) and col not in self._prune:
                     self._prune[col] = list(f.value)
+                elif isinstance(f, IsNull):
+                    # exact: overrides any bound (they cannot co-occur
+                    # on a satisfiable plan)
+                    self._prune[col] = PRUNE_IS_NULL
+                elif isinstance(f, IsNotNull) and col not in self._prune:
+                    # Catalyst attaches IsNotNull to most comparisons;
+                    # only record it when no tighter spec exists
+                    self._prune[col] = PRUNE_NOT_NULL
         return list(filters)  # Spark re-applies every filter row-level
 
     def partitions(self):

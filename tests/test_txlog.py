@@ -3021,3 +3021,108 @@ def test_check_constraints(spark, tmp_path):
     assert sorted(t._constraints()) == ["amt_nonneg", "k_range"]
     with pytest.raises(ValueError, match="no constraint"):
         cl.drop_constraint("amt_nonneg")
+
+
+def test_null_count_zone_maps(spark, tmp_path):
+    """Round-12 null zone maps (Delta's nullCount skipping): per-file
+    null counts ride the stats map, PRUNE_IS_NULL drops zero-null
+    files, PRUNE_NOT_NULL drops all-null files, unknown stays kept,
+    results are exact vs the unpruned read, a hive NULL partition
+    value acts as the exact all-null marker, and the native source
+    pushes IsNull/IsNotNull when pruning is opted in."""
+    from etl_sendas_spark.sources.txlog import (
+        PRUNE_IS_NULL,
+        PRUNE_NOT_NULL,
+        TxLogTable,
+    )
+    from etl_sendas_spark.sources.txlog_source import (
+        register_txlog_source,
+    )
+
+    root = str(tmp_path / "t")
+    # 3 appends -> 3 file groups: all-null / no-null / mixed "opt"
+    t = TxLogTable.create(
+        root,
+        spark.sql(
+            "SELECT id AS k, CAST(NULL AS STRING) AS opt FROM range(100)"
+        ).coalesce(1),
+        stat_cols=["k", "opt"],
+    )
+    t.append(
+        spark.sql(
+            "SELECT id + 100 AS k, concat('v', id) AS opt "
+            "FROM range(100)"
+        ).coalesce(1),
+        spark,
+    )
+    t.append(
+        spark.sql(
+            "SELECT id + 200 AS k, CASE WHEN id % 2 = 0 THEN 'x' END "
+            "AS opt FROM range(100)"
+        ).coalesce(1),
+        spark,
+    )
+    rel, stats, parts = t._replay(None)
+    assert len(rel) == 3
+    nulls = sorted(s.get("opt__nulls") for s in stats.values())
+    assert nulls == [0, 50, 100]
+
+    pn = t._pruned_rel(rel, stats, parts, {"opt": PRUNE_NOT_NULL})
+    assert len(pn) == 2  # all-null file dropped
+    pi = t._pruned_rel(rel, stats, parts, {"opt": PRUNE_IS_NULL})
+    assert len(pi) == 2  # zero-null file dropped
+    # exactness: pruned read + row filter == unpruned read + filter
+    got = t.read(spark, prune={"opt": PRUNE_NOT_NULL}).filter(
+        "opt IS NOT NULL"
+    )
+    assert got.count() == 150
+    assert t.read(spark, prune={"opt": PRUNE_IS_NULL}).filter(
+        "opt IS NULL"
+    ).count() == 150
+
+    # hive NULL partition value = exact all-null marker
+    proot = str(tmp_path / "p")
+    pt = TxLogTable.create(
+        proot,
+        spark.sql(
+            "SELECT id AS k, CASE WHEN id < 50 THEN 'a' END AS grp "
+            "FROM range(100)"
+        ),
+        partition_by=["grp"],
+    )
+    prel, pstats, pparts = pt._replay(None)
+    keep_nn = pt._pruned_rel(prel, pstats, pparts, {"grp": PRUNE_NOT_NULL})
+    assert keep_nn and all(
+        pparts[p].get("grp") != "__HIVE_DEFAULT_PARTITION__"
+        for p in keep_nn
+    )
+    keep_in = pt._pruned_rel(prel, pstats, pparts, {"grp": PRUNE_IS_NULL})
+    assert keep_in and all(
+        pparts[p].get("grp") == "__HIVE_DEFAULT_PARTITION__"
+        for p in keep_in
+    )
+
+    # native source: IsNotNull/IsNull prune planned partitions (opt-in)
+    register_txlog_source(spark)
+    opt_df = (
+        spark.read.format("txlog")
+        .option("manifestPruning", "true")
+        .load(root)
+    )
+    full_parts = (
+        spark.read.format("txlog").load(root)._jdf.rdd().getNumPartitions()
+    )
+    nn_parts = (
+        opt_df.filter("opt IS NOT NULL")._jdf.rdd().getNumPartitions()
+    )
+    assert nn_parts < full_parts
+    assert opt_df.filter("opt IS NOT NULL").count() == 150
+    isn_parts = (
+        spark.read.format("txlog")
+        .option("manifestPruning", "true")
+        .load(root)
+        .filter("opt IS NULL")
+        ._jdf.rdd()
+        .getNumPartitions()
+    )
+    assert isn_parts < full_parts
