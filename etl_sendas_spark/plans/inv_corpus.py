@@ -352,11 +352,26 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") >= 0.05)
         & (F.col("dup2") <= 0.5)
     )
-    red = scored.select(
-        "doc_id", "lang", "source", pii_redact(F.col("text")).alias("red")
+    # Shuffle METADATA, not text (optimization guide §2.3/§8): the
+    # manifest needs only token COUNTS downstream of the dedup, and
+    # ``size(slice(toks, s+1, CHUNK))`` ≡ ``least(CHUNK, n - s)`` for
+    # every stride start s ∈ [0, n) — so the fingerprint AND the token
+    # count are computed scan-locally and the dedup exchange carries
+    # (doc_id, lang, source, md5, n) instead of the redacted text
+    # (~40 B/row vs the full document; plan diff in
+    # plans/r12/corpus_training_manifest_*.txt). Result-identical: the
+    # chunk-size arithmetic is exact, including the n=1 empty-normalized
+    # edge (split('', ' ') → [''] on both formulations).
+    red_norm = normalized_text(pii_redact(F.col("text")))
+    narrow = scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(red_norm).alias("__fp"),
+        F.size(F.split(red_norm, " ")).alias("__n"),
     )
-    w = Window.partitionBy(F.md5(normalized_text(F.col("red"))))
-    deduped = red.withColumn(
+    w = Window.partitionBy("__fp")
+    deduped = narrow.withColumn(
         "keep", F.min("doc_id").over(w) == F.col("doc_id")
     ).filter("keep")
     sampled = stratified_sample(
@@ -366,15 +381,15 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"en": 0.5, "es": 0.5},
         default_rate=0.2,
     )
-    toks = F.split(normalized_text(F.col("red")), " ")
-    n = F.size(toks)
     ex = sampled.select(
-        "doc_id", "lang", "source", toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_STRIDE))).alias("s"),
+        "doc_id", "lang", "source", "__n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(_STRIDE))
+        ).alias("s"),
     )
-    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK)
     chunks = ex.select(
-        "doc_id", "lang", "source", F.size(chunk).alias("chunk_toks")
+        "doc_id", "lang", "source",
+        F.least(F.lit(_CHUNK), F.col("__n") - F.col("s")).alias("chunk_toks"),
     )
     return chunks.groupBy("lang", "source").agg(
         F.countDistinct("doc_id").alias("n_docs"),

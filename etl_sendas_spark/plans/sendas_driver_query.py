@@ -47,6 +47,20 @@ def sendas_inputs(
     # interchange of fully-identical rows (which cannot affect any
     # downstream multiset). Assigned via the range-partitioned two-phase
     # numbering — no single-partition global window.
+    #
+    # Assigned AFTER the pipeline's ingest + month predicates, expressed
+    # here on the SOURCE columns (NOM_PLAN contains 'PGP' ⇔ l_orderkey %
+    # 13 ≠ 0; FACTURA starts 'SN' ⇔ l_orderkey % 17 = 0; FECHA_FACT =
+    # o_orderdate), so the row-id range shuffle + sample pass carry the
+    # ~8 % of rows the pipeline keeps instead of the full fact
+    # (optimization guide §2.3/§2.4 — r12 measured: the pre-filter fact
+    # build dropped ~1.4 s at sf0.1 and the biggest exchange shrank
+    # 13×). Row-id VALUES change under this order; only their ORDER is
+    # observable downstream (ORDER BY/keep-first tiebreaks; the id is
+    # never emitted), and filtering preserves relative order, so every
+    # declared result is bit-identical (oracle-audited at 3 SFs). The
+    # downstream ingest_filters/parse_and_filter_month re-apply the same
+    # predicates on the derived columns — idempotent on the kept rows.
     from ..sources.readers import global_row_number
 
     li_cols = [
@@ -54,8 +68,12 @@ def sendas_inputs(
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
         "l_linestatus", "l_shipdate",
     ]
-    li = global_row_number(li, li_cols, "__rid")
-    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).filter(
+        (F.col("l_orderkey") % 13 != 0)
+        & (F.col("l_orderkey") % 17 != 0)
+        & (F.month("o_orderdate") == MES)
+    )
+    j = global_row_number(j, li_cols, "__rid")
     ok, ck = F.col("l_orderkey"), F.col("o_custkey")
     pk, sk = F.col("l_partkey"), F.col("l_suppkey")
     factura = (
