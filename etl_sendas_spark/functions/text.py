@@ -125,19 +125,34 @@ def repeated_ngram_ratio(col: Column | str, n: int) -> Column:
     than ``n`` tokens) — the Gopher-style repetition quality signal.
 
     1 - distinct_ngrams/total_ngrams over normalized tokens, built from
-    array expressions (sequence → transform → array_distinct) so the
-    whole computation is codegen'd per-row with no explode and no
-    shuffle. Rounded to 6 places to pin cross-engine float equality.
+    array expressions with no explode and no shuffle. Rounded to 6
+    places to pin cross-engine float equality.
+
+    Built from ``zip_with`` over shifted slices, NOT
+    ``transform(sequence(...), i -> concat_ws(toks[i], toks[i+1]))``:
+    higher-order functions are CodegenFallback, and in the interpreted
+    path a lambda that indexes the OUTER ``toks`` expression tree
+    re-evaluates it — the full-document regex normalization + split —
+    for every gram element (~2k extra regex passes per k-token doc;
+    r12 measured 30.6 s for a 5000-doc filter at sf0.1 against 0.36 s
+    after this rewrite). ``zip_with`` lambdas touch only their lambda
+    variables, so each slice is evaluated once per row.
     """
     toks = F.split(normalized_text(col), " ")
     k = F.size(toks)
-    grams = F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(0), k - n),
-            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _grams() -> Column:
+        # parts[j] = toks[j .. j+k-n] (0-based); index-aligned zip_with
+        # concatenation yields exactly transform's gram list
+        parts = [F.slice(toks, j + 1, k - (n - 1)) for j in range(n)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+        return g
+
+    grams = F.when(k >= n, _grams()).otherwise(
+        F.array().cast("array<string>")
+    )
     total = F.size(grams).cast("double")
     return F.round(
         F.when(

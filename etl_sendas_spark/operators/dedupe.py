@@ -54,6 +54,34 @@ def _materialize_release(
     return out
 
 
+def _worth_caching(df: DataFrame, threshold_bytes: int = 1 << 30) -> bool:
+    """Size-adaptive cache decision for within-query intermediates
+    (optimization guide §5: cache only when recompute beats the memory
+    pressure). Below ``threshold_bytes`` of estimated input, re-running
+    the (scan-local, embarrassingly parallel) shingle pipeline per
+    consumer measures FASTER than materializing array rows into storage
+    — r12 interleaved A/B at sf0.1: lazy 2.12 s vs persisted 3.81 s for
+    the full minhash plan. Above it (the 100 TB regime), re-scanning
+    the corpus 3× loses to one cached pass. Override with
+    ``spark.etl_sendas.cacheIntermediates = always | never | auto``.
+    Unknown stats err on the side of caching (the scale-safe default).
+    """
+    mode = str(
+        df.sparkSession.conf.get("spark.etl_sendas.cacheIntermediates", "auto")
+    ).lower()
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return True
+    return size > threshold_bytes
+
+
 # --------------------------------------------------------------------------
 # exact
 # --------------------------------------------------------------------------
@@ -146,7 +174,8 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     docs = _shingle_docs(df, id_col, text_col, n, out_id="doc")
-    if materialize:
+    cache = materialize and _worth_caching(df)
+    if cache:
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     posting = docs.select("doc", F.explode("sh").alias("shingle"))
 
@@ -157,7 +186,7 @@ def ngram_jaccard_pairs(
         posting = posting.withColumn("__df", F.count("*").over(cnt)).filter(
             F.col("__df") <= max_posting
         ).drop("__df")
-        if materialize:
+        if cache:
             posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
 
     # sizes from the SAME (possibly capped) posting universe as the
@@ -345,10 +374,12 @@ def minhash_lsh_candidates(
     # single time instead of once per consumer; the equivalent cluster
     # pattern is materializing the shingle/signature table.
     sh = _shingle_docs(df, id_col, text_col, shingle_n, out_id="doc")
-    if verify_threshold is not None and materialize:
+    sh_cached = False
+    if verify_threshold is not None and materialize and _worth_caching(df):
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh_cached = True
     sig = _signatures_from_shingles(sh, "doc", num_hashes).withColumnRenamed(
         "doc", id_col
     )
@@ -359,31 +390,42 @@ def minhash_lsh_candidates(
 
     chain = None
     if max_bucket is not None:
-        # split regimes on the bucket size computed over ONE
-        # (band, bhash) exchange that then feeds both: small buckets
-        # go through the all-pairs self-join exactly as before (both
-        # join sides reuse the windowed exchange — partitioning is
-        # already the join key, pinned in
-        # test_plan_shapes.test_minhash_lsh_shuffle_budget). An
-        # oversized bucket emits a STAR around the min doc of each
-        # identical-signature GROUP plus a CHAIN over the group
-        # representatives in (sigkey, doc) order — linear fan-out, and
-        # crucially component DIAMETER stays 2 within a group (a
-        # bucket-wide chain would hand downstream min-label
+        # split regimes on the bucket size computed as a PARTIAL
+        # AGGREGATION + broadcast of only the OVERSIZED keys (r12
+        # rewrite): the previous window-count formulation forced an
+        # exchange + full sort of the whole bucket table just to learn
+        # which (band, bhash) exceed the cap — a set that is tiny or
+        # empty on every non-degenerate corpus (map-side partial
+        # aggregation reduces the shuffle to one row per distinct
+        # bucket, guide §2.3). The oversized-key frame broadcasts;
+        # small buckets flow through a left_anti join (no exchange, no
+        # sort) into the all-pairs self-join exactly as before. An
+        # oversized bucket (left_semi side) emits a STAR around the
+        # min doc of each identical-signature GROUP plus a CHAIN over
+        # the group representatives in (sigkey, doc) order — linear
+        # fan-out, and crucially component DIAMETER stays 2 per group
+        # (a bucket-wide chain would hand downstream min-label
         # connected-components a diameter-n path: 10⁵ propagation
         # rounds for the 10⁵-doc degenerate bucket this cap exists
-        # for). All window specs cluster on (band, bhash) — the group
-        # window's extra sigkey key is a subset-satisfied
-        # ClusteredDistribution, so everything rides the one exchange,
-        # and the ordered specs only sort rows that survived the
-        # __bn > cap filter.
+        # for). The chain windows now sort ONLY the oversized rows.
         from pyspark.sql import Window
 
-        wb = Window.partitionBy("band", "bhash")
         wg = Window.partitionBy("band", "bhash", "sigkey")
         wo = Window.partitionBy("band", "bhash").orderBy("sigkey", "doc")
-        sized = buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
-        buckets = sized.filter(F.col("__bn") <= F.lit(max_bucket)).select(
+        over = F.broadcast(
+            buckets.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > F.lit(max_bucket))
+            .select("band", "bhash")
+        )
+        # one explicit (band, bhash) exchange for the chain path: both
+        # window specs below are ClusteredDistribution-satisfied by it
+        # (wg's extra sigkey key is a subset case), so the rare
+        # oversized rows shuffle once, not once per window
+        oversized = buckets.join(over, ["band", "bhash"], "left_semi").repartition(
+            "band", "bhash"
+        )
+        buckets = buckets.join(over, ["band", "bhash"], "left_anti").select(
             "doc", "band", "bhash"
         )
         # star and chain fused into ONE branch (the self-join already
@@ -393,7 +435,7 @@ def minhash_lsh_candidates(
         # group's rep — the chain edge — while every other row pairs
         # with its own group's rep — the star edge.
         chain = (
-            sized.filter(F.col("__bn") > F.lit(max_bucket))
+            oversized
             .withColumn("__rep", F.min("doc").over(wg))
             .withColumn("__prevrep", F.lag("__rep").over(wo))
             .withColumn(

@@ -33,11 +33,30 @@ from ..functions.text import normalized_text
 
 
 def _qgrams(col, q: int):
-    """Distinct character q-grams of the normalized string."""
+    """Distinct character q-grams of the normalized string.
+
+    Fast path: ``zip_with`` over q shifted char slices — the lambda
+    touches only lambda variables, so the normalization regex runs q
+    times per ROW. The original ``transform(idx, i -> substring(norm,
+    i, q))`` re-evaluated ``norm`` (a full regexp_replace) per GRAM in
+    the interpreted higher-order-function path (HOFs are
+    CodegenFallback). Strings shorter than q keep the original
+    expression verbatim (including its descending-``sequence`` edge
+    behavior), so the output is bit-identical everywhere.
+    """
     norm = normalized_text(col)
     idx = F.sequence(F.lit(1), F.length(norm) - (q - 1))
+    slow = F.transform(idx, lambda i: F.substring(norm, i, q))
+    # split between every char: zero-width, not at start, must be
+    # followed by a char — no leading/trailing empties
+    chars = F.split(norm, r"(?!^)(?=.)")
+    n_gr = F.length(norm) - (q - 1)
+    parts = [F.slice(chars, j + 1, n_gr) for j in range(q)]
+    fast = parts[0]
+    for p in parts[1:]:
+        fast = F.zip_with(fast, p, lambda a, b: F.concat(a, b))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.substring(norm, i, q))
+        F.when(F.length(norm) >= q, fast).otherwise(slow)
     )
 
 

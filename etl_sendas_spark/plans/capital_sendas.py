@@ -413,11 +413,13 @@ def apply_rules(fact: DataFrame) -> DataFrame:
     the R4 invoice flag — versus the sequential fold's five full-fact
     joins and 2^5 lineage copies.
 
-    The enriched input is deliberately NOT persisted: each mark set
-    prunes to 3-5 columns, so recomputing the (broadcast-join-only)
-    enrichment per mark under full column pruning measures faster than
-    one wide materialization — and at cluster scale it avoids caching
-    the entire fact table.
+    The enriched input arrives PINNED from :func:`run_pipeline` (when
+    ``materialize_fact`` is on): the earlier recompute-per-mark design
+    — measured faster in r3, when the row-id shuffle still carried the
+    unfiltered fact — re-measured slower in r12 once the fact build was
+    pre-filtered (interleaved A/B at sf0.1: pinned 5.95 s vs recompute
+    6.75 s min-of-4). What pins is the month-scoped batch plus the
+    enrichment columns, not the raw input.
     """
     marks = None
     for rank, mk in _RANKED_MARKS:
@@ -548,21 +550,26 @@ def run_pipeline(
         "apply_rules": apply_rules,
         "finalize": finalize,
     }
+    _strategy = materialize_fact if isinstance(materialize_fact, str) else None
     for stage in STAGES:
         if stage.name == "enrich":
             if ROW_ID not in fact.columns:
                 # the rule engine threads row identity from here on
                 fact = with_row_id(fact)
             if materialize_fact:
-                fact = _pin(
-                    fact,
-                    name="fact_stage",
-                    strategy=(
-                        materialize_fact
-                        if isinstance(materialize_fact, str)
-                        else None
-                    ),
-                )
+                fact = _pin(fact, name="fact_stage", strategy=_strategy)
+        if stage.name == "apply_rules" and materialize_fact:
+            # Pin the ENRICHED frame too: the rule engine reads it from
+            # 5 mark sets + the main pass, and re-running the (broadcast)
+            # enrichment per consumer — the r3 decision, taken when the
+            # row-id shuffle still carried the unfiltered fact — now
+            # measures SLOWER than one wide pin of the month-scoped
+            # batch (r12 A/B at sf0.1, interleaved min-of-4:
+            # fact-only 6.75 s, fact+enriched 5.95 s; the enriched pin
+            # adds ~8 derived columns to rows already scoped to the
+            # month, so its footprint is the same order as the fact
+            # pin it sits on).
+            fact = _pin(fact, name="enriched_stage", strategy=_strategy)
         if stage.name == "finalize":
             return impls[stage.name](fact), comprobar(fact)
         fact = impls[stage.name](fact)

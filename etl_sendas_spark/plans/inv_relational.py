@@ -40,10 +40,20 @@ from .sendas_driver_query import SENDAS_FULL_SQL, sendas_full_pipeline
 from .tpch import TPCH_ORACLES, TPCH_QUERIES
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = True
+) -> DataFrame:
+    # widen=False: callers whose FIRST operator is an exchange (window,
+    # groupBy, shuffle join) — the round-robin widening repartition
+    # would be a wasted extra pass there, since the query's own shuffle
+    # already redistributes the single-row-group local scan
+    # (optimization guide §2.4; r12 interleaved A/Bs at sf0.1:
+    # r1 1.15 vs 1.64 s, sessionize 0.52 vs 0.95 s, q1 0.78 vs 0.94 s).
+    # Keep the default for scan-heavy per-row compute (regex/text),
+    # which widening genuinely parallelizes.
     from ..sources.readers import read_table
 
-    return read_table(spark, sf_dir, name)
+    return read_table(spark, sf_dir, name, widen=widen)
 
 
 def _dec_sum(col, scale: int = 6):
@@ -63,7 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises A-family aggregation + predicate pushdown (the shipdate
     filter reaches the parquet scan).
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", widen=False)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -580,7 +590,7 @@ GROUP BY l_orderkey, o_orderpriority
 def d1_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: keyed dedup keep-first with explicit tiebreak (reference
     keep='first' ×8; here: first lineitem per (order, part) by line#)."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem", widen=False).select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
     # l_quantity in the tiebreak: the synthetic data has duplicate
@@ -647,7 +657,7 @@ FROM orders WHERE o_orderkey % 3 = 2
 
 def o_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-family: top-3 items by price per order (sort-as-window)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", widen=False)
     w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_linenumber")
     )
@@ -1110,7 +1120,7 @@ def j_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     no range probe). Oracle: DuckDB's native ASOF LEFT JOIN."""
     from ..operators.relational import asof_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -1155,7 +1165,7 @@ def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pytest asserts no nested-loop in the plan)."""
     from ..operators.relational import bounded_range_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     signups = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"), F.col("ts").alias("signup_ts")
     )
@@ -1193,7 +1203,7 @@ def d_keep_first_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY oracle."""
     from ..operators.relational import keep_first_salted
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    ev = _t(spark, sf_dir, "events", widen=False).select("event_type", "event_id", "ts", "value")
     first = keep_first_salted(
         ev,
         keys=["event_type"],
@@ -1347,7 +1357,7 @@ GROUP BY event_type
 def r1_capped_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 two-window cap on lineitem: per order, walking returnflag
     descending, ≤2 marks per flag run and ≤3 total (reference :326-380)."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem", widen=False).select(
         "l_orderkey", "l_returnflag", "l_linenumber"
     )
     return capped_group_mark(
@@ -1392,7 +1402,7 @@ def r7_gap_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7 anchor-reset gap fold on events: per (user, type) in ts order,
     mark first, then only >3 days after the last marked (reference
     :484-543). The one applyInPandas operator; oracle is a recursive CTE."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    ev = _t(spark, sf_dir, "events", widen=False).select("event_id", "user_id", "event_type", "ts")
     marked = gap_anchor_mark(
         ev,
         group_keys=["user_id", "event_type"],
@@ -1463,7 +1473,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gap to PREVIOUS event > 30 min starts a new
     session) — the window-expressible cousin of R7 and the batch mirror
     of streaming session_window."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = _t(spark, sf_dir, "events", widen=False).select("event_id", "user_id", "ts")
     out = sessionize(
         ev, group_keys=["user_id"], ts_col="ts", gap="INTERVAL 30 MINUTES",
         order_by=["event_id"],  # total order — matches SESSIONIZE_SQL's tiebreak

@@ -208,17 +208,21 @@ def test_minhash_signatures_are_fully_narrow(spark):
 def test_minhash_lsh_shuffle_budget(spark):
     """The full LSH candidate plan (signatures → band buckets → bucket
     join → exact-Jaccard verify) gets a hard shuffle budget: the bucket
-    join (≤2 sides) plus the two verify joins back to the shingle
-    table (≤2 more, broadcast at small SF). A refactor that explodes
-    signatures into a shuffle, or re-shingles per consumer with an
-    exchange each, busts the budget. Built with materialize=False so
-    the asserted plan is the real end-to-end lineage, not a checkpoint
-    scan."""
+    join (≤2 sides, one reused at runtime) plus the two verify joins
+    back to the shingle table (broadcast at small SF), the bucket-size
+    partial aggregation (r12: one row per DISTINCT bucket on the wire
+    — replaces the window count that sorted the whole bucket table),
+    and the oversized-bucket chain path's single explicit exchange
+    (carries only rows of buckets above the cap — normally zero). A
+    refactor that explodes signatures into a shuffle, or re-shingles
+    per consumer with an exchange each, busts the budget. Built with
+    materialize=False so the asserted plan is the real end-to-end
+    lineage, not a checkpoint scan."""
     from etl_sendas_spark.operators.dedupe import minhash_lsh_candidates
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = _plan(minhash_lsh_candidates(docs, "doc_id", "text", materialize=False))
-    assert _shuffles(plan) <= 4, plan
+    assert _shuffles(plan) <= 5, plan
 
 
 def test_flagship_exchange_budget(spark):
