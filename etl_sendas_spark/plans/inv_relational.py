@@ -442,7 +442,7 @@ def j_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2-shape: fact left-joins two broadcast dims, revenue by brand ×
     nation (the reference's dim-enrichment chain at scale: the fact
     never shuffles for the joins, only for the final groupBy)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", widen=False)
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")

@@ -31,6 +31,32 @@ SPECIAL = ["890502", "132P01", "890285", "890385", "890384", "890284"]
 MES = 3
 
 
+_LOCAL_DIM_READ_CAP = 256 * 1024 * 1024  # driver-side read only below this
+
+
+def _part_keys(spark: SparkSession, sf_dir: str, part: DataFrame) -> list[int]:
+    """sorted(DISTINCT p_partkey % 200) — pyarrow fast path for small
+    local files, Spark job otherwise. Both paths compute the identical
+    key universe (the oracle's `keys` CTE)."""
+    import os
+
+    path = os.path.join(sf_dir, "part.parquet")
+    try:
+        if os.path.isfile(path) and os.path.getsize(path) <= _LOCAL_DIM_READ_CAP:
+            import pyarrow.parquet as pq
+
+            col = pq.read_table(path, columns=["p_partkey"])["p_partkey"]
+            return sorted({int(v) % 200 for v in col.to_pylist()})
+    except Exception:  # noqa: BLE001 — any local-read trouble → cluster path
+        pass
+    return sorted(
+        r["k"]
+        for r in part.select((F.col("p_partkey") % 200).alias("k"))
+        .distinct()
+        .collect()
+    )
+
+
 def sendas_inputs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -123,11 +149,12 @@ def sendas_inputs(
     # (capital_sendas.py:65-77), and removes four scan+distinct+
     # broadcast job chains that dominated wall time at bench SFs. The
     # expressions are the same arithmetic the SQL oracle's `keys` CTE
-    # applies.
-    keys = sorted(
-        r["k"]
-        for r in part.select((F.col("p_partkey") % 200).alias("k")).distinct().collect()
-    )
+    # applies. When the part file is small and driver-local, the key
+    # universe is read with pyarrow instead of a Spark job (the same
+    # local-stat shortcut readers.estimated_scan_splits takes — r12:
+    # the collect job was ~0.9 s of the flagship's wall); larger or
+    # remote inputs keep the cluster path.
+    keys = _part_keys(spark, sf_dir, part)
     codigos = spark.createDataFrame(
         [(str(k), f"CON-{k % 7}", str(k % 5)) for k in keys],
         ["SERVICIO", "CONCEPTO", "GRUPO QX"],

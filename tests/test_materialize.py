@@ -84,8 +84,11 @@ def test_flagship_stage_pin_holds_in_cluster_modes(mode, spark, strategy_conf):
     assert "lineitem.parquet" not in plan, plan[:2000]
     assert "orders.parquet" not in plan, plan[:2000]
     if mode == "parquet":
-        # the stage table is a real parquet dir, named for debuggability
-        assert "fact_stage" in plan
+        # the stage table is a real parquet dir, named for debuggability.
+        # Since r12 the rule engine reads the ENRICHED pin (which itself
+        # is built on the fact pin — see run_pipeline), so that is the
+        # stage table visible in the final plan.
+        assert "enriched_stage" in plan
 
 
 @pytest.mark.parametrize("mode", ["reliable", "parquet"])
