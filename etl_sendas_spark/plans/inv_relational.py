@@ -240,7 +240,7 @@ def a_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     table instead of four separate jobs (the way a report layer would
     otherwise issue them). ``lvl`` is the grouping_id bitmask that
     distinguishes a subtotal row from a genuine null key."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=False)
     g = ev.select("event_type", F.to_date("ts").alias("day"), "value")
     agg = g.groupingSets(
         [["event_type", "day"], ["event_type"], ["day"], []],
@@ -630,7 +630,7 @@ FROM lineitem
 def u_union_dedup_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/U1/U2: multi-file union where later files drop rows already
     seen (all-column match) but keep genuinely new/changed rows."""
-    orders = _t(spark, sf_dir, "orders").select(
+    orders = _t(spark, sf_dir, "orders", widen=False).select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
     file0 = orders.filter(F.col("o_orderkey") % 3 < 2)

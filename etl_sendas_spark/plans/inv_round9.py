@@ -11,10 +11,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = True
+) -> DataFrame:
+    # widen=False for shuffle-first callers (see inv_relational._t)
     from ..sources.readers import read_table
 
-    return read_table(spark, sf_dir, name)
+    return read_table(spark, sf_dir, name, widen=widen)
 
 
 PART_QUERIES: dict = {}
@@ -956,7 +959,7 @@ def privacy_k_anonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.privacy import k_anonymize
 
     ev = (
-        _t(spark, sf_dir, "events")
+        _t(spark, sf_dir, "events", widen=False)
         .filter(
             F.col("ts").isNotNull()
             & F.col("event_type").isNotNull()
