@@ -335,6 +335,36 @@ def _qx1_marks(fact: DataFrame) -> DataFrame:
     )
 
 
+SERVICIOS_A_INVALIDAR = ["890285", "890385", "890384", "890284", "890502"]
+
+
+def _c4_zero_marks(fact: DataFrame) -> DataFrame:
+    """R4's invoice-membership zeroing as a mark set (r13, guide §2.4):
+    rows in the C4 consulta-externa scope whose SERVICIO is in the
+    invalidation list AND whose invoice contains a 132P01 row get 0.
+
+    Replaces the ``invoices_containing`` window inside the one-pass
+    engine's final CASE — that window forced the full-width post-join
+    frame through an Exchange(FACTURA) + sort just to attach a boolean
+    consumed by a single branch. Here both join sides are NARROW (the
+    scoped row ids + the distinct 132P01 invoices), and the wide frame
+    crosses no extra exchange. C4 scope is disjoint from every other
+    mark set's scope (Qx*/H*/C1/C5/Qx1), so the rank-4 mark can never
+    shadow or be shadowed within a row — semantics identical to the
+    window branch (oracle-audited)."""
+    has132 = (
+        fact.filter(F.col("SERVICIO") == "132P01").select("FACTURA").distinct()
+    )
+    scope = fact.filter(
+        (F.col("AMBITO") == "CONSULTA EXTERNA")
+        & (F.col("tipologia") == "C4")
+        & F.col("SERVICIO").isin(SERVICIOS_A_INVALIDAR)
+    ).select(ROW_ID, "FACTURA")
+    return scope.join(has132, "FACTURA", "left_semi").select(
+        ROW_ID, F.lit(0).alias("validacion")
+    )
+
+
 def rule_c5(fact: DataFrame) -> DataFrame:
     """R7 Consultorio urgencias (:484-543): zero all C5, dedup on
     INGRESO in (patient, dx, date) order, then the anchor-reset >3-day
@@ -395,6 +425,7 @@ _RANKED_MARKS = [
     (1, _qx_marks),  # R1
     (2, _egreso_marks),  # R2
     (3, _c1_marks),  # R3
+    (4, _c4_zero_marks),  # R4 invoice-membership zeroing (r13)
     (7, _c5_marks),  # R7
     (8, _qx1_marks),  # R8
 ]
@@ -435,11 +466,15 @@ def apply_rules(fact: DataFrame) -> DataFrame:
         F.max_by("__mark_v", "__mark_rank").alias("__mark_v"),
         F.max("__mark_rank").alias("__mark_rank"),
     )
-    out = fact.join(best, on=ROW_ID, how="left")
+    # SHUFFLE_HASH hint (r13, guide §3.1): both sides are O(fact) so
+    # broadcast is unsafe, but the build side (the aggregated marks —
+    # 3 narrow columns) is far lighter per partition than the wide
+    # enriched fact, which a SortMergeJoin would SORT in full after its
+    # exchange. The hint keeps the exchange and drops both sorts; the
+    # build side's hash table holds only scoped-row marks.
+    out = fact.join(best.hint("shuffle_hash"), on=ROW_ID, how="left")
 
-    has_132 = invoices_containing(out, "FACTURA", "SERVICIO", "132P01")
     base4 = (F.col("AMBITO") == "CONSULTA EXTERNA") & (F.col("tipologia") == "C4")
-    servicios_a_invalidar = ["890285", "890385", "890384", "890284", "890502"]
     cant = F.col("CANT_SERVICIO")
     rank = F.col("__mark_rank")
     v = (
@@ -459,8 +494,10 @@ def apply_rules(fact: DataFrame) -> DataFrame:
             (F.col("tipologia") == "C8") & (F.col("AMBITO") == "CONSULTA EXTERNA"),
             cant,
         )
-        # R4 C4 chain (132P01-invoice zeroing first — it wins within R4)
-        .when(base4 & has_132 & F.col("SERVICIO").isin(servicios_a_invalidar), F.lit(0))
+        # R4 C4 chain (132P01-invoice zeroing first — it wins within
+        # R4; rank 4 ⇔ the row is in the zeroing scope AND its invoice
+        # has a 132P01 row — see _c4_zero_marks)
+        .when(rank == 4, F.lit(0))
         .when(base4 & (F.col("SERVICIO") == "890502"), cant)
         .when(base4 & (F.col("SERVICIO") != "890502"), F.lit(1))
         # R3 / R2 membership marks (always 1)

@@ -590,7 +590,11 @@ GROUP BY l_orderkey, o_orderpriority
 def d1_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: keyed dedup keep-first with explicit tiebreak (reference
     keep='first' ×8; here: first lineitem per (order, part) by line#)."""
-    li = _t(spark, sf_dir, "lineitem", widen=False).select(
+    # widen stays ON here (r13, VERDICT r12 item 2): the r12 widen=False
+    # flip A/B'd slower (1.48 vs 1.56) and the driver confirmed −15%
+    # (1.49→1.75 s). The high-cardinality (orderkey, partkey) window
+    # overlaps scan+shuffle-write better with the widened scan.
+    li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
     # l_quantity in the tiebreak: the synthetic data has duplicate

@@ -552,6 +552,11 @@ EXTRA_ORACLES.update(_inv_round12.PART_ORACLES)
 # streaming_txlog_cdf_ivm_events driver rows), ts_resample_ffill_events
 # (gaps-and-islands window machinery pinned by r7_gap_mark +
 # sessionize family; its own oracle stays in EXTRA).
+# Round-13 rotation (executes the r12 queue above verbatim, per
+# VERDICT r12 item 8): IN — txlog_clone_events,
+# txlog_date_zone_map_events (both green through their r12 EXTRA
+# outing). OUT to EXTRA, identical oracle bar kept —
+# ivm_count_distinct_events, ts_resample_ffill_events.
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "a_exact_quantile_histogram",
@@ -596,13 +601,13 @@ DRIVER_WINDOW = [
     "dsir_select_docs",
     "ivm_join_view_events",
     "quality_lsq_classifier_docs",
-    "ivm_count_distinct_events",
+    "txlog_clone_events",
     "corpus_refresh_incremental_docs",
     "catalog_snapshot_events",
     "streaming_txlog_cdf_ivm_events",
     "privacy_k_anonymize_events",
     "txlog_type_widening_events",
-    "ts_resample_ffill_events",
+    "txlog_date_zone_map_events",
 ]
 
 _ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
