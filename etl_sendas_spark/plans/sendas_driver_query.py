@@ -46,7 +46,17 @@ def _part_keys(spark: SparkSession, sf_dir: str, part: DataFrame) -> list[int]:
             import pyarrow.parquet as pq
 
             col = pq.read_table(path, columns=["p_partkey"])["p_partkey"]
-            return sorted({int(v) % 200 for v in col.to_pylist()})
+            # sign-of-DIVIDEND remainder, matching Spark/DuckDB `%`
+            # (Python's % is sign-of-divisor: -7 % 200 = 193 there but
+            # -7 in both engines — ADVICE r12; synthetic keys are
+            # positive today, this keeps the two paths equal if that
+            # ever changes)
+            return sorted(
+                {
+                    (abs(int(v)) % 200) * (1 if int(v) >= 0 else -1)
+                    for v in col.to_pylist()
+                }
+            )
     except Exception:  # noqa: BLE001 — any local-read trouble → cluster path
         pass
     return sorted(

@@ -72,6 +72,16 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Deployment/experiment overrides without code edits:
+    # SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2" (last wins over defaults).
+    # Keeps scale-dependent settings parameterisable per environment —
+    # the bench contract reads its own knobs from env the same way.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            if k.strip():
+                builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -20,7 +20,11 @@ TABLES = [
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    # local[8] (was [4]): the oracle-parity stage now submits queries
+    # from a thread pool (guide §2.6), so the extra cores are actually
+    # used; shuffle partitions stay at 4 — test inputs are tiny and
+    # more reduce partitions would only add task overhead.
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=4)
     yield s
 
 

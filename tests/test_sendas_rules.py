@@ -471,3 +471,73 @@ def test_run_pipeline_end_to_end(spark):
 
     # comprobar: P1 is matched in bases (ips found) → empty side output
     assert check.count() == 0
+
+
+def test_driver_query_prefilter_equals_derived_filters(spark):
+    """The sendas_inputs pre-row-id filter is expressed on SOURCE
+    columns (l_orderkey % 13/17, month(o_orderdate)) while the pipeline
+    re-applies the same predicates on the DERIVED columns (NOM_PLAN,
+    FACTURA, FECHA_FACT). ADVICE r12: if either side drifts stricter,
+    rows silently vanish before downstream sees them — so assert the
+    two filters keep the identical row set."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.plans.capital_sendas import (
+        ingest_filters,
+        parse_and_filter_month,
+    )
+    from etl_sendas_spark.plans.sendas_driver_query import MES, sendas_inputs
+    from etl_sendas_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    fact, *_dims = sendas_inputs(spark, sf)
+    # derived-column filters are idempotent on the prefiltered fact:
+    # applying them must drop NOTHING
+    refiltered = parse_and_filter_month(
+        ingest_filters(fact), MES, parse_dates=False
+    )
+    assert fact.count() == refiltered.count()
+
+    # and the prefilter keeps EXACTLY the source rows whose derived
+    # columns would pass: recompute the kept (orderkey, linenumber)
+    # multiset from the raw join with the derived-column predicates
+    li = read_table(spark, sf, "lineitem", widen=False)
+    orders = read_table(spark, sf, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    factura = F.when(
+        F.col("l_orderkey") % 17 == 0,
+        F.concat(F.lit("SN"), F.col("l_orderkey").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("FA"), F.lpad(F.col("l_orderkey").cast("string"), 10, "0")
+        )
+    )
+    nom_plan = F.when(
+        F.col("l_orderkey") % 13 == 0, F.lit("PARTICULAR")
+    ).otherwise(F.lit("PLAN PGP CAPITADO"))
+    derived_kept = (
+        j.filter(
+            nom_plan.contains("PGP")
+            & ~factura.startswith("SN")
+            & (F.month("o_orderdate") == MES)
+        )
+        .groupBy("l_orderkey", "l_linenumber")
+        .count()
+    )
+    fact_kept = (
+        fact.withColumn(
+            "l_orderkey",
+            F.regexp_replace("FACTURA", "^FA0*", "").cast("long"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_fact"))
+    )
+    derived_by_order = derived_kept.groupBy("l_orderkey").agg(
+        F.sum("count").alias("n_derived")
+    )
+    diff = fact_kept.join(derived_by_order, "l_orderkey", "full").filter(
+        F.col("n_fact").isNull()
+        | F.col("n_derived").isNull()
+        | (F.col("n_fact") != F.col("n_derived"))
+    )
+    assert diff.count() == 0
