@@ -90,9 +90,15 @@ def lang_id(col: Column | str) -> Column:
     heuristic keeps the operator JVM-side and deterministic, which is
     what matters for the engine (the model is a plug-in).
     """
-    norm = normalized_text(col)
-    en = _panel_hits(norm, _EN_STOP)
-    es = _panel_hits(norm, _ES_STOP)
+    # token-HOF form kept on purpose (r13 A/B): lang_id is consumed as
+    # a PROJECTION column, not inside pushed-down filters, so the
+    # interpreted-HOF re-evaluation bomb `_panel_hits` exists to dodge
+    # never fires here — and the regexp_count formulation (two extra
+    # full-text scans with a 10-way alternation) measured
+    # corpus_prep_pipeline SLOWER (1.32 → 1.56-1.68 s interleaved).
+    toks = F.split(normalized_text(col), " ")
+    en = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
+    es = F.size(F.filter(toks, lambda t: t.isin(*_ES_STOP)))
     c = F.col(col) if isinstance(col, str) else col
     return (
         # NULL text first: size(NULL array) is -1 under legacy sizeOfNull,

@@ -477,7 +477,14 @@ def j_anti_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive, reference :117-123)."""
     from ..operators.relational import anti_join_all_columns
 
-    orders = _t(spark, sf_dir, "orders").select(
+    # widen=False (r13 sweep): the probe side feeds a broadcast anti
+    # join directly (Catalyst had even pulled the probe's widen ABOVE
+    # the join — a pure post-join repartition of the output), and the
+    # seen side's widen fed a BroadcastExchange that collects
+    # everything anyway. Interleaved A/B 0.58/0.53 vs 0.73/0.78 s
+    # (wins 2/2 pairs); plan drops both RoundRobin exchanges
+    # (plans/r13/j_anti_all_columns_*.txt).
+    orders = _t(spark, sf_dir, "orders", widen=False).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
     seen = orders.filter(F.col("o_orderkey") % 3 == 0)
@@ -798,7 +805,13 @@ def a1_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     only orders from the latest (year, month) present, the reference's
     manual max-AnoMes pruning (:82-90,142). The max computes as a
     scalar subquery so Catalyst folds it into the scan filter."""
-    orders = _t(spark, sf_dir, "orders")
+    # widen=False (r13 sweep): BOTH consumers of the scan wasted the
+    # round-robin pass — the agg side reduces to one row before its own
+    # exchange, the probe side's per-row work is a date_format+compare
+    # behind a broadcast join with no downstream shuffle. Interleaved
+    # A/B 0.55/0.86 vs 0.62/2.20 s (wins 2/2 pairs); plan drops both
+    # RoundRobin exchanges (plans/r13/a1_latest_partition_*.txt).
+    orders = _t(spark, sf_dir, "orders", widen=False)
     ym = F.date_format("o_orderdate", "yyyyMM")
     latest = orders.agg(F.max(ym).alias("m"))
     return (
